@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Pipe.Op
+
+/** rxsci `rs.data.*` family: count windows, batching, splitting
+  * (SURVEY.md §2.4). The flagship is [[roll]] — the reference README's
+  * headline demo is `rs.data.roll(window=3, stride=3)` + mean ⇒ `2.0, 5.0`
+  * over [1..7] (reference README.rst:75-90).
+  */
+object DataOps {
+
+  /** Column name added by [[roll]]/[[batch]]/[[split]]/[[timeSplit]]
+    * identifying the window/batch/segment a row belongs to. */
+  val WindowCol = "window_id"
+
+  /** `rs.data.roll(window, stride)` (reference README.rst:65): count-based
+    * sliding/tumbling windows. Row i (0-based within its key, under `order`)
+    * belongs to window k iff `k*stride <= i < k*stride + window`; only
+    * COMPLETE windows are emitted (the reference drops the trailing partial
+    * window: [1..7] w=3 s=3 → windows {1,2,3},{4,5,6}, the 7 is dropped).
+    *
+    * Implementation: row_number → explode the (small, ≤⌈window/stride⌉-sized)
+    * set of window ids each row belongs to → groupBy-ready. One shuffle for
+    * the row numbering, one for the downstream aggregate; with `partition`
+    * keys both are hash-partitioned by key and scale linearly. Without keys
+    * the numbering is a global sort — inherently sequential, matching the
+    * reference's single-threaded semantics; use keyed rolls at scale.
+    *
+    * Returns rows tagged with `window_id` (and the partition keys); feed to
+    * an aggregate such as [[MathOps.mean]].
+    */
+  def roll(window: Int, stride: Int, order: Seq[Column],
+           partition: Seq[Column] = Nil): Op = { df =>
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val w0 = if (partition.isEmpty) Window.partitionBy()
+             else Window.partitionBy(partition: _*)
+    val i = row_number().over(w0.orderBy(order: _*)) - 1 // 0-based
+    val n = count(lit(1)).over(w0) // rows per key, to drop partial windows
+    // k ranges over [ceil((i-window+1)/stride), floor(i/stride)] ∩ [0, ∞);
+    // materialize the window exprs first — explode(window_expr) directly is
+    // unresolvable (generators can't contain window functions).
+    val kLo = greatest(
+      ceil((col("__i") - window + 1).cast("double") / stride), lit(0))
+      .cast("long")
+    val kHi = floor(col("__i").cast("double") / stride).cast("long")
+    df.withColumn("__i", i)
+      .withColumn("__n", n)
+      .withColumn(WindowCol, explode(sequence(kLo, kHi)))
+      // complete windows only: window k spans [k*stride, k*stride+window-1]
+      .filter(col(WindowCol) * stride + window <= col("__n"))
+      .drop("__i", "__n")
+  }
+
+  /** `rs.data.batch` / serve's count-batcher (makinage/serve/serve.py:82-101):
+    * tumbling count batches of size n = roll(n, n). */
+  def batch(n: Int, order: Seq[Column],
+            partition: Seq[Column] = Nil): Op =
+    roll(n, n, order, partition)
+
+  /** `rs.data.split`: segment a stream at predicate boundaries — a row where
+    * `boundary` is true starts a new segment. Segment id = running count of
+    * boundary markers (one window shuffle; per-key with `partition`). */
+  def split(boundary: Column, order: Seq[Column],
+            partition: Seq[Column] = Nil): Op = { df =>
+    val w0 = if (partition.isEmpty) Window.partitionBy()
+             else Window.partitionBy(partition: _*)
+    val w = w0.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(WindowCol,
+      sum(when(boundary, 1L).otherwise(0L)).over(w))
+  }
+
+  /** `rs.data.time_split` (session split): a gap of more than `gapSeconds`
+    * between consecutive events starts a new segment — the batch
+    * (gaps-and-islands) form of session windows; the streaming form is
+    * Spark's native `session_window` (SURVEY.md §2.5). */
+  def timeSplit(ts: Column, gapSeconds: Long,
+                partition: Seq[Column] = Nil): Op = { df =>
+    val w0 = if (partition.isEmpty) Window.partitionBy()
+             else Window.partitionBy(partition: _*)
+    val prev = lag(ts, 1).over(w0.orderBy(ts))
+    val isBoundary = prev.isNull ||
+      (ts.cast("double") - prev.cast("double")) > gapSeconds
+    val w = w0.orderBy(ts)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(WindowCol,
+      sum(when(isBoundary, 1L).otherwise(0L)).over(w))
+  }
+
+  /** rxsci `pad_start`: prepend `n` copies of a literal default row. */
+  def padStart(n: Int, defaults: DataFrame): Op = { df =>
+    val pad = (1 until n).foldLeft(defaults)((d, _) => d.unionByName(defaults))
+    if (n <= 0) df else pad.unionByName(df)
+  }
+}

