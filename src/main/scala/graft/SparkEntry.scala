@@ -1,20 +1,29 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.core.Pipe._
+import graft.functions.{Codecs, Text, Vectors}
+import graft.llm.{Dedup, Multimodal, SimSearch}
 import graft.operators.{DataOps, MathOps, Ops}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every operator from SURVEY.md §2 registers a bounded-batch demonstration
   * query here; `oracleSql` holds the DuckDB-equivalent ANSI SQL. Column
-  * names are aliased identically on both sides (driver hash-compares after
-  * sorting columns by name). Numeric outputs follow MathOps' exactness
-  * policy (decimal-exact accumulation, one final double conversion) so
-  * results are bit-identical at any parallelism.
+  * names are aliased identically on both sides (the driver hash-compares
+  * after sorting columns by name). Numeric outputs follow MathOps' exactness
+  * policy: decimal-exact accumulation (order-independent under any
+  * parallelism) with a single final double conversion, and sequential
+  * left-to-right folds for vector math — so Spark and DuckDB agree
+  * bit-for-bit, not just approximately.
+  *
+  * Queries without an oracle entry are the hash-based approximate ops
+  * (MinHash/SimHash/LSH — DuckDB has no xxhash64); their semantics are
+  * pinned by ScalaTest invariants instead (src/test/scala/graft).
   */
 object SparkEntry {
 
@@ -22,8 +31,8 @@ object SparkEntry {
     Tables.table(s, dir, name)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference README's headline pipeline (README.rst:75-90): rolling
-    * mean, window=3 stride=3, over the events stream. */
+    * The reference README's headline pipeline (reference README.rst:75-90):
+    * count-based rolling mean, window=3 stride=3, over the events stream. */
   def entry(spark: SparkSession): DataFrame = {
     val ev = t(spark, "/root/testdata/sf0.001", "events")
     ev >> DataOps.roll(3, 3, Seq(col("event_id"))) >>
@@ -31,71 +40,749 @@ object SparkEntry {
       Ops.take(1000, col(DataOps.WindowCol))
   }
 
+  // --- shared SQL fragments for the oracle ---------------------------------
+
+  /** DuckDB list literal for a stopword set (kept in lockstep with
+    * [[Text.stopwords]] by construction). */
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val toksSql =
+    "list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0)"
+
+  /** Sequential-fold cosine similarity between list columns a and b —
+    * mirrors [[Vectors.cosine]] op-for-op so doubles match bit-exactly. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_transform(list_zip($a, $b),
+       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+       |    (acc, v) -> acc + v)
+       | / (sqrt(list_reduce(list_transform($a,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))
+       |  * sqrt(list_reduce(list_transform($b,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))))"""
+      .stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // --- slice 0: README flagship — roll(3,3) + mean(reduce=true) ---
-    "q_roll_mean" -> ((s, dir) => {
+
+    // ===== reference core: rx/rxsci operator surface =====================
+
+    // rs.data.roll + rs.math.mean — README flagship (README.rst:75-90)
+    "q_roll_mean" -> ((s, dir) =>
       t(s, dir, "events") >>
         DataOps.roll(3, 3, Seq(col("event_id"))) >>
         MathOps.mean(col("value")) >>
-        (_.orderBy(DataOps.WindowCol))
-    }),
+        (_.orderBy(DataOps.WindowCol))),
 
-    // --- ops.map / sample `multiply` operator (processor.py:6-14) ---
-    "q_map_multiply" -> ((s, dir) => {
+    // keyed roll — the 100 TB shape: windows per user, parallel across keys
+    "q_roll_keyed" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        DataOps.roll(5, 5, Seq(col("event_id")), Seq(col("user_id"))) >>
+        (df => df.groupBy("user_id", DataOps.WindowCol).agg(
+          count(lit(1)).as("n"),
+          MathOps.exactSum(col("value")).as("sum_value"))) >>
+        (_.orderBy("user_id", DataOps.WindowCol))),
+
+    // ops.map — sample `multiply` operator (processor.py:6-14)
+    "q_map_multiply" -> ((s, dir) =>
       t(s, dir, "events") >>
         Ops.map(
           "event_id" -> col("event_id"),
           "multiplied" -> (col("value") * lit(3)).cast("double")) >>
-        (_.orderBy("event_id"))
-    }),
+        (_.orderBy("event_id"))),
 
-    // --- ops.filter ---
-    "q_filter" -> ((s, dir) => {
+    // ops.filter
+    "q_filter" -> ((s, dir) =>
       t(s, dir, "events") >>
         Ops.filter(col("event_type") === "purchase" && col("value") > 100) >>
         Ops.map("event_id" -> col("event_id"),
                 "user_id" -> col("user_id"),
                 "value" -> col("value")) >>
+        (_.orderBy("event_id"))),
+
+    // ops.flat_map — token explosion over documents
+    "q_flatmap" -> ((s, dir) =>
+      t(s, dir, "documents") >>
+        Ops.flatMap(Text.tokens(col("text")), "token") >>
+        (df => df.groupBy("token").agg(count(lit(1)).as("n"))) >>
+        (_.orderBy("token"))),
+
+    // ops.scan — running per-key fold (cumulative sum), decimal-exact
+    "q_scan_cumsum" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        Ops.scan(sum(col("value").cast("decimal(18,2)")), "cum",
+          Seq(col("ts"), col("event_id")), Seq(col("user_id"))) >>
+        Ops.map("event_id" -> col("event_id"),
+                "user_id" -> col("user_id"),
+                "cum" -> col("cum").cast("double")) >>
+        (_.orderBy("event_id"))),
+
+    // rs.ops.distinct
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem") >>
+        Ops.map("l_returnflag" -> col("l_returnflag"),
+                "l_linestatus" -> col("l_linestatus")) >>
+        Ops.distinct() >>
+        (_.orderBy("l_returnflag", "l_linestatus"))),
+
+    // ops.merge + start_with — UNION ALL of substreams + literal head
+    "q_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("event_type"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("event_type"))
+      val head = s.sql("SELECT CAST(-1 AS BIGINT) AS event_id, " +
+        "'start' AS event_type")
+      purchases >> Ops.merge(signups) >> Ops.startWith(head) >>
+        (_.orderBy("event_id", "event_type"))
+    }),
+
+    // ops.take — deterministic head (top-k by explicit order)
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders") >>
+        Ops.take(10, col("o_totalprice").desc, col("o_orderkey")) >>
+        Ops.map("o_orderkey" -> col("o_orderkey"),
+                "o_totalprice" -> col("o_totalprice"))),
+
+    // rs.ops.last — latest event per user (argmax pattern)
+    "q_last_by" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        Ops.lastBy(Seq(col("user_id")), Seq(col("ts"), col("event_id"))) >>
+        Ops.map("user_id" -> col("user_id"),
+                "event_id" -> col("event_id"),
+                "value" -> col("value")) >>
+        (_.orderBy("user_id"))),
+
+    // rs.ops.sample — deterministic decimation, every 10th event
+    "q_sample_every" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        Ops.sampleEvery(10, Seq(col("event_id"))) >>
+        Ops.map("event_id" -> col("event_id"), "value" -> col("value")) >>
+        (_.orderBy("event_id"))),
+
+    // rs.ops.with_latest_from (serve.py:141) — 1-row broadcast side input
+    "q_with_latest" -> ((s, dir) => {
+      val latestOrder = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      t(s, dir, "events") >>
+        Ops.filter(col("event_id") < 100) >>
+        Ops.withLatestFrom(latestOrder,
+          struct(col("o_orderdate"), col("o_orderkey"))) >>
+        Ops.map("event_id" -> col("event_id"),
+                "value" -> col("value"),
+                "o_orderkey" -> col("o_orderkey")) >>
         (_.orderBy("event_id"))
     }),
 
-    // --- groupBy + aggregate (q1-style) ---
-    "q_agg" -> ((s, dir) => {
+    // rs.data.batch — serve's count batcher (serve.py:82-101), batch=50
+    "q_batch" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        DataOps.batch(50, Seq(col("event_id"))) >>
+        (df => df.groupBy(DataOps.WindowCol).agg(
+          count(lit(1)).as("n"),
+          MathOps.exactSum(col("value")).as("sum_value"))) >>
+        (_.orderBy(DataOps.WindowCol))),
+
+    // rs.data.split — segment per user at 'signup' boundaries
+    "q_split" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        DataOps.split(col("event_type") === "signup",
+          Seq(col("ts"), col("event_id")), Seq(col("user_id"))) >>
+        (df => df.groupBy(col("user_id"), col(DataOps.WindowCol))
+          .agg(count(lit(1)).as("n"))) >>
+        (_.orderBy("user_id", DataOps.WindowCol))),
+
+    // rs.data.time_split — 30-min-gap sessionization per user
+    "q_session" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        DataOps.timeSplit(col("ts"), 1800, Seq(col("user_id"))) >>
+        (df => df.groupBy(col("user_id"), col(DataOps.WindowCol)).agg(
+          count(lit(1)).as("n"),
+          floor(min(col("ts")).cast("double")).cast("long")
+            .as("session_start"))) >>
+        (_.orderBy("user_id", DataOps.WindowCol))),
+
+    // time windows: tumbling hour (event-time, streaming-shaped)
+    "q_tumbling_hour" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          MathOps.exactSum(col("value")).as("sum_value"))
+        .select(col("window.start").cast("long").as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_start", "event_type")),
+
+    // time windows: sliding 1h window, 30min slide
+    "q_sliding_hour" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("window_start"),
+          col("n"))
+        .orderBy("window_start")),
+
+    // ===== relational vocabulary (SURVEY.md §2.5) ========================
+
+    "q_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           MathOps.exactSum(col("l_quantity")).as("sum_qty"),
           MathOps.exactSum(col("l_extendedprice")).as("sum_price"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // 3-way join: lineitem ⋈ orders ⋈ customer, revenue per segment.
+    // Dims are broadcast — no shuffle of the fact table beyond the final agg.
+    "q_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val revenue = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)")))
+      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // left-semi: customers that have orders
+    "q_semijoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // left-anti: customers without orders
+    "q_antijoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // set ops: intersect / except on nation keys
+    "q_intersect" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      cn.intersect(sn).orderBy("nk")
+    }),
+    "q_except" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      cn.except(sn).orderBy("nk")
+    }),
+
+    // window functions: top-2 orders per customer
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // dedup with representative row (argmin) — rs.ops.distinct keyed form
+    "q_dedup_rows" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(min(struct(col("event_id"), col("value"))).as("r"))
+        .select(col("user_id"), col("event_type"),
+          col("r.event_id").as("event_id"), col("r.value").as("value"))
+        .orderBy("user_id", "event_type")),
+
+    // ===== rs.math family ================================================
+
+    "q_stats" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        MathOps.describe(col("value"), Seq(col("event_type"))) >>
+        (_.orderBy("event_type"))),
+
+    "q_median" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        MathOps.median(col("value"), Seq(col("event_type"))) >>
+        (_.orderBy("event_type"))),
+
+    "q_histogram" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        MathOps.histogram(col("value"), 0.0, 500.0, 20,
+          Seq(col("event_type"))) >>
+        (_.orderBy("event_type", "bucket"))),
+
+    "q_ewma" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        MathOps.ewmaByKey(col("value"), col("ts"), 0.3,
+          Seq(col("user_id"))) >>
+        (_.orderBy("user_id"))),
+
+    // ===== codecs (SURVEY.md §2.2) =======================================
+
+    // json codec: decode props payload, aggregate a field
+    "q_json_codec" -> ((s, dir) => {
+      val codec = Codecs.JsonCodec(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+      t(s, dir, "events")
+        .withColumn("decoded",
+          codec.decode(encode(col("props"), "UTF-8")))
+        .select(col("decoded.k").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    }),
+
+    // string codec round-trip: decode(encode(x)) = x (operator.py:40-42)
+    "q_string_codec" -> ((s, dir) => {
+      val codec = Codecs.StringCodec()
+      t(s, dir, "events")
+        .withColumn("rt", codec.decode(codec.encode(col("event_type"))))
+        .groupBy(col("rt").as("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // ===== north-star: text analysis =====================================
+
+    "q_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.nTokens(col("text")).as("n_tokens"),
+        Text.meanTokenLen(col("text")).as("mean_token_len"),
+        Text.punctRatio(col("text")).as("punct_ratio"),
+        Text.stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy("doc_id")),
+
+    "q_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q_token_bpeish" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(Text.tokenCountBpeish(col("text"))).as("n_tokens_bpe"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // rolling (order-sensitive) fingerprint — xxhash64-based, no SQL oracle
+    "q_fingerprint_rolling" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), Text.rollingFingerprint(col("text")).as("rfp"))
+        .orderBy("doc_id")),
+
+    // ===== north-star: dedup =============================================
+
+    "q_dedup_content" -> ((s, dir) =>
+      Dedup.exactByContent(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash/SimHash pairs: xxhash64-based — invariants pinned in tests
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        bands = 4, maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // exact embedding near-dup (oracle-able); LSH variant is the scale path
+    "q_embed_neardup" -> ((s, dir) => {
+      // norms precomputed per vector (map-side), not per pair; repartition
+      // gives the O(n²) verify parallelism even from a 1-file scan
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"), Vectors.norm(col("embedding")).as("nm"))
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nm").as("nb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Vectors.cosineWithNorms(col("va"), col("vb"),
+            col("na"), col("nb")).as("cosine"))
+        .filter(col("cosine") >= 0.45)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, nBits = 6, seeds = Seq(1, 2, 3, 4, 5, 6))
+        .orderBy("id_a", "id_b")),
+
+    // ===== north-star: similarity search =================================
+
+    "q_simsearch_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimSearch.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_simsearch_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimSearch.lshTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nBits = 8, seeds = Seq(1, 2, 3, 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ===== north-star: multimodal columns ================================
+
+    "q_multimodal_dedup" -> ((s, dir) => {
+      val docs = Multimodal.asBinaryDoc(
+        t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.dedupByContent(docs, "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "q_multimodal_features" -> ((s, dir) => {
+      val docs = Multimodal.asBinaryDoc(
+        t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(s, docs, "doc_id", dim = 8)
+        .select(col("id").as("doc_id"), col("n_bytes"),
+          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+        .orderBy("doc_id")
     })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q_roll_mean" ->
-      """SELECT CAST(floor(event_id / 3) AS BIGINT) AS window_id,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean
-        |FROM events
-        |GROUP BY 1
-        |HAVING count(*) = 3
-        |ORDER BY window_id""".stripMargin,
-    "q_map_multiply" ->
-      """SELECT event_id, value * 3 AS multiplied
-        |FROM events ORDER BY event_id""".stripMargin,
-    "q_filter" ->
-      """SELECT event_id, user_id, value FROM events
-        |WHERE event_type = 'purchase' AND value > 100
-        |ORDER BY event_id""".stripMargin,
-    "q_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-        |       count(*) AS n
-        |FROM lineitem
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin
-  )
+    * the same parquet tables. Omitted for the xxhash64-based approximate
+    * ops (driver records a rows-only check; ScalaTest pins semantics). */
+  def oracleSql: Map[String, String] = {
+    val allStops = sqlList(
+      Text.stopwords.values.flatten.toSeq.distinct.sorted)
+    val langs = Text.stopwords.keys.toSeq.sorted // de, en, es, fr
+    val hitCols = langs.map { l =>
+      s"len(list_filter(ts, t -> list_contains(${sqlList(Text.stopwords(l))}, t))) AS h_$l"
+    }.mkString(",\n        ")
+
+    Map(
+      "q_roll_mean" ->
+        """SELECT CAST(floor(event_id / 3) AS BIGINT) AS window_id,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean
+          |FROM events GROUP BY 1 HAVING count(*) = 3 ORDER BY window_id""".stripMargin,
+
+      "q_roll_keyed" ->
+        """WITH numbered AS (
+          |  SELECT user_id, value,
+          |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS i
+          |  FROM events)
+          |SELECT user_id, CAST(floor(i / 5) AS BIGINT) AS window_id,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM numbered GROUP BY 1, 2 HAVING count(*) = 5
+          |ORDER BY user_id, window_id""".stripMargin,
+
+      "q_map_multiply" ->
+        "SELECT event_id, value * 3 AS multiplied FROM events ORDER BY event_id",
+
+      "q_filter" ->
+        """SELECT event_id, user_id, value FROM events
+          |WHERE event_type = 'purchase' AND value > 100 ORDER BY event_id""".stripMargin,
+
+      "q_flatmap" ->
+        s"""SELECT t AS token, count(*) AS n
+           |FROM (SELECT unnest($toksSql) AS t FROM documents)
+           |GROUP BY 1 ORDER BY token""".stripMargin,
+
+      "q_scan_cumsum" ->
+        """SELECT event_id, user_id,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+          |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |         AS DOUBLE) AS cum
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      "q_distinct" ->
+        """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_merge" ->
+        """SELECT CAST(-1 AS BIGINT) AS event_id, 'start' AS event_type
+          |UNION ALL
+          |SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+          |UNION ALL
+          |SELECT event_id, event_type FROM events WHERE event_type = 'signup'
+          |ORDER BY event_id, event_type""".stripMargin,
+
+      "q_topk" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+      "q_last_by" ->
+        """SELECT user_id, event_id, value FROM (
+          |  SELECT user_id, event_id, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |           ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events)
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+      "q_sample_every" ->
+        """SELECT event_id, value FROM (
+          |  SELECT event_id, value,
+          |         row_number() OVER (ORDER BY event_id) AS rn
+          |  FROM events)
+          |WHERE (rn - 1) % 10 = 0 ORDER BY event_id""".stripMargin,
+
+      "q_with_latest" ->
+        """SELECT e.event_id, e.value, o.o_orderkey
+          |FROM events e CROSS JOIN
+          |  (SELECT o_orderkey FROM orders
+          |   ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o
+          |WHERE e.event_id < 100 ORDER BY e.event_id""".stripMargin,
+
+      "q_batch" ->
+        """SELECT CAST(floor(event_id / 50) AS BIGINT) AS window_id,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1 HAVING count(*) = 50 ORDER BY window_id""".stripMargin,
+
+      "q_split" ->
+        """WITH seg AS (
+          |  SELECT user_id,
+          |         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+          |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS window_id
+          |  FROM events)
+          |SELECT user_id, window_id, count(*) AS n FROM seg
+          |GROUP BY 1, 2 ORDER BY user_id, window_id""".stripMargin,
+
+      "q_session" ->
+        """WITH flagged AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN lag(ts) OVER w IS NULL
+          |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+          |              THEN 1 ELSE 0 END AS is_new
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |seg AS (
+          |  SELECT user_id, ts,
+          |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS window_id
+          |  FROM flagged)
+          |SELECT user_id, window_id, count(*) AS n,
+          |       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start
+          |FROM seg GROUP BY 1, 2 ORDER BY user_id, window_id""".stripMargin,
+
+      "q_tumbling_hour" ->
+        """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+          |       event_type, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+      "q_sliding_hour" ->
+        """SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k * 1800
+          |         AS window_start,
+          |       count(*) AS n
+          |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+          |GROUP BY 1 ORDER BY window_start""".stripMargin,
+
+      "q_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          |       count(*) AS n
+          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_join_revenue" ->
+        """SELECT c_mktsegment,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+          |            AS DOUBLE) AS revenue,
+          |       count(*) AS n_lines
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_semijoin" ->
+        """SELECT c_mktsegment, count(*) AS n FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_antijoin" ->
+        """SELECT c_custkey, c_mktsegment FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q_intersect" ->
+        """SELECT c_nationkey AS nk FROM customer
+          |INTERSECT
+          |SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+
+      "q_except" ->
+        """SELECT c_nationkey AS nk FROM customer
+          |EXCEPT
+          |SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+
+      "q_window_rank" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |         row_number() OVER (PARTITION BY o_custkey
+          |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders)
+          |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+
+      "q_dedup_rows" ->
+        """SELECT user_id, event_type,
+          |       min(event_id) AS event_id,
+          |       arg_min(value, event_id) AS value
+          |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
+      "q_stats" ->
+        """SELECT event_type, count(value) AS n,
+          |       min(value) AS min, max(value) AS max,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS mean,
+          |       (CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+          |              AS DECIMAL(38,4))) AS DOUBLE)
+          |        - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |          * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |          / CAST(count(value) AS DOUBLE))
+          |       / (CAST(count(value) AS DOUBLE) - 1.0) AS var_samp,
+          |       sqrt((CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+          |              AS DECIMAL(38,4))) AS DOUBLE)
+          |        - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |          * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |          / CAST(count(value) AS DOUBLE))
+          |       / (CAST(count(value) AS DOUBLE) - 1.0)) AS stddev_samp
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q_median" ->
+        """SELECT event_type, quantile_cont(value, 0.5) AS median
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q_histogram" ->
+        """SELECT event_type,
+          |       CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19) AS BIGINT)
+          |         AS bucket,
+          |       count(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+      "q_ewma" ->
+        """SELECT user_id,
+          |       list_reduce(list(value ORDER BY ts, value),
+          |         (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q_json_codec" ->
+        """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+          |       count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+      "q_string_codec" ->
+        """SELECT event_type, count(*) AS n FROM events
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_text_quality" ->
+        s"""WITH toks AS (SELECT doc_id, text, $toksSql AS ts FROM documents)
+           |SELECT doc_id,
+           |       len(ts) AS n_tokens,
+           |       CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE)
+           |         / len(ts) AS mean_token_len,
+           |       CAST(len(regexp_replace(text,
+           |           '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+           |         / len(text) AS punct_ratio,
+           |       CAST(len(list_filter(ts, t -> list_contains($allStops, t)))
+           |         AS DOUBLE) / len(ts) AS stopword_ratio
+           |FROM toks ORDER BY doc_id""".stripMargin,
+
+      "q_langid" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+           |h AS (SELECT doc_id,
+           |        $hitCols
+           |      FROM toks)
+           |SELECT doc_id,
+           |       CASE WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0
+           |              THEN 'und'
+           |            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr
+           |              THEN 'de'
+           |            WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+           |            WHEN h_es >= h_fr THEN 'es'
+           |            ELSE 'fr' END AS lang_pred
+           |FROM h ORDER BY doc_id""".stripMargin,
+
+      "q_token_bpeish" ->
+        """SELECT source,
+          |       sum(len(regexp_extract_all(lower(text),
+          |           '[a-z0-9]+|[^a-z0-9\s]'))) AS n_tokens_bpe,
+          |       count(*) AS n_docs
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_fingerprint" ->
+        """SELECT doc_id,
+          |       substr(md5(regexp_replace(lower(trim(text)),
+          |           '\s+', ' ', 'g')), 1, 16) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_dedup_content" ->
+        """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+          |FROM documents
+          |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_ngram_jaccard" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+           |sets AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(1, greatest(len(ts) - 2, 0)),
+           |    i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+           |  FROM toks WHERE len(ts) >= 3),
+           |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets
+           |      WHERE len(sh) > 0)
+           |SELECT id_a, id_b, jaccard FROM (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         CAST(count(*) AS DOUBLE)
+           |           / (any_value(a.n) + any_value(b.n) - count(*)) AS jaccard
+           |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+      "q_embed_neardup" ->
+        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |       ${cosSql("a.embedding", "b.embedding")} AS cosine
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q_simsearch_topk" ->
+        s"""SELECT query_id, nbr_id, cosine, rank FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           |         ${cosSql("q.embedding", "c.embedding")} AS cosine,
+           |         row_number() OVER (
+           |           PARTITION BY q.vec_id
+           |           ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+           |                    c.vec_id) AS rank
+           |  FROM embeddings q CROSS JOIN embeddings c
+           |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "q_multimodal_dedup" ->
+        """SELECT sha256(text) AS sha256, min(doc_id) AS doc_id,
+          |       count(*) AS n_dups
+          |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin
+    )
+  }
 }

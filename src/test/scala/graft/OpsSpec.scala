@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Pipe._
+import graft.operators.{MathOps, Ops}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ev = Seq(
+    (0L, "a", 1.0), (1L, "b", 2.0), (2L, "a", 3.0),
+    (3L, "b", 4.0), (4L, "a", 5.0))
+    .toDF("id", "k", "v")
+
+  test("map projects and renames (multiply sample op)") {
+    val got = ev >> Ops.map("id" -> col("id"), "m" -> col("v") * 3)
+    assert(got.columns.toSeq == Seq("id", "m"))
+    assert(got.orderBy("id").select("m").as[Double].collect()
+      .toSeq == Seq(3.0, 6.0, 9.0, 12.0, 15.0))
+  }
+
+  test("filter keeps matching rows") {
+    assert((ev >> Ops.filter(col("k") === "a")).count() == 3)
+  }
+
+  test("scan emits a running fold per key") {
+    val got = ev >> Ops.scan(sum(col("v")), "running",
+      Seq(col("id")), Seq(col("k")))
+    val a = got.filter(col("k") === "a").orderBy("id")
+      .select("running").as[Double].collect().toSeq
+    assert(a == Seq(1.0, 4.0, 9.0))
+  }
+
+  test("distinct dedups") {
+    assert((ev.select("k") >> Ops.distinct()).count() == 2)
+  }
+
+  test("take returns deterministic head") {
+    val got = ev >> Ops.take(2, col("v").desc)
+    assert(got.select("id").as[Long].collect().toSet == Set(4L, 3L))
+  }
+
+  test("lastBy returns final row per key") {
+    val got = ev >> Ops.lastBy(Seq(col("k")), Seq(col("id")))
+    assert(got.orderBy("k").select("id").as[Long].collect()
+      .toSeq == Seq(4L, 3L))
+  }
+
+  test("sampleEvery keeps every nth row") {
+    val got = ev >> Ops.sampleEvery(2, Seq(col("id")))
+    assert(got.select("id").as[Long].collect().toSet == Set(0L, 2L, 4L))
+  }
+
+  test("merge = union all; startWith prepends rows") {
+    val head = Seq((-1L, "start", 0.0)).toDF("id", "k", "v")
+    val got = ev >> Ops.merge(ev) >> Ops.startWith(head)
+    assert(got.count() == 11)
+    assert(got.filter(col("k") === "start").count() == 1)
+  }
+
+  test("withLatestFrom attaches the single latest side row to every event") {
+    val side = Seq((10L, "old"), (20L, "new")).toDF("version", "tag")
+    val got = ev >> Ops.withLatestFrom(side, col("version"))
+    assert(got.count() == ev.count())
+    assert(got.select("tag").distinct().as[String].collect()
+      .toSeq == Seq("new"))
+  }
+
+  test("assert_ passes clean data through and fails on violation") {
+    val ok = ev >> Ops.assert_(col("v") > 0, "v positive")
+    assert(ok.count() == 5)
+    val bad = ev >> Ops.assert_(col("v") > 2, "v > 2")
+    intercept[Exception] { bad.count() }
+  }
+
+  test("ewma matches a hand-computed sequential fold") {
+    // values 1,2,3 with alpha 0.5: e0=1, e1=1.5, e2=2.25
+    val df = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("t", "v")
+      .withColumn("k", lit("x"))
+    val got = df >> MathOps.ewmaByKey(col("v"), col("t"), 0.5,
+      Seq(col("k")))
+    val e = got.select("ewma").as[Double].collect().head
+    assert(math.abs(e - 2.25) < 1e-12)
+  }
+
+  test("exact sums are order-independent (repartition invariance)") {
+    val df = spark.range(10000)
+      .withColumn("v", (col("id") % 100).cast("double") / 7.0 * 7.0)
+    val s1 = df.coalesce(1).agg(MathOps.exactSum(col("v")))
+      .as[Double].collect().head
+    val s32 = df.repartition(32).agg(MathOps.exactSum(col("v")))
+      .as[Double].collect().head
+    assert(s1 == s32) // bitwise equal, not approx
+  }
+
+  test("histogram buckets clamp to range") {
+    val df = Seq(-5.0, 0.0, 5.0, 95.0, 200.0).toDF("v")
+    val got = df >> MathOps.histogram(col("v"), 0, 100, 10)
+    val buckets = got.select("bucket").as[Long].collect().toSet
+    assert(buckets.subsetOf(Set(0L, 9L)))
+  }
+}

@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rollStream: README flagship semantics over an unbounded stream " +
+    "(w=3 s=3 over 1..7 → 2.0, 5.0)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.rollStream(in.toDS(), window = 3, stride = 3)
+      .writeStream.format("memory").queryName("roll_out")
+      .outputMode("append").start()
+    try {
+      // feed events one at a time across micro-batches — windows must
+      // close exactly on the 3rd and 6th event, partial 7th never emits
+      (1 to 7).foreach { i =>
+        in.addData(KeyedEvent("k", i.toLong, i.toDouble))
+      }
+      q.processAllAvailable()
+      val got = spark.table("roll_out")
+        .orderBy("window_id").select("mean").as[Double].collect().toSeq
+      assert(got == Seq(2.0, 5.0))
+    } finally q.stop()
+  }
+
+  test("rollStream: state carries across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.rollStream(in.toDS(), window = 2, stride = 2)
+      .writeStream.format("memory").queryName("roll_out2")
+      .outputMode("append").start()
+    try {
+      in.addData(KeyedEvent("a", 0, 1.0)) // half a window
+      q.processAllAvailable()
+      assert(spark.table("roll_out2").count() == 0)
+      in.addData(KeyedEvent("a", 1, 3.0)) // closes it in a LATER batch
+      q.processAllAvailable()
+      val got = spark.table("roll_out2").select("mean").as[Double]
+        .collect().toSeq
+      assert(got == Seq(2.0))
+    } finally q.stop()
+  }
+
+  test("serve: batched inference with hot-swapped model " +
+    "(reference tests/test_serve.py:67-131 semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Double]
+    val data = in.toDF().withColumnRenamed("value", "value")
+    // model provider backed by a mutable ref — stands in for the model
+    // topic's latest record
+    val modelRef = new java.util.concurrent.atomic.AtomicReference(
+      Serve.Model(1, xs => xs.map(_ * 2)))
+    val results = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    val q = Serve.serveStream(data, () => modelRef.get(),
+      Serve.ServeConfig(batchSize = 3, inputField = "value",
+        outputField = "prediction")) { scored =>
+      results ++= scored.collect().map(r =>
+        (r.getDouble(0), r.getDouble(1)))
+    }.start()
+    try {
+      in.addData(1.0, 2.0, 3.0)
+      q.processAllAvailable()
+      assert(results.toSet == Set((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)))
+      // hot-swap: ratio 2 → 3 changes subsequent predictions only
+      // (tests/test_serve.py:91-100)
+      modelRef.set(Serve.Model(2, xs => xs.map(_ * 3)))
+      in.addData(4.0)
+      q.processAllAvailable()
+      assert(results.contains((4.0, 12.0)))
+    } finally q.stop()
+  }
+
+  test("serve: per-batch errors drop rows, not the query " +
+    "(serve.py:54-57)") {
+    val df = Seq(1.0, -1.0, 2.0).toDF("value")
+    val model = Serve.Model(1, xs => {
+      if (xs.exists(_ < 0)) throw new RuntimeException("bad input")
+      xs.map(_ * 10)
+    })
+    val got = Serve.inferBatch(df.repartition(1), model,
+      Serve.ServeConfig(batchSize = 1))
+    val preds = got.select("prediction").as[Double].collect().toSet
+    assert(preds == Set(10.0, 20.0)) // -1.0 row dropped
+  }
+
+  test("windowedAgg + sessionAgg run on a stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = in.toDF().toDF("ts", "value")
+    val q = StreamOps.windowedAgg(df, "ts", "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("wagg")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), 2.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 9.0))
+      q.processAllAvailable()
+      // watermark passed hour 0 → its window finalized
+      val got = spark.table("wagg").select("n").as[Long].collect()
+      assert(got.contains(2L))
+    } finally q.stop()
+  }
+
+  test("topology: YAML batch run wires parquet topics through a factory") {
+    val tmp = Files.createTempDirectory("topo").toString
+    // seed an input topic
+    Seq(("1"), ("2"), ("3")).toDF("value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""application:
+         |  name: test_app
+         |topics:
+         |  - name: values
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: out
+         |    kind: parquet
+         |    path: $tmp/out
+         |operators:
+         |  multiply:
+         |    factory: graft.streaming.ops.Multiply
+         |    sources: [values]
+         |    sinks: [out]
+         |config:
+         |  multiply: 3
+         |""".stripMargin
+    val topo = Topology.parse(yaml)
+    assert(topo.topics.head.codec == "string") // default codec
+    val sinks = topo.runBatch(spark, s"$tmp/sinks")
+    assert(sinks == Seq("out"))
+    val got = spark.read.parquet(s"$tmp/sinks/out")
+      .select("value").as[String].collect().toSet
+    assert(got == Set("3", "6", "9"))
+  }
+
+  test("topology: stream run over file topics reaches a memory sink") {
+    val tmp = Files.createTempDirectory("topo_s").toString
+    Seq(("5"), ("7")).toDF("value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: values
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: stream_out
+         |    kind: memory
+         |operators:
+         |  multiply:
+         |    factory: graft.streaming.ops.Multiply
+         |    sources: [values]
+         |    sinks: [stream_out]
+         |config:
+         |  multiply: 2
+         |""".stripMargin
+    val queries = Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    try {
+      queries.foreach(_.processAllAvailable())
+      val got = spark.table("stream_out").select("value")
+        .as[String].collect().toSet
+      assert(got == Set("10", "14"))
+    } finally queries.foreach(_.stop())
+  }
+}

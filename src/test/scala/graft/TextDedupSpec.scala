@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Codecs, Text, Vectors}
+import graft.llm.{Dedup, Multimodal, SimSearch}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens lowercases, trims, drops empties") {
+    val df = Seq("  The  QUICK brown  ").toDF("text")
+    val got = df.select(Text.tokens(col("text"))).as[Seq[String]]
+      .collect().head
+    assert(got == Seq("the", "quick", "brown"))
+  }
+
+  test("shingles: doc shorter than n yields empty, not partials") {
+    val df = Seq("a b", "a b c d").toDF("text")
+    val got = df.select(Text.shingles(col("text"), 3)).as[Seq[String]]
+      .collect()
+    assert(got(0) == Seq.empty)
+    assert(got(1) == Seq("a b c", "b c d"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive, content-sensitive") {
+    val df = Seq(("A  b\tC", 1), ("a b c", 2), ("a b d", 3))
+      .toDF("text", "id")
+    val fps = df.select(Text.fingerprint(col("text"))).as[String]
+      .collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("rollingFingerprint is order-sensitive") {
+    val df = Seq(("a b c", 1), ("c b a", 2)).toDF("text", "id")
+    val fps = df.select(Text.rollingFingerprint(col("text"))).as[Long]
+      .collect()
+    assert(fps(0) != fps(1))
+  }
+
+  test("langId picks the language with most stopword evidence") {
+    val df = Seq(
+      "el la de que y en un",        // es
+      "der die das und von zu",      // de
+      "the of and to in is",         // en
+      "zzz qqq xxx")                 // no evidence
+      .toDF("text")
+    val got = df.select(Text.langId(col("text"))).as[String].collect()
+    assert(got.toSeq == Seq("es", "de", "en", "und"))
+  }
+
+  test("exact dedup keeps min-id representative") {
+    val df = Seq((3L, "x", 1.0), (1L, "x", 2.0), (2L, "y", 3.0))
+      .toDF("id", "k", "v")
+    val got = Dedup.exact(df, "id", Seq("k"))
+    val rows = got.orderBy("k").select("id", "v")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 2.0), (2L, 3.0)))
+  }
+
+  test("minhash: identical docs pair with est_jaccard 1.0; disjoint do not") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5)
+    val got = pairs.select("id_a", "id_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs filtered") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "uno dos tres cuatro cinco seis siete ocho"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      bands = 4, maxHamming = 3)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("ngram jaccard computes the exact overlap coefficient") {
+    // shingle2(A)={a b, b c, c d}; shingle2(B)={a b, b c, c e}
+    // |∩|=2, |∪|=4 → J=0.5
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.4)
+      .select("jaccard").as[Double].collect().toSeq
+    assert(got == Seq(0.5))
+  }
+
+  test("cosine: identical=1, orthogonal=0; brute-force top-k ranks by it") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cos = vecs.filter(col("vec_id") === 0).crossJoin(
+      vecs.filter(col("vec_id") === 2).select(col("embedding").as("e2")))
+      .select(Vectors.cosine(col("embedding"), col("e2")))
+      .as[Double].collect().head
+    assert(cos == 0.0)
+    val topk = SimSearch.bruteForceTopK(vecs,
+      vecs.filter(col("vec_id") === 0), "vec_id", "embedding", 2)
+    val got = topk.orderBy("rank").select("nbr_id").as[Long]
+      .collect().toSeq
+    assert(got == Seq(1L, 3L))
+  }
+
+  test("LSH signature is deterministic and identical vectors collide") {
+    val vecs = Seq((0L, Array.fill(16)(0.5f)), (1L, Array.fill(16)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val sigs = vecs.select(
+      Vectors.rhpSignature(col("embedding"), 12, seed = 7)).as[Long]
+      .collect()
+    assert(sigs(0) == sigs(1))
+    val again = vecs.select(
+      Vectors.rhpSignature(col("embedding"), 12, seed = 7)).as[Long]
+      .collect()
+    assert(sigs.toSeq == again.toSeq)
+  }
+
+  test("codec round-trips: string, json, none") {
+    val df = Seq(("test", 42)).toDF("s", "i")
+    val sc = Codecs.StringCodec()
+    assert(df.select(Codecs.roundTrip(sc, col("s"))).as[String]
+      .collect().head == "test")
+    val js = Codecs.JsonCodec(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("foo",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("biz",
+        org.apache.spark.sql.types.IntegerType))))
+    val back = df.select(struct(lit("bar").as("foo"), col("i").as("biz"))
+        .as("payload"))
+      .select(Codecs.roundTrip(js, col("payload")).as("rt"))
+      .select("rt.foo", "rt.biz").as[(String, Int)].collect().head
+    assert(back == ("bar", 42))
+    val nc = Codecs.NoneCodec
+    val raw = df.select(Codecs.roundTrip(nc, encode(col("s"), "UTF-8")))
+      .as[Array[Byte]].collect().head
+    assert(new String(raw, "UTF-8") == "test")
+  }
+
+  test("multimodal: binary doc carries content-addressed metadata; " +
+    "feature extraction is deterministic") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"),
+      (3L, "different")).toDF("doc_id", "text")
+    val bin = Multimodal.asBinaryDoc(docs, "doc_id", "text")
+    assert(bin.columns.toSeq == Seq("doc_id", "content", "meta"))
+    val dedup = Multimodal.dedupByContent(bin, "doc_id")
+    assert(dedup.count() == 2)
+    assert(dedup.filter(col("n_dups") === 2).count() == 1)
+    val f1 = Multimodal.extractFeatures(spark, bin, "doc_id", dim = 4)
+      .orderBy("id").select("feature").as[Seq[Float]].collect().toSeq
+    val f2 = Multimodal.extractFeatures(spark, bin, "doc_id", dim = 4)
+      .orderBy("id").select("feature").as[Seq[Float]].collect().toSeq
+    assert(f1 == f2)
+    assert(f1.head.size == 4)
+    assert(f1(0) == f1(1)) // same content → same feature
+  }
+
+  test("entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
