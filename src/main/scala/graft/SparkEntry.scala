@@ -8,7 +8,7 @@ import graft.core.Tables
 import graft.core.Pipe._
 import graft.functions.{Codecs, Text, Vectors}
 import graft.llm.{Dedup, Multimodal, SimSearch}
-import graft.operators.{DataOps, MathOps, Ops}
+import graft.operators.{AsOfJoin, DataOps, MathOps, Ops}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -300,6 +300,46 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"),
           col("r.event_id").as("event_id"), col("r.value").as("value"))
         .orderBy("user_id", "event_type")),
+
+    // as-of join: enrich each event with the most recent order of its user
+    // (sort-merge-as-of — one shuffle, no inequality-join blowup)
+    "q_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val o = t(s, dir, "orders")
+      AsOfJoin.asOf(
+        ev.select("event_id", "user_id", "ts"), o,
+        leftTs = col("ts"), rightTs = col("o_orderdate"),
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        rightValueCols = Seq("o_orderkey", "o_totalprice"),
+        rightTiebreak = col("o_orderkey"))
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")
+    }),
+
+    // rollup / cube — hierarchical + full grouping sets
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          MathOps.exactSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // pivot — event counts per user, one column per event type
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .orderBy("user_id")),
 
     // ===== rs.math family ================================================
 
@@ -650,6 +690,35 @@ object SparkEntry {
           |       min(event_id) AS event_id,
           |       arg_min(value, event_id) AS value
           |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
+      "q_asof" ->
+        """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+          |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          |  FROM events e LEFT JOIN orders o
+          |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+          |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+      "q_rollup" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+      "q_cube" ->
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+      "q_pivot" ->
+        """SELECT user_id,
+          |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+          |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+          |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+          |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+          |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       "q_stats" ->
         """SELECT event_type, count(value) AS n,

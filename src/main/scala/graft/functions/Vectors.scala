@@ -15,15 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Σ a_i * b_i, sequential double fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ a_i * b_i, sequential double fold — a native codegen'd Expression
+    * ([[DotProduct]]); bit-identical to the HOF formulation
+    * `aggregate(zip_with(...), 0.0, _+_)` but runs as a primitive loop
+    * inside whole-stage codegen instead of interpreted lambda dispatch. */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
 
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double"))
+  def normSq(a: Column): Column = DotProduct(a, a)
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
