@@ -201,11 +201,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5,
                         maxShingleFreq: Long = 1000): DataFrame = {
+    // shingles carried as 8-byte xxhash64 longs, not strings: the explode,
+    // frequency count, and self-join all shuffle ~1/4 the bytes. Pair
+    // results are identical up to a ~2^-64 hash-collision probability.
     val sets = df
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__t"))
       .select(col("id"),
-        array_distinct(Text.shinglesFromTokens(col("__t"), shingleSize))
-          .as("sh"))
+        shingleHashes(col("__t"), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
       .filter(col("n") > 0)
     val exploded = sets.select(col("id"), col("n"),

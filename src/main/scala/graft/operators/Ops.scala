@@ -121,6 +121,22 @@ object Ops {
       .drop("__assert")
   }
 
+  /** rxsci `tee_map`: run several branch pipelines over the same stream and
+    * merge their (schema-aligned) outputs — multiplex/demultiplex. The
+    * shared scan is planned once per branch by Catalyst; wrap the input in
+    * `.persist()` upstream if branches are expensive and the source isn't
+    * a cheap columnar scan. */
+  def teeMap(branches: Op*): Op = { df =>
+    branches.map(_(df)).reduce(_.unionByName(_))
+  }
+
+  /** rxsci `group_by`: run a sub-pipeline per key group. In Spark the
+    * keyed sub-pipeline IS the keyed operator family (scan/roll/agg take
+    * `partition` columns), so this helper just pins the idiom: partition
+    * the stream by key, apply `pipeline` built against those keys. */
+  def groupByPipe(keys: Seq[Column])(pipeline: Seq[Column] => Op): Op =
+    df => pipeline(keys)(df)
+
   /** rxsci `last`: final value per key under an explicit order (argmax
     * pattern: one shuffle, no join). */
   def lastBy(partition: Seq[Column], order: Seq[Column]): Op = { df =>

@@ -142,6 +142,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set("3", "6", "9"))
   }
 
+  test("model publisher: publish then resolve latest (start_from: last)") {
+    val tmp = Files.createTempDirectory("models").toString
+    val f = java.nio.file.Paths.get(tmp, "model.bin")
+    Files.write(f, Array[Byte](1, 2, 3))
+    val v1 = ModelPublisher.modelRow(spark, "m", 1L, f.toString)
+    Files.write(f, Array[Byte](9, 9))
+    val v2 = ModelPublisher.modelRow(spark, "m", 2L, f.toString)
+    ModelPublisher.publishToPath(v1, s"$tmp/topic")
+    ModelPublisher.publishToPath(v2, s"$tmp/topic")
+    val latest = ModelPublisher.latestFromPath(spark, s"$tmp/topic")
+    val row = latest.select("version", "content")
+      .as[(Long, Array[Byte])].collect().head
+    assert(row._1 == 2L)
+    assert(row._2.toSeq == Seq[Byte](9, 9))
+  }
+
+  test("teeMap merges branch pipelines over one stream") {
+    import graft.core.Pipe._
+    import graft.operators.Ops
+    val df = Seq(1.0, 2.0, 3.0).toDF("v")
+    val got = df >> Ops.teeMap(
+      d => d.agg(sum("v").as("x")).withColumn("branch", lit("sum")),
+      d => d.agg(count(lit(1)).cast("double").as("x"))
+        .withColumn("branch", lit("count")))
+    val rows = got.select("branch", "x").as[(String, Double)]
+      .collect().toMap
+    assert(rows == Map("sum" -> 6.0, "count" -> 3.0))
+  }
+
   test("topology: stream run over file topics reaches a memory sink") {
     val tmp = Files.createTempDirectory("topo_s").toString
     Seq(("5"), ("7")).toDF("value")
