@@ -365,6 +365,21 @@ object SparkEntry {
           Seq(col("user_id"))) >>
         (_.orderBy("user_id"))),
 
+    // salted two-phase aggregation — identical result to direct groupBy,
+    // skew-resistant shuffle shape (oracle proves the equivalence)
+    "q_salted_agg" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        MathOps.saltedSumCount(col("value"), Seq(col("event_type")), 16) >>
+        (_.orderBy("event_type"))),
+
+    // HLL approximate distinct — mergeable sketch; rows-only (sketch
+    // internals differ across engines), accuracy pinned by ScalaTest
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem") >>
+        MathOps.approxDistinct(col("l_partkey"),
+          Seq(col("l_returnflag"))) >>
+        (_.orderBy("l_returnflag"))),
+
     // ===== codecs (SURVEY.md §2.2) =======================================
 
     // json codec: decode props payload, aggregate a field
@@ -755,6 +770,11 @@ object SparkEntry {
           |       list_reduce(list(value ORDER BY ts, value),
           |         (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q_salted_agg" ->
+        """SELECT event_type, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_json_codec" ->
         """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,

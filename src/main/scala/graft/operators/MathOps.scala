@@ -89,6 +89,36 @@ object MathOps {
       .drop("__series")
   }
 
+  /** Two-phase salted aggregation — the skew-mitigation idiom for hot keys
+    * at cluster scale. Phase 1 groups by (key, salt) so a skewed key's rows
+    * spread across `buckets` reducers; phase 2 combines the per-salt
+    * partials. Result is IDENTICAL to a direct groupBy (sums are
+    * decimal-exact and order-independent) — only the shuffle shape changes.
+    * With AQE's skew handling off or insufficient, this is the manual
+    * escape hatch. Salt is derived deterministically from the whole row. */
+  def saltedSumCount(valueCol: Column, keys: Seq[Column],
+                     buckets: Int = 16): Op = { df =>
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(buckets)))
+    val partial = salted
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(count(lit(1)).as("__pn"),
+        sum(valueCol.cast("decimal(18,2)")).as("__psum"))
+    partial.groupBy(keys: _*)
+      .agg(sum(col("__pn")).as("n"),
+        sum(col("__psum")).cast("double").as("sum"))
+  }
+
+  /** Approximate distinct count (HLL++ sketch) — mergeable, fixed-size
+    * state: the 100 TB answer to COUNT(DISTINCT) (exact distinct needs a
+    * full shuffle of the key space; the sketch is a map-side-combinable
+    * few KB). rsd = relative standard deviation. */
+  def approxDistinct(c: Column, keys: Seq[Column],
+                     rsd: Double = 0.01): Op = { df =>
+    df.groupBy(keys: _*)
+      .agg(approx_count_distinct(c, rsd).as("approx_nd"))
+  }
+
   /** `rs.math.dist.*` (distogram sketches): approximate quantiles and
     * distinct counts via Spark's mergeable sketches — the scale-correct
     * choice at 100 TB (fixed-size state, shuffle-linear). */

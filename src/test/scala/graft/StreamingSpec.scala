@@ -6,6 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+import graft.core.Pipe._
 import graft.streaming._
 
 class StreamingSpec extends SparkSpec {
@@ -108,6 +109,52 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table("wagg").select("n").as[Long].collect()
       assert(got.contains(2L))
     } finally q.stop()
+  }
+
+  test("stream-stream join with watermarks (interval join on key)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, String)]
+    val views = MemoryStream[(java.sql.Timestamp, String)]
+    val c = clicks.toDF().toDF("cts", "user").withWatermark("cts", "1 hour")
+    val v = views.toDF().toDF("vts", "vuser").withWatermark("vts", "1 hour")
+    val joined = c.join(v,
+      col("user") === col("vuser") &&
+        col("vts") >= col("cts") - expr("INTERVAL 10 MINUTES") &&
+        col("vts") <= col("cts"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      views.addData((java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), "u1"))
+      clicks.addData((java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "u1"))
+      clicks.addData((java.sql.Timestamp.valueOf("2024-01-01 05:00:00"), "u1"))
+      q.processAllAvailable()
+      // the 00:10 click joins the 00:05 view; the 05:00 click has no view
+      // within its 10-minute lookback
+      assert(spark.table("ssj").count() == 1)
+    } finally q.stop()
+  }
+
+  test("approx distinct is within 5% of exact") {
+    val df = spark.range(20000).toDF("id")
+      .withColumn("k", col("id") % 3)
+      .withColumn("v", col("id") % 5000)
+    val approx = (df >> graft.operators.MathOps.approxDistinct(
+      col("v"), Seq(col("k"))))
+      .select("approx_nd").as[Long].collect()
+    approx.foreach(a => assert(math.abs(a - 5000.0) / 5000.0 < 0.05))
+  }
+
+  test("salted aggregation equals direct aggregation bit-for-bit") {
+    val df = Seq.tabulate(1000)(i => ("hot", (i % 97) / 4.0)) // skewed key
+      .toDF("k", "v")
+    val salted = (df >> graft.operators.MathOps.saltedSumCount(
+      col("v"), Seq(col("k")), 8)).select("n", "sum")
+      .as[(Long, Double)].collect().head
+    val direct = df.groupBy("k").agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(18,2)")).cast("double").as("sum"))
+      .select("n", "sum").as[(Long, Double)].collect().head
+    assert(salted == direct)
   }
 
   test("topology: YAML batch run wires parquet topics through a factory") {
