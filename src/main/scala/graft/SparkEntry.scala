@@ -380,6 +380,22 @@ object SparkEntry {
           Seq(col("l_returnflag"))) >>
         (_.orderBy("l_returnflag"))),
 
+    // distogram streaming-histogram sketch (rs.math.dist analogue):
+    // fixed-size mergeable state; rows-only (sketch is approximate),
+    // count-preservation + quantile accuracy pinned by DistogramSpec
+    "q_distogram" -> ((s, dir) => {
+      val sk = udaf(graft.operators.Distogram.sketch(32),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(sk(col("value")).as("s"))
+        .select(col("event_type"),
+          size(col("s.bins")).as("n_bins"),
+          expr("aggregate(transform(s.bins, b -> b._2), 0L, (a, x) -> a + x)")
+            .as("total"))
+        .orderBy("event_type")
+    }),
+
     // ===== codecs (SURVEY.md §2.2) =======================================
 
     // json codec: decode props payload, aggregate a field

@@ -28,6 +28,7 @@ object SimSearch {
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"),
       Vectors.norm(col(vecCol)).as("cn"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       Vectors.norm(col(vecCol)).as("qn"))
     val scored = c.crossJoin(broadcast(q))

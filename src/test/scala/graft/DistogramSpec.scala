@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Distogram
+
+class DistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sketch bounds bins, preserves count, estimates quantiles") {
+    val n = 10000
+    val ds = spark.range(n).map(i => (i % 100).toDouble)
+    val sk = ds.select(
+      udaf(Distogram.sketch(32), Encoders.scalaDouble)
+        .apply(col("value")).as("s"))
+      .select(col("s.*")).as[Distogram.Sketch].collect().head
+    assert(sk.bins.length <= 32)
+    assert(sk.count == n)
+    // uniform 0..99 → median ≈ 49.5 within sketch tolerance
+    assert(math.abs(sk.quantile(0.5) - 49.5) < 5.0)
+    assert(sk.quantile(0.0) <= 5.0)
+    assert(sk.quantile(1.0) >= 95.0)
+  }
+
+  test("sketch merge across partitions is count-preserving") {
+    val ds = spark.range(5000).repartition(8)
+      .map(i => (i % 7).toDouble)
+    val sk = ds.select(
+      udaf(Distogram.sketch(16), Encoders.scalaDouble)
+        .apply(col("value")).as("s"))
+      .select(col("s.*")).as[Distogram.Sketch].collect().head
+    assert(sk.count == 5000)
+    assert(sk.bins.length <= 16)
+  }
+
+  private def Encoders = org.apache.spark.sql.Encoders
+}

@@ -111,6 +111,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("GraftExtensions registers dot_product for SQL") {
+    // temp-function route (same constructor the extension injects) — a
+    // fresh session with withExtensions can't coexist with the shared one
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => graft.functions.DotProduct(exprs.head, exprs(1)),
+      "built-in")
+    val got = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].collect().head
+    assert(got == 11.0)
+  }
+
+  test("topology runs the README flagship RollMean factory from YAML") {
+    val tmp = Files.createTempDirectory("topo_roll").toString
+    Seq.tabulate(7)(i => (i.toLong, (i + 1).toDouble))
+      .toDF("event_id", "value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: events
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: means
+         |    kind: parquet
+         |    path: $tmp/means
+         |operators:
+         |  roll_mean:
+         |    factory: graft.streaming.ops.RollMean
+         |    sources: [events]
+         |    sinks: [means]
+         |config:
+         |  window: 3
+         |  stride: 3
+         |""".stripMargin
+    Topology.parse(yaml).runBatch(spark, s"$tmp/sinks")
+    val got = spark.read.parquet(s"$tmp/sinks/means")
+      .orderBy("window_id").select("mean").as[Double].collect().toSeq
+    assert(got == Seq(2.0, 5.0)) // reference README.rst:87-90
+  }
+
   test("stream-stream join with watermarks (interval join on key)") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(java.sql.Timestamp, String)]
