@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev scratch main: time one query N times. runMain graft.Scratch <sfDir> <query> [n] */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val n = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      val c = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"RUN $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
+    }
+    spark.stop()
+  }
+}

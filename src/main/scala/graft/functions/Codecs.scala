@@ -65,4 +65,24 @@ object Codecs {
   /** Round-trip helper for tests: decode(encode(x)) must be identity. */
   def roundTrip(codec: Codec, v: Column): Column =
     codec.decode(codec.encode(v))
+
+  /** Build a Kafka-frame projection: (key, value, partition) binary columns
+    * ready for the kafka sink — the producer side of a topic
+    * (encode + map_partition, reference makinage/operator.py:244-251).
+    * `partitionExpr` defaults to a deterministic spread by key hash (the
+    * reference defaults to a random 0..999 spread, operator.py:44-48 —
+    * deterministic hashing is the reproducible upgrade). */
+  def toKafkaFrame(df: DataFrame, codec: Codec, valueCol: Column,
+                   keyCol: Column, numPartitions: Int = 1000): DataFrame =
+    df.select(
+      org.apache.spark.sql.functions.encode(keyCol.cast("string"), "UTF-8")
+        .as("key"),
+      codec.encode(valueCol).as("value"),
+      pmod(xxhash64(keyCol), lit(numPartitions)).cast("int")
+        .as("partition"))
+
+  /** Decode the consumer side of a Kafka frame: value → typed column. */
+  def fromKafkaFrame(df: DataFrame, codec: Codec,
+                     as: String = "decoded"): DataFrame =
+    df.withColumn(as, codec.decode(col("value")))
 }

@@ -111,6 +111,7 @@ object Dedup {
     // payload; shuffling it per band would 32× the exchange).
     val banded = hs.select(col("id"),
       explode(bandKeysFromHashes(col("hs"), numHashes, bands)).as("bkey"))
+      .repartition(p, col("bkey")) // parallel, co-partitioned bucket join
     // cap pathological buckets before the self-join
     val counts = banded.groupBy("bkey").count()
       .filter(col("count") > 1 && col("count") <= maxBucketSize)
@@ -174,6 +175,7 @@ object Dedup {
       .withColumn("bkey", xxhash64(col("band"),
         expr(s"shiftright(sh, band * $w)")
           .bitwiseAND(if (w == 64) lit(-1L) else lit((1L << w) - 1))))
+      .repartition(p, col("bkey")) // parallel, co-partitioned bucket join
     val counts = banded.groupBy("bkey").count()
       .filter(col("count") > 1 && col("count") <= maxBucketSize)
     val small = banded.join(counts, "bkey")
@@ -214,7 +216,13 @@ object Dedup {
       explode(col("sh")).as("s"))
     val rare = exploded.groupBy("s").count()
       .filter(col("count") <= maxShingleFreq)
-    val e = exploded.join(rare.select("s"), Seq("s"))
+    // co-partition the self-join on the shingle key: without this the
+    // exploded table sits in the scan's (often single) partition and the
+    // candidate probe runs on one task; at scale this is also the shape
+    // that avoids broadcasting a corpus-sized side
+    val e = exploded
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("s"))
+      .join(rare.select("s"), Seq("s"))
     val a = e.select(col("s"), col("id").as("id_a"), col("n").as("n_a"))
     val b = e.select(col("s"), col("id").as("id_b"), col("n").as("n_b"))
     a.join(b, Seq("s"))
@@ -245,6 +253,7 @@ object Dedup {
         xxhash64(lit(s), Vectors.rhpSignature(col("v"), nBits, s))
           .as("bkey"))
     }.reduce(_.unionByName(_))
+      .repartition(p, col("bkey")) // parallel, co-partitioned bucket join
     val counts = banded.groupBy("bkey").count()
       .filter(col("count") > 1 && col("count") <= maxBucketSize)
     val small = banded.join(counts, "bkey")

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Container loaders (rxsci `rs.container.*`, SURVEY.md §2.4: typed
+  * CSV/JSON parsing) and the bounded/unbounded source pairs that back the
+  * unified batch/stream promise (reference README.rst:38).
+  *
+  * Schemas are explicit (SURVEY.md §1.2 policy: inference allowed in dev,
+  * pinned in prod) — an inferred schema on a 100 TB dataset is both a
+  * full extra pass and a correctness hazard.
+  */
+object Sources {
+
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .schema(schema)
+      .csv(path)
+
+  def jsonLines(spark: SparkSession, path: String, schema: StructType)
+      : DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Streaming counterparts — same schema contract, unbounded. */
+  def csvStream(spark: SparkSession, path: String, schema: StructType,
+                header: Boolean = true): DataFrame =
+    spark.readStream.option("header", header.toString)
+      .schema(schema).csv(path)
+
+  def jsonStream(spark: SparkSession, path: String, schema: StructType)
+      : DataFrame =
+    spark.readStream.schema(schema).json(path)
+
+  def parquetStream(spark: SparkSession, path: String, schema: StructType)
+      : DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+}

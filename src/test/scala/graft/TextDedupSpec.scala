@@ -166,6 +166,46 @@ class TextDedupSpec extends SparkSpec {
     assert(f1(0) == f1(1)) // same content → same feature
   }
 
+  test("kafka frame: encode to (key,value,partition), decode back") {
+    val df = Seq((1L, "payload")).toDF("id", "body")
+    val sc = Codecs.StringCodec()
+    val frame = Codecs.toKafkaFrame(df, sc, col("body"), col("id"), 100)
+    assert(frame.columns.toSeq == Seq("key", "value", "partition"))
+    val part = frame.select("partition").as[Int].collect().head
+    assert(part >= 0 && part < 100)
+    val back = Codecs.fromKafkaFrame(frame, sc)
+      .select("decoded").as[String].collect().head
+    assert(back == "payload")
+  }
+
+  test("csv/json sources load with explicit schemas") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("src").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "d.csv"), "a,b\n1,x\n2,y\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "d.json"),
+      "{\"a\":1,\"b\":\"x\"}\n{\"a\":2,\"b\":\"y\"}\n")
+    val schema = StructType(Seq(StructField("a", LongType),
+      StructField("b", StringType)))
+    val c = graft.sources.Sources.csv(spark, s"$tmp/d.csv", schema)
+    val j = graft.sources.Sources.jsonLines(spark, s"$tmp/d.json", schema)
+    assert(c.as[(Long, String)].collect().toSet ==
+      Set((1L, "x"), (2L, "y")))
+    assert(j.as[(Long, String)].collect().toSet ==
+      Set((1L, "x"), (2L, "y")))
+  }
+
+  test("padStart prepends default rows") {
+    import graft.core.Pipe._
+    import graft.operators.DataOps
+    val df = Seq(1.0, 2.0).toDF("v")
+    val pad = Seq(0.0).toDF("v")
+    val got = df >> DataOps.padStart(2, pad)
+    assert(got.count() == 4)
+    assert(got.filter(col("v") === 0.0).count() == 2)
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
