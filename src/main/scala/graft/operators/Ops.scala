@@ -66,6 +66,17 @@ object Ops {
   def take(n: Int, order: Column*): Op =
     df => (if (order.isEmpty) df else df.orderBy(order: _*)).limit(n)
 
+  /** `ops.skip` (makinage/config.py:33): drop the first n rows under an
+    * explicit order (batch form; streams skip by offset policy). */
+  def skip(n: Int, order: Seq[Column],
+           partition: Seq[Column] = Nil): Op = { df =>
+    val w0 = if (partition.isEmpty) Window.partitionBy()
+             else Window.partitionBy(partition: _*)
+    df.withColumn("__rn", row_number().over(w0.orderBy(order: _*)))
+      .filter(col("__rn") > n)
+      .drop("__rn")
+  }
+
   /** rxsci `start_with`: prepend literal rows (schema-aligned union). */
   def startWith(rows: DataFrame): Op =
     df => rows.unionByName(df)

@@ -52,6 +52,22 @@ class OpsSpec extends SparkSpec {
     assert(got.select("id").as[Long].collect().toSet == Set(0L, 2L, 4L))
   }
 
+  test("skip drops the first n rows in order") {
+    val got = ev >> Ops.skip(3, Seq(col("id")))
+    assert(got.select("id").as[Long].collect().toSet == Set(3L, 4L))
+  }
+
+  test("toDeque collects ordered window values into arrays") {
+    import graft.operators.DataOps
+    val got = ev >>
+      DataOps.batch(2, Seq(col("id"))) >>
+      DataOps.withDequeCols(col("v"), col("id")) >>
+      DataOps.toDeque(col("v"), col("id"))
+    val arrays = got.orderBy(DataOps.WindowCol).select("values")
+      .as[Seq[Double]].collect().toSeq
+    assert(arrays == Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+  }
+
   test("merge = union all; startWith prepends rows") {
     val head = Seq((-1L, "start", 0.0)).toDF("id", "k", "v")
     val got = ev >> Ops.merge(ev) >> Ops.startWith(head)

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.core.Pipe._
+import graft.functions.Codecs
+import graft.llm.Dedup
+import graft.operators.{DataOps, MathOps}
+
+/** ScalaCheck-generator-driven properties for the algebraic invariants
+  * (SURVEY.md §5): codec round-trips, window-count arithmetic, dedup
+  * idempotence, parallelism-invariant exact numerics. (Raw ScalaCheck
+  * generators sampled in a loop — the scalatest bridge artifact isn't in
+  * the offline cache.) */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 10): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("property: string codec round-trips arbitrary strings") {
+    samples(Gen.listOfN(5, Gen.asciiPrintableStr).suchThat(_.nonEmpty))
+      .foreach { xs =>
+        val df = xs.toDF("s")
+        val back = df.select(
+          Codecs.roundTrip(Codecs.StringCodec(), col("s")).as("s"))
+          .as[String].collect().toList
+        assert(back.sorted == xs.sorted)
+      }
+  }
+
+  test("property: roll emits exactly max(0, floor((n-w)/s)+1) complete " +
+    "windows") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 40)
+      w <- Gen.chooseNum(1, 6)
+      s <- Gen.chooseNum(1, 6)
+    } yield (n, w, s)
+    samples(gen, 15).foreach { case (n, w, s) =>
+      val df = (0 until n).map(i => (i.toLong, i.toDouble))
+        .toDF("i", "value")
+      val windows = (df >> DataOps.roll(w, s, Seq(col("i"))))
+        .select(DataOps.WindowCol).distinct().count()
+      val expected = if (n < w) 0L else ((n - w) / s + 1).toLong
+      assert(windows == expected, s"n=$n w=$w s=$s")
+    }
+  }
+
+  test("property: exact dedup is idempotent and keeps one row per key") {
+    samples(Gen.listOfN(30, Gen.chooseNum(0, 5)).suchThat(_.nonEmpty))
+      .foreach { keys =>
+        val df = keys.zipWithIndex
+          .map { case (k, i) => (i.toLong, s"k$k") }.toDF("id", "k")
+        val once = Dedup.exact(df, "id", Seq("k"))
+        val twice = Dedup.exact(once, "id", Seq("k"))
+        assert(once.count() == keys.distinct.size)
+        assert(twice.collect().toSet == once.collect().toSet)
+      }
+  }
+
+  test("property: exactSum is invariant under repartitioning") {
+    val gen = for {
+      cents <- Gen.listOfN(50, Gen.chooseNum(-10000, 10000))
+      parts <- Gen.chooseNum(1, 16)
+    } yield (cents, parts)
+    samples(gen).foreach { case (cents, parts) =>
+      val df = cents.map(_ / 100.0).toDF("v")
+      val s1 = df.coalesce(1)
+        .agg(MathOps.exactSum(col("v"))).as[Double].collect().head
+      val sN = df.repartition(parts)
+        .agg(MathOps.exactSum(col("v"))).as[Double].collect().head
+      assert(s1 == sN) // bitwise
+    }
+  }
+
+  test("property: minhash est_jaccard is 1.0 for identical docs") {
+    samples(Gen.listOfN(6, Gen.identifier), 5).foreach { words =>
+      val text = words.mkString(" ")
+      val df = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      val pairs = Dedup.minhashPairs(df, "doc_id", "text",
+        shingleSize = 2, numHashes = 32, bands = 8, threshold = 0.9)
+      val est = pairs.select("est_jaccard").as[Double].collect()
+      assert(est.length == 1 && est.head == 1.0)
+    }
+  }
+}
