@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Text, Vectors}
+import graft.functions.{MinHashSignature, Text, Vectors}
 
 /** Deduplication operators for large-scale training-data pipelines
   * (SURVEY.md §2.6). All variants are designed shuffle-linear: no all-pairs
@@ -44,23 +44,24 @@ object Dedup {
       s => xxhash64(s))
 
   /** MinHash signature from a materialized shingle-hash array: for hash
-    * function k, min over shingles of xxhash64(k, h). (An independent
-    * seeded hash per permutation rather than a*h+b mod p — same
-    * guarantees, fewer collisions.) `hs` must be a column attribute; the
-    * per-k lambda references it |numHashes| times and an inlined
-    * subexpression would be recomputed per k. */
+    * function k, min over shingles of XXH64(h, seed=k) — the native
+    * codegen'd [[graft.functions.MinHashSignature]] expression (a nested
+    * primitive loop; the HOF formulation dispatched numHashes × |hs|
+    * interpreted lambdas per row and dominated the profile). */
   def minhashSigFromHashes(hs: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform(hs, h => xxhash64(k, h))))
+    MinHashSignature(hs, numHashes)
 
-  /** LSH band keys straight from the shingle-hash array: band b's key is a
-    * hash of its r = numHashes/bands min-hash values. Same total work as
-    * one signature computation (bands × r = numHashes mins). */
-  def bandKeysFromHashes(hs: Column, numHashes: Int, bands: Int): Column = {
+  /** LSH band keys from a materialized SIGNATURE column: band b's key
+    * hashes its r-value slice. Cheap array reads — the expensive min-hash
+    * pass happens once in the signature. The `size` guard doubles as a
+    * multi-reference so Catalyst won't inline a signature expression into
+    * the per-band lambda. */
+  def bandKeysFromSig(sig: Column, numHashes: Int, bands: Int): Column = {
     val r = numHashes / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, transform(sequence(b * r, b * r + (r - 1)),
-        k => array_min(transform(hs, h => xxhash64(k, h))))))
+    when(size(sig) >= lit(numHashes),
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(sig, b * r + 1, lit(r)))))
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** Convenience single-expression signature (tests, ad-hoc use). */
@@ -109,8 +110,8 @@ object Dedup {
     // One row per (doc, band) carrying ONLY (id, bkey) — the signature
     // array never rides the banding shuffle (at 100 TB the sig is the
     // payload; shuffling it per band would 32× the exchange).
-    val banded = hs.select(col("id"),
-      explode(bandKeysFromHashes(col("hs"), numHashes, bands)).as("bkey"))
+    val banded = sig.select(col("id"),
+      explode(bandKeysFromSig(col("sig"), numHashes, bands)).as("bkey"))
       .repartition(p, col("bkey")) // parallel, co-partitioned bucket join
     // cap pathological buckets before the self-join
     val counts = banded.groupBy("bkey").count()
