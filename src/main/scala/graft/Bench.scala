@@ -14,6 +14,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: exercise scan/shuffle/codegen paths once so the
+    // first timed queries don't carry one-time JIT cost (~5s observed)
+    Seq("q_agg", "q_filter", "q_join_revenue").foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -32,6 +32,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollStream: sliding windows (stride < window) overlap correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.rollStream(in.toDS(), window = 3, stride = 1)
+      .writeStream.format("memory").queryName("roll_slide")
+      .outputMode("append").start()
+    try {
+      (1 to 5).foreach(i => in.addData(KeyedEvent("k", i.toLong, i.toDouble)))
+      q.processAllAvailable()
+      val got = spark.table("roll_slide").orderBy("window_id")
+        .select("mean").as[Double].collect().toSeq
+      assert(got == Seq(2.0, 3.0, 4.0)) // same as batch roll(3,1)
+    } finally q.stop()
+  }
+
   test("rollStream: state carries across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedEvent]
