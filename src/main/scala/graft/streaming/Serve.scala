@@ -32,9 +32,24 @@ object Serve {
   case class Model(version: Long, predict: Seq[Double] => Seq[Double])
       extends Serializable
 
+  /** inputField supports nested paths ("payload.x") — the reference's
+    * dict-event case (input_field/output_field,
+    * reference makinage/sample/serve.py:4-21). pre/post are whole-frame
+    * transforms applied around inference (create_transform_functions,
+    * reference serve.py:60-79), resolvable from config by reflection via
+    * [[resolveTransform]]. */
   case class ServeConfig(batchSize: Int = 1,
                          inputField: String = "value",
-                         outputField: String = "prediction")
+                         outputField: String = "prediction",
+                         pre: DataFrame => DataFrame = identity,
+                         post: DataFrame => DataFrame = identity)
+
+  /** Reflection loader for transform objects (the import_function
+    * analogue, reference makinage/util.py:5-23): FQCN of a Scala object
+    * extending `DataFrame => DataFrame`. */
+  def resolveTransform(fqcn: String): DataFrame => DataFrame =
+    Class.forName(fqcn + "$").getField("MODULE$").get(null)
+      .asInstanceOf[DataFrame => DataFrame]
 
   /** Provider called once per micro-batch: returns the CURRENT model —
     * the `start_from: last` + hot-swap contract of the model topic
@@ -42,26 +57,31 @@ object Serve {
   type ModelProvider = () => Model
 
   /** Score a bounded batch: the shared kernel for batch + streaming. */
-  def inferBatch(df: DataFrame, model: Model, cfg: ServeConfig): DataFrame = {
+  def inferBatch(df0: DataFrame, model: Model, cfg: ServeConfig)
+      : DataFrame = {
+    val df = cfg.pre(df0)
     val spark = df.sparkSession
-    val inIdx = df.schema.fieldIndex(cfg.inputField)
+    // project the (possibly nested) input to a trailing column so the
+    // partition kernel reads by position — supports dict-shaped events
+    val withIn = df.withColumn("__in", col(cfg.inputField).cast("double"))
+    val inIdx = withIn.schema.length - 1
     val bSize = cfg.batchSize
     val predict = model.predict
     val outSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(
         cfg.outputField, org.apache.spark.sql.types.DoubleType))
-    val scored = df.rdd.mapPartitions { rows =>
+    val scored = withIn.rdd.mapPartitions { rows =>
       rows.grouped(bSize).flatMap { group =>
         // infer (serve.py:46-57): errors drop the batch, not the query
         try {
           val preds = predict(group.map(_.getDouble(inIdx)))
           group.zip(preds).map { case (r, p) =>
-            Row.fromSeq(r.toSeq :+ p)
+            Row.fromSeq(r.toSeq.dropRight(1) :+ p)
           }
         } catch { case _: Exception => Seq.empty[Row] }
       }
     }
-    spark.createDataFrame(scored, outSchema)
+    cfg.post(spark.createDataFrame(scored, outSchema))
   }
 
   /** Streaming serve: wire a streaming DataFrame through per-micro-batch

@@ -94,6 +94,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("serve: dict-shaped events with nested input_field and " +
+    "reflection-resolved pre-transform (sample/serve.py semantics)") {
+    val df = Seq((1L, 21.0)).toDF("id", "x")
+      .select(col("id"), struct(col("x")).as("payload"))
+    val cfg = Serve.ServeConfig(
+      batchSize = 1, inputField = "payload.x", outputField = "pred",
+      pre = Serve.resolveTransform("graft.DoubleX"))
+    val model = Serve.Model(1, xs => xs.map(_ + 1))
+    val got = Serve.inferBatch(df, model, cfg)
+    // pre doubles x (21 -> 42), model adds 1 → 43; original cols intact
+    val row = got.select(col("id"), col("payload.x"), col("pred"))
+      .as[(Long, Double, Double)].collect().head
+    assert(row == ((1L, 42.0, 43.0)))
+  }
+
   test("serve: per-batch errors drop rows, not the query " +
     "(serve.py:54-57)") {
     val df = Seq(1.0, -1.0, 2.0).toDF("value")
@@ -301,4 +316,13 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set("10", "14"))
     } finally queries.foreach(_.stop())
   }
+}
+
+/** Reflection-resolvable pre-transform for the serve dict-event test —
+  * doubles the nested payload.x (the input_field the config points at). */
+object DoubleX extends (org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) {
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("payload", org.apache.spark.sql.functions.struct(
+      (org.apache.spark.sql.functions.col("payload.x") * 2)
+        .as("x")))
 }
