@@ -518,6 +518,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF coarse-quantizer ANN (the other scale path besides LSH):
+    // deterministic mini-kmeans on a bounded sample, broadcast centroids,
+    // map-only cell assignment, probe-and-rank. Rows-only; recall vs
+    // brute force pinned by IvfSpec.
+    "q_simsearch_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.llm.Ivf.train(e, "vec_id", "embedding", k = 16)
+      graft.llm.Ivf.topK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, model, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ===== north-star: multimodal columns ================================
 
     "q_multimodal_dedup" -> ((s, dir) => {
