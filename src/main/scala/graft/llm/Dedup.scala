@@ -140,19 +140,11 @@ object Dedup {
   def simhash64(textCol: Column): Column =
     simhashFromHashes(transform(Text.tokens(textCol), t => xxhash64(t)))
 
-  /** SimHash from a pre-materialized token-hash array. Callers building a
-    * plan should materialize the hash array in its own projection first —
-    * the 64 per-bit folds below reference it as an attribute, so the
-    * tokenize+hash work runs once per row, not 64 times. */
-  def simhashFromHashes(hashes: Column): Column = {
-    val bits = (0 until 64).map { b =>
-      val s = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L))
-      when(s > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  /** SimHash from a token-hash array — the native codegen'd
+    * [[graft.functions.SimHash64]] expression (one primitive pass; the
+    * HOF formulation ran 64 interpreted aggregate() folds per row). */
+  def simhashFromHashes(hashes: Column): Column =
+    graft.functions.SimHash64(hashes)
 
   /** SimHash near-dup pairs by banding the 64-bit fingerprint into
     * `bands` contiguous chunks: two docs within Hamming distance d collide
