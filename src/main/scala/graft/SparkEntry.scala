@@ -341,6 +341,38 @@ object SparkEntry {
         .count()
         .orderBy("user_id")),
 
+    // scalar subquery (Catalyst decorrelates): orders above global mean
+    "q_scalar_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (
+          SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) FROM orders)
+        ORDER BY o_orderkey
+      """)
+    }),
+
+    // scalar-function battery: string/date/null-handling expressions
+    "q_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 10)).as("head_up"),
+        length(col("text")).as("len"),
+        concat_ws("|", col("lang"), col("source")).as("tag"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+        coalesce(nullif(col("lang"), lit("en")), lit("english"))
+          .as("lang_or_english"))
+        .orderBy("doc_id")),
+
+    "q_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          MathOps.exactSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("y", "m")),
+
     // ===== rs.math family ================================================
 
     "q_stats" -> ((s, dir) =>
@@ -798,6 +830,29 @@ object SparkEntry {
           |       list_reduce(list(value ORDER BY ts, value),
           |         (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q_scalar_subquery" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > (
+          |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |         / count(*) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "q_scalar_funcs" ->
+        """SELECT doc_id,
+          |       upper(substr(text, 1, 10)) AS head_up,
+          |       length(text) AS len,
+          |       concat_ws('|', lang, source) AS tag,
+          |       coalesce(regexp_extract(text, '([a-z]+)', 1), '') AS first_word,
+          |       coalesce(nullif(lang, 'en'), 'english') AS lang_or_english
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_date_funcs" ->
+        """SELECT CAST(year(o_orderdate) AS INT) AS y,
+          |       CAST(month(o_orderdate) AS INT) AS m,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
 
       "q_salted_agg" ->
         """SELECT event_type, count(*) AS n,
