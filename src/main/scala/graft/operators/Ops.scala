@@ -98,14 +98,11 @@ object Ops {
     df.crossJoin(broadcast(latest))
   }
 
-  /** `ops.combine_latest` config-join variant: attach a static 1-row config
-    * snapshot (the per-micro-batch "latest config wins" contract,
-    * SURVEY.md §2.5 Dynamic reconfig). */
+  /** `ops.combine_latest` config-join variant: attach a static config
+    * snapshot as literal columns (the per-micro-batch "latest config wins"
+    * contract, SURVEY.md §2.5 Dynamic reconfig). */
   def withConfig(config: Map[String, Any]): Op = { df =>
-    val cols = config.toSeq.map { case (k, v) => lit(v).as(k) }
-    df.withColumns(config.keys.toSeq.zip(cols).toMap.map {
-      case (k, _) => k -> lit(config(k))
-    })
+    config.foldLeft(df) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
   }
 
   /** rxsci `sample`: deterministic decimation — keep every nth event per
