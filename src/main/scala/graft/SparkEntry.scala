@@ -316,6 +316,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // range (interval) join: event pairs of the same user within 5 min —
+    // equi-join on the key + band filter (no nested-loop: the user_id
+    // equality keys the shuffle; the band is a post-join filter)
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"))
+      val a = ev.select(col("event_id").as("id_a"),
+        col("user_id"), col("ts").as("ts_a"))
+      val b = ev.select(col("event_id").as("id_b"),
+        col("user_id"), col("ts").as("ts_b"))
+      a.join(b, Seq("user_id"))
+        .filter(col("id_a") < col("id_b") &&
+          col("ts_b") >= col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+        .select(col("user_id"), col("id_a"), col("id_b"))
+        .orderBy("user_id", "id_a", "id_b")
+    }),
+
     // rollup / cube — hierarchical + full grouping sets
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -533,6 +551,27 @@ object SparkEntry {
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, nBits = 6, seeds = Seq(1, 2, 3, 4, 5, 6))
         .orderBy("id_a", "id_b")),
+
+    // end-to-end training-data cleaning pipeline: quality-filter →
+    // content-dedup (keep min doc_id per normalized text) → per-lang stats
+    // — the composed Pipe showcase of the north-star ops
+    "q_pipeline_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", Text.nTokens(col("text")))
+        .withColumn("sw_ratio", Text.stopwordRatio(col("text")))
+        .filter(col("n_tokens") >= 8 && col("sw_ratio") >= 0.05)
+        .withColumn("__fp", Text.fingerprint(col("text")))
+      val deduped = docs
+        .groupBy("__fp")
+        .agg(min(struct(col("doc_id"), col("lang"),
+          col("n_tokens"))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+          col("r.n_tokens").as("n_tokens"))
+      deduped.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("lang")
+    }),
 
     // ===== north-star: similarity search =================================
 
@@ -775,6 +814,13 @@ object SparkEntry {
           |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
           |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
+      "q_range_join" ->
+        """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+          |FROM events a JOIN events b
+          |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+          | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+          |ORDER BY a.user_id, id_a, id_b""".stripMargin,
+
       "q_rollup" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
           |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -898,8 +944,8 @@ object SparkEntry {
 
       "q_token_bpeish" ->
         """SELECT source,
-          |       sum(len(regexp_extract_all(lower(text),
-          |           '[a-z0-9]+|[^a-z0-9\s]'))) AS n_tokens_bpe,
+          |       CAST(sum(len(regexp_extract_all(lower(text),
+          |           '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_tokens_bpe,
           |       count(*) AS n_docs
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -931,6 +977,27 @@ object SparkEntry {
            |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2)
            |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+      "q_pipeline_clean" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, lang, text, $toksSql AS ts FROM documents),
+           |scored AS (
+           |  SELECT doc_id, lang, text, len(ts) AS n_tokens,
+           |         CAST(len(list_filter(ts, t -> list_contains(${sqlList(
+                       Text.stopwords.values.flatten.toSeq.distinct.sorted)}, t)))
+           |           AS DOUBLE) / len(ts) AS sw_ratio
+           |  FROM toks),
+           |kept AS (
+           |  SELECT * FROM scored WHERE n_tokens >= 8 AND sw_ratio >= 0.05),
+           |deduped AS (
+           |  SELECT min(doc_id) AS doc_id,
+           |         arg_min(lang, doc_id) AS lang,
+           |         arg_min(n_tokens, doc_id) AS n_tokens
+           |  FROM kept
+           |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+           |SELECT lang, count(*) AS n_docs,
+           |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q_embed_neardup" ->
         s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
