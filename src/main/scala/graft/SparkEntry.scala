@@ -196,7 +196,8 @@ object SparkEntry {
     // rs.data.time_split — 30-min-gap sessionization per user
     "q_session" -> ((s, dir) =>
       t(s, dir, "events") >>
-        DataOps.timeSplit(col("ts"), 1800, Seq(col("user_id"))) >>
+        DataOps.timeSplit(col("ts"), 1800, Seq(col("user_id")),
+          tieBreak = Seq(col("event_id"))) >>
         (df => df.groupBy(col("user_id"), col(DataOps.WindowCol)).agg(
           count(lit(1)).as("n"),
           floor(min(col("ts")).cast("double")).cast("long")
@@ -712,29 +713,34 @@ object SparkEntry {
           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1 HAVING count(*) = 50 ORDER BY window_id""".stripMargin,
 
+      // window_id is CAST AS BIGINT: DuckDB's sum() over integers yields
+      // HUGEINT (int128) — value-equal to Spark's BIGINT but a different
+      // physical type, which broke the driver's hash compare in round 1.
       "q_split" ->
         """WITH seg AS (
           |  SELECT user_id,
-          |         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+          |         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
           |           OVER (PARTITION BY user_id ORDER BY ts, event_id
           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          |           AS window_id
+          |           AS BIGINT) AS window_id
           |  FROM events)
           |SELECT user_id, window_id, count(*) AS n FROM seg
           |GROUP BY 1, 2 ORDER BY user_id, window_id""".stripMargin,
 
       "q_session" ->
         """WITH flagged AS (
-          |  SELECT user_id, ts,
+          |  SELECT user_id, ts, event_id,
           |         CASE WHEN lag(ts) OVER w IS NULL
           |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
           |              THEN 1 ELSE 0 END AS is_new
-          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
           |seg AS (
           |  SELECT user_id, ts,
-          |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+          |         CAST(sum(is_new) OVER (
+          |           PARTITION BY user_id ORDER BY ts, event_id
           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          |           AS window_id
+          |           AS BIGINT) AS window_id
           |  FROM flagged)
           |SELECT user_id, window_id, count(*) AS n,
           |       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start

@@ -17,9 +17,22 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir)
+        // Deterministism hardening: a single explicit global sort over ALL
+        // orderable columns as the LAST op before the write, so the parquet
+        // row order is provably stable run-to-run regardless of partition
+        // layout (a row-order-sensitive hash on the driver side otherwise
+        // sees whatever order the final exchange produced).
+        import org.apache.spark.sql.functions.col
+        val orderable = out.schema.fields.filter(f =>
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(f.dataType)).map(f => col(f.name)).toIndexedSeq
+        val stable =
+          if (orderable.isEmpty) out else out.orderBy(orderable: _*)
+        stable.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -84,13 +84,18 @@ object DataOps {
     * (gaps-and-islands) form of session windows; the streaming form is
     * Spark's native `session_window` (SURVEY.md §2.5). */
   def timeSplit(ts: Column, gapSeconds: Long,
-                partition: Seq[Column] = Nil): Op = { df =>
+                partition: Seq[Column] = Nil,
+                tieBreak: Seq[Column] = Nil): Op = { df =>
     val w0 = if (partition.isEmpty) Window.partitionBy()
              else Window.partitionBy(partition: _*)
-    val prev = lag(ts, 1).over(w0.orderBy(ts))
+    // tieBreak pins a total order among equal timestamps — without it the
+    // lag() peer order is engine-dependent and segment ids can differ
+    // between runs (and between Spark and any oracle) on tied events.
+    val order = ts +: tieBreak
+    val prev = lag(ts, 1).over(w0.orderBy(order: _*))
     val isBoundary = prev.isNull ||
       (ts.cast("double") - prev.cast("double")) > gapSeconds
-    val w = w0.orderBy(ts)
+    val w = w0.orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(WindowCol,
       sum(when(isBoundary, 1L).otherwise(0L)).over(w))
