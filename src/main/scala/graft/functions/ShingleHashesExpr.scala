@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+
+/** Shared kernel for [[ShingleHashes]]: tokens → distinct word-n-gram
+  * shingle hashes in one primitive pass. Serializable singleton so codegen
+  * can hold it as a reference object. */
+object ShingleHashesKernel extends Serializable {
+
+  /** Hash of the space-joined n-gram starting at token i, identical to
+    * Spark's `xxhash64(string)` over the same joined text: XXH64 with
+    * seed 42 over the UTF-8 bytes. Tokens are copied into a reusable
+    * buffer with single-space separators — no intermediate String/
+    * UTF8String per shingle. */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val nShingles = m - n + 1
+    val out = new Array[Long](nShingles)
+    val seen = new java.util.HashSet[java.lang.Long](nShingles * 2)
+    var buf = new Array[Byte](256)
+    var outLen = 0
+    var i = 0
+    while (i < nShingles) {
+      // byte length of this shingle: Σ token bytes + (n-1) separators
+      var len = n - 1
+      var j = 0
+      while (j < n) {
+        if (!tokens.isNullAt(i + j)) {
+          len += tokens.getUTF8String(i + j).numBytes()
+        }
+        j += 1
+      }
+      if (len > buf.length) buf = new Array[Byte](math.max(len, buf.length * 2))
+      var pos = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(pos) = ' '; pos += 1 }
+        if (!tokens.isNullAt(i + j)) {
+          val t = tokens.getUTF8String(i + j)
+          t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + pos)
+          pos += t.numBytes()
+        }
+        j += 1
+      }
+      val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, pos, 42L)
+      if (seen.add(h)) { out(outLen) = h; outLen += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, outLen))
+  }
+}
+
+/** Native distinct-shingle-hash expression: tokens array → array of
+  * xxhash64 values of the space-joined word n-grams, first-occurrence
+  * order, duplicates dropped.
+  *
+  * Bit-identical to the HOF formulation
+  * `transform(array_distinct(shinglesFromTokens(ts, n)), s -> xxhash64(s))`
+  * (same join separator, same XXH64-over-UTF8-bytes hash, same seed 42)
+  * but one compiled pass per row: the HOF chain dispatched interpreted
+  * lambdas per shingle and allocated a sliced token array plus a joined
+  * string per shingle — measured ≈0.8 ms/doc, the dominant cost of every
+  * shingle-based dedup operator.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes needs array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashesKernel.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val kernel = ctx.addReferenceObj("shingleKernel", ShingleHashesKernel,
+      ShingleHashesKernel.getClass.getName)
+    nullSafeCodeGen(ctx, ev, ts =>
+      s"${ev.value} = $kernel.compute($ts, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShingleHashes = copy(child = newChild)
+}
+
+object ShingleHashes {
+  def apply(tokens: Column, n: Int): Column =
+    ColumnBridge.column(
+      ShingleHashes(ColumnBridge.expression(tokens), n))
+}

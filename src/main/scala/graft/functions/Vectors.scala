@@ -52,8 +52,19 @@ object Vectors {
     * Hyperplane h_j is a deterministic pseudo-random ±1 vector derived from
     * xxhash64(seed, j, i) — no stored model, reproducible on any executor,
     * and identical across runs (required for bucketing to be a join key).
-    * sign(h_j · v) per bit; dot with a ±1 vector = sum of ± components. */
-  def rhpSignature(vec: Column, nBits: Int, seed: Int): Column = {
+    * sign(h_j · v) per bit; dot with a ±1 vector = sum of ± components.
+    *
+    * Native codegen [[RhpSignature]] expression — bit-identical to the HOF
+    * formulation [[rhpSignatureHof]] it replaced (same hash chain, same
+    * left-to-right fold) but a primitive loop over a precomputed ±1 plane
+    * table instead of nBits×dim interpreted lambdas + hash calls per row. */
+  def rhpSignature(vec: Column, nBits: Int, seed: Int): Column =
+    RhpSignature(vec, nBits, seed)
+
+  /** The original HOF formulation of [[rhpSignature]] — kept as the
+    * executable specification the native expression is tested against. */
+  private[graft] def rhpSignatureHof(vec: Column, nBits: Int,
+                                     seed: Int): Column = {
     require(nBits >= 1 && nBits <= 63, "nBits in [1,63]")
     val bits = (0 until nBits).map { j =>
       // h_j[i] = +1 if xxhash64(seed, j, i) even else -1

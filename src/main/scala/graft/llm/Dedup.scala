@@ -38,8 +38,16 @@ object Dedup {
 
   /** Base shingle-hash array: each distinct shingle hashed ONCE to a long.
     * Everything downstream (signatures, band keys) re-hashes these longs,
-    * never the strings — string work is O(shingles) per doc total. */
+    * never the strings — string work is O(shingles) per doc total.
+    * Native codegen [[graft.functions.ShingleHashes]] kernel (bit-identical
+    * to the HOF formulation [[shingleHashesHof]], one compiled pass). */
   def shingleHashes(tokensCol: Column, shingleSize: Int): Column =
+    graft.functions.ShingleHashes(tokensCol, shingleSize)
+
+  /** The original HOF formulation of [[shingleHashes]] — kept as the
+    * executable specification the native kernel is tested against. */
+  private[graft] def shingleHashesHof(tokensCol: Column,
+                                      shingleSize: Int): Column =
     transform(array_distinct(Text.shinglesFromTokens(tokensCol, shingleSize)),
       s => xxhash64(s))
 
@@ -112,17 +120,22 @@ object Dedup {
     // payload; shuffling it per band would 32× the exchange).
     val banded = sig.select(col("id"),
       explode(bandKeysFromSig(col("sig"), numHashes, bands)).as("bkey"))
-      .repartition(p, col("bkey")) // parallel, co-partitioned bucket join
-    // cap pathological buckets before the self-join
-    val counts = banded.groupBy("bkey").count()
-      .filter(col("count") > 1 && col("count") <= maxBucketSize)
-    val small = banded.join(counts, "bkey")
-    // candidate pairs FIRST (dedup across bands), verify ONCE per pair:
-    // a pair colliding in k bands must not pay k signature comparisons.
-    val cand = small.select(col("bkey"), col("id").as("id_a"))
-      .join(small.select(col("bkey"), col("id").as("id_b")), Seq("bkey"))
+    // bucket members collected per band key (bounded by maxBucketSize —
+    // oversized buckets are boilerplate, dropped by the cap), candidate
+    // pairs generated bucket-locally in one shuffle; the old
+    // count-join-back + self-join instantiated the whole
+    // tokenize→shingle→minhash subtree three more times.
+    // Candidate pairs are distinct-ed FIRST (dedup across bands), verified
+    // ONCE per pair: a pair colliding in k bands must not pay k signature
+    // comparisons.
+    val buckets = banded.groupBy("bkey")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+    val cand = buckets
+      .select(col("ids"), explode(col("ids")).as("id_a"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .distinct()
     cand
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -168,18 +181,19 @@ object Dedup {
       .withColumn("bkey", xxhash64(col("band"),
         expr(s"shiftright(sh, band * $w)")
           .bitwiseAND(if (w == 64) lit(-1L) else lit((1L << w) - 1))))
-      .repartition(p, col("bkey")) // parallel, co-partitioned bucket join
-    val counts = banded.groupBy("bkey").count()
-      .filter(col("count") > 1 && col("count") <= maxBucketSize)
-    val small = banded.join(counts, "bkey")
-    val a = small.select(col("bkey"), col("id").as("id_a"),
-      col("sh").as("sh_a"))
-    val b = small.select(col("bkey"), col("id").as("id_b"),
-      col("sh").as("sh_b"))
-    a.join(b, Seq("bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    // bucket members (id + 8-byte fingerprint) collected per band key,
+    // Hamming-verified bucket-locally — one shuffle, and the old
+    // count-join-back + self-join no longer re-instantiates the
+    // tokenize→simhash subtree three times. Bounded by maxBucketSize.
+    val buckets = banded.groupBy("bkey")
+      .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucketSize)
+    buckets
+      .select(col("ms"), explode(col("ms")).as("a"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -197,30 +211,36 @@ object Dedup {
                         shingleSize: Int = 3, threshold: Double = 0.5,
                         maxShingleFreq: Long = 1000): DataFrame = {
     // shingles carried as 8-byte xxhash64 longs, not strings: the explode,
-    // frequency count, and self-join all shuffle ~1/4 the bytes. Pair
-    // results are identical up to a ~2^-64 hash-collision probability.
+    // frequency count, and posting-list shuffle all move ~1/4 the bytes.
+    // Pair results are identical up to a ~2^-64 hash-collision probability.
+    // The repartition spreads the CPU-heavy tokenize/shingle work across
+    // the cluster even when the input is a handful of parquet files.
+    val p = df.sparkSession.sparkContext.defaultParallelism
     val sets = df
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__t"))
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(p, col("id"))
+      .select(col("id"), Text.tokens(col("__text")).as("__t"))
       .select(col("id"),
         shingleHashes(col("__t"), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
       .filter(col("n") > 0)
     val exploded = sets.select(col("id"), col("n"),
       explode(col("sh")).as("s"))
-    val rare = exploded.groupBy("s").count()
-      .filter(col("count") <= maxShingleFreq)
-    // co-partition the self-join on the shingle key: without this the
-    // exploded table sits in the scan's (often single) partition and the
-    // candidate probe runs on one task; at scale this is also the shape
-    // that avoids broadcasting a corpus-sized side
-    val e = exploded
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("s"))
-      .join(rare.select("s"), Seq("s"))
-    val a = e.select(col("s"), col("id").as("id_a"), col("n").as("n_a"))
-    val b = e.select(col("s"), col("id").as("id_b"), col("n").as("n_b"))
-    a.join(b, Seq("s"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
+    // posting list per shingle, collected in ONE shuffle keyed by the
+    // 8-byte shingle hash; the maxShingleFreq cap bounds each list (and
+    // drops ubiquitous stop-phrase shingles — the spam guard). The old
+    // rare-count join + self-join instantiated the tokenize→shingle
+    // subtree three times and shuffled the exploded table twice more.
+    val postings = exploded.groupBy("s")
+      .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
+      .filter(size(col("docs")) > 1 &&
+        size(col("docs")) <= maxShingleFreq)
+    postings
+      .select(col("docs"), explode(col("docs")).as("a"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
         col("common").cast("double") /
@@ -240,22 +260,27 @@ object Dedup {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       Vectors.norm(col(vecCol)).as("nm"))
       .repartition(p, col("id"))
-    // banding rows carry only (id, bkey) — vectors never ride this shuffle
-    val banded = seeds.map { s =>
-      vecs.select(col("id"),
-        xxhash64(lit(s), Vectors.rhpSignature(col("v"), nBits, s))
-          .as("bkey"))
-    }.reduce(_.unionByName(_))
-      .repartition(p, col("bkey")) // parallel, co-partitioned bucket join
-    val counts = banded.groupBy("bkey").count()
-      .filter(col("count") > 1 && col("count") <= maxBucketSize)
-    val small = banded.join(counts, "bkey")
-    // distinct candidate pairs first; vectors + precomputed norms joined
-    // back once per pair for the exact cosine verify
-    val cand = small.select(col("bkey"), col("id").as("id_a"))
-      .join(small.select(col("bkey"), col("id").as("id_b")), Seq("bkey"))
+    // ALL seed tables in one projection + one explode — one pass over the
+    // vectors computes every signature (a per-seed union re-scanned and
+    // re-signed the corpus |seeds| times). Banding rows carry only
+    // (id, bkey): vectors never ride this shuffle.
+    val banded = vecs.select(col("id"), explode(array(seeds.map(s =>
+      xxhash64(lit(s), Vectors.rhpSignature(col("v"), nBits, s))): _*))
+      .as("bkey"))
+    // bucket members collected per key (bounded by maxBucketSize — skewed
+    // buckets are boilerplate, dropped with the cap), pairs generated
+    // bucket-locally: ONE shuffle of (id, bkey), no count-join-back, no
+    // self-join re-instantiating the banding subtree.
+    val buckets = banded.groupBy("bkey")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+    val cand = buckets
+      .select(col("ids"), explode(col("ids")).as("id_a"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .distinct()
+    // vectors + precomputed norms joined back once per pair for the exact
+    // cosine verify
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"),
         col("nm").as("nm_a")), "id_a")

@@ -52,13 +52,15 @@ object SimSearch {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nBits: Int = 10, seeds: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    // all seed tables from ONE projection + explode: a single pass computes
+    // every signature (a per-seed union would re-scan and re-sign the
+    // corpus |seeds| times). Map-side only — the explode feeds a broadcast
+    // join, so the ×|seeds| rows never shuffle.
     def sigTables(df: DataFrame, id: String, v: String, n: String)
         : DataFrame =
-      seeds.map { s =>
-        df.select(col(id), col(v), col(n),
-          xxhash64(lit(s), Vectors.rhpSignature(col(v), nBits, s))
-            .as("bkey"))
-      }.reduce(_.unionByName(_))
+      df.select(col(id), col(v), col(n), explode(array(seeds.map(s =>
+        xxhash64(lit(s), Vectors.rhpSignature(col(v), nBits, s))): _*))
+        .as("bkey"))
     val c = sigTables(
       corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"),
         Vectors.norm(col(vecCol)).as("cn")), "nbr_id", "cv", "cn")

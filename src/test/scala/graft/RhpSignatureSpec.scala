@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Pins the native [[graft.functions.RhpSignature]] expression to the HOF
+  * formulation it replaced: identical hash chain ⇒ identical signatures,
+  * so every pre-existing LSH bucket assignment is preserved. */
+class RhpSignatureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq.tabulate(64) { r =>
+    (r.toLong, Array.tabulate(16)(i =>
+      (math.sin(r * 31 + i) * 10).toFloat))
+  }.toDF("id", "v")
+
+  test("native rhp signature == HOF executable spec, several seeds/widths") {
+    for (seed <- Seq(1, 2, 7); nBits <- Seq(1, 12, 63)) {
+      val both = vecs.select(
+        Vectors.rhpSignature(col("v"), nBits, seed).as("native"),
+        Vectors.rhpSignatureHof(col("v"), nBits, seed).as("hof"))
+      val mismatches = both.filter(col("native") =!= col("hof")).count()
+      assert(mismatches == 0L, s"seed=$seed nBits=$nBits")
+    }
+  }
+
+  test("signature is deterministic across evaluations and plans") {
+    val a = vecs.select(col("id"),
+      Vectors.rhpSignature(col("v"), 16, 3).as("sig"))
+    val b = vecs.repartition(3).select(col("id"),
+      Vectors.rhpSignature(col("v"), 16, 3).as("sig"))
+    assert(a.join(b, "id").filter(a("sig") =!= b("sig")).count() == 0L)
+  }
+
+  test("double-element arrays are accepted and match float semantics " +
+    "on exactly-representable values") {
+    val d = Seq((1L, Array(1.0, -2.0, 3.0, -4.0))).toDF("id", "v")
+    val f = Seq((1L, Array(1.0f, -2.0f, 3.0f, -4.0f))).toDF("id", "v")
+    val sd = d.select(Vectors.rhpSignature(col("v"), 8, 5)).head().getLong(0)
+    val sf = f.select(Vectors.rhpSignature(col("v"), 8, 5)).head().getLong(0)
+    assert(sd == sf)
+  }
+}
