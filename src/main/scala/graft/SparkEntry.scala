@@ -414,7 +414,20 @@ object SparkEntry {
       t(s, dir, "events") >>
         MathOps.ewmaByKey(col("value"), col("ts"), 0.3,
           Seq(col("user_id"))) >>
+        Ops.map("user_id" -> col("user_id"), "ewma" -> col("ewma")) >>
         (_.orderBy("user_id"))),
+
+    // per-event EWMA (the reference's scan semantics: every step emitted);
+    // oracle = DuckDB prefix-list folds, bit-identical sequential doubles
+    "q_ewma_scan" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        Ops.filter(col("user_id") < 30) >>
+        MathOps.ewmaScan(col("value"), Seq(col("ts"), col("event_id")),
+          0.3, Seq(col("user_id"))) >>
+        Ops.map("user_id" -> col("user_id"),
+                "event_id" -> col("event_id"),
+                "ewma" -> col("ewma")) >>
+        (_.orderBy("user_id", "event_id"))),
 
     // salted two-phase aggregation — identical result to direct groupBy,
     // skew-resistant shuffle shape (oracle proves the equivalence)
@@ -882,6 +895,16 @@ object SparkEntry {
           |       list_reduce(list(value ORDER BY ts, value),
           |         (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q_ewma_scan" ->
+        """SELECT user_id, event_id,
+          |       list_reduce(
+          |         list(value) OVER (PARTITION BY user_id
+          |           ORDER BY ts, event_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |         (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
+          |FROM events WHERE user_id < 30
+          |ORDER BY user_id, event_id""".stripMargin,
 
       "q_scalar_subquery" ->
         """SELECT o_orderkey, o_totalprice FROM orders

@@ -31,6 +31,10 @@ object Ivf {
       : Model = {
     val sample = df
       .filter(pmod(col(idCol), lit(sampleStep)) === 0)
+      // ordered take (TakeOrderedAndProject), not a bare limit: LIMIT over
+      // a multi-partition input picks whichever partitions answer first,
+      // so centroids would differ across runs/cluster layouts
+      .orderBy(col(idCol))
       .limit(sampleCap)
       .select(col(vecCol))
       .collect()

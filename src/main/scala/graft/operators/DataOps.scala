@@ -103,18 +103,17 @@ object DataOps {
 
   /** rxsci `to_deque`: collect each window/segment's ordered values into an
     * array column — apply after [[roll]]/[[split]]/[[timeSplit]]. Bounded
-    * by window size, so safe state; order pinned by sorting on `orderIn`. */
+    * by window size, so safe state; order pinned by sorting on `orderIn`.
+    * Self-contained: materializes its own order/value columns, so it works
+    * standalone (it previously required a separate [[withDequeCols]] step
+    * and silently read stale `__o`/`__v` columns without it). */
   def toDeque(valueCol: Column, orderIn: Column,
               keys: Seq[Column] = Nil): Op = { df =>
-    df.groupBy(keys :+ col(WindowCol): _*)
+    df.withColumn("__o", orderIn).withColumn("__v", valueCol)
+      .groupBy(keys :+ col(WindowCol): _*)
       .agg(expr("transform(array_sort(collect_list(struct(__o, __v))), " +
         "x -> x.__v)").as("values"))
   }
-
-  /** Convenience pairing for [[toDeque]]: name the order/value columns it
-    * expects. */
-  def withDequeCols(valueCol: Column, orderIn: Column): Op =
-    df => df.withColumn("__o", orderIn).withColumn("__v", valueCol)
 
   /** rxsci `pad_start`: prepend `n` copies of a literal default row. */
   def padStart(n: Int, defaults: DataFrame): Op = { df =>

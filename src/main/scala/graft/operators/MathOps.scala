@@ -72,21 +72,89 @@ object MathOps {
   /** rxsci `ewma(alpha)`: exponentially weighted moving average.
     * EWMA is an inherently sequential per-key fold (e_i = αx_i + (1−α)e_{i−1})
     * — order matters, so groupBy aggregation order (nondeterministic under
-    * partial aggregation) cannot express it. We collect each key's ordered
-    * series and fold it with a deterministic left-to-right `aggregate`
-    * lambda (codegen'd; no UDF). Per-key sequential is intrinsic to the
-    * operator; across keys this parallelizes linearly. Emits the final EWMA
-    * per key. */
+    * partial aggregation) cannot express it. Engine: repartition by key +
+    * sortWithinPartitions + a streaming mapPartitions fold — O(1) state per
+    * key (one accumulator), every step emitted, any key-series length. The
+    * earlier collect_list formulation held each key's ENTIRE series in one
+    * aggregation buffer — a hot key at 100 TB scale OOMs the executor;
+    * this one never materializes more than the current row.
+    *
+    * [[ewmaScan]] emits one row per event (the reference's scan semantics,
+    * reference rxsci ewma); [[ewmaByKey]] emits only each key's final
+    * value. Per-key sequential is intrinsic to the operator; across keys
+    * this parallelizes linearly. */
+  def ewmaScan(valueCol: Column, order: Seq[Column], alpha: Double,
+               keys: Seq[Column], as: String = "ewma"): Op =
+    ewmaFold(valueCol, order, alpha, keys, as, perEvent = true)
+
+  /** Final EWMA per key — see [[ewmaScan]] for the engine. */
   def ewmaByKey(valueCol: Column, ts: Column, alpha: Double,
-                keys: Seq[Column]): Op = { df =>
-    val series = array_sort(collect_list(struct(ts.as("t"), valueCol.as("v"))))
-    df.groupBy(keys: _*)
-      .agg(series.as("__series"))
-      .withColumn("ewma",
-        expr(s"""aggregate(slice(transform(__series, x -> x.v), 2, 1000000000),
-                 |  CAST(transform(__series, x -> x.v)[0] AS DOUBLE),
-                 |  (acc, x) -> $alpha * x + ${1 - alpha} * acc)""".stripMargin))
-      .drop("__series")
+                keys: Seq[Column]): Op =
+    // ties in ts fold in value order, preserving the semantics of the
+    // sorted-struct formulation this replaced
+    ewmaFold(valueCol, Seq(ts, valueCol), alpha, keys, "ewma",
+      perEvent = false)
+
+  private def ewmaFold(valueCol: Column, order: Seq[Column], alpha: Double,
+                       keys: Seq[Column], as: String,
+                       perEvent: Boolean): Op = { df =>
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.DoubleType
+    // β computed once in double space; for the common 1-digit alphas this
+    // is bit-identical to the decimal literal an oracle engine parses
+    val beta = 1.0 - alpha
+    val prep = df
+      .withColumn("__v", valueCol.cast("double"))
+      .withColumn("__k", struct(keys: _*))
+    val sorted = prep
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k") +: order: _*)
+    val schema = sorted.schema
+    val kIdx = schema.fieldIndex("__k")
+    val vIdx = schema.fieldIndex("__v")
+    val outSchema = schema.add(as, DoubleType)
+    val folded = sorted.mapPartitions { it =>
+      if (perEvent) {
+        var have = false
+        var curKey: Any = null
+        var e = 0.0
+        it.map { r =>
+          val k = r.get(kIdx)
+          val x = r.getDouble(vIdx)
+          if (!have || k != curKey) { have = true; curKey = k; e = x }
+          else e = alpha * x + beta * e
+          Row.fromSeq(r.toSeq :+ e)
+        }
+      } else new Iterator[Row] {
+        private var nextOut: Row = null
+        private var have = false
+        private var curKey: Any = null
+        private var lastRow: Row = null
+        private var e = 0.0
+        private def emit(): Row = Row.fromSeq(lastRow.toSeq :+ e)
+        def hasNext: Boolean = {
+          if (nextOut != null) return true
+          while (it.hasNext) {
+            val r = it.next()
+            val k = r.get(kIdx)
+            val x = r.getDouble(vIdx)
+            if (!have) { have = true; curKey = k; e = x; lastRow = r }
+            else if (k == curKey) { e = alpha * x + beta * e; lastRow = r }
+            else { // key closed: emit its final, start the next
+              nextOut = emit(); curKey = k; e = x; lastRow = r
+              return true
+            }
+          }
+          if (have) { nextOut = emit(); have = false; return true }
+          false
+        }
+        def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = nextOut; nextOut = null; r
+        }
+      }
+    }(Encoders.row(outSchema))
+    folded.drop("__v", "__k")
   }
 
   /** Two-phase salted aggregation — the skew-mitigation idiom for hot keys

@@ -75,6 +75,10 @@ object Serve {
         // infer (serve.py:46-57): errors drop the batch, not the query
         try {
           val preds = predict(group.map(_.getDouble(inIdx)))
+          // a model returning the wrong number of predictions is a batch
+          // inference error, not silent row loss/misalignment via zip
+          require(preds.size == group.size,
+            s"predict returned ${preds.size} values for ${group.size} rows")
           group.zip(preds).map { case (r, p) =>
             Row.fromSeq(r.toSeq.dropRight(1) :+ p)
           }

@@ -57,11 +57,10 @@ class OpsSpec extends SparkSpec {
     assert(got.select("id").as[Long].collect().toSet == Set(3L, 4L))
   }
 
-  test("toDeque collects ordered window values into arrays") {
+  test("toDeque collects ordered window values into arrays, standalone") {
     import graft.operators.DataOps
     val got = ev >>
       DataOps.batch(2, Seq(col("id"))) >>
-      DataOps.withDequeCols(col("v"), col("id")) >>
       DataOps.toDeque(col("v"), col("id"))
     val arrays = got.orderBy(DataOps.WindowCol).select("values")
       .as[Seq[Double]].collect().toSeq
