@@ -68,9 +68,11 @@ object SparkEntry {
     // ===== reference core: rx/rxsci operator surface =====================
 
     // rs.data.roll + rs.math.mean — README flagship (README.rst:75-90)
+    // event_id is a dense 0-based counter → arithmetic window ids, no
+    // global sort / single-partition WindowExec (rollDense fast path)
     "q_roll_mean" -> ((s, dir) =>
       t(s, dir, "events") >>
-        DataOps.roll(3, 3, Seq(col("event_id"))) >>
+        DataOps.rollDense(3, 3, col("event_id")) >>
         MathOps.mean(col("value")) >>
         (_.orderBy(DataOps.WindowCol))),
 
@@ -155,9 +157,10 @@ object SparkEntry {
         (_.orderBy("user_id"))),
 
     // rs.ops.sample — deterministic decimation, every 10th event
+    // (dense event_id → pure filter, no global row_number)
     "q_sample_every" -> ((s, dir) =>
       t(s, dir, "events") >>
-        Ops.sampleEvery(10, Seq(col("event_id"))) >>
+        Ops.sampleEveryDense(10, col("event_id")) >>
         Ops.map("event_id" -> col("event_id"), "value" -> col("value")) >>
         (_.orderBy("event_id"))),
 
@@ -176,9 +179,10 @@ object SparkEntry {
     }),
 
     // rs.data.batch — serve's count batcher (serve.py:82-101), batch=50
+    // (dense event_id → arithmetic batch ids)
     "q_batch" -> ((s, dir) =>
       t(s, dir, "events") >>
-        DataOps.batch(50, Seq(col("event_id"))) >>
+        DataOps.batchDense(50, col("event_id")) >>
         (df => df.groupBy(DataOps.WindowCol).agg(
           count(lit(1)).as("n"),
           MathOps.exactSum(col("value")).as("sum_value"))) >>

@@ -66,6 +66,31 @@ object DataOps {
             partition: Seq[Column] = Nil): Op =
     roll(n, n, order, partition)
 
+  /** [[roll]] fast path for a DENSE 0-based order column (row i has
+    * idx == i, e.g. a synthetic event counter): window ids are derived
+    * arithmetically from idx — no global sort, no single-partition
+    * WindowExec, so the op is a map + one broadcast side input and
+    * parallelizes at any scale. The row count (for the complete-window
+    * filter) comes from a 1-row max aggregate broadcast back in. */
+  def rollDense(window: Int, stride: Int, idx: Column): Op = { df =>
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val nDf = df.agg((max(idx.cast("long")) + 1L).as("__n"))
+    val i = idx.cast("long")
+    val kLo = greatest(
+      ceil((i - window + 1).cast("double") / stride), lit(0))
+      .cast("long")
+    val kHi = floor(i.cast("double") / stride).cast("long")
+    df.crossJoin(broadcast(nDf))
+      .withColumn(WindowCol, explode(
+        when(kLo <= kHi, sequence(kLo, kHi))
+          .otherwise(array().cast("array<long>"))))
+      .filter(col(WindowCol) * stride + window <= col("__n"))
+      .drop("__n")
+  }
+
+  /** [[batch]] fast path for a dense 0-based order column. */
+  def batchDense(n: Int, idx: Column): Op = rollDense(n, n, idx)
+
   /** `rs.data.split`: segment a stream at predicate boundaries — a row where
     * `boundary` is true starts a new segment. Segment id = running count of
     * boundary markers (one window shuffle; per-key with `partition`). */

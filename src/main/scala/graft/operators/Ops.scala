@@ -118,6 +118,12 @@ object Ops {
       .drop("__rn")
   }
 
+  /** [[sampleEvery]] fast path for a DENSE 0-based order column (row i has
+    * idx == i): decimation is a pure filter — no global sort, no
+    * single-partition WindowExec, embarrassingly parallel at any scale. */
+  def sampleEveryDense(n: Int, idx: Column): Op =
+    _.filter(pmod(idx.cast("long"), lit(n.toLong)) === 0)
+
   /** `rs.ops.assert_` (tests/driver/test_app_source.py:79): runtime
     * invariant — fails the job if any row violates the predicate. Uses an
     * exception-raising expression so the check rides the normal plan (no

@@ -66,6 +66,28 @@ class RollSpec extends SparkSpec {
     assert(got.select(DataOps.WindowCol).distinct().count() == 3)
   }
 
+  test("rollDense == roll for a dense 0-based order column, and plans " +
+    "without a window operator") {
+    val df = ints(1, 2, 3, 4, 5, 6, 7, 8).repartition(3)
+    for ((w, s) <- Seq((3, 3), (3, 1), (2, 3), (1, 4))) {
+      val generic = (df >> DataOps.roll(w, s, Seq(col("i"))))
+        .select("i", DataOps.WindowCol)
+      val dense = (df >> DataOps.rollDense(w, s, col("i")))
+        .select("i", DataOps.WindowCol)
+      assert(generic.exceptAll(dense).count() == 0 &&
+        dense.exceptAll(generic).count() == 0, s"w=$w s=$s")
+    }
+    val plan = (df >> DataOps.rollDense(3, 3, col("i")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected WindowExec in:\n$plan")
+  }
+
+  test("sampleEveryDense keeps rows whose dense index is a multiple of n") {
+    import graft.operators.Ops
+    val got = ints(1, 2, 3, 4, 5, 6, 7) >> Ops.sampleEveryDense(3, col("i"))
+    assert(got.select("i").as[Long].collect().toSet == Set(0L, 3L, 6L))
+  }
+
   test("split segments at boundary markers") {
     val df = Seq((0L, "x"), (1L, "boundary"), (2L, "x"), (3L, "boundary"),
       (4L, "x")).toDF("i", "t")
