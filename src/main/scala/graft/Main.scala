@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.Topology
+
+/** Executable front door — the counterpart of the reference's
+  * `makinage --config app.yaml` console script
+  * (makinage/makinage.py:138-155; argv parse makinage/config.py:26-35).
+  *
+  * {{{
+  *   graft.Main --config app.yaml [--mode stream|batch]
+  *              [--output DIR] [--checkpoint DIR] [--master URL]
+  * }}}
+  *
+  * Batch mode writes every sink topic under `--output`; stream mode starts
+  * one streaming query per sink and blocks until termination. Flags
+  * default from the YAML `config:` section (`mode`, `output`,
+  * `checkpoint`), so a fully self-describing app file needs only
+  * `--config`.
+  */
+object Main {
+
+  case class Args(config: String = "", overrides: Map[String, String] =
+    Map.empty)
+
+  /** argv → Args (parse_arguments analogue). Fails fast with usage on
+    * unknown flags or a missing --config. */
+  def parseArgs(argv: Array[String]): Args = {
+    val flags = Set("--config", "--mode", "--output", "--checkpoint",
+      "--master")
+    def loop(rest: List[String], acc: Args): Args = rest match {
+      case Nil => acc
+      case flag :: value :: tail if flags(flag) =>
+        val a = if (flag == "--config") acc.copy(config = value)
+        else acc.copy(overrides =
+          acc.overrides + (flag.stripPrefix("--") -> value))
+        loop(tail, a)
+      case bad =>
+        throw new IllegalArgumentException(
+          s"usage: graft.Main --config app.yaml [--mode stream|batch] " +
+            s"[--output DIR] [--checkpoint DIR] [--master URL] " +
+            s"(at: ${bad.head})")
+    }
+    val parsed = loop(argv.toList, Args())
+    require(parsed.config.nonEmpty, "--config is required")
+    parsed
+  }
+
+  /** Run a parsed topology; returns started queries (stream mode) or Nil
+    * (batch mode, which completes before returning). Factored out of
+    * [[main]] so embedders/tests own the query lifecycle. */
+  def run(spark: SparkSession, topo: Topology,
+          overrides: Map[String, String]): Seq[StreamingQuery] = {
+    def setting(key: String, default: => String): String =
+      overrides.getOrElse(key,
+        topo.config.get(key).map(_.toString).getOrElse(default))
+    setting("mode", "stream") match {
+      case "batch" =>
+        topo.runBatch(spark, setting("output",
+          sys.error("batch mode needs --output (or config: output)")))
+        Nil
+      case "stream" =>
+        topo.runStream(spark, setting("checkpoint",
+          sys.error("stream mode needs --checkpoint (or config: checkpoint)")))
+      case other =>
+        throw new IllegalArgumentException(s"unknown mode: $other")
+    }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv)
+    val topo = Topology.parse(
+      Files.readString(Paths.get(args.config)))
+    val spark = SparkSession.builder()
+      .master(args.overrides.getOrElse("master",
+        sys.env.getOrElse("SPARK_MASTER", "local[*]")))
+      .getOrCreate()
+    val queries = run(spark, topo, args.overrides)
+    queries.foreach(_.awaitTermination())
+  }
+}

@@ -32,6 +32,42 @@ object Serve {
   case class Model(version: Long, predict: Seq[Double] => Seq[Double])
       extends Serializable
 
+  /** The bytes→Model boundary (the reference's load_mlflow_model,
+    * makinage/serve/serve.py:22-28, exercised against a golden artifact
+    * in tests/test_serve.py:81-83). The container has no mlflow runtime,
+    * so the shipped format is a minimal self-describing linear-model
+    * binary; any richer loader (JPMML/ONNX-style) plugs in at the same
+    * seam — artifact bytes arrive through a model topic
+    * ([[ModelPublisher]]) and are decoded once per hot-swap.
+    *
+    * Layout (big-endian): magic "GRFTLM01" ·· version int64 ··
+    * intercept float64 ·· slope float64 (32 bytes). */
+  val ModelMagic: Array[Byte] =
+    "GRFTLM01".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  def encodeLinearModel(version: Long, intercept: Double,
+                        slope: Double): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(ModelMagic).putLong(version).putDouble(intercept)
+      .putDouble(slope)
+    buf.array()
+  }
+
+  def loadModel(bytes: Array[Byte]): Model = {
+    require(bytes.length == 32, s"model artifact: ${bytes.length} bytes")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    val magic = new Array[Byte](8)
+    buf.get(magic)
+    require(java.util.Arrays.equals(magic, ModelMagic),
+      "model artifact: bad magic")
+    val version = buf.getLong()
+    val intercept = buf.getDouble()
+    val slope = buf.getDouble()
+    Model(version, xs => xs.map(x => slope * x + intercept))
+  }
+
   /** inputField supports nested paths ("payload.x") — the reference's
     * dict-event case (input_field/output_field,
     * reference makinage/sample/serve.py:4-21). pre/post are whole-frame

@@ -19,9 +19,20 @@ trait OperatorFactory {
 
 /** Topic declaration (reference makinage/operator.py:26-73): name + codec +
   * replay policy, generalized with a source `kind` so the same topology
-  * runs Kafka-backed (production) or file-backed (tests/batch). */
+  * runs Kafka-backed (production) or file-backed (tests/batch).
+  *
+  * Event-time fields mirror the reference `Topic`'s timestamp_mapper /
+  * map_partition (makinage/operator.py:26-73):
+  *  - `timestampCol` + `watermark`: the event-time column and allowed
+  *    lateness; stream sources with both set are watermarked at the
+  *    source, so windowed/stateful operators downstream are reachable
+  *    straight from YAML.
+  *  - `partitionSelector`: column whose value keys the sink records
+  *    (Kafka partition routing — the reference's map_partition). */
 case class TopicSpec(name: String, codec: String, startFrom: String,
-                     kind: String, path: String, endpoint: String)
+                     kind: String, path: String, endpoint: String,
+                     timestampCol: String = "", watermark: String = "",
+                     partitionSelector: String = "")
 
 case class OperatorSpec(name: String, factory: String,
                         sources: Seq[String], sinks: Seq[String])
@@ -56,7 +67,11 @@ object Topology {
           startFrom = m.getOrElse("start_from", "end").toString,
           kind = m.getOrElse("kind", "kafka").toString,
           path = m.getOrElse("path", "").toString,
-          endpoint = m.getOrElse("endpoint", "").toString)
+          endpoint = m.getOrElse("endpoint", "").toString,
+          timestampCol = m.getOrElse("timestamp_col", "").toString,
+          watermark = m.getOrElse("watermark", "").toString,
+          partitionSelector =
+            m.getOrElse("partition_selector", "").toString)
       }.toSeq
 
     val operators = asMap(root.getOrElse("operators", null)).map {
@@ -107,16 +122,34 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     }
 
   /** Build an unbounded source (stream mode). start_from maps to
-    * startingOffsets (reference makinage/operator.py:50-53). */
-  private def streamSource(spark: SparkSession, t: TopicSpec): DataFrame =
-    t.kind match {
+    * startingOffsets (reference makinage/operator.py:50-53).
+    *
+    * `start_from: last` (the reference's model-topic hot-swap contract —
+    * the subscriber must see the newest already-published record,
+    * makinage/operator.py:50-53, config.sample.serve.yml:10):
+    *  - parquet topics satisfy it natively — the file source replays every
+    *    retained file, and readers take the max version.
+    *  - kafka STREAM sources cannot (Structured Streaming can't union a
+    *    bounded tail read into an unbounded source), so `last` is the
+    *    side-input contract instead: resolve the topic per micro-batch via
+    *    [[Topology.latestRecord]] (the [[Serve.ModelProvider]] pattern,
+    *    SURVEY.md §7.4.2) — requesting it as a stream source is a config
+    *    error, rejected here rather than silently degraded to `latest`.
+    */
+  private def streamSource(spark: SparkSession, t: TopicSpec): DataFrame = {
+    val src = t.kind match {
       case "parquet" =>
         val schema = spark.read.parquet(t.path).schema
         spark.readStream.schema(schema).parquet(t.path)
       case "kafka" =>
         val starting = t.startFrom match {
           case "beginning" => "earliest"
-          case _ => "latest" // "end"; "last" additionally tail-reads below
+          case "last" =>
+            throw new IllegalArgumentException(
+              s"topic ${t.name}: start_from 'last' is not a kafka stream " +
+                "source; resolve it per micro-batch via " +
+                "Topology.latestRecord (model side-input contract)")
+          case _ => "latest" // "end"
         }
         spark.readStream.format("kafka")
           .option("kafka.bootstrap.servers", t.endpoint)
@@ -126,6 +159,37 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
       case other =>
         throw new IllegalArgumentException(s"stream source kind: $other")
     }
+    // declared event time ⇒ watermark at the source, so windowed/stateful
+    // operators are reachable straight from YAML
+    if (t.timestampCol.nonEmpty && t.watermark.nonEmpty)
+      src.withWatermark(t.timestampCol, t.watermark)
+    else src
+  }
+
+  /** Resolve the newest record of a `start_from: last` topic as a bounded
+    * 1-row DataFrame — called per micro-batch by model providers (the
+    * reference re-reads the newest retained model record on restart,
+    * makinage/operator.py:50-53). Kafka model topics are expected to be
+    * small/compacted (the reference relies on retention the same way). */
+  def latestRecord(spark: SparkSession, name: String): DataFrame = {
+    val t = topic(name)
+    t.kind match {
+      case "parquet" => ModelPublisher.latestFromPath(spark, t.path)
+      case "kafka" =>
+        spark.read.format("kafka")
+          .option("kafka.bootstrap.servers", t.endpoint)
+          .option("subscribe", t.name)
+          .option("startingOffsets", "earliest")
+          .option("endingOffsets", "latest")
+          .load()
+          // newest across partitions: broker timestamp, offset tie-break
+          .orderBy(org.apache.spark.sql.functions.col("timestamp").desc,
+            org.apache.spark.sql.functions.col("offset").desc)
+          .limit(1)
+      case other =>
+        throw new IllegalArgumentException(s"latest-record kind: $other")
+    }
+  }
 
   private def wire(spark: SparkSession,
                    source: TopicSpec => DataFrame)
@@ -154,7 +218,15 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
   def runStream(spark: SparkSession, checkpointRoot: String)
       : Seq[StreamingQuery] = {
     wire(spark, streamSource(spark, _)).map { case (sinkTopic, df) =>
-      val w = df.writeStream
+      // partition_selector routes sink records: the named column becomes
+      // the Kafka message key (keyed hashing picks the partition — the
+      // reference Topic's map_partition, makinage/operator.py:26-73)
+      val routed =
+        if (sinkTopic.partitionSelector.nonEmpty && sinkTopic.kind == "kafka")
+          df.withColumn("key", org.apache.spark.sql.functions
+            .col(sinkTopic.partitionSelector).cast("string").cast("binary"))
+        else df
+      val w = routed.writeStream
         .option("checkpointLocation",
           s"$checkpointRoot/${sinkTopic.name}")
       (sinkTopic.kind match {

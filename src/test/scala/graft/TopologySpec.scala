@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{ModelPublisher, Serve, Topology}
+
+/** The product front door: CLI argv → YAML topology → running queries,
+  * plus the model-artifact loading seam and the event-time TopicSpec
+  * fields (reference makinage.py:138-155, operator.py:26-73,
+  * serve.py:22-28). */
+class TopologySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Main.main runs a YAML topology end-to-end in batch mode " +
+    "(makinage --config analogue)") {
+    val tmp = Files.createTempDirectory("cli_batch").toString
+    Seq("1", "2", "3").toDF("value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: values
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: out
+         |    kind: parquet
+         |    path: $tmp/out
+         |operators:
+         |  multiply:
+         |    factory: graft.streaming.ops.Multiply
+         |    sources: [values]
+         |    sinks: [out]
+         |config:
+         |  multiply: 5
+         |  mode: batch
+         |  output: $tmp/sinks
+         |""".stripMargin
+    val cfg = s"$tmp/app.yaml"
+    Files.writeString(java.nio.file.Paths.get(cfg), yaml)
+    Main.main(Array("--config", cfg)) // mode/output from YAML config
+    val got = spark.read.parquet(s"$tmp/sinks/out")
+      .select("value").as[String].collect().toSet
+    assert(got == Set("5", "10", "15"))
+  }
+
+  test("Main CLI flags override YAML config; bad argv fails with usage") {
+    val tmp = Files.createTempDirectory("cli_flags").toString
+    Seq("4").toDF("value").write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: values
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: out
+         |    kind: parquet
+         |    path: $tmp/out
+         |operators:
+         |  multiply:
+         |    factory: graft.streaming.ops.Multiply
+         |    sources: [values]
+         |    sinks: [out]
+         |config:
+         |  multiply: 2
+         |  mode: stream
+         |""".stripMargin
+    val cfg = s"$tmp/app.yaml"
+    Files.writeString(java.nio.file.Paths.get(cfg), yaml)
+    // --mode batch overrides the YAML's stream mode
+    Main.main(Array("--config", cfg, "--mode", "batch",
+      "--output", s"$tmp/sinks"))
+    assert(spark.read.parquet(s"$tmp/sinks/out").count() == 1)
+    intercept[IllegalArgumentException](Main.parseArgs(Array("--nope", "x")))
+    intercept[IllegalArgumentException](Main.parseArgs(Array("--mode", "b")))
+  }
+
+  test("Main.run stream mode: YAML topology with watermarked event-time " +
+    "topic drives a windowed agg to a memory sink") {
+    val tmp = Files.createTempDirectory("cli_stream").toString
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 9.0))
+      .toDF("ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: events
+         |    kind: parquet
+         |    path: $tmp/in
+         |    timestamp_col: ts
+         |    watermark: 10 minutes
+         |  - name: hourly
+         |    kind: memory
+         |operators:
+         |  windowed:
+         |    factory: graft.streaming.ops.WindowedSum
+         |    sources: [events]
+         |    sinks: [hourly]
+         |config:
+         |  window: 1 hour
+         |  checkpoint: $tmp/ckpt
+         |""".stripMargin
+    val topo = Topology.parse(yaml)
+    assert(topo.topics.head.timestampCol == "ts")
+    assert(topo.topics.head.watermark == "10 minutes")
+    val queries = Main.run(spark, topo, Map.empty) // stream is the default
+    try {
+      queries.foreach(_.processAllAvailable())
+      // watermark passed hour 0 → its window finalized: n=2, sum=3.0
+      val got = spark.table("hourly").select("n", "sum_value")
+        .as[(Long, Double)].collect().toSet
+      assert(got.contains((2L, 3.0)))
+    } finally queries.foreach(_.stop())
+  }
+
+  test("start_from 'last' on a kafka STREAM source is a config error " +
+    "(side-input contract), not a silent 'latest'") {
+    val yaml =
+      """topics:
+        |  - name: models
+        |    kind: kafka
+        |    endpoint: broker:9092
+        |    start_from: last
+        |  - name: out
+        |    kind: memory
+        |operators:
+        |  serve:
+        |    factory: graft.streaming.ops.Multiply
+        |    sources: [models]
+        |    sinks: [out]
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      Topology.parse(yaml).runStream(spark, "/tmp/nope"))
+    assert(e.getMessage.contains("latestRecord"))
+  }
+
+  test("latestRecord resolves the newest record of a file-backed model " +
+    "topic declared in the topology") {
+    val tmp = Files.createTempDirectory("latest").toString
+    val f = java.nio.file.Paths.get(tmp, "m.bin")
+    Files.write(f, Serve.encodeLinearModel(1, 0.0, 1.0))
+    ModelPublisher.publishToPath(
+      ModelPublisher.modelRow(spark, "m", 1L, f.toString), s"$tmp/topic")
+    Files.write(f, Serve.encodeLinearModel(2, 0.5, 3.0))
+    ModelPublisher.publishToPath(
+      ModelPublisher.modelRow(spark, "m", 2L, f.toString), s"$tmp/topic")
+    val yaml =
+      s"""topics:
+         |  - name: models
+         |    kind: parquet
+         |    path: $tmp/topic
+         |    start_from: last
+         |""".stripMargin
+    val latest = Topology.parse(yaml).latestRecord(spark, "models")
+    assert(latest.select("version").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("golden artifact: loadModel decodes the committed binary fixture " +
+    "(reference assets/zero_mlflow_pyfunc.zip + test_serve.py:81-83)") {
+    val in = getClass.getResourceAsStream("/linear_model_v3.bin")
+    val bytes = in.readAllBytes(); in.close()
+    val m = Serve.loadModel(bytes)
+    assert(m.version == 3L)
+    assert(m.predict(Seq(1.0, 2.0)) == Seq(3.0, 5.0)) // 2x + 1
+    intercept[IllegalArgumentException](
+      Serve.loadModel("not a model artifact bytes!!!!!".getBytes))
+  }
+
+  test("publish → resolve latest → load → infer: the full model-topic " +
+    "hot-swap round trip on artifact BYTES") {
+    val tmp = Files.createTempDirectory("roundtrip").toString
+    val f = java.nio.file.Paths.get(tmp, "m.bin")
+    Files.write(f, Serve.encodeLinearModel(7, 10.0, 2.0))
+    ModelPublisher.publishToPath(
+      ModelPublisher.modelRow(spark, "m", 7L, f.toString), s"$tmp/topic")
+    val content = ModelPublisher.latestFromPath(spark, s"$tmp/topic")
+      .select("content").as[Array[Byte]].collect().head
+    val model = Serve.loadModel(content)
+    assert(model.version == 7L)
+    val scored = Serve.inferBatch(Seq(1.0, 4.0).toDF("value"), model,
+      Serve.ServeConfig(batchSize = 2))
+    val preds = scored.select("prediction").as[Double].collect().toSet
+    assert(preds == Set(12.0, 18.0)) // 2x + 10
+  }
+}
