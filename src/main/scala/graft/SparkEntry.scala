@@ -156,6 +156,20 @@ object SparkEntry {
                 "value" -> col("value")) >>
         (_.orderBy("user_id"))),
 
+    // rxx sorted_merge — two disordered sources merged into deterministic
+    // event-time order (range repartition + local sort; global order is
+    // pinned by OpsSpec, content by the oracle)
+    "q_sorted_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val even = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      val odd = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      even >>
+        Ops.sortedMerge(Seq(odd), Seq(col("ts"), col("event_id"))) >>
+        Ops.map("event_id" -> col("event_id"),
+                "ts_sec" -> col("ts").cast("long"),
+                "value" -> col("value"))
+    }),
+
     // rs.ops.sample — deterministic decimation, every 10th event
     // (dense event_id → pure filter, no global row_number)
     "q_sample_every" -> ((s, dir) =>
@@ -899,6 +913,11 @@ object SparkEntry {
           |       list_reduce(list(value ORDER BY ts, value),
           |         (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q_sorted_merge" ->
+        """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+          |FROM events
+          |ORDER BY ts, event_id""".stripMargin,
 
       "q_ewma_scan" ->
         """SELECT user_id, event_id,

@@ -87,6 +87,26 @@ object Ops {
   def merge(others: DataFrame*): Op =
     df => others.foldLeft(df)(_.unionByName(_))
 
+  /** rxx `sorted_merge` (reference makinage/operator.py:133-144): merge
+    * several event streams into deterministic event-time order. The
+    * reference holds a bounded lookahead buffer per source and emits in
+    * merged order; the batch-scale equivalent is UNION ALL → range
+    * repartition on the order key → sort within partitions. Range
+    * partition boundaries make the partition sequence globally ordered, so
+    * downstream per-partition iteration (foreachPartition, file writes,
+    * [[graft.operators.MathOps.ewmaScan]]-style folds) sees the
+    * reference's deterministic order — ONE bounded-memory shuffle, no
+    * single-task global sort bottleneck, and disorder of ANY bound is
+    * repaired (the reference drops events beyond its lookahead;
+    * SURVEY.md §2.4 maps that policy to watermarks in stream mode). */
+  def sortedMerge(others: Seq[DataFrame], order: Seq[Column],
+                  numPartitions: Int = 0): Op = { df =>
+    val all = others.foldLeft(df)(_.unionByName(_))
+    val p = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sparkContext.defaultParallelism
+    all.repartitionByRange(p, order: _*).sortWithinPartitions(order: _*)
+  }
+
   /** `rs.ops.with_latest_from` (makinage/serve/serve.py:141): attach the
     * latest value of a slowly-changing side stream to every event of the
     * primary stream. Batch form: the side input's latest row (by `latestBy`

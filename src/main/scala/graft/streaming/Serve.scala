@@ -96,7 +96,6 @@ object Serve {
   def inferBatch(df0: DataFrame, model: Model, cfg: ServeConfig)
       : DataFrame = {
     val df = cfg.pre(df0)
-    val spark = df.sparkSession
     // project the (possibly nested) input to a trailing column so the
     // partition kernel reads by position — supports dict-shaped events
     val withIn = df.withColumn("__in", col(cfg.inputField).cast("double"))
@@ -106,7 +105,9 @@ object Serve {
     val outSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(
         cfg.outputField, org.apache.spark.sql.types.DoubleType))
-    val scored = withIn.rdd.mapPartitions { rows =>
+    // typed Dataset.mapPartitions (not an RDD hop): stays in the encoder
+    // pipeline, so the scored frame composes with downstream codegen
+    val scored = withIn.mapPartitions { rows =>
       rows.grouped(bSize).flatMap { group =>
         // infer (serve.py:46-57): errors drop the batch, not the query
         try {
@@ -120,8 +121,8 @@ object Serve {
           }
         } catch { case _: Exception => Seq.empty[Row] }
       }
-    }
-    cfg.post(spark.createDataFrame(scored, outSchema))
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    cfg.post(scored.toDF())
   }
 
   /** Streaming serve: wire a streaming DataFrame through per-micro-batch

@@ -67,6 +67,20 @@ class OpsSpec extends SparkSpec {
     assert(arrays == Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
   }
 
+  test("sortedMerge emits a globally ordered interleave of disordered " +
+    "sources (rxx sorted_merge)") {
+    val a = Seq((5L, "a"), (1L, "a"), (9L, "a")).toDF("t", "src")
+      .repartition(3)
+    val b = Seq((2L, "b"), (8L, "b"), (4L, "b")).toDF("t", "src")
+      .repartition(2)
+    val got = a >> Ops.sortedMerge(Seq(b), Seq(col("t")), numPartitions = 3)
+    // collect() walks partitions in range order: the row sequence itself
+    // must be globally sorted, not just sorted-after-the-fact
+    val ts = got.collect().map(_.getLong(0)).toSeq
+    assert(ts == Seq(1L, 2L, 4L, 5L, 8L, 9L))
+    assert(got.rdd.getNumPartitions == 3)
+  }
+
   test("merge = union all; startWith prepends rows") {
     val head = Seq((-1L, "start", 0.0)).toDF("id", "k", "v")
     val got = ev >> Ops.merge(ev) >> Ops.startWith(head)
