@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, MinHashSignature, RhpSignature, ShingleHashes, SimHash64}
+import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions with the SQL function registry, so plain SQL (and
@@ -18,12 +19,48 @@ import graft.functions.DotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    def intArg(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "dot_product(arrayA, arrayB)")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName,
+        "minhash_signature"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "minhash_signature(shingleHashes, numHashes)")
+        MinHashSignature(children.head, intArg(children(1), "numHashes"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash64(tokenHashes)")
+        SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rhp_signature"),
+      new ExpressionInfo(classOf[RhpSignature].getName, "rhp_signature"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "rhp_signature(vec, nBits, seed)")
+        RhpSignature(children.head, intArg(children(1), "nBits"),
+          intArg(children(2), "seed"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "shingle_hashes(tokens, n)")
+        ShingleHashes(children.head, intArg(children(1), "n"))
       }))
   }
 }

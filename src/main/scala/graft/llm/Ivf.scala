@@ -69,13 +69,13 @@ object Ivf {
   }
 
   /** Column expr: index (0-based) of the nearest centroid by L2. The
-    * centroid table rides the plan as a literal (broadcast with the task
-    * binaries — no join needed for assignment). */
-  private def cellOf(vec: Column, model: Model): Column = {
-    val cents = typedlit(model.centroids.map(_.toSeq).toSeq)
-    val dists = transform(cents, c => Vectors.l2Dist(c, vec))
-    array_position(dists, array_min(dists)).cast("int") - 1
-  }
+    * centroid table rides the plan as a reference object (broadcast with
+    * the task binaries — no join needed for assignment); the distance
+    * scan is the native codegen [[graft.functions.NearestCells]] kernel
+    * (the HOF formulation ran k interpreted l2Dist folds per row). */
+  private def cellOf(vec: Column, model: Model): Column =
+    element_at(graft.functions.NearestCells(
+      vec, model.centroids.map(_.toSeq).toSeq, 1), 1)
 
   /** ANN top-k: assign corpus rows to cells (map-only), probe each query's
     * `nProbe` nearest cells, rank exactly inside. Output:
@@ -88,20 +88,14 @@ object Ivf {
         Vectors.norm(col(vecCol)).as("cn"),
         cellOf(col(vecCol), model).as("cell"))
       .repartition(p, col("cell"))
-    // each query → its nProbe nearest cells
-    val cents = typedlit(model.centroids.map(_.toSeq).toSeq)
+    // each query → its nProbe nearest cells (same native kernel, ordered
+    // ascending by (distance, index) like the sorted-struct form it
+    // replaced)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         Vectors.norm(col(vecCol)).as("qn"))
-      .withColumn("__dists", transform(cents, cc =>
-        Vectors.l2Dist(cc, col("qv"))))
-      // (dist, idx) structs sort lexicographically → nProbe nearest cells
-      .withColumn("__probe", slice(array_sort(
-        transform(sequence(lit(0), lit(model.k - 1)), i => struct(
-          element_at(col("__dists"), i + 1).as("d"), i.as("idx")))),
-        1, nProbe))
-      .withColumn("__cell", explode(col("__probe")))
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("__cell.idx").cast("int").as("cell"))
+      .withColumn("cell", explode(graft.functions.NearestCells(
+        col("qv"), model.centroids.map(_.toSeq).toSeq, nProbe)))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
     val cand = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
