@@ -506,18 +506,25 @@ object SparkEntry {
 
     // ===== north-star: text analysis =====================================
 
+    // tokens materialized ONCE per doc in their own projection, feeding
+    // every metric (multi-referenced projections aren't collapsed into
+    // lambda bodies; the text-input forms would re-tokenize per metric)
     "q_text_quality" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        Text.nTokens(col("text")).as("n_tokens"),
-        Text.meanTokenLen(col("text")).as("mean_token_len"),
-        Text.punctRatio(col("text")).as("punct_ratio"),
-        Text.stopwordRatio(col("text")).as("stopword_ratio"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          Text.tokens(col("text")).as("__ts"))
+        .select(
+          col("doc_id"),
+          Text.nTokensOf(col("__ts")).as("n_tokens"),
+          Text.meanTokenLenOf(col("__ts")).as("mean_token_len"),
+          Text.punctRatio(col("text")).as("punct_ratio"),
+          Text.stopwordRatioOf(col("__ts")).as("stopword_ratio"))
         .orderBy("doc_id")),
 
     "q_langid" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("__ts"))
+        .select(col("doc_id"), Text.langIdOf(col("__ts")).as("lang_pred"))
         .orderBy("doc_id")),
 
     "q_token_bpeish" -> ((s, dir) =>
@@ -589,10 +596,12 @@ object SparkEntry {
     // — the composed Pipe showcase of the north-star ops
     "q_pipeline_clean" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .withColumn("n_tokens", Text.nTokens(col("text")))
-        .withColumn("sw_ratio", Text.stopwordRatio(col("text")))
+        .withColumn("__ts", Text.tokens(col("text"))) // tokenize ONCE
+        .withColumn("n_tokens", Text.nTokensOf(col("__ts")))
+        .withColumn("sw_ratio", Text.stopwordRatioOf(col("__ts")))
         .filter(col("n_tokens") >= 8 && col("sw_ratio") >= 0.05)
-        .withColumn("__fp", Text.fingerprint(col("text")))
+        .withColumn("__fp",
+          substring(md5(array_join(col("__ts"), " ")), 1, 16))
       val deduped = docs
         .groupBy("__fp")
         .agg(min(struct(col("doc_id"), col("lang"),

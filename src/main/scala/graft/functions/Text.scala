@@ -68,24 +68,34 @@ object Text {
       "du", "est", "que", "pour", "dans", "par", "sur"))
 
   /** Count of tokens (with multiplicity) belonging to `lang`'s stopword
-    * set — the per-language evidence score. */
-  def stopwordHits(text: Column, lang: String): Column = {
+    * set — the per-language evidence score. Prefer [[stopwordHitsOf]] over
+    * a MATERIALIZED tokens column when scoring several languages: this
+    * text-input form re-tokenizes per call. */
+  def stopwordHits(text: Column, lang: String): Column =
+    stopwordHitsOf(tokens(text), lang)
+
+  /** [[stopwordHits]] over an already-materialized tokens column. */
+  def stopwordHitsOf(ts: Column, lang: String): Column = {
     val stops = array(stopwords(lang).map(lit): _*)
-    size(filter(tokens(text), t => array_contains(stops, t)))
+    size(filter(ts, t => array_contains(stops, t)))
   }
 
   /** Heuristic language ID: argmax of stopword hits across known languages;
     * ties broken by language code order; all-zero evidence → "und"
-    * (undetermined, BCP-47 style). */
-  def langId(text: Column): Column = {
+    * (undetermined, BCP-47 style). Tokenizes once per language scored —
+    * stage tokens in their own projection and use [[langIdOf]] in hot
+    * paths. */
+  def langId(text: Column): Column = langIdOf(tokens(text))
+
+  /** [[langId]] over an already-materialized tokens column (the 100 TB
+    * form: one tokenization feeding every per-language evidence score). */
+  def langIdOf(ts: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
-    val scored = langs.map(l => struct(
-      stopwordHits(text, l).as("hits"), lit(l).as("lang")))
     // array_max on structs orders lexicographically: hits first, then lang.
     // For equal hits the LARGER lang code wins under max; to get ties-to-
     // smallest we negate via (hits, reverse order index).
     val best = langs.zipWithIndex.map { case (l, i) =>
-      struct(stopwordHits(text, l).as("hits"),
+      struct(stopwordHitsOf(ts, l).as("hits"),
         lit(langs.size - i).as("ord"), lit(l).as("lang"))
     }
     val top = array_max(array(best: _*))
@@ -97,8 +107,11 @@ object Text {
 
   def nTokens(text: Column): Column = size(tokens(text))
 
-  def meanTokenLen(text: Column): Column = {
-    val ts = tokens(text)
+  def nTokensOf(ts: Column): Column = size(ts)
+
+  def meanTokenLen(text: Column): Column = meanTokenLenOf(tokens(text))
+
+  def meanTokenLenOf(ts: Column): Column = {
     val totalChars = aggregate(ts, lit(0L), (acc, t) => acc + length(t))
     totalChars.cast("double") / size(ts)
   }
@@ -110,9 +123,11 @@ object Text {
   }
 
   /** Fraction of tokens that are (any-language) stopwords. */
-  def stopwordRatio(text: Column): Column = {
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
+
+  /** [[stopwordRatio]] over an already-materialized tokens column. */
+  def stopwordRatioOf(ts: Column): Column = {
     val all = array(stopwords.values.flatten.toSeq.distinct.map(lit): _*)
-    val ts = tokens(text)
     size(filter(ts, t => array_contains(all, t))).cast("double") / size(ts)
   }
 

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-shape audits: the properties that decide whether a query survives
+  * a 100 TB scale-up, pinned as tests so a refactor that silently
+  * de-optimizes a plan (drops a pushdown, un-broadcasts a dim, sneaks in
+  * a cartesian product) fails CI rather than surfacing as a cluster bill.
+  * Runs against the sf0.001 corpus (plans, not data volume). */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): SparkPlan = {
+    val df = SparkEntry.queries(q)(spark, sfDir)
+    df.queryExecution.executedPlan
+  }
+
+  private def planStr(q: String): String = plan(q).toString
+
+  test("q_filter pushes its predicate into the parquet scan") {
+    val p = planStr("q_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), p)
+  }
+
+  test("q_join_revenue broadcasts dimension tables; the fact table is " +
+    "never the build side of a shuffle join") {
+    val p = planStr("q_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_topk plans as a partial top-k (TakeOrderedAndProject), not a " +
+    "global sort") {
+    val p = planStr("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("projection pruning reaches the scan: q_agg reads only the " +
+    "columns it aggregates") {
+    val p = planStr("q_agg")
+    // lineitem is 16 columns wide; the ReadSchema must mention only the
+    // 4 the query touches
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"), read)
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"), read)
+  }
+
+  test("no accidental cartesian products anywhere in the battery " +
+    "(1-row broadcast side inputs excepted)") {
+    // known-intentional: withLatestFrom / brute-force sim-search cross a
+    // 1-row or broadcast-query side input; everything else must be keyed
+    val allowed = Set("q_with_latest", "q_simsearch_topk", "q_roll_mean",
+      "q_batch")
+    SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
+      val p = try planStr(q) catch { case _: Throwable => "" }
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a CartesianProduct")
+    }
+  }
+
+  test("dense count-window queries plan no WindowExec (the 1-row max " +
+    "side aggregate is the only single-partition stage)") {
+    for (q <- Seq("q_roll_mean", "q_batch", "q_sample_every")) {
+      val p = planStr(q)
+      // no global-sort WindowExec over the data; the rollDense side input
+      // is a 1-row broadcast (its final agg legitimately runs on one task
+      // over per-partition partials)
+      assert(!p.contains("Window "), s"$q: WindowExec present\n$p")
+    }
+  }
+
+  test("banded dedup queries shuffle band keys, never signature arrays") {
+    // the Exchange feeding bucket collection must carry (id, bkey) only
+    val p = planStr("q_embed_neardup_lsh")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(exchanges.contains("bkey"), exchanges)
+    assert(!exchanges.contains("v#") || !exchanges.contains("bkey#") ||
+      !exchanges.split("\n").exists(l => l.contains("bkey") && l.contains(" v#")),
+      s"signature/vector riding the band shuffle:\n$exchanges")
+  }
+}
