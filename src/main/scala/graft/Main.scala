@@ -75,9 +75,9 @@ object Main {
     val args = parseArgs(argv)
     val topo = Topology.parse(
       Files.readString(Paths.get(args.config)))
-    val spark = SparkSession.builder()
-      .master(args.overrides.getOrElse("master",
-        sys.env.getOrElse("SPARK_MASTER", "local[*]")))
+    val spark = graft.core.GraftSession.builder(
+        master = args.overrides.getOrElse("master",
+          sys.env.getOrElse("SPARK_MASTER", "local[*]")))
       .getOrCreate()
     val queries = run(spark, topo, args.overrides)
     queries.foreach(_.awaitTermination())

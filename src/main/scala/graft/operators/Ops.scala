@@ -144,6 +144,19 @@ object Ops {
   def sampleEveryDense(n: Int, idx: Column): Op =
     _.filter(pmod(idx.cast("long"), lit(n.toLong)) === 0)
 
+  /** `trace_observable` analogue (reference makinage/makinage.py:80-83,
+    * serve.py:129-136: debug-tracing a stream's lifecycle/items): named
+    * aggregate metrics observed as data flows — zero extra passes, zero
+    * collect. Batch: read `df.queryExecution.observedMetrics` after an
+    * action; streaming: `StreamingQueryProgress.observedMetrics` per
+    * micro-batch. Defaults to a row count when no metrics given. */
+  def trace(name: String, metrics: (String, Column)*): Op = { df =>
+    val ms =
+      if (metrics.isEmpty) Seq(count(lit(1)).as("rows"))
+      else metrics.map { case (n, c) => c.as(n) }
+    df.observe(name, ms.head, ms.tail: _*)
+  }
+
   /** `rs.ops.assert_` (tests/driver/test_app_source.py:79): runtime
     * invariant — fails the job if any row violates the predicate. Uses an
     * exception-raising expression so the check rides the normal plan (no

@@ -67,6 +67,16 @@ class OpsSpec extends SparkSpec {
     assert(arrays == Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
   }
 
+  test("trace observes named metrics without an extra pass " +
+    "(trace_observable analogue)") {
+    val traced = ev >> Ops.trace("ev_in",
+      "n" -> count(lit(1)), "max_v" -> max(col("v")))
+    traced.collect()
+    val m = traced.queryExecution.observedMetrics("ev_in")
+    assert(m.getAs[Long]("n") == 5L)
+    assert(m.getAs[Double]("max_v") == 5.0)
+  }
+
   test("sortedMerge emits a globally ordered interleave of disordered " +
     "sources (rxx sorted_merge)") {
     val a = Seq((5L, "a"), (1L, "a"), (9L, "a")).toDF("t", "src")
