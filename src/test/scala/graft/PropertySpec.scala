@@ -74,6 +74,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: native shingle/rhp kernels == their HOF executable " +
+    "specs on arbitrary inputs") {
+    import graft.functions.Vectors
+    val textGen = Gen.listOfN(12,
+      Gen.oneOf(Gen.identifier, Gen.const("dup"), Gen.const("")))
+      .map(_.mkString(" "))
+    samples(Gen.listOfN(8, textGen), 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(col("id"), graft.functions.Text.tokens(col("text")).as("ts"))
+      val bad = df.select(
+        Dedup.shingleHashes(col("ts"), 2).as("n"),
+        Dedup.shingleHashesHof(col("ts"), 2).as("h"))
+        .filter(not(col("n") <=> col("h"))).count()
+      assert(bad == 0)
+    }
+    val vecGen = Gen.listOfN(4,
+      Gen.listOfN(9, Gen.chooseNum(-1000, 1000).map(_ / 100.0f)))
+    samples(vecGen, 5).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("id", "v")
+      val bad = df.select(
+        Vectors.rhpSignature(col("v"), 17, 5).as("n"),
+        Vectors.rhpSignatureHof(col("v"), 17, 5).as("h"))
+        .filter(not(col("n") <=> col("h"))).count()
+      assert(bad == 0)
+    }
+  }
+
+  test("property: ewmaScan equals the closed-form sequential fold for " +
+    "arbitrary series") {
+    val gen = Gen.listOfN(25, Gen.chooseNum(-500, 500).map(_ / 10.0))
+      .suchThat(_.nonEmpty)
+    samples(gen, 8).foreach { xs =>
+      val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+        .toDF("k", "t", "v").repartition(3)
+      val got = (df >> MathOps.ewmaScan(col("v"), Seq(col("t")), 0.3,
+          Seq(col("k"))))
+        .orderBy("t").select("ewma").as[Double].collect().toSeq
+      val want = xs.tail.scanLeft(xs.head)((e, x) => 0.3 * x + 0.7 * e)
+      assert(got == want)
+    }
+  }
+
   test("property: minhash est_jaccard is 1.0 for identical docs") {
     samples(Gen.listOfN(6, Gen.identifier), 5).foreach { words =>
       val text = words.mkString(" ")
