@@ -32,7 +32,8 @@ trait OperatorFactory {
 case class TopicSpec(name: String, codec: String, startFrom: String,
                      kind: String, path: String, endpoint: String,
                      timestampCol: String = "", watermark: String = "",
-                     partitionSelector: String = "")
+                     partitionSelector: String = "",
+                     schema: String = "")
 
 case class OperatorSpec(name: String, factory: String,
                         sources: Seq[String], sinks: Seq[String])
@@ -71,7 +72,8 @@ object Topology {
           timestampCol = m.getOrElse("timestamp_col", "").toString,
           watermark = m.getOrElse("watermark", "").toString,
           partitionSelector =
-            m.getOrElse("partition_selector", "").toString)
+            m.getOrElse("partition_selector", "").toString,
+          schema = m.getOrElse("schema", "").toString)
       }.toSeq
 
     val operators = asMap(root.getOrElse("operators", null)).map {
@@ -96,6 +98,32 @@ object Topology {
     val clazz = Class.forName(fqcn + "$")
     clazz.getField("MODULE$").get(null).asInstanceOf[OperatorFactory]
   }
+
+  /** Topic codec instance (json codecs take the topic's declared DDL
+    * schema — explicit schemas, SURVEY.md §1.2). */
+  def codecOf(t: TopicSpec): graft.functions.Codec =
+    graft.functions.Codecs.byName(t.codec,
+      if (t.schema.nonEmpty)
+        Some(org.apache.spark.sql.types.StructType.fromDDL(t.schema))
+      else None)
+
+  /** Consumer-side codec application for a Kafka frame: decode the binary
+    * `value` per the topic codec, keep key/timestamp/partition metadata —
+    * what operator factories receive (the reference decodes per-topic
+    * before handing items to operators, makinage/operator.py:93-96). */
+  def decodeFrame(df: org.apache.spark.sql.DataFrame, t: TopicSpec)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("value", codecOf(t).decode(col("value")))
+  }
+
+  /** Producer-side codec application: encode the typed `value` column to
+    * the binary Kafka frame value (reference makinage/operator.py:244-251). */
+  def encodeFrame(df: org.apache.spark.sql.DataFrame, t: TopicSpec)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("value", codecOf(t).encode(col("value")))
+  }
 }
 
 case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
@@ -110,13 +138,15 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     t.kind match {
       case "parquet" => spark.read.parquet(t.path)
       case "kafka" =>
-        // bounded Kafka read — reference's data/pull.py batch consumer
-        spark.read.format("kafka")
-          .option("kafka.bootstrap.servers", t.endpoint)
-          .option("subscribe", t.name)
-          .option("startingOffsets", "earliest")
-          .option("endingOffsets", "latest")
-          .load()
+        // bounded Kafka read — reference's data/pull.py batch consumer;
+        // value decoded per the topic codec before factories see it
+        Topology.decodeFrame(
+          spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", t.endpoint)
+            .option("subscribe", t.name)
+            .option("startingOffsets", "earliest")
+            .option("endingOffsets", "latest")
+            .load(), t)
       case other =>
         throw new IllegalArgumentException(s"batch source kind: $other")
     }
@@ -151,11 +181,12 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
                 "Topology.latestRecord (model side-input contract)")
           case _ => "latest" // "end"
         }
-        spark.readStream.format("kafka")
-          .option("kafka.bootstrap.servers", t.endpoint)
-          .option("subscribe", t.name)
-          .option("startingOffsets", starting)
-          .load()
+        Topology.decodeFrame(
+          spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", t.endpoint)
+            .option("subscribe", t.name)
+            .option("startingOffsets", starting)
+            .load(), t)
       case other =>
         throw new IllegalArgumentException(s"stream source kind: $other")
     }
@@ -226,7 +257,12 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
           df.withColumn("key", org.apache.spark.sql.functions
             .col(sinkTopic.partitionSelector).cast("string").cast("binary"))
         else df
-      val w = routed.writeStream
+      // kafka sinks get the topic codec applied to `value` (producer-side
+      // encode, reference makinage/operator.py:244-251)
+      val framed =
+        if (sinkTopic.kind == "kafka") Topology.encodeFrame(routed, sinkTopic)
+        else routed
+      val w = framed.writeStream
         .option("checkpointLocation",
           s"$checkpointRoot/${sinkTopic.name}")
       (sinkTopic.kind match {

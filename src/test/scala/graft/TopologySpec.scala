@@ -156,6 +156,43 @@ class TopologySpec extends SparkSpec {
     assert(latest.select("version").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("topic codecs apply to kafka frames: string and json decode at " +
+    "the source shape, encode at the sink shape, round-trip") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val stringTopic = Topology.parse(
+      """topics:
+        |  - name: t
+        |    kind: kafka
+        |    endpoint: b:9092
+        |""".stripMargin).topics.head // codec defaults to string
+    val jsonTopic = Topology.parse(
+      """topics:
+        |  - name: j
+        |    kind: kafka
+        |    endpoint: b:9092
+        |    codec: json
+        |    schema: "a BIGINT, b STRING"
+        |""".stripMargin).topics.head
+    // consumer side: kafka-shaped frame (binary value) → typed value
+    val frame = Seq(("""{"a": 7, "b": "x"}""")).toDF("raw")
+      .select(col("raw").cast("binary").as("value"))
+    val decS = Topology.decodeFrame(frame, stringTopic)
+      .select("value").as[String].collect().head
+    assert(decS == """{"a": 7, "b": "x"}""")
+    val decJ = Topology.decodeFrame(frame, jsonTopic)
+      .select("value.a", "value.b").as[(Long, String)].collect().head
+    assert(decJ == ((7L, "x")))
+    // producer side: typed value → binary frame value; round-trips
+    val typed = Seq((7L, "x")).toDF("a", "b")
+      .select(struct(col("a"), col("b")).as("value"))
+    val encoded = Topology.encodeFrame(typed, jsonTopic)
+    assert(encoded.schema("value").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val back = Topology.decodeFrame(encoded, jsonTopic)
+      .select("value.a", "value.b").as[(Long, String)].collect().head
+    assert(back == ((7L, "x")))
+  }
+
   test("golden artifact: loadModel decodes the committed binary fixture " +
     "(reference assets/zero_mlflow_pyfunc.zip + test_serve.py:81-83)") {
     val in = getClass.getResourceAsStream("/linear_model_v3.bin")
