@@ -156,6 +156,17 @@ object SparkEntry {
                 "value" -> col("value")) >>
         (_.orderBy("user_id"))),
 
+    // deterministic training-mix sampling: per-source rates over a
+    // Lehmer id-hash bucket — reproducible across engines/retries (the
+    // oracle computes the identical buckets in plain BIGINT arithmetic)
+    "q_mix_sample" -> ((s, dir) =>
+      t(s, dir, "documents") >>
+        Ops.mixSample(col("doc_id"), col("source"),
+          Map("src0" -> 0.2, "src1" -> 0.5, "src2" -> 0.0,
+            "src3" -> 0.85)) >>
+        (df => df.groupBy("source").agg(count(lit(1)).as("n"))) >>
+        (_.orderBy("source"))),
+
     // rxx sorted_merge — two disordered sources merged into deterministic
     // event-time order (range repartition + local sort; global order is
     // pinned by OpsSpec, content by the oracle)
@@ -922,6 +933,19 @@ object SparkEntry {
           |       list_reduce(list(value ORDER BY ts, value),
           |         (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      // floor() mirrors Spark's truncating cast of rate*buckets
+      "q_mix_sample" ->
+        """WITH b AS (
+          |  SELECT source,
+          |         ((doc_id * 48271) % 2147483647) % 10000 AS bucket
+          |  FROM documents)
+          |SELECT source, count(*) AS n FROM b
+          |WHERE bucket < CAST(floor(
+          |  (CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.5
+          |               WHEN 'src2' THEN 0.0 WHEN 'src3' THEN 0.85
+          |               ELSE 1.0 END) * 10000) AS BIGINT)
+          |GROUP BY source ORDER BY source""".stripMargin,
 
       "q_sorted_merge" ->
         """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value

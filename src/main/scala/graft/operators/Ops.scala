@@ -144,6 +144,36 @@ object Ops {
   def sampleEveryDense(n: Int, idx: Column): Op =
     _.filter(pmod(idx.cast("long"), lit(n.toLong)) === 0)
 
+  /** Deterministic uniform id-hash bucket in [0, buckets): Lehmer
+    * multiplicative hash on the row id — reproducible across engines,
+    * runs, and cluster layouts (plain BIGINT arithmetic, so an external
+    * oracle computes the identical buckets; a seeded-hash sampler can't
+    * be cross-checked). The basis of [[hashSample]]/[[mixSample]]. */
+  def idBucket(idCol: Column, buckets: Int = 10000): Column =
+    pmod(pmod(idCol.cast("long") * 48271L, lit(2147483647L)),
+      lit(buckets.toLong))
+
+  /** Deterministic row sampling at `rate` — training-data pipelines need
+    * sampling that is stable under retries and re-runs (a rerun must
+    * produce the SAME subset or downstream dedup/mix bookkeeping breaks);
+    * rng-based `df.sample` is seed-stable only for identical partition
+    * layouts. Map-only, no shuffle. */
+  def hashSample(idCol: Column, rate: Double, buckets: Int = 10000): Op =
+    _.filter(idBucket(idCol, buckets) < (rate * buckets).toLong)
+
+  /** Per-stratum deterministic sampling — the dataset-mixing op (sample
+    * each `source` at its own rate when composing a training mix).
+    * Unlisted strata default to `defaultRate`. One pass, map-only. */
+  def mixSample(idCol: Column, stratumCol: Column,
+                rates: Map[String, Double], defaultRate: Double = 1.0,
+                buckets: Int = 10000): Op = { df =>
+    val rateExpr = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, r)) => when(stratumCol === k, lit(r)).otherwise(acc)
+    }
+    df.filter(idBucket(idCol, buckets) <
+      (rateExpr * buckets).cast("long"))
+  }
+
   /** `trace_observable` analogue (reference makinage/makinage.py:80-83,
     * serve.py:129-136: debug-tracing a stream's lifecycle/items): named
     * aggregate metrics observed as data flows — zero extra passes, zero

@@ -67,6 +67,22 @@ class OpsSpec extends SparkSpec {
     assert(arrays == Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
   }
 
+  test("hashSample/mixSample are deterministic under repartitioning and " +
+    "respect per-stratum rates") {
+    val df = Seq.tabulate(2000)(i => (i.toLong, s"s${i % 2}"))
+      .toDF("id", "src")
+    val a = (df >> Ops.hashSample(col("id"), 0.25))
+      .select("id").as[Long].collect().toSet
+    val b = (df.repartition(7) >> Ops.hashSample(col("id"), 0.25))
+      .select("id").as[Long].collect().toSet
+    assert(a == b) // layout-independent
+    assert(math.abs(a.size - 500) < 100) // ≈rate·n
+    val mixed = (df >> Ops.mixSample(col("id"), col("src"),
+      Map("s0" -> 0.0), defaultRate = 1.0))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!mixed.contains("s0") && mixed("s1") == 1000L)
+  }
+
   test("trace observes named metrics without an extra pass " +
     "(trace_observable analogue)") {
     val traced = ev >> Ops.trace("ev_in",
