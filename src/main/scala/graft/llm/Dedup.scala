@@ -36,6 +36,19 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Streaming exact dedup for continuous ingest: first occurrence of each
+    * content fingerprint passes, replays within the watermark are dropped.
+    * State is bounded by the watermark horizon (Spark evicts seen keys
+    * older than it) — the required property for an unbounded ingest
+    * stream; an unbounded `dropDuplicates` would grow state forever.
+    * The dedup key is the 16-byte fingerprint, never the payload. */
+  def exactByContentStream(df: DataFrame, tsCol: String, textCol: String,
+                           lateness: String): DataFrame =
+    df.withColumn("__fp", Text.fingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Base shingle-hash array: each distinct shingle hashed ONCE to a long.
     * Everything downstream (signatures, band keys) re-hashes these longs,
     * never the strings — string work is O(shingles) per doc total.

@@ -141,6 +141,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops in-watermark replays, passes the " +
+    "first occurrence, and bounds state by the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val df = in.toDF().toDF("ts", "text")
+    val q = graft.llm.Dedup.exactByContentStream(df, "ts", "text",
+        "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      in.addData((t("2024-01-01 00:00:00"), "alpha doc"))
+      q.processAllAvailable()
+      in.addData(
+        (t("2024-01-01 00:01:00"), "alpha doc"),   // replay → dropped
+        (t("2024-01-01 00:02:00"), "beta doc"))    // new → passes
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").select("text")
+        .as[String].collect().toSeq
+      assert(got.sorted == Seq("alpha doc", "beta doc"))
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: restarted file-stream query resumes " +
     "exactly-once (no reprocessing of committed batches)") {
     val tmp = Files.createTempDirectory("ckpt").toString
