@@ -8,7 +8,7 @@ import graft.core.Tables
 import graft.core.Pipe._
 import graft.functions.{Codecs, Text, Vectors}
 import graft.llm.{Dedup, Multimodal, SimSearch}
-import graft.operators.{AsOfJoin, DataOps, MathOps, Ops}
+import graft.operators.{AsOfJoin, DataOps, MathOps, Ops, RangeJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -349,6 +349,8 @@ object SparkEntry {
     // range (interval) join: event pairs of the same user within 5 min —
     // equi-join on the key + band filter (no nested-loop: the user_id
     // equality keys the shuffle; the band is a post-join filter)
+    // banded range join: shuffle key = (user, 5-min bucket), so a hot
+    // user's history can't collapse onto one task (RangeJoin scaladoc)
     "q_range_join" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(
         col("event_id"), col("user_id"), col("ts"))
@@ -356,10 +358,8 @@ object SparkEntry {
         col("user_id"), col("ts").as("ts_a"))
       val b = ev.select(col("event_id").as("id_b"),
         col("user_id"), col("ts").as("ts_b"))
-      a.join(b, Seq("user_id"))
-        .filter(col("id_a") < col("id_b") &&
-          col("ts_b") >= col("ts_a") &&
-          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+      RangeJoin.timeBand(a, b, Seq("user_id"), "ts_a", "ts_b", 300L)
+        .filter(col("id_a") < col("id_b"))
         .select(col("user_id"), col("id_a"), col("id_b"))
         .orderBy("user_id", "id_a", "id_b")
     }),

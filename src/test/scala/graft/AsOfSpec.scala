@@ -7,6 +7,29 @@ import graft.operators.AsOfJoin
 class AsOfSpec extends SparkSpec {
   import spark.implicits._
 
+  test("banded range join == naive key-join + band filter, including " +
+    "window-boundary partners (property over random timestamps)") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(300)(i =>
+      (i.toLong, s"u${rnd.nextInt(5)}", rnd.nextInt(2000).toLong))
+    val df = rows.toDF("id", "u", "sec")
+    val a = df.select(col("id").as("id_a"), col("u"),
+      col("sec").cast("timestamp").as("ts_a"))
+    val b = df.select(col("id").as("id_b"), col("u"),
+      col("sec").cast("timestamp").as("ts_b"))
+    val banded = RangeJoin.timeBand(a, b, Seq("u"), "ts_a", "ts_b", 60L)
+      .select("id_a", "id_b")
+    val naive = a.join(b, Seq("u"))
+      .filter(col("ts_b").cast("double") >= col("ts_a").cast("double") &&
+        col("ts_b").cast("double") <= col("ts_a").cast("double") + 60)
+      .select("id_a", "id_b")
+    assert(banded.exceptAll(naive).count() == 0 &&
+      naive.exceptAll(banded).count() == 0)
+    // pairs are emitted exactly once (no cross-bucket duplicates)
+    assert(banded.count() == banded.distinct().count())
+  }
+
   test("asOf attaches most recent right row at or before left ts, " +
     "per key; ties break to max tiebreak; no-match keeps nulls") {
     val quotes = Seq( // (key, ts, qid, px)
