@@ -662,6 +662,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // frame sampling over binary payloads: ×nFrames generator, map-only;
+    // frames checked by length + md5 (the corpus is ASCII, so the
+    // oracle's char slicing is byte-identical)
+    "q_frame_sample" -> ((s, dir) => {
+      val docs = Multimodal.asBinaryDoc(
+        t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(docs.filter(col("doc_id") < 100), "doc_id", 4)
+        .select(col("id").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     "q_multimodal_features" -> ((s, dir) => {
       val docs = Multimodal.asBinaryDoc(
         t(s, dir, "documents"), "doc_id", "text")
@@ -1102,6 +1116,18 @@ object SparkEntry {
            |  FROM embeddings q CROSS JOIN embeddings c
            |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "q_frame_sample" ->
+        """WITH w AS (
+          |  SELECT doc_id, text,
+          |         CAST(greatest(floor(len(text) / 4), 1) AS INT) AS width
+          |  FROM documents WHERE doc_id < 100)
+          |SELECT doc_id, i AS frame_idx,
+          |       len(substring(text, i*width + 1, width)) AS frame_len,
+          |       md5(substring(text, i*width + 1, width)) AS frame_md5
+          |FROM w, unnest(generate_series(0, 3)) AS t(i)
+          |WHERE len(substring(text, i*width + 1, width)) > 0
+          |ORDER BY doc_id, frame_idx""".stripMargin,
 
       "q_multimodal_dedup" ->
         """SELECT sha256(text) AS sha256, min(doc_id) AS doc_id,

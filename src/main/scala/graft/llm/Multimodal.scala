@@ -82,4 +82,43 @@ object Multimodal {
       StructField("n_bytes", LongType),
       StructField("feature", ArrayType(FloatType)))))
   }
+
+  /** STUB frame sampling for video-shaped payloads: emit `nFrames`
+    * evenly-spaced "frames" per payload — one output row per frame,
+    * (id, frame_idx, frame binary). Real implementation: the container
+    * demuxer seeks to the n evenly-spaced keyframes; here each frame is a
+    * deterministic byte slice so tests pin the row-explosion shape,
+    * ordering, and determinism.
+    *
+    * Scale posture: map-only (a generator, no shuffle) and the ×nFrames
+    * row growth happens AFTER any filter/dedup upstream — sample frames
+    * from the deduped survivors, never the raw corpus. */
+  def sampleFrames(df: DataFrame, idCol: String, nFrames: Int): DataFrame = {
+    require(nFrames > 0, "nFrames must be positive")
+    val total = length(col("content"))
+    val width = greatest(floor(total / nFrames), lit(1)).cast("int")
+    df.select(col(idCol).cast("long").as("id"),
+        posexplode(transform(sequence(lit(0), lit(nFrames - 1)),
+          i => substring(col("content"), (i * width + 1).cast("int"),
+            width))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame")
+      .filter(length(col("frame")) > 0) // payloads shorter than nFrames
+  }
+
+  /** STUB resize/transcode: binary payload → bounded-size payload with
+    * updated metadata. Real implementation decodes, resizes to
+    * `maxBytes`-budget quality, re-encodes; the stub truncates
+    * deterministically. Shape contract: per-row, map-only, metadata
+    * (n_bytes, sha256) recomputed over the NEW payload so downstream
+    * content addressing stays consistent. */
+  def resizeTo(df: DataFrame, maxBytes: Int): DataFrame = {
+    require(maxBytes > 0, "maxBytes must be positive")
+    val resized = substring(col("content"), 1, maxBytes)
+    df.withColumn("content", resized)
+      .withColumn("meta", struct(
+        col("meta.mime").as("mime"),
+        length(col("content")).cast("long").as("n_bytes"),
+        sha2(col("content"), 256).as("sha256")))
+  }
 }

@@ -166,6 +166,31 @@ class TextDedupSpec extends SparkSpec {
     assert(f1(0) == f1(1)) // same content → same feature
   }
 
+  test("sampleFrames emits nFrames ordered deterministic slices; " +
+    "resizeTo bounds payloads and recomputes metadata") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "xy")).toDF("doc_id", "text")
+    val bin = Multimodal.asBinaryDoc(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(bin, "doc_id", 4)
+      .orderBy("id", "frame_idx")
+    val got = frames.select(col("id"), col("frame_idx"),
+      col("frame").cast("string")).as[(Long, Int, String)].collect().toSeq
+    // doc 1: width = floor(10/4) = 2 → ab cd ef gh; doc 2 (2 bytes,
+    // width 1): x y, then empty frames dropped
+    assert(got == Seq((1L, 0, "ab"), (1L, 1, "cd"), (1L, 2, "ef"),
+      (1L, 3, "gh"), (2L, 0, "x"), (2L, 1, "y")))
+    val resized = Multimodal.resizeTo(bin, maxBytes = 4)
+    val r = resized.select(col("content").cast("string"),
+      col("meta.n_bytes"), col("meta.sha256")).as[(String, Long, String)]
+      .collect().map { case (c, n, s) => c -> ((n, s)) }.toMap
+    assert(r("abcd")._1 == 4L && r("xy")._1 == 2L)
+    // metadata digest matches the NEW payload (content addressing holds)
+    val expect = Seq("abcd", "xy").toDF("c")
+      .select(col("c"), org.apache.spark.sql.functions.sha2(
+        org.apache.spark.sql.functions.encode(col("c"), "UTF-8"), 256))
+      .as[(String, String)].collect().toMap
+    assert(r("abcd")._2 == expect("abcd") && r("xy")._2 == expect("xy"))
+  }
+
   test("kafka frame: encode to (key,value,partition), decode back") {
     val df = Seq((1L, "payload")).toDF("id", "body")
     val sc = Codecs.StringCodec()
