@@ -20,9 +20,10 @@ object Dedup {
   def exact(df: DataFrame, idCol: String, keys: Seq[String]): DataFrame = {
     val others = df.columns.filterNot(c => keys.contains(c) || c == idCol)
     df.groupBy(keys.map(col): _*)
-      .agg(min(struct((idCol +: others).map(col): _*)).as("__rep"))
+      .agg(min(struct((idCol +: others).map(col).toIndexedSeq: _*)).as("__rep"))
       .select(col(s"__rep.$idCol").as(idCol) +:
-        keys.map(col) ++: others.map(c => col(s"__rep.$c").as(c)): _*)
+        keys.map(col) ++:
+        others.map(c => col(s"__rep.$c").as(c)).toIndexedSeq: _*)
   }
 
   /** Content-hash exact dedup over normalized text (whitespace/case folded):

@@ -47,11 +47,11 @@ object AsOfJoin {
       .withColumn("__tie", rightTiebreak.cast("long"))
       .withColumn("__rv", struct(rightValueCols.map(col): _*))
       .select(left.columns.map(c => lit(null).cast(
-        left.schema(c).dataType).as(c)) ++
+        left.schema(c).dataType).as(c)).toIndexedSeq ++
         Seq(col("__ts"), col("__key"), col("__side"), col("__tie"),
           col("__rv")): _*)
     val unioned = l.select(
-      left.columns.map(col) ++ Seq(col("__ts"), col("__key"),
+      left.columns.map(col).toIndexedSeq ++ Seq(col("__ts"), col("__key"),
         col("__side"), col("__tie"), col("__rv")): _*)
       .unionByName(r)
     val w = Window.partitionBy(col("__key"))
@@ -60,7 +60,7 @@ object AsOfJoin {
     val carried = unioned.withColumn("__latest",
       last(col("__rv"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.map(col).toIndexedSeq ++
         rightValueCols.map(c => col(s"__latest.$c").as(c)): _*)
   }
 }

@@ -167,7 +167,8 @@ object MathOps {
   def saltedSumCount(valueCol: Column, keys: Seq[Column],
                      buckets: Int = 16): Op = { df =>
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(buckets)))
+      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
+        lit(buckets)))
     val partial = salted
       .groupBy(keys :+ col("__salt"): _*)
       .agg(count(lit(1)).as("__pn"),
