@@ -567,6 +567,17 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // near-dup pairs → dedup CLUSTERS: connected components by min-label
+    // propagation (what a pipeline does with pair lists — keep one doc
+    // per component). Oracle = DuckDB recursive-CTE transitive closure.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", shingleSize = 3, threshold = 0.5)
+      Dedup.components(pairs, "id_a", "id_b")
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .orderBy("component")
+    }),
+
     // MinHash/SimHash pairs: xxhash64-based — invariants pinned in tests
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1128,6 +1139,36 @@ object SparkEntry {
           |FROM w, unnest(generate_series(0, 3)) AS t(i)
           |WHERE len(substring(text, i*width + 1, width)) > 0
           |ORDER BY doc_id, frame_idx""".stripMargin,
+
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE
+           |toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+           |sets AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(1, greatest(len(ts) - 2, 0)),
+           |    i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+           |  FROM toks WHERE len(ts) >= 3),
+           |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets
+           |      WHERE len(sh) > 0),
+           |pairs AS (
+           |  SELECT id_a, id_b FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |           CAST(count(*) AS DOUBLE)
+           |             / (any_value(a.n) + any_value(b.n) - count(*))
+           |             AS jaccard
+           |    FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+           |    GROUP BY 1, 2)
+           |  WHERE jaccard >= 0.5),
+           |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |        UNION SELECT id_b, id_a FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM sym
+           |  UNION
+           |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+           |comp AS (SELECT src AS id, least(src, min(dst)) AS component
+           |         FROM reach GROUP BY src)
+           |SELECT component, count(*) AS cluster_size FROM comp
+           |GROUP BY component ORDER BY component""".stripMargin,
 
       "q_multimodal_dedup" ->
         """SELECT sha256(text) AS sha256, min(doc_id) AS doc_id,

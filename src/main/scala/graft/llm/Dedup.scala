@@ -263,6 +263,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over an undirected near-dup PAIR list — the
+    * step that turns pairwise matches into dedup clusters (keep one
+    * representative per component, drop the rest). Min-label
+    * propagation: every node starts labeled with itself; each round
+    * takes the min of its own and its neighbors' labels; converges in
+    * O(graph diameter) rounds (near-dup clusters are shallow — dozens of
+    * rounds covers pathological chains; `maxIters` bounds runaways).
+    * Each round is one join + one aggregate — shuffle-linear in |edges|;
+    * iterates over cached frames with the previous round unpersisted,
+    * the standard Spark iterative-graph shape (cf. the alternating
+    * star algorithms of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SOCC'14 — label propagation is the
+    * low-diameter special case that needs no re-rooting).
+    *
+    * Output: (id, component) with component = min node id reachable. */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+                 maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"),
+          "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("new_label"))
+        .persist()
+      changed = updated.filter(col("new_label") =!= col("label")).count()
+      val prev = labels
+      labels = updated.select(col("id"), col("new_label").as("label"))
+        .persist()
+      prev.unpersist()
+      updated.unpersist()
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   /** Embedding near-dup pairs: random-hyperplane LSH buckets → exact cosine
     * verify within buckets. `nBits` trades recall (more probes) vs bucket
     * size; at 100 TB run multiple independent tables (seeds) and union. */

@@ -166,6 +166,22 @@ class TextDedupSpec extends SparkSpec {
     assert(f1(0) == f1(1)) // same content → same feature
   }
 
+  test("components: min-label propagation resolves chains, stars, and " +
+    "disjoint clusters (multi-iteration convergence)") {
+    // chain 10-11-12-13-14 (diameter 4 → needs >1 round), star 20<-{21,22,
+    // 23}, isolated pair (30,31)
+    val pairs = Seq(
+      (11L, 10L), (11L, 12L), (13L, 12L), (13L, 14L),
+      (21L, 20L), (22L, 20L), (23L, 20L),
+      (31L, 30L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert((10L to 14L).forall(comp(_) == 10L))
+    assert((20L to 23L).forall(comp(_) == 20L))
+    assert(Seq(30L, 31L).forall(comp(_) == 30L))
+    assert(comp.size == 11)
+  }
+
   test("sampleFrames emits nFrames ordered deterministic slices; " +
     "resizeTo bounds payloads and recomputes metadata") {
     val docs = Seq((1L, "abcdefghij"), (2L, "xy")).toDF("doc_id", "text")
