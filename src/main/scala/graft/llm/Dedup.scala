@@ -310,6 +310,23 @@ object Dedup {
     labels.select(col("id"), col("label").as("component"))
   }
 
+  /** Drop near-duplicates given a PAIR list: resolve [[components]] and
+    * keep only each component's representative (the min id) plus every
+    * row that appears in no pair. The pair list is the output of any
+    * candidate generator above (minhash/simhash/embedding/ngram), so the
+    * full near-dedup pipeline is
+    * `dropNearDuplicates(df, id, minhashPairs(df, ...))` — one
+    * broadcast-sized (or shuffle) anti-join against the non-representative
+    * id set; payloads never enter the component computation. */
+  def dropNearDuplicates(df: DataFrame, idCol: String,
+                         pairs: DataFrame, aCol: String = "id_a",
+                         bCol: String = "id_b"): DataFrame = {
+    val losers = components(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup pairs: random-hyperplane LSH buckets → exact cosine
     * verify within buckets. `nBits` trades recall (more probes) vs bucket
     * size; at 100 TB run multiple independent tables (seeds) and union. */

@@ -182,6 +182,17 @@ class TextDedupSpec extends SparkSpec {
     assert(comp.size == 11)
   }
 
+  test("dropNearDuplicates keeps one representative per component and " +
+    "all unpaired rows") {
+    val docs = Seq.tabulate(8)(i => (i.toLong, s"doc $i"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // components {0,1,2}→keep 0 and {5,6}→keep 5; 3,4,7 unpaired → kept
+    assert(kept == Set(0L, 3L, 4L, 5L, 7L))
+  }
+
   test("sampleFrames emits nFrames ordered deterministic slices; " +
     "resizeTo bounds payloads and recomputes metadata") {
     val docs = Seq((1L, "abcdefghij"), (2L, "xy")).toDF("doc_id", "text")
