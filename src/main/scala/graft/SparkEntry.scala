@@ -174,10 +174,12 @@ object SparkEntry {
       val ev = t(s, dir, "events")
       val even = ev.filter(pmod(col("event_id"), lit(2)) === 0)
       val odd = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      // ts_sec leads the schema so Verify's stable all-column sort
+      // coincides with the operator's (ts, event_id) order
       even >>
         Ops.sortedMerge(Seq(odd), Seq(col("ts"), col("event_id"))) >>
-        Ops.map("event_id" -> col("event_id"),
-                "ts_sec" -> col("ts").cast("long"),
+        Ops.map("ts_sec" -> col("ts").cast("long"),
+                "event_id" -> col("event_id"),
                 "value" -> col("value"))
     }),
 
@@ -963,7 +965,8 @@ object SparkEntry {
       "q_mix_sample" ->
         """WITH b AS (
           |  SELECT source,
-          |         ((doc_id * 48271) % 2147483647) % 10000 AS bucket
+          |         (((doc_id % 2147483647) * 48271) % 2147483647) % 10000
+          |           AS bucket
           |  FROM documents)
           |SELECT source, count(*) AS n FROM b
           |WHERE bucket < CAST(floor(
@@ -973,7 +976,7 @@ object SparkEntry {
           |GROUP BY source ORDER BY source""".stripMargin,
 
       "q_sorted_merge" ->
-        """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+        """SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id, value
           |FROM events
           |ORDER BY ts, event_id""".stripMargin,
 

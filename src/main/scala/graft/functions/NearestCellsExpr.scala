@@ -49,6 +49,13 @@ final class CentroidTable(val centroids: Seq[Seq[Double]])
         if (!taken(i) && dists(i) < bestD) { bestD = dists(i); best = i }
         i += 1
       }
+      if (best < 0) {
+        // all remaining distances are NaN (NaN component in the vector or
+        // a centroid): fall back to the lowest untaken index rather than
+        // crashing the query on one bad embedding row
+        var i2 = 0
+        while (best < 0 && i2 < k) { if (!taken(i2)) best = i2; i2 += 1 }
+      }
       taken(best) = true
       out(j) = best
       j += 1

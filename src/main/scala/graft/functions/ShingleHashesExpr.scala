@@ -17,7 +17,9 @@ object ShingleHashesKernel extends Serializable {
     * Spark's `xxhash64(string)` over the same joined text: XXH64 with
     * seed 42 over the UTF-8 bytes. Tokens are copied into a reusable
     * buffer with single-space separators — no intermediate String/
-    * UTF8String per shingle. */
+    * UTF8String per shingle. Null tokens are skipped together with their
+    * separator, matching `array_join`'s semantics in the HOF spec
+    * (`array_join(['a', NULL, 'b'], ' ')` = "a b"). */
   def compute(tokens: ArrayData, n: Int): ArrayData = {
     val m = tokens.numElements()
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
@@ -28,24 +30,30 @@ object ShingleHashesKernel extends Serializable {
     var outLen = 0
     var i = 0
     while (i < nShingles) {
-      // byte length of this shingle: Σ token bytes + (n-1) separators
-      var len = n - 1
+      // byte length: Σ non-null token bytes + one separator between each
+      // adjacent pair of non-null tokens
+      var len = 0
+      var nonNull = 0
       var j = 0
       while (j < n) {
         if (!tokens.isNullAt(i + j)) {
           len += tokens.getUTF8String(i + j).numBytes()
+          nonNull += 1
         }
         j += 1
       }
+      len += math.max(nonNull - 1, 0)
       if (len > buf.length) buf = new Array[Byte](math.max(len, buf.length * 2))
       var pos = 0
+      var written = 0
       j = 0
       while (j < n) {
-        if (j > 0) { buf(pos) = ' '; pos += 1 }
         if (!tokens.isNullAt(i + j)) {
+          if (written > 0) { buf(pos) = ' '; pos += 1 }
           val t = tokens.getUTF8String(i + j)
           t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + pos)
           pos += t.numBytes()
+          written += 1
         }
         j += 1
       }
@@ -63,8 +71,12 @@ object ShingleHashesKernel extends Serializable {
   *
   * Bit-identical to the HOF formulation
   * `transform(array_distinct(shinglesFromTokens(ts, n)), s -> xxhash64(s))`
-  * (same join separator, same XXH64-over-UTF8-bytes hash, same seed 42)
-  * but one compiled pass per row: the HOF chain dispatched interpreted
+  * (same join separator incl. null-skip semantics, same
+  * XXH64-over-UTF8-bytes hash, same seed 42) up to one caveat: dedup is
+  * by 64-bit hash, not by string, so two DISTINCT shingles colliding at
+  * 2^-64 odds yield one entry where the HOF yields two equal entries —
+  * irrelevant to every downstream min/set consumer. One compiled pass
+  * per row: the HOF chain dispatched interpreted
   * lambdas per shingle and allocated a sliced token array plus a joined
   * string per shingle — measured ≈0.8 ms/doc, the dominant cost of every
   * shingle-based dedup operator.

@@ -10,7 +10,12 @@ import graft.functions.{MinHashSignature, Text, Vectors}
   * join ever materializes — candidates come from hash buckets (exact hash,
   * MinHash bands, SimHash bands, shared rare shingles), so total work is
   * O(rows + candidate pairs), and candidate pairs are bounded by bucket
-  * sizes, which banding keeps small at 100 TB.
+  * sizes, which banding keeps small at 100 TB (oversized buckets are
+  * dropped at O(cap) memory by [[graft.functions.BoundedCollect]]).
+  *
+  * Id columns in the near-dup operators must be integral (they ride
+  * shuffles and bounded aggregation buffers as longs) — hash string ids
+  * to longs upstream, the engine-wide rule for shuffle keys.
   */
 object Dedup {
 
@@ -134,20 +139,23 @@ object Dedup {
     // payload; shuffling it per band would 32× the exchange).
     val banded = sig.select(col("id"),
       explode(bandKeysFromSig(col("sig"), numHashes, bands)).as("bkey"))
-    // bucket members collected per band key (bounded by maxBucketSize —
-    // oversized buckets are boilerplate, dropped by the cap), candidate
-    // pairs generated bucket-locally in one shuffle; the old
+    // bucket members collected per band key via the BOUNDED aggregator
+    // (an overflowing bucket is dropped at O(cap) memory, never
+    // materialized — boilerplate band keys can hold millions of docs),
+    // candidate pairs generated bucket-locally in one shuffle; the old
     // count-join-back + self-join instantiated the whole
     // tokenize→shingle→minhash subtree three more times.
     // Candidate pairs are distinct-ed FIRST (dedup across bands), verified
     // ONCE per pair: a pair colliding in k bands must not pay k signature
     // comparisons.
     val buckets = banded.groupBy("bkey")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+      .agg(graft.functions.BoundedCollect.pairs(maxBucketSize)(
+        col("id").cast("long"), lit(0L)).as("ms"))
+      .filter(size(col("ms")) > 1)
     val cand = buckets
-      .select(col("ids"), explode(col("ids")).as("id_a"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .select(col("ms"), explode(col("ms")).as("a"))
+      .select(col("a._1").as("id_a"), explode(col("ms")).as("b"))
+      .select(col("id_a"), col("b._1").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
     cand
@@ -195,19 +203,21 @@ object Dedup {
       .withColumn("bkey", xxhash64(col("band"),
         expr(s"shiftright(sh, band * $w)")
           .bitwiseAND(if (w == 64) lit(-1L) else lit((1L << w) - 1))))
-    // bucket members (id + 8-byte fingerprint) collected per band key,
-    // Hamming-verified bucket-locally — one shuffle, and the old
+    // bucket members (id + 8-byte fingerprint) collected per band key via
+    // the BOUNDED aggregator (overflowing buckets dropped at O(cap)
+    // memory), Hamming-verified bucket-locally — one shuffle, and the old
     // count-join-back + self-join no longer re-instantiates the
-    // tokenize→simhash subtree three times. Bounded by maxBucketSize.
+    // tokenize→simhash subtree three times.
     val buckets = banded.groupBy("bkey")
-      .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
-      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucketSize)
+      .agg(graft.functions.BoundedCollect.pairs(maxBucketSize)(
+        col("id").cast("long"), col("sh")).as("ms"))
+      .filter(size(col("ms")) > 1)
     buckets
       .select(col("ms"), explode(col("ms")).as("a"))
       .select(col("a"), explode(col("ms")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .filter(col("a._1") < col("b._1"))
+      .select(col("a._1").as("id_a"), col("b._1").as("id_b"),
+        bit_count(col("a._2").bitwiseXOR(col("b._2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -241,20 +251,22 @@ object Dedup {
     val exploded = sets.select(col("id"), col("n"),
       explode(col("sh")).as("s"))
     // posting list per shingle, collected in ONE shuffle keyed by the
-    // 8-byte shingle hash; the maxShingleFreq cap bounds each list (and
-    // drops ubiquitous stop-phrase shingles — the spam guard). The old
-    // rare-count join + self-join instantiated the tokenize→shingle
-    // subtree three times and shuffled the exploded table twice more.
+    // 8-byte shingle hash via the BOUNDED aggregator: the maxShingleFreq
+    // cap drops ubiquitous stop-phrase shingles (the spam guard) at
+    // O(cap) memory — an overflowing posting list is never materialized.
+    // The old rare-count join + self-join instantiated the
+    // tokenize→shingle subtree three times and shuffled the exploded
+    // table twice more.
     val postings = exploded.groupBy("s")
-      .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
-      .filter(size(col("docs")) > 1 &&
-        size(col("docs")) <= maxShingleFreq)
+      .agg(graft.functions.BoundedCollect.pairs(maxShingleFreq.toInt)(
+        col("id").cast("long"), col("n").cast("long")).as("docs"))
+      .filter(size(col("docs")) > 1)
     postings
       .select(col("docs"), explode(col("docs")).as("a"))
       .select(col("a"), explode(col("docs")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .filter(col("a._1") < col("b._1"))
+      .groupBy(col("a._1").as("id_a"), col("b._1").as("id_b"),
+        col("a._2").as("n_a"), col("b._2").as("n_b"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
         col("common").cast("double") /
@@ -302,6 +314,10 @@ object Dedup {
       val prev = labels
       labels = updated.select(col("id"), col("new_label").as("label"))
         .persist()
+      // materialize the new labels BEFORE dropping their parents: an
+      // un-materialized cache would silently recompute the whole
+      // round-0..i lineage next round (O(rounds²) work)
+      labels.count()
       prev.unpersist()
       updated.unpersist()
       i += 1
@@ -345,16 +361,18 @@ object Dedup {
     val banded = vecs.select(col("id"), explode(array(seeds.map(s =>
       xxhash64(lit(s), Vectors.rhpSignature(col("v"), nBits, s))): _*))
       .as("bkey"))
-    // bucket members collected per key (bounded by maxBucketSize — skewed
-    // buckets are boilerplate, dropped with the cap), pairs generated
+    // bucket members collected per key via the BOUNDED aggregator (skewed
+    // buckets are boilerplate, dropped at O(cap) memory), pairs generated
     // bucket-locally: ONE shuffle of (id, bkey), no count-join-back, no
     // self-join re-instantiating the banding subtree.
     val buckets = banded.groupBy("bkey")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+      .agg(graft.functions.BoundedCollect.pairs(maxBucketSize)(
+        col("id").cast("long"), lit(0L)).as("ms"))
+      .filter(size(col("ms")) > 1)
     val cand = buckets
-      .select(col("ids"), explode(col("ids")).as("id_a"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .select(col("ms"), explode(col("ms")).as("a"))
+      .select(col("a._1").as("id_a"), explode(col("ms")).as("b"))
+      .select(col("id_a"), col("b._1").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
     // vectors + precomputed norms joined back once per pair for the exact

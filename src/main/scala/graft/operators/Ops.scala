@@ -148,10 +148,14 @@ object Ops {
     * multiplicative hash on the row id — reproducible across engines,
     * runs, and cluster layouts (plain BIGINT arithmetic, so an external
     * oracle computes the identical buckets; a seeded-hash sampler can't
-    * be cross-checked). The basis of [[hashSample]]/[[mixSample]]. */
+    * be cross-checked). The id is reduced mod m BEFORE the multiply —
+    * (id mod m)·48271 < 2^47, so the arithmetic never overflows Long for
+    * ANY id (a bare id·48271 wraps at ids ≥ ~1.9e14, silently diverging
+    * from an exact-arithmetic oracle). The basis of
+    * [[hashSample]]/[[mixSample]]. */
   def idBucket(idCol: Column, buckets: Int = 10000): Column =
-    pmod(pmod(idCol.cast("long") * 48271L, lit(2147483647L)),
-      lit(buckets.toLong))
+    pmod(pmod(pmod(idCol.cast("long"), lit(2147483647L)) * 48271L,
+      lit(2147483647L)), lit(buckets.toLong))
 
   /** Deterministic row sampling at `rate` — training-data pipelines need
     * sampling that is stable under retries and re-runs (a rerun must

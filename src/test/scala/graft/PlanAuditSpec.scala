@@ -56,7 +56,11 @@ class PlanAuditSpec extends SparkSpec {
     val allowed = Set("q_with_latest", "q_simsearch_topk", "q_roll_mean",
       "q_batch")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
-      val p = try planStr(q) catch { case _: Throwable => "" }
+      // a query that fails to PLAN is an audit failure, not a skip —
+      // swallowing it here would green-light a broken query
+      val p = try planStr(q) catch {
+        case e: Throwable => fail(s"$q failed to plan: ${e.getMessage}")
+      }
       assert(!p.contains("CartesianProduct"),
         s"$q plans a CartesianProduct")
     }
