@@ -297,8 +297,14 @@ object Dedup {
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    var labels = sym.select(col("src").as("id")).distinct()
+    val base = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
+    var labels: DataFrame = base
+    // each round's `updated` frame stays persisted until the NEXT round
+    // has materialized on top of it (the changed-count action) — so no
+    // round ever recomputes lineage past its predecessor, and exactly
+    // one action runs per round
+    var carried: DataFrame = null
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -311,19 +317,23 @@ object Dedup {
             .as("new_label"))
         .persist()
       changed = updated.filter(col("new_label") =!= col("label")).count()
-      val prev = labels
+      if (carried != null) carried.unpersist() else base.unpersist()
+      carried = updated
       labels = updated.select(col("id"), col("new_label").as("label"))
-        .persist()
-      // materialize the new labels BEFORE dropping their parents: an
-      // un-materialized cache would silently recompute the whole
-      // round-0..i lineage next round (O(rounds²) work)
-      labels.count()
-      prev.unpersist()
-      updated.unpersist()
       i += 1
     }
     sym.unpersist()
-    labels.select(col("id"), col("label").as("component"))
+    val out = labels.select(col("id"), col("label").as("component"))
+    // the final round's frame backs `out`'s lineage: return `out`
+    // materialized in its own (small — one row per paired node) cache so
+    // every intermediate round can be released; the result cache is
+    // intentionally retained for the caller's consumption
+    if (carried != null) {
+      val result = out.persist()
+      result.count()
+      carried.unpersist()
+      result
+    } else out
   }
 
   /** Drop near-duplicates given a PAIR list: resolve [[components]] and
