@@ -24,7 +24,8 @@ object Bench {
     Seq("q_agg", "q_filter", "q_join_revenue",
         "q_ngram_jaccard", "q_minhash_pairs", "q_simhash_pairs",
         "q_embed_neardup_lsh", "q_simsearch_lsh", "q_simsearch_ivf",
-        "q_json_codec", "q_roll_mean", "q_ewma", "q_asof").foreach { n =>
+        "q_json_codec", "q_roll_mean", "q_ewma", "q_asof",
+        "q_dedup_clusters").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
