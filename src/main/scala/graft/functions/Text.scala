@@ -142,6 +142,23 @@ object Text {
     round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 6)
   }
 
+  // --- PII scrubbing -------------------------------------------------------
+
+  /** Redact common PII shapes — emails, IPv4 addresses, long digit runs
+    * (phone/card numbers) — with typed placeholder tokens, the standard
+    * pre-training text-cleaning step. Pure regexp_replace chain: per-row,
+    * codegen'd, embarrassingly parallel. The patterns are deliberately
+    * conservative (visible structure only); a production deployment
+    * swaps in its compliance-approved pattern set at this seam. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip,
+      "\\+?\\b\\d[\\d( )-]{7,}\\d\\b", "<NUMBER>")
+  }
+
   // --- fingerprinting ------------------------------------------------------
 
   /** Content fingerprint of whitespace-normalized lowercase text: first 16

@@ -166,6 +166,23 @@ class TextDedupSpec extends SparkSpec {
     assert(f1(0) == f1(1)) // same content → same feature
   }
 
+  test("scrubPii redacts emails, IPv4s, and long digit runs; clean text " +
+    "is untouched") {
+    val rows = Seq(
+      "contact me at jane.doe+x@example.co.uk today",
+      "server 10.0.255.7 responded",
+      "call +1 (555) 123-4567 or 5551234567 now",
+      "ordinary text with the number 42 stays")
+      .toDF("text")
+    val got = rows.select(Text.scrubPii(col("text")))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "contact me at <EMAIL> today",
+      "server <IP> responded",
+      "call <NUMBER> or <NUMBER> now",
+      "ordinary text with the number 42 stays"))
+  }
+
   test("components: min-label propagation resolves chains, stars, and " +
     "disjoint clusters (multi-iteration convergence)") {
     // chain 10-11-12-13-14 (diameter 4 → needs >1 round), star 20<-{21,22,
