@@ -324,6 +324,20 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
+    // lag/lead/ntile over per-user event sequences — the offset/bucketing
+    // window vocabulary beyond ranking
+    "q_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev_event"),
+          lead(col("event_id"), 1).over(w).as("next_event"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // dedup with representative row (argmin) — rs.ops.distinct keyed form
     "q_dedup_rows" -> ((s, dir) =>
       t(s, dir, "events")
@@ -882,6 +896,17 @@ object SparkEntry {
           |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
           |  FROM orders)
           |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+
+      // ntile cast to BIGINT on both sides (DuckDB ntile yields BIGINT,
+      // Spark INT)
+      "q_lag_lead" ->
+        """SELECT user_id, event_id,
+          |       lag(event_id, 1) OVER w AS prev_event,
+          |       lead(event_id, 1) OVER w AS next_event,
+          |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+          |FROM events WHERE user_id < 20
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |ORDER BY user_id, event_id""".stripMargin,
 
       "q_dedup_rows" ->
         """SELECT user_id, event_type,
