@@ -572,6 +572,27 @@ object SparkEntry {
         col("doc_id"), Text.rollingFingerprint(col("text")).as("rfp"))
         .orderBy("doc_id")),
 
+    // PII scrubbing, oracled end-to-end: the corpus carries no real PII,
+    // so each doc gets deterministic synthetic PII (email/IP/phone/card
+    // derived from doc_id) prepended, plus a date+timestamp that must
+    // SURVIVE scrubbing — both engines build and scrub the same string
+    // (every pattern is RE2-compatible, see Text.scrubPii)
+    "q_scrub_pii" -> ((s, dir) => {
+      val synth = concat(
+        lit("user"), col("doc_id").cast("string"),
+        lit("@example.com on 2026-08-12 10:30:45 ip "),
+        (col("doc_id") % 223).cast("string"), lit(".10.0."),
+        ((col("doc_id") * 7) % 251).cast("string"),
+        lit(" call +1 (555) 123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" card 4111-1111-1111-"),
+        lpad(((col("doc_id") * 31) % 10000).cast("string"), 4, "0"),
+        lit(" :: "), col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.scrubPii(synth).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // ===== north-star: dedup =============================================
 
     "q_dedup_content" -> ((s, dir) =>
@@ -1091,6 +1112,26 @@ object SparkEntry {
         """SELECT doc_id,
           |       substr(md5(regexp_replace(lower(trim(text)),
           |           '\s+', ' ', 'g')), 1, 16) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_scrub_pii" ->
+        """SELECT doc_id,
+          |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |         'user' || CAST(doc_id AS VARCHAR) ||
+          |         '@example.com on 2026-08-12 10:30:45 ip ' ||
+          |         CAST(doc_id % 223 AS VARCHAR) || '.10.0.' ||
+          |         CAST((doc_id * 7) % 251 AS VARCHAR) ||
+          |         ' call +1 (555) 123-' ||
+          |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+          |         ' card 4111-1111-1111-' ||
+          |         lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0') ||
+          |         ' :: ' || text,
+          |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          |         '<EMAIL>', 'g'),
+          |         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+          |         '\+?\b\d(?:[()-]*\d){8,}\b', '<NUMBER>', 'g'),
+          |         '\+?\b(?:\d{1,2}[ -]?)?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b',
+          |         '<NUMBER>', 'g') AS scrubbed
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_dedup_content" ->

@@ -144,19 +144,32 @@ object Text {
 
   // --- PII scrubbing -------------------------------------------------------
 
-  /** Redact common PII shapes — emails, IPv4 addresses, long digit runs
-    * (phone/card numbers) — with typed placeholder tokens, the standard
+  /** Redact common PII shapes — emails, IPv4 addresses, card/id digit
+    * runs, phone numbers — with typed placeholder tokens, the standard
     * pre-training text-cleaning step. Pure regexp_replace chain: per-row,
-    * codegen'd, embarrassingly parallel. The patterns are deliberately
-    * conservative (visible structure only); a production deployment
-    * swaps in its compliance-approved pattern set at this seam. */
+    * codegen'd, embarrassingly parallel; every pattern is RE2-compatible
+    * (no lookaround), so the same chain runs verbatim in any RE2 engine
+    * (oracled as q_scrub_pii against DuckDB).
+    *
+    * The digit rules are date-safe by construction: the long-run rule
+    * wants ≥9 digits joined only by `()-` (an 8-digit ISO date
+    * `2026-08-12` passes through), and the phone rule wants the
+    * cc? (area) 3-4 grouping (colons keep `10:30:45` timestamps out).
+    * Conservative by design; a production deployment swaps in its
+    * compliance-approved pattern set at this seam. */
   def scrubPii(text: Column): Column = {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     val ip = regexp_replace(email,
       "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
-    regexp_replace(ip,
-      "\\+?\\b\\d[\\d( )-]{7,}\\d\\b", "<NUMBER>")
+    // ids/cards: ≥9 digits with ()- separators only (no spaces — a
+    // timestamp's date half never glues to its time half)
+    val run = regexp_replace(ip,
+      "\\+?\\b\\d(?:[()-]*\\d){8,}\\b", "<NUMBER>")
+    // phones with spaced grouping the run rule misses: +1 (555) 123-4567
+    regexp_replace(run,
+      "\\+?\\b(?:\\d{1,2}[ -]?)?\\(?\\d{3}\\)?[ -]?\\d{3}[ -]?\\d{4}\\b",
+      "<NUMBER>")
   }
 
   // --- fingerprinting ------------------------------------------------------

@@ -234,6 +234,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5,
                         maxShingleFreq: Long = 1000): DataFrame = {
+    // the cap feeds BoundedCollect as an Int — a Long above Int.MaxValue
+    // would wrap negative and silently drop EVERY posting list
+    require(maxShingleFreq > 0 && maxShingleFreq <= Int.MaxValue,
+      s"maxShingleFreq must be in (0, ${Int.MaxValue}]: $maxShingleFreq")
     // shingles carried as 8-byte xxhash64 longs, not strings: the explode,
     // frequency count, and posting-list shuffle all move ~1/4 the bytes.
     // Pair results are identical up to a ~2^-64 hash-collision probability.
@@ -323,6 +327,11 @@ object Dedup {
       i += 1
     }
     sym.unpersist()
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"components(): maxIters=$maxIters reached with $changed labels " +
+          "still changing — labels are NOT converged (graph diameter " +
+          "exceeds maxIters); raise maxIters for correct components")
     val out = labels.select(col("id"), col("label").as("component"))
     // the final round's frame backs `out`'s lineage: return `out`
     // materialized in its own (small — one row per paired node) cache so

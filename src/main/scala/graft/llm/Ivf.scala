@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vectors
@@ -102,9 +101,8 @@ object Ivf {
         Vectors.cosineWithNorms(col("qv"), col("cv"),
           col("qn"), col("cn")).as("cosine"))
       .groupBy("query_id", "nbr_id").agg(max("cosine").as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("nbr_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // bounded top-k aggregation (map-side partials carry ≤k rows per
+    // query) — see SimSearch.rankTopK on why not a row_number window
+    SimSearch.rankTopK(cand, k)
   }
 }

@@ -60,9 +60,14 @@ object Multimodal {
     * payload bytes, so tests pin schema/shape/determinism.
     */
   def extractFeatures(spark: SparkSession, df: DataFrame, idCol: String,
-                      dim: Int = 8): DataFrame = {
-    val out = df.select(col(idCol).cast("long"), col("content"))
-      .rdd.mapPartitions { rows =>
+                      dim: Int = 8): DataFrame =
+    // typed mapPartitions with the public row encoder — stays inside the
+    // Dataset pipeline (Deserialize→MapPartitions→Serialize), unlike an
+    // `.rdd` hop whose createDataFrame re-enters the planner through a
+    // Scan ExistingRDD with no lineage back to the parquet source
+    // (pattern: Serve.inferBatch)
+    df.select(col(idCol).cast("long").as("id"), col("content"))
+      .mapPartitions { rows =>
         // per-partition setup happens HERE once (codec/model init in prod)
         rows.map { r =>
           val id = r.getLong(0)
@@ -76,12 +81,7 @@ object Multimodal {
           }
           Row(id, bytes.length.toLong, feature)
         }
-      }
-    spark.createDataFrame(out, StructType(Seq(
-      StructField("id", LongType),
-      StructField("n_bytes", LongType),
-      StructField("feature", ArrayType(FloatType)))))
-  }
+      }(org.apache.spark.sql.Encoders.row(featureSchema))
 
   /** STUB frame sampling for video-shaped payloads: emit `nFrames`
     * evenly-spaced "frames" per payload — one output row per frame,

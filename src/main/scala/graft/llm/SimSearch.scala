@@ -1,10 +1,9 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Vectors
+import graft.functions.{TopKCollect, Vectors}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY.md §2.6). Two paths:
@@ -21,6 +20,22 @@ import graft.functions.Vectors
   */
 object SimSearch {
 
+  /** Ranking finale shared by every search path: bounded top-k
+    * aggregation of `(query_id, nbr_id, cosine)` rows. Partial
+    * aggregation means each map task sends at most k rows per query into
+    * the exchange — O(partitions × queries × k), never O(scored rows) —
+    * where the previous `row_number() over (partition by query_id)`
+    * formulation shuffled every scored candidate to |queries| hot
+    * reducers. Ids must be integral (ranked as longs, the engine-wide
+    * shuffle-key rule); order: cosine desc, ties to smaller nbr_id. */
+  private[llm] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(TopKCollect.topk(k)(
+        col("nbr_id").cast("long"), col("cosine")).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")))
+      .select(col("query_id"), col("col._1").as("nbr_id"),
+        col("col._2").as("cosine"), (col("pos") + 1).as("rank"))
+
   /** Exact top-k by cosine for each query row. `queries` must be small
     * (broadcast); output: (query id, neighbor id, cosine, rank).
     * Ties broken by neighbor id for determinism. */
@@ -36,13 +51,7 @@ object SimSearch {
       .select(col("query_id"), col("nbr_id"),
         Vectors.cosineWithNorms(col("qv"), col("cv"),
           col("qn"), col("cn")).as("cosine"))
-    // top-k per query: rank over a per-query window. The shuffle is keyed
-    // by query_id (small), and Spark's TakeOrdered-style partial top-k via
-    // window + filter keeps only k rows per query past the exchange.
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("nbr_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** ANN top-k: multi-table random-hyperplane LSH. Each (seed) table maps
@@ -73,9 +82,6 @@ object SimSearch {
         Vectors.cosineWithNorms(col("qv"), col("cv"),
           col("qn"), col("cn")).as("cosine"))
       .groupBy("query_id", "nbr_id").agg(max("cosine").as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("nbr_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(cand, k)
   }
 }

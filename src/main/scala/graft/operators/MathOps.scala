@@ -87,14 +87,26 @@ object MathOps {
                keys: Seq[Column], as: String = "ewma"): Op =
     ewmaFold(valueCol, order, alpha, keys, as, perEvent = true)
 
-  /** Final EWMA per key — see [[ewmaScan]] for the engine. */
+  /** Final EWMA per key — see [[ewmaScan]] for the engine. Output is
+    * pruned to (keys, order columns, value, ewma): the sequential fold
+    * re-encodes every carried column per row, so the final-per-key form
+    * ships only what it answers with (the per-event [[ewmaScan]] keeps
+    * the full row — its contract is "the input row plus ewma"). */
   def ewmaByKey(valueCol: Column, ts: Column, alpha: Double,
-                keys: Seq[Column]): Op =
+                keys: Seq[Column]): Op = { df =>
+    val slim = df.select(
+      (keys :+ ts :+ valueCol).distinctBy(_.toString): _*)
     // ties in ts fold in value order, preserving the semantics of the
     // sorted-struct formulation this replaced
     ewmaFold(valueCol, Seq(ts, valueCol), alpha, keys, "ewma",
-      perEvent = false)
+      perEvent = false)(slim)
+  }
 
+  /** NULL policy: rows whose value is NULL are dropped before the fold —
+    * an EWMA over missing observations is undefined, and a silent
+    * carry-forward would corrupt every later step of the key's series.
+    * (Matches the reference's drop-on-error serving semantics,
+    * reference makinage/serve/serve.py:107-118.) */
   private def ewmaFold(valueCol: Column, order: Seq[Column], alpha: Double,
                        keys: Seq[Column], as: String,
                        perEvent: Boolean): Op = { df =>
@@ -105,6 +117,7 @@ object MathOps {
     val beta = 1.0 - alpha
     val prep = df
       .withColumn("__v", valueCol.cast("double"))
+      .filter(col("__v").isNotNull)
       .withColumn("__k", struct(keys: _*))
     val sorted = prep
       .repartition(col("__k"))
@@ -113,6 +126,16 @@ object MathOps {
     val kIdx = schema.fieldIndex("__k")
     val vIdx = schema.fieldIndex("__v")
     val outSchema = schema.add(as, DoubleType)
+    val width = schema.length
+    // append without the r.toSeq :+ detour (a WrappedArray + two list
+    // copies per row): one pre-sized array copy per emitted row
+    def append(r: Row, e: Double): Row = {
+      val arr = new Array[Any](width + 1)
+      var i = 0
+      while (i < width) { arr(i) = r.get(i); i += 1 }
+      arr(width) = e
+      new org.apache.spark.sql.catalyst.expressions.GenericRow(arr)
+    }
     val folded = sorted.mapPartitions { it =>
       if (perEvent) {
         var have = false
@@ -123,7 +146,7 @@ object MathOps {
           val x = r.getDouble(vIdx)
           if (!have || k != curKey) { have = true; curKey = k; e = x }
           else e = alpha * x + beta * e
-          Row.fromSeq(r.toSeq :+ e)
+          append(r, e)
         }
       } else new Iterator[Row] {
         private var nextOut: Row = null
@@ -131,7 +154,7 @@ object MathOps {
         private var curKey: Any = null
         private var lastRow: Row = null
         private var e = 0.0
-        private def emit(): Row = Row.fromSeq(lastRow.toSeq :+ e)
+        private def emit(): Row = append(lastRow, e)
         def hasNext: Boolean = {
           if (nextOut != null) return true
           while (it.hasNext) {

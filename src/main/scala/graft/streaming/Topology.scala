@@ -207,16 +207,19 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     t.kind match {
       case "parquet" => ModelPublisher.latestFromPath(spark, t.path)
       case "kafka" =>
-        spark.read.format("kafka")
-          .option("kafka.bootstrap.servers", t.endpoint)
-          .option("subscribe", t.name)
-          .option("startingOffsets", "earliest")
-          .option("endingOffsets", "latest")
-          .load()
-          // newest across partitions: broker timestamp, offset tie-break
-          .orderBy(org.apache.spark.sql.functions.col("timestamp").desc,
-            org.apache.spark.sql.functions.col("offset").desc)
-          .limit(1)
+        // decoded like every other consumer path, so callers get the
+        // same record shape from both topic kinds
+        Topology.decodeFrame(
+          spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", t.endpoint)
+            .option("subscribe", t.name)
+            .option("startingOffsets", "earliest")
+            .option("endingOffsets", "latest")
+            .load()
+            // newest across partitions: broker timestamp, offset tie-break
+            .orderBy(org.apache.spark.sql.functions.col("timestamp").desc,
+              org.apache.spark.sql.functions.col("offset").desc)
+            .limit(1), t)
       case other =>
         throw new IllegalArgumentException(s"latest-record kind: $other")
     }

@@ -77,6 +77,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("similarity-search ranking is a bounded top-k aggregation, not a " +
+    "per-query window (map-side partials carry ≤k rows per query)") {
+    for (q <- Seq("q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf")) {
+      val p = planStr(q)
+      assert(!p.contains("Window "), s"$q: WindowExec present\n$p")
+    }
+  }
+
+  test("multimodal feature extraction stays in the Dataset pipeline — " +
+    "no RDD hop (Scan ExistingRDD) breaking lineage to the parquet scan") {
+    val p = planStr("q_multimodal_features")
+    assert(!p.contains("ExistingRDD"), p)
+    assert(p.contains("Scan parquet"), p)
+  }
+
   test("banded dedup queries shuffle band keys, never signature arrays") {
     // the Exchange feeding bucket collection must carry (id, bkey) only
     val p = planStr("q_embed_neardup_lsh")

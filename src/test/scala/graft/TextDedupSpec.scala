@@ -172,7 +172,11 @@ class TextDedupSpec extends SparkSpec {
       "contact me at jane.doe+x@example.co.uk today",
       "server 10.0.255.7 responded",
       "call +1 (555) 123-4567 or 5551234567 now",
-      "ordinary text with the number 42 stays")
+      "ordinary text with the number 42 stays",
+      "meeting on 2026-08-12 10:30:45 as planned", // dates/times intact
+      "card 4111-1111-1111-1111 charged",
+      "call 555 123 4567 ext 9",
+      "short 123-4567 local") // <7+area digits: left alone (conservative)
       .toDF("text")
     val got = rows.select(Text.scrubPii(col("text")))
       .as[String].collect().toSeq
@@ -180,7 +184,11 @@ class TextDedupSpec extends SparkSpec {
       "contact me at <EMAIL> today",
       "server <IP> responded",
       "call <NUMBER> or <NUMBER> now",
-      "ordinary text with the number 42 stays"))
+      "ordinary text with the number 42 stays",
+      "meeting on 2026-08-12 10:30:45 as planned",
+      "card <NUMBER> charged",
+      "call <NUMBER> ext 9",
+      "short 123-4567 local"))
   }
 
   test("components: min-label propagation resolves chains, stars, and " +
