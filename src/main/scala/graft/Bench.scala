@@ -30,10 +30,16 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
+    // min of 2 timed iterations per query: a one-off scheduler/GC hiccup
+    // on a shared box reads as a 3-5s regression on a sub-second query;
+    // the min is the reproducible cost of the plan
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
