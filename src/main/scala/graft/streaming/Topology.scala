@@ -35,8 +35,17 @@ case class TopicSpec(name: String, codec: String, startFrom: String,
                      partitionSelector: String = "",
                      schema: String = "")
 
+/** `configTopic` (YAML `config_topic`): name of a topic whose NEWEST
+  * record is merged over the static `config:` block and handed to this
+  * operator's factory — re-resolved per micro-batch in stream mode, once
+  * per run in batch mode. The Spark re-expression of the reference's
+  * per-event config join (`with_latest_from(config)`,
+  * reference makinage/sample/processor.py:9, makinage/serve/serve.py:131,
+  * Consul watch makinage/config.py:57-84) at micro-batch granularity
+  * (SURVEY.md §7.4.2). */
 case class OperatorSpec(name: String, factory: String,
-                        sources: Seq[String], sinks: Seq[String])
+                        sources: Seq[String], sinks: Seq[String],
+                        configTopic: String = "")
 
 /** YAML topology runner — the engine's `makinage --config app.yaml`
   * equivalent (reference makinage/makinage.py:66-135 + operator.py:162-279):
@@ -87,7 +96,8 @@ object Topology {
             .map(_.toString).toSeq,
           sinks = m.getOrElse("sinks", new java.util.ArrayList[Object]())
             .asInstanceOf[java.util.List[Object]].asScala
-            .map(_.toString).toSeq)
+            .map(_.toString).toSeq,
+          configTopic = m.getOrElse("config_topic", "").toString)
     }.toSeq
 
     Topology(topics, operators, asMap(root.getOrElse("config", null)))
@@ -225,13 +235,43 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     }
   }
 
+  /** Resolve an operator's dynamic config: the newest record of its
+    * config topic, flattened to a map and merged OVER the static
+    * `config:` block (dynamic wins). Config topics follow the model-topic
+    * publishing contract — newest = max(version, published_at)
+    * ([[ModelPublisher.publishToPath]]); a json-coded kafka config topic
+    * lands as a decoded `value` struct, whose fields are flattened. The
+    * read is a bounded 1-row side-input resolved on the driver — the
+    * per-micro-batch re-read is O(callers), never per event. */
+  def latestConfig(spark: SparkSession, topicName: String)
+      : Map[String, Any] =
+    latestRecord(spark, topicName).collect().headOption
+      .map { r =>
+        r.schema.fields.zipWithIndex.flatMap { case (f, i) =>
+          f.dataType match {
+            case s: org.apache.spark.sql.types.StructType
+                if f.name == "value" && !r.isNullAt(i) =>
+              val sub = r.getStruct(i)
+              s.fields.indices.map(j => s.fields(j).name -> sub.get(j))
+            case _ => Seq(f.name -> r.get(i))
+          }
+        }.toMap
+      }.getOrElse(Map.empty)
+
+  /** Effective config for one operator at resolution time. */
+  private def configFor(spark: SparkSession, op: OperatorSpec)
+      : Map[String, Any] =
+    if (op.configTopic.isEmpty) config
+    else config ++ latestConfig(spark, op.configTopic)
+
   private def wire(spark: SparkSession,
-                   source: TopicSpec => DataFrame)
+                   source: TopicSpec => DataFrame,
+                   ops: Seq[OperatorSpec])
       : Seq[(TopicSpec, DataFrame)] =
-    operators.flatMap { op =>
+    ops.flatMap { op =>
       val factory = Topology.loadFactory(op.factory)
       val sources = op.sources.map(n => source(topic(n)))
-      val outs = factory(config, sources)
+      val outs = factory(configFor(spark, op), sources)
       require(outs.size == op.sinks.size,
         s"operator ${op.name}: ${outs.size} outputs for " +
           s"${op.sinks.size} declared sinks")
@@ -239,45 +279,98 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     }
 
   /** Batch run: every sink topic is written as parquet under `outDir`
-    * (file-backed topics) — the unified batch path. Returns sink names. */
+    * (file-backed topics) — the unified batch path; config topics are
+    * resolved once at run start. Returns sink names. */
   def runBatch(spark: SparkSession, outDir: String): Seq[String] = {
-    wire(spark, batchSource(spark, _)).map { case (sinkTopic, df) =>
-      df.write.mode("overwrite").parquet(s"$outDir/${sinkTopic.name}")
-      sinkTopic.name
+    wire(spark, batchSource(spark, _), operators).map {
+      case (sinkTopic, df) =>
+        df.write.mode("overwrite").parquet(s"$outDir/${sinkTopic.name}")
+        sinkTopic.name
+    }
+  }
+
+  /** Kafka routing + producer-side codec shared by both sink paths:
+    * partition_selector routes sink records — the named column becomes
+    * the Kafka message key (keyed hashing picks the partition, the
+    * reference Topic's map_partition, makinage/operator.py:26-73) — and
+    * the topic codec encodes `value` (makinage/operator.py:244-251). */
+  private def frameForSink(df: DataFrame, sinkTopic: TopicSpec)
+      : DataFrame = {
+    val routed =
+      if (sinkTopic.partitionSelector.nonEmpty && sinkTopic.kind == "kafka")
+        df.withColumn("key", org.apache.spark.sql.functions
+          .col(sinkTopic.partitionSelector).cast("string").cast("binary"))
+      else df
+    if (sinkTopic.kind == "kafka") Topology.encodeFrame(routed, sinkTopic)
+    else routed
+  }
+
+  /** Bounded write of one micro-batch to a sink topic (the foreachBatch
+    * path used by dynamically-configured operators). */
+  private def writeBatchSink(df: DataFrame, sinkTopic: TopicSpec): Unit = {
+    val framed = frameForSink(df, sinkTopic)
+    sinkTopic.kind match {
+      case "kafka" => framed.write.format("kafka")
+        .option("kafka.bootstrap.servers", sinkTopic.endpoint)
+        .option("topic", sinkTopic.name)
+        .save()
+      case "parquet" =>
+        framed.write.mode("append").parquet(sinkTopic.path)
+      case other =>
+        throw new IllegalArgumentException(s"dynamic-op sink kind: $other")
     }
   }
 
   /** Stream run: each sink becomes a streaming query (kafka sink for kafka
-    * topics, parquet sink for file topics). Caller owns awaiting. */
+    * topics, parquet sink for file topics). Caller owns awaiting.
+    *
+    * Operators WITHOUT a config topic plan once and run fully
+    * incrementally. Operators WITH one run through foreachBatch: each
+    * micro-batch re-resolves the config topic's newest record and
+    * re-applies the factory to the batch — a factor published mid-stream
+    * is live in the next micro-batch, no restart (the reference's Consul
+    * watch → per-event config join, at batch granularity). */
   def runStream(spark: SparkSession, checkpointRoot: String)
       : Seq[StreamingQuery] = {
-    wire(spark, streamSource(spark, _)).map { case (sinkTopic, df) =>
-      // partition_selector routes sink records: the named column becomes
-      // the Kafka message key (keyed hashing picks the partition — the
-      // reference Topic's map_partition, makinage/operator.py:26-73)
-      val routed =
-        if (sinkTopic.partitionSelector.nonEmpty && sinkTopic.kind == "kafka")
-          df.withColumn("key", org.apache.spark.sql.functions
-            .col(sinkTopic.partitionSelector).cast("string").cast("binary"))
-        else df
-      // kafka sinks get the topic codec applied to `value` (producer-side
-      // encode, reference makinage/operator.py:244-251)
-      val framed =
-        if (sinkTopic.kind == "kafka") Topology.encodeFrame(routed, sinkTopic)
-        else routed
-      val w = framed.writeStream
-        .option("checkpointLocation",
-          s"$checkpointRoot/${sinkTopic.name}")
-      (sinkTopic.kind match {
-        case "kafka" => w.format("kafka")
-          .option("kafka.bootstrap.servers", sinkTopic.endpoint)
-          .option("topic", sinkTopic.name)
-        case "parquet" => w.format("parquet")
-          .option("path", sinkTopic.path)
-        case "memory" => w.format("memory").queryName(sinkTopic.name)
-        case other =>
-          throw new IllegalArgumentException(s"sink kind: $other")
-      }).start()
+    val (dynamic, static) = operators.partition(_.configTopic.nonEmpty)
+    val staticQueries =
+      wire(spark, streamSource(spark, _), static).map { case (sinkTopic, df) =>
+        val w = frameForSink(df, sinkTopic).writeStream
+          .option("checkpointLocation",
+            s"$checkpointRoot/${sinkTopic.name}")
+        (sinkTopic.kind match {
+          case "kafka" => w.format("kafka")
+            .option("kafka.bootstrap.servers", sinkTopic.endpoint)
+            .option("topic", sinkTopic.name)
+          case "parquet" => w.format("parquet")
+            .option("path", sinkTopic.path)
+          case "memory" => w.format("memory").queryName(sinkTopic.name)
+          case other =>
+            throw new IllegalArgumentException(s"sink kind: $other")
+        }).start()
+      }
+    val dynamicQueries = dynamic.map { op =>
+      // one streaming source drives the foreachBatch re-wire; multi-source
+      // dynamic operators would need per-batch alignment across sources —
+      // out of the micro-batch contract
+      require(op.sources.size == 1,
+        s"operator ${op.name}: config_topic needs exactly one source " +
+          s"(got ${op.sources.size})")
+      val factory = Topology.loadFactory(op.factory)
+      val sinkTopics = op.sinks.map(topic)
+      streamSource(spark, topic(op.sources.head)).writeStream
+        .option("checkpointLocation", s"$checkpointRoot/op_${op.name}")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val outs = factory(configFor(spark, op), Seq(batch))
+          require(outs.size == sinkTopics.size,
+            s"operator ${op.name}: ${outs.size} outputs for " +
+              s"${sinkTopics.size} declared sinks")
+          sinkTopics.zip(outs).foreach { case (st, out) =>
+            writeBatchSink(out, st)
+          }
+        }
+        .start()
     }
+    staticQueries ++ dynamicQueries
   }
 }

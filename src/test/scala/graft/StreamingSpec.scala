@@ -362,6 +362,53 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set("10", "14"))
     } finally queries.foreach(_.stop())
   }
+
+  test("topology: config_topic operator picks up a factor published " +
+    "mid-stream in the next micro-batch, without restart") {
+    val tmp = Files.createTempDirectory("topo_dyn").toString
+    Seq("5", "7").toDF("value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    // config topic follows the model-topic publishing contract:
+    // (version, published_at) pick the newest record
+    Seq((1L, 2)).toDF("version", "multiply")
+      .withColumn("published_at", current_timestamp())
+      .write.mode("append").parquet(s"$tmp/cfg")
+    val yaml =
+      s"""topics:
+         |  - name: values
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: mult_config
+         |    kind: parquet
+         |    path: $tmp/cfg
+         |  - name: dyn_out
+         |    kind: parquet
+         |    path: $tmp/out
+         |operators:
+         |  multiply:
+         |    factory: graft.streaming.ops.Multiply
+         |    sources: [values]
+         |    sinks: [dyn_out]
+         |    config_topic: mult_config
+         |config:
+         |  multiply: 1
+         |""".stripMargin
+    val queries = Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    try {
+      queries.foreach(_.processAllAvailable())
+      // hot-swap: publish factor 5, then append new source rows — the
+      // running query must score them with the NEW factor
+      Seq((2L, 5)).toDF("version", "multiply")
+        .withColumn("published_at", current_timestamp())
+        .write.mode("append").parquet(s"$tmp/cfg")
+      Seq("11").toDF("value")
+        .write.mode("append").parquet(s"$tmp/in")
+      queries.foreach(_.processAllAvailable())
+      val got = spark.read.parquet(s"$tmp/out").select("value")
+        .as[String].collect().toSet
+      assert(got == Set("10", "14", "55")) // 5*2, 7*2 (v1), 11*5 (v2)
+    } finally queries.foreach(_.stop())
+  }
 }
 
 /** Reflection-resolvable pre-transform for the serve dict-event test —
