@@ -65,6 +65,26 @@ object StreamOps {
         GroupStateTimeout.NoTimeout)(step)
   }
 
+  /** [[rollStream]] over an arbitrary-schema DataFrame: name the key /
+    * sequence / value columns and the projection into the typed state
+    * shape happens here — so YAML topologies run count windows on real
+    * topics (events, kafka frames) without hand-mapping to
+    * [[KeyedEvent]]. Count windows AGGREGATE by contract (the emitted
+    * row is the closed window's stats, reference rxsci roll+mean,
+    * README.rst:79-96), so non-key columns are consumed by the window,
+    * not carried — project-in is lossless for the operator's semantics.
+    * Key is coerced to string, sequence to long, value to double. */
+  def rollStreamRows(df: DataFrame, keyCol: String, seqCol: String,
+                     valueCol: String, window: Int, stride: Int)
+      : DataFrame = {
+    import df.sparkSession.implicits._
+    val typed = df.select(
+      col(keyCol).cast("string").as("key"),
+      col(seqCol).cast("long").as("seq"),
+      col(valueCol).cast("double").as("value")).as[KeyedEvent]
+    rollStream(typed, window, stride).toDF()
+  }
+
   /** Event-time tumbling/sliding window aggregate with watermark — the
     * streaming counterpart of q_tumbling_hour/q_sliding_hour; late rows
     * beyond `lateness` are dropped (the reference has no lateness policy at

@@ -1,0 +1,31 @@
+package graft.streaming.ops
+
+import org.apache.spark.sql.DataFrame
+
+import graft.streaming.{OperatorFactory, StreamOps}
+
+/** Count-window roll+mean as a topology factory (reference rxsci
+  * `rs.data.roll` + `rs.math.mean(reduce=True)` wired from YAML,
+  * reference README.rst:79-96): declare the key/sequence/value columns
+  * and window geometry in the `config:` block and point the operator at
+  * any topic — no typed hand-mapping.
+  *
+  * Config keys (flat, namespaced): `roll_key`, `roll_seq`, `roll_value`,
+  * `roll_window`, `roll_stride` (stride defaults to the window —
+  * tumbling). Works on a stream source (stateful
+  * flatMapGroupsWithState engine) and composes with `config_topic`
+  * dynamic reconfiguration like any other factory. */
+object Roll extends OperatorFactory {
+  def apply(config: Map[String, Any], sources: Seq[DataFrame])
+      : Seq[DataFrame] = {
+    def str(k: String, default: String) =
+      config.getOrElse(k, default).toString
+    val window = str("roll_window", "2").toInt
+    val stride = str("roll_stride", window.toString).toInt
+    Seq(StreamOps.rollStreamRows(sources.head,
+      keyCol = str("roll_key", "key"),
+      seqCol = str("roll_seq", "seq"),
+      valueCol = str("roll_value", "value"),
+      window = window, stride = stride))
+  }
+}

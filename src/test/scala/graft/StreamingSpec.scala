@@ -363,6 +363,43 @@ class StreamingSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  test("topology: count-window roll runs on the raw events schema from " +
+    "YAML — no hand-mapping to the typed state shape") {
+    val tmp = Files.createTempDirectory("topo_roll").toString
+    // events-shaped topic: (user_id, event_id, value)
+    Seq((7L, 0L, 1.0), (7L, 1L, 3.0), (7L, 2L, 5.0), (7L, 3L, 7.0),
+        (9L, 0L, 10.0), (9L, 1L, 20.0), (9L, 2L, 99.0)) // 99: partial win
+      .toDF("user_id", "event_id", "value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: events
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: roll_sink
+         |    kind: memory
+         |operators:
+         |  roll:
+         |    factory: graft.streaming.ops.Roll
+         |    sources: [events]
+         |    sinks: [roll_sink]
+         |config:
+         |  roll_key: user_id
+         |  roll_seq: event_id
+         |  roll_value: value
+         |  roll_window: 2
+         |""".stripMargin
+    val queries = Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    try {
+      queries.foreach(_.processAllAvailable())
+      val got = spark.table("roll_sink")
+        .select("key", "window_id", "mean")
+        .as[(String, Long, Double)].collect().toSet
+      // tumbling pairs per key; trailing partial (9's event 2) dropped
+      assert(got == Set(("7", 0L, 2.0), ("7", 1L, 6.0), ("9", 0L, 15.0)))
+    } finally queries.foreach(_.stop())
+  }
+
   test("topology: config_topic operator picks up a factor published " +
     "mid-stream in the next micro-batch, without restart") {
     val tmp = Files.createTempDirectory("topo_dyn").toString
