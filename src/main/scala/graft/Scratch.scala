@@ -8,12 +8,17 @@ object Scratch {
     val sfDir = args(0)
     val name = args(1)
     val n = if (args.length > 2) args(2).toInt else 3
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc conf overrides: SPARK_GRAFT_CONF="k1=v1,k2=v2"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()

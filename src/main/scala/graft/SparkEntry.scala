@@ -673,6 +673,35 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Gopher-style repetition quality signals — relational two-level
+    // aggregate (map-side combined), exactly reproducible by the oracle
+    "q_repetition" -> ((s, dir) =>
+      graft.llm.TextStats.repetition(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // benchmark decontamination: docs sharing >=3 distinct 3-gram
+    // shingles with the (broadcast) benchmark slice; 8-byte shingle
+    // hashes both sides — results match the oracle's exact string
+    // shingles up to ~2^-64 collision odds
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", shingleSize = 3, minShared = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // keyed take-n: bounded TopKCollect aggregation (no window shuffle
+    // of the full table) — oracle proves parity with row_number ranking
+    "q_top_per_key" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        Ops.takeOrderedByKey(3, col("event_id"), col("value"),
+          Seq(col("event_type")), as = ("event_id", "value")) >>
+        (_.orderBy("event_type", "rank"))),
+
     // ===== north-star: similarity search =================================
 
     "q_simsearch_topk" -> ((s, dir) => {
@@ -909,6 +938,44 @@ object SparkEntry {
         """SELECT c_nationkey AS nk FROM customer
           |EXCEPT
           |SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+
+      "q_repetition" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+           |cnt AS (
+           |  SELECT doc_id, t, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+           |  GROUP BY 1, 2)
+           |SELECT doc_id,
+           |       CAST(sum(c) AS BIGINT) AS n_tokens,
+           |       count(*) AS n_distinct,
+           |       CAST(max(c) AS BIGINT) AS top_freq,
+           |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+           |         AS rep_ratio,
+           |       CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+           |         AS distinct_ratio
+           |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_contamination" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+           |sets AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(1, greatest(len(ts) - 2, 0)),
+           |    i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+           |  FROM toks WHERE len(ts) >= 3),
+           |e AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+           |b AS (SELECT DISTINCT s FROM e WHERE doc_id % 17 = 0)
+           |SELECT e.doc_id, count(*) AS n_shared
+           |FROM e JOIN b USING (s)
+           |WHERE e.doc_id % 17 <> 0
+           |GROUP BY 1 HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin,
+
+      "q_top_per_key" ->
+        """SELECT event_type, event_id, value, rank FROM (
+          |  SELECT event_type, event_id, value,
+          |         row_number() OVER (PARTITION BY event_type
+          |           ORDER BY value DESC, event_id) AS rank
+          |  FROM events)
+          |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
 
       "q_window_rank" ->
         """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

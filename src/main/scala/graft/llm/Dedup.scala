@@ -362,6 +362,41 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination check — the training-data op that flags
+    * documents overlapping an evaluation set (n-gram contamination, the
+    * standard pre-training hygiene step): a document is contaminated when
+    * it shares ≥ `minShared` distinct `shingleSize`-gram shingles with
+    * ANY benchmark document.
+    *
+    * Scale shape: both sides reduce to 8-byte shingle hashes
+    * ([[shingleHashes]] — strings never shuffle); the benchmark's
+    * distinct-shingle set is tiny next to a 100 TB corpus (eval suites
+    * are MBs), so the join is hash-broadcast, making the whole check one
+    * map-side pass over the corpus + a partial-aggregated count. Output:
+    * (id, n_shared) for contaminated docs — anti-join it back to drop
+    * them. Results match an exact string-shingle engine up to the ~2^-64
+    * hash-collision odds (the [[ngramJaccardPairs]] rule). */
+  def contamination(docs: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, shingleSize: Int = 3,
+                    minShared: Long = 1): DataFrame = {
+    require(minShared > 0, s"minShared must be positive: $minShared")
+    // staged projections: tokens materialized before the shingle kernel
+    // (the lambda-inlining rule, see Text.shinglesFromTokens)
+    val d = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__t"))
+      .select(col("id"),
+        explode(shingleHashes(col("__t"), shingleSize)).as("s"))
+    val b = broadcast(bench
+      .select(Text.tokens(col(textCol)).as("__t"))
+      .select(explode(shingleHashes(col("__t"), shingleSize)).as("s"))
+      .distinct())
+    d.join(b, "s")
+      // shingleHashes is distinct per doc, so this counts DISTINCT
+      // shared shingles without a distinct pass
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Embedding near-dup pairs: random-hyperplane LSH buckets → exact cosine
     * verify within buckets. `nBits` trades recall (more probes) vs bucket
     * size; at 100 TB run multiple independent tables (seeds) and union. */

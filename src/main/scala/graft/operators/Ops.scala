@@ -77,6 +77,25 @@ object Ops {
       .drop("__rn")
   }
 
+  /** Per-key `take(n)` under an explicit order — the keyed form of
+    * [[take]] (rxsci `rs.ops.group_by` + `take` pipelines): the n best
+    * rows per key by (score desc, id asc). Engine: the bounded
+    * [[graft.functions.TopKCollect]] aggregator, so map-side partials
+    * carry ≤n rows per (partition, key) into the exchange — the
+    * row_number-window formulation shuffles EVERY row to |keys|
+    * reducers first. Ids must be integral (returned as long, the
+    * engine-wide shuffle-key rule); output: keys, id, score, rank. */
+  def takeOrderedByKey(n: Int, idCol: Column, scoreCol: Column,
+                       keys: Seq[Column],
+                       as: (String, String) = ("id", "score")): Op = { df =>
+    df.groupBy(keys: _*)
+      .agg(graft.functions.TopKCollect.topk(n)(
+        idCol.cast("long"), scoreCol.cast("double")).as("__tk"))
+      .select(keys :+ posexplode(col("__tk")): _*)
+      .select(keys ++ Seq(col("col._1").as(as._1),
+        col("col._2").as(as._2), (col("pos") + 1).as("rank")): _*)
+  }
+
   /** rxsci `start_with`: prepend literal rows (schema-aligned union). */
   def startWith(rows: DataFrame): Op =
     df => rows.unionByName(df)

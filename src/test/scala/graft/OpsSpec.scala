@@ -149,6 +149,20 @@ class OpsSpec extends SparkSpec {
     assert(s1 == s32) // bitwise equal, not approx
   }
 
+  test("takeOrderedByKey keeps the n best per key with dense ranks") {
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 9.0), ("a", 4L, 1.0),
+      ("b", 7L, 2.0))
+      .toDF("k", "id", "v").repartition(3)
+    val got = (df >> Ops.takeOrderedByKey(2, col("id"), col("v"),
+        Seq(col("k"))))
+      .select("k", "id", "score", "rank")
+      .as[(String, Long, Double, Int)].collect().toSet
+    // score desc, ties to smaller id
+    assert(got == Set(("a", 2L, 9.0, 1), ("a", 3L, 9.0, 2),
+      ("b", 7L, 2.0, 1)))
+  }
+
   test("histogram buckets clamp to range") {
     val df = Seq(-5.0, 0.0, 5.0, 95.0, 200.0).toDF("v")
     val got = df >> MathOps.histogram(col("v"), 0, 100, 10)

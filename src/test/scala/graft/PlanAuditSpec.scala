@@ -92,6 +92,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Scan parquet"), p)
   }
 
+  test("contamination broadcasts the benchmark shingle set — the corpus " +
+    "side is one map pass, never a sort-merge shuffle") {
+    val p = planStr("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("banded dedup queries shuffle band keys, never signature arrays") {
     // the Exchange feeding bucket collection must carry (id, bkey) only
     val p = planStr("q_embed_neardup_lsh")

@@ -243,6 +243,46 @@ class TextDedupSpec extends SparkSpec {
     assert(r("abcd")._2 == expect("abcd") && r("xy")._2 == expect("xy"))
   }
 
+  test("contamination flags docs sharing >= minShared shingles with the " +
+    "benchmark; disjoint docs pass clean") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // = bench doc
+      (2L, "the quick brown fox went home early today now"), // partial
+      (3L, "completely different words about nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contamination(docs, bench, "doc_id", "text",
+      shingleSize = 3, minShared = 2)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares all 7 distinct 3-shingles; doc 2 shares exactly
+    // "the quick brown" and "quick brown fox"; doc 3 shares none
+    assert(got(1L) == 7L)
+    assert(got(2L) == 2L)
+    assert(!got.contains(3L))
+    // tighter threshold drops doc 2
+    val strict = Dedup.contamination(docs, bench, "doc_id", "text",
+      shingleSize = 3, minShared = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(strict.keySet == Set(1L))
+  }
+
+  test("repetition stats: modal token frequency and distinct ratio") {
+    val docs = Seq(
+      (1L, "a a a b"), // top=3/4, distinct=2/4
+      (2L, "x y z"), // no repetition
+      (3L, " ")) // no tokens -> no row
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextStats.repetition(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_distinct", "top_freq", "rep_ratio")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((4L, 2L, 3L, 0.75)))
+    assert(got(2L) == ((3L, 3L, 1L, 1.0 / 3)))
+    assert(!got.contains(3L))
+  }
+
   test("kafka frame: encode to (key,value,partition), decode back") {
     val df = Seq((1L, "payload")).toDF("id", "body")
     val sc = Codecs.StringCodec()
