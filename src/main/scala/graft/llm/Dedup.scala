@@ -293,14 +293,38 @@ object Dedup {
     * MapReduce and Beyond", SOCC'14 — label propagation is the
     * low-diameter special case that needs no re-rooting).
     *
-    * Output: (id, component) with component = min node id reachable. */
+    * Output: (id, component) with component = min node id reachable.
+    *
+    * Hybrid engine: near-dup PAIR lists are orders of magnitude smaller
+    * than the corpus (only matched docs appear), so when the deduped
+    * symmetric edge list fits under `driverEdgeCap` (default 4M edges =
+    * 64 MB of longs) the components are resolved by a single-pass
+    * union-find on the driver — O(E α(E)), no per-round jobs — and
+    * handed back as one small frame. Beyond the cap, the distributed
+    * label-propagation loop runs unchanged; both paths produce
+    * identical labels (test-pinned). The cap is an explicit argument:
+    * set it to 0 to force the distributed path. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-                 maxIters: Int = 25): DataFrame = {
+                 maxIters: Int = 25,
+                 driverEdgeCap: Long = 4000000L): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    // the count both sizes the engine choice and materializes the cache
+    // every later step reads — never a wasted action
+    val nEdges = sym.count()
+    if (nEdges <= driverEdgeCap) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      // <= keeps self-loop nodes registered (they label themselves)
+      val halfEdges = sym.filter(col("src") <= col("dst"))
+        .as[(Long, Long)].collect()
+      sym.unpersist()
+      return spark.createDataset(unionFind(halfEdges))
+        .toDF("id", "component")
+    }
     val base = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
     var labels: DataFrame = base
@@ -343,6 +367,33 @@ object Dedup {
       carried.unpersist()
       result
     } else out
+  }
+
+  /** Driver union-find (path compression + union-to-min-root): the
+    * small-graph engine behind [[components]]. Roots are always the
+    * minimum id of their set, so labels match min-label propagation
+    * exactly. */
+  private def unionFind(edges: Array[(Long, Long)])
+      : Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) {
+        val next = parent(c); parent(c) = r; c = next
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { // min id becomes the root = the component label
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.sorted.map(id => id -> find(id))
   }
 
   /** Drop near-duplicates given a PAIR list: resolve [[components]] and

@@ -199,12 +199,33 @@ class TextDedupSpec extends SparkSpec {
       (11L, 10L), (11L, 12L), (13L, 12L), (13L, 14L),
       (21L, 20L), (22L, 20L), (23L, 20L),
       (31L, 30L)).toDF("id_a", "id_b")
-    val comp = Dedup.components(pairs, "id_a", "id_b")
-      .as[(Long, Long)].collect().toMap
-    assert((10L to 14L).forall(comp(_) == 10L))
-    assert((20L to 23L).forall(comp(_) == 20L))
-    assert(Seq(30L, 31L).forall(comp(_) == 30L))
-    assert(comp.size == 11)
+    // both engines: driver union-find (default small-graph path) and
+    // distributed label propagation (cap 0 forces it) must agree exactly
+    for (cap <- Seq(4000000L, 0L)) {
+      val comp = Dedup.components(pairs, "id_a", "id_b",
+        driverEdgeCap = cap)
+        .as[(Long, Long)].collect().toMap
+      assert((10L to 14L).forall(comp(_) == 10L), s"cap=$cap")
+      assert((20L to 23L).forall(comp(_) == 20L), s"cap=$cap")
+      assert(Seq(30L, 31L).forall(comp(_) == 30L), s"cap=$cap")
+      assert(comp.size == 11, s"cap=$cap")
+    }
+  }
+
+  test("components engines agree on a randomized graph (union-find vs " +
+    "label propagation)") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong,
+      rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("id_a", "id_b")
+    val fast = Dedup.components(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val dist = Dedup.components(pairs, "id_a", "id_b", driverEdgeCap = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(fast == dist)
+    assert(fast.nonEmpty)
   }
 
   test("dropNearDuplicates keeps one representative per component and " +
