@@ -702,6 +702,15 @@ object SparkEntry {
           Seq(col("event_type")), as = ("event_id", "value")) >>
         (_.orderBy("event_type", "rank"))),
 
+    // training-sequence packing: shard-parallel concat-then-chunk — the
+    // running token total is a per-shard window sum (shards are the
+    // parallelism unit at cluster scale), Lehmer sharding is
+    // engine-portable so the oracle reproduces it exactly
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.llm.Packing.pack(t(s, dir, "documents"), "doc_id", "n_chars",
+        budget = 4096, shards = 8)
+        .orderBy("doc_id")),
+
     // ===== north-star: similarity search =================================
 
     "q_simsearch_topk" -> ((s, dir) => {
@@ -968,6 +977,22 @@ object SparkEntry {
            |FROM e JOIN b USING (s)
            |WHERE e.doc_id % 17 <> 0
            |GROUP BY 1 HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin,
+
+      "q_pack_sequences" ->
+        """WITH sh AS (
+          |  SELECT doc_id, n_chars AS cost,
+          |         (((doc_id % 2147483647) * 48271) % 2147483647) % 8
+          |           AS shard
+          |  FROM documents),
+          |cum AS (
+          |  SELECT doc_id, cost, shard,
+          |         CAST(sum(cost) OVER (PARTITION BY shard
+          |           ORDER BY doc_id) - cost AS BIGINT) AS s
+          |  FROM sh)
+          |SELECT doc_id, cost, shard,
+          |       CAST(floor(s / 4096) AS BIGINT) AS seq_id,
+          |       s % 4096 AS seq_offset
+          |FROM cum ORDER BY doc_id""".stripMargin,
 
       "q_top_per_key" ->
         """SELECT event_type, event_id, value, rank FROM (

@@ -33,5 +33,23 @@ class DistogramSpec extends SparkSpec {
     assert(sk.bins.length <= 16)
   }
 
+  test("merge-under-shuffle property: count exact and quantiles stable " +
+    "across partition layouts (1, 4, 16, 64)") {
+    val n = 20000
+    val base = spark.range(n).map(i => ((i * 37) % 1000).toDouble)
+    val exactMedian = 499.0 // values 0..999 near-uniform
+    val sketches = Seq(1, 4, 16, 64).map { p =>
+      base.repartition(p).select(
+        udaf(Distogram.sketch(32), Encoders.scalaDouble)
+          .apply(col("value")).as("s"))
+        .select(col("s.*")).as[Distogram.Sketch].collect().head
+    }
+    sketches.foreach { sk =>
+      assert(sk.count == n) // merges never lose mass, any layout
+      assert(math.abs(sk.quantile(0.5) - exactMedian) < 25.0)
+      assert(sk.bins.length <= 32)
+    }
+  }
+
   private def Encoders = org.apache.spark.sql.Encoders
 }

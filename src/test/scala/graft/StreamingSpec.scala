@@ -363,6 +363,39 @@ class StreamingSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  test("rollStream state survives a checkpointed restart — window ids " +
+    "continue, they don't reset") {
+    val tmp = Files.createTempDirectory("roll_restart").toString
+    Seq(("u", 0L, 1.0), ("u", 1L, 3.0), ("u", 2L, 5.0), ("u", 3L, 7.0))
+      .toDF("key", "seq", "value")
+      .write.mode("append").parquet(s"$tmp/in")
+    def start() = {
+      val src = spark.readStream
+        .schema("key string, seq long, value double")
+        .parquet(s"$tmp/in")
+      StreamOps.rollStreamRows(src, "key", "seq", "value",
+        window = 2, stride = 2)
+        .writeStream.format("parquet") // memory sink can't recover
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+    }
+    def sink() = spark.read.parquet(s"$tmp/out")
+      .select("window_id", "sum").as[(Long, Double)].collect().toSeq
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(sink().toSet == Set((0L, 4.0), (1L, 12.0)))
+    // new data lands while the query is DOWN; the restarted query must
+    // resume from per-key state (nextIdx=4), not re-open window 0
+    Seq(("u", 4L, 9.0), ("u", 5L, 11.0)).toDF("key", "seq", "value")
+      .write.mode("append").parquet(s"$tmp/in")
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val all = sink()
+    assert(all.size == 3, all) // windows 0,1 NOT re-emitted
+    assert(all.toSet == Set((0L, 4.0), (1L, 12.0), (2L, 20.0)))
+  }
+
   test("topology: count-window roll runs on the raw events schema from " +
     "YAML — no hand-mapping to the typed state shape") {
     val tmp = Files.createTempDirectory("topo_roll").toString

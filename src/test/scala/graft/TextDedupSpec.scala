@@ -304,6 +304,21 @@ class TextDedupSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("sequence packing: docs straddle budget cuts, offsets track the " +
+    "concat stream") {
+    val docs = Seq((1L, 1000L), (2L, 2000L), (3L, 1500L), (4L, 3000L))
+      .toDF("doc_id", "n")
+    val got = graft.llm.Packing.pack(docs, "doc_id", "n",
+      budget = 2048, shards = 1)
+      .select("doc_id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // concat stream: starts at 0, 1000, 3000, 4500 with budget cuts at
+    // 2048, 4096, ... — doc 2 straddles the first cut but is assigned to
+    // the sequence it STARTS in
+    assert(got == Seq((1L, 0L, 0L), (2L, 0L, 1000L),
+      (3L, 1L, 952L), (4L, 2L, 404L)))
+  }
+
   test("kafka frame: encode to (key,value,partition), decode back") {
     val df = Seq((1L, "payload")).toDF("id", "body")
     val sc = Codecs.StringCodec()
