@@ -474,6 +474,30 @@ object SparkEntry {
                 "ewma" -> col("ewma")) >>
         (_.orderBy("user_id", "event_id"))),
 
+    // exact Pearson correlation from decimal moments — order-independent
+    // accumulation, one fixed double-op sequence (engine-portable)
+    "q_corr" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(MathOps.exactCorr(col("value"), col("user_id"),
+          xScale = 2, yScale = 0).as("corr_vu"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // trailing 30-min per-user rolling features (RANGE frame on epoch
+    // seconds, keyed WindowExec — parallel across users)
+    "q_rolling_time" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        Ops.filter(col("user_id") < 30) >>
+        (df => df.withColumn("ts_sec", col("ts").cast("long"))) >>
+        MathOps.trailingTimeAgg(col("value"), col("ts_sec"), 1800,
+          Seq(col("user_id"))) >>
+        Ops.map("user_id" -> col("user_id"),
+          "event_id" -> col("event_id"),
+          "trailing_sum" -> col("trailing_sum"),
+          "trailing_n" -> col("trailing_n")) >>
+        (_.orderBy("user_id", "event_id"))),
+
     // salted two-phase aggregation — identical result to direct groupBy,
     // skew-resistant shuffle shape (oracle proves the equivalence)
     "q_salted_agg" -> ((s, dir) =>
@@ -977,6 +1001,43 @@ object SparkEntry {
            |FROM e JOIN b USING (s)
            |WHERE e.doc_id % 17 <> 0
            |GROUP BY 1 HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin,
+
+      // exact correlation: decimal moments on both sides, then the SAME
+      // double formula text — bit-identical (exactVarSamp's rule)
+      "q_corr" ->
+        """WITH m AS (
+          |  SELECT event_type,
+          |         CAST(count(value) AS DOUBLE) AS nn,
+          |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          |         CAST(sum(CAST(user_id AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+          |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+          |           * CAST(user_id AS DECIMAL(18,0)) AS DECIMAL(38,2)))
+          |           AS DOUBLE) AS sxy,
+          |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+          |           * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+          |           AS DOUBLE) AS sxx,
+          |         CAST(sum(CAST(CAST(user_id AS DECIMAL(18,0))
+          |           * CAST(user_id AS DECIMAL(18,0)) AS DECIMAL(38,0)))
+          |           AS DOUBLE) AS syy,
+          |         count(*) AS cnt
+          |  FROM events GROUP BY event_type)
+          |SELECT event_type,
+          |       (nn * sxy - sx * sy)
+          |         / sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy))
+          |         AS corr_vu,
+          |       cnt AS n
+          |FROM m ORDER BY event_type""".stripMargin,
+
+      "q_rolling_time" ->
+        """SELECT user_id, event_id,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+          |         AS trailing_sum,
+          |       count(value) OVER w AS trailing_n
+          |FROM events WHERE user_id < 30
+          |WINDOW w AS (PARTITION BY user_id
+          |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+          |  RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, event_id""".stripMargin,
 
       "q_pack_sequences" ->
         """WITH sh AS (

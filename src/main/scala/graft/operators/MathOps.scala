@@ -43,6 +43,50 @@ object MathOps {
   def exactStddevSamp(c: Column, scale: Int = 2): Column =
     sqrt(exactVarSamp(c, scale))
 
+  /** Exact Pearson correlation from decimal moments: every accumulation
+    * (Σx, Σy, Σxy, Σx², Σy²) is exact in decimal space
+    * (order-independent under partial aggregation), combined with ONE
+    * fixed sequence of double ops — so any engine computing the same
+    * formula text matches bit-for-bit (the [[exactVarSamp]] rule,
+    * extended to two variables). Scales are per-column (a 2-decimal
+    * measure against an integral key uses (2, 0)). */
+  def exactCorr(x: Column, y: Column, xScale: Int = 2, yScale: Int = 2)
+      : Column = {
+    val dx = x.cast(s"decimal(18,$xScale)")
+    val dy = y.cast(s"decimal(18,$yScale)")
+    val n = count(x).cast("double")
+    val sx = sum(dx).cast("double")
+    val sy = sum(dy).cast("double")
+    val sxy = sum((dx * dy).cast(s"decimal(38,${xScale + yScale})"))
+      .cast("double")
+    val sxx = sum((dx * dx).cast(s"decimal(38,${2 * xScale})"))
+      .cast("double")
+    val syy = sum((dy * dy).cast(s"decimal(38,${2 * yScale})"))
+      .cast("double")
+    (n * sxy - sx * sy) /
+      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+  }
+
+  /** Trailing time-range aggregate per key: sum/count over the last
+    * `seconds` of event time, emitted per event (RANGE frame on an
+    * epoch-seconds order key — ties are frame peers in every engine, so
+    * results are layout-independent). WindowExec partitions by key:
+    * parallel across keys, sequential only within one key's timeline —
+    * the correct shape for per-entity rolling features at cluster scale
+    * (an unkeyed global rolling window would be one partition; don't).
+    * Decimal-exact sum ([[exactSum]] rule) converted to double once. */
+  def trailingTimeAgg(valueCol: Column, epochSec: Column, seconds: Long,
+                      keys: Seq[Column]): Op = { df =>
+    require(keys.nonEmpty,
+      "trailingTimeAgg needs partition keys (a global rolling window " +
+        "is a single-partition sort at scale)")
+    val w = Window.partitionBy(keys: _*).orderBy(epochSec)
+      .rangeBetween(-seconds, 0)
+    df.withColumn("trailing_sum",
+        sum(valueCol.cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("trailing_n", count(valueCol).over(w))
+  }
+
   /** `rs.math.mean(reduce=True)` over [[DataOps.roll]] windows: aggregate per
     * window_id (+ partition keys), emitting once per window close. */
   def mean(valueCol: Column, keys: Seq[Column] = Nil): Op = { df =>
