@@ -14,9 +14,12 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // ad-hoc conf overrides: SPARK_GRAFT_CONF="k1=v1,k2=v2"
+    // (comma-free values only; malformed entries are skipped)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k, v)
+        case _ => ()
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -26,9 +26,15 @@ object TopKCollect {
   private type Item = (Long, Double) // (id, score)
 
   /** Ranking order: score descending, ties to the smaller id — matches
-    * `orderBy(col("cosine").desc, col("nbr_id"))`. */
-  private def beats(a: Item, b: Item): Boolean =
-    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+    * `orderBy(col("cosine").desc, col("nbr_id"))`. Total order even for
+    * NaN scores (ranked greatest, Spark's sort semantics — a bare `>`
+    * is never true for NaN, which would make insert and merge disagree
+    * and the result partition-layout dependent) and for ±0.0
+    * (normalized equal before the compare). */
+  private def beats(a: Item, b: Item): Boolean = {
+    val c = java.lang.Double.compare(a._2 + 0.0, b._2 + 0.0)
+    c > 0 || (c == 0 && a._1 < b._1)
+  }
 
   /** Insert into a best-first sorted list, keeping at most k elements. */
   private def insert(b: List[Item], a: Item, k: Int): List[Item] =

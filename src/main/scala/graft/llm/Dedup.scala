@@ -297,16 +297,19 @@ object Dedup {
     *
     * Hybrid engine: near-dup PAIR lists are orders of magnitude smaller
     * than the corpus (only matched docs appear), so when the deduped
-    * symmetric edge list fits under `driverEdgeCap` (default 4M edges =
-    * 64 MB of longs) the components are resolved by a single-pass
+    * symmetric edge list fits under `driverEdgeCap` (default 1M edges;
+    * budget ~150-250 MB of transient driver heap at the cap — specialized
+    * edge tuples ~32 B each plus a LongMap of up to 2M parent entries
+    * with boxed values) the components are resolved by a single-pass
     * union-find on the driver — O(E α(E)), no per-round jobs — and
     * handed back as one small frame. Beyond the cap, the distributed
     * label-propagation loop runs unchanged; both paths produce
     * identical labels (test-pinned). The cap is an explicit argument:
-    * set it to 0 to force the distributed path. */
+    * set it to 0 to force the distributed path, or raise it with the
+    * driver's heap. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIters: Int = 25,
-                 driverEdgeCap: Long = 4000000L): DataFrame = {
+                 driverEdgeCap: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     val sym = edges.unionByName(
@@ -375,7 +378,8 @@ object Dedup {
     * exactly. */
   private def unionFind(edges: Array[(Long, Long)])
       : Seq[(Long, Long)] = {
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    // LongMap: open-addressed primitive keys — no per-entry node objects
+    val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
@@ -416,8 +420,11 @@ object Dedup {
   /** Benchmark decontamination check — the training-data op that flags
     * documents overlapping an evaluation set (n-gram contamination, the
     * standard pre-training hygiene step): a document is contaminated when
-    * it shares ≥ `minShared` distinct `shingleSize`-gram shingles with
-    * ANY benchmark document.
+    * ≥ `minShared` of its distinct `shingleSize`-gram shingles appear in
+    * the benchmark set's POOLED shingle union (overlap is counted against
+    * the set as a whole, not per benchmark document — the usual
+    * decontamination formulation; per-doc attribution would need a
+    * per-(doc, bench-doc) count instead of the single broadcast set).
     *
     * Scale shape: both sides reduce to 8-byte shingle hashes
     * ([[shingleHashes]] — strings never shuffle); the benchmark's

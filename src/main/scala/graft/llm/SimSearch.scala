@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TopKCollect, Vectors}
+import graft.functions.Vectors
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY.md §2.6). Two paths:
@@ -27,14 +27,11 @@ object SimSearch {
     * where the previous `row_number() over (partition by query_id)`
     * formulation shuffled every scored candidate to |queries| hot
     * reducers. Ids must be integral (ranked as longs, the engine-wide
-    * shuffle-key rule); order: cosine desc, ties to smaller nbr_id. */
+    * shuffle-key rule); order: cosine desc, ties to smaller nbr_id.
+    * Thin facade over the general keyed take-n operator. */
   private[llm] def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy("query_id")
-      .agg(TopKCollect.topk(k)(
-        col("nbr_id").cast("long"), col("cosine")).as("__tk"))
-      .select(col("query_id"), posexplode(col("__tk")))
-      .select(col("query_id"), col("col._1").as("nbr_id"),
-        col("col._2").as("cosine"), (col("pos") + 1).as("rank"))
+    graft.operators.Ops.takeOrderedByKey(k, col("nbr_id"), col("cosine"),
+      Seq(col("query_id")), as = ("nbr_id", "cosine"))(scored)
 
   /** Exact top-k by cosine for each query row. `queries` must be small
     * (broadcast); output: (query id, neighbor id, cosine, rank).

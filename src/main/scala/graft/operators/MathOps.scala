@@ -131,15 +131,31 @@ object MathOps {
                keys: Seq[Column], as: String = "ewma"): Op =
     ewmaFold(valueCol, order, alpha, keys, as, perEvent = true)
 
-  /** Final EWMA per key — see [[ewmaScan]] for the engine. Output is
-    * pruned to (keys, order columns, value, ewma): the sequential fold
-    * re-encodes every carried column per row, so the final-per-key form
-    * ships only what it answers with (the per-event [[ewmaScan]] keeps
-    * the full row — its contract is "the input row plus ewma"). */
+  /** True iff the column is a bare attribute reference (safe to re-select
+    * and re-resolve by name downstream). */
+  private def isAttr(c: Column): Boolean =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c) match {
+      case _: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        true
+      case _: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        true
+      case _ => false
+    }
+
+  /** Final EWMA per key — see [[ewmaScan]] for the engine. When every
+    * argument is a plain column, output is pruned to (keys, order
+    * columns, value, ewma): the sequential fold re-encodes every carried
+    * column per row, so the final-per-key form ships only what it
+    * answers with (the per-event [[ewmaScan]] keeps the full row — its
+    * contract is "the input row plus ewma"). Expression-valued arguments
+    * skip the pruning (re-selecting an expression would strip the
+    * attributes it references). */
   def ewmaByKey(valueCol: Column, ts: Column, alpha: Double,
                 keys: Seq[Column]): Op = { df =>
-    val slim = df.select(
-      (keys :+ ts :+ valueCol).distinctBy(_.toString): _*)
+    val args = keys :+ ts :+ valueCol
+    val slim =
+      if (args.forall(isAttr)) df.select(args.distinctBy(_.toString): _*)
+      else df
     // ties in ts fold in value order, preserving the semantics of the
     // sorted-struct formulation this replaced
     ewmaFold(valueCol, Seq(ts, valueCol), alpha, keys, "ewma",

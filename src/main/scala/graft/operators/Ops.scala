@@ -84,11 +84,15 @@ object Ops {
     * carry ≤n rows per (partition, key) into the exchange — the
     * row_number-window formulation shuffles EVERY row to |keys|
     * reducers first. Ids must be integral (returned as long, the
-    * engine-wide shuffle-key rule); output: keys, id, score, rank. */
+    * engine-wide shuffle-key rule); output: keys, id, score, rank.
+    * NULL policy: rows with a null id or score are dropped before
+    * ranking — a null can't hold a top-k slot (the window formulation
+    * sorted them last, where k real rows displaced them anyway). */
   def takeOrderedByKey(n: Int, idCol: Column, scoreCol: Column,
                        keys: Seq[Column],
                        as: (String, String) = ("id", "score")): Op = { df =>
-    df.groupBy(keys: _*)
+    df.filter(idCol.isNotNull && scoreCol.isNotNull)
+      .groupBy(keys: _*)
       .agg(graft.functions.TopKCollect.topk(n)(
         idCol.cast("long"), scoreCol.cast("double")).as("__tk"))
       .select(keys :+ posexplode(col("__tk")): _*)

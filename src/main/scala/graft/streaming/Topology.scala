@@ -239,23 +239,31 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     * config topic, flattened to a map and merged OVER the static
     * `config:` block (dynamic wins). Config topics follow the model-topic
     * publishing contract — newest = max(version, published_at)
-    * ([[ModelPublisher.publishToPath]]); a json-coded kafka config topic
-    * lands as a decoded `value` struct, whose fields are flattened. The
-    * read is a bounded 1-row side-input resolved on the driver — the
-    * per-micro-batch re-read is O(callers), never per event. */
+    * ([[ModelPublisher.publishToPath]]). A kafka config record
+    * contributes ONLY its decoded `value` (struct fields flattened,
+    * scalar under "value") — the frame's transport metadata
+    * (key/topic/partition/offset/timestamp) must not shadow same-named
+    * static config keys. File-backed config topics contribute every
+    * column. The read is a bounded 1-row side-input resolved on the
+    * driver — the per-micro-batch re-read is O(callers), never per
+    * event. */
   def latestConfig(spark: SparkSession, topicName: String)
       : Map[String, Any] =
     latestRecord(spark, topicName).collect().headOption
       .map { r =>
-        r.schema.fields.zipWithIndex.flatMap { case (f, i) =>
-          f.dataType match {
-            case s: org.apache.spark.sql.types.StructType
-                if f.name == "value" && !r.isNullAt(i) =>
-              val sub = r.getStruct(i)
-              s.fields.indices.map(j => s.fields(j).name -> sub.get(j))
-            case _ => Seq(f.name -> r.get(i))
-          }
-        }.toMap
+        val fields = r.schema.fields.zipWithIndex
+        def flat(f: org.apache.spark.sql.types.StructField, i: Int)
+            : Seq[(String, Any)] = f.dataType match {
+          case s: org.apache.spark.sql.types.StructType
+              if f.name == "value" && !r.isNullAt(i) =>
+            val sub = r.getStruct(i)
+            s.fields.indices.map(j => s.fields(j).name -> sub.get(j))
+          case _ => Seq(f.name -> r.get(i))
+        }
+        fields.find(_._1.name == "value") match {
+          case Some((f, i)) => flat(f, i).toMap // kafka frame shape
+          case None => fields.flatMap { case (f, i) => flat(f, i) }.toMap
+        }
       }.getOrElse(Map.empty)
 
   /** Effective config for one operator at resolution time. */
@@ -306,7 +314,10 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
   }
 
   /** Bounded write of one micro-batch to a sink topic (the foreachBatch
-    * path used by dynamically-configured operators). */
+    * path used by dynamically-configured operators). Delivery is
+    * AT-LEAST-ONCE on micro-batch retry — the foreachBatch contract
+    * (no file-sink transaction log here); exactly-once sinks belong to
+    * the static path. */
   private def writeBatchSink(df: DataFrame, sinkTopic: TopicSpec): Unit = {
     val framed = frameForSink(df, sinkTopic)
     sinkTopic.kind match {
@@ -329,7 +340,15 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     * micro-batch re-resolves the config topic's newest record and
     * re-applies the factory to the batch — a factor published mid-stream
     * is live in the next micro-batch, no restart (the reference's Consul
-    * watch → per-event config join, at batch granularity). */
+    * watch → per-event config join, at batch granularity).
+    *
+    * config_topic restrictions (validated at wiring time where
+    * possible): exactly one source; kafka/parquet sinks (at-least-once
+    * on retry, see [[writeBatchSink]]); STATELESS factories only — the
+    * per-batch re-wire hands the factory a bounded batch frame, so a
+    * stateful streaming op (flatMapGroupsWithState, e.g. [[ops.Roll]])
+    * would restart its state every micro-batch; keep stateful operators
+    * on the static path. */
   def runStream(spark: SparkSession, checkpointRoot: String)
       : Seq[StreamingQuery] = {
     val (dynamic, static) = operators.partition(_.configTopic.nonEmpty)
@@ -358,6 +377,12 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
           s"(got ${op.sources.size})")
       val factory = Topology.loadFactory(op.factory)
       val sinkTopics = op.sinks.map(topic)
+      // fail at wiring time, not inside the first micro-batch
+      sinkTopics.foreach { st =>
+        require(st.kind == "kafka" || st.kind == "parquet",
+          s"operator ${op.name}: config_topic sinks must be " +
+            s"kafka/parquet, got '${st.kind}' for topic ${st.name}")
+      }
       streamSource(spark, topic(op.sources.head)).writeStream
         .option("checkpointLocation", s"$checkpointRoot/op_${op.name}")
         .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -13,8 +13,11 @@ import graft.streaming.{OperatorFactory, StreamOps}
   * Config keys (flat, namespaced): `roll_key`, `roll_seq`, `roll_value`,
   * `roll_window`, `roll_stride` (stride defaults to the window —
   * tumbling). Works on a stream source (stateful
-  * flatMapGroupsWithState engine) and composes with `config_topic`
-  * dynamic reconfiguration like any other factory. */
+  * flatMapGroupsWithState engine). Do NOT combine with `config_topic`:
+  * the dynamic path re-wires the factory per micro-batch over bounded
+  * batch frames, which would reset the count-window state every batch —
+  * window geometry changes need a restart (state is keyed to it
+  * anyway). */
 object Roll extends OperatorFactory {
   def apply(config: Map[String, Any], sources: Seq[DataFrame])
       : Seq[DataFrame] = {

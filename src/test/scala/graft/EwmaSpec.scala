@@ -44,6 +44,15 @@ class EwmaSpec extends SparkSpec {
     }
   }
 
+  test("ewmaByKey accepts expression-valued arguments (pruning skipped, " +
+    "not broken)") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 3.0)).toDF("k", "t", "v")
+    val got = (df >> MathOps.ewmaByKey(col("v") * 2, col("t"), alpha,
+        Seq(col("k"))))
+      .select("k", "ewma").as[(String, Double)].collect().toSeq
+    assert(got == Seq(("a", expected(Seq(2.0, 6.0)).last)))
+  }
+
   test("single-row keys and empty partitions are handled") {
     val df = Seq(("x", 1L, 42.0)).toDF("k", "t", "v").repartition(8)
     val got = (df >> MathOps.ewmaByKey(col("v"), col("t"), alpha,

@@ -163,6 +163,18 @@ class OpsSpec extends SparkSpec {
       ("b", 7L, 2.0, 1)))
   }
 
+  test("takeOrderedByKey drops null ids/scores instead of failing the " +
+    "job (documented NULL policy)") {
+    val df = Seq(
+      ("a", Some(1L), Some(5.0)), ("a", Some(2L), None),
+      ("a", None, Some(9.0)), ("b", Some(3L), Some(1.0)))
+      .toDF("k", "id", "v")
+    val got = (df >> Ops.takeOrderedByKey(5, col("id"), col("v"),
+        Seq(col("k"))))
+      .select("k", "id").as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 1L), ("b", 3L)))
+  }
+
   test("histogram buckets clamp to range") {
     val df = Seq(-5.0, 0.0, 5.0, 95.0, 200.0).toDF("v")
     val got = df >> MathOps.histogram(col("v"), 0, 100, 10)

@@ -27,6 +27,19 @@ class TopKCollectSpec extends SparkSpec {
     assert(got("b") == Seq((9L, 0.2))) // fewer than k: all kept
   }
 
+  test("NaN scores rank greatest, deterministically, in any arrival " +
+    "order (total order — insert and merge must agree)") {
+    val rows = Seq(
+      ("a", 1L, 0.9), ("a", 2L, Double.NaN), ("a", 3L, 0.5),
+      ("a", 4L, Double.NaN))
+    // every permutation and layout gives the same ranking
+    for (perm <- rows.permutations.take(8)) {
+      val got = run(perm, 3)("a")
+      assert(got.map(_._1) == Seq(2L, 4L, 1L), perm)
+      assert(got(0)._2.isNaN && got(1)._2.isNaN)
+    }
+  }
+
   test("agrees with a sortBy-take oracle on a randomized multi-partition " +
     "input") {
     val rnd = new scala.util.Random(7)
