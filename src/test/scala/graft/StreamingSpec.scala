@@ -433,6 +433,53 @@ class StreamingSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  test("topology: YAML model serving hot-swaps via config_topic — the " +
+    "reference serve.yml shape (model topic + data topic -> scored sink)") {
+    val tmp = Files.createTempDirectory("topo_serve").toString
+    def publish(version: Long, intercept: Double, slope: Double): Unit =
+      Seq(("m", version,
+        Serve.encodeLinearModel(version, intercept, slope)))
+        .toDF("name", "version", "content")
+        .withColumn("published_at", current_timestamp())
+        .write.mode("append").parquet(s"$tmp/model")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "x")
+      .write.mode("append").parquet(s"$tmp/in")
+    publish(1L, 0.0, 2.0) // yhat = 2x
+    val yaml =
+      s"""topics:
+         |  - name: features
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: model
+         |    kind: parquet
+         |    path: $tmp/model
+         |  - name: scored
+         |    kind: parquet
+         |    path: $tmp/out
+         |operators:
+         |  serve:
+         |    factory: graft.streaming.ops.ServeOp
+         |    sources: [features]
+         |    sinks: [scored]
+         |    config_topic: model
+         |config:
+         |  serve_input_field: x
+         |  serve_output_field: yhat
+         |""".stripMargin
+    val queries = Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    try {
+      queries.foreach(_.processAllAvailable())
+      // hot-swap: new artifact published, new data scored by the NEW model
+      publish(2L, 1.0, 5.0) // yhat = 5x + 1
+      Seq((3L, 3.0)).toDF("id", "x")
+        .write.mode("append").parquet(s"$tmp/in")
+      queries.foreach(_.processAllAvailable())
+      val got = spark.read.parquet(s"$tmp/out").select("id", "yhat")
+        .as[(Long, Double)].collect().toMap
+      assert(got == Map(1L -> 2.0, 2L -> 4.0, 3L -> 16.0))
+    } finally queries.foreach(_.stop())
+  }
+
   test("topology: config_topic operator picks up a factor published " +
     "mid-stream in the next micro-batch, without restart") {
     val tmp = Files.createTempDirectory("topo_dyn").toString
