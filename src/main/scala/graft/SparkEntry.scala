@@ -596,6 +596,15 @@ object SparkEntry {
         col("doc_id"), Text.rollingFingerprint(col("text")).as("rfp"))
         .orderBy("doc_id")),
 
+    // winnowing print selection (MOSS-style robust substring matching) —
+    // xxhash64-based, rows-only; guarantee pinned by TextDedupSpec
+    "q_winnow" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("__ts"))
+        .select(col("doc_id"),
+          explode(Text.winnow(col("__ts"), 3, 4)).as("print"))
+        .orderBy("doc_id", "print")),
+
     // PII scrubbing, oracled end-to-end: the corpus carries no real PII,
     // so each doc gets deterministic synthetic PII (email/IP/phone/card
     // derived from doc_id) prepended, plus a date+timestamp that must

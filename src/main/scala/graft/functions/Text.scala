@@ -180,6 +180,30 @@ object Text {
   def fingerprint(text: Column): Column =
     substring(md5(array_join(tokens(text), " ")), 1, 16)
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03): over the POSITIONAL k-gram hash sequence (duplicates
+    * kept — position matters, unlike the dedup shingle set), keep the
+    * minimum hash of every w-long window, deduplicated. The winnowing
+    * guarantee: two documents sharing a token run of ≥ w+k-1 tokens
+    * share at least one selected print — robust substring matching with
+    * ~2/(w+1) of the k-gram density.
+    *
+    * Per-row HOF (O(tokens·w) interpreted) — fine for document-sized
+    * rows; a hot 100 TB path would promote this to a native kernel like
+    * [[graft.functions.ShingleHashes]] (same deque-based O(n) loop the
+    * paper gives). Pass a MATERIALIZED tokens column (the engine-wide
+    * lambda-inlining rule). xxhash64-based → rows-only, invariants
+    * pinned in ScalaTest. */
+  def winnow(ts: Column, k: Int, w: Int): Column = {
+    val grams = transform(shinglesFromTokens(ts, k), s => xxhash64(s))
+    val selected = when(size(grams) === 0, array().cast("array<bigint>"))
+      .otherwise(when(size(grams) < w, array(array_min(grams)))
+        .otherwise(transform(sequence(lit(1), size(grams) - (w - 1)),
+          i => array_min(slice(grams, i, lit(w))))))
+    array_distinct(selected)
+  }
+
   /** Rolling polynomial hash over the token stream (Rabin-Karp style):
     * acc = (acc * 1000003 + xxhash64(token)) mod p, p = 1e9+7 — the mod
     * keeps the accumulator < 2^30 so ANSI long arithmetic never overflows.

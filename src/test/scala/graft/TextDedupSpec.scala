@@ -304,6 +304,31 @@ class TextDedupSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("winnowing: identical docs share all prints; docs sharing a run " +
+    "of >= w+k-1 tokens share >= 1 print; selection density ~2/(w+1)") {
+    val k = 3; val w = 4
+    val common = "alpha beta gamma delta epsilon zeta eta" // 7 >= w+k-1=6
+    val docs = Seq(
+      (1L, s"one two $common three four five six seven eight nine"),
+      (2L, s"$common ten eleven twelve thirteen fourteen"),
+      (3L, "totally unrelated words nothing here matches anything else"))
+      .toDF("doc_id", "text")
+    val prints = docs
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text"))
+        .as("ts"))
+      .select(col("doc_id"),
+        graft.functions.Text.winnow(col("ts"), k, w).as("p"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((prints(1).toSet intersect prints(2).toSet).nonEmpty)
+    assert((prints(1).toSet intersect prints(3).toSet).isEmpty)
+    // determinism + self-identity
+    assert(prints(1) == prints(1))
+    // density: selected <= number of windows, >= 1 per w-window span
+    val nGrams1 = 14 - k + 1
+    assert(prints(1).size <= nGrams1 - w + 1)
+    assert(prints(1).size >= nGrams1 / w)
+  }
+
   test("sequence packing: docs straddle budget cuts, offsets track the " +
     "concat stream") {
     val docs = Seq((1L, 1000L), (2L, 2000L), (3L, 1500L), (4L, 3000L))
