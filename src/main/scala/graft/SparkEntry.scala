@@ -596,6 +596,21 @@ object SparkEntry {
         col("doc_id"), Text.rollingFingerprint(col("text")).as("rfp"))
         .orderBy("doc_id")),
 
+    // Misra-Gries heavy-hitter tokens per language — mergeable O(m)
+    // sketch (the 100 TB "top tokens" answer); xxhash64 items →
+    // rows-only, guarantees pinned by FreqItemsSpec
+    "q_heavy_hitters" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+        .select(col("lang"), xxhash64(col("tok")).as("h"))
+        .groupBy("lang")
+        .agg(graft.functions.FreqItems.sketch(32)(col("h")).as("hh"))
+        .select(col("lang"), posexplode(col("hh")))
+        .filter(col("pos") < 5) // top-j for j << m: rank-stable zone
+        .select(col("lang"), (col("pos") + 1).as("rank"),
+          col("col._1").as("token_hash"), col("col._2").as("est_count"))
+        .orderBy("lang", "rank")),
+
     // winnowing print selection (MOSS-style robust substring matching) —
     // xxhash64-based, rows-only; guarantee pinned by TextDedupSpec
     "q_winnow" -> ((s, dir) =>
