@@ -21,13 +21,27 @@ object ShingleHashesKernel extends Serializable {
     * separator, matching `array_join`'s semantics in the HOF spec
     * (`array_join(['a', NULL, 'b'], ' ')` = "a b"). */
   def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val hs = positionalHashes(tokens, n)
+    val out = new Array[Long](hs.length)
+    val seen = new java.util.HashSet[java.lang.Long](hs.length * 2)
+    var outLen = 0
+    var i = 0
+    while (i < hs.length) {
+      if (seen.add(hs(i))) { out(outLen) = hs(i); outLen += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, outLen))
+  }
+
+  /** POSITIONAL n-gram hash sequence — one hash per gram position,
+    * duplicates kept (winnowing needs positions; dedup consumers call
+    * [[compute]]). Same hashing as above. */
+  def positionalHashes(tokens: ArrayData, n: Int): Array[Long] = {
     val m = tokens.numElements()
-    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    if (m < n) return Array.emptyLongArray
     val nShingles = m - n + 1
     val out = new Array[Long](nShingles)
-    val seen = new java.util.HashSet[java.lang.Long](nShingles * 2)
     var buf = new Array[Byte](256)
-    var outLen = 0
     var i = 0
     while (i < nShingles) {
       // byte length: Σ non-null token bytes + one separator between each
@@ -57,11 +71,10 @@ object ShingleHashesKernel extends Serializable {
         }
         j += 1
       }
-      val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, pos, 42L)
-      if (seen.add(h)) { out(outLen) = h; outLen += 1 }
+      out(i) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, pos, 42L)
       i += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, outLen))
+    out
   }
 }
 

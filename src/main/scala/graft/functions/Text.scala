@@ -189,20 +189,11 @@ object Text {
     * share at least one selected print — robust substring matching with
     * ~2/(w+1) of the k-gram density.
     *
-    * Per-row HOF (O(tokens·w) interpreted) — fine for document-sized
-    * rows; a hot 100 TB path would promote this to a native kernel like
-    * [[graft.functions.ShingleHashes]] (same deque-based O(n) loop the
-    * paper gives). Pass a MATERIALIZED tokens column (the engine-wide
-    * lambda-inlining rule). xxhash64-based → rows-only, invariants
-    * pinned in ScalaTest. */
-  def winnow(ts: Column, k: Int, w: Int): Column = {
-    val grams = transform(shinglesFromTokens(ts, k), s => xxhash64(s))
-    val selected = when(size(grams) === 0, array().cast("array<bigint>"))
-      .otherwise(when(size(grams) < w, array(array_min(grams)))
-        .otherwise(transform(sequence(lit(1), size(grams) - (w - 1)),
-          i => array_min(slice(grams, i, lit(w))))))
-    array_distinct(selected)
-  }
+    * Native codegen kernel ([[graft.functions.WinnowPrints]]): the
+    * paper's deque-based O(tokens) loop, one compiled call per row.
+    * xxhash64-based → rows-only, invariants pinned in ScalaTest;
+    * HOF-formulation parity pinned by WinnowSpec. */
+  def winnow(ts: Column, k: Int, w: Int): Column = WinnowPrints(ts, k, w)
 
   /** Rolling polynomial hash over the token stream (Rabin-Karp style):
     * acc = (acc * 1000003 + xxhash64(token)) mod p, p = 1e9+7 — the mod
