@@ -728,6 +728,14 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy("doc_id")),
 
+    // CCNet-style corpus-trained unigram likelihood — log-free integer
+    // formulation (single final double division), vocab broadcast to a
+    // one-map-pass scoring join
+    "q_unigram_lik" -> ((s, dir) =>
+      graft.llm.TextStats.unigramLikelihood(t(s, dir, "documents"),
+        "doc_id", "text", topV = 64)
+        .orderBy("doc_id")),
+
     // benchmark decontamination: docs sharing >=3 distinct 3-gram
     // shingles with the (broadcast) benchmark slice; 8-byte shingle
     // hashes both sides — results match the oracle's exact string
@@ -1011,6 +1019,25 @@ object SparkEntry {
            |       CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT)
            |         AS distinct_ratio
            |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_unigram_lik" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+           |vocab AS (
+           |  SELECT t, count(*) AS c FROM toks GROUP BY 1
+           |  ORDER BY c DESC, t ASC LIMIT 64),
+           |totals AS (
+           |  SELECT CAST(sum(c) AS BIGINT) AS ctot,
+           |         count(*) AS v FROM vocab)
+           |SELECT doc_id,
+           |       count(*) AS n_tokens,
+           |       CAST(sum(CASE WHEN vocab.c IS NULL THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_oov,
+           |       CAST(sum(coalesce(vocab.c, 0) + 1) AS BIGINT)
+           |         / (count(*) * (max(totals.ctot) + max(totals.v)))
+           |         AS score
+           |FROM toks LEFT JOIN vocab USING (t) CROSS JOIN totals
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q_contamination" ->
         s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),

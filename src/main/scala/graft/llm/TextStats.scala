@@ -38,4 +38,48 @@ object TextStats {
         col("top_freq").cast("double") / col("n_tokens"))
       .withColumn("distinct_ratio",
         col("n_distinct").cast("double") / col("n_tokens"))
+
+  /** Corpus-trained unigram-likelihood quality score — the
+    * CCNet/KenLM "how typical is this text under the corpus's own
+    * language model" family, formulated LOG-FREE so it is bit-exact
+    * across engines: train token counts on the corpus itself, keep the
+    * top-`topV` vocabulary (ties broken by token asc — deterministic),
+    * add-one smooth, and score each document by the mean smoothed
+    * vocabulary frequency of its tokens,
+    *
+    *   score = Σ_i (c(t_i) + 1) / (n_doc · (C + V))
+    *
+    * where c(t) = vocab count (0 for OOV — the add-one keeps a
+    * 1/(C+V) floor), C = Σ vocab counts, V = vocab size. Every
+    * intermediate is an integer sum (exact in any engine); the single
+    * double op is the final division — oracled bit-exactly
+    * (q_unigram_lik). Low score ⇒ rare/garbled vocabulary; `n_oov`
+    * flags tokenizer-hostile docs directly.
+    *
+    * Scale: token counting is a shuffle-linear map-side-combined agg;
+    * the vocabulary is a bounded top-V (TakeOrderedAndProject) and is
+    * BROADCAST to the scoring join together with the 1-row (C, V)
+    * totals, so the corpus itself is scored in one map pass — no
+    * corpus-side shuffle beyond the per-doc aggregate at any size.
+    * (n_doc·(C+V) stays far below 2^63 for any realistic corpus:
+    * C ≈ 10^13 tokens at 100 TB × n_doc ≤ 10^5 ≈ 10^18.)
+    * Docs with no tokens yield no row, like [[repetition]]. */
+  def unigramLikelihood(df: DataFrame, idCol: String, textCol: String,
+      topV: Int = 10000): DataFrame = {
+    require(topV > 0, "topV must be positive")
+    val toks = df.select(col(idCol),
+      explode(Text.tokens(col(textCol))).as("__tok"))
+    val vocab = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__tok").asc).limit(topV)
+    val totals = vocab.agg(sum("__c").as("__C"), count(lit(1)).as("__V"))
+    toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("__c"), lit(0L)) + 1L).as("__s"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        (col("__s") / (col("n_tokens") * (col("__C") + col("__V"))))
+          .as("score"))
+  }
 }

@@ -304,6 +304,28 @@ class TextDedupSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("unigram likelihood: hand-computed scores, OOV floor, topV cut") {
+    val docs = Seq(
+      (1L, "a a b"), // with full vocab: s=(3+1)+(3+1)+(1+1)=10, C=5, V=3
+      (2L, "a c"), //                   s=(3+1)+(1+1)=6
+      (3L, " ")) // no tokens -> no row
+      .toDF("doc_id", "text")
+    val full = graft.llm.TextStats.unigramLikelihood(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(full(1L) == ((3L, 0L, 10.0 / (3 * 8))))
+    assert(full(2L) == ((2L, 0L, 6.0 / (2 * 8))))
+    assert(!full.contains(3L))
+    // topV=1 keeps only 'a' (count 3); b and c become OOV with the
+    // add-one 1/(C+V) floor: C=3, V=1
+    val cut = graft.llm.TextStats
+      .unigramLikelihood(docs, "doc_id", "text", topV = 1)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(cut(1L) == ((3L, 1L, 9.0 / (3 * 4))))
+    assert(cut(2L) == ((2L, 1L, 5.0 / (2 * 4))))
+  }
+
   test("winnowing: identical docs share all prints; docs sharing a run " +
     "of >= w+k-1 tokens share >= 1 print; selection density ~2/(w+1)") {
     val k = 3; val w = 4
