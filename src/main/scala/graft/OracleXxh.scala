@@ -1,0 +1,290 @@
+package graft
+
+/** DuckDB oracle SQL for the xxhash64-based approximate-dedup and LSH
+  * operators — the queries that were "rows-only by design" through round 3
+  * because DuckDB has no xxhash64.
+  *
+  * [[prologue]] implements Spark's XXH64 (seed-chained `xxhash64`,
+  * `XXH64.hashLong`, `XXH64.hashInt`, and the full variable-length
+  * byte-stream hash) as DuckDB SQL macros, validated bit-exact against
+  * `org.apache.spark.sql.functions.xxhash64` over random strings (all
+  * tail lengths 0..39 plus multi-stripe 63/64/65/100/200/256), longs,
+  * ints, and multi-argument seed chains. With the hash replicated, every
+  * minhash/simhash/RHP-LSH pipeline is ordinary SQL and the driver's
+  * DuckDB gate hash-checks them end to end.
+  *
+  * Engineering notes (all load-bearing, found the hard way):
+  *  - All values ride as non-negative HUGEINT (int128) in [0, 2^64);
+  *    mod-2^64 wrap uses bitwise AND/shift ONLY — HUGEINT `%`/`//`
+  *    compile to 128-bit division, ~50x slower than AND.
+  *  - 64x64->64 multiply splits into 32-bit halves so no partial product
+  *    overflows int128.
+  *  - Signedness: Spark longs are signed. Bit-identical ops (xor, band
+  *    values, equality) run unsigned; ORDER-sensitive ops (minhash min)
+  *    flip the sign bit (xor 2^63) so unsigned order == signed order,
+  *    and flip back after the min. `g_sgn` converts to signed BIGINT
+  *    only on small materialized columns — wrapping a big macro
+  *    expression in CASE collapses DuckDB's vectorized evaluation into
+  *    selection-vector fragments (measured 50x).
+  *  - Never NEST two macro hash calls textually: macro expansion
+  *    duplicates arguments combinatorially (g_mul64 references each arg
+  *    3x, g_fmix its argument 72x), so a nested call explodes past the
+  *    binder's 128-deep recursion limit. Hash chains are staged through
+  *    MATERIALIZED CTEs instead — each level reads the previous level's
+  *    column.
+  *  - Lambdas capturing an outer list copy it per element (O(n^2));
+  *    sequential folds iterate over pre-zipped lists
+  *    (`list_zip`/`list_prepend`) so nothing is captured.
+  *
+  * Every SQL string here is `prologue + query`; `CREATE OR REPLACE`
+  * keeps the macros idempotent when the driver runs many oracles on one
+  * connection.
+  */
+object OracleXxh {
+
+  /** XXH64 macro library (see object doc). */
+  val prologue: String =
+"""-- Spark-compatible XXH64 in DuckDB SQL. All values are HUGEINT in [0,2^64);
+-- mod-2^64 wrap via bitwise AND/shifts (128-bit division is ~50x slower).
+CREATE OR REPLACE MACRO g_u64(x) AS x & 18446744073709551615::HUGEINT;
+CREATE OR REPLACE MACRO g_mul64(a, b) AS (((((a >> 32) * (b & 4294967295) + (a & 4294967295) * (b >> 32)) & 4294967295) << 32) + (a & 4294967295) * (b & 4294967295)) & 18446744073709551615::HUGEINT;
+CREATE OR REPLACE MACRO g_rotl(x, n) AS ((x << n) & 18446744073709551615::HUGEINT) | (x >> (64 - n));
+CREATE OR REPLACE MACRO g_fmix(h0) AS
+ list_transform([g_mul64(xor(h0, h0 >> 33), 14029467366897019727::HUGEINT)], h1 ->
+  list_transform([g_mul64(xor(h1, h1 >> 29), 1609587929392839161::HUGEINT)], h2 ->
+   xor(h2, h2 >> 32))[1])[1];
+-- stripe round: v' = rotl31(v + w*P2) * P1
+CREATE OR REPLACE MACRO g_rnd(v, w) AS g_mul64(g_rotl(g_u64(v + g_mul64(w, 14029467366897019727::HUGEINT)), 31), 11400714785074694791::HUGEINT);
+-- merge round: h' = (h ^ rnd(0, v)) * P1 + P4
+CREATE OR REPLACE MACRO g_mrg(h, v) AS g_u64(g_mul64(xor(h, g_rnd(0::HUGEINT, v)), 11400714785074694791::HUGEINT) + 9650029242287828579::HUGEINT);
+-- tail 8-byte word: h' = rotl27(h ^ rnd(0, w)) * P1 + P4
+CREATE OR REPLACE MACRO g_tw(h, w) AS g_u64(g_mul64(g_rotl(xor(h, g_rnd(0::HUGEINT, w)), 27), 11400714785074694791::HUGEINT) + 9650029242287828579::HUGEINT);
+-- tail 4-byte word: h' = rotl23(h ^ w*P1) * P2 + P3
+CREATE OR REPLACE MACRO g_t4(h, w) AS g_u64(g_mul64(g_rotl(xor(h, g_mul64(w, 11400714785074694791::HUGEINT)), 23), 14029467366897019727::HUGEINT) + 1609587929392839161::HUGEINT);
+-- tail byte: h' = rotl11(h ^ b*P5) * P1
+CREATE OR REPLACE MACRO g_tb(h, b) AS g_mul64(g_rotl(xor(h, g_mul64(b, 2870177450012600261::HUGEINT)), 11), 11400714785074694791::HUGEINT);
+-- little-endian words from a byte list, 1-based position
+CREATE OR REPLACE MACRO g_w64(bl, p) AS bl[p]::HUGEINT | (bl[p+1]::HUGEINT << 8) | (bl[p+2]::HUGEINT << 16) | (bl[p+3]::HUGEINT << 24) | (bl[p+4]::HUGEINT << 32) | (bl[p+5]::HUGEINT << 40) | (bl[p+6]::HUGEINT << 48) | (bl[p+7]::HUGEINT << 56);
+CREATE OR REPLACE MACRO g_w32(bl, p) AS bl[p]::HUGEINT | (bl[p+1]::HUGEINT << 8) | (bl[p+2]::HUGEINT << 16) | (bl[p+3]::HUGEINT << 24);
+CREATE OR REPLACE MACRO g_sgn(v) AS CASE WHEN v >= 9223372036854775808::HUGEINT THEN (v - 18446744073709551616::HUGEINT)::BIGINT ELSE v::BIGINT END;
+-- XXH64.hashLong(v, seed): v signed BIGINT in, unsigned HUGEINT out
+CREATE OR REPLACE MACRO g_xxh_long(v, seed) AS g_fmix(g_tw(g_u64(seed + 2870177450012600269::HUGEINT), g_u64(v::HUGEINT)));
+-- XXH64.hashInt(v, seed)
+CREATE OR REPLACE MACRO g_xxh_int(v, seed) AS g_fmix(g_t4(g_u64(seed + 2870177450012600265::HUGEINT), v::HUGEINT & 4294967295::HUGEINT));
+-- full XXH64 over a byte list (any length), returns unsigned HUGEINT.
+-- lambda-let chains bind intermediates (macros cannot hold subqueries over columns).
+CREATE OR REPLACE MACRO g_xxh_bytes(bl, seed) AS
+list_transform([len(bl)], n ->
+ list_transform([n // 32], nstr ->
+  list_transform([CASE WHEN n >= 32 THEN
+      list_transform([list_reduce(
+        list_prepend(
+          {v1: g_u64(seed + 25430182151971714518::HUGEINT), v2: g_u64(seed + 14029467366897019727::HUGEINT), v3: g_u64(seed), v4: g_u64(seed - 11400714785074694791::HUGEINT)},
+          list_transform(range(0, nstr), st -> {v1: g_w64(bl, 32*st+1), v2: g_w64(bl, 32*st+9), v3: g_w64(bl, 32*st+17), v4: g_w64(bl, 32*st+25)})),
+        (a, e) -> {v1: g_rnd(a.v1, e.v1), v2: g_rnd(a.v2, e.v2), v3: g_rnd(a.v3, e.v3), v4: g_rnd(a.v4, e.v4)})],
+       va -> g_mrg(g_mrg(g_mrg(g_mrg(g_u64(g_rotl(va.v1, 1) + g_rotl(va.v2, 7) + g_rotl(va.v3, 12) + g_rotl(va.v4, 18)), va.v1), va.v2), va.v3), va.v4))[1]
+    ELSE g_u64(seed + 2870177450012600261::HUGEINT) END], h0 ->
+   list_transform([list_reduce(
+      list_prepend(g_u64(h0 + n),
+        list_transform(range(0, (n - 32*nstr) // 8), tt -> g_w64(bl, 32*nstr + 8*tt + 1))),
+      (a, w) -> g_tw(a, w))], h1 ->
+    list_transform([CASE WHEN n % 8 >= 4 THEN g_t4(h1, g_w32(bl, (n//8)*8 + 1)) ELSE h1 END], h2 ->
+     g_fmix(list_reduce(
+      list_prepend(h2,
+        list_transform(range((n//8)*8 + CASE WHEN n%8>=4 THEN 4 ELSE 0 END + 1, n + 1), p -> bl[p]::HUGEINT)),
+      (a, b) -> g_tb(a, b))))[1])[1])[1])[1])[1];
+-- Spark xxhash64 over an ASCII string (seed 42), signed BIGINT out
+CREATE OR REPLACE MACRO g_bytes(s) AS list_transform(range(1, length(s)+1), x -> ord(s[x]));
+CREATE OR REPLACE MACRO g_xxh_str(s) AS g_sgn(g_xxh_bytes(g_bytes(s), 42::HUGEINT));"""
+
+  /** Rolling Rabin-Karp fingerprint: same mod-prime fold over token xxhash64s as Text.rollingFingerprint. */
+  val q_fingerprint_rolling: String =
+    prologue + "\n" +
+"""WITH toks AS (SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0) AS ts FROM documents)
+SELECT doc_id,
+  list_reduce(list_prepend(0::BIGINT, list_transform(ts, t ->
+    ((g_xxh_str(t) % 1000000007) + 1000000007) % 1000000007)),
+    (acc, h) -> (acc * 1000003 + h) % 1000000007) AS rfp
+FROM toks ORDER BY doc_id"""
+
+  /** Winnowing prints: positional 3-gram hashes, w=4 window minima, value-dedup (WinnowKernel semantics). */
+  val q_winnow: String =
+    prologue + "\n" +
+"""WITH toks AS (SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0) AS ts FROM documents),
+g AS (SELECT doc_id, CASE WHEN len(ts) < 3 THEN []::BIGINT[] ELSE
+        list_transform(range(1, len(ts) - 1),
+          i -> g_xxh_str(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) END AS gr
+      FROM toks),
+pr AS (SELECT doc_id, CASE
+        WHEN len(gr) = 0 THEN []::BIGINT[]
+        WHEN len(gr) < 4 THEN [list_min(gr)]
+        ELSE list_distinct(list_transform(range(1, len(gr) - 2),
+               i -> list_min(gr[i:i+3])))
+       END AS prints FROM g)
+SELECT doc_id, unnest(prints) AS print FROM pr ORDER BY doc_id, print"""
+
+  /** Full MinHash+LSH pipeline: distinct shingle hashes -> 128-perm signatures (sign-bit-flipped unsigned min) -> 32 band keys (staged hashLong fold) -> bucket pairs -> exact signature-agreement estimate. */
+  val q_minhash_pairs: String =
+    prologue + "\n" +
+"""WITH toks AS (SELECT doc_id::BIGINT AS id, list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0) AS ts FROM documents),
+sh AS MATERIALIZED (SELECT id, list_distinct(
+    list_transform(range(1, len(ts) - 1),
+      i -> g_xxh_bytes(g_bytes(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]),
+                       42::HUGEINT))) AS hs
+  FROM toks),
+ex AS MATERIALIZED (SELECT id, unnest(hs) AS h FROM sh),
+dh AS MATERIALIZED (SELECT DISTINCT h FROM ex),
+kk AS MATERIALIZED (SELECT h, k FROM dh, range(0, 128) r(k)),
+hk AS MATERIALIZED (SELECT h, k,
+    xor(g_xxh_long(h, k::HUGEINT), 9223372036854775808::HUGEINT) AS hvf
+  FROM kk),
+dmin AS MATERIALIZED (SELECT ex.id, hk.k, min(hk.hvf) AS mf
+  FROM ex JOIN hk USING (h) GROUP BY ex.id, hk.k),
+sig0 AS MATERIALIZED (SELECT id,
+    list(xor(mf, 9223372036854775808::HUGEINT) ORDER BY k) AS sig
+  FROM dmin GROUP BY id),
+sig AS MATERIALIZED (SELECT t.id, coalesce(s.sig, [9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT,9223372036854775807::HUGEINT]) AS sig
+  FROM (SELECT id FROM sh) t LEFT JOIN sig0 s USING (id)),
+bs AS MATERIALIZED (SELECT id, b, sig[4*b+1] AS s1, sig[4*b+2] AS s2,
+    sig[4*b+3] AS s3, sig[4*b+4] AS s4, g_xxh_int(b, 42::HUGEINT) AS a0
+  FROM sig, range(0, 32) r(b)),
+bk1 AS MATERIALIZED (SELECT id, b, s2, s3, s4, g_xxh_long(s1, a0) AS a1 FROM bs),
+bk2 AS MATERIALIZED (SELECT id, b, s3, s4, g_xxh_long(s2, a1) AS a2 FROM bk1),
+bk3 AS MATERIALIZED (SELECT id, b, s4, g_xxh_long(s3, a2) AS a3 FROM bk2),
+bk AS MATERIALIZED (SELECT id, g_xxh_long(s4, a3) AS bkey FROM bk3),
+pairs AS MATERIALIZED (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bk a JOIN bk b USING (bkey) WHERE a.id < b.id),
+est AS (SELECT p.id_a, p.id_b,
+    len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i])) / 128.0
+      AS est_jaccard
+  FROM pairs p JOIN sig sa ON sa.id = p.id_a JOIN sig sb ON sb.id = p.id_b)
+SELECT id_a, id_b, est_jaccard FROM est
+WHERE est_jaccard >= 0.4 ORDER BY id_a, id_b"""
+
+  /** SimHash pipeline: token hashes -> 64-bit majority fingerprint -> 4 band keys -> Hamming<=3 verified pairs. */
+  val q_simhash_pairs: String =
+    prologue + "\n" +
+"""WITH toks AS (SELECT doc_id::BIGINT AS id, list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0) AS ts FROM documents),
+tt AS MATERIALIZED (SELECT id, unnest(ts) AS t FROM toks),
+dt AS MATERIALIZED (SELECT DISTINCT t FROM tt),
+dth AS MATERIALIZED (SELECT t, g_xxh_bytes(g_bytes(t), 42::HUGEINT) AS h
+  FROM dt),
+thh AS MATERIALIZED (SELECT tt.id, dth.h FROM tt JOIN dth USING (t)),
+bits AS MATERIALIZED (SELECT id, b,
+    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+  FROM thh, range(0, 64) r(b) GROUP BY id, b),
+sh0 AS (SELECT id, sum(CASE WHEN cnt > 0 THEN (1::HUGEINT << b)
+                       ELSE 0::HUGEINT END) AS shu
+  FROM bits GROUP BY id),
+shv AS MATERIALIZED (SELECT t.id, coalesce(s.shu, 0::HUGEINT) AS shu
+  FROM (SELECT id FROM toks) t LEFT JOIN sh0 s USING (id)),
+banded AS MATERIALIZED (SELECT id, shu,
+    g_xxh_long((shu >> (band*16)) & 65535, g_xxh_int(band, 42::HUGEINT))
+      AS bkey
+  FROM shv, range(0, 4) r(band)),
+prs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+    bit_count(xor(a.shu, b.shu))::INTEGER AS hamming
+  FROM banded a JOIN banded b USING (bkey) WHERE a.id < b.id)
+SELECT id_a, id_b, hamming FROM prs WHERE hamming <= 3
+ORDER BY id_a, id_b"""
+
+  /** RHP-LSH embedding near-dup: staged hashInt plane table, left-to-right double fold signatures, bucket pairs, exact cosine verify. */
+  val q_embed_neardup_lsh: String =
+    prologue + "\n" +
+"""WITH ps1 AS MATERIALIZED (SELECT s, g_xxh_int(s::INTEGER, 42::HUGEINT) AS hs
+  FROM (SELECT unnest([1, 2, 3, 4, 5, 6]) AS s) ss),
+ps2 AS MATERIALIZED (SELECT s, hs, j, g_xxh_int(j::INTEGER, hs) AS hj
+  FROM ps1, range(0, 6) rj(j)),
+ps3 AS MATERIALIZED (SELECT s, j, i, g_xxh_int(i::INTEGER, hj) AS hi
+  FROM ps2, (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings))) AS i) ri),
+planes AS MATERIALIZED (SELECT s, j,
+    list(CASE WHEN (hi & 1) = 0 THEN 1.0 ELSE -1.0 END ORDER BY i) AS pl
+  FROM ps3 GROUP BY s, j),
+sj AS MATERIALIZED (SELECT e.vec_id, p.s, p.j,
+    list_reduce(list_prepend(0.0,
+      list_transform(list_zip(e.embedding, p.pl),
+        x -> x[1]::DOUBLE * x[2])), (a, x) -> a + x) AS sval
+  FROM embeddings e CROSS JOIN planes p),
+sig AS MATERIALIZED (SELECT vec_id, s,
+    sum(CASE WHEN sval >= 0 THEN (1::HUGEINT << j)
+        ELSE 0::HUGEINT END) AS sig
+  FROM sj GROUP BY vec_id, s),
+bk AS MATERIALIZED (SELECT vec_id,
+    g_xxh_long(sig, (SELECT hs FROM ps1 p WHERE p.s = sig_t.s)) AS bkey
+  FROM sig sig_t),
+pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bk a JOIN bk b USING (bkey) WHERE a.vec_id < b.vec_id)
+SELECT p.id_a, p.id_b, (list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+    (acc, v) -> acc + v)
+ / (sqrt(list_reduce(list_transform(ea.embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))
+  * sqrt(list_reduce(list_transform(eb.embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)))) AS cosine
+FROM pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
+             JOIN embeddings eb ON eb.vec_id = p.id_b
+WHERE (list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+    (acc, v) -> acc + v)
+ / (sqrt(list_reduce(list_transform(ea.embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))
+  * sqrt(list_reduce(list_transform(eb.embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)))) >= 0.45
+ORDER BY id_a, id_b"""
+
+  /** RHP-LSH similarity search: 4 seed tables at 8 bits, bucket candidates, exact cosine, top-5 rank. */
+  val q_simsearch_lsh: String =
+    prologue + "\n" +
+"""WITH ps1 AS MATERIALIZED (SELECT s, g_xxh_int(s::INTEGER, 42::HUGEINT) AS hs
+  FROM (SELECT unnest([1, 2, 3, 4]) AS s) ss),
+ps2 AS MATERIALIZED (SELECT s, hs, j, g_xxh_int(j::INTEGER, hs) AS hj
+  FROM ps1, range(0, 8) rj(j)),
+ps3 AS MATERIALIZED (SELECT s, j, i, g_xxh_int(i::INTEGER, hj) AS hi
+  FROM ps2, (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings))) AS i) ri),
+planes AS MATERIALIZED (SELECT s, j,
+    list(CASE WHEN (hi & 1) = 0 THEN 1.0 ELSE -1.0 END ORDER BY i) AS pl
+  FROM ps3 GROUP BY s, j),
+sj AS MATERIALIZED (SELECT e.vec_id, p.s, p.j,
+    list_reduce(list_prepend(0.0,
+      list_transform(list_zip(e.embedding, p.pl),
+        x -> x[1]::DOUBLE * x[2])), (a, x) -> a + x) AS sval
+  FROM embeddings e CROSS JOIN planes p),
+sig AS MATERIALIZED (SELECT vec_id, s,
+    sum(CASE WHEN sval >= 0 THEN (1::HUGEINT << j)
+        ELSE 0::HUGEINT END) AS sig
+  FROM sj GROUP BY vec_id, s),
+bk AS MATERIALIZED (SELECT vec_id,
+    g_xxh_long(sig, (SELECT hs FROM ps1 p WHERE p.s = sig_t.s)) AS bkey
+  FROM sig sig_t),
+cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+         FROM bk c JOIN bk q USING (bkey)
+         WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+scored AS (SELECT query_id, nbr_id,
+    (list_reduce(list_transform(list_zip(eq.embedding, ec.embedding),
+    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+    (acc, v) -> acc + v)
+ / (sqrt(list_reduce(list_transform(eq.embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))
+  * sqrt(list_reduce(list_transform(ec.embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)))) AS cosine
+  FROM cand JOIN embeddings eq ON eq.vec_id = query_id
+            JOIN embeddings ec ON ec.vec_id = nbr_id),
+ranked AS (SELECT query_id, nbr_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored)
+SELECT query_id, nbr_id, cosine, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Deterministic stub feature f0: strided byte-histogram arithmetic (no xxhash; plain SQL). */
+  val q_multimodal_features: String =
+    """WITH s AS (SELECT doc_id,
+    length(text)::BIGINT AS n_bytes,
+    list_sum(list_transform(range(1, length(text)+1, 8),
+      p -> ord(text[p]))) AS acc
+  FROM documents)
+SELECT doc_id, n_bytes,
+  round((((acc % 1000)::FLOAT / 1000.0::FLOAT))::DOUBLE, 6) AS f0
+FROM s ORDER BY doc_id"""
+
+}

@@ -590,7 +590,8 @@ object SparkEntry {
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
-    // rolling (order-sensitive) fingerprint — xxhash64-based, no SQL oracle
+    // rolling (order-sensitive) fingerprint — oracled end-to-end: the
+    // DuckDB side replicates xxhash64 via the OracleXxh macro library
     "q_fingerprint_rolling" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), Text.rollingFingerprint(col("text")).as("rfp"))
@@ -611,8 +612,8 @@ object SparkEntry {
           col("col._1").as("token_hash"), col("col._2").as("est_count"))
         .orderBy("lang", "rank")),
 
-    // winnowing print selection (MOSS-style robust substring matching) —
-    // xxhash64-based, rows-only; guarantee pinned by TextDedupSpec
+    // winnowing print selection (MOSS-style robust substring matching);
+    // oracled (OracleXxh window-minima SQL); guarantee pinned by TextDedupSpec
     "q_winnow" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), Text.tokens(col("text")).as("__ts"))
@@ -663,7 +664,9 @@ object SparkEntry {
         .orderBy("component")
     }),
 
-    // MinHash/SimHash pairs: xxhash64-based — invariants pinned in tests
+    // MinHash/SimHash pairs: full pipelines oracled bit-exact against
+    // DuckDB (OracleXxh replicates the xxhash64 signature/band-key math);
+    // semantic invariants additionally pinned in tests
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.4)
@@ -830,7 +833,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the xxhash64-based approximate
-    * ops (driver records a rows-only check; ScalaTest pins semantics). */
+    * ops without a DuckDB analogue (driver records a rows-only check;
+    * ScalaTest pins semantics): HLL/Distogram/Misra-Gries sketches (engine-
+    * internal layouts), IVF (driver-side quantizer training). The xxhash64
+    * family (minhash/simhash/RHP-LSH/winnow/rolling-fp) IS oracled — the
+    * OracleXxh prologue replicates Spark's XXH64 inside DuckDB. */
   def oracleSql: Map[String, String] = {
     val allStops = sqlList(
       Text.stopwords.values.flatten.toSeq.distinct.sorted)
@@ -1317,6 +1324,16 @@ object SparkEntry {
           |       substr(md5(regexp_replace(lower(trim(text)),
           |           '\s+', ' ', 'g')), 1, 16) AS fp
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // xxhash64-family oracles (round 4): Spark's XXH64 replicated as
+      // DuckDB macros — see OracleXxh for the prologue and design notes
+      "q_fingerprint_rolling" -> OracleXxh.q_fingerprint_rolling,
+      "q_winnow" -> OracleXxh.q_winnow,
+      "q_minhash_pairs" -> OracleXxh.q_minhash_pairs,
+      "q_simhash_pairs" -> OracleXxh.q_simhash_pairs,
+      "q_embed_neardup_lsh" -> OracleXxh.q_embed_neardup_lsh,
+      "q_simsearch_lsh" -> OracleXxh.q_simsearch_lsh,
+      "q_multimodal_features" -> OracleXxh.q_multimodal_features,
 
       "q_scrub_pii" ->
         """SELECT doc_id,
