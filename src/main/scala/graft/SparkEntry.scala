@@ -653,6 +653,15 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // exact duplicate-span detection (Lee et al. ACL'22 substring dedup,
+    // relational form): maximal shared token runs >= 8 via gram-hash
+    // posting lists + diagonal run coalescing; oracle uses exact string
+    // grams (hash-collision odds 2^-64, the engine-wide trade)
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        minRun = 8, maxGramFreq = 1000)
+        .orderBy("id_a", "id_b", "start_a", "start_b")),
+
     // near-dup pairs → dedup CLUSTERS: connected components by min-label
     // propagation (what a pipeline does with pair lists — keep one doc
     // per component). Oracle = DuckDB recursive-CTE transitive closure.
@@ -730,6 +739,13 @@ object SparkEntry {
       graft.llm.TextStats.repetition(t(s, dir, "documents"),
         "doc_id", "text")
         .orderBy("doc_id")),
+
+    // corpus-level tf-idf term salience, log-free odds idf (one double
+    // division — bit-exact across engines); top-3 terms per doc
+    "q_tfidf" -> ((s, dir) =>
+      graft.llm.TextStats.tfidfTop(t(s, dir, "documents"),
+        "doc_id", "text", topN = 3)
+        .orderBy("doc_id", "rank")),
 
     // CCNet-style corpus-trained unigram likelihood — log-free integer
     // formulation (single final double division), vocab broadcast to a
@@ -1324,6 +1340,52 @@ object SparkEntry {
           |       substr(md5(regexp_replace(lower(trim(text)),
           |           '\s+', ' ', 'g')), 1, 16) AS fp
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_dup_spans" ->
+        s"""WITH toks AS (SELECT doc_id::BIGINT AS id, $toksSql AS ts
+           |             FROM documents),
+           |g0 AS (SELECT id, ts, unnest(range(1, len(ts) - 6)) AS i
+           |       FROM toks),
+           |g AS (SELECT id, (i - 1)::BIGINT AS pos,
+           |             array_to_string(ts[i:i+7], ' ') AS gram
+           |      FROM g0),
+           |kept AS (SELECT gram FROM g GROUP BY gram
+           |         HAVING count(*) > 1 AND count(*) <= 1000),
+           |m AS (SELECT a.id AS id_a, b.id AS id_b,
+           |             a.pos AS pos_a, b.pos AS pos_b
+           |      FROM (SELECT g.* FROM g JOIN kept USING (gram)) a
+           |      JOIN (SELECT g.* FROM g JOIN kept USING (gram)) b
+           |        USING (gram)
+           |      WHERE a.id < b.id),
+           |isl AS (SELECT id_a, id_b, pos_a, pos_b,
+           |               pos_a - pos_b AS diag,
+           |               pos_a - row_number() OVER (
+           |                 PARTITION BY id_a, id_b, pos_a - pos_b
+           |                 ORDER BY pos_a) AS grp
+           |        FROM m)
+           |SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+           |       count(*) + 7 AS n_tokens
+           |FROM isl GROUP BY id_a, id_b, diag, grp
+           |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+
+      "q_tfidf" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+           |tf AS (SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+           |       FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+           |       GROUP BY doc_id, t),
+           |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+           |          GROUP BY term),
+           |nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs
+           |       FROM documents),
+           |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           |              CAST(tf.tf * nd.n_docs AS DOUBLE)
+           |                / CAST(dfreq.df AS DOUBLE) AS score
+           |       FROM tf, dfreq, nd WHERE tf.term = dfreq.term),
+           |rk AS (SELECT *, row_number() OVER (
+           |         PARTITION BY doc_id
+           |         ORDER BY score DESC, term) AS rank FROM sc)
+           |SELECT doc_id, term, tf, df, score, rank FROM rk
+           |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
       // xxhash64-family oracles (round 4): Spark's XXH64 replicated as
       // DuckDB macros — see OracleXxh for the prologue and design notes

@@ -499,4 +499,65 @@ object Dedup {
           col("nm_a"), col("nm_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Exact duplicate-SPAN detection: maximal runs of ≥ `minRun`
+    * consecutive shared tokens between document pairs — the exact
+    * substring-dedup primitive of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" (ACL'22), re-expressed
+    * relationally (their suffix array is a single-machine structure; the
+    * equivalent distributed formulation is a gram-hash join + diagonal
+    * run coalescing):
+    *
+    *  1. positional `minRun`-gram hashes per doc (two docs share a run of
+    *     ≥ minRun tokens iff they share a gram — the gram IS the run
+    *     witness, so recall is exact);
+    *  2. posting list per gram hash via the BOUNDED aggregator (a gram
+    *     shared by more than `maxGramFreq` (doc, position)s is boilerplate
+    *     — dropped at O(cap) memory, the spam guard every posting-list
+    *     shape needs at corpus scale);
+    *  3. bucket-local match pairs (id_a < id_b) with both positions;
+    *  4. gaps-and-islands per (pair, diagonal = pos_a − pos_b): consecutive
+    *     gram matches on a diagonal are one span; `pos_a − row_number`
+    *     groups each maximal run (the window is keyed by (pair, diagonal)
+    *     — partitions are bounded by document length, never corpus size).
+    *
+    * Output: (id_a, id_b, start_a, start_b, n_tokens) per maximal span,
+    * n_tokens = gram_count + minRun − 1. Shuffle-linear: one posting-list
+    * shuffle + one (pair, diagonal) shuffle; text never rides either
+    * (8-byte gram hashes — exact up to 2⁻⁶⁴ collision odds, the
+    * engine-wide trade, oracled against exact string grams). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     minRun: Int = 8,
+                     maxGramFreq: Int = 1000): DataFrame = {
+    require(minRun >= 1, s"minRun must be >= 1: $minRun")
+    require(maxGramFreq > 1, s"maxGramFreq must be > 1: $maxGramFreq")
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val grams = df
+      .select(col(idCol).cast("long").as("id"),
+        Text.tokens(col(textCol)).as("__t"))
+      .repartition(p, col("id"))
+      .select(col("id"),
+        posexplode(graft.functions.PosShingleHashes(col("__t"), minRun)))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("g"))
+    val postings = grams.groupBy("g")
+      .agg(graft.functions.BoundedCollect.pairs(maxGramFreq)(
+        col("id"), col("pos")).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val matches = postings
+      .select(col("ms"), explode(col("ms")).as("a"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a._1") < col("b._1"))
+      .select(col("a._1").as("id_a"), col("b._1").as("id_b"),
+        col("a._2").as("pos_a"), col("b._2").as("pos_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("pos_a") - col("pos_b"))
+      .orderBy("pos_a")
+    matches
+      .withColumn("__grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"),
+        (col("pos_a") - col("pos_b")).as("__diag"), col("__grp"))
+      .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
+        (count(lit(1)) + (minRun - 1)).as("n_tokens"))
+      .select("id_a", "id_b", "start_a", "start_b", "n_tokens")
+  }
 }

@@ -82,4 +82,40 @@ object TextStats {
         (col("__s") / (col("n_tokens") * (col("__C") + col("__V"))))
           .as("score"))
   }
+
+  /** Per-document top-`topN` terms by tf-idf — the corpus-level term
+    * salience operator (keyword extraction, near-dup explanation, index
+    * pruning). Formulated LOG-FREE for cross-engine exactness: the idf
+    * factor is the linear odds N/df (rank-equivalent to log idf within a
+    * document — log is monotone — so the SELECTED terms match the classic
+    * scoring; swap in log((N+1)/(df+1)) at this seam when absolute scores
+    * must be BM25-comparable),
+    *
+    *   score = (tf · N) / df     — integer product, ONE double division.
+    *
+    * Scale shape: term counting is the shuffle-linear map-side-combined
+    * two-level aggregate; document frequency reuses the (doc, term) frame
+    * (one extra agg, no re-tokenization); N rides as a broadcast 1-row
+    * frame (no driver action, stays in-plan); ranking is a window keyed
+    * by document — partitions bounded by per-doc vocabulary, never corpus
+    * size. Ties break by term asc (deterministic). */
+  def tfidfTop(df: DataFrame, idCol: String, textCol: String,
+               topN: Int = 3): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val tf = df
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"),
+        col("rank"))
+  }
 }

@@ -409,4 +409,60 @@ class TextDedupSpec extends SparkSpec {
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("duplicateSpans finds the maximal shared run with correct offsets") {
+    // doc 1: pad(3) + RUN(10) + tail; doc 2: RUN(10) + tail — one span
+    val run = (0 until 10).map(i => s"r$i").mkString(" ")
+    val df = Seq(
+      (1L, s"p0 p1 p2 $run x y z"),
+      (2L, s"$run u v w")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(df, "doc_id", "text", minRun = 8)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (1L, 2L, 3L, 0L, 10L))
+  }
+
+  test("duplicateSpans: runs shorter than minRun produce nothing; " +
+    "two separate runs produce two spans") {
+    val a = (0 until 8).map(i => s"a$i").mkString(" ")
+    val b = (0 until 9).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$a gap1 gap2 $b"),
+      (2L, s"$a other1 other2 other3 $b"),
+      (3L, "short shared few tokens only here")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(df, "doc_id", "text", minRun = 8)
+      .orderBy("start_a").collect()
+    assert(got.length == 2)
+    assert(got.map(_.getLong(4)).toSeq == Seq(8L, 9L))
+    assert(got.forall(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("duplicateSpans: boilerplate grams beyond maxGramFreq are dropped") {
+    val run = (0 until 8).map(i => s"c$i").mkString(" ")
+    val docs = (1L to 6L).map(i => (i, run))
+    val df = docs.toDF("doc_id", "text")
+    // 6 docs × 1 gram = 6 postings > cap 5 → gram dropped, no pairs
+    assert(Dedup.duplicateSpans(df, "doc_id", "text", minRun = 8,
+      maxGramFreq = 5).count() == 0)
+    // raise the cap: all 15 pairs appear
+    assert(Dedup.duplicateSpans(df, "doc_id", "text", minRun = 8,
+      maxGramFreq = 100).count() == 15)
+  }
+
+  test("tfidfTop ranks distinctive terms first, ties to term asc") {
+    val df = Seq(
+      (1L, "apple apple apple common"),
+      (2L, "banana banana common common"),
+      (3L, "cherry common zz zz")).toDF("doc_id", "text")
+    val got = graft.llm.TextStats.tfidfTop(df, "doc_id", "text", topN = 2)
+      .orderBy("doc_id", "rank").collect()
+    // doc 1: apple tf=3 df=1 → 9.0 beats common tf=1 df=3 → 1.0
+    assert(got(0).getString(1) == "apple" &&
+      got(0).getDouble(4) == 9.0 && got(0).getInt(5) == 1)
+    // doc 3: cherry (3.0) and zz tf=2 df=1 → 6.0: zz first, cherry second
+    val d3 = got.filter(_.getLong(0) == 3L)
+    assert(d3.map(_.getString(1)).toSeq == Seq("zz", "cherry"))
+  }
 }
