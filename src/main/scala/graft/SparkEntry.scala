@@ -786,6 +786,36 @@ object SparkEntry {
         budget = 4096, shards = 8)
         .orderBy("doc_id")),
 
+    // distributed k-means + SemDeDup semantic dedup: the seeded
+    // assignment path is exactly deterministic (fixed init from the k
+    // smallest ids, strict-< argmin, sequential distance folds) and
+    // oracled bit-exact; the full-corpus Lloyd refit (q_kmeans_fit) is
+    // rows-only — double-sum reduction order — with KMeansSpec parity
+    "q_kmeans_assign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m = graft.llm.KMeans.seed(e, "vec_id", "embedding", k = 8)
+      graft.llm.KMeans.assign(e, "vec_id", "embedding", m)
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    }),
+
+    "q_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m = graft.llm.KMeans.seed(e, "vec_id", "embedding", k = 8)
+      graft.llm.KMeans.semanticPairs(e, "vec_id", "embedding", m,
+        eps = 0.45)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_kmeans_fit" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m = graft.llm.KMeans.fit(e, "vec_id", "embedding", k = 8,
+        iters = 2)
+      graft.llm.KMeans.assign(e, "vec_id", "embedding", m)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .orderBy("cell")
+    }),
+
     // ===== north-star: similarity search =================================
 
     "q_simsearch_topk" -> ((s, dir) => {
@@ -1340,6 +1370,48 @@ object SparkEntry {
           |       substr(md5(regexp_replace(lower(trim(text)),
           |           '\s+', ' ', 'g')), 1, 16) AS fp
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_kmeans_assign" ->
+        s"""WITH cents AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |         embedding AS cv
+           |  FROM embeddings ORDER BY vec_id LIMIT 8),
+           |d AS (SELECT e.vec_id, c.cell,
+           |  list_reduce(list_prepend(0.0,
+           |    list_transform(list_zip(e.embedding, c.cv),
+           |      x -> (x[1]::DOUBLE - x[2]::DOUBLE)
+           |         * (x[1]::DOUBLE - x[2]::DOUBLE))),
+           |    (a, y) -> a + y) AS dist
+           |  FROM embeddings e CROSS JOIN cents c),
+           |asg AS (SELECT vec_id, cell, row_number() OVER (
+           |          PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |        FROM d)
+           |SELECT vec_id, cell FROM asg WHERE rn = 1
+           |ORDER BY vec_id""".stripMargin,
+
+      "q_semantic_dedup" ->
+        s"""WITH cents AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |         embedding AS cv
+           |  FROM embeddings ORDER BY vec_id LIMIT 8),
+           |d AS (SELECT e.vec_id, c.cell,
+           |  list_reduce(list_prepend(0.0,
+           |    list_transform(list_zip(e.embedding, c.cv),
+           |      x -> (x[1]::DOUBLE - x[2]::DOUBLE)
+           |         * (x[1]::DOUBLE - x[2]::DOUBLE))),
+           |    (a, y) -> a + y) AS dist
+           |  FROM embeddings e CROSS JOIN cents c),
+           |asg AS (SELECT vec_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d)
+           |  WHERE rn = 1)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
+           |       ${cosSql("ea.embedding", "eb.embedding")} AS cosine
+           |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |JOIN embeddings ea ON ea.vec_id = a.vec_id
+           |JOIN embeddings eb ON eb.vec_id = b.vec_id
+           |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45
+           |ORDER BY id_a, id_b""".stripMargin,
 
       "q_dup_spans" ->
         s"""WITH toks AS (SELECT doc_id::BIGINT AS id, $toksSql AS ts

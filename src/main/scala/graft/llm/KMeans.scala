@@ -1,0 +1,132 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Distributed k-means over an embedding column, and the SemDeDup-style
+  * semantic-dedup pipeline built on it (Abbas et al., "SemDeDup: Data-
+  * efficient learning at web-scale through semantic deduplication",
+  * 2023): cluster the corpus with a coarse k-means, then search for
+  * near-duplicate pairs ONLY within a cluster — the all-pairs cosine
+  * work drops from O(n²) to Σ O(|cell|²), with k chosen so cells stay
+  * small (k ≈ n/10³ keeps the quadratic term ~10⁶ per cell).
+  *
+  * Contrast with [[Ivf.train]]: that is a bounded-sample DRIVER
+  * mini-k-means (quantizer training, a few MB); [[fit]] here runs
+  * Lloyd's iterations over the FULL corpus as DataFrame jobs — map-only
+  * assignment against a broadcast centroid table, then one
+  * shuffle-linear per-(cell, dim) aggregate per iteration, with only the
+  * k×dim centroid matrix ever reaching the driver.
+  *
+  * Determinism: [[seed]] and [[assign]] are exactly deterministic (fixed
+  * init from the k smallest ids, strict-< argmin ties to the lowest cell,
+  * sequential per-dim distance folds) — the seeded-assignment pipeline is
+  * oracled bit-exactly (q_kmeans_assign, q_semantic_dedup). [[fit]]'s
+  * centroid means are double sums whose partial-aggregation ORDER Spark
+  * does not fix, so refit centroids are deterministic only up to fp
+  * reduction order — the standard trade every distributed k-means makes
+  * (MLlib included); the fit path is pinned by KMeansSpec invariants
+  * (parity with a sequential reference on one partition, non-increasing
+  * objective) and benchmarked rows-only (q_kmeans_fit).
+  */
+object KMeans {
+
+  case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+    require(centroids.nonEmpty, "model needs at least one centroid")
+  }
+
+  /** Deterministic seed model: the vectors of the `k` smallest ids
+    * (ordered take — TakeOrderedAndProject, not a layout-dependent
+    * LIMIT), floats widened exactly to double. */
+  def seed(df: DataFrame, idCol: String, vecCol: String, k: Int): Model = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val rows = df.orderBy(col(idCol)).limit(k).select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(rows.length >= k, s"corpus has fewer than $k rows")
+    Model(rows)
+  }
+
+  /** 0-based nearest-centroid cell of a vector (map-only: the centroid
+    * table rides the plan as a reference object; native codegen
+    * [[graft.functions.NearestCells]] distance scan, ties to the lowest
+    * cell index). */
+  def cellOf(vec: Column, model: Model): Column =
+    element_at(graft.functions.NearestCells(
+      vec, model.centroids.map(_.toSeq).toSeq, 1), 1)
+
+  /** (id, vec, norm, cell) assignment frame — the shared first stage of
+    * every consumer (Lloyd update, semantic pairs, cell histograms).
+    * Norms are computed map-side once per VECTOR, not per pair. */
+  def assign(df: DataFrame, idCol: String, vecCol: String, model: Model)
+      : DataFrame =
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      Vectors.norm(col(vecCol)).as("nm"))
+      .withColumn("cell", cellOf(col("v"), model))
+
+  /** Lloyd's algorithm over the full corpus: `iters` rounds of map-only
+    * assignment + per-(cell, dim) mean. Each round is one job whose
+    * shuffle carries k×dim partial (sum, count) pairs per map task
+    * (map-side combined); only the k×dim centroid matrix is collected.
+    * Empty cells keep their previous centroid (the Ivf.train rule). */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+          iters: Int = 2): Model = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    var model = seed(df, idCol, vecCol, k)
+    val dim = model.centroids.head.length
+    (1 to iters).foreach { _ =>
+      val stats = assign(df, idCol, vecCol, model)
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("col").cast("double")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      stats.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        sums(c)(d) = r.getDouble(2)
+        counts(c) = r.getLong(3)
+      }
+      model = Model(Array.tabulate(k) { c =>
+        if (counts(c) == 0L) model.centroids(c)
+        else sums(c).map(_ / counts(c))
+      })
+    }
+    model
+  }
+
+  /** SemDeDup candidate pairs: cosine ≥ `eps` pairs WITHIN each cluster.
+    * One shuffle on cell id; within-cell all-pairs is the SemDeDup trade
+    * (size k to keep cells bounded — the cross-cluster misses are the
+    * documented recall loss of the method). Output:
+    * (id_a, id_b, cell, cosine), id_a < id_b. */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+                    model: Model, eps: Double): DataFrame = {
+    val a = assign(df, idCol, vecCol, model)
+    val l = a.select(col("id").as("id_a"), col("v").as("va"),
+      col("nm").as("na"), col("cell"))
+    val r = a.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nm").as("nb"), col("cell"))
+    l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("cell"),
+        Vectors.cosineWithNorms(col("va"), col("vb"),
+          col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= eps)
+  }
+
+  /** Full semantic dedup: keep one representative (min id) per connected
+    * component of the within-cluster near-dup graph, plus every row in
+    * no pair. (SemDeDup keeps the vector farthest from the centroid; the
+    * min-id rule is this engine's deterministic representative
+    * convention — swap the keeper at this seam if centroid-distance
+    * ranking is wanted.) */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    model: Model, eps: Double): DataFrame =
+    Dedup.dropNearDuplicates(df, idCol,
+      semanticPairs(df, idCol, vecCol, model, eps))
+}
