@@ -769,6 +769,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bloom-filter decontamination — the beyond-broadcast-scale path:
+    // benchmark shingles collapse to a ~KB bit array, corpus pass stays
+    // map-only. fpp=1e-6 is FP-free on this corpus (deterministic for
+    // fixed data), so the oracle is the exact-contamination SQL; the
+    // superset-of-exact invariant is spec-pinned
+    "q_contamination_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationBloom(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", shingleSize = 3, minShared = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // keyed take-n: bounded TopKCollect aggregation (no window shuffle
     // of the full table) — oracle proves parity with row_number ranking
     "q_top_per_key" -> ((s, dir) =>
@@ -1093,6 +1108,22 @@ object SparkEntry {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q_contamination" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+           |sets AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(1, greatest(len(ts) - 2, 0)),
+           |    i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+           |  FROM toks WHERE len(ts) >= 3),
+           |e AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+           |b AS (SELECT DISTINCT s FROM e WHERE doc_id % 17 = 0)
+           |SELECT e.doc_id, count(*) AS n_shared
+           |FROM e JOIN b USING (s)
+           |WHERE e.doc_id % 17 <> 0
+           |GROUP BY 1 HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin,
+
+      // bloom path: FP-free at these scales (deterministic for fixed
+      // data), so the oracle IS the exact-contamination query
+      "q_contamination_bloom" ->
         s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
            |sets AS (
            |  SELECT doc_id, list_distinct(list_transform(

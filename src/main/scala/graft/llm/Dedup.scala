@@ -455,6 +455,56 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[contamination]] for benchmark sets too large to broadcast as an
+    * exact hash set: the benchmark's shingle hashes collapse into a
+    * Bloom filter (built distributed, only the filter's bit array —
+    * `-n·ln(fpp)/ln²2` bits, ~1.2 MB per 10⁶ shingles at 1e-6 — reaches
+    * the driver and rides the plan as a foldable literal), and the
+    * corpus pass stays map-only: Spark's native codegen
+    * `BloomFilterMightContain` per shingle, then the same per-doc
+    * shared-count aggregate.
+    *
+    * Semantics: a SUPERSET of [[contamination]] — no false negatives
+    * ever (every truly shared shingle is in the filter); false positives
+    * inflate `n_shared` at rate `fpp` per probe. The FP set is
+    * deterministic for fixed data (the filter's hash seeds are
+    * constant), so the operator is reproducible run-to-run; at the test
+    * corpus scale fpp=1e-6 yields zero FPs and the output equals the
+    * exact operator bit-for-bit (oracled as q_contamination_bloom
+    * against the exact SQL; the superset invariant is spec-pinned). */
+  def contaminationBloom(docs: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, shingleSize: Int = 3,
+                         minShared: Long = 1,
+                         fpp: Double = 1e-6): DataFrame = {
+    require(minShared > 0, s"minShared must be positive: $minShared")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val b = bench
+      .select(Text.tokens(col(textCol)).as("__t"))
+      .select(explode(shingleHashes(col("__t"), shingleSize)).as("s"))
+      .distinct()
+    // the count sizes the filter; both actions run over the (small)
+    // benchmark side only — the corpus is never collected or counted
+    val nBench = b.count()
+    val bf = b.stat.bloomFilter("s", math.max(nBench, 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val might = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("s"))))
+    docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__t"))
+      .select(col("id"),
+        explode(shingleHashes(col("__t"), shingleSize)).as("s"))
+      .filter(might)
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Embedding near-dup pairs: random-hyperplane LSH buckets → exact cosine
     * verify within buckets. `nBits` trades recall (more probes) vs bucket
     * size; at 100 TB run multiple independent tables (seeds) and union. */

@@ -451,6 +451,28 @@ class TextDedupSpec extends SparkSpec {
       maxGramFreq = 100).count() == 15)
   }
 
+  test("contaminationBloom is a superset of exact contamination, " +
+    "equal at tiny fpp") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma other words here"),
+      (3L, "completely different tokens in this doc"),
+      (17L, "alpha beta gamma delta something else")).toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") =!= 17L)
+    val bench = docs.filter(col("doc_id") === 17L)
+    val exact = Dedup.contamination(corpus, bench, "doc_id", "text",
+      shingleSize = 3, minShared = 1)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.contaminationBloom(corpus, bench, "doc_id", "text",
+      shingleSize = 3, minShared = 1, fpp = 1e-6)
+      .as[(Long, Long)].collect().toMap
+    // no false negatives: every exact hit appears with >= the exact count
+    exact.foreach { case (id, n) => assert(bloom.getOrElse(id, 0L) >= n) }
+    // tiny fpp on a tiny corpus: equality
+    assert(bloom == exact)
+    assert(exact.contains(1L) && exact.contains(2L) && !exact.contains(3L))
+  }
+
   test("tfidfTop ranks distinctive terms first, ties to term asc") {
     val df = Seq(
       (1L, "apple apple apple common"),
