@@ -62,6 +62,76 @@ object SparkEntry {
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))))"""
       .stripMargin
 
+  /** DuckDB replica of [[graft.llm.Ivf.train]] + [[graft.llm.Ivf.topK]]:
+    * the driver mini-k-means is a SEQUENTIAL deterministic loop (sample
+    * ordered by id, strict-< argmin, per-dim sums accumulated in sample
+    * order, one double division per mean), so each Lloyd iteration is
+    * replicable as SQL with ordered list folds — `iters` chained CTE
+    * blocks generated here. Probing and ranking reuse the proven cosine
+    * / row_number conventions. */
+  private def ivfOracleSql(k: Int, iters: Int, nProbe: Int,
+                           topK: Int): String = {
+    val l2 = (v: String, c: String) =>
+      s"""list_reduce(list_prepend(0.0,
+         |    list_transform(list_zip($v, $c),
+         |      x -> (x[1]::DOUBLE - x[2]::DOUBLE)
+         |         * (x[1]::DOUBLE - x[2]::DOUBLE))),
+         |    (a, y) -> a + y)""".stripMargin
+    val iterBlocks = (0 until iters).map { t =>
+      s"""d$t AS (SELECT e.vec_id, c.cell,
+         |  ${l2("e.embedding", "c.cv")} AS dist
+         |  FROM embeddings e CROSS JOIN cents$t c),
+         |asg$t AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d$t)
+         |  WHERE rn = 1),
+         |mem$t AS (SELECT a.cell, dims.i,
+         |    list(e.embedding[dims.i]::DOUBLE ORDER BY e.vec_id) AS vs,
+         |    count(*) AS n
+         |  FROM asg$t a JOIN embeddings e USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1,
+         |    (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i) dims
+         |  GROUP BY a.cell, dims.i),
+         |cm$t AS (SELECT cell, i,
+         |    list_reduce(list_prepend(0.0, vs), (x, y) -> x + y) / n AS cv_i
+         |  FROM mem$t),
+         |cents${t + 1} AS (
+         |  SELECT cell, list(cv_i ORDER BY i) AS cv FROM cm$t GROUP BY cell
+         |  UNION ALL
+         |  SELECT cell, cv FROM cents$t
+         |  WHERE cell NOT IN (SELECT cell FROM cm$t)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH cents0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |         list_transform(embedding, x -> x::DOUBLE) AS cv
+       |  FROM embeddings ORDER BY vec_id LIMIT $k),
+       |$iterBlocks
+       |cd AS (SELECT e.vec_id, c.cell,
+       |  ${l2("e.embedding", "c.cv")} AS dist
+       |  FROM embeddings e CROSS JOIN cents$iters c),
+       |corpus AS (SELECT vec_id AS nbr_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM cd)
+       |  WHERE rn = 1),
+       |qcells AS (SELECT vec_id AS query_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM cd
+       |  WHERE vec_id < 5) WHERE rn <= $nProbe),
+       |cand AS (SELECT DISTINCT q.query_id, c.nbr_id
+       |  FROM corpus c JOIN qcells q USING (cell)
+       |  WHERE q.query_id <> c.nbr_id),
+       |scored AS (SELECT query_id, nbr_id,
+       |    ${cosSql("eq.embedding", "ec.embedding")} AS cosine
+       |  FROM cand JOIN embeddings eq ON eq.vec_id = query_id
+       |            JOIN embeddings ec ON ec.vec_id = nbr_id),
+       |ranked AS (SELECT query_id, nbr_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, nbr_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, nbr_id, cosine, rank FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -849,8 +919,9 @@ object SparkEntry {
 
     // IVF coarse-quantizer ANN (the other scale path besides LSH):
     // deterministic mini-kmeans on a bounded sample, broadcast centroids,
-    // map-only cell assignment, probe-and-rank. Rows-only; recall vs
-    // brute force pinned by IvfSpec.
+    // map-only cell assignment, probe-and-rank. Oracled bit-exact — the
+    // sequential quantizer training replays in SQL (ivfOracleSql); recall
+    // vs brute force additionally pinned by IvfSpec.
     "q_simsearch_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val model = graft.llm.Ivf.train(e, "vec_id", "embedding", k = 16)
@@ -1401,6 +1472,12 @@ object SparkEntry {
           |       substr(md5(regexp_replace(lower(trim(text)),
           |           '\s+', ' ', 'g')), 1, 16) AS fp
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // IVF quantizer + probe: the driver mini-k-means is a sequential
+      // deterministic loop, so all 5 Lloyd iterations replay in SQL as
+      // ordered list folds — generated CTE blocks (ivfOracleSql)
+      "q_simsearch_ivf" -> ivfOracleSql(k = 16, iters = 5, nProbe = 4,
+        topK = 5),
 
       "q_kmeans_assign" ->
         s"""WITH cents AS (
