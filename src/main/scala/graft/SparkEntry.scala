@@ -732,6 +732,14 @@ object SparkEntry {
         minRun = 8, maxGramFreq = 1000)
         .orderBy("id_a", "id_b", "start_a", "start_b")),
 
+    // doc-level duplicated-token fraction (interval union of spans) —
+    // the drop/trim decision metric of substring dedup
+    "q_dup_coverage" -> ((s, dir) =>
+      Dedup.duplicateCoverage(t(s, dir, "documents"), "doc_id", "text",
+        minRun = 8, maxGramFreq = 1000)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // near-dup pairs → dedup CLUSTERS: connected components by min-label
     // propagation (what a pipeline does with pair lists — keep one doc
     // per component). Oracle = DuckDB recursive-CTE transitive closure.
@@ -1547,6 +1555,61 @@ object SparkEntry {
            |       count(*) + 7 AS n_tokens
            |FROM isl GROUP BY id_a, id_b, diag, grp
            |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+
+      "q_dup_coverage" ->
+        s"""WITH toks AS (SELECT doc_id::BIGINT AS id, $toksSql AS ts
+           |             FROM documents),
+           |g0 AS (SELECT id, ts, unnest(range(1, len(ts) - 6)) AS i
+           |       FROM toks),
+           |g AS (SELECT id, (i - 1)::BIGINT AS pos,
+           |             array_to_string(ts[i:i+7], ' ') AS gram
+           |      FROM g0),
+           |kept AS (SELECT gram FROM g GROUP BY gram
+           |         HAVING count(*) > 1 AND count(*) <= 1000),
+           |m AS (SELECT a.id AS id_a, b.id AS id_b,
+           |             a.pos AS pos_a, b.pos AS pos_b
+           |      FROM (SELECT g.* FROM g JOIN kept USING (gram)) a
+           |      JOIN (SELECT g.* FROM g JOIN kept USING (gram)) b
+           |        USING (gram)
+           |      WHERE a.id < b.id),
+           |isl AS (SELECT id_a, id_b, pos_a, pos_b,
+           |               pos_a - pos_b AS diag,
+           |               pos_a - row_number() OVER (
+           |                 PARTITION BY id_a, id_b, pos_a - pos_b
+           |                 ORDER BY pos_a) AS grp
+           |        FROM m),
+           |spans AS (SELECT id_a, id_b, min(pos_a) AS start_a,
+           |                 min(pos_b) AS start_b,
+           |                 count(*) + 7 AS n_tok
+           |          FROM isl GROUP BY id_a, id_b, diag, grp),
+           |iv AS (SELECT DISTINCT id, s, e FROM (
+           |  SELECT id_a AS id, start_a AS s, start_a + n_tok AS e
+           |  FROM spans
+           |  UNION ALL
+           |  SELECT id_b, start_b, start_b + n_tok FROM spans)),
+           |fl AS (SELECT id, s, e,
+           |         max(e) OVER (PARTITION BY id ORDER BY s, e
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |           AS pmax
+           |       FROM iv),
+           |fc AS (SELECT id, s, e,
+           |         sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1
+           |             ELSE 0 END) OVER (PARTITION BY id ORDER BY s, e
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |           AS isl2
+           |       FROM fl),
+           |cov AS (SELECT id, CAST(sum(ie - st) AS BIGINT)
+           |            AS n_dup_tokens FROM (
+           |          SELECT id, isl2, min(s) AS st, max(e) AS ie
+           |          FROM fc GROUP BY id, isl2)
+           |        GROUP BY id)
+           |SELECT t.id AS doc_id, len(t.ts)::BIGINT AS n_tokens,
+           |       coalesce(c.n_dup_tokens, 0) AS n_dup_tokens,
+           |       CASE WHEN len(t.ts) = 0 THEN 0.0
+           |            ELSE CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE)
+           |               / CAST(len(t.ts) AS DOUBLE) END AS dup_fraction
+           |FROM toks t LEFT JOIN cov c ON c.id = t.id
+           |ORDER BY doc_id""".stripMargin,
 
       "q_tfidf" ->
         s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),

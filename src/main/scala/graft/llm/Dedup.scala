@@ -610,4 +610,58 @@ object Dedup {
         (count(lit(1)) + (minRun - 1)).as("n_tokens"))
       .select("id_a", "id_b", "start_a", "start_b", "n_tokens")
   }
+
+  /** Per-document duplicated-token coverage — the doc-level decision
+    * metric of substring dedup (Lee et al. drop or trim documents whose
+    * duplicated fraction is high): union the [[duplicateSpans]] intervals
+    * each document participates in (either side of any pair) and measure
+    * the covered token fraction.
+    *
+    * Interval union is the classic sort + running-max islands, windowed
+    * PER DOCUMENT (partitions bounded by a doc's span count): an interval
+    * opens a new island iff it starts past the running max end of its
+    * predecessors; island length = max(end) − min(start); overlapping and
+    * touching intervals collapse without double counting.
+    *
+    * Output: one row per input document — (id, n_tokens, n_dup_tokens,
+    * dup_fraction), 0-coverage rows included (dedup decisions need the
+    * clean docs too); empty docs report fraction 0. */
+  def duplicateCoverage(df: DataFrame, idCol: String, textCol: String,
+                        minRun: Int = 8,
+                        maxGramFreq: Int = 1000): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, minRun, maxGramFreq)
+    val ivals = spans
+      .select(col("id_a").as("id"), col("start_a").as("s"),
+        (col("start_a") + col("n_tokens")).as("e"))
+      .unionByName(spans.select(col("id_b").as("id"),
+        col("start_b").as("s"),
+        (col("start_b") + col("n_tokens")).as("e")))
+      // distinct makes (s, e) unique per id, so the island windows have a
+      // TOTAL order — tie traversal can never differ between the prior-max
+      // and cumulative-flag passes (or between engines); union coverage is
+      // unchanged by dropping duplicate intervals
+      .distinct()
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("s"), col("e"))
+    val prior = order.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val covered = ivals
+      .withColumn("__pmax", max(col("e")).over(prior))
+      .withColumn("__flag",
+        when(col("__pmax").isNull || col("s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__flag")).over(order))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min("s").as("__is"), max("e").as("__ie"))
+      .groupBy("id")
+      .agg(sum(col("__ie") - col("__is")).as("n_dup_tokens"))
+    df.select(col(idCol).cast("long").as("id"),
+        Text.nTokens(col(textCol)).cast("long").as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
+      .withColumn("dup_fraction",
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(col("n_dup_tokens").cast("double") /
+            col("n_tokens").cast("double")))
+  }
 }

@@ -99,6 +99,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("bloom decontamination probes map-side: the bloom filter rides as " +
+    "a literal in a Filter, no join on the corpus probe path") {
+    val p = planStr("q_contamination_bloom")
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("k-means assignment is map-only: the centroid table rides the " +
+    "plan, no join and no window anywhere") {
+    val p = planStr("q_kmeans_assign")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window "), p)
+  }
+
+  test("duplicate-span detection needs no sort-merge join — candidates " +
+    "come from posting lists; the island window is keyed per pair") {
+    val p = planStr("q_dup_spans")
+    assert(!p.contains("SortMergeJoin"), p)
+    // the gaps-and-islands window must be keyed (partition spec present)
+    val win = p.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(win.isEmpty || win.contains("id_a"), win)
+  }
+
   test("banded dedup queries shuffle band keys, never signature arrays") {
     // the Exchange feeding bucket collection must carry (id, bkey) only
     val p = planStr("q_embed_neardup_lsh")

@@ -451,6 +451,28 @@ class TextDedupSpec extends SparkSpec {
       maxGramFreq = 100).count() == 15)
   }
 
+  test("duplicateCoverage unions overlapping spans without double count " +
+    "and reports clean docs at 0") {
+    // doc 1 and doc 2 share run A (tokens 0..9 of doc 1); doc 1 and doc 3
+    // share run B (tokens 5..14 of doc 1) — doc 1's union covers 0..14
+    val runA = (0 until 10).map(i => s"x$i").mkString(" ")  // x0..x9
+    val half = (5 until 10).map(i => s"x$i").mkString(" ")  // x5..x9
+    val runB = s"$half y0 y1 y2 y3 y4"                      // x5..x9 y0..y4
+    val df = Seq(
+      (1L, s"$runA y0 y1 y2 y3 y4 tail1 tail2"),  // 17 tokens
+      (2L, s"$runA z1 z2"),
+      (3L, s"$runB w1 w2"),
+      (4L, "clean doc with no shared runs at all")).toDF("doc_id", "text")
+    val got = Dedup.duplicateCoverage(df, "doc_id", "text", minRun = 8)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: spans [0,10) and [5,15) union to [0,15) → 15 of 17
+    assert(got(1L) == (17L, 15L))
+    assert(got(2L)._2 == 10L)
+    assert(got(3L)._2 == 10L)
+    assert(got(4L) == (8L, 0L))
+  }
+
   test("contaminationBloom is a superset of exact contamination, " +
     "equal at tiny fpp") {
     val docs = Seq(
