@@ -655,6 +655,12 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
         .orderBy("source")),
 
+    // Gopher/MassiveText rule-family quality signals + keep decision
+    "q_gopher_rules" -> ((s, dir) =>
+      graft.llm.TextStats.gopherRules(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))
@@ -1451,6 +1457,38 @@ object SparkEntry {
            |         / len(text) AS punct_ratio,
            |       CAST(len(list_filter(ts, t -> list_contains($allStops, t)))
            |         AS DOUBLE) / len(ts) AS stopword_ratio
+           |FROM toks ORDER BY doc_id""".stripMargin,
+
+      "q_gopher_rules" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents)
+           |SELECT doc_id,
+           |       len(ts)::BIGINT AS n_tokens,
+           |       CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE)
+           |         / len(ts) AS mean_token_len,
+           |       CAST(len(list_filter(ts,
+           |           t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+           |         / len(ts) AS frac_alpha_words,
+           |       CAST(len(list_filter(ts, t -> contains(t, '#')
+           |           OR contains(t, '...'))) AS DOUBLE)
+           |         / len(ts) AS frac_symbol_words,
+           |       CAST(len(list_filter(ts,
+           |           t -> regexp_matches(t, '^[0-9]+$$'))) AS DOUBLE)
+           |         / len(ts) AS frac_numeric_words,
+           |       len(list_filter(ts, t -> list_contains(
+           |           ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+           |            'with'], t)))::BIGINT AS n_stop_hits,
+           |       (len(ts) BETWEEN 50 AND 100000)
+           |         AND (CAST(list_sum(list_transform(ts, t -> len(t)))
+           |              AS DOUBLE) / len(ts) BETWEEN 3.0 AND 10.0)
+           |         AND (CAST(len(list_filter(ts,
+           |              t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+           |              / len(ts) >= 0.8)
+           |         AND (CAST(len(list_filter(ts, t -> contains(t, '#')
+           |              OR contains(t, '...'))) AS DOUBLE)
+           |              / len(ts) <= 0.1)
+           |         AND (len(list_filter(ts, t -> list_contains(
+           |              ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+           |               'with'], t))) >= 2) AS gopher_keep
            |FROM toks ORDER BY doc_id""".stripMargin,
 
       "q_langid" ->

@@ -83,6 +83,48 @@ object TextStats {
           .as("score"))
   }
 
+  /** Gopher/MassiveText-style per-document quality rule signals (Rae et
+    * al. 2021, Appendix A) — the remaining rule family beside
+    * [[Text.qualityScore]] (length/punct/stopword) and [[repetition]]
+    * (dup-content ratios): word-shape fractions and the small-stopword
+    * evidence bit, plus the combined keep decision. Pure Column
+    * expressions over one materialized token array — per-row, codegen'd,
+    * embarrassingly parallel; thresholds are the published Gopher
+    * constants, documented as the operator contract's defaults (a
+    * production filter tunes them at this seam).
+    *
+    * Signals: `n_tokens`, `mean_token_len`, `frac_alpha_words` (tokens
+    * containing a letter), `frac_symbol_words` (hash/ellipsis tokens),
+    * `frac_numeric_words` (all-digit tokens), `n_stop_hits` (occurrences
+    * from a tiny common-word set), and `gopher_keep`:
+    * 50 ≤ n_tokens ≤ 100k, 3 ≤ mean_token_len ≤ 10,
+    * frac_alpha_words ≥ 0.8, frac_symbol_words ≤ 0.1, n_stop_hits ≥ 2. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val stops = array(Seq("the", "be", "to", "of", "and", "that", "have",
+      "with").map(lit): _*)
+    df.select(col(idCol), Text.tokens(col(textCol)).as("__ts"))
+      .select(
+        col(idCol),
+        Text.nTokensOf(col("__ts")).cast("long").as("n_tokens"),
+        Text.meanTokenLenOf(col("__ts")).as("mean_token_len"),
+        (size(filter(col("__ts"), t => t.rlike("[a-z]")))
+          .cast("double") / size(col("__ts"))).as("frac_alpha_words"),
+        (size(filter(col("__ts"),
+          t => t.contains("#") || t.contains("...")))
+          .cast("double") / size(col("__ts"))).as("frac_symbol_words"),
+        (size(filter(col("__ts"), t => t.rlike("^[0-9]+$")))
+          .cast("double") / size(col("__ts"))).as("frac_numeric_words"),
+        size(filter(col("__ts"), t => array_contains(stops, t)))
+          .cast("long").as("n_stop_hits"))
+      .withColumn("gopher_keep",
+        col("n_tokens") >= 50 && col("n_tokens") <= 100000 &&
+          col("mean_token_len") >= 3.0 && col("mean_token_len") <= 10.0 &&
+          col("frac_alpha_words") >= 0.8 &&
+          col("frac_symbol_words") <= 0.1 &&
+          col("n_stop_hits") >= 2L)
+  }
+
   /** Per-document top-`topN` terms by tf-idf — the corpus-level term
     * salience operator (keyword extraction, near-dup explanation, index
     * pruning). Formulated LOG-FREE for cross-engine exactness: the idf

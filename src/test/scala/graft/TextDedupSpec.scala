@@ -495,6 +495,24 @@ class TextDedupSpec extends SparkSpec {
     assert(exact.contains(1L) && exact.contains(2L) && !exact.contains(3L))
   }
 
+  test("gopherRules word-shape fractions and keep decision") {
+    val longDoc = (("the quick brown fox of and that have with " * 8)
+      + "tail").trim // 73 tokens, all alpha, plenty of stop hits
+    val df = Seq(
+      (1L, longDoc),
+      (2L, "### ... ### ... 123 456"), // symbols+numerics, no alpha
+      (3L, "too short to keep")).toDF("doc_id", "text")
+    val got = graft.llm.TextStats.gopherRules(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("gopher_keep"))
+    val r2 = got(1)
+    assert(r2.getAs[Double]("frac_alpha_words") == 0.0)
+    assert(r2.getAs[Double]("frac_symbol_words") == 4.0 / 6.0)
+    assert(r2.getAs[Double]("frac_numeric_words") == 2.0 / 6.0)
+    assert(!r2.getAs[Boolean]("gopher_keep"))
+    assert(!got(2).getAs[Boolean]("gopher_keep")) // n_tokens < 50
+  }
+
   test("tfidfTop ranks distinctive terms first, ties to term asc") {
     val df = Seq(
       (1L, "apple apple apple common"),
