@@ -35,10 +35,20 @@ package graft
   *  - Lambdas capturing an outer list copy it per element (O(n^2));
   *    sequential folds iterate over pre-zipped lists
   *    (`list_zip`/`list_prepend`) so nothing is captured.
+  *  - ASCII contract: `g_bytes` reads per-CHARACTER codepoints while
+  *    Spark hashes UTF-8 BYTES — identical only while the corpus is
+  *    pure ASCII. The assumption is pinned by a corpus test
+  *    (TextDedupSpec "corpus is ASCII"), so a generator change that
+  *    introduces non-ASCII text fails CI instead of silently flipping
+  *    every hash oracle. Byte-exact non-ASCII support would swap
+  *    g_bytes for a BLOB-based byte reader.
   *
   * Every SQL string here is `prologue + query`; `CREATE OR REPLACE`
   * keeps the macros idempotent when the driver runs many oracles on one
-  * connection.
+  * connection. The pair queries replicate the engine's BoundedCollect
+  * bucket caps (`HAVING count(*) <= cap` per band key — an overflowing
+  * bucket yields NO pairs in both engines), so the oracles stay exact
+  * on corpora with boilerplate-heavy buckets, not just on today's data.
   */
 object OracleXxh {
 
@@ -152,8 +162,12 @@ bk1 AS MATERIALIZED (SELECT id, b, s2, s3, s4, g_xxh_long(s1, a0) AS a1 FROM bs)
 bk2 AS MATERIALIZED (SELECT id, b, s3, s4, g_xxh_long(s2, a1) AS a2 FROM bk1),
 bk3 AS MATERIALIZED (SELECT id, b, s4, g_xxh_long(s3, a2) AS a3 FROM bk2),
 bk AS MATERIALIZED (SELECT id, g_xxh_long(s4, a3) AS bkey FROM bk3),
+bkc AS MATERIALIZED (SELECT bkey FROM bk GROUP BY bkey
+  HAVING count(*) > 1 AND count(*) <= 1000),
 pairs AS MATERIALIZED (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bk a JOIN bk b USING (bkey) WHERE a.id < b.id),
+  FROM (SELECT bk.* FROM bk JOIN bkc USING (bkey)) a
+  JOIN (SELECT bk.* FROM bk JOIN bkc USING (bkey)) b
+    USING (bkey) WHERE a.id < b.id),
 est AS (SELECT p.id_a, p.id_b,
     len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i])) / 128.0
       AS est_jaccard
@@ -182,9 +196,13 @@ banded AS MATERIALIZED (SELECT id, shu,
     g_xxh_long((shu >> (band*16)) & 65535, g_xxh_int(band, 42::HUGEINT))
       AS bkey
   FROM shv, range(0, 4) r(band)),
+bkc AS MATERIALIZED (SELECT bkey FROM banded GROUP BY bkey
+  HAVING count(*) > 1 AND count(*) <= 1000),
 prs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
     bit_count(xor(a.shu, b.shu))::INTEGER AS hamming
-  FROM banded a JOIN banded b USING (bkey) WHERE a.id < b.id)
+  FROM (SELECT banded.* FROM banded JOIN bkc USING (bkey)) a
+  JOIN (SELECT banded.* FROM banded JOIN bkc USING (bkey)) b
+    USING (bkey) WHERE a.id < b.id)
 SELECT id_a, id_b, hamming FROM prs WHERE hamming <= 3
 ORDER BY id_a, id_b"""
 
@@ -212,8 +230,12 @@ sig AS MATERIALIZED (SELECT vec_id, s,
 bk AS MATERIALIZED (SELECT vec_id,
     g_xxh_long(sig, (SELECT hs FROM ps1 p WHERE p.s = sig_t.s)) AS bkey
   FROM sig sig_t),
+bkc AS MATERIALIZED (SELECT bkey FROM bk GROUP BY bkey
+  HAVING count(*) > 1 AND count(*) <= 2000),
 pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM bk a JOIN bk b USING (bkey) WHERE a.vec_id < b.vec_id)
+          FROM (SELECT bk.* FROM bk JOIN bkc USING (bkey)) a
+          JOIN (SELECT bk.* FROM bk JOIN bkc USING (bkey)) b
+            USING (bkey) WHERE a.vec_id < b.vec_id)
 SELECT p.id_a, p.id_b, (list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
     (acc, v) -> acc + v)

@@ -63,6 +63,9 @@ object SparkEntry {
       .stripMargin
 
   /** DuckDB replica of [[graft.llm.Ivf.train]] + [[graft.llm.Ivf.topK]]:
+    * training folds run over the SAME bounded ordered sample Ivf.train
+    * uses (`sampleCap` smallest ids; sampleStep=1 here) so the oracle
+    * stays exact when the corpus outgrows the cap.
     * the driver mini-k-means is a SEQUENTIAL deterministic loop (sample
     * ordered by id, strict-< argmin, per-dim sums accumulated in sample
     * order, one double division per mean), so each Lloyd iteration is
@@ -70,7 +73,7 @@ object SparkEntry {
     * blocks generated here. Probing and ranking reuse the proven cosine
     * / row_number conventions. */
   private def ivfOracleSql(k: Int, iters: Int, nProbe: Int,
-                           topK: Int): String = {
+                           topK: Int, sampleCap: Int = 10000): String = {
     val l2 = (v: String, c: String) =>
       s"""list_reduce(list_prepend(0.0,
          |    list_transform(list_zip($v, $c),
@@ -80,7 +83,7 @@ object SparkEntry {
     val iterBlocks = (0 until iters).map { t =>
       s"""d$t AS (SELECT e.vec_id, c.cell,
          |  ${l2("e.embedding", "c.cv")} AS dist
-         |  FROM embeddings e CROSS JOIN cents$t c),
+         |  FROM samp e CROSS JOIN cents$t c),
          |asg$t AS (SELECT vec_id, cell FROM (
          |  SELECT vec_id, cell, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d$t)
@@ -88,7 +91,7 @@ object SparkEntry {
          |mem$t AS (SELECT a.cell, dims.i,
          |    list(e.embedding[dims.i]::DOUBLE ORDER BY e.vec_id) AS vs,
          |    count(*) AS n
-         |  FROM asg$t a JOIN embeddings e USING (vec_id)
+         |  FROM asg$t a JOIN samp e USING (vec_id)
          |  CROSS JOIN (SELECT unnest(range(1,
          |    (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i) dims
          |  GROUP BY a.cell, dims.i),
@@ -101,10 +104,13 @@ object SparkEntry {
          |  SELECT cell, cv FROM cents$t
          |  WHERE cell NOT IN (SELECT cell FROM cm$t)),""".stripMargin
     }.mkString("\n")
-    s"""WITH cents0 AS (
+    s"""WITH samp AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY vec_id LIMIT $sampleCap),
+       |cents0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
        |         list_transform(embedding, x -> x::DOUBLE) AS cv
-       |  FROM embeddings ORDER BY vec_id LIMIT $k),
+       |  FROM samp ORDER BY vec_id LIMIT $k),
        |$iterBlocks
        |cd AS (SELECT e.vec_id, c.cell,
        |  ${l2("e.embedding", "c.cv")} AS dist
@@ -980,10 +986,12 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the xxhash64-based approximate
     * ops without a DuckDB analogue (driver records a rows-only check;
-    * ScalaTest pins semantics): HLL/Distogram/Misra-Gries sketches (engine-
-    * internal layouts), IVF (driver-side quantizer training). The xxhash64
-    * family (minhash/simhash/RHP-LSH/winnow/rolling-fp) IS oracled — the
-    * OracleXxh prologue replicates Spark's XXH64 inside DuckDB. */
+    * ScalaTest pins semantics): the HLL/Distogram/Misra-Gries sketches
+    * (engine-internal layouts) and the distributed k-means refit
+    * (double-sum reduction order). Everything else IS oracled — the
+    * OracleXxh prologue replicates Spark's XXH64 inside DuckDB for the
+    * minhash/simhash/RHP-LSH/winnow/rolling-fp family, and the IVF
+    * quantizer's sequential training replays in SQL (ivfOracleSql). */
   def oracleSql: Map[String, String] = {
     val allStops = sqlList(
       Text.stopwords.values.flatten.toSeq.distinct.sorted)

@@ -573,19 +573,22 @@ object Dedup {
     *
     * Output: (id_a, id_b, start_a, start_b, n_tokens) per maximal span,
     * n_tokens = gram_count + minRun − 1. Shuffle-linear: one posting-list
-    * shuffle + one (pair, diagonal) shuffle; text never rides either
-    * (8-byte gram hashes — exact up to 2⁻⁶⁴ collision odds, the
-    * engine-wide trade, oracled against exact string grams). */
+    * shuffle (carrying (id, pos, 8-byte gram hash) rows — exact up to
+    * 2⁻⁶⁴ collision odds, the engine-wide trade, oracled against exact
+    * string grams) + one (pair, diagonal) shuffle; document text and
+    * token arrays never ride any exchange. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      minRun: Int = 8,
                      maxGramFreq: Int = 1000): DataFrame = {
     require(minRun >= 1, s"minRun must be >= 1: $minRun")
     require(maxGramFreq > 1, s"maxGramFreq must be > 1: $maxGramFreq")
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    // no pre-shuffle: tokenize+hash run at scan parallelism (a 100 TB
+    // scan has thousands of splits) and the first exchange is the
+    // posting-list groupBy, which carries (id, pos, 8-byte hash) rows —
+    // a doc's text/token arrays never ride any shuffle
     val grams = df
       .select(col(idCol).cast("long").as("id"),
         Text.tokens(col(textCol)).as("__t"))
-      .repartition(p, col("id"))
       .select(col("id"),
         posexplode(graft.functions.PosShingleHashes(col("__t"), minRun)))
       .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("g"))

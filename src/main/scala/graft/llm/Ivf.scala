@@ -19,9 +19,11 @@ import graft.functions.Vectors
   */
 object Ivf {
 
-  case class Model(centroids: Array[Array[Double]]) {
-    def k: Int = centroids.length
-  }
+  /** The centroid-model type is shared with [[KMeans]] — one place owns
+    * the model shape and the nearest-cell expression, so the two ANN
+    * paths cannot drift. */
+  type Model = KMeans.Model
+  val Model: KMeans.Model.type = KMeans.Model
 
   /** Deterministic mini k-means (fixed init: first k sample points;
     * fixed iteration count — reproducible across runs/executors). */
@@ -73,8 +75,7 @@ object Ivf {
     * scan is the native codegen [[graft.functions.NearestCells]] kernel
     * (the HOF formulation ran k interpreted l2Dist folds per row). */
   private def cellOf(vec: Column, model: Model): Column =
-    element_at(graft.functions.NearestCells(
-      vec, model.centroids.map(_.toSeq).toSeq, 1), 1)
+    KMeans.cellOf(vec, model)
 
   /** ANN top-k: assign corpus rows to cells (map-only), probe each query's
     * `nProbe` nearest cells, rank exactly inside. Output:

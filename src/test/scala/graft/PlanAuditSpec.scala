@@ -118,9 +118,10 @@ class PlanAuditSpec extends SparkSpec {
     "come from posting lists; the island window is keyed per pair") {
     val p = planStr("q_dup_spans")
     assert(!p.contains("SortMergeJoin"), p)
-    // the gaps-and-islands window must be keyed (partition spec present)
+    // the gaps-and-islands window must EXIST and be keyed per pair
     val win = p.linesIterator.find(_.contains("Window ")).getOrElse("")
-    assert(win.isEmpty || win.contains("id_a"), win)
+    assert(win.nonEmpty, s"no Window operator found in plan\n$p")
+    assert(win.contains("id_a"), win)
   }
 
   test("banded dedup queries shuffle band keys, never signature arrays") {

@@ -495,6 +495,17 @@ class TextDedupSpec extends SparkSpec {
     assert(exact.contains(1L) && exact.contains(2L) && !exact.contains(3L))
   }
 
+  test("corpus is ASCII — the contract the OracleXxh char-based byte " +
+    "reader and frame-slicing oracles depend on") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val bad = graft.core.Tables.table(spark, s"/root/testdata/$sf",
+        "documents")
+        .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+      assert(bad == 0L, s"$sf has $bad non-ASCII documents — the xxhash " +
+        "oracle family (char==byte) would silently diverge")
+    }
+  }
+
   test("gopherRules word-shape fractions and keep decision") {
     val longDoc = (("the quick brown fox of and that have with " * 8)
       + "tail").trim // 73 tokens, all alpha, plenty of stop hits
