@@ -921,6 +921,24 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    // composed round-4 cleaning pipeline: Gopher rule gate -> duplicated-
+    // token trim decision (drop docs > 30% duplicated) -> per-lang stats;
+    // every stage is itself an oracled operator
+    "q_pipeline_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rules = graft.llm.TextStats.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("gopher_keep"))
+      val cov = Dedup.duplicateCoverage(docs, "doc_id", "text",
+        minRun = 8, maxGramFreq = 1000)
+        .select(col("id").as("doc_id"), col("dup_fraction"))
+      docs.join(rules, "doc_id").join(cov, "doc_id")
+        .filter(col("gopher_keep") && col("dup_fraction") <= 0.3)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"))
+        .orderBy("lang")
+    }),
+
     // ===== north-star: similarity search =================================
 
     "q_simsearch_topk" -> ((s, dir) => {
@@ -1656,6 +1674,76 @@ object SparkEntry {
            |               / CAST(len(t.ts) AS DOUBLE) END AS dup_fraction
            |FROM toks t LEFT JOIN cov c ON c.id = t.id
            |ORDER BY doc_id""".stripMargin,
+
+      "q_pipeline_dedup" ->
+        s"""WITH toks AS (SELECT doc_id::BIGINT AS id, $toksSql AS ts
+           |             FROM documents),
+           |g0 AS (SELECT id, ts, unnest(range(1, len(ts) - 6)) AS i
+           |       FROM toks),
+           |g AS (SELECT id, (i - 1)::BIGINT AS pos,
+           |             array_to_string(ts[i:i+7], ' ') AS gram
+           |      FROM g0),
+           |kept AS (SELECT gram FROM g GROUP BY gram
+           |         HAVING count(*) > 1 AND count(*) <= 1000),
+           |m AS (SELECT a.id AS id_a, b.id AS id_b,
+           |             a.pos AS pos_a, b.pos AS pos_b
+           |      FROM (SELECT g.* FROM g JOIN kept USING (gram)) a
+           |      JOIN (SELECT g.* FROM g JOIN kept USING (gram)) b
+           |        USING (gram)
+           |      WHERE a.id < b.id),
+           |isl AS (SELECT id_a, id_b, pos_a, pos_b,
+           |               pos_a - pos_b AS diag,
+           |               pos_a - row_number() OVER (
+           |                 PARTITION BY id_a, id_b, pos_a - pos_b
+           |                 ORDER BY pos_a) AS grp
+           |        FROM m),
+           |spans AS (SELECT id_a, id_b, min(pos_a) AS start_a,
+           |                 min(pos_b) AS start_b,
+           |                 count(*) + 7 AS n_tok
+           |          FROM isl GROUP BY id_a, id_b, diag, grp),
+           |iv AS (SELECT DISTINCT id, s, e FROM (
+           |  SELECT id_a AS id, start_a AS s, start_a + n_tok AS e
+           |  FROM spans
+           |  UNION ALL
+           |  SELECT id_b, start_b, start_b + n_tok FROM spans)),
+           |fl AS (SELECT id, s, e,
+           |         max(e) OVER (PARTITION BY id ORDER BY s, e
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |           AS pmax
+           |       FROM iv),
+           |fc AS (SELECT id, s, e,
+           |         sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1
+           |             ELSE 0 END) OVER (PARTITION BY id ORDER BY s, e
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |           AS isl2
+           |       FROM fl),
+           |cov AS (SELECT id, CAST(sum(ie - st) AS BIGINT)
+           |            AS n_dup_tokens FROM (
+           |          SELECT id, isl2, min(s) AS st, max(e) AS ie
+           |          FROM fc GROUP BY id, isl2)
+           |        GROUP BY id),
+           |verdicts AS (SELECT t.id,
+           |  (len(t.ts) BETWEEN 50 AND 100000)
+           |    AND (CAST(list_sum(list_transform(t.ts, x -> len(x)))
+           |         AS DOUBLE) / len(t.ts) BETWEEN 3.0 AND 10.0)
+           |    AND (CAST(len(list_filter(t.ts,
+           |         x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+           |         / len(t.ts) >= 0.8)
+           |    AND (CAST(len(list_filter(t.ts, x -> contains(x, '#')
+           |         OR contains(x, '...'))) AS DOUBLE)
+           |         / len(t.ts) <= 0.1)
+           |    AND (len(list_filter(t.ts, x -> list_contains(
+           |         ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+           |          'with'], x))) >= 2) AS gk,
+           |  CASE WHEN len(t.ts) = 0 THEN 0.0
+           |       ELSE CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE)
+           |          / CAST(len(t.ts) AS DOUBLE) END AS df
+           |  FROM toks t LEFT JOIN cov c ON c.id = t.id)
+           |SELECT d.lang, count(*) AS n_docs,
+           |       CAST(sum(len(d.text)) AS BIGINT) AS total_chars
+           |FROM documents d JOIN verdicts v ON v.id = d.doc_id
+           |WHERE v.gk AND v.df <= 0.3
+           |GROUP BY d.lang ORDER BY lang""".stripMargin,
 
       "q_tfidf" ->
         s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),

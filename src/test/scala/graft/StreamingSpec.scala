@@ -434,6 +434,35 @@ class StreamingSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  // stateless → composes with config_topic dynamic reconfig (the
+  // mid-stream swap mechanism itself is pinned by the Multiply test)
+  test("topology: FilterOp gates rows with a YAML-declared predicate") {
+    val tmp = Files.createTempDirectory("topo_filter").toString
+    Seq((1L, 5.0), (2L, -3.0), (3L, 10.0)).toDF("id", "value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: vals
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: kept
+         |    kind: memory
+         |operators:
+         |  gate:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [vals]
+         |    sinks: [kept]
+         |config:
+         |  filter_expr: value > 0
+         |""".stripMargin
+    val queries = Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    try {
+      queries.foreach(_.processAllAvailable())
+      val got = spark.table("kept").select("id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L))
+    } finally queries.foreach(_.stop())
+  }
+
   test("DedupOp batch path keeps one representative row per content " +
     "fingerprint with the input schema") {
     val df = Seq((2L, "a  b"), (1L, "A B"), (3L, "c")).toDF("id", "text")
