@@ -134,9 +134,8 @@ pr AS (SELECT doc_id, CASE
 SELECT doc_id, unnest(prints) AS print FROM pr ORDER BY doc_id, print"""
 
   /** Full MinHash+LSH pipeline: distinct shingle hashes -> 128-perm signatures (sign-bit-flipped unsigned min) -> 32 band keys (staged hashLong fold) -> bucket pairs -> exact signature-agreement estimate. */
-  val q_minhash_pairs: String =
-    prologue + "\n" +
-"""WITH toks AS (SELECT doc_id::BIGINT AS id, list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0) AS ts FROM documents),
+  private val minhashCtes: String =
+"""toks AS (SELECT doc_id::BIGINT AS id, list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0) AS ts FROM documents),
 sh AS MATERIALIZED (SELECT id, list_distinct(
     list_transform(range(1, len(ts) - 1),
       i -> g_xxh_bytes(g_bytes(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]),
@@ -171,9 +170,33 @@ pairs AS MATERIALIZED (SELECT DISTINCT a.id AS id_a, b.id AS id_b
 est AS (SELECT p.id_a, p.id_b,
     len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i])) / 128.0
       AS est_jaccard
-  FROM pairs p JOIN sig sa ON sa.id = p.id_a JOIN sig sb ON sb.id = p.id_b)
-SELECT id_a, id_b, est_jaccard FROM est
+  FROM pairs p JOIN sig sa ON sa.id = p.id_a JOIN sig sb ON sb.id = p.id_b)"""
+
+  val q_minhash_pairs: String =
+    prologue + "\nWITH " + minhashCtes + "\n" +
+"""SELECT id_a, id_b, est_jaccard FROM est
 WHERE est_jaccard >= 0.4 ORDER BY id_a, id_b"""
+
+  /** The COMPLETE near-dedup pipeline, hash-checked end to end: the
+    * minhash pair CTEs above, then the min-label transitive closure
+    * (recursive CTE) and the keep-one-representative anti-join —
+    * the SQL twin of `Dedup.dropNearDuplicates(docs, minhashPairs(...))`. */
+  val q_minhash_dedup: String =
+    prologue + "\nWITH RECURSIVE " + minhashCtes + ",\n" +
+"""mp AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.4),
+sym AS (SELECT id_a AS src, id_b AS dst FROM mp
+        UNION SELECT id_b, id_a FROM mp),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src),
+comp AS (SELECT src AS id, least(src, min(dst)) AS component
+         FROM reach GROUP BY src),
+losers AS (SELECT id FROM comp WHERE id <> component)
+SELECT d.doc_id FROM documents d
+LEFT JOIN losers l ON l.id = d.doc_id
+WHERE l.id IS NULL ORDER BY doc_id"""
+
 
   /** SimHash pipeline: token hashes -> 64-bit majority fingerprint -> 4 band keys -> Hamming<=3 verified pairs. */
   val q_simhash_pairs: String =

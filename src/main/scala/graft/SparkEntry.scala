@@ -771,6 +771,17 @@ object SparkEntry {
         shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // the COMPLETE near-dedup pipeline: minhash pairs -> connected
+    // components -> keep one representative per cluster; fully oracled
+    // (recursive-CTE closure over the xxh-replicated pair SQL)
+    "q_minhash_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.4)
+      Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         bands = 4, maxHamming = 3)
@@ -1769,6 +1780,7 @@ object SparkEntry {
       "q_fingerprint_rolling" -> OracleXxh.q_fingerprint_rolling,
       "q_winnow" -> OracleXxh.q_winnow,
       "q_minhash_pairs" -> OracleXxh.q_minhash_pairs,
+      "q_minhash_dedup" -> OracleXxh.q_minhash_dedup,
       "q_simhash_pairs" -> OracleXxh.q_simhash_pairs,
       "q_embed_neardup_lsh" -> OracleXxh.q_embed_neardup_lsh,
       "q_simsearch_lsh" -> OracleXxh.q_simsearch_lsh,
