@@ -434,6 +434,39 @@ class StreamingSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  test("topology: SessionOp groups activity bursts per key from YAML " +
+    "(gap-separated sessions, batch mode)") {
+    val tmp = Files.createTempDirectory("topo_session").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    Seq(
+      ("u1", ts(0), 1.0), ("u1", ts(2), 2.0),  // session 1 (gap 2 < 5)
+      ("u1", ts(20), 4.0),                     // session 2 (gap 18)
+      ("u2", ts(1), 8.0))                      // u2's own session
+      .toDF("user", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: events
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: sessions
+         |    kind: memory
+         |operators:
+         |  sess:
+         |    factory: graft.streaming.ops.SessionOp
+         |    sources: [events]
+         |    sinks: [sessions]
+         |config:
+         |  session_gap: 5 minutes
+         |  key_col: user
+         |""".stripMargin
+    Topology.parse(yaml).runBatch(spark, s"$tmp/sinks")
+    val got = spark.read.parquet(s"$tmp/sinks/sessions")
+      .select("user", "n", "sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("u1", 2L, 3.0), ("u1", 1L, 4.0), ("u2", 1L, 8.0)))
+  }
+
   // stateless → composes with config_topic dynamic reconfig (the
   // mid-stream swap mechanism itself is pinned by the Multiply test)
   test("topology: FilterOp gates rows with a YAML-declared predicate") {
