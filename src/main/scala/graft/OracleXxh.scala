@@ -332,4 +332,67 @@ SELECT doc_id, n_bytes,
   round((((acc % 1000)::FLOAT / 1000.0::FLOAT))::DOUBLE, 6) AS f0
 FROM s ORDER BY doc_id"""
 
+  /** Count-Min sketch replay, depth=4 width=1024: exact token counts ->
+    * one string hash per DISTINCT token (equivalent to per-occurrence
+    * increments since cell counts are sums) -> per-row chained
+    * g_xxh_int(r, h0) bucket -> cell sums -> min-over-rows estimates
+    * for the exact top-20 tokens. Matches FreqItems.countMinTable +
+    * countMinLookup bit-exactly (all-integer pipeline). */
+  val q_countmin: String =
+    prologue + "\n" +
+"""WITH toks AS (SELECT list_filter(string_split(lower(trim(text)), ' '),
+    t -> len(t) > 0) AS ts FROM documents),
+tc AS MATERIALIZED (SELECT t, count(*)::BIGINT AS c
+  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t),
+th AS MATERIALIZED (SELECT t, c, g_xxh_bytes(g_bytes(t), 42::HUGEINT) AS h0
+  FROM tc),
+rb AS MATERIALIZED (SELECT t, c, r,
+    (g_xxh_int(r, h0) & 1023::HUGEINT)::BIGINT AS bucket
+  FROM th, range(0, 4) rr(r)),
+cell AS MATERIALIZED (SELECT r, bucket, sum(c)::BIGINT AS cnt
+  FROM rb GROUP BY r, bucket),
+top AS (SELECT t, c FROM tc ORDER BY c DESC, t LIMIT 20)
+SELECT top.t AS token, top.c AS true_cnt, min(cell.cnt) AS est_cnt
+FROM top
+JOIN rb USING (t)
+JOIN cell ON cell.r = rb.r AND cell.bucket = rb.bucket
+GROUP BY top.t, top.c
+ORDER BY true_cnt DESC, token"""
+
+  /** HyperLogLog distinct l_partkey estimate, p=9 — the exact replay of
+    * [[graft.functions.Hll.distinctCount]]: xxhash64(long) → top-9-bit
+    * bucket / leading-zero rho of the low 55 bits (bit length via
+    * `bin()`, no float log2) → per-bucket max register → fixed-point
+    * harmonic sum (Σ 2^(56-reg), empty buckets added arithmetically) →
+    * one double divide. The numerator literal is generated from the
+    * same Scala double (`Hll.rawNumerator(9).toString` round-trips), so
+    * both engines run the identical IEEE op sequence and the
+    * floor-millis output hash-matches. */
+  def q_hll_distinct: String = {
+    val num = graft.functions.Hll.rawNumerator(9).toString
+    prologue + "\n" +
+s"""WITH h AS MATERIALIZED (SELECT g_xxh_long(l_partkey, 42::HUGEINT) AS u
+  FROM lineitem),
+br AS MATERIALIZED (SELECT (u >> 55)::BIGINT AS bucket,
+    CASE WHEN (u & 36028797018963967::HUGEINT) = 0::HUGEINT THEN 56
+         ELSE 56 - length(bin((u & 36028797018963967::HUGEINT)::BIGINT))
+    END AS rho
+  FROM h),
+regs AS (SELECT bucket, max(rho) AS register FROM br GROUP BY bucket),
+agg AS (SELECT count(*) AS nonempty_buckets,
+               sum(register)::BIGINT AS register_sum,
+               sum(((1::BIGINT << (56 - register)))::HUGEINT) AS s_ne
+        FROM regs),
+est0 AS (SELECT nonempty_buckets, register_sum,
+    $num / ((s_ne + (512 - nonempty_buckets)::HUGEINT
+             * 72057594037927936::HUGEINT)::DOUBLE) AS est,
+    512 - nonempty_buckets AS v
+  FROM agg)
+SELECT CAST(floor(CASE WHEN est <= 1280.0 AND v > 0
+      THEN 512.0 * ln(512.0 / v::DOUBLE) ELSE est END * 1000.0) AS BIGINT)
+    AS est_millis,
+  nonempty_buckets, register_sum
+FROM est0"""
+  }
+
 }

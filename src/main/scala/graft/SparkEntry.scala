@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.core.Pipe._
-import graft.functions.{Codecs, Text, Vectors}
+import graft.functions.{Codecs, Hll, Text, Vectors}
 import graft.llm.{Dedup, Multimodal, SimSearch}
 import graft.operators.{AsOfJoin, DataOps, MathOps, Ops, RangeJoin}
 
@@ -589,6 +589,13 @@ object SparkEntry {
           Seq(col("l_returnflag"))) >>
         (_.orderBy("l_returnflag"))),
 
+    // relational HyperLogLog — same sketch family as q_approx_distinct
+    // but expressed as groupBy(bucket).max(rho) + fixed-point harmonic
+    // mean, so DuckDB replays it bit-exactly via OracleXxh (the
+    // oracle-checkable companion to Spark's sealed HLL++)
+    "q_hll_distinct" -> ((s, dir) =>
+      Hll.distinctCount(t(s, dir, "lineitem"), col("l_partkey"), 9)),
+
     // distogram streaming-histogram sketch (rs.math.dist analogue):
     // fixed-size mergeable state; rows-only (sketch is approximate),
     // count-preservation + quantile accuracy pinned by DistogramSpec
@@ -636,6 +643,20 @@ object SparkEntry {
     // tokens materialized ONCE per doc in their own projection, feeding
     // every metric (multi-referenced projections aren't collapsed into
     // lambda bodies; the text-input forms would re-tokenize per metric)
+    // canonical normalization for dedup keys — the corpus is already
+    // clean lowercase, so deliberately dirty it (case, punctuation,
+    // padding, an appended source/id tag) and normalize back; the md5
+    // prefix is the dedup key a pipeline would group on
+    "q_normalize" -> ((s, dir) => {
+      val messy = concat(lit("  "), upper(col("text")), lit(" !! "),
+        col("source"), lit("::"), col("doc_id").cast("string"), lit("  "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.normalizeForDedup(messy).as("norm"))
+        .select(col("doc_id"), col("norm"),
+          substring(md5(col("norm")), 1, 16).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"),
@@ -694,6 +715,24 @@ object SparkEntry {
           col("col._1").as("token_hash"), col("col._2").as("est_count"))
         .orderBy("lang", "rank")),
 
+    // Count-Min token-frequency sketch — the deterministic (merge-order
+    // free) sketch companion to q_heavy_hitters, so the whole pipeline
+    // (per-row hashes -> cell counts -> min-over-rows estimates for the
+    // exact top-20 tokens) hash-matches the OracleXxh replay; est>=true
+    // overcount bound pinned by FreqItemsSpec
+    "q_countmin" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+      val sk = graft.functions.FreqItems
+        .countMinTable(toks, col("token"), depth = 4, width = 1024)
+      val top = toks.groupBy("token")
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(desc("true_cnt"), asc("token")).limit(20)
+      graft.functions.FreqItems
+        .countMinLookup(sk, top, col("token"), depth = 4, width = 1024)
+        .orderBy(desc("true_cnt"), asc("token"))
+    }),
+
     // winnowing print selection (MOSS-style robust substring matching);
     // oracled (OracleXxh window-minima SQL); guarantee pinned by TextDedupSpec
     "q_winnow" -> ((s, dir) =>
@@ -729,6 +768,35 @@ object SparkEntry {
     "q_dedup_content" -> ((s, dir) =>
       Dedup.exactByContent(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // cross-corpus dedup: new-crawl candidates (dirtied with case and
+    // padding noise) anti-joined against the already-ingested reference
+    // (every 7th doc) on the normalized content fingerprint — the
+    // surface noise must NOT defeat the match
+    "q_dedup_against" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val cand = d.select(col("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("  ")).as("text"))
+      val ref = d.filter(col("doc_id") % 7 === 0)
+        .select(col("text").as("rtext"))
+      Dedup.dedupAgainst(cand, ref, "doc_id", "text", "rtext")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // paragraph-level structural dedup: the corpus has no multi-paragraph
+    // docs, so construct them — every doc gains a second paragraph shared
+    // with the 9 other docs having the same doc_id % 50 partner (and for
+    // doc_id < 50 the partner paragraph IS the doc's own first one); the
+    // first corpus-wide occurrence keeps each paragraph
+    "q_paragraph_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val p = d.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("pid"), col("text").as("ptext"))
+      val twoPara = d.join(broadcast(p), d("doc_id") % 50 === col("pid"))
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n\n"), col("ptext")).as("text"))
+      Dedup.paragraphDedup(twoPara, "doc_id", "text").orderBy("doc_id")
+    }),
 
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1483,6 +1551,18 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n FROM events
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      "q_normalize" ->
+        """WITH messy AS (SELECT doc_id,
+          |    '  ' || upper(text) || ' !! ' || source || '::'
+          |      || doc_id::VARCHAR || '  ' AS m
+          |  FROM documents),
+          |n AS (SELECT doc_id,
+          |    trim(regexp_replace(regexp_replace(lower(m),
+          |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+          |  FROM messy)
+          |SELECT doc_id, norm, substr(md5(norm), 1, 16) AS fp
+          |FROM n ORDER BY doc_id""".stripMargin,
+
       "q_text_quality" ->
         s"""WITH toks AS (SELECT doc_id, text, $toksSql AS ts FROM documents)
            |SELECT doc_id,
@@ -1777,6 +1857,8 @@ object SparkEntry {
 
       // xxhash64-family oracles (round 4): Spark's XXH64 replicated as
       // DuckDB macros — see OracleXxh for the prologue and design notes
+      "q_hll_distinct" -> OracleXxh.q_hll_distinct,
+      "q_countmin" -> OracleXxh.q_countmin,
       "q_fingerprint_rolling" -> OracleXxh.q_fingerprint_rolling,
       "q_winnow" -> OracleXxh.q_winnow,
       "q_minhash_pairs" -> OracleXxh.q_minhash_pairs,
@@ -1811,6 +1893,37 @@ object SparkEntry {
           |FROM documents
           |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
           |ORDER BY doc_id""".stripMargin,
+
+      "q_dedup_against" ->
+        """WITH cand AS (
+          |  SELECT doc_id, '  ' || upper(text) || '  ' AS text
+          |  FROM documents),
+          |reffp AS (SELECT DISTINCT substr(md5(regexp_replace(
+          |    lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp
+          |  FROM documents WHERE doc_id % 7 = 0)
+          |SELECT doc_id FROM cand
+          |WHERE substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ',
+          |    'g')), 1, 16) NOT IN (SELECT fp FROM reffp)
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_paragraph_dedup" ->
+        """WITH d2 AS (
+          |  SELECT d.doc_id, d.text || chr(10) || chr(10) || p.text AS text
+          |  FROM documents d JOIN documents p ON p.doc_id = d.doc_id % 50),
+          |paras AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(string_split(text, chr(10) || chr(10)),
+          |      (x, i) -> {'idx': i - 1, 'para': x}), recursive := true)
+          |  FROM d2),
+          |ph AS (SELECT doc_id, idx, para, substr(md5(para), 1, 16) AS h,
+          |         (doc_id * 1048576 + idx)::BIGINT AS ord
+          |       FROM paras),
+          |w AS (SELECT h, min(ord) AS wo FROM ph GROUP BY h),
+          |kept AS (SELECT ph.* FROM ph
+          |         JOIN w ON ph.h = w.h AND ph.ord = w.wo)
+          |SELECT doc_id, count(*)::BIGINT AS n_paras_kept,
+          |       string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text
+          |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q_ngram_jaccard" ->
         s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),

@@ -69,4 +69,67 @@ object FreqItems {
     require(m > 0, "m must be positive")
     udaf(new MisraGries(m), Encoders.scalaLong)
   }
+
+  // --- Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05) --------------
+  //
+  // The deterministic counterpart to Misra-Gries: given fixed
+  // (depth, width, hash), the sketch table is a pure function of the
+  // multiset — merge-order free — so unlike MG it is fully
+  // oracle-checkable (DuckDB replays the xxhash64 row hashes via
+  // OracleXxh and hash-matches estimates bit-exactly). Guarantees:
+  // est >= true, and est <= true + eps*N with prob 1-delta for
+  // width=ceil(e/eps), depth=ceil(ln 1/delta).
+  //
+  // Scale shape: the table is groupBy(r, bucket).count — map-side
+  // combine caps every task's shuffle output at depth*width rows, and
+  // the reduced table (<= depth*width rows) broadcasts to the lookup
+  // join. Streaming: count is distributive, so the same construction
+  // works as a windowed streaming aggregate.
+
+  private def cmCell(item: org.apache.spark.sql.Column, r: Int, width: Int) = {
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    // xxhash64(item, r) seed-chains: hashInt(r, seed = hash(item, 42)) —
+    // one derived hash per row, replayed in SQL as g_xxh_int(r, h0)
+    xxhash64(item, lit(r)).bitwiseAND(lit((width - 1).toLong)).cast("int")
+  }
+
+  /** Sketch table `(r int, bucket int, cnt long)` over an item column
+    * (one item per input row; explode token arrays upstream).
+    * `width` must be a power of two (bucket = low bits of the hash). */
+  def countMinTable(df: org.apache.spark.sql.DataFrame,
+                    item: org.apache.spark.sql.Column,
+                    depth: Int, width: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(depth > 0 && width > 0 && (width & (width - 1)) == 0,
+      s"need depth>0 and power-of-two width: depth=$depth width=$width")
+    val rows = (0 until depth).map(r =>
+      struct(lit(r).as("r"), cmCell(item, r, width).as("bucket")))
+    df.select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for the items in `items` (a small query-side frame):
+    * est = min over the depth rows of the matching cell counts. Keeps
+    * every `items` column and appends `est_cnt`. The sketch side is
+    * `depth*width` rows at most — broadcast, no shuffle of `items`. */
+  def countMinLookup(sketch: org.apache.spark.sql.DataFrame,
+                     items: org.apache.spark.sql.DataFrame,
+                     item: org.apache.spark.sql.Column,
+                     depth: Int, width: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val others = items.columns.toIndexedSeq
+    val probes = (0 until depth).map(r =>
+      struct(lit(r).as("r"), cmCell(item, r, width).as("bucket")))
+    items
+      .select(others.map(col) :+ explode(array(probes: _*)).as("rb"): _*)
+      .join(broadcast(sketch),
+        col("rb.r") === sketch("r") && col("rb.bucket") === sketch("bucket"),
+        "left")
+      .groupBy(others.map(col): _*)
+      // a row whose cell is absent from the table was never incremented
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
 }

@@ -24,6 +24,18 @@ object Text {
     size(regexp_extract_all(lower(text),
       lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** Canonical text normalization for dedup keys and fingerprints:
+    * lowercase, punctuation/symbols to spaces, whitespace runs
+    * collapsed to one space, trimmed. The usual first stage of a
+    * cleaning pipeline — exact/near dedup over `normalizeForDedup`
+    * output catches case/punctuation variants of the same content.
+    * Pure codegen built-ins (two regexp_replace + lower + trim), ASCII
+    * contract like the rest of the text battery. */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
   /** Word n-gram shingles from a MATERIALIZED tokens column.
     *
     * `ts` must be a column attribute (produced by a separate projection),

@@ -42,6 +42,62 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Cross-corpus exact dedup — the incremental-ingest shape: drop from
+    * `df` every document whose normalized content fingerprint appears
+    * in `ref` (the already-ingested corpus / a do-not-train list).
+    * A left ANTI join on the 16-byte [[Text.fingerprint]]: the shuffle
+    * (or broadcast, when `ref`'s distinct fingerprint table is small —
+    * AQE decides) moves hashes, never text. The fingerprint normalizes
+    * case/whitespace, so surface variants of ingested content are
+    * dropped too. */
+  def dedupAgainst(df: DataFrame, ref: DataFrame, idCol: String,
+                   textCol: String, refTextCol: String): DataFrame =
+    df.withColumn("__fp", Text.fingerprint(col(textCol)))
+      .join(ref.select(Text.fingerprint(col(refTextCol)).as("__fp"))
+        .distinct(), Seq("__fp"), "left_anti")
+      .drop("__fp")
+
+  /** Paragraph-level exact dedup (the structural-unit relaxation of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22 — boilerplate headers/footers repeat across pages far more
+    * often than whole documents do): split each document on `sep`, keep
+    * only the FIRST corpus-wide occurrence of each distinct paragraph
+    * (first = smallest `(id, position)`), and reassemble the survivors
+    * in original order. Documents whose every paragraph appeared
+    * earlier vanish from the output (their cleaned text would be
+    * empty).
+    *
+    * Contract: `idCol` is integral, non-null, >= 0 and < 2^43, and each
+    * document has < 2^20 paragraphs — the first-occurrence order rides
+    * the shuffle as ONE long (`id << 20 | position`), not a struct.
+    * The dedup key is the 16-hex-char md5 prefix of the RAW paragraph
+    * (no token normalization — position-exact structural dedup; run
+    * [[exactByContent]] for normalized whole-doc semantics), so the
+    * wide shuffle moves 16-byte keys + paragraph payload once, and the
+    * winner table moves keys only.
+    *
+    * Output: `(idCol, n_paras_kept, textCol)` — reassembled with `sep`. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("idx", "para")))
+      .withColumn("__h", substring(md5(col("para")), 1, 16))
+      .withColumn("__ord",
+        shiftleft(col(idCol).cast("long"), 20) + col("idx"))
+    val winners = paras.groupBy("__h").agg(min("__ord").as("__w"))
+    paras.join(winners, "__h")
+      .where(col("__ord") === col("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("idx"), col("para")))),
+            x => x.getField("para")),
+          sep).as(textCol))
+  }
+
   /** Streaming exact dedup for continuous ingest: first occurrence of each
     * content fingerprint passes, replays within the watermark are dropped.
     * State is bounded by the watermark horizon (Spark evicts seen keys
@@ -312,8 +368,14 @@ object Dedup {
                  driverEdgeCap: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
-    val sym = edges.unionByName(
-      edges.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize via explode, NOT union-of-two-selects: a union reads
+    // the (potentially very expensive) upstream pair pipeline twice —
+    // measured as most of q_dedup_clusters' cost beyond the pair
+    // generation itself. One pass emits both directions per row.
+    val sym = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().persist()
     // the count both sizes the engine choice and materializes the cache
     // every later step reads — never a wasted action
@@ -633,12 +695,16 @@ object Dedup {
                         minRun: Int = 8,
                         maxGramFreq: Int = 1000): DataFrame = {
     val spans = duplicateSpans(df, idCol, textCol, minRun, maxGramFreq)
+    // both sides of each pair in ONE pass over the (expensive) span
+    // pipeline — a union of two selects would execute it twice
     val ivals = spans
-      .select(col("id_a").as("id"), col("start_a").as("s"),
-        (col("start_a") + col("n_tokens")).as("e"))
-      .unionByName(spans.select(col("id_b").as("id"),
-        col("start_b").as("s"),
-        (col("start_b") + col("n_tokens")).as("e")))
+      .select(explode(array(
+        struct(col("id_a").as("id"), col("start_a").as("s"),
+          (col("start_a") + col("n_tokens")).as("e")),
+        struct(col("id_b").as("id"), col("start_b").as("s"),
+          (col("start_b") + col("n_tokens")).as("e")))).as("iv"))
+      .select(col("iv.id").as("id"), col("iv.s").as("s"),
+        col("iv.e").as("e"))
       // distinct makes (s, e) unique per id, so the island windows have a
       // TOTAL order — tie traversal can never differ between the prior-max
       // and cumulative-flag passes (or between engines); union coverage is

@@ -43,4 +43,54 @@ class FreqItemsSpec extends SparkSpec {
     assert(got.size <= 8)
     got.foreach { case (_, c) => assert(c <= 1L) }
   }
+
+  // --- Count-Min -----------------------------------------------------------
+
+  test("count-min: est >= true for every item, table is layout-free, " +
+    "and overcount respects the eps*N bound shape") {
+    val items = Seq.fill(200)("hot") ++
+      (0 until 800).map(i => s"w${i % 97}")
+    val df = items.toDF("token")
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    val tables = Seq(1, 4, 16).map { parts =>
+      FreqItems.countMinTable(df.repartition(parts), col("token"),
+          depth = 4, width = 256)
+        .as[(Int, Int, Long)].collect().toSet
+    }
+    assert(tables(0) == tables(1) && tables(1) == tables(2))
+    // total mass per row r equals N
+    val n = items.size.toLong
+    tables.head.groupBy(_._1).foreach { case (_, cells) =>
+      assert(cells.iterator.map(_._3).sum == n) // iterator: no Set dedup
+    }
+
+    val sketch = FreqItems.countMinTable(df, col("token"), 4, 256)
+    val queries = truth.keys.toSeq.toDF("token")
+    val est = FreqItems.countMinLookup(sketch, queries, col("token"), 4, 256)
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (tok, c) =>
+      assert(est(tok) >= c, s"$tok under-counted")
+      // CM bound: overcount > e*N/width has prob e^-depth PER item —
+      // with ~100 items a couple of ~1x-bound excursions are expected,
+      // so pin 3x the e*N/width radius (deterministic data, fixed seed:
+      // this is a regression pin, not a probabilistic flake)
+      assert(est(tok) <= c + (3 * math.E * n / 256).toLong,
+        s"$tok over-counted: ${est(tok)}")
+    }
+  }
+
+  test("count-min: absent items may collide but never go negative, and a " +
+    "wide-enough sketch returns 0 for them") {
+    val df = (1L to 50L).map(i => s"t$i").toDF("token")
+    val sketch = FreqItems.countMinTable(df, col("token"), 4, 4096)
+    val est = FreqItems.countMinLookup(sketch,
+        Seq("never-seen-a", "never-seen-b").toDF("token"),
+        col("token"), 4, 4096)
+      .as[(String, Long)].collect().toMap
+    est.values.foreach(v => assert(v >= 0))
+    // 50 items in 4096 buckets x 4 rows: P(all 4 probe cells occupied)
+    // is ~ (50/4096)^4 — effectively zero; pin the common case
+    assert(est.values.exists(_ == 0))
+  }
 }

@@ -634,6 +634,59 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set("10", "14", "55")) // 5*2, 7*2 (v1), 11*5 (v2)
     } finally queries.foreach(_.stop())
   }
+
+  test("topology: ApproxDistinctOp streams per-window HLL registers; " +
+    "the batch finisher recovers per-window distinct counts") {
+    val tmp = Files.createTempDirectory("topo_hll").toString
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour 0: users 0..299 (each twice); hour 1: users 0..49;
+    // hour 3: late marker that pushes the watermark past hours 0-1
+    val rows =
+      (0 until 300).flatMap(u => Seq((ts(0, u % 60), u.toLong),
+        (ts(0, (u + 7) % 60), u.toLong))) ++
+        (0 until 50).map(u => (ts(1, u % 60), u.toLong)) ++
+        Seq((ts(3, 0), 999L))
+    rows.toDF("ts", "user_id")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: events
+         |    kind: parquet
+         |    path: $tmp/in
+         |    timestamp_col: ts
+         |    watermark: 10 minutes
+         |  - name: uniques
+         |    kind: memory
+         |operators:
+         |  hll:
+         |    factory: graft.streaming.ops.ApproxDistinctOp
+         |    sources: [events]
+         |    sinks: [uniques]
+         |config:
+         |  window: 1 hour
+         |  item_col: user_id
+         |  precision: 12
+         |""".stripMargin
+    val queries = Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    try {
+      queries.foreach(_.processAllAvailable())
+      val regs = spark.table("uniques")
+      // sketch state is bounded: <= 2^12 register rows per window
+      val perWin = regs.groupBy("window_start").count()
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      assert(perWin.keySet.map(_.getTime / 3600000 % 24) == Set(0L, 1L))
+      assert(perWin.values.forall(_ <= 4096))
+      val est = graft.streaming.ops.ApproxDistinctOp.estimate(regs, p = 12)
+        .select(col("window_start"), col("est_millis"))
+        .as[(java.sql.Timestamp, Long)].collect()
+        .map { case (w, e) => (w.getTime / 3600000 % 24, e / 1000.0) }
+        .toMap
+      // p=12 on small n runs linear counting: near-exact
+      assert(math.abs(est(0L) - 300) < 15, est)
+      assert(math.abs(est(1L) - 50) < 3, est)
+    } finally queries.foreach(_.stop())
+  }
 }
 
 /** Reflection-resolvable pre-transform for the serve dict-event test —

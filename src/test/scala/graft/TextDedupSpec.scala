@@ -538,4 +538,49 @@ class TextDedupSpec extends SparkSpec {
     val d3 = got.filter(_.getLong(0) == 3L)
     assert(d3.map(_.getString(1)).toSeq == Seq("zz", "cherry"))
   }
+
+  test("dedupAgainst drops case/whitespace variants of reference " +
+    "content, keeps novel docs") {
+    val cand = Seq((1L, "The QUICK fox"), (2L, "other text"),
+      (3L, "hello  world")).toDF("doc_id", "text")
+    val ref = Seq("the quick   fox", "hello world").toDF("rtext")
+    val got = Dedup.dedupAgainst(cand, ref, "doc_id", "text", "rtext")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L))
+  }
+
+  test("paragraphDedup keeps first corpus-wide occurrence, reassembles " +
+    "in order, drops fully-duplicated docs") {
+    val docs = Seq(
+      (0L, "alpha\n\nshared\n\nbeta"),
+      (1L, "shared\n\ngamma"),      // 'shared' already seen in doc 0
+      (2L, "shared"),               // loses its only paragraph -> dropped
+      (3L, "delta\n\ndelta\n\neps") // intra-doc dup: second 'delta' goes
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect()
+    assert(got.toSeq == Seq(
+      (0L, 3L, "alpha\n\nshared\n\nbeta"),
+      (1L, 1L, "gamma"),
+      (3L, 2L, "delta\n\neps")))
+  }
+
+  test("paragraphDedup honors a custom separator and is layout-stable") {
+    val docs = Seq((10L, "a|b|a"), (11L, "b|c")).toDF("doc_id", "text")
+    for (parts <- Seq(1, 4)) {
+      val got = Dedup.paragraphDedup(docs.repartition(parts),
+          "doc_id", "text", sep = "|")
+        .orderBy("doc_id").as[(Long, Long, String)].collect()
+      assert(got.toSeq == Seq((10L, 2L, "a|b"), (11L, 1L, "c")),
+        s"parts=$parts")
+    }
+  }
+
+  test("normalizeForDedup canonicalizes case, punctuation, whitespace") {
+    val got = Seq("  Hello,   WORLD!! (x=1)\t\nok ")
+      .toDF("t").select(Text.normalizeForDedup(col("t"))).as[String]
+      .collect().head
+    assert(got == "hello world x 1 ok")
+  }
 }
