@@ -134,4 +134,37 @@ class PlanAuditSpec extends SparkSpec {
       !exchanges.split("\n").exists(l => l.contains("bkey") && l.contains(" v#")),
       s"signature/vector riding the band shuffle:\n$exchanges")
   }
+
+  test("HLL distinct-count plans a partial max before the exchange — " +
+    "each task ships <= 2^p register rows, never raw items") {
+    val p = planStr("q_hll_distinct")
+    // two-phase hash aggregate around the bucket exchange
+    val aggs = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.exists(_.contains("partial_max")), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window "), p)
+  }
+
+  test("count-min lookup broadcasts the cell table; the sketch build is " +
+    "a partial-count aggregate (<= depth*width rows per task shuffled)") {
+    val p = planStr("q_countmin")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val aggs = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.exists(_.contains("partial_count")), p)
+  }
+
+  test("paragraph dedup partitions every exchange by hash/id keys, " +
+    "never by the paragraph text column") {
+    val p = planStr("q_paragraph_dedup")
+    // the paragraph payload rides the exchanges (reassembly needs it) but
+    // partitioning must key on __h / doc_id — hashing/comparing full text
+    // per row at the exchange would be the 100 TB mistake
+    val keys = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keys.nonEmpty, p)
+    keys.foreach { s =>
+      val keyExpr = s.substring(s.indexOf("hashpartitioning"))
+      assert(!keyExpr.contains("para#"),
+        s"paragraph text is a partition key: $s")
+    }
+  }
 }
