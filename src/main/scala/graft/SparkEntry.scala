@@ -1018,6 +1018,32 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // the COMPLETE corpus-preparation pipeline in one plan — what a user
+    // actually runs nightly: dirty ingest -> canonicalize -> drop
+    // already-ingested content (cross-corpus anti-join) -> Gopher
+    // quality gate -> deterministic training mix -> per-lang corpus
+    // stats. Every stage is an oracled operator; this composes them
+    // end to end (all narrow maps + one anti-join + one final agg)
+    "q_pipeline_corpus" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val cand = d.select(col("doc_id"), col("lang"), col("source"),
+        concat(lit("  "), upper(col("text")), lit("  \t")).as("raw"))
+      val norm = cand
+        .withColumn("text", Text.normalizeForDedup(col("raw"))).drop("raw")
+      val ref = d.filter(col("doc_id") % 7 === 0)
+        .select(col("text").as("rtext"))
+      val fresh = Dedup.dedupAgainst(norm, ref, "doc_id", "text", "rtext")
+      val rules = graft.llm.TextStats.gopherRules(fresh, "doc_id", "text")
+        .select(col("doc_id"), col("gopher_keep"))
+      val good = fresh.join(rules, "doc_id").filter(col("gopher_keep"))
+      val mixed = Ops.mixSample(col("doc_id"), col("source"),
+        Map("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.75)(good)
+      mixed.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.nTokens(col("text")).cast("long")).as("total_tokens"))
+        .orderBy("lang")
+    }),
+
     // ===== north-star: similarity search =================================
 
     "q_simsearch_topk" -> ((s, dir) => {
@@ -1765,6 +1791,45 @@ object SparkEntry {
            |               / CAST(len(t.ts) AS DOUBLE) END AS dup_fraction
            |FROM toks t LEFT JOIN cov c ON c.id = t.id
            |ORDER BY doc_id""".stripMargin,
+
+      "q_pipeline_corpus" ->
+        """WITH cand AS (SELECT doc_id, lang, source,
+          |    '  ' || upper(text) || '  ' || chr(9) AS raw
+          |  FROM documents),
+          |n AS (SELECT doc_id, lang, source,
+          |    trim(regexp_replace(regexp_replace(lower(raw),
+          |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS text
+          |  FROM cand),
+          |reffp AS (SELECT DISTINCT
+          |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |fresh AS (SELECT * FROM n
+          |  WHERE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+          |    NOT IN (SELECT fp FROM reffp)),
+          |toks AS (SELECT doc_id, lang, source,
+          |    list_filter(string_split(lower(trim(text)), ' '),
+          |      t -> len(t) > 0) AS ts
+          |  FROM fresh),
+          |keep AS (SELECT * FROM toks WHERE
+          |    (len(ts) BETWEEN 50 AND 100000)
+          |    AND (CAST(list_sum(list_transform(ts, t -> len(t)))
+          |         AS DOUBLE) / len(ts) BETWEEN 3.0 AND 10.0)
+          |    AND (CAST(len(list_filter(ts,
+          |         t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+          |         / len(ts) >= 0.8)
+          |    AND (CAST(len(list_filter(ts, t -> contains(t, '#')
+          |         OR contains(t, '...'))) AS DOUBLE) / len(ts) <= 0.1)
+          |    AND (len(list_filter(ts, t -> list_contains(
+          |         ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+          |          'with'], t))) >= 2)),
+          |mixed AS (SELECT * FROM keep WHERE
+          |    (((doc_id % 2147483647) * 48271) % 2147483647) % 10000 <
+          |    CAST(floor((CASE source WHEN 'src0' THEN 0.5
+          |                WHEN 'src1' THEN 0.25 ELSE 0.75 END) * 10000)
+          |      AS BIGINT))
+          |SELECT lang, count(*)::BIGINT AS n_docs,
+          |       sum(len(ts))::BIGINT AS total_tokens
+          |FROM mixed GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q_pipeline_dedup" ->
         s"""WITH toks AS (SELECT doc_id::BIGINT AS id, $toksSql AS ts

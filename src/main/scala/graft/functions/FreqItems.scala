@@ -93,20 +93,26 @@ object FreqItems {
     xxhash64(item, lit(r)).bitwiseAND(lit((width - 1).toLong)).cast("int")
   }
 
-  /** Sketch table `(r int, bucket int, cnt long)` over an item column
-    * (one item per input row; explode token arrays upstream).
-    * `width` must be a power of two (bucket = low bits of the hash). */
+  /** Sketch table `(groupCols..., r int, bucket int, cnt long)` over an
+    * item column (one item per input row; explode token arrays
+    * upstream). `width` must be a power of two (bucket = low bits of
+    * the hash). `groupCols` yields one independent sketch per group —
+    * e.g. a time-window column for streaming per-window sketches
+    * ([[graft.streaming.ops.CountMinOp]]); `count` is distributive, so
+    * the same construction runs batch and append-mode streaming. */
   def countMinTable(df: org.apache.spark.sql.DataFrame,
                     item: org.apache.spark.sql.Column,
-                    depth: Int, width: Int)
+                    depth: Int, width: Int,
+                    groupCols: Seq[org.apache.spark.sql.Column] = Nil)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(depth > 0 && width > 0 && (width & (width - 1)) == 0,
       s"need depth>0 and power-of-two width: depth=$depth width=$width")
     val rows = (0 until depth).map(r =>
       struct(lit(r).as("r"), cmCell(item, r, width).as("bucket")))
-    df.select(explode(array(rows: _*)).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    df.select(groupCols :+ explode(array(rows: _*)).as("rb"): _*)
+      .groupBy(groupCols ++ Seq(col("rb.r").as("r"),
+        col("rb.bucket").as("bucket")): _*)
       .agg(count(lit(1)).as("cnt"))
   }
 

@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   * `floor(est * 1000)` (a deterministic double→int step) rather than a
   * raw double, so value-hash comparison is exact.
   *
+  * Branch caveat (measured): `ln` is NOT bit-identical across engines —
+  * JVM `Math.log` and DuckDB/libm `ln` disagree in the last ulp for
+  * ~7% of the inputs `m/V`, V in [1, 4096]. Oracled queries must
+  * therefore sit in the RAW-branch regime (true cardinality well above
+  * `2.5 * 2^p`, as q_hll_distinct does: n≈2000 vs threshold 1280);
+  * the linear-counting branch stays ScalaTest-pinned (HllSpec) for
+  * in-engine use, where it is deterministic.
+  *
   * Reference behavior mapped: the reference exposes only exact
   * `rs.math.count` (rxsci/math/count.py); this is the 100 TB-scale
   * companion the survey's sketch battery calls for (SURVEY.md §2.6).
@@ -129,4 +137,15 @@ object Hll {
   /** One-call distinct-count estimate. */
   def distinctCount(df: DataFrame, item: Column, p: Int): DataFrame =
     estimate(registers(df, item, p), p)
+
+  /** Merge register tables (same `p`; cross-day / cross-stream /
+    * cross-corpus union-of-sets semantics): register merge is `max`,
+    * so the union re-aggregates to one table estimating the DISTINCT
+    * union. Both inputs must share the `(groupCols..., bucket,
+    * register)` shape emitted by [[registers]]. */
+  def mergeRegisters(a: DataFrame, b: DataFrame,
+                     groupCols: Seq[Column] = Nil): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols :+ col("bucket"): _*)
+      .agg(max(col("register")).as("register"))
 }

@@ -49,6 +49,21 @@ class HllSpec extends SparkSpec {
     assert(math.abs(est - n) < 3 * sigma, s"est=$est")
   }
 
+  test("mergeRegisters(a, b) estimates the distinct UNION: merging a " +
+    "corpus with itself is a no-op; overlapping corpora don't double") {
+    val p = 9
+    val a = Hll.registers((0L until 3000L).toDF("id"), col("id"), p)
+    val b = Hll.registers((1500L until 4500L).toDF("id"), col("id"), p)
+    def est(regs: org.apache.spark.sql.DataFrame): Long =
+      Hll.estimate(regs, p).select("est_millis").as[Long].head()
+    val selfMerge = est(Hll.mergeRegisters(a, a))
+    assert(selfMerge == est(a))
+    val unionEst = est(Hll.mergeRegisters(a, b)) / 1000.0
+    val direct = est(Hll.registers((0L until 4500L).toDF("id"),
+      col("id"), p)) / 1000.0
+    assert(unionEst == direct) // identical registers, identical estimate
+  }
+
   test("linear-counting branch: tiny cardinalities are near-exact") {
     for (n <- Seq(5L, 50L)) {
       val est = estMillis(0L until n, p = 9) / 1000.0

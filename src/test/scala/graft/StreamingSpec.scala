@@ -687,6 +687,57 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(est(1L) - 50) < 3, est)
     } finally queries.foreach(_.stop())
   }
+
+  test("topology: CountMinOp streams per-window frequency cells; the " +
+    "batch finisher recovers per-window counts (est >= true)") {
+    val tmp = Files.createTempDirectory("topo_cm").toString
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows =
+      (0 until 30).map(i => (ts(0, i), "hot")) ++
+        (0 until 20).map(i => (ts(0, i), s"w${i % 10}")) ++
+        Seq((ts(3, 0), "late-marker")) // pushes watermark past hour 0
+    rows.toDF("ts", "item").write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: events
+         |    kind: parquet
+         |    path: $tmp/in
+         |    timestamp_col: ts
+         |    watermark: 10 minutes
+         |  - name: counts
+         |    kind: memory
+         |operators:
+         |  cm:
+         |    factory: graft.streaming.ops.CountMinOp
+         |    sources: [events]
+         |    sinks: [counts]
+         |config:
+         |  window: 1 hour
+         |  item_col: item
+         |  depth: 4
+         |  width: 1024
+         |""".stripMargin
+    val queries = Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    try {
+      queries.foreach(_.processAllAvailable())
+      val cells = spark.table("counts")
+      // only hour 0 finalized; state bounded at depth*width cells
+      assert(cells.select("window_start").distinct().count() == 1)
+      assert(cells.count() <= 4 * 1024)
+      // per-row mass conservation: each r row sums to N = 50
+      val mass = cells.groupBy("r").agg(sum("cnt").as("m"))
+        .select("m").as[Long].collect()
+      assert(mass.toSeq == Seq.fill(4)(50L), mass.toSeq)
+      val est = graft.streaming.ops.CountMinOp.estimate(cells,
+          Seq("hot", "w3", "absent").toDF("item"), col("item"),
+          depth = 4, width = 1024)
+        .as[(String, Long)].collect().toMap
+      assert(est("hot") >= 30 && est("hot") <= 50, est)
+      assert(est("w3") >= 2, est) // w3 occurs twice in 0..19 % 10
+      assert(est("absent") <= 20, est) // collisions only
+    } finally queries.foreach(_.stop())
+  }
 }
 
 /** Reflection-resolvable pre-transform for the serve dict-event test —
