@@ -133,9 +133,12 @@ pr AS (SELECT doc_id, CASE
        END AS prints FROM g)
 SELECT doc_id, unnest(prints) AS print FROM pr ORDER BY doc_id, print"""
 
-  /** Full MinHash+LSH pipeline: distinct shingle hashes -> 128-perm signatures (sign-bit-flipped unsigned min) -> 32 band keys (staged hashLong fold) -> bucket pairs -> exact signature-agreement estimate. */
-  private val minhashCtes: String =
-"""toks AS (SELECT doc_id::BIGINT AS id, list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0) AS ts FROM documents),
+  /** Full MinHash+LSH pipeline: distinct shingle hashes -> 128-perm signatures (sign-bit-flipped unsigned min) -> 32 band keys (staged hashLong fold) -> bucket pairs -> exact signature-agreement estimate.
+    * Parameterized on the `toks(id, ts)` base CTE so the same chain
+    * replays both the in-corpus pipeline (ids = doc_id) and the
+    * cross-corpus variant (parity-packed union ids). */
+  private def minhashChainFrom(toksCte: String): String =
+toksCte + """,
 sh AS MATERIALIZED (SELECT id, list_distinct(
     list_transform(range(1, len(ts) - 1),
       i -> g_xxh_bytes(g_bytes(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]),
@@ -172,10 +175,32 @@ est AS (SELECT p.id_a, p.id_b,
       AS est_jaccard
   FROM pairs p JOIN sig sa ON sa.id = p.id_a JOIN sig sb ON sb.id = p.id_b)"""
 
+  private val minhashCtes: String = minhashChainFrom(
+"""toks AS (SELECT doc_id::BIGINT AS id, list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0) AS ts FROM documents)""")
+
   val q_minhash_pairs: String =
     prologue + "\nWITH " + minhashCtes + "\n" +
 """SELECT id_a, id_b, est_jaccard FROM est
 WHERE est_jaccard >= 0.4 ORDER BY id_a, id_b"""
+
+  /** Cross-corpus near-dup dedup: candidates = every doc at packed id
+    * 2*doc_id, reference = every 5th doc at 2*doc_id+1; the SAME chain
+    * generates pairs; only cross-parity pairs at est >= 0.4 eliminate
+    * the candidate side. Survivors listed by original doc_id. */
+  val q_minhash_against: String =
+    prologue + "\nWITH " + minhashChainFrom(
+"""base AS (SELECT doc_id * 2 AS id, text FROM documents
+          UNION ALL
+          SELECT doc_id * 2 + 1 AS id, text FROM documents
+          WHERE doc_id % 5 = 0),
+toks AS (SELECT id::BIGINT AS id, list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0) AS ts FROM base)""") + ",\n" +
+"""losers AS (SELECT DISTINCT
+    (CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) // 2 AS doc_id
+  FROM est
+  WHERE est_jaccard >= 0.4 AND id_a % 2 <> id_b % 2)
+SELECT d.doc_id FROM documents d
+LEFT JOIN losers l ON l.doc_id = d.doc_id
+WHERE l.doc_id IS NULL ORDER BY d.doc_id"""
 
   /** The COMPLETE near-dedup pipeline, hash-checked end to end: the
     * minhash pair CTEs above, then the min-label transitive closure

@@ -783,6 +783,18 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // NEAR-dup cross-corpus dedup (minhash sibling of q_dedup_against):
+    // tonight's crawl (all docs) vs the ingested corpus (every 5th doc);
+    // cross-parity banded pairs at est>=0.4 eliminate candidates — at
+    // minimum the re-crawled 5th docs match themselves and drop
+    "q_minhash_against" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ref = d.filter(col("doc_id") % 5 === 0)
+      Dedup.dropNearDuplicatesAgainst(d, ref, "doc_id", "text",
+          "doc_id", "text", threshold = 0.4)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // paragraph-level structural dedup: the corpus has no multi-paragraph
     // docs, so construct them — every doc gains a second paragraph shared
     // with the 9 other docs having the same doc_id % 50 partner (and for
@@ -1033,14 +1045,18 @@ object SparkEntry {
       val ref = d.filter(col("doc_id") % 7 === 0)
         .select(col("text").as("rtext"))
       val fresh = Dedup.dedupAgainst(norm, ref, "doc_id", "text", "rtext")
-      val rules = graft.llm.TextStats.gopherRules(fresh, "doc_id", "text")
-        .select(col("doc_id"), col("gopher_keep"))
-      val good = fresh.join(rules, "doc_id").filter(col("gopher_keep"))
+      // inline quality gate over one materialized token array — no
+      // metrics frame joined back on doc_id (that self-join would be a
+      // corpus-sized shuffle at scale); the same tokens then feed the
+      // final count, so the doc is tokenized exactly once
+      val good = fresh
+        .withColumn("__ts", Text.tokens(col("text")))
+        .filter(graft.llm.TextStats.gopherKeepOf(col("__ts")))
       val mixed = Ops.mixSample(col("doc_id"), col("source"),
         Map("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.75)(good)
       mixed.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(Text.nTokens(col("text")).cast("long")).as("total_tokens"))
+          sum(size(col("__ts")).cast("long")).as("total_tokens"))
         .orderBy("lang")
     }),
 
@@ -1928,6 +1944,7 @@ object SparkEntry {
       "q_winnow" -> OracleXxh.q_winnow,
       "q_minhash_pairs" -> OracleXxh.q_minhash_pairs,
       "q_minhash_dedup" -> OracleXxh.q_minhash_dedup,
+      "q_minhash_against" -> OracleXxh.q_minhash_against,
       "q_simhash_pairs" -> OracleXxh.q_simhash_pairs,
       "q_embed_neardup_lsh" -> OracleXxh.q_embed_neardup_lsh,
       "q_simsearch_lsh" -> OracleXxh.q_simsearch_lsh,

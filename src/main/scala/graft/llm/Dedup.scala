@@ -224,6 +224,41 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** NEAR-dup cross-corpus dedup — [[dedupAgainst]]'s MinHash sibling:
+    * drop from `df` every document whose estimated Jaccard against ANY
+    * reference document reaches `threshold` (tonight's crawl vs the
+    * already-ingested corpus; re-crawls and lightly-edited variants
+    * both match). One banding pass over the union: each side's ids are
+    * packed onto disjoint parities (`2*id` candidates, `2*id+1`
+    * reference — ids must be integral, >= 0, < 2^62), the standard
+    * [[minhashPairs]] machinery generates pairs, and only CROSS-parity
+    * pairs count — candidate-candidate near-dups survive (in-corpus
+    * dedup is [[dropNearDuplicates]]' job), reference-reference pairs
+    * are free to ignore. Anti-join on the losing candidate ids ends it.
+    * Same scale shape as minhashPairs: band keys and packed ids ride
+    * the shuffles, text never does. */
+  def dropNearDuplicatesAgainst(df: DataFrame, ref: DataFrame,
+                                idCol: String, textCol: String,
+                                refIdCol: String, refTextCol: String,
+                                shingleSize: Int = 3, numHashes: Int = 128,
+                                bands: Int = 32, threshold: Double = 0.5,
+                                maxBucketSize: Int = 1000): DataFrame = {
+    val cand = df.select((col(idCol).cast("long") * 2).as("__pid"),
+      col(textCol).as("__text"))
+    val refT = ref.select(
+      (col(refIdCol).cast("long") * 2 + 1).as("__pid"),
+      col(refTextCol).as("__text"))
+    val pairs = minhashPairs(cand.unionByName(refT), "__pid", "__text",
+      shingleSize, numHashes, bands, threshold, maxBucketSize)
+    val losers = pairs
+      .filter(col("id_a") % 2 =!= col("id_b") % 2)
+      .select((when(col("id_a") % 2 === 0, col("id_a"))
+        .otherwise(col("id_b")) / 2).cast("long").as("__loser"))
+      .distinct()
+    df.join(losers, col(idCol).cast("long") === col("__loser"),
+      "left_anti")
+  }
+
   /** 64-bit SimHash of the token stream: bit b of the result is 1 iff the
     * sum over tokens of ±1 (sign of bit b of xxhash64(token)) is positive.
     * Weighted variant would weight by tf; unweighted matches the classic

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -99,6 +99,29 @@ object TextStats {
     * from a tiny common-word set), and `gopher_keep`:
     * 50 ≤ n_tokens ≤ 100k, 3 ≤ mean_token_len ≤ 10,
     * frac_alpha_words ≥ 0.8, frac_symbol_words ≤ 0.1, n_stop_hits ≥ 2. */
+  /** The `gopher_keep` decision as ONE Column over a MATERIALIZED token
+    * array (same gates and constants as [[gopherRules]]) — for inline
+    * use in composed pipelines, where a per-doc metrics frame joined
+    * back on the id would be an avoidable corpus-sized shuffle. `ts`
+    * must be a column attribute, not an inline `Text.tokens(...)` call
+    * (multi-referenced here; see the lambda-body discipline note on
+    * [[graft.functions.Text.shinglesFromTokens]]). */
+  def gopherKeepOf(ts: Column): Column = {
+    val stops = array(Seq("the", "be", "to", "of", "and", "that", "have",
+      "with").map(lit): _*)
+    val nTok = size(ts).cast("long")
+    val meanLen = Text.meanTokenLenOf(ts)
+    val fracAlpha =
+      size(filter(ts, t => t.rlike("[a-z]"))).cast("double") / size(ts)
+    val fracSym = size(filter(ts,
+      t => t.contains("#") || t.contains("..."))).cast("double") / size(ts)
+    val stopHits = size(filter(ts, t => array_contains(stops, t)))
+      .cast("long")
+    nTok >= 50L && nTok <= 100000L &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      fracAlpha >= 0.8 && fracSym <= 0.1 && stopHits >= 2L
+  }
+
   def gopherRules(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val stops = array(Seq("the", "be", "to", "of", "and", "that", "have",

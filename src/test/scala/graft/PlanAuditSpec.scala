@@ -135,6 +135,15 @@ class PlanAuditSpec extends SparkSpec {
       s"signature/vector riding the band shuffle:\n$exchanges")
   }
 
+  test("cross-corpus dedup anti-joins via broadcast (the reference " +
+    "fingerprint set rides to the candidates, the corpus never sorts)") {
+    for (q <- Seq("q_dedup_against", "q_pipeline_corpus")) {
+      val p = planStr(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q plans a SortMergeJoin")
+    }
+  }
+
   test("HLL distinct-count plans a partial max before the exchange — " +
     "each task ships <= 2^p register rows, never raw items") {
     val p = planStr("q_hll_distinct")

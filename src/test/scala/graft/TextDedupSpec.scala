@@ -549,6 +549,21 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Set(2L))
   }
 
+  test("dropNearDuplicatesAgainst: cross-side near-dups eliminate the " +
+    "candidate; in-corpus near-dup pairs survive") {
+    val cand = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // = ref doc 9
+      (2L, "one two three four five six seven"),     // novel
+      (3L, "one two three four five six seven")      // near-dup of 2 (in-corpus!)
+    ).toDF("doc_id", "text")
+    val ref = Seq((9L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dropNearDuplicatesAgainst(cand, ref,
+        "doc_id", "text", "doc_id", "text", threshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L)) // 1 drops; the 2-3 pair is NOT cross-side
+  }
+
   test("paragraphDedup keeps first corpus-wide occurrence, reassembles " +
     "in order, drops fully-duplicated docs") {
     val docs = Seq(
