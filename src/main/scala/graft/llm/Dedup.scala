@@ -252,8 +252,11 @@ object Dedup {
       shingleSize, numHashes, bands, threshold, maxBucketSize)
     val losers = pairs
       .filter(col("id_a") % 2 =!= col("id_b") % 2)
-      .select((when(col("id_a") % 2 === 0, col("id_a"))
-        .otherwise(col("id_b")) / 2).cast("long").as("__loser"))
+      // shiftright, NOT `/ 2`: Spark's `/` is IEEE double division,
+      // which silently rounds packed ids above 2^53 — the contract
+      // allows ids up to 2^62
+      .select(shiftright(when(col("id_a") % 2 === 0, col("id_a"))
+        .otherwise(col("id_b")), 1).as("__loser"))
       .distinct()
     df.join(losers, col(idCol).cast("long") === col("__loser"),
       "left_anti")

@@ -99,54 +99,49 @@ object TextStats {
     * from a tiny common-word set), and `gopher_keep`:
     * 50 ≤ n_tokens ≤ 100k, 3 ≤ mean_token_len ≤ 10,
     * frac_alpha_words ≥ 0.8, frac_symbol_words ≤ 0.1, n_stop_hits ≥ 2. */
-  /** The `gopher_keep` decision as ONE Column over a MATERIALIZED token
-    * array (same gates and constants as [[gopherRules]]) — for inline
-    * use in composed pipelines, where a per-doc metrics frame joined
-    * back on the id would be an avoidable corpus-sized shuffle. `ts`
-    * must be a column attribute, not an inline `Text.tokens(...)` call
-    * (multi-referenced here; see the lambda-body discipline note on
-    * [[graft.functions.Text.shinglesFromTokens]]). */
-  def gopherKeepOf(ts: Column): Column = {
-    val stops = array(Seq("the", "be", "to", "of", "and", "that", "have",
-      "with").map(lit): _*)
-    val nTok = size(ts).cast("long")
-    val meanLen = Text.meanTokenLenOf(ts)
-    val fracAlpha =
-      size(filter(ts, t => t.rlike("[a-z]"))).cast("double") / size(ts)
-    val fracSym = size(filter(ts,
-      t => t.contains("#") || t.contains("..."))).cast("double") / size(ts)
-    val stopHits = size(filter(ts, t => array_contains(stops, t)))
-      .cast("long")
-    nTok >= 50L && nTok <= 100000L &&
-      meanLen >= 3.0 && meanLen <= 10.0 &&
-      fracAlpha >= 0.8 && fracSym <= 0.1 && stopHits >= 2L
-  }
-
   def gopherRules(df: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
-    val stops = array(Seq("the", "be", "to", "of", "and", "that", "have",
-      "with").map(lit): _*)
+      : DataFrame =
     df.select(col(idCol), Text.tokens(col(textCol)).as("__ts"))
       .select(
         col(idCol),
         Text.nTokensOf(col("__ts")).cast("long").as("n_tokens"),
         Text.meanTokenLenOf(col("__ts")).as("mean_token_len"),
-        (size(filter(col("__ts"), t => t.rlike("[a-z]")))
-          .cast("double") / size(col("__ts"))).as("frac_alpha_words"),
-        (size(filter(col("__ts"),
-          t => t.contains("#") || t.contains("...")))
-          .cast("double") / size(col("__ts"))).as("frac_symbol_words"),
+        fracAlphaOf(col("__ts")).as("frac_alpha_words"),
+        fracSymbolOf(col("__ts")).as("frac_symbol_words"),
         (size(filter(col("__ts"), t => t.rlike("^[0-9]+$")))
           .cast("double") / size(col("__ts"))).as("frac_numeric_words"),
-        size(filter(col("__ts"), t => array_contains(stops, t)))
-          .cast("long").as("n_stop_hits"))
-      .withColumn("gopher_keep",
-        col("n_tokens") >= 50 && col("n_tokens") <= 100000 &&
-          col("mean_token_len") >= 3.0 && col("mean_token_len") <= 10.0 &&
-          col("frac_alpha_words") >= 0.8 &&
-          col("frac_symbol_words") <= 0.1 &&
-          col("n_stop_hits") >= 2L)
+        nStopHitsOf(col("__ts")).as("n_stop_hits"),
+        gopherKeepOf(col("__ts")).as("gopher_keep"))
+
+  /** The `gopher_keep` decision as ONE Column over a MATERIALIZED token
+    * array — the single home of the gate's thresholds ([[gopherRules]]
+    * derives its column from this). For inline use in composed
+    * pipelines, where a per-doc metrics frame joined back on the id
+    * would be an avoidable corpus-sized shuffle. `ts` must be a column
+    * attribute, not an inline `Text.tokens(...)` call (multi-referenced
+    * here; see the lambda-body discipline note on
+    * [[graft.functions.Text.shinglesFromTokens]]). */
+  def gopherKeepOf(ts: Column): Column = {
+    val nTok = size(ts).cast("long")
+    val meanLen = Text.meanTokenLenOf(ts)
+    nTok >= 50L && nTok <= 100000L &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      fracAlphaOf(ts) >= 0.8 && fracSymbolOf(ts) <= 0.1 &&
+      nStopHitsOf(ts) >= 2L
   }
+
+  private def gopherStops = array(Seq("the", "be", "to", "of", "and",
+    "that", "have", "with").map(lit): _*)
+
+  private def fracAlphaOf(ts: Column): Column =
+    size(filter(ts, t => t.rlike("[a-z]"))).cast("double") / size(ts)
+
+  private def fracSymbolOf(ts: Column): Column =
+    size(filter(ts, t => t.contains("#") || t.contains("...")))
+      .cast("double") / size(ts)
+
+  private def nStopHitsOf(ts: Column): Column =
+    size(filter(ts, t => array_contains(gopherStops, t))).cast("long")
 
   /** Per-document top-`topN` terms by tf-idf — the corpus-level term
     * salience operator (keyword extraction, near-dup explanation, index

@@ -672,19 +672,22 @@ class StreamingSpec extends SparkSpec {
     try {
       queries.foreach(_.processAllAvailable())
       val regs = spark.table("uniques")
-      // sketch state is bounded: <= 2^12 register rows per window
+      // sketch state is bounded: <= 2^12 register rows per window.
+      // Window starts compared as INSTANTS (ts(h, 0) is the hour-h
+      // window start for any whole-hour JVM timezone offset), not as
+      // UTC hour numbers — keeps the test portable off UTC machines
       val perWin = regs.groupBy("window_start").count()
         .as[(java.sql.Timestamp, Long)].collect().toMap
-      assert(perWin.keySet.map(_.getTime / 3600000 % 24) == Set(0L, 1L))
+      assert(perWin.keySet == Set(ts(0, 0), ts(1, 0)), perWin.keySet)
       assert(perWin.values.forall(_ <= 4096))
       val est = graft.streaming.ops.ApproxDistinctOp.estimate(regs, p = 12)
         .select(col("window_start"), col("est_millis"))
         .as[(java.sql.Timestamp, Long)].collect()
-        .map { case (w, e) => (w.getTime / 3600000 % 24, e / 1000.0) }
+        .map { case (w, e) => (w, e / 1000.0) }
         .toMap
       // p=12 on small n runs linear counting: near-exact
-      assert(math.abs(est(0L) - 300) < 15, est)
-      assert(math.abs(est(1L) - 50) < 3, est)
+      assert(math.abs(est(ts(0, 0)) - 300) < 15, est)
+      assert(math.abs(est(ts(1, 0)) - 50) < 3, est)
     } finally queries.foreach(_.stop())
   }
 
