@@ -28,12 +28,18 @@ trait OperatorFactory {
   *    source, so windowed/stateful operators downstream are reachable
   *    straight from YAML.
   *  - `partitionSelector`: column whose value keys the sink records
-  *    (Kafka partition routing — the reference's map_partition). */
+  *    (Kafka partition routing — the reference's map_partition).
+  *  - `partitionBy`: hive-style directory partitioning for PARQUET
+  *    sinks (YAML `partition_by: [lang, source]`) — training shards
+  *    land as `lang=en/source=web/part-*.parquet`, so downstream
+  *    readers get partition pruning on those columns for free. The
+  *    parquet analogue of kafka's partition_selector. */
 case class TopicSpec(name: String, codec: String, startFrom: String,
                      kind: String, path: String, endpoint: String,
                      timestampCol: String = "", watermark: String = "",
                      partitionSelector: String = "",
-                     schema: String = "")
+                     schema: String = "",
+                     partitionBy: Seq[String] = Nil)
 
 /** `configTopic` (YAML `config_topic`): name of a topic whose NEWEST
   * record is merged over the static `config:` block and handed to this
@@ -82,7 +88,13 @@ object Topology {
           watermark = m.getOrElse("watermark", "").toString,
           partitionSelector =
             m.getOrElse("partition_selector", "").toString,
-          schema = m.getOrElse("schema", "").toString)
+          schema = m.getOrElse("schema", "").toString,
+          partitionBy = m.getOrElse("partition_by", null) match {
+            case null => Nil
+            case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
+            case s => s.toString.split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+          })
       }.toSeq
 
     val operators = asMap(root.getOrElse("operators", null)).map {
@@ -292,7 +304,10 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
   def runBatch(spark: SparkSession, outDir: String): Seq[String] = {
     wire(spark, batchSource(spark, _), operators).map {
       case (sinkTopic, df) =>
-        df.write.mode("overwrite").parquet(s"$outDir/${sinkTopic.name}")
+        val w = df.write.mode("overwrite")
+        (if (sinkTopic.partitionBy.nonEmpty)
+          w.partitionBy(sinkTopic.partitionBy: _*)
+        else w).parquet(s"$outDir/${sinkTopic.name}")
         sinkTopic.name
     }
   }
@@ -326,7 +341,10 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
         .option("topic", sinkTopic.name)
         .save()
       case "parquet" =>
-        framed.write.mode("append").parquet(sinkTopic.path)
+        val w = framed.write.mode("append")
+        (if (sinkTopic.partitionBy.nonEmpty)
+          w.partitionBy(sinkTopic.partitionBy: _*)
+        else w).parquet(sinkTopic.path)
       case other =>
         throw new IllegalArgumentException(s"dynamic-op sink kind: $other")
     }
@@ -354,9 +372,13 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     val (dynamic, static) = operators.partition(_.configTopic.nonEmpty)
     val staticQueries =
       wire(spark, streamSource(spark, _), static).map { case (sinkTopic, df) =>
-        val w = frameForSink(df, sinkTopic).writeStream
+        val w0 = frameForSink(df, sinkTopic).writeStream
           .option("checkpointLocation",
             s"$checkpointRoot/${sinkTopic.name}")
+        val w =
+          if (sinkTopic.partitionBy.nonEmpty && sinkTopic.kind == "parquet")
+            w0.partitionBy(sinkTopic.partitionBy: _*)
+          else w0
         (sinkTopic.kind match {
           case "kafka" => w.format("kafka")
             .option("kafka.bootstrap.servers", sinkTopic.endpoint)

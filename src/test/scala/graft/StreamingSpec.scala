@@ -691,6 +691,39 @@ class StreamingSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  test("topology: partition_by on a STREAMING parquet sink lands " +
+    "hive-style shard directories") {
+    val tmp = Files.createTempDirectory("topo_spart").toString
+    Seq(("en", "1"), ("de", "2"), ("en", "3")).toDF("lang", "value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: docs
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: shards
+         |    kind: parquet
+         |    path: $tmp/shards
+         |    partition_by: [lang]
+         |operators:
+         |  gate:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [docs]
+         |    sinks: [shards]
+         |config:
+         |  filter_expr: value IS NOT NULL
+         |""".stripMargin
+    val queries = Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    try queries.foreach(_.processAllAvailable())
+    finally queries.foreach(_.stop())
+    val dirs = new java.io.File(s"$tmp/shards").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filterNot(_ == "_spark_metadata").toSet // file-sink commit log
+    assert(dirs == Set("lang=en", "lang=de"), dirs)
+    assert(spark.read.parquet(s"$tmp/shards")
+      .filter(col("lang") === "en").count() == 2)
+  }
+
   test("topology: CountMinOp streams per-window frequency cells; the " +
     "batch finisher recovers per-window counts (est >= true)") {
     val tmp = Files.createTempDirectory("topo_cm").toString

@@ -220,4 +220,41 @@ class TopologySpec extends SparkSpec {
     val preds = scored.select("prediction").as[Double].collect().toSet
     assert(preds == Set(12.0, 18.0)) // 2x + 10
   }
+
+  test("partition_by on a parquet sink lands hive-style shards and " +
+    "read-back gets partition pruning") {
+    val tmp = Files.createTempDirectory("topo_part").toString
+    Seq(("en", "src0", 1L), ("en", "src1", 2L), ("de", "src0", 3L))
+      .toDF("lang", "source", "doc_id")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: docs
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: shards
+         |    kind: parquet
+         |    path: $tmp/shards
+         |    partition_by: [lang]
+         |operators:
+         |  gate:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [docs]
+         |    sinks: [shards]
+         |config:
+         |  filter_expr: doc_id >= 0
+         |""".stripMargin
+    Topology.parse(yaml).runBatch(spark, s"$tmp/sinks")
+    val dirs = new java.io.File(s"$tmp/sinks/shards").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("lang=en", "lang=de"), dirs)
+    val back = spark.read.parquet(s"$tmp/sinks/shards")
+    assert(back.count() == 3)
+    // pruning: the lang filter resolves at the directory level
+    val plan = back.filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("lang"), plan)
+    assert(back.filter(col("lang") === "en").count() == 2)
+  }
 }
