@@ -33,13 +33,22 @@ trait OperatorFactory {
   *    sinks (YAML `partition_by: [lang, source]`) — training shards
   *    land as `lang=en/source=web/part-*.parquet`, so downstream
   *    readers get partition pruning on those columns for free. The
-  *    parquet analogue of kafka's partition_selector. */
+  *    parquet analogue of kafka's partition_selector.
+  *  - `sinkPartitions` (YAML `sink_partitions`): task count for
+  *    parquet sink writes — the small-files control. Without it, a
+  *    32-task stage writing a partitioned sink sprays up to
+  *    32 × |dirs| tiny files (the classic scale problem: a day of
+  *    micro-batches makes millions of kilobyte files and the NEXT
+  *    job's planning chokes on listing). With it, rows are
+  *    repartitioned to N tasks — hashed by the partition_by columns
+  *    when set, so each hive directory is written by few tasks. */
 case class TopicSpec(name: String, codec: String, startFrom: String,
                      kind: String, path: String, endpoint: String,
                      timestampCol: String = "", watermark: String = "",
                      partitionSelector: String = "",
                      schema: String = "",
-                     partitionBy: Seq[String] = Nil)
+                     partitionBy: Seq[String] = Nil,
+                     sinkPartitions: Int = 0)
 
 /** `configTopic` (YAML `config_topic`): name of a topic whose NEWEST
   * record is merged over the static `config:` block and handed to this
@@ -94,7 +103,9 @@ object Topology {
             case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
             case s => s.toString.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq
-          })
+          },
+          sinkPartitions =
+            m.getOrElse("sink_partitions", "0").toString.toInt)
       }.toSeq
 
     val operators = asMap(root.getOrElse("operators", null)).map {
@@ -298,13 +309,24 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
       op.sinks.map(topic).zip(outs)
     }
 
+  /** Small-files control (`sink_partitions`): bound the task count of a
+    * parquet write, hashing by the partition_by columns when set so
+    * each hive directory is written by few tasks instead of every
+    * task. */
+  private def shapeForParquet(df: DataFrame, t: TopicSpec): DataFrame =
+    if (t.sinkPartitions <= 0) df
+    else if (t.partitionBy.nonEmpty)
+      df.repartition(t.sinkPartitions, t.partitionBy.map(
+        org.apache.spark.sql.functions.col): _*)
+    else df.repartition(t.sinkPartitions)
+
   /** Batch run: every sink topic is written as parquet under `outDir`
     * (file-backed topics) — the unified batch path; config topics are
     * resolved once at run start. Returns sink names. */
   def runBatch(spark: SparkSession, outDir: String): Seq[String] = {
     wire(spark, batchSource(spark, _), operators).map {
       case (sinkTopic, df) =>
-        val w = df.write.mode("overwrite")
+        val w = shapeForParquet(df, sinkTopic).write.mode("overwrite")
         (if (sinkTopic.partitionBy.nonEmpty)
           w.partitionBy(sinkTopic.partitionBy: _*)
         else w).parquet(s"$outDir/${sinkTopic.name}")
@@ -341,7 +363,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
         .option("topic", sinkTopic.name)
         .save()
       case "parquet" =>
-        val w = framed.write.mode("append")
+        val w = shapeForParquet(framed, sinkTopic).write.mode("append")
         (if (sinkTopic.partitionBy.nonEmpty)
           w.partitionBy(sinkTopic.partitionBy: _*)
         else w).parquet(sinkTopic.path)
@@ -372,7 +394,11 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     val (dynamic, static) = operators.partition(_.configTopic.nonEmpty)
     val staticQueries =
       wire(spark, streamSource(spark, _), static).map { case (sinkTopic, df) =>
-        val w0 = frameForSink(df, sinkTopic).writeStream
+        val shaped =
+          if (sinkTopic.kind == "parquet")
+            shapeForParquet(frameForSink(df, sinkTopic), sinkTopic)
+          else frameForSink(df, sinkTopic)
+        val w0 = shaped.writeStream
           .option("checkpointLocation",
             s"$checkpointRoot/${sinkTopic.name}")
         val w =

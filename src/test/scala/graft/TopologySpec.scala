@@ -236,6 +236,7 @@ class TopologySpec extends SparkSpec {
          |    kind: parquet
          |    path: $tmp/shards
          |    partition_by: [lang]
+         |    sink_partitions: 1
          |operators:
          |  gate:
          |    factory: graft.streaming.ops.FilterOp
@@ -248,6 +249,12 @@ class TopologySpec extends SparkSpec {
     val dirs = new java.io.File(s"$tmp/sinks/shards").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs == Set("lang=en", "lang=de"), dirs)
+    // sink_partitions: 1 -> small-files control: ONE part file per dir
+    dirs.foreach { d =>
+      val parts = new java.io.File(s"$tmp/sinks/shards/$d").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet"))
+      assert(parts.length == 1, s"$d: ${parts.toSeq}")
+    }
     val back = spark.read.parquet(s"$tmp/sinks/shards")
     assert(back.count() == 3)
     // pruning: the lang filter resolves at the directory level
