@@ -384,6 +384,56 @@ JOIN cell ON cell.r = rb.r AND cell.bucket = rb.bucket
 GROUP BY top.t, top.c
 ORDER BY true_cnt DESC, token"""
 
+  /** One HLL floor-millis estimate chain at p=6 over `srcSql` (must
+    * yield a BIGINT column `k`), CTE-prefixed so several sets compose
+    * in one query (the set-algebra oracle). Constants: w=58,
+    * mask=2^58-1, K=59, m=64, threshold 160. */
+  private def hllEst6(pfx: String, srcSql: String): String = {
+    val num = graft.functions.Hll.rawNumerator(6).toString
+s"""${pfx}h AS MATERIALIZED (SELECT g_xxh_long(k, 42::HUGEINT) AS u
+  FROM ($srcSql)),
+${pfx}br AS MATERIALIZED (SELECT (u >> 58)::BIGINT AS bucket,
+    CASE WHEN (u & 288230376151711743::HUGEINT) = 0::HUGEINT THEN 59
+         ELSE 59 - length(bin((u & 288230376151711743::HUGEINT)::BIGINT))
+    END AS rho
+  FROM ${pfx}h),
+${pfx}regs AS (SELECT bucket, max(rho) AS register FROM ${pfx}br
+  GROUP BY bucket),
+${pfx}agg AS (SELECT count(*) AS nb,
+    sum(((1::BIGINT << (59 - register)))::HUGEINT) AS s_ne
+  FROM ${pfx}regs),
+${pfx}e0 AS (SELECT
+    $num / ((s_ne + (64 - nb)::HUGEINT
+             * 576460752303423488::HUGEINT)::DOUBLE) AS est,
+    64 - nb AS v
+  FROM ${pfx}agg),
+${pfx}est AS (SELECT CAST(floor(CASE WHEN est <= 160.0 AND v > 0
+      THEN 64.0 * ln(64.0 / v::DOUBLE) ELSE est END * 1000.0) AS BIGINT)
+    AS est_millis
+  FROM ${pfx}e0)"""
+  }
+
+  /** HLL set algebra: |A∩B| by inclusion-exclusion over three p=6
+    * estimate chains, composed in the exact floor-millis integer
+    * domain (matches the Spark-side composition bit-for-bit). */
+  def q_hll_intersect: String =
+    prologue + "\nWITH " +
+      hllEst6("a",
+        "SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'") + ",\n" +
+      hllEst6("b",
+        "SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '2-HIGH'") + ",\n" +
+      hllEst6("u",
+        "SELECT o_custkey AS k FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')") + ",\n" +
+"""ex AS (SELECT count(*) AS exact_intersection FROM
+  (SELECT DISTINCT o_custkey FROM orders
+   WHERE o_orderpriority = '1-URGENT') a
+  JOIN (SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderpriority = '2-HIGH') b USING (o_custkey))
+SELECT aest.est_millis + best.est_millis - uest.est_millis
+    AS inter_est_millis,
+  ex.exact_intersection
+FROM aest, best, uest, ex"""
+
   /** HyperLogLog distinct l_partkey estimate, p=9 — the exact replay of
     * [[graft.functions.Hll.distinctCount]]: xxhash64(long) → top-9-bit
     * bucket / leading-zero rho of the low 55 bits (bit length via

@@ -596,6 +596,28 @@ object SparkEntry {
     "q_hll_distinct" -> ((s, dir) =>
       Hll.distinctCount(t(s, dir, "lineitem"), col("l_partkey"), 9)),
 
+    // HLL set algebra — inclusion-exclusion over three register tables
+    // (|A∩B| ≈ est(A) + est(B) - est(A∪B), composed in the exact
+    // floor-millis domain so the oracle arithmetic is integer); the
+    // exact intersection rides along as the accuracy anchor
+    "q_hll_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def keys(p: String) = o.filter(col("o_orderpriority") === p)
+        .select(col("o_custkey").as("k"))
+      val a = keys("1-URGENT")
+      val b = keys("2-HIGH")
+      def est(df: DataFrame, as: String) =
+        Hll.distinctCount(df, col("k"), 6)
+          .select(col("est_millis").as(as))
+      val exact = a.distinct().join(b.distinct(), "k")
+        .agg(count(lit(1)).as("exact_intersection"))
+      est(a, "__a").crossJoin(est(b, "__b"))
+        .crossJoin(est(a.unionByName(b), "__u")).crossJoin(exact)
+        .select((col("__a") + col("__b") - col("__u"))
+          .as("inter_est_millis"),
+          col("exact_intersection"))
+    }),
+
     // distogram streaming-histogram sketch (rs.math.dist analogue):
     // fixed-size mergeable state; rows-only (sketch is approximate),
     // count-preservation + quantile accuracy pinned by DistogramSpec
@@ -1939,6 +1961,7 @@ object SparkEntry {
       // xxhash64-family oracles (round 4): Spark's XXH64 replicated as
       // DuckDB macros — see OracleXxh for the prologue and design notes
       "q_hll_distinct" -> OracleXxh.q_hll_distinct,
+      "q_hll_intersect" -> OracleXxh.q_hll_intersect,
       "q_countmin" -> OracleXxh.q_countmin,
       "q_fingerprint_rolling" -> OracleXxh.q_fingerprint_rolling,
       "q_winnow" -> OracleXxh.q_winnow,

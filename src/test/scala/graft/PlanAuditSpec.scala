@@ -54,7 +54,7 @@ class PlanAuditSpec extends SparkSpec {
     // known-intentional: withLatestFrom / brute-force sim-search cross a
     // 1-row or broadcast-query side input; everything else must be keyed
     val allowed = Set("q_with_latest", "q_simsearch_topk", "q_roll_mean",
-      "q_batch")
+      "q_batch", "q_hll_intersect") // 1-row estimate frames composed
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       // a query that fails to PLAN is an audit failure, not a skip —
       // swallowing it here would green-light a broken query
