@@ -817,6 +817,17 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // paragraph-level cleaning: append a junk one-token paragraph (the
+    // source tag) to every doc, then keep only paragraphs with >= 5
+    // tokens — the junk drops, the body survives, reassembled in order
+    "q_paragraph_filter" -> ((s, dir) => {
+      val twoPara = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\n\n"), col("source")).as("text"))
+      Dedup.filterParagraphs(twoPara, "doc_id", "text") { p =>
+        size(Text.tokens(p)) >= 5
+      }.orderBy("doc_id")
+    }),
+
     // paragraph-level structural dedup: the corpus has no multi-paragraph
     // docs, so construct them — every doc gains a second paragraph shared
     // with the 9 other docs having the same doc_id % 50 partner (and for
@@ -2010,6 +2021,22 @@ object SparkEntry {
           |WHERE substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ',
           |    'g')), 1, 16) NOT IN (SELECT fp FROM reffp)
           |ORDER BY doc_id""".stripMargin,
+
+      "q_paragraph_filter" ->
+        """WITH d2 AS (SELECT doc_id,
+          |    text || chr(10) || chr(10) || source AS text
+          |  FROM documents),
+          |paras AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(string_split(text, chr(10) || chr(10)),
+          |      (x, i) -> {'idx': i - 1, 'para': x}), recursive := true)
+          |  FROM d2),
+          |kept AS (SELECT doc_id, idx, para FROM paras
+          |  WHERE len(list_filter(string_split(lower(trim(para)), ' '),
+          |    t -> len(t) > 0)) >= 5)
+          |SELECT doc_id, count(*)::BIGINT AS n_paras_kept,
+          |       string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text
+          |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q_paragraph_dedup" ->
         """WITH d2 AS (

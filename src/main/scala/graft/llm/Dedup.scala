@@ -98,6 +98,27 @@ object Dedup {
           sep).as(textCol))
   }
 
+  /** Paragraph-level FILTERING companion to [[paragraphDedup]]: split
+    * each document on `sep`, keep only paragraphs satisfying `pred`
+    * (a Column predicate over the paragraph string — quality gates,
+    * boilerplate markers, length floors), reassemble survivors in
+    * order. Documents losing every paragraph drop out. Map-side only
+    * until the per-doc reassembly groupBy — no corpus-wide state. */
+  def filterParagraphs(df: DataFrame, idCol: String, textCol: String,
+                       sep: String = "\n\n")
+                      (pred: Column => Column): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("idx", "para")))
+      .filter(pred(col("para")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("idx"), col("para")))),
+            x => x.getField("para")),
+          sep).as(textCol))
+
   /** Streaming exact dedup for continuous ingest: first occurrence of each
     * content fingerprint passes, replays within the watermark are dropped.
     * State is bounded by the watermark horizon (Spark evicts seen keys

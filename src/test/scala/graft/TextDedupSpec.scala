@@ -592,6 +592,18 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("filterParagraphs keeps order, drops failing paragraphs and " +
+    "fully-filtered docs") {
+    val docs = Seq(
+      (1L, "keep this one\n\nx\n\nand keep this"),
+      (2L, "y\n\nz")).toDF("doc_id", "text")
+    val got = Dedup.filterParagraphs(docs, "doc_id", "text") { p =>
+      length(p) > 2
+    }.orderBy("doc_id").as[(Long, Long, String)].collect()
+    assert(got.toSeq ==
+      Seq((1L, 2L, "keep this one\n\nand keep this")))
+  }
+
   test("normalizeForDedup canonicalizes case, punctuation, whitespace") {
     val got = Seq("  Hello,   WORLD!! (x=1)\t\nok ")
       .toDF("t").select(Text.normalizeForDedup(col("t"))).as[String]
