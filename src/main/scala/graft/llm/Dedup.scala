@@ -79,23 +79,14 @@ object Dedup {
     * Output: `(idCol, n_paras_kept, textCol)` — reassembled with `sep`. */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n\n"): DataFrame = {
-    val paras = df
-      .select(col(idCol),
-        posexplode(split(col(textCol),
-          java.util.regex.Pattern.quote(sep))).as(Seq("idx", "para")))
+    val paras = splitParas(df, idCol, textCol, sep)
       .withColumn("__h", substring(md5(col("para")), 1, 16))
       .withColumn("__ord",
         shiftleft(col(idCol).cast("long"), 20) + col("idx"))
     val winners = paras.groupBy("__h").agg(min("__ord").as("__w"))
-    paras.join(winners, "__h")
-      .where(col("__ord") === col("__w"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_paras_kept"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("idx"), col("para")))),
-            x => x.getField("para")),
-          sep).as(textCol))
+    reassembleParas(
+      paras.join(winners, "__h").where(col("__ord") === col("__w")),
+      idCol, textCol, sep)
   }
 
   /** Paragraph-level FILTERING companion to [[paragraphDedup]]: split
@@ -107,11 +98,23 @@ object Dedup {
   def filterParagraphs(df: DataFrame, idCol: String, textCol: String,
                        sep: String = "\n\n")
                       (pred: Column => Column): DataFrame =
+    reassembleParas(
+      splitParas(df, idCol, textCol, sep).filter(pred(col("para"))),
+      idCol, textCol, sep)
+
+  /** Shared split half of the paragraph ops: one row per (doc,
+    * position, paragraph). */
+  private def splitParas(df: DataFrame, idCol: String, textCol: String,
+                         sep: String): DataFrame =
     df.select(col(idCol),
-        posexplode(split(col(textCol),
-          java.util.regex.Pattern.quote(sep))).as(Seq("idx", "para")))
-      .filter(pred(col("para")))
-      .groupBy(col(idCol))
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("idx", "para")))
+
+  /** Shared reassembly half: surviving (idx, para) rows back to one
+    * `(idCol, n_paras_kept, textCol)` row per doc, original order. */
+  private def reassembleParas(paras: DataFrame, idCol: String,
+                              textCol: String, sep: String): DataFrame =
+    paras.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_paras_kept"),
         array_join(
           transform(
@@ -251,7 +254,7 @@ object Dedup {
     * already-ingested corpus; re-crawls and lightly-edited variants
     * both match). One banding pass over the union: each side's ids are
     * packed onto disjoint parities (`2*id` candidates, `2*id+1`
-    * reference — ids must be integral, >= 0, < 2^62), the standard
+    * reference — ids must be integral with |id| < 2^62), the standard
     * [[minhashPairs]] machinery generates pairs, and only CROSS-parity
     * pairs count — candidate-candidate near-dups survive (in-corpus
     * dedup is [[dropNearDuplicates]]' job), reference-reference pairs
@@ -272,12 +275,15 @@ object Dedup {
     val pairs = minhashPairs(cand.unionByName(refT), "__pid", "__text",
       shingleSize, numHashes, bands, threshold, maxBucketSize)
     val losers = pairs
-      .filter(col("id_a") % 2 =!= col("id_b") % 2)
+      // pmod, not signed %: a negative id's packed parity would read
+      // as -1 under `%` and miscount a same-side pair as cross-side.
+      // shiftright is floor division, so negative ids round-trip the
+      // packing too — the full signed range |id| < 2^62 works
+      .filter(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
       // shiftright, NOT `/ 2`: Spark's `/` is IEEE double division,
-      // which silently rounds packed ids above 2^53 — the contract
-      // allows ids up to 2^62
-      .select(shiftright(when(col("id_a") % 2 === 0, col("id_a"))
-        .otherwise(col("id_b")), 1).as("__loser"))
+      // which silently rounds packed ids above 2^53
+      .select(shiftright(when(pmod(col("id_a"), lit(2)) === 0,
+        col("id_a")).otherwise(col("id_b")), 1).as("__loser"))
       .distinct()
     df.join(losers, col(idCol).cast("long") === col("__loser"),
       "left_anti")

@@ -110,25 +110,33 @@ object TextStats {
         fracSymbolOf(col("__ts")).as("frac_symbol_words"),
         (size(filter(col("__ts"), t => t.rlike("^[0-9]+$")))
           .cast("double") / size(col("__ts"))).as("frac_numeric_words"),
-        nStopHitsOf(col("__ts")).as("n_stop_hits"),
-        gopherKeepOf(col("__ts")).as("gopher_keep"))
+        nStopHitsOf(col("__ts")).as("n_stop_hits"))
+      // keep derived from the ALREADY-COMPUTED metric columns — the
+      // HOF metric lambdas are excluded from subexpression elimination,
+      // so re-instantiating them in the predicate would run each
+      // array pass twice per document
+      .withColumn("gopher_keep", gopherKeep(
+        col("n_tokens"), col("mean_token_len"), col("frac_alpha_words"),
+        col("frac_symbol_words"), col("n_stop_hits")))
+
+  /** The Gopher gate thresholds over already-computed metric columns —
+    * the single home of the constants (published Gopher defaults). */
+  def gopherKeep(nTokens: Column, meanLen: Column, fracAlpha: Column,
+                 fracSym: Column, stopHits: Column): Column =
+    nTokens >= 50L && nTokens <= 100000L &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      fracAlpha >= 0.8 && fracSym <= 0.1 && stopHits >= 2L
 
   /** The `gopher_keep` decision as ONE Column over a MATERIALIZED token
-    * array — the single home of the gate's thresholds ([[gopherRules]]
-    * derives its column from this). For inline use in composed
+    * array (thresholds via [[gopherKeep]]). For inline use in composed
     * pipelines, where a per-doc metrics frame joined back on the id
     * would be an avoidable corpus-sized shuffle. `ts` must be a column
     * attribute, not an inline `Text.tokens(...)` call (multi-referenced
     * here; see the lambda-body discipline note on
     * [[graft.functions.Text.shinglesFromTokens]]). */
-  def gopherKeepOf(ts: Column): Column = {
-    val nTok = size(ts).cast("long")
-    val meanLen = Text.meanTokenLenOf(ts)
-    nTok >= 50L && nTok <= 100000L &&
-      meanLen >= 3.0 && meanLen <= 10.0 &&
-      fracAlphaOf(ts) >= 0.8 && fracSymbolOf(ts) <= 0.1 &&
-      nStopHitsOf(ts) >= 2L
-  }
+  def gopherKeepOf(ts: Column): Column =
+    gopherKeep(size(ts).cast("long"), Text.meanTokenLenOf(ts),
+      fracAlphaOf(ts), fracSymbolOf(ts), nStopHitsOf(ts))
 
   private def gopherStops = array(Seq("the", "be", "to", "of", "and",
     "that", "have", "with").map(lit): _*)

@@ -320,16 +320,24 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
         org.apache.spark.sql.functions.col): _*)
     else df.repartition(t.sinkPartitions)
 
+  /** The one parquet sink write: small-files shaping + hive
+    * partitioning + write, shared by the batch run and the
+    * foreachBatch append path so the two can never diverge. */
+  private def writeParquet(df: DataFrame, t: TopicSpec, mode: String,
+                           path: String): Unit = {
+    val w = shapeForParquet(df, t).write.mode(mode)
+    (if (t.partitionBy.nonEmpty) w.partitionBy(t.partitionBy: _*)
+    else w).parquet(path)
+  }
+
   /** Batch run: every sink topic is written as parquet under `outDir`
     * (file-backed topics) — the unified batch path; config topics are
     * resolved once at run start. Returns sink names. */
   def runBatch(spark: SparkSession, outDir: String): Seq[String] = {
     wire(spark, batchSource(spark, _), operators).map {
       case (sinkTopic, df) =>
-        val w = shapeForParquet(df, sinkTopic).write.mode("overwrite")
-        (if (sinkTopic.partitionBy.nonEmpty)
-          w.partitionBy(sinkTopic.partitionBy: _*)
-        else w).parquet(s"$outDir/${sinkTopic.name}")
+        writeParquet(df, sinkTopic, "overwrite",
+          s"$outDir/${sinkTopic.name}")
         sinkTopic.name
     }
   }
@@ -363,10 +371,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
         .option("topic", sinkTopic.name)
         .save()
       case "parquet" =>
-        val w = shapeForParquet(framed, sinkTopic).write.mode("append")
-        (if (sinkTopic.partitionBy.nonEmpty)
-          w.partitionBy(sinkTopic.partitionBy: _*)
-        else w).parquet(sinkTopic.path)
+        writeParquet(framed, sinkTopic, "append", sinkTopic.path)
       case other =>
         throw new IllegalArgumentException(s"dynamic-op sink kind: $other")
     }

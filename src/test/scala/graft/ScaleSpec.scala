@@ -17,8 +17,8 @@ class ScaleSpec extends SparkSpec {
   test("minhash pairs under 8x corpus replication obey the exact " +
     "pair-count identity (k^2 cross pairs per base pair + C(k,2) " +
     "self pairs per doc)") {
-    val docs = spark.read
-      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = graft.core.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
     val nDocs = docs.count()
     // cap lifted so the identity is exact (replication inflates every
