@@ -32,19 +32,36 @@ object Bench {
     }
     // min of 2 timed iterations per query: a one-off scheduler/GC hiccup
     // on a shared box reads as a 3-5s regression on a sub-second query;
-    // the min is the reproducible cost of the plan
+    // the min is the reproducible cost of the plan. BOTH iterations are
+    // recorded (queries_minmax) so a loaded box is self-evident in the
+    // artifact: min << max across many queries ==> noisy run, trust min.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> ((times.min, times.max))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val mm = results.map { case (k, v) =>
+      s"\"" + k + "\":[" + v._1 + "," + v._2 + "]" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_minmax":$mm,"sf":"$sfDir"}"""
+    println(json)
+    // stdout rides sbt's log stream, where a prefix/interleave can break
+    // the driver's parser (round 4 lost its headline metric to
+    // "parsed": null) — the file copy is the parse-proof artifact
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $out: $e")
+    }
     spark.stop()
   }
 }

@@ -1028,11 +1028,14 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // maxCellSize = 64 is BELOW the largest sf0.01 cells (48..70 members)
+    // on purpose: the oracle replicates the overflow-drop rule, so the
+    // bounded-cell guard itself is hash-checked, not just the happy path
     "q_semantic_dedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val m = graft.llm.KMeans.seed(e, "vec_id", "embedding", k = 8)
       graft.llm.KMeans.semanticPairs(e, "vec_id", "embedding", m,
-        eps = 0.45)
+        eps = 0.45, maxCellSize = 64)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1750,10 +1753,13 @@ object SparkEntry {
            |asg AS (SELECT vec_id, cell FROM (
            |  SELECT vec_id, cell, row_number() OVER (
            |    PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d)
-           |  WHERE rn = 1)
+           |  WHERE rn = 1),
+           |ok AS (SELECT cell FROM asg GROUP BY cell
+           |       HAVING count(*) <= 64)
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
            |       ${cosSql("ea.embedding", "eb.embedding")} AS cosine
            |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |JOIN ok ON ok.cell = a.cell
            |JOIN embeddings ea ON ea.vec_id = a.vec_id
            |JOIN embeddings eb ON eb.vec_id = b.vec_id
            |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45

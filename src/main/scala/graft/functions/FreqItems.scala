@@ -126,6 +126,11 @@ object FreqItems {
                      depth: Int, width: Int)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    // (depth, width) must MATCH the sketch's build parameters: a
+    // different width hashes probes into different buckets and the
+    // est >= true guarantee silently breaks (under-counts possible)
+    require(depth > 0 && width > 0 && (width & (width - 1)) == 0,
+      s"need depth>0 and power-of-two width: depth=$depth width=$width")
     val others = items.columns.toIndexedSeq
     val probes = (0 until depth).map(r =>
       struct(lit(r).as("r"), cmCell(item, r, width).as("bucket")))

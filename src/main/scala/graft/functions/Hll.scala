@@ -102,11 +102,17 @@ object Hll {
     val sNonEmpty = sum(
       expr(s"shiftleft(CAST(1 AS BIGINT), $k - register)")
         .cast("decimal(38,0)"))
+    // coalesce: a global (no-group) aggregate over an EMPTY register
+    // table still yields one row, where sum() is NULL — pinning the
+    // sums to 0 lands that row in the V=m linear-counting branch,
+    // whose m*ln(m/m)=0 is the right empty-set estimate
     val agged = regs
       .groupBy(groupCols: _*)
       .agg(count(lit(1)).as("nonempty_buckets"),
-        sum(col("register")).cast("bigint").as("register_sum"),
-        sNonEmpty.as("__s_ne"))
+        coalesce(sum(col("register")).cast("bigint"), lit(0L))
+          .as("register_sum"),
+        coalesce(sNonEmpty, lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(38,0)")).as("__s_ne"))
     // add the empty buckets' 2^(K-0) contributions, still exact
     val twoK = java.math.BigDecimal.valueOf(2).pow(k)
     val s = (col("__s_ne") +
@@ -138,14 +144,32 @@ object Hll {
   def distinctCount(df: DataFrame, item: Column, p: Int): DataFrame =
     estimate(registers(df, item, p), p)
 
-  /** Merge register tables (same `p`; cross-day / cross-stream /
-    * cross-corpus union-of-sets semantics): register merge is `max`,
-    * so the union re-aggregates to one table estimating the DISTINCT
-    * union. Both inputs must share the `(groupCols..., bucket,
-    * register)` shape emitted by [[registers]]. */
-  def mergeRegisters(a: DataFrame, b: DataFrame,
-                     groupCols: Seq[Column] = Nil): DataFrame =
+  /** Merge register tables (cross-day / cross-stream / cross-corpus
+    * union-of-sets semantics): register merge is `max`, so the union
+    * re-aggregates to one table estimating the DISTINCT union. Both
+    * inputs must share the `(groupCols..., bucket, register)` shape
+    * emitted by [[registers]] — AND the same `p`: a register built at
+    * a higher precision can exceed this p's max rho 64-p+1, which
+    * would silently wrap [[estimate]]'s shift amount (Spark shiftleft
+    * masks to 6 bits) into a plausible-looking garbage estimate. The
+    * per-row guard turns a precision mismatch into an ERROR instead. */
+  def mergeRegisters(a: DataFrame, b: DataFrame, p: Int,
+                     groupCols: Seq[Column] = Nil): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16]: $p")
+    val maxRho = 64 - p + 1
+    val guarded = when(
+      col("register") < 0 || col("register") > maxRho ||
+        col("bucket") < 0 || col("bucket") >= (1 << p),
+      raise_error(concat(
+        lit(s"mergeRegisters: (bucket, register) out of range for p=$p " +
+          s"(bucket < ${1 << p}, rho <= $maxRho) — inputs built at a " +
+          "different precision? bucket="),
+        col("bucket").cast("string"), lit(" register="),
+        col("register").cast("string"))).cast("int"))
+      .otherwise(col("register"))
     a.unionByName(b)
+      .withColumn("register", guarded)
       .groupBy(groupCols :+ col("bucket"): _*)
       .agg(max(col("register")).as("register"))
+  }
 }

@@ -79,10 +79,23 @@ object Dedup {
     * Output: `(idCol, n_paras_kept, textCol)` — reassembled with `sep`. */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n\n"): DataFrame = {
+    // the packed-key contract fails LOUDLY, not as silent wrong-winner
+    // dedup: a doc with >= 2^20 paragraphs or an id outside [0, 2^43)
+    // would alias another (id, position) — one comparison per row,
+    // negligible next to the md5
+    val idL = col(idCol).cast("long")
+    val packed = when(
+      idL.isNull || idL < 0 || idL >= lit(1L << 43) ||
+        col("idx") >= lit(1 << 20),
+      raise_error(concat(
+        lit("paragraphDedup: (id << 20 | position) order key needs " +
+          "0 <= id < 2^43 and < 2^20 paragraphs/doc; got id="),
+        idL.cast("string"), lit(" idx="), col("idx").cast("string")))
+        .cast("long"))
+      .otherwise(shiftleft(idL, 20) + col("idx"))
     val paras = splitParas(df, idCol, textCol, sep)
       .withColumn("__h", substring(md5(col("para")), 1, 16))
-      .withColumn("__ord",
-        shiftleft(col(idCol).cast("long"), 20) + col("idx"))
+      .withColumn("__ord", packed)
     val winners = paras.groupBy("__h").agg(min("__ord").as("__w"))
     reassembleParas(
       paras.join(winners, "__h").where(col("__ord") === col("__w")),

@@ -100,19 +100,37 @@ object KMeans {
   }
 
   /** SemDeDup candidate pairs: cosine ≥ `eps` pairs WITHIN each cluster.
-    * One shuffle on cell id; within-cell all-pairs is the SemDeDup trade
-    * (size k to keep cells bounded — the cross-cluster misses are the
-    * documented recall loss of the method). Output:
+    * Within-cell all-pairs is the SemDeDup trade (size k so cells stay
+    * bounded — the cross-cluster misses are the documented recall loss
+    * of the method), and `maxCellSize` makes that bound EXPLICIT: cell
+    * members are collected through the bounded aggregator
+    * ([[graft.functions.BoundedCollect]]), so a degenerate cell (near-
+    * duplicate-heavy corpora produce them) costs O(cap) memory and
+    * yields ZERO pairs instead of a quadratic join — the same overflow
+    * rule as every other candidate generator in [[Dedup]]. Plan shape:
+    * one (id, cell) shuffle for bucketing (vectors never ride it),
+    * bucket-local pair generation, then vectors + precomputed norms
+    * joined back once per candidate for the exact cosine. Output:
     * (id_a, id_b, cell, cosine), id_a < id_b. */
   def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
-                    model: Model, eps: Double): DataFrame = {
+                    model: Model, eps: Double,
+                    maxCellSize: Int = 10000): DataFrame = {
     val a = assign(df, idCol, vecCol, model)
-    val l = a.select(col("id").as("id_a"), col("v").as("va"),
-      col("nm").as("na"), col("cell"))
-    val r = a.select(col("id").as("id_b"), col("v").as("vb"),
-      col("nm").as("nb"), col("cell"))
-    l.join(r, Seq("cell"))
+    val buckets = a.groupBy("cell")
+      .agg(graft.functions.BoundedCollect.pairs(maxCellSize)(
+        col("id"), lit(0L)).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val cand = buckets
+      .select(col("cell"), col("ms"), explode(col("ms")).as("x"))
+      .select(col("cell"), col("x._1").as("id_a"),
+        explode(col("ms")).as("y"))
+      .select(col("cell"), col("id_a"), col("y._1").as("id_b"))
       .filter(col("id_a") < col("id_b"))
+    cand
+      .join(a.select(col("id").as("id_a"), col("v").as("va"),
+        col("nm").as("na")), "id_a")
+      .join(a.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"), col("cell"),
         Vectors.cosineWithNorms(col("va"), col("vb"),
           col("na"), col("nb")).as("cosine"))
@@ -126,7 +144,8 @@ object KMeans {
     * convention — swap the keeper at this seam if centroid-distance
     * ranking is wanted.) */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    model: Model, eps: Double): DataFrame =
+                    model: Model, eps: Double,
+                    maxCellSize: Int = 10000): DataFrame =
     Dedup.dropNearDuplicates(df, idCol,
-      semanticPairs(df, idCol, vecCol, model, eps))
+      semanticPairs(df, idCol, vecCol, model, eps, maxCellSize))
 }

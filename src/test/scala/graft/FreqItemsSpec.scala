@@ -93,4 +93,16 @@ class FreqItemsSpec extends SparkSpec {
     // is ~ (50/4096)^4 — effectively zero; pin the common case
     assert(est.values.exists(_ == 0))
   }
+
+  test("count-min lookup rejects invalid (depth, width) up front — the " +
+    "parameters must match the sketch build or buckets are garbage") {
+    val df = (1L to 5L).map(i => s"t$i").toDF("token")
+    val sketch = FreqItems.countMinTable(df, col("token"), 4, 1024)
+    intercept[IllegalArgumentException] {
+      FreqItems.countMinLookup(sketch, df, col("token"), 4, 1000)
+    }
+    intercept[IllegalArgumentException] {
+      FreqItems.countMinLookup(sketch, df, col("token"), 0, 1024)
+    }
+  }
 }

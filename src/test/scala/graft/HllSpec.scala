@@ -56,9 +56,9 @@ class HllSpec extends SparkSpec {
     val b = Hll.registers((1500L until 4500L).toDF("id"), col("id"), p)
     def est(regs: org.apache.spark.sql.DataFrame): Long =
       Hll.estimate(regs, p).select("est_millis").as[Long].head()
-    val selfMerge = est(Hll.mergeRegisters(a, a))
+    val selfMerge = est(Hll.mergeRegisters(a, a, p))
     assert(selfMerge == est(a))
-    val unionEst = est(Hll.mergeRegisters(a, b)) / 1000.0
+    val unionEst = est(Hll.mergeRegisters(a, b, p)) / 1000.0
     val direct = est(Hll.registers((0L until 4500L).toDF("id"),
       col("id"), p)) / 1000.0
     assert(unionEst == direct) // identical registers, identical estimate
@@ -68,6 +68,34 @@ class HllSpec extends SparkSpec {
     for (n <- Seq(5L, 50L)) {
       val est = estMillis(0L until n, p = 9) / 1000.0
       assert(math.abs(est - n) <= math.max(1.0, 0.05 * n), s"n=$n est=$est")
+    }
+  }
+
+  test("empty input estimates 0, not NULL (global no-group aggregate)") {
+    val p = 9
+    val empty = Hll.registers(
+      (0L until 10L).toDF("id").filter(col("id") < 0), col("id"), p)
+    val row = Hll.estimate(empty, p)
+      .select("est_millis", "nonempty_buckets", "register_sum")
+      .as[(Long, Long, Long)].head()
+    assert(row == ((0L, 0L, 0L)), s"got $row")
+  }
+
+  test("mergeRegisters ERRORS on a precision-mismatched register table " +
+    "instead of silently wrapping the estimate shift") {
+    val a = Hll.registers((0L until 100L).toDF("id"), col("id"), 9)
+    // a p=16 table has buckets >= 2^9; a rho above 64-9+1 is the
+    // register-side symptom of a smaller-p table — both must raise
+    val bigBucket = Seq((40000, 3)).toDF("bucket", "register")
+    val bigRho = Seq((7, 60)).toDF("bucket", "register")
+    for (bad <- Seq(bigBucket, bigRho)) {
+      val ex = intercept[Exception] {
+        Hll.estimate(Hll.mergeRegisters(a, bad, 9), 9).collect()
+      }
+      def all(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ all(t.getCause)
+      assert(all(ex).exists(_.contains("mergeRegisters")),
+        s"unexpected: ${ex.getMessage}")
     }
   }
 }

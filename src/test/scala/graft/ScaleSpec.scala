@@ -40,6 +40,86 @@ class ScaleSpec extends SparkSpec {
     assert(n == expected, s"base=${base.length} nDocs=$nDocs got=$n")
   }
 
+  test("semanticPairs stays BOUNDED on a degenerate cell: one cell " +
+    "holding the whole corpus yields zero pairs over the cap, all " +
+    "C(n,2) pairs under it") {
+    // k=1 model: every vector lands in cell 0 — the worst-case skew a
+    // near-duplicate-heavy corpus produces. Identical vectors so every
+    // within-cell pair passes the cosine gate.
+    val vec = Array.fill(4)(0.5f)
+    val n = 80
+    val df = (0L until n.toLong).map(i => (i, vec)).toDF("id", "v")
+    val m = graft.llm.KMeans.seed(df, "id", "v", k = 1)
+    val over = graft.llm.KMeans.semanticPairs(df, "id", "v", m,
+      eps = 0.9, maxCellSize = 50).count()
+    assert(over == 0L, "overflowing cell must drop to ZERO pairs, " +
+      s"never a partial subset: got $over")
+    val under = graft.llm.KMeans.semanticPairs(df, "id", "v", m,
+      eps = 0.9, maxCellSize = 100).count()
+    assert(under == n.toLong * (n - 1) / 2, s"got $under")
+  }
+
+  test("duplicateSpans under k-fold replication obeys the exact span " +
+    "identity (k^2 spans per base cross-doc span + C(k,2) self-copy " +
+    "span sets per doc)") {
+    val docs = graft.core.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    // caps lifted: replication inflates every gram posting list k-fold
+    val noCap = 1000000
+    val base = Dedup.duplicateSpans(docs, "doc_id", "text",
+      minRun = 8, maxGramFreq = noCap).count()
+    // spans between two COPIES of the same doc (incl. off-diagonal
+    // matches from internal repetition) measured exactly by a 2-copy
+    // run restricted to (doc, its own shifted copy) pairs
+    val shift = 100000L
+    val twoCopy = docs.unionByName(
+      docs.select((col("doc_id") + shift).as("doc_id"), col("text")))
+    val selfSpans = Dedup.duplicateSpans(twoCopy, "doc_id", "text",
+        minRun = 8, maxGramFreq = noCap)
+      .filter(col("id_b") === col("id_a") + shift)
+      .count()
+    val k = 3
+    val rep = (0 until k)
+      .map(j => docs.select((col("doc_id") + j * shift).as("doc_id"),
+        col("text")))
+      .reduce(_.unionByName(_))
+    val got = Dedup.duplicateSpans(rep, "doc_id", "text",
+      minRun = 8, maxGramFreq = noCap).count()
+    val expected = base * k * k + selfSpans * k * (k - 1) / 2
+    assert(got == expected,
+      s"base=$base self=$selfSpans k=$k got=$got expected=$expected")
+  }
+
+  test("paragraphDedup under k-fold replication keeps EXACTLY the base " +
+    "run's survivors (lowest-id block wins every paragraph)") {
+    val docs = graft.core.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val base = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val k = 3
+    val rep = (0 until k)
+      .map(j => docs.select((col("doc_id") + j * 100000L).as("doc_id"),
+        col("text")))
+      .reduce(_.unionByName(_))
+    val got = Dedup.paragraphDedup(rep, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == base,
+      s"base=${base.size} docs, replicated kept ${got.size}")
+  }
+
+  test("dedupAgainst a reference corpus equal to the input drops " +
+    "EVERY row (self-reference identity)") {
+    val docs = graft.core.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    assert(Dedup.dedupAgainst(docs, docs, "doc_id", "text", "text")
+      .count() == 0L)
+  }
+
   test("bucket cap degrades replicated boilerplate to ZERO pairs for " +
     "the overflowing bucket, never a partial/skewed subset") {
     // 60 identical docs with a cap of 50: every band bucket holds all

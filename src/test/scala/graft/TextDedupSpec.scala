@@ -581,6 +581,20 @@ class TextDedupSpec extends SparkSpec {
       (3L, 2L, "delta\n\neps")))
   }
 
+  test("paragraphDedup FAILS LOUDLY when the packed-order-key contract " +
+    "is violated (negative id / id >= 2^43) instead of mis-ranking") {
+    for (badId <- Seq(-1L, 1L << 43)) {
+      val docs = Seq((badId, "a\n\nb"), (1L, "c")).toDF("doc_id", "text")
+      val ex = intercept[Exception] {
+        Dedup.paragraphDedup(docs, "doc_id", "text").collect()
+      }
+      def all(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ all(t.getCause)
+      assert(all(ex).exists(_.contains("paragraphDedup")),
+        s"id=$badId: ${ex.getMessage}")
+    }
+  }
+
   test("paragraphDedup honors a custom separator and is layout-stable") {
     val docs = Seq((10L, "a|b|a"), (11L, "b|c")).toDF("doc_id", "text")
     for (parts <- Seq(1, 4)) {
