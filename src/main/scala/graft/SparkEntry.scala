@@ -72,6 +72,67 @@ object SparkEntry {
     * replicable as SQL with ordered list folds — `iters` chained CTE
     * blocks generated here. Probing and ranking reuse the proven cosine
     * / row_number conventions. */
+  /** DuckDB replica of [[graft.llm.KMeans.fit]] + final assignment:
+    * unlike the driver mini-k-means ([[ivfOracleSql]]'s sequential
+    * list folds), the full-corpus Lloyd refit is order-INDEPENDENT by
+    * construction — each value quantized to `floor(x * 1e15)` (one
+    * IEEE multiply + floor, identical in any engine), summed exactly
+    * (DuckDB hugeint ≡ Spark decimal(38,0)), one correctly-rounded
+    * integer→double conversion, then the fixed `/ 1e15 / n` division
+    * sequence — so the oracle replays it with plain aggregates, no
+    * ordered folds. Output pins the induced partition (cell, n) and
+    * the refit values themselves (c0_nanos, dim-0 floor-nanos). */
+  private def kmeansFitOracleSql(k: Int, iters: Int): String = {
+    val l2 = (v: String, c: String) =>
+      s"""list_reduce(list_prepend(0.0,
+         |    list_transform(list_zip($v, $c),
+         |      x -> (x[1]::DOUBLE - x[2]::DOUBLE)
+         |         * (x[1]::DOUBLE - x[2]::DOUBLE))),
+         |    (a, y) -> a + y)""".stripMargin
+    val iterBlocks = (0 until iters).map { t =>
+      s"""d$t AS (SELECT e.vec_id, c.cell,
+         |  ${l2("e.embedding", "c.cv")} AS dist
+         |  FROM embeddings e CROSS JOIN cents$t c),
+         |asg$t AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d$t)
+         |  WHERE rn = 1),
+         |st$t AS (SELECT a.cell, dims.i,
+         |    sum(CAST(floor(e.embedding[dims.i]::DOUBLE * 1e15)
+         |        AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM asg$t a JOIN embeddings e USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1,
+         |    (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i) dims
+         |  GROUP BY a.cell, dims.i),
+         |cm$t AS (SELECT cell, i,
+         |    CAST(CAST(s AS HUGEINT) AS DOUBLE) / 1e15 / n AS cv_i
+         |  FROM st$t),
+         |cents${t + 1} AS (
+         |  SELECT cell, list(cv_i ORDER BY i) AS cv FROM cm$t GROUP BY cell
+         |  UNION ALL
+         |  SELECT cell, cv FROM cents$t
+         |  WHERE cell NOT IN (SELECT cell FROM cm$t)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH cents0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |         list_transform(embedding, x -> x::DOUBLE) AS cv
+       |  FROM embeddings ORDER BY vec_id LIMIT $k),
+       |$iterBlocks
+       |fd AS (SELECT e.vec_id, c.cell,
+       |  ${l2("e.embedding", "c.cv")} AS dist
+       |  FROM embeddings e CROSS JOIN cents$iters c),
+       |fasg AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM fd)
+       |  WHERE rn = 1)
+       |SELECT a.cell, count(*) AS n,
+       |       CAST(floor(c.cv[1] * 1e9) AS BIGINT) AS c0_nanos
+       |FROM fasg a JOIN cents$iters c USING (cell)
+       |GROUP BY a.cell, c.cv
+       |ORDER BY cell""".stripMargin
+  }
+
   private def ivfOracleSql(k: Int, iters: Int, nProbe: Int,
                            topK: Int, sampleCap: Int = 10000): String = {
     val l2 = (v: String, c: String) =>
@@ -843,6 +904,22 @@ object SparkEntry {
       Dedup.paragraphDedup(twoPara, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // paragraph-granularity span TRIM (Lee et al.: remove the duplicated
+    // text, keep the document): same synthesized two-paragraph corpus as
+    // q_paragraph_dedup — docs >= 50 carry a shared partner paragraph,
+    // which a cross-doc duplicate span fully contains, so it trims on
+    // the higher-id side while paragraph 1 survives
+    "q_trim_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val p = d.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("pid"), col("text").as("ptext"))
+      val twoPara = d.join(broadcast(p), d("doc_id") % 50 === col("pid"))
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n\n"), col("ptext")).as("text"))
+      Dedup.trimDuplicateParagraphs(twoPara, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)
@@ -1039,12 +1116,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // full-corpus Lloyd refit, bit-exact: fixed-point decimal refit
+    // sums make the centroids order-independent, so the oracle replays
+    // both iterations in SQL; c0_nanos pins the refit VALUES (dim 0,
+    // floor-nanos), n pins the induced partition
     "q_kmeans_fit" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val m = graft.llm.KMeans.fit(e, "vec_id", "embedding", k = 8,
         iters = 2)
+      val cents = s.createDataFrame(m.centroids.zipWithIndex.toSeq.map {
+        case (c, i) => (i, math.floor(c(0) * 1e9).toLong)
+      }).toDF("cell", "c0_nanos")
       graft.llm.KMeans.assign(e, "vec_id", "embedding", m)
         .groupBy("cell").agg(count(lit(1)).as("n"))
+        .join(broadcast(cents), "cell")
         .orderBy("cell")
     }),
 
@@ -1720,6 +1805,10 @@ object SparkEntry {
       "q_simsearch_ivf" -> ivfOracleSql(k = 16, iters = 5, nProbe = 4,
         topK = 5),
 
+      // full-corpus Lloyd refit — order-independent fixed-point sums
+      // make the refit replayable with plain SQL aggregates
+      "q_kmeans_fit" -> kmeansFitOracleSql(k = 8, iters = 2),
+
       "q_kmeans_assign" ->
         s"""WITH cents AS (
            |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
@@ -2062,6 +2151,62 @@ object SparkEntry {
           |SELECT doc_id, count(*)::BIGINT AS n_paras_kept,
           |       string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text
           |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // paragraph-granularity span trim: the q_dup_spans replay over the
+      // synthesized two-paragraph corpus (whole-doc tokens split on \s+ —
+      // the paragraph separator itself tokenizes to nothing), id_b-side
+      // span intervals, containment anti-join, ordered reassembly
+      "q_trim_spans" ->
+        """WITH d2 AS (
+          |  SELECT d.doc_id, d.text || chr(10) || chr(10) || p.text AS text
+          |  FROM documents d JOIN documents p ON p.doc_id = d.doc_id % 50),
+          |toks AS (SELECT doc_id::BIGINT AS id,
+          |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+          |      t -> len(t) > 0) AS ts
+          |  FROM d2),
+          |g0 AS (SELECT id, ts, unnest(range(1, len(ts) - 6)) AS i
+          |       FROM toks),
+          |g AS (SELECT id, (i - 1)::BIGINT AS pos,
+          |             array_to_string(ts[i:i+7], ' ') AS gram
+          |      FROM g0),
+          |gkept AS (SELECT gram FROM g GROUP BY gram
+          |          HAVING count(*) > 1 AND count(*) <= 1000),
+          |m AS (SELECT a.id AS id_a, b.id AS id_b,
+          |             a.pos AS pos_a, b.pos AS pos_b
+          |      FROM (SELECT g.* FROM g JOIN gkept USING (gram)) a
+          |      JOIN (SELECT g.* FROM g JOIN gkept USING (gram)) b
+          |        USING (gram)
+          |      WHERE a.id < b.id),
+          |isl AS (SELECT id_a, id_b, pos_a, pos_b,
+          |               pos_a - pos_b AS diag,
+          |               pos_a - row_number() OVER (
+          |                 PARTITION BY id_a, id_b, pos_a - pos_b
+          |                 ORDER BY pos_a) AS grp
+          |        FROM m),
+          |spans AS (SELECT id_b AS id, min(pos_b) AS ss,
+          |                 min(pos_b) + count(*) + 7 AS se
+          |          FROM isl GROUP BY id_a, id_b, diag, grp),
+          |paras AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(string_split(text, chr(10) || chr(10)),
+          |      (x, i) -> {'idx': i - 1, 'para': x}), recursive := true)
+          |  FROM d2),
+          |pt AS (SELECT doc_id, idx, para,
+          |    len(list_filter(regexp_split_to_array(lower(trim(para)),
+          |      '\s+'), t -> len(t) > 0))::BIGINT AS ntok
+          |  FROM paras),
+          |ppos AS (SELECT doc_id, idx, para, ntok,
+          |    coalesce(sum(ntok) OVER (PARTITION BY doc_id ORDER BY idx
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |      0)::BIGINT AS ps
+          |  FROM pt),
+          |surv AS (SELECT doc_id, idx, para FROM ppos p
+          |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+          |    WHERE s.id = p.doc_id AND s.ss <= p.ps
+          |      AND p.ps + p.ntok <= s.se AND p.ntok > 0))
+          |SELECT doc_id, count(*)::BIGINT AS n_paras_kept,
+          |       string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text
+          |FROM surv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q_ngram_jaccard" ->
         s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),

@@ -116,6 +116,20 @@ object FreqItems {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge two cell tables built with the SAME (depth, width) —
+    * cross-day / cross-stream / cross-window multiset-union semantics:
+    * counts are additive, so the summed table is exactly the sketch of
+    * the concatenated input (the CM linearity property). Shapes must
+    * match `(r, bucket, cnt)` as emitted by [[countMinTable]]. */
+  def mergeCells(a: org.apache.spark.sql.DataFrame,
+                 b: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    a.unionByName(b)
+      .groupBy("r", "bucket")
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Point estimates for the items in `items` (a small query-side frame):
     * est = min over the depth rows of the matching cell counts. Keeps
     * every `items` column and appends `est_cnt`. The sketch side is

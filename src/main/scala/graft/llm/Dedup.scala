@@ -811,4 +811,55 @@ object Dedup {
           .otherwise(col("n_dup_tokens").cast("double") /
             col("n_tokens").cast("double")))
   }
+
+  /** Paragraph-granularity TRIM of duplicated spans — Lee et al.'s
+    * "remove the duplicated text, keep the document" decision at the
+    * structural unit a corpus pipeline can actually cut on: drop each
+    * paragraph whose token interval is FULLY CONTAINED in a
+    * [[duplicateSpans]] interval on the KEEP-LOSER side (`id_b`; the
+    * lower id keeps its copy — the engine's deterministic
+    * representative convention), reassemble the survivors in order.
+    * Contrast [[paragraphDedup]] (exact whole-paragraph match) — this
+    * trims paragraphs swallowed by any ≥ `minRun`-token duplicated RUN,
+    * which catches boilerplate blocks that differ by paragraph
+    * SPLITTING, not just exact paragraph repeats. Documents losing
+    * every paragraph vanish (same rule as [[paragraphDedup]]).
+    *
+    * `sep` must be whitespace: paragraph token offsets are aligned to
+    * the whole-document tokenization ([[Text.tokens]] splits on `\s+`),
+    * which holds exactly iff the separator itself tokenizes to nothing.
+    *
+    * Scale shape: the span side is [[duplicateSpans]] (shuffle-linear,
+    * capped posting lists); the paragraph side adds one per-DOC window
+    * (cumulative token offsets — partitions bounded by a document's
+    * paragraph count) and one doc-id-keyed anti join against the span
+    * intervals. Output: `(idCol, n_paras_kept, textCol)`. */
+  def trimDuplicateParagraphs(df: DataFrame, idCol: String,
+                              textCol: String, sep: String = "\n\n",
+                              minRun: Int = 8,
+                              maxGramFreq: Int = 1000): DataFrame = {
+    require(sep.trim.isEmpty,
+      s"sep must be whitespace for token-offset alignment: ${sep.trim}")
+    val ivals = duplicateSpans(df, idCol, textCol, minRun, maxGramFreq)
+      .select(col("id_b").as("__sid"), col("start_b").as("__ss"),
+        (col("start_b") + col("n_tokens")).as("__se"))
+    val wPrior = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy("idx")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val pos = splitParas(df, idCol, textCol, sep)
+      .withColumn("__ntok", size(Text.tokens(col("para"))).cast("long"))
+      .withColumn("__ps",
+        coalesce(sum(col("__ntok")).over(wPrior), lit(0L)))
+    // anti join IS the trim: survivors are the paragraphs no interval
+    // contains. Zero-token paragraphs carry no duplicated content and
+    // are never trimmed (vacuous containment excluded).
+    val survivors = pos.join(ivals,
+      pos(idCol).cast("long") === col("__sid") &&
+        col("__ss") <= col("__ps") &&
+        col("__ps") + col("__ntok") <= col("__se") &&
+        col("__ntok") > 0L,
+      "left_anti")
+    reassembleParas(survivors, idCol, textCol, sep)
+  }
 }

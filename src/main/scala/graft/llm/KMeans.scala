@@ -23,13 +23,13 @@ import graft.functions.Vectors
   * Determinism: [[seed]] and [[assign]] are exactly deterministic (fixed
   * init from the k smallest ids, strict-< argmin ties to the lowest cell,
   * sequential per-dim distance folds) — the seeded-assignment pipeline is
-  * oracled bit-exactly (q_kmeans_assign, q_semantic_dedup). [[fit]]'s
-  * centroid means are double sums whose partial-aggregation ORDER Spark
-  * does not fix, so refit centroids are deterministic only up to fp
-  * reduction order — the standard trade every distributed k-means makes
-  * (MLlib included); the fit path is pinned by KMeansSpec invariants
-  * (parity with a sequential reference on one partition, non-increasing
-  * objective) and benchmarked rows-only (q_kmeans_fit).
+  * oracled bit-exactly (q_kmeans_assign, q_semantic_dedup). [[fit]] is
+  * bit-exact too: refit sums accumulate in fixed-point integer space
+  * (order-independent at any parallelism — see the [[fit]] scaladoc), so
+  * the full Lloyd refit hash-matches an external SQL replay
+  * (q_kmeans_fit) — unlike the double-sum trade most distributed k-means
+  * make (MLlib included), which is deterministic only up to fp reduction
+  * order.
   */
 object KMeans {
 
@@ -71,7 +71,18 @@ object KMeans {
     * assignment + per-(cell, dim) mean. Each round is one job whose
     * shuffle carries k×dim partial (sum, count) pairs per map task
     * (map-side combined); only the k×dim centroid matrix is collected.
-    * Empty cells keep their previous centroid (the Ivf.train rule). */
+    * Empty cells keep their previous centroid (the Ivf.train rule).
+    *
+    * Determinism: the per-(cell, dim) accumulation is EXACT — each
+    * value quantized map-side to a 1e-15 fixed-point long
+    * (`floor(x * 1e15)`, one IEEE multiply + floor, identical in any
+    * engine), summed as exact decimal (order-independent under any
+    * parallelism), then ONE correctly-rounded integer→double
+    * conversion and two IEEE divisions per centroid coordinate. Refit
+    * centroids are therefore bit-identical at any cluster size AND
+    * replayable by an external SQL oracle (q_kmeans_fit) — double
+    * sums would instead inherit Spark's partial-aggregation order.
+    * The 1e-15 quantization is far below float input precision. */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
           iters: Int = 2): Model = {
     require(iters >= 0, s"iters must be >= 0: $iters")
@@ -81,19 +92,22 @@ object KMeans {
       val stats = assign(df, idCol, vecCol, model)
         .select(col("cell"), posexplode(col("v")))
         .groupBy("cell", "pos")
-        .agg(sum(col("col").cast("double")).as("s"),
+        .agg(sum(floor(col("col").cast("double") * lit(1e15))
+          .cast("decimal(38,0)")).as("s"),
           count(lit(1)).as("n"))
         .collect()
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
       stats.foreach { r =>
         val c = r.getInt(0); val d = r.getInt(1)
-        sums(c)(d) = r.getDouble(2)
+        // exact integer -> correctly-rounded double, then the fixed
+        // division sequence (/ 1e15 / n) the oracle replays verbatim
+        sums(c)(d) = r.getDecimal(2).toBigInteger.doubleValue
         counts(c) = r.getLong(3)
       }
       model = Model(Array.tabulate(k) { c =>
         if (counts(c) == 0L) model.centroids(c)
-        else sums(c).map(_ / counts(c))
+        else sums(c).map(_ / 1e15 / counts(c))
       })
     }
     model

@@ -6,6 +6,36 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Pipe.Op
 
+/** Guard for the UNKEYED window forms ([[DataOps.roll]]/[[DataOps.split]]/
+  * [[DataOps.timeSplit]]/[[Ops.scan]] with empty `partition`): those plan a
+  * single-partition WindowExec — the reference's single-threaded semantics,
+  * correct but inherently sequential. Fine for small/driver-side streams;
+  * a scale hazard on a real corpus. The guard estimates the input from
+  * optimizer statistics (no job) and, above `spark.graft.unkeyed.warnBytes`
+  * (default 64 MB), logs a warning steering to partition keys or the dense
+  * fast paths ([[DataOps.rollDense]]/[[DataOps.batchDense]]/
+  * [[DataOps.sampleEveryDense]]) — or THROWS when
+  * `spark.graft.unkeyed.fail=true` (opt-in hard mode for production
+  * pipelines where a silent single-partition sort must never ship). */
+private[operators] object UnkeyedGuard {
+  val FailConf = "spark.graft.unkeyed.fail"
+  val WarnBytesConf = "spark.graft.unkeyed.warnBytes"
+  def check(df: DataFrame, op: String, hint: String): Unit = {
+    val conf = df.sparkSession.conf
+    val warnBytes = BigInt(conf.get(WarnBytesConf, (64L << 20).toString))
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size > warnBytes) {
+      val msg = s"graft.$op called WITHOUT partition keys on an input " +
+        s"estimated at $size bytes (> $warnBytes): this plans a " +
+        s"SINGLE-partition global sort. $hint Raise $WarnBytesConf to " +
+        s"silence, or set $FailConf=true to make this an error."
+      if (conf.get(FailConf, "false").toBoolean)
+        throw new IllegalArgumentException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+  }
+}
+
 /** rxsci `rs.data.*` family: count windows, batching, splitting
   * (SURVEY.md §2.4). The flagship is [[roll]] — the reference README's
   * headline demo is `rs.data.roll(window=3, stride=3)` + mean ⇒ `2.0, 5.0`
@@ -36,6 +66,9 @@ object DataOps {
   def roll(window: Int, stride: Int, order: Seq[Column],
            partition: Seq[Column] = Nil): Op = { df =>
     require(window > 0 && stride > 0, "window and stride must be positive")
+    if (partition.isEmpty) UnkeyedGuard.check(df, "DataOps.roll",
+      "Pass partition keys, or use rollDense/batchDense for dense " +
+        "0-based order columns.")
     val w0 = if (partition.isEmpty) Window.partitionBy()
              else Window.partitionBy(partition: _*)
     val i = row_number().over(w0.orderBy(order: _*)) - 1 // 0-based
@@ -96,6 +129,8 @@ object DataOps {
     * boundary markers (one window shuffle; per-key with `partition`). */
   def split(boundary: Column, order: Seq[Column],
             partition: Seq[Column] = Nil): Op = { df =>
+    if (partition.isEmpty) UnkeyedGuard.check(df, "DataOps.split",
+      "Pass partition keys (per-key segmenting scales linearly).")
     val w0 = if (partition.isEmpty) Window.partitionBy()
              else Window.partitionBy(partition: _*)
     val w = w0.orderBy(order: _*)
@@ -111,6 +146,9 @@ object DataOps {
   def timeSplit(ts: Column, gapSeconds: Long,
                 partition: Seq[Column] = Nil,
                 tieBreak: Seq[Column] = Nil): Op = { df =>
+    if (partition.isEmpty) UnkeyedGuard.check(df, "DataOps.timeSplit",
+      "Pass partition keys (per-key sessionizing scales linearly); " +
+        "streams use the native session_window instead.")
     val w0 = if (partition.isEmpty) Window.partitionBy()
              else Window.partitionBy(partition: _*)
     // tieBreak pins a total order among equal timestamps — without it the

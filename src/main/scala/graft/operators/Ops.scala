@@ -48,6 +48,8 @@ object Ops {
     */
   def scan(agg: Column, as: String, order: Seq[Column],
            partition: Seq[Column] = Nil): Op = { df =>
+    if (partition.isEmpty) UnkeyedGuard.check(df, "Ops.scan",
+      "Pass partition keys (per-key running folds scale linearly).")
     val w0 = if (partition.isEmpty) Window.partitionBy()
              else Window.partitionBy(partition: _*)
     val w = w0.orderBy(order: _*)

@@ -157,6 +157,29 @@ object Topology {
     import org.apache.spark.sql.functions.col
     df.withColumn("value", codecOf(t).encode(col("value")))
   }
+
+  /** Flatten one latest-record row to a config map — the shape operator
+    * factories receive. A kafka frame row contributes ONLY its decoded
+    * `value` (struct fields flattened, scalar under "value") — transport
+    * metadata (key/topic/partition/offset/timestamp) must not shadow
+    * same-named static config keys; a file-backed row contributes every
+    * column. Shared by [[Topology.latestConfig]] and the broker-less
+    * parity test. */
+  def configMap(r: org.apache.spark.sql.Row): Map[String, Any] = {
+    val fields = r.schema.fields.zipWithIndex
+    def flat(f: org.apache.spark.sql.types.StructField, i: Int)
+        : Seq[(String, Any)] = f.dataType match {
+      case s: org.apache.spark.sql.types.StructType
+          if f.name == "value" && !r.isNullAt(i) =>
+        val sub = r.getStruct(i)
+        s.fields.indices.map(j => s.fields(j).name -> sub.get(j))
+      case _ => Seq(f.name -> r.get(i))
+    }
+    fields.find(_._1.name == "value") match {
+      case Some((f, i)) => flat(f, i).toMap // kafka frame shape
+      case None => fields.flatMap { case (f, i) => flat(f, i) }.toMap
+    }
+  }
 }
 
 case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
@@ -240,23 +263,30 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     t.kind match {
       case "parquet" => ModelPublisher.latestFromPath(spark, t.path)
       case "kafka" =>
-        // decoded like every other consumer path, so callers get the
-        // same record shape from both topic kinds
-        Topology.decodeFrame(
+        latestFromKafkaFrame(
           spark.read.format("kafka")
             .option("kafka.bootstrap.servers", t.endpoint)
             .option("subscribe", t.name)
             .option("startingOffsets", "earliest")
             .option("endingOffsets", "latest")
-            .load()
-            // newest across partitions: broker timestamp, offset tie-break
-            .orderBy(org.apache.spark.sql.functions.col("timestamp").desc,
-              org.apache.spark.sql.functions.col("offset").desc)
-            .limit(1), t)
+            .load(), t)
       case other =>
         throw new IllegalArgumentException(s"latest-record kind: $other")
     }
   }
+
+  /** The kafka half of [[latestRecord]] minus the broker read: newest
+    * record across partitions (broker timestamp, offset tie-break),
+    * decoded like every other consumer path — so callers get the same
+    * decoded-`value` shape from both topic kinds. Factored out so the
+    * frame contract is testable without a broker (none in CI). */
+  private[graft] def latestFromKafkaFrame(frame: DataFrame,
+                                          t: TopicSpec): DataFrame =
+    Topology.decodeFrame(
+      frame
+        .orderBy(org.apache.spark.sql.functions.col("timestamp").desc,
+          org.apache.spark.sql.functions.col("offset").desc)
+        .limit(1), t)
 
   /** Resolve an operator's dynamic config: the newest record of its
     * config topic, flattened to a map and merged OVER the static
@@ -273,21 +303,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
   def latestConfig(spark: SparkSession, topicName: String)
       : Map[String, Any] =
     latestRecord(spark, topicName).collect().headOption
-      .map { r =>
-        val fields = r.schema.fields.zipWithIndex
-        def flat(f: org.apache.spark.sql.types.StructField, i: Int)
-            : Seq[(String, Any)] = f.dataType match {
-          case s: org.apache.spark.sql.types.StructType
-              if f.name == "value" && !r.isNullAt(i) =>
-            val sub = r.getStruct(i)
-            s.fields.indices.map(j => s.fields(j).name -> sub.get(j))
-          case _ => Seq(f.name -> r.get(i))
-        }
-        fields.find(_._1.name == "value") match {
-          case Some((f, i)) => flat(f, i).toMap // kafka frame shape
-          case None => fields.flatMap { case (f, i) => flat(f, i) }.toMap
-        }
-      }.getOrElse(Map.empty)
+      .map(Topology.configMap).getOrElse(Map.empty)
 
   /** Effective config for one operator at resolution time. */
   private def configFor(spark: SparkSession, op: OperatorSpec)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Pipe._
-import graft.operators.{MathOps, Ops}
+import graft.operators.{DataOps, MathOps, Ops}
 
 class OpsSpec extends SparkSpec {
   import spark.implicits._
@@ -180,5 +180,36 @@ class OpsSpec extends SparkSpec {
     val got = df >> MathOps.histogram(col("v"), 0, 100, 10)
     val buckets = got.select("bucket").as[Long].collect().toSet
     assert(buckets.subsetOf(Set(0L, 9L)))
+  }
+
+  test("unkeyed window forms are GUARDED: above the size threshold they " +
+    "warn by default and fail under spark.graft.unkeyed.fail=true; " +
+    "keyed forms never trigger") {
+    val df = (1L to 100L).map(i => (i % 4, i)).toDF("k", "v")
+    val conf = spark.conf
+    conf.set("spark.graft.unkeyed.warnBytes", "0") // any input is "big"
+    try {
+      // default (warn-only): still runs
+      assert((df >> DataOps.roll(3, 3, Seq(col("v")))).count() > 0)
+      conf.set("spark.graft.unkeyed.fail", "true")
+      for ((name, op) <- Seq[(String, graft.core.Pipe.Op)](
+        ("roll", DataOps.roll(3, 3, Seq(col("v")))),
+        ("split", DataOps.split(col("v") % 10 === 0, Seq(col("v")))),
+        ("timeSplit", DataOps.timeSplit(col("v"), 5L)),
+        ("scan", Ops.scan(sum(col("v")), "cum", Seq(col("v")))))) {
+        val ex = intercept[IllegalArgumentException] { df >> op }
+        assert(ex.getMessage.contains("SINGLE-partition"), s"$name: $ex")
+      }
+      // keyed forms: no guard even in fail mode
+      assert((df >> DataOps.roll(3, 3, Seq(col("v")), Seq(col("k"))))
+        .count() > 0)
+      assert((df >> Ops.scan(sum(col("v")), "cum", Seq(col("v")),
+        Seq(col("k")))).count() > 0)
+      // dense fast path: no guard (that's the steer)
+      assert((df >> DataOps.rollDense(3, 3, col("v") - 1)).count() > 0)
+    } finally {
+      conf.unset("spark.graft.unkeyed.warnBytes")
+      conf.unset("spark.graft.unkeyed.fail")
+    }
   }
 }

@@ -691,6 +691,88 @@ class StreamingSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  test("topology: streaming sketch tables COMPOSE across windows — " +
+    "merging two windows' HLL registers (max) and CM cells (sum) " +
+    "reproduces the batch cross-window estimates exactly") {
+    val tmp = Files.createTempDirectory("topo_merge").toString
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour 0: users 0..199; hour 1: users 150..279 (overlap 150..199);
+    // hour 3: late marker finalizing both windows
+    val rows =
+      (0 until 200).map(u => (ts(0, u % 60), u.toLong)) ++
+        (150 until 280).map(u => (ts(1, u % 60), u.toLong)) ++
+        Seq((ts(3, 0), 999999L))
+    rows.toDF("ts", "user_id")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val p = 12
+    val yaml =
+      s"""topics:
+         |  - name: events
+         |    kind: parquet
+         |    path: $tmp/in
+         |    timestamp_col: ts
+         |    watermark: 10 minutes
+         |  - name: uniques
+         |    kind: memory
+         |  - name: freqs
+         |    kind: memory
+         |operators:
+         |  hll:
+         |    factory: graft.streaming.ops.ApproxDistinctOp
+         |    sources: [events]
+         |    sinks: [uniques]
+         |  cm:
+         |    factory: graft.streaming.ops.CountMinOp
+         |    sources: [events]
+         |    sinks: [freqs]
+         |config:
+         |  window: 1 hour
+         |  item_col: user_id
+         |  precision: $p
+         |  depth: 4
+         |  width: 1024
+         |""".stripMargin
+    val queries = Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    try {
+      queries.foreach(_.processAllAvailable())
+      // --- HLL: per-window register tables, merged with max ---
+      val regs = spark.table("uniques").cache()
+      def winRegs(t: java.sql.Timestamp) = regs
+        .filter(col("window_start") === t).select("bucket", "register")
+      val merged = graft.functions.Hll.mergeRegisters(
+        winRegs(ts(0, 0)), winRegs(ts(1, 0)), p)
+      val crossEst = graft.functions.Hll.estimate(merged, p)
+        .select("est_millis").as[Long].head()
+      // the same 280 distinct user_ids through the BATCH path: the
+      // register tables must be identical, hence the estimate EQUAL
+      val batchEst = graft.functions.Hll.distinctCount(
+          (0L until 280L).toDF("user_id"), col("user_id"), p)
+        .select("est_millis").as[Long].head()
+      assert(crossEst == batchEst, s"cross=$crossEst batch=$batchEst")
+      assert(math.abs(crossEst / 1000.0 - 280) < 15, crossEst)
+      // --- CM: per-window cell tables, merged with sum ---
+      val cells = spark.table("freqs").cache()
+      def winCells(t: java.sql.Timestamp) = cells
+        .filter(col("window_start") === t).select("r", "bucket", "cnt")
+      val mergedCm = graft.functions.FreqItems.mergeCells(
+        winCells(ts(0, 0)), winCells(ts(1, 0)))
+      val batchCm = graft.functions.FreqItems.countMinTable(
+        rows.filter(_._1.getTime < ts(3, 0).getTime)
+          .map(_._2).toDF("user_id"),
+        col("user_id"), 4, 1024)
+      // linearity: merged streaming cells == batch sketch of the
+      // concatenated hours, cell for cell
+      assert(mergedCm.exceptAll(batchCm).isEmpty &&
+        batchCm.exceptAll(mergedCm).isEmpty)
+      val est = graft.streaming.ops.CountMinOp.estimate(mergedCm,
+          Seq(170L, 10L).toDF("user_id"), col("user_id"), 4, 1024)
+        .as[(Long, Long)].collect().toMap
+      assert(est(170L) >= 2L, est) // present in BOTH hours
+      assert(est(10L) >= 1L, est)
+    } finally queries.foreach(_.stop())
+  }
+
   test("topology: partition_by on a STREAMING parquet sink lands " +
     "hive-style shard directories") {
     val tmp = Files.createTempDirectory("topo_spart").toString

@@ -581,6 +581,36 @@ class TextDedupSpec extends SparkSpec {
       (3L, 2L, "delta\n\neps")))
   }
 
+  test("trimDuplicateParagraphs drops only paragraphs fully inside a " +
+    "duplicated span on the higher-id side; the lower id keeps its copy") {
+    val shared = (1 to 12).map(i => s"dup$i").mkString(" ") // 12 tokens
+    val docs = Seq(
+      (1L, s"alpha beta\n\n$shared\n\ngamma delta"),
+      // doc 2 repeats the shared block as its middle paragraph: it is
+      // fully contained in the (1,2) duplicate span -> trimmed in 2 only
+      (2L, s"epsilon zeta\n\n$shared\n\neta theta"),
+      // doc 3 has the shared block PLUS extra words in one paragraph:
+      // the paragraph is longer than the span -> NOT fully contained,
+      // survives (trim is span-containment, not overlap)
+      (3L, s"iota kappa\n\n$shared extra words here\n\nlambda mu"))
+      .toDF("doc_id", "text")
+    val got = Dedup.trimDuplicateParagraphs(docs, "doc_id", "text",
+        minRun = 8)
+      .orderBy("doc_id").as[(Long, Long, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 3L, s"alpha beta\n\n$shared\n\ngamma delta"),
+      (2L, 2L, "epsilon zeta\n\neta theta"),
+      (3L, 3L, s"iota kappa\n\n$shared extra words here\n\nlambda mu")))
+  }
+
+  test("trimDuplicateParagraphs rejects a non-whitespace separator " +
+    "(token offsets would misalign)") {
+    val docs = Seq((1L, "a|b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.trimDuplicateParagraphs(docs, "doc_id", "text", sep = "|")
+    }
+  }
+
   test("paragraphDedup FAILS LOUDLY when the packed-order-key contract " +
     "is violated (negative id / id >= 2^43) instead of mis-ranking") {
     for (badId <- Seq(-1L, 1L << 43)) {

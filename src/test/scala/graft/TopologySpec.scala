@@ -156,6 +156,69 @@ class TopologySpec extends SparkSpec {
     assert(latest.select("version").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("latestRecord parity: a kafka-frame config topic and a file-backed " +
+    "config topic hand callers the SAME config map (newest record wins " +
+    "on both; transport metadata never leaks into the map)") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val tmp = Files.createTempDirectory("latest_parity").toString
+    // file-backed topic: two published versions, newest carries the keys
+    Seq((1L, 3L)).toDF("version", "multiply")
+      .withColumn("published_at",
+        org.apache.spark.sql.functions.lit(
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .write.mode("append").parquet(s"$tmp/cfg")
+    Seq((2L, 5L)).toDF("version", "multiply")
+      .withColumn("published_at",
+        org.apache.spark.sql.functions.lit(
+          java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .write.mode("append").parquet(s"$tmp/cfg")
+    val topo = Topology.parse(
+      s"""topics:
+         |  - name: cfg
+         |    kind: parquet
+         |    path: $tmp/cfg
+         |    start_from: last
+         |""".stripMargin)
+    val fromFile = topo.latestRecord(spark, "cfg").collect()
+      .map(Topology.configMap).head
+    // kafka side: the SAME two records as json frames through the real
+    // latestRecord kafka pipeline (newest-by-timestamp/offset + decode),
+    // minus only the broker read (none in CI)
+    val kTopic = Topology.parse(
+      """topics:
+        |  - name: kcfg
+        |    kind: kafka
+        |    endpoint: b:9092
+        |    codec: json
+        |    schema: "version BIGINT, multiply BIGINT"
+        |""".stripMargin).topics.head
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val frame = Seq(
+      ("""{"version": 1, "multiply": 3}""", 0L, ts("2024-01-01 00:00:00")),
+      ("""{"version": 2, "multiply": 5}""", 1L, ts("2024-01-02 00:00:00")))
+      .toDF("raw", "offset", "timestamp")
+      .select(col("raw").cast("binary").as("value"), col("offset"),
+        col("timestamp"),
+        org.apache.spark.sql.functions.lit("kcfg").as("topic"),
+        org.apache.spark.sql.functions.lit(0).as("partition"))
+    val fromKafka = topo.latestFromKafkaFrame(frame, kTopic).collect()
+      .map(Topology.configMap).head
+    // both kinds resolve the NEWEST record and expose the same keys —
+    // the operator-facing contract; the file row additionally carries
+    // its publishing columns, which the kafka map must not contradict
+    assert(fromKafka("version") == 2L && fromKafka("multiply") == 5L,
+      fromKafka)
+    assert(fromFile("version") == 2L && fromFile("multiply") == 5L,
+      fromFile)
+    assert(!fromKafka.contains("offset") && !fromKafka.contains("topic") &&
+      !fromKafka.contains("timestamp") && !fromKafka.contains("partition"),
+      fromKafka)
+    val shared = fromKafka.keySet.intersect(fromFile.keySet)
+    assert(shared == Set("version", "multiply") &&
+      shared.forall(k => fromKafka(k) == fromFile(k)),
+      s"kafka=$fromKafka file=$fromFile")
+  }
+
   test("topic codecs apply to kafka frames: string and json decode at " +
     "the source shape, encode at the sink shape, round-trip") {
     import org.apache.spark.sql.functions.{col, struct}
