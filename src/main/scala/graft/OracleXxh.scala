@@ -470,4 +470,51 @@ SELECT CAST(floor(CASE WHEN est <= 1280.0 AND v > 0
 FROM est0"""
   }
 
+  /** Start seed of `xxhash64(lit(seed), <col>)`: the int literal hashes
+    * first — hashInt(seed, 42) — and its result seeds the next hash.
+    * Precomputed via Spark's own XXH64 so the SQL embeds ONE constant
+    * instead of textually nesting two macro calls (see object doc on
+    * macro expansion blowup). */
+  private def chainedIntSeed(seed: Int): String =
+    java.lang.Long.toUnsignedString(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(seed, 42L))
+
+  /** [[graft.operators.Ops.shuffleShards]] replay: signed-order hash
+    * (g_sgn — Spark orders the SIGNED long), Java-% shard, per-shard
+    * dense 0-based positions. */
+  def q_shuffle_shards(nShards: Int, seed: Int): String =
+    prologue + s"""
+WITH h0 AS MATERIALIZED (SELECT doc_id,
+  g_sgn(g_xxh_long(doc_id, ${chainedIntSeed(seed)}::HUGEINT)) AS h
+  FROM documents)
+SELECT doc_id,
+       (((h % $nShards) + $nShards) % $nShards)::INTEGER AS shard,
+       (row_number() OVER (
+          PARTITION BY ((h % $nShards) + $nShards) % $nShards
+          ORDER BY h, doc_id) - 1)::BIGINT AS shuffle_pos
+FROM h0 ORDER BY shard, shuffle_pos"""
+
+  /** [[graft.operators.Ops.sampleToBudget]] replay — the SINGLE-window
+    * formulation (cumulative size per source ordered by (bucket, hash,
+    * id)), which the engine's two-level bucket decomposition selects
+    * identically by construction; integer sums are exact in both
+    * engines (HUGEINT ≡ decimal(38,0)). */
+  def q_mix_budget(budgets: Map[String, Long], seed: Int,
+                   buckets: Int): String = {
+    val cases = budgets.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+    prologue + s"""
+WITH h0 AS MATERIALIZED (SELECT doc_id, source, n_chars,
+  g_sgn(g_xxh_long(doc_id, ${chainedIntSeed(seed)}::HUGEINT)) AS h
+  FROM documents),
+c AS (SELECT doc_id, source, h,
+        sum(n_chars) OVER (PARTITION BY source
+          ORDER BY ((h % $buckets) + $buckets) % $buckets, h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM h0)
+SELECT doc_id, source FROM c
+WHERE cum <= CASE source $cases ELSE 0 END
+ORDER BY doc_id"""
+  }
+
 }

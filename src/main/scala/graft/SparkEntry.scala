@@ -304,6 +304,25 @@ object SparkEntry {
         (df => df.groupBy("source").agg(count(lit(1)).as("n"))) >>
         (_.orderBy("source"))),
 
+    // deterministic global corpus shuffle + sharding (training export
+    // order): hash order is a pure function of (seed, id) — the whole
+    // permutation hash-matches the oracle, shard assignment and all
+    "q_shuffle_shards" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id")) >>
+        Ops.shuffleShards(col("doc_id"), nShards = 8, seed = 7) >>
+        (_.orderBy("shard", "shuffle_pos"))),
+
+    // token-budgeted exact corpus mixing: per-source size budgets cut in
+    // deterministic hash order via the two-level bucket decomposition;
+    // the oracle replays the equivalent single-window formulation
+    "q_mix_budget" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars")) >>
+        Ops.sampleToBudget(col("doc_id"), col("source"), col("n_chars"),
+          Map("src0" -> 3000L, "src1" -> 100000L, "src3" -> 5000L,
+            "src7" -> 1L), seed = 3) >>
+        (_.select("doc_id", "source").orderBy("doc_id"))),
+
     // rxx sorted_merge — two disordered sources merged into deterministic
     // event-time order (range repartition + local sort; global order is
     // pinned by OpsSpec, content by the oracle)
@@ -906,9 +925,9 @@ object SparkEntry {
 
     // paragraph-granularity span TRIM (Lee et al.: remove the duplicated
     // text, keep the document): same synthesized two-paragraph corpus as
-    // q_paragraph_dedup — docs >= 50 carry a shared partner paragraph,
-    // which a cross-doc duplicate span fully contains, so it trims on
-    // the higher-id side while paragraph 1 survives
+    // q_paragraph_dedup — partner paragraphs duplicate the first corpus
+    // occurrence, so they trim everywhere but there (intra-doc self-
+    // partner repeats included) while paragraph 1 survives
     "q_trim_spans" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val p = d.filter(col("doc_id") < 50)
@@ -2071,6 +2090,11 @@ object SparkEntry {
       "q_countmin" -> OracleXxh.q_countmin,
       "q_fingerprint_rolling" -> OracleXxh.q_fingerprint_rolling,
       "q_winnow" -> OracleXxh.q_winnow,
+      "q_shuffle_shards" -> OracleXxh.q_shuffle_shards(nShards = 8,
+        seed = 7),
+      "q_mix_budget" -> OracleXxh.q_mix_budget(
+        Map("src0" -> 3000L, "src1" -> 100000L, "src3" -> 5000L,
+          "src7" -> 1L), seed = 3, buckets = 1024),
       "q_minhash_pairs" -> OracleXxh.q_minhash_pairs,
       "q_minhash_dedup" -> OracleXxh.q_minhash_dedup,
       "q_minhash_against" -> OracleXxh.q_minhash_against,
@@ -2152,10 +2176,11 @@ object SparkEntry {
           |       string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text
           |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-      // paragraph-granularity span trim: the q_dup_spans replay over the
-      // synthesized two-paragraph corpus (whole-doc tokens split on \s+ —
-      // the paragraph separator itself tokenizes to nothing), id_b-side
-      // span intervals, containment anti-join, ordered reassembly
+      // paragraph-granularity trim: duplicated positions = grams with a
+      // strictly-earlier corpus occurrence (ONE rank window per gram —
+      // no pair generation), per-doc islands, containment anti-join,
+      // ordered reassembly; whole-doc tokens split on \s+ (the paragraph
+      // separator itself tokenizes to nothing)
       "q_trim_spans" ->
         """WITH d2 AS (
           |  SELECT d.doc_id, d.text || chr(10) || chr(10) || p.text AS text
@@ -2169,23 +2194,16 @@ object SparkEntry {
           |g AS (SELECT id, (i - 1)::BIGINT AS pos,
           |             array_to_string(ts[i:i+7], ' ') AS gram
           |      FROM g0),
-          |gkept AS (SELECT gram FROM g GROUP BY gram
-          |          HAVING count(*) > 1 AND count(*) <= 1000),
-          |m AS (SELECT a.id AS id_a, b.id AS id_b,
-          |             a.pos AS pos_a, b.pos AS pos_b
-          |      FROM (SELECT g.* FROM g JOIN gkept USING (gram)) a
-          |      JOIN (SELECT g.* FROM g JOIN gkept USING (gram)) b
-          |        USING (gram)
-          |      WHERE a.id < b.id),
-          |isl AS (SELECT id_a, id_b, pos_a, pos_b,
-          |               pos_a - pos_b AS diag,
-          |               pos_a - row_number() OVER (
-          |                 PARTITION BY id_a, id_b, pos_a - pos_b
-          |                 ORDER BY pos_a) AS grp
-          |        FROM m),
-          |spans AS (SELECT id_b AS id, min(pos_b) AS ss,
-          |                 min(pos_b) + count(*) + 7 AS se
-          |          FROM isl GROUP BY id_a, id_b, diag, grp),
+          |dup AS (SELECT id, pos FROM (
+          |    SELECT id, pos, row_number() OVER (
+          |      PARTITION BY gram ORDER BY id, pos) AS rn FROM g)
+          |  WHERE rn > 1),
+          |isl AS (SELECT id, pos,
+          |               pos - row_number() OVER (
+          |                 PARTITION BY id ORDER BY pos) AS grp
+          |        FROM dup),
+          |spans AS (SELECT id, min(pos) AS ss, max(pos) + 8 AS se
+          |          FROM isl GROUP BY id, grp),
           |paras AS (
           |  SELECT doc_id,
           |    unnest(list_transform(string_split(text, chr(10) || chr(10)),

@@ -1,0 +1,23 @@
+// dev scratch: time one query at a given SF
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, names) = args.take(2)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.split(",").foreach { n =>
+      val fn = SparkEntry.queries(n)
+      fn(spark, sfDir).count() // warm
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9 }
+      println(f"TIMING $n%s min=${ts.min}%.2f max=${ts.max}%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -812,37 +812,60 @@ object Dedup {
             col("n_tokens").cast("double")))
   }
 
-  /** Paragraph-granularity TRIM of duplicated spans — Lee et al.'s
+  /** Paragraph-granularity TRIM of duplicated text — Lee et al.'s
     * "remove the duplicated text, keep the document" decision at the
     * structural unit a corpus pipeline can actually cut on: drop each
-    * paragraph whose token interval is FULLY CONTAINED in a
-    * [[duplicateSpans]] interval on the KEEP-LOSER side (`id_b`; the
-    * lower id keeps its copy — the engine's deterministic
-    * representative convention), reassemble the survivors in order.
-    * Contrast [[paragraphDedup]] (exact whole-paragraph match) — this
-    * trims paragraphs swallowed by any ≥ `minRun`-token duplicated RUN,
-    * which catches boilerplate blocks that differ by paragraph
-    * SPLITTING, not just exact paragraph repeats. Documents losing
-    * every paragraph vanish (same rule as [[paragraphDedup]]).
+    * paragraph fully contained in a maximal run of `minRun`-token
+    * windows that each occur EARLIER in the corpus (earlier = smaller
+    * (id, position) — the first occurrence keeps, the engine-wide
+    * representative convention; intra-document repeats trim too),
+    * reassemble the survivors in order. Contrast [[paragraphDedup]]
+    * (exact whole-paragraph match) — this trims paragraphs swallowed
+    * by any duplicated RUN, catching boilerplate blocks that differ by
+    * paragraph SPLITTING, not just exact paragraph repeats. Documents
+    * losing every paragraph vanish (same rule as [[paragraphDedup]]).
     *
     * `sep` must be whitespace: paragraph token offsets are aligned to
     * the whole-document tokenization ([[Text.tokens]] splits on `\s+`),
     * which holds exactly iff the separator itself tokenizes to nothing.
     *
-    * Scale shape: the span side is [[duplicateSpans]] (shuffle-linear,
-    * capped posting lists); the paragraph side adds one per-DOC window
-    * (cumulative token offsets — partitions bounded by a document's
-    * paragraph count) and one doc-id-keyed anti join against the span
-    * intervals. Output: `(idCol, n_paras_kept, textCol)`. */
+    * Scale shape — deliberately NOT the [[duplicateSpans]] pair
+    * machinery: trimming needs "does this window occur earlier",
+    * never "against whom", so the duplicated-position set comes from
+    * ONE rank-per-gram window (shuffle keyed by the 8-byte gram hash;
+    * k occurrences cost k rows — a boilerplate block shared by 100k
+    * docs is LINEAR here where pair generation would be 10^10 pairs).
+    * Runs are per-doc gaps-and-islands (partitions bounded by document
+    * length), then one doc-id-keyed containment anti join against the
+    * per-doc paragraph offsets. Output: `(idCol, n_paras_kept,
+    * textCol)`. */
   def trimDuplicateParagraphs(df: DataFrame, idCol: String,
                               textCol: String, sep: String = "\n\n",
-                              minRun: Int = 8,
-                              maxGramFreq: Int = 1000): DataFrame = {
+                              minRun: Int = 8): DataFrame = {
     require(sep.trim.isEmpty,
       s"sep must be whitespace for token-offset alignment: ${sep.trim}")
-    val ivals = duplicateSpans(df, idCol, textCol, minRun, maxGramFreq)
-      .select(col("id_b").as("__sid"), col("start_b").as("__ss"),
-        (col("start_b") + col("n_tokens")).as("__se"))
+    require(minRun >= 1, s"minRun must be >= 1: $minRun")
+    val grams = df
+      .select(col(idCol).cast("long").as("__gid"),
+        Text.tokens(col(textCol)).as("__t"))
+      .select(col("__gid"),
+        posexplode(graft.functions.PosShingleHashes(col("__t"), minRun)))
+      .select(col("__gid"), col("pos").cast("long").as("__pos"),
+        col("col").as("__g"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g").orderBy("__gid", "__pos")
+    val dup = grams
+      .withColumn("__rn", row_number().over(wG))
+      .filter(col("__rn") > 1) // some strictly-earlier occurrence exists
+      .select(col("__gid"), col("__pos"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy("__gid").orderBy("__pos")
+    val ivals = dup
+      .withColumn("__grp", col("__pos") - row_number().over(wD))
+      .groupBy(col("__gid"), col("__grp"))
+      .agg(min("__pos").as("__ss"),
+        (max("__pos") + lit(minRun.toLong)).as("__se"))
+      .select(col("__gid").as("__sid"), col("__ss"), col("__se"))
     val wPrior = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy("idx")
       .rowsBetween(

@@ -203,6 +203,76 @@ object Ops {
       (rateExpr * buckets).cast("long"))
   }
 
+  /** Deterministic GLOBAL corpus shuffle + sharding — the training-data
+    * export step (LLM training wants the corpus in pseudorandom order,
+    * reproducibly): order = ascending `xxhash64(seed, id)`, shard =
+    * `pmod(hash, nShards)`. One hash-partition shuffle on the shard key
+    * + a per-shard sort (partitions bounded by n/nShards — size nShards
+    * to executor memory); no global sort, no single point of order.
+    * Reshuffling = changing `seed`; the permutation is a pure function
+    * of (seed, id), so any engine reproduces it (oracled bit-exact).
+    * Adds `shard` (int) and `shuffle_pos` (long, 0-based within shard). */
+  def shuffleShards(idCol: Column, nShards: Int, seed: Int = 0): Op = { df =>
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), idCol)
+    df.withColumn("__h", xxhash64(lit(seed), idCol))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("shuffle_pos", row_number().over(w).cast("long") - 1L)
+      .drop("__h")
+  }
+
+  /** Token-BUDGETED deterministic corpus mixing — the exact companion to
+    * the rate-based [[mixSample]]: keep, per stratum, the docs that fit
+    * a SIZE budget (token/char counts) in deterministic pseudorandom
+    * order (ascending `xxhash64(seed, id)`), i.e. "200 B tokens of web,
+    * 50 B of code" as a reproducible exact cut. A doc is kept iff the
+    * running size total up to and including it (in hash order) is
+    * within its stratum's budget; unlisted strata are dropped (budget
+    * 0 — mixing is allowlist-shaped).
+    *
+    * Scale shape — the naive form is a per-stratum global sort (few
+    * giant partitions); this is the two-level exact equivalent:
+    * (1) bucket docs by `pmod(hash, buckets)`; per-(stratum, bucket)
+    * size totals in ONE map-combined shuffle (≤ strata × buckets rows);
+    * (2) prefix-sum those totals over the tiny per-stratum bucket list;
+    * (3) intra-bucket running sums in windows bounded by n/buckets.
+    * `prev-buckets + intra-inclusive ≤ budget` selects EXACTLY the
+    * same set as the single-window cumsum ordered by (bucket, hash,
+    * id) — which is what the SQL oracle replays. Sizes accumulate in
+    * exact decimal (no long overflow at corpus scale). */
+  def sampleToBudget(idCol: Column, stratumCol: Column, sizeCol: Column,
+                     budgets: Map[String, Long], seed: Int = 0,
+                     buckets: Int = 1024): Op = { df =>
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val dec = "decimal(38,0)"
+    val base = df
+      .withColumn("__h", xxhash64(lit(seed), idCol))
+      .withColumn("__b", pmod(col("__h"), lit(buckets.toLong)))
+      .withColumn("__s", stratumCol.cast("string"))
+      .withColumn("__sz", sizeCol.cast(dec))
+    val prefixes = base.groupBy(col("__s").as("__ps"), col("__b").as("__pb"))
+      .agg(sum(col("__sz")).as("__bt"))
+      .withColumn("__prev", coalesce(
+        sum(col("__bt")).over(Window.partitionBy(col("__ps"))
+          .orderBy(col("__pb"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0).cast(dec)))
+      .select("__ps", "__pb", "__prev")
+    val wIn = Window.partitionBy(col("__s"), col("__b"))
+      .orderBy(col("__h"), idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgetExpr = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L).cast(dec)) { case (acc, (k, v)) =>
+        when(col("__s") === k, lit(v).cast(dec)).otherwise(acc)
+      }
+    base
+      .join(broadcast(prefixes),
+        col("__s") === col("__ps") && col("__b") === col("__pb"))
+      .withColumn("__cum", col("__prev") + sum(col("__sz")).over(wIn))
+      .filter(col("__cum") <= budgetExpr)
+      .drop("__h", "__b", "__s", "__sz", "__ps", "__pb", "__prev", "__cum")
+  }
+
   /** `trace_observable` analogue (reference makinage/makinage.py:80-83,
     * serve.py:129-136: debug-tracing a stream's lifecycle/items): named
     * aggregate metrics observed as data flows — zero extra passes, zero

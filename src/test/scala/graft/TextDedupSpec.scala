@@ -603,6 +603,17 @@ class TextDedupSpec extends SparkSpec {
       (3L, 3L, s"iota kappa\n\n$shared extra words here\n\nlambda mu")))
   }
 
+  test("trimDuplicateParagraphs trims INTRA-document repeats too: the " +
+    "first occurrence keeps, the later copy in the same doc goes") {
+    val block = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((5L, s"$block\n\nmiddle bit\n\n$block"))
+      .toDF("doc_id", "text")
+    val got = Dedup.trimDuplicateParagraphs(docs, "doc_id", "text",
+        minRun = 8)
+      .as[(Long, Long, String)].collect()
+    assert(got.toSeq == Seq((5L, 2L, s"$block\n\nmiddle bit")))
+  }
+
   test("trimDuplicateParagraphs rejects a non-whitespace separator " +
     "(token offsets would misalign)") {
     val docs = Seq((1L, "a|b")).toDF("doc_id", "text")
