@@ -161,6 +161,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggs.exists(_.contains("partial_count")), p)
   }
 
+  test("global shuffle-shard windows are hash-partitioned by shard — " +
+    "the per-shard sort never collapses to a single partition") {
+    val p = planStr("q_shuffle_shards")
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("budget mixing broadcasts the bucket-prefix table and keys its " +
+    "windows by (stratum, bucket) — no per-stratum global sort") {
+    val p = planStr("q_mix_budget")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the intra-bucket cumsum window partitions on (__s, __b): its
+    // exchange must carry the bucket column, not stratum alone
+    val win = p.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(win.contains("__b"), s"window not bucket-keyed: $win\n$p")
+  }
+
+  test("span trim generates NO pairs: rank-per-gram + per-doc island " +
+    "windows; the only join is the doc-id-keyed containment anti join") {
+    val p = planStr("q_trim_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    // windows keyed by gram hash (rank) and doc id (islands/offsets)
+    val wins = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(wins.exists(_.contains("__g")), s"no per-gram rank window\n$p")
+    // the anti join may sort-merge (the island side is data-dependent,
+    // not broadcastable) but must key on the DOC id — joining on
+    // anything text/gram-shaped would be pair generation in disguise
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    smj.foreach { j =>
+      assert(j.contains("LeftAnti") && j.contains("doc_id"), j)
+    }
+  }
+
   test("paragraph dedup partitions every exchange by hash/id keys, " +
     "never by the paragraph text column") {
     val p = planStr("q_paragraph_dedup")

@@ -120,6 +120,63 @@ class ScaleSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("shuffleShards is an exact permutation: every id exactly once, " +
+    "dense 0-based positions per shard, reproducible under a fixed " +
+    "seed, reordered by a different one") {
+    import graft.core.Pipe._
+    import graft.operators.Ops
+    val ids = (0L until 1000L).toDF("id")
+    def run(seed: Int) =
+      (ids >> Ops.shuffleShards(col("id"), nShards = 8, seed = seed))
+        .select("id", "shard", "shuffle_pos")
+        .as[(Long, Int, Long)].collect()
+    val a = run(1)
+    assert(a.map(_._1).toSet == (0L until 1000L).toSet) // permutation
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.toSeq == (0L until rows.length.toLong), s"shard $shard")
+    }
+    assert(run(1).sortBy(_._1).toSeq == a.sortBy(_._1).toSeq) // stable
+    assert(run(2).sortBy(_._1).toSeq != a.sortBy(_._1).toSeq) // reseeded
+  }
+
+  test("sampleToBudget keeps EXACTLY the maximal hash-order prefix per " +
+    "stratum (independent driver-side replica), never exceeding the " +
+    "budget") {
+    import graft.core.Pipe._
+    import graft.operators.Ops
+    val docs = graft.core.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "n_chars")
+    val budgets = Map("src0" -> 700L, "src1" -> 10L, "src2" -> 1000000L)
+    val kept = (docs >> Ops.sampleToBudget(col("doc_id"), col("source"),
+        col("n_chars"), budgets, seed = 9, buckets = 16))
+      .select("doc_id").as[Long].collect().toSet
+    // independent replica: hash order computed via Spark's xxhash64 but
+    // prefix selection done serially on the driver
+    val withH = docs
+      .withColumn("__h", xxhash64(lit(9), col("doc_id")))
+      .select("doc_id", "source", "n_chars", "__h")
+      .as[(Long, String, Long, Long)].collect()
+    val expect = scala.collection.mutable.Set[Long]()
+    withH.groupBy(_._2).foreach { case (src, rows) =>
+      val budget = budgets.getOrElse(src, 0L)
+      var cum = 0L
+      rows.sortBy(r => (math.floorMod(r._4, 16L), r._4, r._1))
+        .foreach { r =>
+          cum += r._3
+          if (cum <= budget) expect += r._1
+        }
+    }
+    assert(kept == expect.toSet, s"kept=${kept.size} expect=${expect.size}")
+    // and the budget is respected exactly
+    val bySrc = withH.filter(r => kept(r._1)).groupBy(_._2)
+      .map { case (s, rs) => s -> rs.map(_._3).sum }
+    bySrc.foreach { case (s, tot) =>
+      assert(tot <= budgets.getOrElse(s, 0L), s"$s over budget: $tot")
+    }
+  }
+
   test("bucket cap degrades replicated boilerplate to ZERO pairs for " +
     "the overflowing bucket, never a partial/skewed subset") {
     // 60 identical docs with a cap of 50: every band bucket holds all
