@@ -137,7 +137,12 @@ SELECT doc_id, unnest(prints) AS print FROM pr ORDER BY doc_id, print"""
     * Parameterized on the `toks(id, ts)` base CTE so the same chain
     * replays both the in-corpus pipeline (ids = doc_id) and the
     * cross-corpus variant (parity-packed union ids). */
-  private def minhashChainFrom(toksCte: String): String =
+  /** The tokens → shingles → signature → band-key prefix of the minhash
+    * chain (ends at `bk(id, bkey)`); [[minhashChainFrom]] extends it
+    * with bucket capping, pair generation and signature verification.
+    * Split out so band-collision-only consumers (q_minhash_novel) don't
+    * drag the pair CTEs along. */
+  private def minhashBandsFrom(toksCte: String): String =
 toksCte + """,
 sh AS MATERIALIZED (SELECT id, list_distinct(
     list_transform(range(1, len(ts) - 1),
@@ -163,7 +168,10 @@ bs AS MATERIALIZED (SELECT id, b, sig[4*b+1] AS s1, sig[4*b+2] AS s2,
 bk1 AS MATERIALIZED (SELECT id, b, s2, s3, s4, g_xxh_long(s1, a0) AS a1 FROM bs),
 bk2 AS MATERIALIZED (SELECT id, b, s3, s4, g_xxh_long(s2, a1) AS a2 FROM bk1),
 bk3 AS MATERIALIZED (SELECT id, b, s4, g_xxh_long(s3, a2) AS a3 FROM bk2),
-bk AS MATERIALIZED (SELECT id, g_xxh_long(s4, a3) AS bkey FROM bk3),
+bk AS MATERIALIZED (SELECT id, g_xxh_long(s4, a3) AS bkey FROM bk3)"""
+
+  private def minhashChainFrom(toksCte: String): String =
+    minhashBandsFrom(toksCte) + """,
 bkc AS MATERIALIZED (SELECT bkey FROM bk GROUP BY bkey
   HAVING count(*) > 1 AND count(*) <= 1000),
 pairs AS MATERIALIZED (SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -224,6 +232,19 @@ WHERE l.id IS NULL ORDER BY doc_id"""
 
 
   /** SimHash pipeline: token hashes -> 64-bit majority fingerprint -> 4 band keys -> Hamming<=3 verified pairs. */
+  /** [[graft.llm.Dedup.minhashNovel]] replay: per band key the minimum
+    * id holds the band; a doc is novel iff it holds EVERY one of its
+    * band keys. Band-collision-only (no verify pass) — the streaming-
+    * compatible semantics. */
+  val q_minhash_novel: String =
+    prologue + "\nWITH " + minhashBandsFrom(
+      """toks AS (SELECT doc_id::BIGINT AS id, list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0) AS ts FROM documents)""") + ",\n" +
+"""firsts AS (SELECT bkey, min(id) AS w FROM bk GROUP BY bkey),
+novel AS (SELECT b.id,
+    sum(CASE WHEN f.w = b.id THEN 1 ELSE 0 END) AS nw, count(*) AS nb
+  FROM bk b JOIN firsts f USING (bkey) GROUP BY b.id)
+SELECT id AS doc_id FROM novel WHERE nw = nb ORDER BY doc_id"""
+
   val q_simhash_pairs: String =
     prologue + "\n" +
 """WITH toks AS (SELECT doc_id::BIGINT AS id, list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0) AS ts FROM documents),

@@ -939,6 +939,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // band-collision first-occurrence near-dup filter — the streaming-
+    // compatible semantics (NearDupOp's batch twin): min id holds each
+    // band, novel iff a doc holds all its bands; no bucket caps needed
+    // (per-band state is one 8-byte min)
+    "q_minhash_novel" -> ((s, dir) =>
+      Dedup.minhashNovel(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)
@@ -2096,6 +2104,7 @@ object SparkEntry {
         Map("src0" -> 3000L, "src1" -> 100000L, "src3" -> 5000L,
           "src7" -> 1L), seed = 3, buckets = 1024),
       "q_minhash_pairs" -> OracleXxh.q_minhash_pairs,
+      "q_minhash_novel" -> OracleXxh.q_minhash_novel,
       "q_minhash_dedup" -> OracleXxh.q_minhash_dedup,
       "q_minhash_against" -> OracleXxh.q_minhash_against,
       "q_simhash_pairs" -> OracleXxh.q_simhash_pairs,

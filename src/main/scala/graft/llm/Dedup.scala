@@ -261,6 +261,44 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Band-collision FIRST-OCCURRENCE near-dup filter — the batch twin of
+    * the streaming [[graft.streaming.ops.NearDupOp]] (and the semantics
+    * a continuous-ingest pipeline actually runs): per band key the
+    * MINIMUM id holds the band; a doc is novel iff it holds EVERY one
+    * of its band keys (LSH OR-amplification: any shared band ⇒ likely
+    * near-dup of an earlier doc ⇒ dropped). No signature verification
+    * pass — the streaming-compatible trade (verification would need the
+    * earlier doc's signature in per-band state); run [[minhashPairs]] +
+    * [[dropNearDuplicates]] when the verify pass is wanted.
+    *
+    * Scale: strictly lighter than the pair path — per-band state is one
+    * 8-byte min (map-side combinable, NO bucket caps needed: a
+    * boilerplate band key shared by 10^6 docs costs one min, not 10^12
+    * pairs), one bkey-keyed join back, one per-doc count. Returns the
+    * novel ids as `(idCol)`. */
+  def minhashNovel(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 128,
+                   bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val hs = df
+      .select(col(idCol).cast("long").as("id"),
+        Text.tokens(col(textCol)).as("__t"))
+      .select(col("id"), shingleHashes(col("__t"), shingleSize).as("hs"))
+      .repartition(p, col("id"))
+    val sig = hs.select(col("id"),
+      minhashSigFromHashes(col("hs"), numHashes).as("sig"))
+    val banded = sig.select(col("id"),
+      explode(bandKeysFromSig(col("sig"), numHashes, bands)).as("bkey"))
+    val firsts = banded.groupBy("bkey").agg(min("id").as("__w"))
+    banded.join(firsts, "bkey")
+      .groupBy("id")
+      .agg(sum(when(col("__w") === col("id"), 1L).otherwise(0L)).as("__nw"),
+        count(lit(1)).as("__nb"))
+      .filter(col("__nw") === col("__nb"))
+      .select(col("id").as(idCol))
+  }
+
   /** NEAR-dup cross-corpus dedup — [[dedupAgainst]]'s MinHash sibling:
     * drop from `df` every document whose estimated Jaccard against ANY
     * reference document reaches `threshold` (tonight's crawl vs the

@@ -691,6 +691,59 @@ class StreamingSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  test("topology: NearDupOp suppresses near-duplicates of EARLIER docs " +
+    "across micro-batches and matches its batch twin minhashNovel") {
+    val tmp = Files.createTempDirectory("topo_neardup").toString
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val textA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    // near-dup of A: same shingles except a two-token edit at the end
+    val textA2 = (1 to 38).map(i => s"alpha$i").mkString(" ") + " x y"
+    val textC = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    val batch1 = Seq((1L, ts(0, 5), textA), (2L, ts(0, 10), textB))
+    val batch2 = Seq((3L, ts(0, 20), textA2), // near-dup of doc 1 -> out
+      (4L, ts(0, 25), textC), // novel
+      (9L, ts(3, 0), "late marker closing hour zero"))
+    batch1.toDF("doc_id", "ts", "text")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: docs
+         |    kind: parquet
+         |    path: $tmp/in
+         |    timestamp_col: ts
+         |    watermark: 10 minutes
+         |  - name: novel
+         |    kind: memory
+         |operators:
+         |  neardup:
+         |    factory: graft.streaming.ops.NearDupOp
+         |    sources: [docs]
+         |    sinks: [novel]
+         |config:
+         |  window: 1 hour
+         |  lateness: 10 minutes
+         |""".stripMargin
+    val queries = Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    try {
+      queries.foreach(_.processAllAvailable())
+      batch2.toDF("doc_id", "ts", "text")
+        .write.mode("append").parquet(s"$tmp/in")
+      queries.foreach(_.processAllAvailable())
+      val got = spark.table("novel")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 4L), got)
+      // batch twin on the union (hour-0 docs): identical novelty set —
+      // streaming arrival order matches id order here, so first-ever
+      // == min-id and the two paths must agree exactly
+      val union = (batch1 ++ batch2.take(2)).toDF("doc_id", "ts", "text")
+      val batchNovel = graft.llm.Dedup.minhashNovel(
+        union, "doc_id", "text").as[Long].collect().toSet
+      assert(batchNovel == got, s"batch=$batchNovel stream=$got")
+    } finally queries.foreach(_.stop())
+  }
+
   test("topology: streaming sketch tables COMPOSE across windows — " +
     "merging two windows' HLL registers (max) and CM cells (sum) " +
     "reproduces the batch cross-window estimates exactly") {
