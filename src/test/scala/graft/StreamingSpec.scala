@@ -396,6 +396,43 @@ class StreamingSpec extends SparkSpec {
     assert(all.toSet == Set((0L, 4.0), (1L, 12.0), (2L, 20.0)))
   }
 
+  test("NearDupOp band-winner state survives a checkpointed restart — " +
+    "a near-dup arriving after the restart is still suppressed") {
+    val tmp = Files.createTempDirectory("neardup_restart").toString
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val textA = (1 to 40).map(i => s"word$i").mkString(" ")
+    val textA2 = (1 to 38).map(i => s"word$i").mkString(" ") + " p q"
+    Seq((1L, ts(0, 5), textA)).toDF("doc_id", "ts", "text")
+      .write.mode("append").parquet(s"$tmp/in")
+    def start() = {
+      val src = spark.readStream
+        .schema("doc_id long, ts timestamp, text string")
+        .parquet(s"$tmp/in")
+        .withWatermark("ts", "10 minutes")
+      graft.streaming.ops.NearDupOp(
+        Map("window" -> "1 hour", "lateness" -> "10 minutes"), Seq(src))
+        .head
+        .writeStream.format("parquet") // memory sink can't recover
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+    }
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // near-dup of doc 1 + a late marker land while the query is DOWN;
+    // the restarted query must suppress doc 2 from RECOVERED band state
+    Seq((2L, ts(0, 20), textA2),
+      (9L, ts(3, 0), "late marker closing hour zero"))
+      .toDF("doc_id", "ts", "text")
+      .write.mode("append").parquet(s"$tmp/in")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L), got)
+  }
+
   test("topology: streaming content dedup from YAML — first occurrence " +
     "passes, replays within the watermark are dropped") {
     val tmp = Files.createTempDirectory("topo_dedup").toString
