@@ -323,6 +323,61 @@ WHERE (list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)))) >= 0.45
 ORDER BY id_a, id_b"""
 
+  /** [[graft.llm.Dedup.embeddingDedupAgainst]] replay: the RHP-LSH chain
+    * of [[q_embed_neardup_lsh]] over the parity-packed union (candidates
+    * at 2*vec_id, every-5th reference at 2*vec_id+1); cross-parity
+    * cosine >= 0.45 eliminates the candidate side; survivors listed by
+    * original vec_id. */
+  val q_embed_against: String =
+    prologue + "\n" +
+"""WITH emb AS MATERIALIZED (
+  SELECT vec_id * 2 AS vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id * 2 + 1 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 5 = 0),
+ps1 AS MATERIALIZED (SELECT s, g_xxh_int(s::INTEGER, 42::HUGEINT) AS hs
+  FROM (SELECT unnest([1, 2, 3, 4, 5, 6]) AS s) ss),
+ps2 AS MATERIALIZED (SELECT s, hs, j, g_xxh_int(j::INTEGER, hs) AS hj
+  FROM ps1, range(0, 6) rj(j)),
+ps3 AS MATERIALIZED (SELECT s, j, i, g_xxh_int(i::INTEGER, hj) AS hi
+  FROM ps2, (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings))) AS i) ri),
+planes AS MATERIALIZED (SELECT s, j,
+    list(CASE WHEN (hi & 1) = 0 THEN 1.0 ELSE -1.0 END ORDER BY i) AS pl
+  FROM ps3 GROUP BY s, j),
+sj AS MATERIALIZED (SELECT e.vec_id, p.s, p.j,
+    list_reduce(list_prepend(0.0,
+      list_transform(list_zip(e.embedding, p.pl),
+        x -> x[1]::DOUBLE * x[2])), (a, x) -> a + x) AS sval
+  FROM emb e CROSS JOIN planes p),
+sig AS MATERIALIZED (SELECT vec_id, s,
+    sum(CASE WHEN sval >= 0 THEN (1::HUGEINT << j)
+        ELSE 0::HUGEINT END) AS sig
+  FROM sj GROUP BY vec_id, s),
+bk AS MATERIALIZED (SELECT vec_id,
+    g_xxh_long(sig, (SELECT hs FROM ps1 p WHERE p.s = sig_t.s)) AS bkey
+  FROM sig sig_t),
+bkc AS MATERIALIZED (SELECT bkey FROM bk GROUP BY bkey
+  HAVING count(*) > 1 AND count(*) <= 2000),
+pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM (SELECT bk.* FROM bk JOIN bkc USING (bkey)) a
+          JOIN (SELECT bk.* FROM bk JOIN bkc USING (bkey)) b
+            USING (bkey) WHERE a.vec_id < b.vec_id),
+losers AS (SELECT DISTINCT
+    (CASE WHEN p.id_a % 2 = 0 THEN p.id_a ELSE p.id_b END) // 2 AS vec_id
+  FROM pairs p JOIN emb ea ON ea.vec_id = p.id_a
+               JOIN emb eb ON eb.vec_id = p.id_b
+  WHERE p.id_a % 2 <> p.id_b % 2
+    AND (list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+      (acc, v) -> acc + v)
+   / (sqrt(list_reduce(list_transform(ea.embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))
+    * sqrt(list_reduce(list_transform(eb.embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)))) >= 0.45)
+SELECT e.vec_id FROM embeddings e
+LEFT JOIN losers l ON l.vec_id = e.vec_id
+WHERE l.vec_id IS NULL ORDER BY e.vec_id"""
+
   /** RHP-LSH similarity search: 4 seed tables at 8 bits, bucket candidates, exact cosine, top-5 rank. */
   val q_simsearch_lsh: String =
     prologue + "\n" +

@@ -1028,6 +1028,18 @@ object SparkEntry {
         threshold = 0.45, nBits = 6, seeds = Seq(1, 2, 3, 4, 5, 6))
         .orderBy("id_a", "id_b")),
 
+    // embedding-space decontamination: drop candidates within cosine
+    // 0.45 of ANY reference vector (every 5th embedding plays the held-
+    // out benchmark) — one parity-packed banding pass over the union
+    "q_embed_against" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Dedup.embeddingDedupAgainst(e,
+        e.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+        "vec_id", "embedding", threshold = 0.45, nBits = 6,
+        seeds = Seq(1, 2, 3, 4, 5, 6))
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // end-to-end training-data cleaning pipeline: quality-filter →
     // content-dedup (keep min doc_id per normalized text) → per-lang stats
     // — the composed Pipe showcase of the north-star ops
@@ -2109,6 +2121,7 @@ object SparkEntry {
       "q_minhash_against" -> OracleXxh.q_minhash_against,
       "q_simhash_pairs" -> OracleXxh.q_simhash_pairs,
       "q_embed_neardup_lsh" -> OracleXxh.q_embed_neardup_lsh,
+      "q_embed_against" -> OracleXxh.q_embed_against,
       "q_simsearch_lsh" -> OracleXxh.q_simsearch_lsh,
       "q_multimodal_features" -> OracleXxh.q_multimodal_features,
 

@@ -728,6 +728,38 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Cross-corpus EMBEDDING dedup — [[dedupAgainst]]'s semantic sibling
+    * and the embedding-space face of test-set decontamination: drop from
+    * `df` every row whose vector is within cosine `threshold` of ANY
+    * reference vector (a benchmark's embeddings, yesterday's corpus).
+    * Same parity-packed single-pass trick as
+    * [[dropNearDuplicatesAgainst]]: candidates ride at `2*id`,
+    * references at `2*id+1`, ONE [[embeddingPairs]] banding pass over
+    * the union, cross-parity pairs eliminate the candidate side only
+    * (ref↔ref and cand↔cand collisions are ignored). Ids must be
+    * integral and < 2^62. */
+  def embeddingDedupAgainst(df: DataFrame, ref: DataFrame, idCol: String,
+                            vecCol: String, refIdCol: String,
+                            refVecCol: String, threshold: Double = 0.95,
+                            nBits: Int = 12, seeds: Seq[Int] = Seq(1, 2),
+                            maxBucketSize: Int = 2000): DataFrame = {
+    val cand = df.select((col(idCol).cast("long") * 2).as("__pid"),
+      col(vecCol).as("__v"))
+    val refT = ref.select(
+      (col(refIdCol).cast("long") * 2 + 1).as("__pid"),
+      col(refVecCol).as("__v"))
+    val pairs = embeddingPairs(cand.unionByName(refT), "__pid", "__v",
+      threshold, nBits, seeds, maxBucketSize)
+    val losers = pairs
+      .filter(col("id_a") % 2 =!= col("id_b") % 2)
+      .select(when(col("id_a") % 2 === 0, col("id_a"))
+        .otherwise(col("id_b")).as("__pid"))
+      .distinct()
+      // exact unpack (a double division would round past 2^52)
+      .select(shiftrightunsigned(col("__pid"), 1).as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact duplicate-SPAN detection: maximal runs of ≥ `minRun`
     * consecutive shared tokens between document pairs — the exact
     * substring-dedup primitive of Lee et al., "Deduplicating Training

@@ -581,6 +581,20 @@ class TextDedupSpec extends SparkSpec {
       (3L, 2L, "delta\n\neps")))
   }
 
+  test("embeddingDedupAgainst drops only candidates near a REFERENCE " +
+    "vector; candidate-candidate near-dups survive (cross-side only)") {
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val cand = Seq((1L, a), (2L, c), (3L, c)).toDF("id", "v")
+    val ref = Seq((10L, a), (11L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("id", "v")
+    // identical vectors share every band signature — recall is certain
+    val got = Dedup.embeddingDedupAgainst(cand, ref, "id", "v", "id", "v",
+        threshold = 0.9, nBits = 2, seeds = Seq(1, 2, 3, 4, 5, 6))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L), got) // 1 hits ref; the 2-3 pair is cand-side
+  }
+
   test("trimDuplicateParagraphs drops only paragraphs fully inside a " +
     "duplicated span on the higher-id side; the lower id keeps its copy") {
     val shared = (1 to 12).map(i => s"dup$i").mkString(" ") // 12 tokens
