@@ -284,6 +284,15 @@ object SparkEntry {
         Ops.map("o_orderkey" -> col("o_orderkey"),
                 "o_totalprice" -> col("o_totalprice"))),
 
+    // ops.skip — drop the first n per key under an explicit order (the
+    // keyed form: per-key row_number shuffles once and scales linearly)
+    "q_skip" -> ((s, dir) =>
+      t(s, dir, "orders") >>
+        Ops.skip(2, Seq(col("o_orderkey")), Seq(col("o_custkey"))) >>
+        Ops.map("o_custkey" -> col("o_custkey"),
+                "o_orderkey" -> col("o_orderkey")) >>
+        (_.orderBy("o_custkey", "o_orderkey"))),
+
     // rs.ops.last — latest event per user (argmax pattern)
     "q_last_by" -> ((s, dir) =>
       t(s, dir, "events") >>
@@ -1351,6 +1360,13 @@ object SparkEntry {
       "q_topk" ->
         """SELECT o_orderkey, o_totalprice FROM orders
           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+      "q_skip" ->
+        """SELECT o_custkey, o_orderkey FROM (
+          |  SELECT o_custkey, o_orderkey, row_number() OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+          |  FROM orders)
+          |WHERE rn > 2 ORDER BY o_custkey, o_orderkey""".stripMargin,
 
       "q_last_by" ->
         """SELECT user_id, event_id, value FROM (
