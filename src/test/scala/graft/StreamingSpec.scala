@@ -396,6 +396,22 @@ class StreamingSpec extends SparkSpec {
     assert(all.toSet == Set((0L, 4.0), (1L, 12.0), (2L, 20.0)))
   }
 
+  test("NearDupOp batch mode (bounded source through the same factory) " +
+    "equals Dedup.minhashNovel exactly") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val textA = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val textA2 = (1 to 38).map(i => s"tok$i").mkString(" ") + " u v"
+    val textB = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, ts(1), textA), (2L, ts(2), textA2),
+      (3L, ts(3), textB)).toDF("doc_id", "ts", "text")
+    val got = graft.streaming.ops.NearDupOp(
+        Map("window" -> "1 hour"), Seq(docs)).head
+      .select("doc_id").as[Long].collect().toSet
+    val expect = graft.llm.Dedup.minhashNovel(docs, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(got == expect && got == Set(1L, 3L), s"got=$got exp=$expect")
+  }
+
   test("NearDupOp band-winner state survives a checkpointed restart — " +
     "a near-dup arriving after the restart is still suppressed") {
     val tmp = Files.createTempDirectory("neardup_restart").toString
