@@ -555,6 +555,52 @@ FROM est0"""
     java.lang.Long.toUnsignedString(
       org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(seed, 42L))
 
+  /** The composed training-export pipeline
+    * (q_pipeline_export): Gopher quality gate → token-budgeted
+    * allowlist mixing → deterministic global shuffle + sharding — each
+    * stage is itself an oracled operator; this replays the whole
+    * composition. */
+  def q_pipeline_export(budgets: Map[String, Long], mixSeed: Int,
+                        nShards: Int, shuffleSeed: Int,
+                        buckets: Int): String = {
+    val cases = budgets.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+    prologue + s"""
+WITH toks AS (SELECT doc_id, source, n_chars,
+    list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0) AS ts
+  FROM documents),
+gated AS (SELECT doc_id, source, n_chars FROM toks
+  WHERE (len(ts) BETWEEN 50 AND 100000)
+    AND (CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE)
+         / len(ts) BETWEEN 3.0 AND 10.0)
+    AND (CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+         AS DOUBLE) / len(ts) >= 0.8)
+    AND (CAST(len(list_filter(ts, t -> contains(t, '#')
+         OR contains(t, '...'))) AS DOUBLE) / len(ts) <= 0.1)
+    AND (len(list_filter(ts, t -> list_contains(
+         ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+          'with'], t))) >= 2)),
+h0 AS MATERIALIZED (SELECT doc_id, source, n_chars,
+  g_sgn(g_xxh_long(doc_id, ${chainedIntSeed(mixSeed)}::HUGEINT)) AS h
+  FROM gated),
+c AS (SELECT doc_id, source,
+        sum(n_chars) OVER (PARTITION BY source
+          ORDER BY ((h % $buckets) + $buckets) % $buckets, h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM h0),
+mixed AS (SELECT doc_id FROM c
+  WHERE cum <= CASE source $cases ELSE 0 END),
+h1 AS MATERIALIZED (SELECT doc_id,
+  g_sgn(g_xxh_long(doc_id, ${chainedIntSeed(shuffleSeed)}::HUGEINT)) AS h
+  FROM mixed)
+SELECT (((h % $nShards) + $nShards) % $nShards)::INTEGER AS shard,
+       (row_number() OVER (
+          PARTITION BY ((h % $nShards) + $nShards) % $nShards
+          ORDER BY h, doc_id) - 1)::BIGINT AS shuffle_pos,
+       doc_id
+FROM h1 ORDER BY shard, shuffle_pos"""
+  }
+
   /** [[graft.operators.Ops.shuffleShards]] replay: signed-order hash
     * (g_sgn — Spark orders the SIGNED long), Java-% shard, per-shard
     * dense 0-based positions. */

@@ -1205,6 +1205,26 @@ object SparkEntry {
     // quality gate -> deterministic training mix -> per-lang corpus
     // stats. Every stage is an oracled operator; this composes them
     // end to end (all narrow maps + one anti-join + one final agg)
+    // the training EXPORT composition: Gopher gate -> token-budgeted
+    // allowlist mixing -> deterministic global shuffle + sharding —
+    // the last mile of corpus prep (what actually feeds a trainer),
+    // every stage individually oracled, the composition hash-matched
+    // end to end (shard assignment, positions and all)
+    "q_pipeline_export" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val gated = d
+        .withColumn("__ts", Text.tokens(col("text")))
+        .filter(graft.llm.TextStats.gopherKeepOf(col("__ts")))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      gated >>
+        Ops.sampleToBudget(col("doc_id"), col("source"), col("n_chars"),
+          Map("src2" -> 4000L, "src5" -> 4000L, "src11" -> 100000L,
+            "src17" -> 2500L), seed = 5) >>
+        Ops.shuffleShards(col("doc_id"), nShards = 4, seed = 11) >>
+        (_.select("shard", "shuffle_pos", "doc_id")
+          .orderBy("shard", "shuffle_pos"))
+    }),
+
     "q_pipeline_corpus" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val cand = d.select(col("doc_id"), col("lang"), col("source"),
@@ -2128,6 +2148,10 @@ object SparkEntry {
       "q_winnow" -> OracleXxh.q_winnow,
       "q_shuffle_shards" -> OracleXxh.q_shuffle_shards(nShards = 8,
         seed = 7),
+      "q_pipeline_export" -> OracleXxh.q_pipeline_export(
+        Map("src2" -> 4000L, "src5" -> 4000L, "src11" -> 100000L,
+          "src17" -> 2500L), mixSeed = 5, nShards = 4, shuffleSeed = 11,
+        buckets = 1024),
       "q_mix_budget" -> OracleXxh.q_mix_budget(
         Map("src0" -> 3000L, "src1" -> 100000L, "src3" -> 5000L,
           "src7" -> 1L), seed = 3, buckets = 1024),
