@@ -21,6 +21,10 @@ private[operators] object UnkeyedGuard {
   val FailConf = "spark.graft.unkeyed.fail"
   val WarnBytesConf = "spark.graft.unkeyed.warnBytes"
   def check(df: DataFrame, op: String, hint: String): Unit = {
+    // streaming frames report defaultSizeInBytes (Long.Max) — a window
+    // over them is rejected by Spark itself, so the guard would only
+    // add a spurious warning on the batch-mode factories' stream path
+    if (df.isStreaming) return
     val conf = df.sparkSession.conf
     val warnBytes = BigInt(conf.get(WarnBytesConf, (64L << 20).toString))
     val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
