@@ -235,15 +235,20 @@ WHERE l.id IS NULL ORDER BY doc_id"""
   /** [[graft.llm.Dedup.minhashNovel]] replay: per band key the minimum
     * id holds the band; a doc is novel iff it holds EVERY one of its
     * band keys. Band-collision-only (no verify pass) — the streaming-
-    * compatible semantics. */
+    * compatible semantics. Shingle-less docs never band (the sentinel
+    * signature would glue unrelated short docs together) — they are
+    * trivially novel. */
   val q_minhash_novel: String =
     prologue + "\nWITH " + minhashBandsFrom(
       """toks AS (SELECT doc_id::BIGINT AS id, list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0) AS ts FROM documents)""") + ",\n" +
-"""firsts AS (SELECT bkey, min(id) AS w FROM bk GROUP BY bkey),
+"""bkr AS (SELECT b.* FROM bk b JOIN sh USING (id) WHERE len(sh.hs) > 0),
+firsts AS (SELECT bkey, min(id) AS w FROM bkr GROUP BY bkey),
 novel AS (SELECT b.id,
     sum(CASE WHEN f.w = b.id THEN 1 ELSE 0 END) AS nw, count(*) AS nb
-  FROM bk b JOIN firsts f USING (bkey) GROUP BY b.id)
-SELECT id AS doc_id FROM novel WHERE nw = nb ORDER BY doc_id"""
+  FROM bkr b JOIN firsts f USING (bkey) GROUP BY b.id)
+SELECT id AS doc_id FROM novel WHERE nw = nb
+UNION ALL SELECT id AS doc_id FROM sh WHERE len(hs) = 0
+ORDER BY doc_id"""
 
   val q_simhash_pairs: String =
     prologue + "\n" +

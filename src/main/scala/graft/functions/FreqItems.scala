@@ -120,12 +120,30 @@ object FreqItems {
     * cross-day / cross-stream / cross-window multiset-union semantics:
     * counts are additive, so the summed table is exactly the sketch of
     * the concatenated input (the CM linearity property). Shapes must
-    * match `(r, bucket, cnt)` as emitted by [[countMinTable]]. */
+    * match `(r, bucket, cnt)` as emitted by [[countMinTable]], and the
+    * per-row guard ERRORS on cells outside [0, depth) × [0, width) —
+    * a table built at different parameters would otherwise merge into
+    * a plausible-looking sketch whose est >= true guarantee is broken
+    * (the [[graft.functions.Hll.mergeRegisters]] rule). */
   def mergeCells(a: org.apache.spark.sql.DataFrame,
-                 b: org.apache.spark.sql.DataFrame)
+                 b: org.apache.spark.sql.DataFrame,
+                 depth: Int, width: Int)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    require(depth > 0 && width > 0 && (width & (width - 1)) == 0,
+      s"need depth>0 and power-of-two width: depth=$depth width=$width")
+    val guarded = when(
+      col("r") < 0 || col("r") >= depth ||
+        col("bucket") < 0 || col("bucket") >= width || col("cnt") < 0,
+      raise_error(concat(
+        lit(s"mergeCells: cell out of range for depth=$depth " +
+          s"width=$width — inputs built at different parameters? r="),
+        col("r").cast("string"), lit(" bucket="),
+        col("bucket").cast("string"), lit(" cnt="),
+        col("cnt").cast("string"))).cast("long"))
+      .otherwise(col("cnt"))
     a.unionByName(b)
+      .withColumn("cnt", guarded)
       .groupBy("r", "bucket")
       .agg(sum(col("cnt")).as("cnt"))
   }

@@ -286,7 +286,15 @@ object Dedup {
         Text.tokens(col(textCol)).as("__t"))
       .select(col("id"), shingleHashes(col("__t"), shingleSize).as("hs"))
       .repartition(p, col("id"))
-    val sig = hs.select(col("id"),
+    // shingle-less docs (< shingleSize tokens) never enter banding:
+    // their signature would be the all-sentinel MinHash (identical for
+    // EVERY such doc), which would band unrelated short docs together
+    // and suppress all but the first. No shingles ⇒ nothing to collide
+    // on ⇒ trivially novel; run exact dedup upstream for short docs.
+    val withContent = hs.filter(size(col("hs")) > 0)
+    val contentless = hs.filter(size(col("hs")) === 0)
+      .select(col("id").as(idCol))
+    val sig = withContent.select(col("id"),
       minhashSigFromHashes(col("hs"), numHashes).as("sig"))
     val banded = sig.select(col("id"),
       explode(bandKeysFromSig(col("sig"), numHashes, bands)).as("bkey"))
@@ -297,6 +305,7 @@ object Dedup {
         count(lit(1)).as("__nb"))
       .filter(col("__nw") === col("__nb"))
       .select(col("id").as(idCol))
+      .unionByName(contentless)
   }
 
   /** NEAR-dup cross-corpus dedup — [[dedupAgainst]]'s MinHash sibling:
@@ -737,7 +746,8 @@ object Dedup {
     * references at `2*id+1`, ONE [[embeddingPairs]] banding pass over
     * the union, cross-parity pairs eliminate the candidate side only
     * (ref↔ref and cand↔cand collisions are ignored). Ids must be
-    * integral and < 2^62. */
+    * integral with |id| < 2^62 (the sibling's signed-range contract —
+    * pmod parity + floor-division shiftright round-trip negatives). */
   def embeddingDedupAgainst(df: DataFrame, ref: DataFrame, idCol: String,
                             vecCol: String, refIdCol: String,
                             refVecCol: String, threshold: Double = 0.95,
@@ -751,13 +761,17 @@ object Dedup {
     val pairs = embeddingPairs(cand.unionByName(refT), "__pid", "__v",
       threshold, nBits, seeds, maxBucketSize)
     val losers = pairs
-      .filter(col("id_a") % 2 =!= col("id_b") % 2)
-      .select(when(col("id_a") % 2 === 0, col("id_a"))
-        .otherwise(col("id_b")).as("__pid"))
+      // pmod + shiftright, not signed % / unsigned shift: a negative
+      // id's parity reads as -1 under `%` (same-side pairs would count
+      // as cross-side), and shiftrightunsigned maps a negative packed
+      // id to a huge positive that never matches in the anti-join —
+      // the dropNearDuplicatesAgainst rules, applied identically
+      .filter(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
+      .select(shiftright(when(pmod(col("id_a"), lit(2)) === 0,
+        col("id_a")).otherwise(col("id_b")), 1).as("__loser"))
       .distinct()
-      // exact unpack (a double division would round past 2^52)
-      .select(shiftrightunsigned(col("__pid"), 1).as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+    df.join(losers, col(idCol).cast("long") === col("__loser"),
+      "left_anti")
   }
 
   /** Exact duplicate-SPAN detection: maximal runs of ≥ `minRun`

@@ -72,6 +72,8 @@ object Ops {
     * explicit order (batch form; streams skip by offset policy). */
   def skip(n: Int, order: Seq[Column],
            partition: Seq[Column] = Nil): Op = { df =>
+    if (partition.isEmpty) UnkeyedGuard.check(df, "Ops.skip",
+      "Pass partition keys (per-key skip scales linearly).")
     val w0 = if (partition.isEmpty) Window.partitionBy()
              else Window.partitionBy(partition: _*)
     df.withColumn("__rn", row_number().over(w0.orderBy(order: _*)))
@@ -155,6 +157,9 @@ object Ops {
     * form pins count-based decimation, reproducible under retries). */
   def sampleEvery(n: Int, order: Seq[Column],
                   partition: Seq[Column] = Nil): Op = { df =>
+    if (partition.isEmpty) UnkeyedGuard.check(df, "Ops.sampleEvery",
+      "Pass partition keys, or use sampleEveryDense for dense 0-based " +
+        "order columns.")
     val w0 = if (partition.isEmpty) Window.partitionBy()
              else Window.partitionBy(partition: _*)
     val w = w0.orderBy(order: _*)

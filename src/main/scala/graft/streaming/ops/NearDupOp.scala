@@ -23,6 +23,11 @@ import graft.streaming.OperatorFactory
   * then counts a doc novel iff it won ALL `bands` rows. State is
   * evicted `lateness` past the band's newest event (event-time timeout)
   * — bounded by the watermark horizon like every stateful op here.
+  * PERSISTENT state per band is 8 bytes; each band's WITHIN-batch rows
+  * are buffered once (compact (id, ts) pairs) to pick the winner and
+  * set the timeout — bound micro-batches via maxOffsetsPerTrigger /
+  * maxFilesPerTrigger if a boilerplate band key can burst millions of
+  * rows in one batch.
   *
   * No signature-verification pass: verification would need the earlier
   * doc's signature in per-band state (128 longs instead of 1); band
@@ -76,18 +81,37 @@ object NearDupOp extends OperatorFactory {
         "NearDupOp: disabled the global-watermark correctness CHECK for " +
           "this session (FMGWS passes event times through unmodified — " +
           "see NearDupOp scaladoc); other queries are unaffected at " +
-          "runtime but will no longer be flagged by this analysis check.")
+          "runtime but will no longer be flagged by this analysis check. " +
+          "Re-enable it after this query STARTS (the check runs at " +
+          "analysis) if other FMGWS-chained queries share the session: " +
+          "spark.conf.set(\"spark.sql.streaming.statefulOperator." +
+          "checkCorrectness.enabled\", \"true\").")
     }
 
     val spark = df.sparkSession
     import spark.implicits._
-    val sig = df.select(col(idCol).cast("long").as("id"),
+    val hs = df.select(col(idCol).cast("long").as("id"),
       col(tsCol).as("ts"),
-      graft.llm.Dedup.minhashSignature(col(textCol), shingleSize,
-        numHashes).as("sig"))
+      graft.llm.Dedup.shingleHashes(
+        graft.functions.Text.tokens(col(textCol)), shingleSize).as("hs"))
+    val sig = hs.select(col("id"), col("ts"), col("hs"),
+      graft.llm.Dedup.minhashSigFromHashes(col("hs"), numHashes)
+        .as("sig"))
+    // shingle-less docs must NOT band on their signature: the MinHash of
+    // an empty shingle set is the all-sentinel vector — identical for
+    // EVERY short doc — which would band unrelated short docs together
+    // and suppress all but the first ever seen (the minhashNovel rule:
+    // no shingles ⇒ nothing to collide on ⇒ trivially novel). They ride
+    // the same single path on per-doc-UNIQUE synthetic band keys, so
+    // they always win all their bands; run exact dedup upstream for
+    // short docs.
+    val keys = when(size(col("hs")) === 0,
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("__contentless"), col("id"), b)))
+      .otherwise(graft.llm.Dedup.bandKeysFromSig(col("sig"), numHashes,
+        bands))
     val banded = sig.select(col("id"), col("ts"),
-        explode(graft.llm.Dedup.bandKeysFromSig(col("sig"), numHashes,
-          bands)).as("bkey"))
+        explode(keys).as("bkey"))
       .as[BandEvent]
     val won = banded
       .groupByKey(_.bkey)
@@ -97,18 +121,30 @@ object NearDupOp extends OperatorFactory {
          state: GroupState[BandState]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val evs = rows.toArray
+            // the group is buffered as compact (id, tsMillis) pairs:
+            // the state-eviction timeout must be EVENT-time-relative
+            // (maxTs + lateness — a watermark-relative timeout set in
+            // the first batch, when the watermark is still 0, would
+            // evict every band before the second batch) and the API
+            // requires it set before the returned iterator is
+            // consumed, so one within-batch O(group) pass is
+            // unavoidable. Bound micro-batches via
+            // maxOffsetsPerTrigger / maxFilesPerTrigger if a
+            // boilerplate band key can burst in one batch.
+            val evs = rows.map(e => (e.id, e.ts.getTime)).toArray
             val prior = state.getOption
             val w = prior.map(_.winner)
-              .getOrElse(evs.iterator.map(_.id).min)
+              .getOrElse(evs.iterator.map(_._1).min)
             if (prior.isEmpty) state.update(BandState(w))
             if (streaming) {
-              val maxTs = evs.iterator.map(_.ts.getTime).max
+              val maxTs = evs.iterator.map(_._2).max
               state.setTimeoutTimestamp(
                 math.max(maxTs, state.getCurrentWatermarkMs()) + latenessMs)
             }
             val first = prior.isEmpty
-            evs.iterator.map(e => BandWin(e.id, e.ts, first && e.id == w))
+            evs.iterator.map { case (id, t) =>
+              BandWin(id, new java.sql.Timestamp(t), first && id == w)
+            }
           }
         })
     // novel iff the doc won every one of its `bands` band rows; the

@@ -94,6 +94,26 @@ class FreqItemsSpec extends SparkSpec {
     assert(est.values.exists(_ == 0))
   }
 
+  test("mergeCells ERRORS on a parameter-mismatched cell table instead " +
+    "of silently merging into a broken sketch") {
+    val df = (1L to 50L).map(i => s"t$i").toDF("token")
+    val a = FreqItems.countMinTable(df, col("token"), 4, 1024)
+    val big = FreqItems.countMinTable(df, col("token"), 4, 4096)
+      .filter(col("bucket") >= 1024) // rows a 1024-wide sketch can't have
+    assert(big.count() > 0)
+    val ex = intercept[Exception] {
+      FreqItems.mergeCells(a, big, 4, 1024).collect()
+    }
+    def all(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ all(t.getCause)
+    assert(all(ex).exists(_.contains("mergeCells")), ex.getMessage)
+    // matching parameters still merge (self-merge doubles every count)
+    val m = FreqItems.mergeCells(a, a, 4, 1024)
+    val est = FreqItems.countMinLookup(m, Seq("t1").toDF("token"),
+      col("token"), 4, 1024).as[(String, Long)].collect().toMap
+    assert(est("t1") >= 2L)
+  }
+
   test("count-min lookup rejects invalid (depth, width) up front — the " +
     "parameters must match the sketch build or buckets are garbage") {
     val df = (1L to 5L).map(i => s"t$i").toDF("token")

@@ -196,7 +196,9 @@ class OpsSpec extends SparkSpec {
         ("roll", DataOps.roll(3, 3, Seq(col("v")))),
         ("split", DataOps.split(col("v") % 10 === 0, Seq(col("v")))),
         ("timeSplit", DataOps.timeSplit(col("v"), 5L)),
-        ("scan", Ops.scan(sum(col("v")), "cum", Seq(col("v")))))) {
+        ("scan", Ops.scan(sum(col("v")), "cum", Seq(col("v")))),
+        ("skip", Ops.skip(2, Seq(col("v")))),
+        ("sampleEvery", Ops.sampleEvery(5, Seq(col("v")))))) {
         val ex = intercept[IllegalArgumentException] { df >> op }
         assert(ex.getMessage.contains("SINGLE-partition"), s"$name: $ex")
       }

@@ -862,7 +862,7 @@ class StreamingSpec extends SparkSpec {
       def winCells(t: java.sql.Timestamp) = cells
         .filter(col("window_start") === t).select("r", "bucket", "cnt")
       val mergedCm = graft.functions.FreqItems.mergeCells(
-        winCells(ts(0, 0)), winCells(ts(1, 0)))
+        winCells(ts(0, 0)), winCells(ts(1, 0)), depth = 4, width = 1024)
       val batchCm = graft.functions.FreqItems.countMinTable(
         rows.filter(_._1.getTime < ts(3, 0).getTime)
           .map(_._2).toDF("user_id"),

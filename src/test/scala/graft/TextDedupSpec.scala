@@ -581,6 +581,32 @@ class TextDedupSpec extends SparkSpec {
       (3L, 2L, "delta\n\neps")))
   }
 
+  test("minhashNovel treats shingle-less docs as trivially novel — " +
+    "unrelated short docs must NOT suppress each other via the " +
+    "sentinel signature") {
+    val long1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val long2 = (1 to 28).map(i => s"w$i").mkString(" ") + " q r"
+    val docs = Seq(
+      (1L, long1), (2L, long2), // near-dups: 2 suppressed
+      (3L, "hello world"), (4L, "buy now"), (5L, "")) // all < 3 tokens
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashNovel(docs, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L, 5L), got)
+  }
+
+  test("embeddingDedupAgainst round-trips NEGATIVE ids (pmod parity + " +
+    "floor-division unpack, the dropNearDuplicatesAgainst contract)") {
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val cand = Seq((-7L, a), (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("id", "v")
+    val ref = Seq((-5L, a)).toDF("id", "v")
+    val got = Dedup.embeddingDedupAgainst(cand, ref, "id", "v", "id", "v",
+        threshold = 0.9, nBits = 2, seeds = Seq(1, 2, 3, 4, 5, 6))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(3L), got) // -7 matches ref -5 and must drop
+  }
+
   test("embeddingDedupAgainst drops only candidates near a REFERENCE " +
     "vector; candidate-candidate near-dups survive (cross-side only)") {
     val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
