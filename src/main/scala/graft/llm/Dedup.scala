@@ -207,7 +207,15 @@ object Dedup {
     * Skewed buckets (boilerplate docs) are capped via `maxBucketSize` —
     * oversized buckets are dropped with the cap recorded, the standard
     * trade at corpus scale (a 10^6-doc bucket is boilerplate, not near-dups).
-    */
+    *
+    * Shingle-less docs (< shingleSize tokens) all carry the SENTINEL
+    * signature and pair with each other at est_jaccard 1.0 — the
+    * empty-set Jaccard convention, oracle-replicated. That is right for
+    * pair ANALYSIS (empty ≡ empty) but wrong for first-occurrence
+    * novelty, where unrelated short docs must not suppress each other —
+    * [[minhashNovel]] and the streaming NearDupOp exclude them from
+    * banding for exactly that reason. Filter short docs upstream if
+    * sentinel pairs are unwanted here. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 128,
                    bands: Int = 32, threshold: Double = 0.5,
