@@ -120,6 +120,44 @@ class ScaleSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("minhashNovel under k-fold replication keeps EXACTLY the base " +
+    "run's novel set (copies share every band key with their original " +
+    "and win none)") {
+    val docs = graft.core.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val base = Dedup.minhashNovel(docs, "doc_id", "text")
+      .as[Long].collect().toSet
+    val k = 3
+    val rep = (0 until k)
+      .map(j => docs.select((col("doc_id") + j * 100000L).as("doc_id"),
+        col("text")))
+      .reduce(_.unionByName(_))
+    val got = Dedup.minhashNovel(rep, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(got == base, s"base=${base.size} replicated=${got.size}")
+  }
+
+  test("trimDuplicateParagraphs under k-fold replication keeps EXACTLY " +
+    "the base survivors (every copy position has an earlier block-0 " +
+    "occurrence, so whole copies vanish)") {
+    val docs = graft.core.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val base = Dedup.trimDuplicateParagraphs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val k = 3
+    val rep = (0 until k)
+      .map(j => docs.select((col("doc_id") + j * 100000L).as("doc_id"),
+        col("text")))
+      .reduce(_.unionByName(_))
+    val got = Dedup.trimDuplicateParagraphs(rep, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == base, s"base=${base.size} replicated=${got.size}")
+  }
+
   test("shuffleShards is an exact permutation: every id exactly once, " +
     "dense 0-based positions per shard, reproducible under a fixed " +
     "seed, reordered by a different one") {
