@@ -62,6 +62,12 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"bench: could not write $out: $e")
     }
+    // The driver keeps only a ~4 KB tail of stdout; the full per-query
+    // JSON above outgrew it two rounds running ("parsed": null). The
+    // LAST line is a short headline-only duplicate that a tail of any
+    // size keeps intact.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

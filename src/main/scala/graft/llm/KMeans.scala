@@ -82,17 +82,28 @@ object KMeans {
     * centroids are therefore bit-identical at any cluster size AND
     * replayable by an external SQL oracle (q_kmeans_fit) — double
     * sums would instead inherit Spark's partial-aggregation order.
-    * The 1e-15 quantization is far below float input precision. */
+    * The 1e-15 quantization is far below float input precision.
+    *
+    * Supported value range: |x| < 9.2e3 per coordinate (embedding-scale
+    * inputs). Beyond it `floor(x * 1e15)` exceeds Long range, where
+    * Spark's floor SATURATES while the oracle's BIGINT cast errors —
+    * the guard refuses such inputs instead of silently diverging. */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
           iters: Int = 2): Model = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     var model = seed(df, idCol, vecCol, k)
     val dim = model.centroids.head.length
     (1 to iters).foreach { _ =>
+      val guarded = when(abs(col("col").cast("double")) >= lit(9.2e3),
+        raise_error(concat(
+          lit("KMeans.fit: |value| >= 9.2e3 overflows the 1e15 " +
+            "fixed-point quantization (Spark floor saturates, the SQL " +
+            "oracle errors); got "), col("col").cast("string"))))
+        .otherwise(col("col")).cast("double")
       val stats = assign(df, idCol, vecCol, model)
         .select(col("cell"), posexplode(col("v")))
         .groupBy("cell", "pos")
-        .agg(sum(floor(col("col").cast("double") * lit(1e15))
+        .agg(sum(floor(guarded * lit(1e15))
           .cast("decimal(38,0)")).as("s"),
           count(lit(1)).as("n"))
         .collect()

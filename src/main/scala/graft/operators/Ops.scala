@@ -253,8 +253,20 @@ object Ops {
     val base = df
       .withColumn("__h", xxhash64(lit(seed), idCol))
       .withColumn("__b", pmod(col("__h"), lit(buckets.toLong)))
-      .withColumn("__s", stratumCol.cast("string"))
-      .withColumn("__sz", sizeCol.cast(dec))
+      // NULL size would ride free past the exact-budget contract (window
+      // sums skip NULLs, so __cum would not grow) and NULL stratum rows
+      // would vanish in the prefix join — both are input errors, refused
+      // like the paragraphDedup packed-key guard
+      .withColumn("__s", when(stratumCol.isNull,
+          raise_error(concat(
+            lit("sampleToBudget: NULL stratum for id="),
+            idCol.cast("string"))))
+        .otherwise(stratumCol).cast("string"))
+      .withColumn("__sz", when(sizeCol.isNull,
+          raise_error(concat(
+            lit("sampleToBudget: NULL size for id="),
+            idCol.cast("string"))))
+        .otherwise(sizeCol).cast(dec))
     val prefixes = base.groupBy(col("__s").as("__ps"), col("__b").as("__pb"))
       .agg(sum(col("__sz")).as("__bt"))
       .withColumn("__prev", coalesce(

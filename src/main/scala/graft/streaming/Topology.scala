@@ -465,6 +465,10 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
         }
         .start()
     }
+    // factories may have relaxed analysis-time-only session confs for
+    // their query's start(); every query is started, so restore the
+    // user's values before handing the session back
+    AnalysisConf.restoreAll(spark)
     staticQueries ++ dynamicQueries
   }
 }

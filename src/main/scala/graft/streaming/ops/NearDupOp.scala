@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.streaming.OperatorFactory
+import graft.streaming.{AnalysisConf, OperatorFactory}
 
 /** Streaming NEAR-dup dedup (MinHash LSH) as a topology factory — the
   * continuous-ingest answer to "have we crawled something like this
@@ -19,15 +19,22 @@ import graft.streaming.OperatorFactory
   * `flatMapGroupsWithState` keyed by band key whose state is the 8-byte
   * winner id (the first doc to claim the band; within a micro-batch the
   * winner is the MINIMUM id — deterministic, unlike a bare
-  * dropDuplicates). Emitted rows carry `won`; a per-window aggregate
-  * then counts a doc novel iff it won ALL `bands` rows. State is
-  * evicted `lateness` past the band's newest event (event-time timeout)
-  * — bounded by the watermark horizon like every stateful op here.
-  * PERSISTENT state per band is 8 bytes; each band's WITHIN-batch rows
-  * are buffered once (compact (id, ts) pairs) to pick the winner and
-  * set the timeout — bound micro-batches via maxOffsetsPerTrigger /
-  * maxFilesPerTrigger if a boilerplate band key can burst millions of
-  * rows in one batch.
+  * dropDuplicates). Each band group emits AT MOST ONE row per batch:
+  * the winner's claim, and only in the batch that first claims the band
+  * — losers emit nothing (they can never reach `bands` claims), and a
+  * redelivered winner emits nothing (its claim row already exists).
+  * This makes the tally duplicate-proof under at-least-once sources —
+  * a doc delivered twice in one micro-batch (or re-delivered in a later
+  * one) still produces exactly one claim per band, where a per-row
+  * emission would double-count and silently flip a novel doc to
+  * not-novel — and it reduces the group pass to O(1) memory (running
+  * min id, its newest event time, the group's max event time): there is
+  * NO within-batch buffering of the group's rows, so a boilerplate band
+  * key bursting millions of rows in one batch costs three registers,
+  * not a buffer. A per-window aggregate then counts a doc novel iff it
+  * claimed ALL `bands` of its bands. State is evicted `lateness` past
+  * the band's newest event (event-time timeout) — bounded by the
+  * watermark horizon like every stateful op here.
   *
   * No signature-verification pass: verification would need the earlier
   * doc's signature in per-band state (128 longs instead of 1); band
@@ -41,12 +48,25 @@ import graft.streaming.OperatorFactory
   * source watermark to declare on the topic), `shingle_size` (3),
   * `num_hashes` (128), `bands` (32).
   *
+  * Streaming analysis note: Spark's analysis-time guard rejects ANY
+  * stateful op downstream of flatMapGroupsWithState because FMGWS
+  * *could* emit rows with arbitrary event times. This operator cannot
+  * (each claim row keeps the winner's unmodified input event time,
+  * already ahead of the upstream watermark), so the factory relaxes the
+  * check — via [[AnalysisConf]], scoped to query analysis: the topology
+  * runner restores the user's value right after its queries start, and
+  * programmatic callers should call `AnalysisConf.restoreAll(spark)`
+  * once their query has started (the check runs only inside
+  * `DataStreamWriter.start()` — `UnsupportedOperationChecker` is
+  * invoked solely by the `ResolveWriteToStream` analyzer rule — never
+  * per micro-batch).
+  *
   * Output: `(window_start, <id_col>)` — novel docs per finalized
   * window (append mode; batch sources produce the same shape). */
 object NearDupOp extends OperatorFactory {
 
   case class BandEvent(id: Long, ts: java.sql.Timestamp, bkey: Long)
-  case class BandWin(id: Long, ts: java.sql.Timestamp, won: Boolean)
+  case class BandClaim(id: Long, ts: java.sql.Timestamp)
   case class BandState(winner: Long)
 
   def apply(config: Map[String, Any], sources: Seq[DataFrame])
@@ -64,28 +84,12 @@ object NearDupOp extends OperatorFactory {
     val latenessMs = parseMs(lateness)
     val streaming = df.isStreaming
     if (streaming) {
-      // Spark's analysis-time guard rejects ANY stateful op downstream
-      // of flatMapGroupsWithState because FMGWS *could* emit rows with
-      // arbitrary event times (older than watermark + delay), which a
-      // downstream stateful op would silently discard. This operator
-      // cannot: it emits each row with its UNMODIFIED input event time
-      // in the same trigger, and late input is already filtered by the
-      // upstream EventTimeWatermark — so every emitted row reaches the
-      // window aggregate strictly ahead of the eviction horizon. The
-      // check is per-session and analysis-time only; disabling it does
-      // not change any runtime semantics.
-      df.sparkSession.conf.set(
+      // relax the FMGWS→stateful analysis check for the upcoming
+      // start() — see the scaladoc; AnalysisConf remembers the user's
+      // value and the topology runner restores it after queries start.
+      AnalysisConf.setForAnalysis(df.sparkSession,
         "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
         "false")
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        "NearDupOp: disabled the global-watermark correctness CHECK for " +
-          "this session (FMGWS passes event times through unmodified — " +
-          "see NearDupOp scaladoc); other queries are unaffected at " +
-          "runtime but will no longer be flagged by this analysis check. " +
-          "Re-enable it after this query STARTS (the check runs at " +
-          "analysis) if other FMGWS-chained queries share the session: " +
-          "spark.conf.set(\"spark.sql.streaming.statefulOperator." +
-          "checkCorrectness.enabled\", \"true\").")
     }
 
     val spark = df.sparkSession
@@ -113,7 +117,7 @@ object NearDupOp extends OperatorFactory {
     val banded = sig.select(col("id"), col("ts"),
         explode(keys).as("bkey"))
       .as[BandEvent]
-    val won = banded
+    val claims = banded
       .groupByKey(_.bkey)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout)(
@@ -121,41 +125,53 @@ object NearDupOp extends OperatorFactory {
          state: GroupState[BandState]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            // the group is buffered as compact (id, tsMillis) pairs:
-            // the state-eviction timeout must be EVENT-time-relative
-            // (maxTs + lateness — a watermark-relative timeout set in
-            // the first batch, when the watermark is still 0, would
-            // evict every band before the second batch) and the API
-            // requires it set before the returned iterator is
-            // consumed, so one within-batch O(group) pass is
-            // unavoidable. Bound micro-batches via
-            // maxOffsetsPerTrigger / maxFilesPerTrigger if a
-            // boilerplate band key can burst in one batch.
-            val evs = rows.map(e => (e.id, e.ts.getTime)).toArray
-            val prior = state.getOption
-            val w = prior.map(_.winner)
-              .getOrElse(evs.iterator.map(_._1).min)
-            if (prior.isEmpty) state.update(BandState(w))
-            if (streaming) {
-              val maxTs = evs.iterator.map(_._2).max
-              state.setTimeoutTimestamp(
-                math.max(maxTs, state.getCurrentWatermarkMs()) + latenessMs)
+            // one O(1)-memory pass: the state-eviction timeout must be
+            // EVENT-time-relative (maxTs + lateness — a
+            // watermark-relative timeout set in the first batch, when
+            // the watermark is still 0, would evict every band before
+            // the second batch) and the API requires state calls before
+            // the function returns, so the group is consumed here; only
+            // the running (min id, its newest ts) and the group max ts
+            // are kept.
+            var minId = Long.MaxValue
+            var minTs = Long.MinValue
+            var maxTs = Long.MinValue
+            rows.foreach { e =>
+              val t = e.ts.getTime
+              if (t > maxTs) maxTs = t
+              if (e.id < minId) { minId = e.id; minTs = t }
+              else if (e.id == minId && t > minTs) minTs = t
             }
-            val first = prior.isEmpty
-            evs.iterator.map { case (id, t) =>
-              BandWin(id, new java.sql.Timestamp(t), first && id == w)
+            if (maxTs == Long.MinValue) Iterator.empty // no rows
+            else {
+              val prior = state.getOption
+              if (prior.isEmpty) state.update(BandState(minId))
+              if (streaming) {
+                state.setTimeoutTimestamp(
+                  math.max(maxTs, state.getCurrentWatermarkMs()) +
+                    latenessMs)
+              }
+              // claim emitted only by the batch that first claims the
+              // band: losers can never total `bands` claims, and a
+              // redelivered winner's claim row already exists — either
+              // emission would only distort the per-doc tally.
+              if (prior.isEmpty)
+                Iterator.single(
+                  BandClaim(minId, new java.sql.Timestamp(minTs)))
+              else Iterator.empty
             }
           }
         })
-    // novel iff the doc won every one of its `bands` band rows; the
-    // aggregate finalizes per window in append mode (allowed after
+    // novel iff the doc claimed every one of its `bands` bands (at most
+    // one claim row exists per band, so the count is duplicate-proof);
+    // the aggregate finalizes per window in append mode (allowed after
     // flatMapGroupsWithState in Append). Re-declare the watermark on
     // the FMGWS output so the window aggregate's eviction horizon is
     // explicit rather than inherited.
-    val wonDf = if (streaming) won.toDF().withWatermark("ts", lateness)
-                else won.toDF()
-    val novel = wonDf
-      .filter(col("won"))
+    val claimDf = if (streaming)
+      claims.toDF().withWatermark("ts", lateness)
+    else claims.toDF()
+    val novel = claimDf
       .groupBy(window(col("ts"), win).as("__win"), col("id"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") === bands)
