@@ -644,4 +644,29 @@ WHERE cum <= CASE source $cases ELSE 0 END
 ORDER BY doc_id"""
   }
 
+  /** [[q_mix_budget]] with REAL BPE token counts as the size measure:
+    * the caller passes [[graft.functions.Bpe.oracleCtes]] (the
+    * recursive merge-loop replay ending in `bpe_doc(doc_id, ids)`);
+    * token-less docs count size 0 via the LEFT JOIN, exactly like the
+    * engine's `size(Bpe.encode(tokens))`. */
+  def q_mix_budget_bpe(budgets: Map[String, Long], seed: Int,
+                       buckets: Int, bpeCtes: String): String = {
+    val cases = budgets.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+    prologue + s"""
+WITH RECURSIVE $bpeCtes,
+h0 AS MATERIALIZED (SELECT d.doc_id, d.source,
+  coalesce(len(b.ids), 0) AS n_tok,
+  g_sgn(g_xxh_long(d.doc_id, ${chainedIntSeed(seed)}::HUGEINT)) AS h
+  FROM documents d LEFT JOIN bpe_doc b USING (doc_id)),
+c AS (SELECT doc_id, source, h,
+        sum(n_tok) OVER (PARTITION BY source
+          ORDER BY ((h % $buckets) + $buckets) % $buckets, h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM h0)
+SELECT doc_id, source FROM c
+WHERE cum <= CASE source $cases ELSE 0 END
+ORDER BY doc_id"""
+  }
+
 }

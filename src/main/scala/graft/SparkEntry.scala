@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.core.Pipe._
-import graft.functions.{Codecs, Hll, Text, Vectors}
+import graft.functions.{Bpe, Codecs, Hll, Text, Vectors}
 import graft.llm.{Dedup, Multimodal, SimSearch}
 import graft.operators.{AsOfJoin, DataOps, MathOps, Ops, RangeJoin}
 
@@ -792,6 +792,34 @@ object SparkEntry {
         .agg(sum(Text.tokenCountBpeish(col("text"))).as("n_tokens_bpe"),
           count(lit(1)).as("n_docs"))
         .orderBy("source")),
+
+    // real table-driven BPE (corpus-learned fixture, GPT-2 merges /
+    // BERT vocab formats): the full per-doc id SEQUENCE is pinned as an
+    // order-sensitive string — the oracle must replay every merge
+    // decision, not just the counts
+    "q_token_bpe" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("__t"))
+        .select(col("doc_id"), Bpe.encode(col("__t")).as("__ids"))
+        .select(col("doc_id"),
+          size(col("__ids")).as("n_tokens"),
+          concat_ws(" ", transform(col("__ids"), x => x.cast("string")))
+            .as("ids_str"))
+        .orderBy("doc_id")),
+
+    // token-budgeted mixing measured in REAL BPE tokens (the budget
+    // arithmetic q_mix_budget runs on n_chars, faithful only as far as
+    // chars track tokens)
+    "q_mix_budget_bpe" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Text.tokens(col("text")).as("__t"))
+        .select(col("doc_id"), col("source"),
+          size(Bpe.encode(col("__t"))).as("n_tok")) >>
+        Ops.sampleToBudget(col("doc_id"), col("source"), col("n_tok"),
+          Map("src0" -> 400L, "src1" -> 20000L, "src3" -> 900L,
+            "src7" -> 1L), seed = 9) >>
+        (_.select("doc_id", "source").orderBy("doc_id"))),
 
     // Gopher/MassiveText rule-family quality signals + keep decision
     "q_gopher_rules" -> ((s, dir) =>
@@ -1867,6 +1895,23 @@ object SparkEntry {
           |           '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_tokens_bpe,
           |       count(*) AS n_docs
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the committed merge/vocab fixture is inlined as VALUES and the
+      // greedy merge loop replayed as a recursive CTE (Bpe.oracleCtes);
+      // token-less docs come back via LEFT JOIN with an empty sequence
+      "q_token_bpe" ->
+        s"""WITH RECURSIVE ${Bpe.oracleCtes(toksSql)}
+           |SELECT d.doc_id,
+           |       coalesce(len(b.ids), 0)::INTEGER AS n_tokens,
+           |       coalesce(array_to_string(list_transform(b.ids,
+           |           x -> CAST(x AS VARCHAR)), ' '), '') AS ids_str
+           |FROM documents d LEFT JOIN bpe_doc b USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
+
+      "q_mix_budget_bpe" -> OracleXxh.q_mix_budget_bpe(
+        Map("src0" -> 400L, "src1" -> 20000L, "src3" -> 900L,
+          "src7" -> 1L), seed = 9, buckets = 1024,
+        bpeCtes = Bpe.oracleCtes(toksSql)),
 
       "q_fingerprint" ->
         """SELECT doc_id,

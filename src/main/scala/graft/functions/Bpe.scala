@@ -1,0 +1,248 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Table-driven byte-pair encoding — the real-tokenizer upgrade over
+  * [[Text.tokenCountBpeish]]: token budgets ([[graft.operators.Ops
+  * .sampleToBudget]]) and packing are only as faithful as token counts,
+  * and a regex stand-in drifts arbitrarily far from any deployed vocab.
+  *
+  * Table formats are the public ones: `merges.txt` is the GPT-2 merge
+  * list ("#version" header, one "left right" pair per line, rank =
+  * line order; Radford et al. 2019, `encoder.py`), `vocab.txt` is the
+  * BERT token-per-line list (id = 0-based line index). The committed
+  * fixture is LEARNED from the test corpus with the classic Sennrich
+  * ACL'16 procedure (`tools/make_bpe_fixture.py`, deterministic
+  * tie-breaking) — swap in a production vocab/merges pair at this seam.
+  *
+  * Encoding: per word (the [[Text.tokens]] whitespace/lowercase
+  * pre-tokenization — no byte-level escape map; ASCII contract like
+  * the rest of the text battery), start from characters and repeatedly
+  * merge the LEFTMOST occurrence of the lowest-rank adjacent pair
+  * until no pair is in the table, then map tokens to vocab ids
+  * (unknown → -1). For any well-formed learned table this is exactly
+  * the reference algorithm ("merge all occurrences of the best pair,
+  * re-evaluate"): a token produced by merge i can only participate in
+  * pairs of rank > i (its pair was learnable only once the token
+  * existed), so remaining occurrences of the best pair stay strictly
+  * best until exhausted, and one-at-a-time leftmost order coincides
+  * with the reference left-to-right sweep — including the self-pair
+  * run case ("aaaa" → aa·aa). The invariant is CHECKED at load.
+  *
+  * Scale: per-row compiled kernel ([[BpeEncode]] codegen), no UDF, no
+  * shuffle — embarrassingly parallel over docs; the table rides the
+  * expression (a few KB), not a join. The merge loop is O(L²) lookups
+  * per word in the worst case — fine for natural-language words; split
+  * pathological unbroken blobs upstream.
+  *
+  * Oracled end-to-end: [[oracleCtes]] emits DuckDB CTEs replaying the
+  * identical loop as a recursive CTE over the identical inlined table
+  * (q_token_bpe, q_mix_budget_bpe). */
+object Bpe {
+
+  /** A loaded (merges, vocab) pair; the encode kernel lives here so
+    * codegen can hold the table as one reference object. */
+  case class Table(merges: IndexedSeq[(String, String)],
+                   vocab: IndexedSeq[String]) extends Serializable {
+
+    @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.size * 2)
+      merges.zipWithIndex.foreach { case ((l, r), i) =>
+        val prior = m.put(l + SEP + r, Integer.valueOf(i))
+        require(prior == null, s"duplicate merge: '$l $r'")
+      }
+      m
+    }
+
+    @transient private lazy val ids: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+      vocab.zipWithIndex.foreach { case (t, i) =>
+        val prior = m.put(t, Integer.valueOf(i))
+        require(prior == null, s"duplicate vocab token: '$t'")
+      }
+      m
+    }
+
+    // learned-table invariant (see scaladoc): multi-char constituents
+    // must be products of EARLIER merges
+    {
+      val produced = scala.collection.mutable.HashSet.empty[String]
+      merges.foreach { case (l, r) =>
+        require(l.length == 1 || produced(l),
+          s"merge constituent '$l' not produced by an earlier merge")
+        require(r.length == 1 || produced(r),
+          s"merge constituent '$r' not produced by an earlier merge")
+        produced += (l + r)
+      }
+    }
+
+    /** tokens array<string> → concatenated per-word BPE ids. */
+    def encode(tokens: ArrayData): ArrayData = {
+      val out = new scala.collection.mutable.ArrayBuffer[Int](
+        tokens.numElements() * 2)
+      var w = 0
+      while (w < tokens.numElements()) {
+        encodeWord(tokens.getUTF8String(w).toString, out)
+        w += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    private def encodeWord(word: String,
+                           out: scala.collection.mutable.ArrayBuffer[Int])
+        : Unit = {
+      val seq = scala.collection.mutable.ArrayBuffer.tabulate(word.length)(
+        i => word.substring(i, i + 1))
+      var done = seq.length < 2
+      while (!done) {
+        var bestRank = Int.MaxValue
+        var bestI = -1
+        var i = 0
+        while (i < seq.length - 1) {
+          val r = ranks.get(seq(i) + SEP + seq(i + 1))
+          // strict < keeps the LEFTMOST occurrence of the best rank
+          if (r != null && r.intValue() < bestRank) {
+            bestRank = r.intValue(); bestI = i
+          }
+          i += 1
+        }
+        if (bestI < 0) done = true
+        else {
+          seq(bestI) = seq(bestI) + seq(bestI + 1)
+          seq.remove(bestI + 1)
+        }
+      }
+      seq.foreach { t =>
+        val id = ids.get(t)
+        out += (if (id == null) -1 else id.intValue())
+      }
+    }
+  }
+
+  /** Pair-key separator: never occurs in ASCII-contract tokens; the
+    * DuckDB replay uses the same byte (`chr(1)`). */
+  private val SEP = "\u0001"
+
+  /** The committed corpus-learned fixture (classpath resources). */
+  lazy val default: Table = {
+    def res(name: String): Seq[String] = {
+      val in = getClass.getResourceAsStream(s"/graft/bpe/$name")
+      require(in != null, s"missing classpath resource graft/bpe/$name")
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val merges = res("merges.txt")
+      .filterNot(l => l.startsWith("#") || l.isEmpty)
+      .map { l =>
+        val sp = l.split(" ", 2)
+        require(sp.length == 2, s"bad merges line: '$l'")
+        (sp(0), sp(1))
+      }
+    Table(merges.toIndexedSeq,
+      res("vocab.txt").filter(_.nonEmpty).toIndexedSeq)
+  }
+
+  /** BPE token ids of a MATERIALIZED tokens column (array<string> →
+    * array<int>; see [[Text.shinglesFromTokens]] on why tokens should
+    * be staged in their own projection). */
+  def encode(tokens: Column, table: Table = default): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(tokens), table))
+
+  /** BPE token count — the [[Text.tokenCountBpeish]] replacement for
+    * budget/packing arithmetic. */
+  def countTokens(tokens: Column, table: Table = default): Column =
+    org.apache.spark.sql.functions.size(encode(tokens, table))
+
+  // --- DuckDB oracle replay --------------------------------------------
+
+  private def esc(s: String): String = s.replace("'", "''")
+
+  /** DuckDB CTE chain replaying [[Table.encode]] over a document table:
+    * inlined merge/vocab tables → per-word recursive merge loop (one
+    * leftmost best-rank merge per recursion step — the identical
+    * convention) → per-doc id concatenation in word order. The caller
+    * embeds this after `WITH RECURSIVE` and reads `bpe_doc(doc_id,
+    * ids)`; docs whose token list is empty are ABSENT (LEFT JOIN and
+    * coalesce at the use site). `toksSql` is the caller's tokenizer
+    * expression over `documents.text`. */
+  def oracleCtes(toksSql: String, table: Table = default): String = {
+    val mv = table.merges.zipWithIndex
+      .map { case ((l, r), i) => s"('${esc(l)}','${esc(r)}',$i)" }
+      .mkString(", ")
+    val vv = table.vocab.zipWithIndex
+      .map { case (t, i) => s"('${esc(t)}',$i)" }.mkString(", ")
+    s"""bpe_m(l, r, rk) AS (VALUES $mv),
+       |bpe_v(tok, id) AS (VALUES $vv),
+       |bpe_mm AS (SELECT map(list(l || chr(1) || r), list(rk)) AS mp
+       |           FROM bpe_m),
+       |bpe_vm AS (SELECT map(list(tok), list(id)) AS vmp FROM bpe_v),
+       |bpe_w AS (
+       |  SELECT doc_id, unnest(list_transform($toksSql,
+       |      (x, i) -> {'widx': i, 'word': x}), recursive := true)
+       |  FROM documents),
+       |bpe_uw AS (SELECT DISTINCT word FROM bpe_w),
+       |bpe_loop(word, seq, done) AS (
+       |  SELECT word, regexp_extract_all(word, '.'), false FROM bpe_uw
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN best IS NULL THEN seq
+       |         ELSE list_concat(list_concat(seq[1:best.i - 1],
+       |                [seq[best.i] || seq[best.i + 1]]),
+       |                seq[best.i + 2:len(seq)]) END,
+       |    best IS NULL
+       |  FROM (
+       |    SELECT word, seq, list_sort(list_filter(list_transform(seq,
+       |        (x, i) -> {'rk': mp[x || chr(1) || seq[i + 1]][1],
+       |                   'i': i}),
+       |        c -> c.rk IS NOT NULL))[1] AS best
+       |    FROM bpe_loop, bpe_mm WHERE NOT done) s),
+       |bpe_tok AS (
+       |  SELECT word,
+       |         list_transform(seq, t -> coalesce(vmp[t][1], -1)) AS tids
+       |  FROM bpe_loop, bpe_vm WHERE done),
+       |bpe_doc AS (
+       |  SELECT doc_id, flatten(list(tids ORDER BY widx)) AS ids
+       |  FROM bpe_w JOIN bpe_tok USING (word) GROUP BY doc_id)"""
+      .stripMargin
+  }
+}
+
+/** Codegen kernel expression: tokens array<string> → BPE ids
+  * array<int> in one compiled call per row (the [[WinnowPrints]]
+  * pattern); the table is a codegen reference object, serialized once
+  * per task, never shuffled. */
+case class BpeEncode(child: Expression, table: Bpe.Table)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_encode needs array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    table.encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val tbl = ctx.addReferenceObj("bpeTable", table,
+      classOf[Bpe.Table].getName)
+    nullSafeCodeGen(ctx, ev, ts => s"${ev.value} = $tbl.encode($ts);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BpeEncode = copy(child = newChild)
+}
