@@ -427,8 +427,8 @@ ranked AS (SELECT query_id, nbr_id, cosine,
 SELECT query_id, nbr_id, cosine, rank FROM ranked
 WHERE rank <= 5 ORDER BY query_id, rank"""
 
-  /** Deterministic stub feature f0: strided byte-histogram arithmetic (no xxhash; plain SQL). */
-  val q_multimodal_features: String =
+  /** Deterministic byte-seam feature f0: strided byte-histogram arithmetic (no xxhash; plain SQL). */
+  val q_multimodal_features_bytes: String =
     """WITH s AS (SELECT doc_id,
     length(text)::BIGINT AS n_bytes,
     list_sum(list_transform(range(1, length(text)+1, 8),

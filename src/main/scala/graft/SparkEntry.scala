@@ -1329,12 +1329,62 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
-    "q_multimodal_features" -> ((s, dir) => {
+    // byte-level seam (audio/video stand-in): deterministic strided
+    // byte-histogram features behind the production mapPartitions shape
+    "q_multimodal_features_bytes" -> ((s, dir) => {
       val docs = Multimodal.asBinaryDoc(
         t(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(s, docs, "doc_id", dim = 8)
         .select(col("id").as("doc_id"), col("n_bytes"),
           round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL image decode: per-doc synthetic 8x6 P6 payloads built by the
+    // real encoder, parsed back by the real parser (Ppm.decode), 8
+    // fixed-arithmetic pixel features — decoded dims + all features
+    // replayed bit-exactly by the oracle
+    "q_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id,
+          graft.llm.Ppm.encodeP6(graft.llm.Ppm.synthetic(id, 8, 6))))
+        .toDF("doc_id", "content")
+      Multimodal.extractImageFeatures(imgs, "doc_id")
+        .select(Seq(col("id").as("doc_id"), col("width"), col("height")) ++
+          (0 until 8).map(i => element_at(col("feature"), i + 1)
+            .as(s"f$i")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // real frame sampling: decoded pixel-row bands re-encoded as
+    // standalone P6 images; the full frame BYTES are pinned (hex)
+    "q_ppm_frames" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id,
+          graft.llm.Ppm.encodeP6(graft.llm.Ppm.synthetic(id, 8, 6))))
+        .toDF("doc_id", "content")
+      Multimodal.sampleImageRows(imgs, "doc_id", 4)
+        .select(col("id").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          hex(col("frame")).as("frame_hex"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // real resize: nearest-neighbor 8x6 -> 4x3 on decoded pixels,
+    // re-encoded payload pinned byte-for-byte (hex) + refreshed meta
+    "q_ppm_resize" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id,
+          graft.llm.Ppm.encodeP6(graft.llm.Ppm.synthetic(id, 8, 6))))
+        .toDF("doc_id", "content")
+      Multimodal.resizeImage(imgs, "doc_id", 4, 3)
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          hex(col("content")).as("content_hex"))
         .orderBy("doc_id")
     })
   )
@@ -2208,7 +2258,75 @@ object SparkEntry {
       "q_embed_neardup_lsh" -> OracleXxh.q_embed_neardup_lsh,
       "q_embed_against" -> OracleXxh.q_embed_against,
       "q_simsearch_lsh" -> OracleXxh.q_simsearch_lsh,
-      "q_multimodal_features" -> OracleXxh.q_multimodal_features,
+      "q_multimodal_features_bytes" -> OracleXxh.q_multimodal_features_bytes,
+
+      // real PPM decode replay: the synthetic raster generator
+      // ((id*31 + j*7) mod 251, Ppm.synthetic) recomputed per channel,
+      // exact BIGINT sums, then the decoder's fixed double->float
+      // division chains (Ppm.features)
+      "q_multimodal_features" ->
+        """WITH px AS (
+          |  SELECT doc_id, p,
+          |         ((doc_id * 31 + (p * 3) * 7) % 251) AS r,
+          |         ((doc_id * 31 + (p * 3 + 1) * 7) % 251) AS g,
+          |         ((doc_id * 31 + (p * 3 + 2) * 7) % 251) AS b
+          |  FROM documents, unnest(generate_series(0, 47)) AS t(p)),
+          |a AS (
+          |  SELECT doc_id, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+          |         max(r) AS mr, max(g) AS mg, max(b) AS mb,
+          |         sum(299 * r + 587 * g + 114 * b) AS lum,
+          |         sum(abs(r - b)) AS ad
+          |  FROM px GROUP BY doc_id)
+          |SELECT doc_id, 8::INTEGER AS width, 6::INTEGER AS height,
+          |       CAST(CAST(sr AS DOUBLE) / 48 / 255 AS FLOAT) AS f0,
+          |       CAST(CAST(sg AS DOUBLE) / 48 / 255 AS FLOAT) AS f1,
+          |       CAST(CAST(sb AS DOUBLE) / 48 / 255 AS FLOAT) AS f2,
+          |       CAST(CAST(lum AS DOUBLE) / 1000.0 / 48 / 255 AS FLOAT)
+          |         AS f3,
+          |       CAST(CAST(mr AS DOUBLE) / 255 AS FLOAT) AS f4,
+          |       CAST(CAST(mg AS DOUBLE) / 255 AS FLOAT) AS f5,
+          |       CAST(CAST(mb AS DOUBLE) / 255 AS FLOAT) AS f6,
+          |       CAST(CAST(ad AS DOUBLE) / 48 / 255 AS FLOAT) AS f7
+          |FROM a ORDER BY doc_id""".stripMargin,
+
+      // band f of 4 covers pixel rows [f*6//4, (f+1)*6//4); each frame
+      // is a standalone P6 payload: header for the band height + the
+      // band's raster bytes, hex-pinned end to end
+      "q_ppm_frames" ->
+        """WITH f AS (
+          |  SELECT doc_id, f, (f * 6) // 4 AS y0, ((f + 1) * 6) // 4 AS y1
+          |  FROM documents, unnest(generate_series(0, 3)) AS t(f)
+          |  WHERE doc_id < 100),
+          |px AS (
+          |  SELECT doc_id, f, y1 - y0 AS bh,
+          |         string_agg(printf('%02X',
+          |             ((doc_id * 31 + j * 7) % 251)::INT),
+          |           '' ORDER BY j) AS body
+          |  FROM f, unnest(generate_series(0, 143)) AS t2(j)
+          |  WHERE j >= y0 * 24 AND j < y1 * 24
+          |  GROUP BY doc_id, f, y1 - y0)
+          |SELECT doc_id, f::BIGINT AS frame_idx,
+          |       hex('P6' || chr(10) || '8 ' || bh || chr(10) || '255'
+          |           || chr(10)) || body AS frame_hex
+          |FROM px ORDER BY doc_id, frame_idx""".stripMargin,
+
+      // nearest-neighbor 8x6 -> 4x3: destination byte k maps to source
+      // byte ((2*(p//4))*8 + 2*(p%4))*3 + c with p = k//3, c = k%3
+      "q_ppm_resize" ->
+        """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+          |px AS (
+          |  SELECT doc_id,
+          |         string_agg(printf('%02X',
+          |             ((doc_id * 31 +
+          |               ((((k // 3) // 4) * 2 * 8 + ((k // 3) % 4) * 2)
+          |                 * 3 + k % 3) * 7) % 251)::INT),
+          |           '' ORDER BY k) AS body
+          |  FROM d, unnest(generate_series(0, 35)) AS t(k)
+          |  GROUP BY doc_id)
+          |SELECT doc_id, 47::BIGINT AS n_bytes,
+          |       hex('P6' || chr(10) || '4 3' || chr(10) || '255'
+          |           || chr(10)) || body AS content_hex
+          |FROM px ORDER BY doc_id""".stripMargin,
 
       "q_scrub_pii" ->
         """SELECT doc_id,
