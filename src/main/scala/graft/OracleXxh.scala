@@ -250,6 +250,50 @@ SELECT id AS doc_id FROM novel WHERE nw = nb
 UNION ALL SELECT id AS doc_id FROM sh WHERE len(hs) = 0
 ORDER BY doc_id"""
 
+  /** [[graft.llm.Dedup.minhashNovelVerified]] replay: band winners as
+    * in q_minhash_novel, then every suppressed (id, winner) pair
+    * verified against the full signatures — novel iff NO winner agrees
+    * on ≥ 0.4 of the 128 slots. Shingle-less docs never band ⇒ never
+    * suppressed. */
+  val q_minhash_novel_verified: String =
+    prologue + "\nWITH " + minhashBandsFrom(
+      """toks AS (SELECT doc_id::BIGINT AS id, list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0) AS ts FROM documents)""") + ",\n" +
+"""bkr AS (SELECT b.* FROM bk b JOIN sh USING (id) WHERE len(sh.hs) > 0),
+firsts AS (SELECT bkey, min(id) AS w FROM bkr GROUP BY bkey),
+cand AS (SELECT DISTINCT b.id, f.w FROM bkr b JOIN firsts f USING (bkey)
+  WHERE f.w <> b.id),
+conf AS (SELECT DISTINCT c.id FROM cand c
+  JOIN sig sa ON sa.id = c.id JOIN sig sb ON sb.id = c.w
+  WHERE len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i])) / 128.0
+        >= 0.4)
+SELECT s.id AS doc_id FROM sh s LEFT JOIN conf ON conf.id = s.id
+WHERE conf.id IS NULL ORDER BY doc_id"""
+
+  /** [[graft.llm.Dedup.minhashNovel]] under a `shortDocs` policy, over
+    * a corpus WITH shingle-less docs (every 50th doc's text replaced
+    * by a 2-token string on both sides): "novel" admits each, "pair"
+    * admits only the minimum id (all sentinel signatures are mutual
+    * duplicates), "drop" admits none. */
+  def q_minhash_novel_policy(policy: String): String = {
+    val toks =
+      """toks AS (SELECT doc_id::BIGINT AS id, list_filter(string_split(lower(trim(CASE WHEN doc_id % 50 = 0 THEN 'short ' || doc_id ELSE text END)), ' '), t -> len(t) > 0) AS ts FROM documents)"""
+    val tail = policy match {
+      case "novel" =>
+        "\nUNION ALL SELECT id AS doc_id FROM sh WHERE len(hs) = 0"
+      case "pair" =>
+        "\nUNION ALL SELECT min(id) AS doc_id FROM sh WHERE len(hs) = 0 HAVING count(*) > 0"
+      case "drop" => ""
+      case other => throw new IllegalArgumentException(other)
+    }
+    prologue + "\nWITH " + minhashBandsFrom(toks) + ",\n" +
+"""bkr AS (SELECT b.* FROM bk b JOIN sh USING (id) WHERE len(sh.hs) > 0),
+firsts AS (SELECT bkey, min(id) AS w FROM bkr GROUP BY bkey),
+novel AS (SELECT b.id,
+    sum(CASE WHEN f.w = b.id THEN 1 ELSE 0 END) AS nw, count(*) AS nb
+  FROM bkr b JOIN firsts f USING (bkey) GROUP BY b.id)
+SELECT id AS doc_id FROM novel WHERE nw = nb""" + tail + "\nORDER BY doc_id"
+  }
+
   val q_simhash_pairs: String =
     prologue + "\n" +
 """WITH toks AS (SELECT doc_id::BIGINT AS id, list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0) AS ts FROM documents),

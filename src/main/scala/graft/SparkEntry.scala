@@ -30,6 +30,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** documents with every 50th text replaced by a TWO-token string —
+    * the shingle-less corpus the shortDocs-policy queries run on (the
+    * oracle applies the identical CASE rewrite). */
+  private def shortedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(50)) === 0,
+        concat(lit("short "), col("doc_id").cast("string")))
+        .otherwise(col("text")).as("text"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference README's headline pipeline (reference README.rst:75-90):
     * count-based rolling mean, window=3 stride=3, over the events stream. */
@@ -983,6 +992,27 @@ object SparkEntry {
     "q_minhash_novel" -> ((s, dir) =>
       Dedup.minhashNovel(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // opt-in verify pass on first-occurrence near-dup: suppressed docs
+    // join back to their band WINNERS' signatures and are re-admitted
+    // unless one verifies at >= threshold (candidate rows are bounded
+    // by bands per doc — never bucket-quadratic)
+    "q_minhash_novel_verified" -> ((s, dir) =>
+      Dedup.minhashNovelVerified(t(s, dir, "documents"), "doc_id",
+        "text", threshold = 0.4)
+        .orderBy("doc_id")),
+
+    // the ONE shortDocs policy knob, exercised on a corpus WITH
+    // shingle-less docs (every 50th doc shortened to two tokens)
+    "q_short_novel" -> ((s, dir) =>
+      Dedup.minhashNovel(shortedDocs(s, dir), "doc_id", "text",
+        shortDocs = "novel").orderBy("doc_id")),
+    "q_short_pair" -> ((s, dir) =>
+      Dedup.minhashNovel(shortedDocs(s, dir), "doc_id", "text",
+        shortDocs = "pair").orderBy("doc_id")),
+    "q_short_drop" -> ((s, dir) =>
+      Dedup.minhashNovel(shortedDocs(s, dir), "doc_id", "text",
+        shortDocs = "drop").orderBy("doc_id")),
 
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -2252,6 +2282,10 @@ object SparkEntry {
           "src7" -> 1L), seed = 3, buckets = 1024),
       "q_minhash_pairs" -> OracleXxh.q_minhash_pairs,
       "q_minhash_novel" -> OracleXxh.q_minhash_novel,
+      "q_minhash_novel_verified" -> OracleXxh.q_minhash_novel_verified,
+      "q_short_novel" -> OracleXxh.q_minhash_novel_policy("novel"),
+      "q_short_pair" -> OracleXxh.q_minhash_novel_policy("pair"),
+      "q_short_drop" -> OracleXxh.q_minhash_novel_policy("drop"),
       "q_minhash_dedup" -> OracleXxh.q_minhash_dedup,
       "q_minhash_against" -> OracleXxh.q_minhash_against,
       "q_simhash_pairs" -> OracleXxh.q_simhash_pairs,

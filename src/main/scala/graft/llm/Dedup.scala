@@ -208,19 +208,24 @@ object Dedup {
     * oversized buckets are dropped with the cap recorded, the standard
     * trade at corpus scale (a 10^6-doc bucket is boilerplate, not near-dups).
     *
-    * Shingle-less docs (< shingleSize tokens) all carry the SENTINEL
-    * signature and pair with each other at est_jaccard 1.0 — the
-    * empty-set Jaccard convention, oracle-replicated. That is right for
-    * pair ANALYSIS (empty ≡ empty) but wrong for first-occurrence
-    * novelty, where unrelated short docs must not suppress each other —
-    * [[minhashNovel]] and the streaming NearDupOp exclude them from
-    * banding for exactly that reason. Filter short docs upstream if
-    * sentinel pairs are unwanted here. */
+    * Shingle-less docs (< shingleSize tokens) follow the `shortDocs`
+    * policy ([[Dedup.ShortDocPolicies]], one knob across
+    * minhashPairs / [[minhashNovel]] / [[minhashNovelVerified]] / the
+    * streaming NearDupOp): "pair" (the default HERE — the empty-set
+    * Jaccard convention: all sentinel-signature docs pair with each
+    * other at est_jaccard 1.0, right for pair ANALYSIS where
+    * empty ≡ empty), or "novel"/"drop" (exclude them from banding —
+    * indistinguishable for pair OUTPUT since unpaired docs aren't
+    * listed; the two differ in the novelty operators, whose default is
+    * "novel" because unrelated short docs must not suppress each
+    * other). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 128,
                    bands: Int = 32, threshold: Double = 0.5,
-                   maxBucketSize: Int = 1000): DataFrame = {
+                   maxBucketSize: Int = 1000,
+                   shortDocs: String = "pair"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    requireShortDocPolicy(shortDocs)
     // Staged projections: text → tokens → shingle hashes, each in its own
     // step so lambda bodies only ever reference materialized attributes
     // (see Text.shinglesFromTokens on why), then an Exchange BEFORE the
@@ -229,10 +234,14 @@ object Dedup {
     // even when the input is a handful of parquet files, and is a hard
     // barrier Catalyst cannot collapse projections across.
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val hs = df
+    val hs0 = df
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__t"))
       .select(col("id"), shingleHashes(col("__t"), shingleSize).as("hs"))
       .repartition(p, col("id"))
+    // "pair": sentinel signatures band together (empty ≡ empty);
+    // "novel"/"drop": shingle-less docs never enter banding
+    val hs = if (shortDocs == "pair") hs0
+             else hs0.filter(size(col("hs")) > 0)
     val sig = hs.select(col("id"),
       minhashSigFromHashes(col("hs"), numHashes).as("sig"))
     // One row per (doc, band) carrying ONLY (id, bkey) — the signature
@@ -286,8 +295,10 @@ object Dedup {
     * novel ids as `(idCol)`. */
   def minhashNovel(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 128,
-                   bands: Int = 32): DataFrame = {
+                   bands: Int = 32,
+                   shortDocs: String = "novel"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    requireShortDocPolicy(shortDocs)
     val p = df.sparkSession.sparkContext.defaultParallelism
     val hs = df
       .select(col(idCol).cast("long").as("id"),
@@ -297,11 +308,13 @@ object Dedup {
     // shingle-less docs (< shingleSize tokens) never enter banding:
     // their signature would be the all-sentinel MinHash (identical for
     // EVERY such doc), which would band unrelated short docs together
-    // and suppress all but the first. No shingles ⇒ nothing to collide
-    // on ⇒ trivially novel; run exact dedup upstream for short docs.
+    // and suppress all but the first. The shortDocs policy decides
+    // their fate instead ([[ShortDocPolicies]], default "novel": no
+    // shingles ⇒ nothing to collide on ⇒ trivially novel; run exact
+    // dedup upstream for short docs).
     val withContent = hs.filter(size(col("hs")) > 0)
-    val contentless = hs.filter(size(col("hs")) === 0)
-      .select(col("id").as(idCol))
+    val contentless = shortDocFate(
+      hs.filter(size(col("hs")) === 0), idCol, shortDocs)
     val sig = withContent.select(col("id"),
       minhashSigFromHashes(col("hs"), numHashes).as("sig"))
     val banded = sig.select(col("id"),
@@ -312,6 +325,94 @@ object Dedup {
       .agg(sum(when(col("__w") === col("id"), 1L).otherwise(0L)).as("__nw"),
         count(lit(1)).as("__nb"))
       .filter(col("__nw") === col("__nb"))
+      .select(col("id").as(idCol))
+      .unionByName(contentless)
+  }
+
+  /** The one `shortDocs` policy knob shared by [[minhashPairs]],
+    * [[minhashNovel]], [[minhashNovelVerified]] and the streaming
+    * NearDupOp (round-5 verdict item 6 — previously two divergent
+    * documented defaults):
+    *  - "pair": shingle-less docs are mutual duplicates (the empty-set
+    *    Jaccard convention, est 1.0) — novelty keeps the MINIMUM id
+    *    only, pairing lists them against each other;
+    *  - "novel": nothing to collide on ⇒ each is trivially novel
+    *    (pairing excludes them);
+    *  - "drop": excluded from the output entirely.
+    * Defaults preserve each operator's historical behavior ("pair" for
+    * pair analysis, "novel" for first-occurrence novelty). */
+  val ShortDocPolicies: Set[String] = Set("pair", "novel", "drop")
+
+  private def requireShortDocPolicy(p: String): Unit =
+    require(ShortDocPolicies(p),
+      s"shortDocs must be one of ${ShortDocPolicies.mkString("/")}: got '$p'")
+
+  /** Novelty-side fate of the shingle-less docs under a policy. Under
+    * "pair" all sentinel signatures are identical, so full banding
+    * would make every band's winner the global minimum id — computed
+    * directly as one min. */
+  private def shortDocFate(contentless: DataFrame, idCol: String,
+                           policy: String): DataFrame = policy match {
+    case "novel" => contentless.select(col("id").as(idCol))
+    case "drop"  => contentless.select(col("id").as(idCol)).limit(0)
+    case "pair"  => contentless.agg(min(col("id")).as(idCol))
+      .filter(col(idCol).isNotNull)
+  }
+
+  /** [[minhashNovel]] with the OPT-IN verification pass (round-5
+    * verdict item 5): band collision alone suppresses with false
+    * positives (a random 4-slot signature slice match); here every
+    * suppressed doc is joined back to its band WINNERS' signatures and
+    * re-admitted unless some winner actually agrees on ≥ `threshold`
+    * of the signature. A doc is novel iff every band it appears in is
+    * either held by it or held by a winner whose estimated Jaccard
+    * stays below `threshold` — on corpora whose near-dup groups are
+    * band-connected to their minimum id this coincides with the gold
+    * [[minhashPairs]] + [[components]] first-occurrence semantics
+    * (pinned by TextDedupSpec; oracled end-to-end as
+    * q_minhash_novel_verified).
+    *
+    * Scale: the verify join carries signatures only for DISTINCT
+    * (suppressed id, winner) pairs — at most `bands` rows per doc,
+    * NEVER bucket-quadratic (a boilerplate band of 10^6 docs adds 10^6
+    * candidate rows, not 10^12); everything else is the minhashNovel
+    * plan. The streaming twin's verify variant stores the winner
+    * signature in band state (128 longs) — see NearDupOp scaladoc. */
+  def minhashNovelVerified(df: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int = 3, numHashes: Int = 128,
+                           bands: Int = 32, threshold: Double = 0.5,
+                           shortDocs: String = "novel"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    requireShortDocPolicy(shortDocs)
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val hs = df
+      .select(col(idCol).cast("long").as("id"),
+        Text.tokens(col(textCol)).as("__t"))
+      .select(col("id"), shingleHashes(col("__t"), shingleSize).as("hs"))
+      .repartition(p, col("id"))
+    val withContent = hs.filter(size(col("hs")) > 0)
+    val contentless = shortDocFate(
+      hs.filter(size(col("hs")) === 0), idCol, shortDocs)
+    val sig = withContent.select(col("id"),
+      minhashSigFromHashes(col("hs"), numHashes).as("sig"))
+    val banded = sig.select(col("id"),
+      explode(bandKeysFromSig(col("sig"), numHashes, bands)).as("bkey"))
+    val firsts = banded.groupBy("bkey").agg(min("id").as("__w"))
+    // suppression evidence, deduped BEFORE signatures ride any join
+    val cand = banded.join(firsts, "bkey")
+      .filter(col("__w") =!= col("id"))
+      .select(col("id"), col("__w").as("wid"))
+      .distinct()
+    val confirmed = cand
+      .join(sig.select(col("id"), col("sig")), "id")
+      .join(sig.select(col("id").as("wid"), col("sig").as("wsig")), "wid")
+      .filter(size(filter(zip_with(col("sig"), col("wsig"),
+        (x, y) => x === y), b => b)).cast("double") / numHashes
+        >= threshold)
+      .select(col("id"))
+      .distinct()
+    sig.select(col("id"))
+      .join(confirmed, Seq("id"), "left_anti")
       .select(col("id").as(idCol))
       .unionByName(contentless)
   }

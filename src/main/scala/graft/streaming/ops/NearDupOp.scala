@@ -1,6 +1,6 @@
 package graft.streaming.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -46,7 +46,12 @@ import graft.streaming.{AnalysisConf, OperatorFactory}
   * Config: `id_col` ("doc_id"), `text_col` ("text"), `timestamp_col`
   * ("ts"), `window` ("1 hour"), `lateness` ("10 minutes" — also the
   * source watermark to declare on the topic), `shingle_size` (3),
-  * `num_hashes` (128), `bands` (32).
+  * `num_hashes` (128), `bands` (32), `short_docs` ("novel" — the
+  * one [[graft.llm.Dedup.ShortDocPolicies]] knob: "novel" bands
+  * shingle-less docs on per-doc-unique synthetic keys so each is
+  * trivially novel; "pair" bands them on SHARED sentinel keys so the
+  * first-ever short doc claims them all and every later one is
+  * suppressed; "drop" excludes them).
   *
   * Streaming analysis note: Spark's analysis-time guard rejects ANY
   * stateful op downstream of flatMapGroupsWithState because FMGWS
@@ -80,7 +85,11 @@ object NearDupOp extends OperatorFactory {
     val shingleSize = config.getOrElse("shingle_size", 3).toString.toInt
     val numHashes = config.getOrElse("num_hashes", 128).toString.toInt
     val bands = config.getOrElse("bands", 32).toString.toInt
+    val shortDocs = config.getOrElse("short_docs", "novel").toString
     require(numHashes % bands == 0, "bands must divide num_hashes")
+    require(graft.llm.Dedup.ShortDocPolicies(shortDocs),
+      s"short_docs must be one of " +
+        s"${graft.llm.Dedup.ShortDocPolicies.mkString("/")}: '$shortDocs'")
     val latenessMs = parseMs(lateness)
     val streaming = df.isStreaming
     if (streaming) {
@@ -98,20 +107,25 @@ object NearDupOp extends OperatorFactory {
       col(tsCol).as("ts"),
       graft.llm.Dedup.shingleHashes(
         graft.functions.Text.tokens(col(textCol)), shingleSize).as("hs"))
-    val sig = hs.select(col("id"), col("ts"), col("hs"),
+    val sig0 = hs.select(col("id"), col("ts"), col("hs"),
       graft.llm.Dedup.minhashSigFromHashes(col("hs"), numHashes)
         .as("sig"))
+    val sig = if (shortDocs == "drop") sig0.filter(size(col("hs")) > 0)
+              else sig0
     // shingle-less docs must NOT band on their signature: the MinHash of
     // an empty shingle set is the all-sentinel vector — identical for
     // EVERY short doc — which would band unrelated short docs together
-    // and suppress all but the first ever seen (the minhashNovel rule:
-    // no shingles ⇒ nothing to collide on ⇒ trivially novel). They ride
-    // the same single path on per-doc-UNIQUE synthetic band keys, so
-    // they always win all their bands; run exact dedup upstream for
-    // short docs.
+    // regardless of policy. They ride the same single path on synthetic
+    // band keys instead: per-doc-UNIQUE under "novel" (each short doc
+    // wins all its bands — trivially novel; run exact dedup upstream),
+    // SHARED under "pair" (the first-ever short doc claims the sentinel
+    // bands, every later one is suppressed — the empty ≡ empty
+    // convention of Dedup.ShortDocPolicies).
+    val contentlessKey: Column => Column =
+      if (shortDocs == "pair") b => xxhash64(lit("__contentless"), b)
+      else b => xxhash64(lit("__contentless"), col("id"), b)
     val keys = when(size(col("hs")) === 0,
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("__contentless"), col("id"), b)))
+      transform(sequence(lit(0), lit(bands - 1)), contentlessKey))
       .otherwise(graft.llm.Dedup.bandKeysFromSig(col("sig"), numHashes,
         bands))
     val banded = sig.select(col("id"), col("ts"),

@@ -454,6 +454,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L), got)
   }
 
+  test("NearDupOp short_docs config matches Dedup.ShortDocPolicies in " +
+    "batch mode (novel keeps each short doc, pair keeps the minimum, " +
+    "drop removes them)") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val long1 = (1 to 30).map(i => s"pol$i").mkString(" ")
+    val docs = Seq((1L, ts(1), long1), (5L, ts(2), "tiny one"),
+      (6L, ts(3), "tiny two")).toDF("doc_id", "ts", "text")
+    def run(p: String) = graft.streaming.ops.NearDupOp(
+        Map("window" -> "1 hour", "short_docs" -> p), Seq(docs)).head
+      .select("doc_id").as[Long].collect().toSet
+    def batch(p: String) = graft.llm.Dedup.minhashNovel(
+      docs, "doc_id", "text", shortDocs = p).as[Long].collect().toSet
+    Seq("novel", "pair", "drop").foreach { p =>
+      assert(run(p) == batch(p), s"policy $p: ${run(p)} vs ${batch(p)}")
+    }
+    assert(run("pair") == Set(1L, 5L) && run("drop") == Set(1L))
+  }
+
   test("NearDupOp: at-least-once redelivery — a doc delivered twice in " +
     "one micro-batch and again in a later one is still novel") {
     val tmp = Files.createTempDirectory("neardup_redeliver").toString

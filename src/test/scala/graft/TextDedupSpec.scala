@@ -595,6 +595,55 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Set(1L, 3L, 4L, 5L), got)
   }
 
+  test("minhashNovelVerified matches minhashPairs+components " +
+    "first-occurrence (the gold semantics) and never suppresses more " +
+    "than band collision alone") {
+    val tA = (1 to 30).map(i => s"al$i").mkString(" ")
+    val tC = (1 to 30).map(i => s"ga$i").mkString(" ")
+    val tC2 = (1 to 28).map(i => s"ga$i").mkString(" ") + " x y"
+    val tD = (1 to 30).map(i => s"de$i").mkString(" ")
+    val tE = (1 to 30).map(i => s"ep$i").mkString(" ")
+    val docs = Seq(
+      (1L, tA), (2L, tA), (3L, tA), // identical triplet -> keep 1
+      (10L, tC), (11L, tC2),        // near-dup pair -> keep 10
+      (20L, tD), (21L, tE),         // unrelated
+      (30L, "tiny one"), (31L, "tiny two")) // shingle-less
+      .toDF("doc_id", "text")
+    val verified = Dedup.minhashNovelVerified(docs, "doc_id", "text",
+      threshold = 0.4).as[Long].collect().toSet
+    val gold = Dedup.dropNearDuplicates(docs, "doc_id",
+      Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.4,
+        shortDocs = "novel"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(verified == gold, s"verified=$verified gold=$gold")
+    assert(verified == Set(1L, 10L, 20L, 21L, 30L, 31L), verified)
+    val unverified = Dedup.minhashNovel(docs, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(unverified.subsetOf(verified)) // verify only RE-admits
+  }
+
+  test("shortDocs policy knob: novel keeps every shingle-less doc, " +
+    "pair keeps the minimum only, drop removes them; sentinel pairs " +
+    "appear only under 'pair'") {
+    val long1 = (1 to 30).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, long1),
+      (5L, "tiny one"), (6L, "tiny two"), (7L, "x"))
+      .toDF("doc_id", "text")
+    def novel(p: String) = Dedup.minhashNovel(docs, "doc_id", "text",
+      shortDocs = p).as[Long].collect().toSet
+    assert(novel("novel") == Set(1L, 5L, 6L, 7L))
+    assert(novel("pair") == Set(1L, 5L))
+    assert(novel("drop") == Set(1L))
+    def pairs(p: String) = Dedup.minhashPairs(docs, "doc_id", "text",
+        shortDocs = p)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs("pair") == Set((5L, 6L), (5L, 7L), (6L, 7L)))
+    assert(pairs("novel") == Set.empty && pairs("drop") == Set.empty)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNovel(docs, "doc_id", "text", shortDocs = "bogus")
+    }
+  }
+
   test("embeddingDedupAgainst round-trips NEGATIVE ids (pmod parity + " +
     "floor-division unpack, the dropNearDuplicatesAgainst contract)") {
     val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
