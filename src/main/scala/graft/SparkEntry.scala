@@ -1222,6 +1222,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup-proper keeper: per near-dup component keep the member
+    // with the LOWEST cosine to its cell centroid (ties to min id) —
+    // the argmin replayed in SQL over the same seeded centroids
+    "q_semantic_dedup_far" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m = graft.llm.KMeans.seed(e, "vec_id", "embedding", k = 8)
+      graft.llm.KMeans.semanticDedup(e, "vec_id", "embedding", m,
+        eps = 0.45, maxCellSize = 64, keeper = "far_from_centroid")
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // full-corpus Lloyd refit, bit-exact: fixed-point decimal refit
     // sums make the centroids order-independent, so the oracle replays
     // both iterations in SQL; c0_nanos pins the refit VALUES (dim 0,
@@ -2053,6 +2064,55 @@ object SparkEntry {
            |JOIN embeddings eb ON eb.vec_id = b.vec_id
            |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // far-keeper survivors: pairs + min-label transitive closure,
+      // then per component the ARGMIN cosine-to-centroid (ties to the
+      // smaller id) survives; unpaired rows all survive
+      "q_semantic_dedup_far" ->
+        s"""WITH RECURSIVE cents AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |         embedding AS cv
+           |  FROM embeddings ORDER BY vec_id LIMIT 8),
+           |d AS (SELECT e.vec_id, c.cell,
+           |  list_reduce(list_prepend(0.0,
+           |    list_transform(list_zip(e.embedding, c.cv),
+           |      x -> (x[1]::DOUBLE - x[2]::DOUBLE)
+           |         * (x[1]::DOUBLE - x[2]::DOUBLE))),
+           |    (a, y) -> a + y) AS dist
+           |  FROM embeddings e CROSS JOIN cents c),
+           |asg AS (SELECT vec_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d)
+           |  WHERE rn = 1),
+           |ok AS (SELECT cell FROM asg GROUP BY cell
+           |       HAVING count(*) <= 64),
+           |prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM asg a JOIN asg b ON a.cell = b.cell
+           |                       AND a.vec_id < b.vec_id
+           |  JOIN ok ON ok.cell = a.cell
+           |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+           |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+           |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45),
+           |sym AS (SELECT id_a AS src, id_b AS dst FROM prs
+           |        UNION SELECT id_b, id_a FROM prs),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM sym
+           |  UNION
+           |  SELECT r.src, s2.dst FROM reach r
+           |  JOIN sym s2 ON r.dst = s2.src),
+           |comp AS (SELECT src AS id, least(src, min(dst)) AS component
+           |         FROM reach GROUP BY src),
+           |cc AS (SELECT asg.vec_id AS id,
+           |         ${cosSql("e.embedding", "c.cv")} AS ccos
+           |       FROM asg JOIN embeddings e ON e.vec_id = asg.vec_id
+           |                JOIN cents c ON c.cell = asg.cell),
+           |rk AS (SELECT comp.id, row_number() OVER (
+           |         PARTITION BY component ORDER BY ccos, id) AS rk
+           |       FROM comp JOIN cc USING (id)),
+           |losers AS (SELECT id FROM rk WHERE rk > 1)
+           |SELECT e.vec_id FROM embeddings e
+           |LEFT JOIN losers l ON l.id = e.vec_id
+           |WHERE l.id IS NULL ORDER BY vec_id""".stripMargin,
 
       "q_dup_spans" ->
         s"""WITH toks AS (SELECT doc_id::BIGINT AS id, $toksSql AS ts

@@ -162,15 +162,49 @@ object KMeans {
       .filter(col("cosine") >= eps)
   }
 
-  /** Full semantic dedup: keep one representative (min id) per connected
+  /** Full semantic dedup: keep ONE representative per connected
     * component of the within-cluster near-dup graph, plus every row in
-    * no pair. (SemDeDup keeps the vector farthest from the centroid; the
-    * min-id rule is this engine's deterministic representative
-    * convention — swap the keeper at this seam if centroid-distance
-    * ranking is wanted.) */
+    * no pair. The `keeper` picks the representative:
+    *  - "min_id" (default): the minimum id — this engine's
+    *    deterministic convention, cheapest (no extra pass);
+    *  - "far_from_centroid": SemDeDup proper (Abbas et al. '23 §2 keep
+    *    "low similarity to cluster centroids"): the member with the
+    *    LOWEST cosine to its cell centroid, ties to the min id. Costs
+    *    one broadcast join against the k-row centroid table for
+    *    component members only (vectors already carry their norms from
+    *    [[assign]]), plus a per-component rank — both linear.
+    * Oracled: q_semantic_dedup (pairs) + q_semantic_dedup_far (the
+    * far-keeper survivors, argmin-cosine replayed in SQL). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     model: Model, eps: Double,
-                    maxCellSize: Int = 10000): DataFrame =
-    Dedup.dropNearDuplicates(df, idCol,
-      semanticPairs(df, idCol, vecCol, model, eps, maxCellSize))
+                    maxCellSize: Int = 10000,
+                    keeper: String = "min_id"): DataFrame = {
+    require(keeper == "min_id" || keeper == "far_from_centroid",
+      s"keeper must be min_id or far_from_centroid: '$keeper'")
+    val pairs = semanticPairs(df, idCol, vecCol, model, eps, maxCellSize)
+    if (keeper == "min_id") Dedup.dropNearDuplicates(df, idCol, pairs)
+    else {
+      val spark = df.sparkSession
+      // k-row centroid side table; norm computed through the SAME
+      // sequential fold as every other cosine (oracle-identical)
+      val cents = spark.createDataFrame(
+          model.centroids.toSeq.zipWithIndex.map { case (c, i) =>
+            (i, c.toSeq)
+          }).toDF("cell", "__cv")
+        .withColumn("__cn", Vectors.norm(col("__cv")))
+      val ccos = assign(df, idCol, vecCol, model)
+        .join(broadcast(cents), "cell")
+        .select(col("id"), Vectors.cosineWithNorms(col("v"), col("__cv"),
+          col("nm"), col("__cn")).as("__cc"))
+      val ranked = Dedup.components(pairs, "id_a", "id_b")
+        .join(ccos, "id")
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("component"))
+            .orderBy(col("__cc").asc, col("id").asc)))
+      val losers = ranked.filter(col("__rk") > 1)
+        .select(col("id").as(idCol))
+      df.join(losers, Seq(idCol), "left_anti")
+    }
+  }
 }

@@ -70,4 +70,31 @@ class KMeansSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(kept == Set(1L, 10L))
   }
+
+  test("semanticDedup keeper=far_from_centroid keeps the component " +
+    "member with the LOWEST centroid cosine (SemDeDup proper), ties " +
+    "to the min id") {
+    // cell 0 centroid (1,0): ids 1,2 colinear with it (cosine 1), id 3
+    // tilted off-axis (cosine < 1) -> far keeper picks 3, min-id picks 1
+    val df = vecs(
+      1L -> Seq(1f, 0f), 2L -> Seq(2f, 0f), 3L -> Seq(3f, 1f),
+      10L -> Seq(0f, 1f))
+    val m = KMeans.Model(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    def kept(k: String) = KMeans.semanticDedup(
+        df, "vec_id", "embedding", m, 0.9, keeper = k)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept("far_from_centroid") == Set(3L, 10L))
+    assert(kept("min_id") == Set(1L, 10L))
+    // exact tie on cosine (colinear trio) -> min id wins under BOTH
+    val tied = vecs(5L -> Seq(1f, 0f), 6L -> Seq(2f, 0f),
+      7L -> Seq(0f, 1f))
+    val k2 = KMeans.semanticDedup(tied, "vec_id", "embedding", m, 0.9,
+        keeper = "far_from_centroid")
+      .select("vec_id").as[Long].collect().toSet
+    assert(k2 == Set(5L, 7L))
+    intercept[IllegalArgumentException] {
+      KMeans.semanticDedup(df, "vec_id", "embedding", m, 0.9,
+        keeper = "nearest")
+    }
+  }
 }
