@@ -215,6 +215,51 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("RUNTIME scaling pin: 8x corpus costs < ~12x wall time for " +
+    "minhashPairs and trimDuplicateParagraphs (catches a re-introduced " +
+    "quadratic the count identities cannot)") {
+    // Replication is the WRONG growth axis for a pairs runtime pin (k
+    // copies legitimately produce C(k,2) pairs), so each operator grows
+    // along the axis it promises linearity on:
+    //  - minhashPairs: n DISTINCT docs (banding/signature work is the
+    //    cost; pair output stays empty);
+    //  - trimDuplicateParagraphs: one block shared by ALL n docs plus a
+    //    unique tail each (the documented "100k-sharer block costs 100k
+    //    rows, not 10^10 pairs" claim, now timed).
+    // min-of-2 runs absorbs one-off scheduler/GC hiccups; the +2s grace
+    // absorbs fixed per-job overhead on a loaded box.
+    def pairDocs(n: Int) = spark.range(n.toLong)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(i =>
+          concat(lit(s"w${i}x"), col("id"))): _*).as("text"))
+    val shared = (1 to 30).map(i => s"common$i").mkString(" ")
+    def trimDocs(n: Int) = spark.range(n.toLong)
+      .select(col("id").as("doc_id"),
+        concat(lit(shared + "\n\n"),
+          concat_ws(" ", (0 until 30).map(i =>
+            concat(lit(s"u${i}x"), col("id"))): _*)).as("text"))
+    def best(act: => Long): Double = {
+      def one = { val t0 = System.nanoTime(); act
+        (System.nanoTime() - t0) / 1e9 }
+      math.min(one, one)
+    }
+    // warmup: JIT/codegen for both plan shapes
+    Dedup.minhashPairs(pairDocs(100), "doc_id", "text").count()
+    Dedup.trimDuplicateParagraphs(trimDocs(100), "doc_id", "text").count()
+
+    val p1 = best(Dedup.minhashPairs(
+      pairDocs(1500), "doc_id", "text").count())
+    val p8 = best(Dedup.minhashPairs(
+      pairDocs(12000), "doc_id", "text").count())
+    assert(p8 < 12 * p1 + 2.0, f"minhashPairs 8x: $p1%.2fs -> $p8%.2fs")
+
+    val t1 = best(Dedup.trimDuplicateParagraphs(
+      trimDocs(800), "doc_id", "text").count())
+    val t8 = best(Dedup.trimDuplicateParagraphs(
+      trimDocs(6400), "doc_id", "text").count())
+    assert(t8 < 12 * t1 + 2.0, f"trim 8x: $t1%.2fs -> $t8%.2fs")
+  }
+
   test("bucket cap degrades replicated boilerplate to ZERO pairs for " +
     "the overflowing bucket, never a partial/skewed subset") {
     // 60 identical docs with a cap of 50: every band bucket holds all
