@@ -36,17 +36,26 @@ import graft.streaming.{AnalysisConf, OperatorFactory}
   * the band's newest event (event-time timeout) — bounded by the
   * watermark horizon like every stateful op here.
   *
-  * No signature-verification pass: verification would need the earlier
-  * doc's signature in per-band state (128 longs instead of 1); band
-  * collision alone is the documented streaming trade — tune
-  * `num_hashes`/`bands` for the S-curve knee. False-positive band
-  * collisions suppress a genuinely novel doc with probability
-  * ≈ bands × P(random 4-hash slice match) — negligible at r = 4.
+  * By default there is no signature-verification pass: band collision
+  * alone is the cheap streaming trade — tune `num_hashes`/`bands` for
+  * the S-curve knee; false-positive collisions suppress a genuinely
+  * novel doc with probability ≈ bands × P(random 4-hash slice match),
+  * negligible at r = 4. OPT-IN `verify: true` stores the winner's
+  * signature in band state (numHashes longs instead of 1) and
+  * RE-ADMITS a colliding doc whose agreement with the winner stays
+  * below `threshold` — the streaming twin of
+  * [[graft.llm.Dedup.minhashNovelVerified]] (batch mode through this
+  * factory matches it exactly; test-pinned). Verify-mode pass rows are
+  * per-delivery: run exact dedup upstream under at-least-once sources
+  * (claims stay idempotent, passes cannot be).
   *
   * Config: `id_col` ("doc_id"), `text_col` ("text"), `timestamp_col`
   * ("ts"), `window` ("1 hour"), `lateness` ("10 minutes" — also the
   * source watermark to declare on the topic), `shingle_size` (3),
-  * `num_hashes` (128), `bands` (32), `short_docs` ("novel" — the
+  * `num_hashes` (128), `bands` (32), `verify` (false), `threshold`
+  * (0.5 — verify-mode re-admission bound), `max_batch_group` (65536 —
+  * verify-mode per-band within-batch distinct-doc cap; memory budget
+  * ≈ cap × num_hashes × 8 B), `short_docs` ("novel" — the
   * one [[graft.llm.Dedup.ShortDocPolicies]] knob: "novel" bands
   * shingle-less docs on per-doc-unique synthetic keys so each is
   * trivially novel; "pair" bands them on SHARED sentinel keys so the
@@ -73,6 +82,11 @@ object NearDupOp extends OperatorFactory {
   case class BandEvent(id: Long, ts: java.sql.Timestamp, bkey: Long)
   case class BandClaim(id: Long, ts: java.sql.Timestamp)
   case class BandState(winner: Long)
+  // verify mode: events carry the doc signature, state stores the
+  // winner's (numHashes longs — the documented verify cost)
+  case class BandEventV(id: Long, ts: java.sql.Timestamp, bkey: Long,
+                        sig: Array[Long])
+  case class BandStateV(winner: Long, sig: Array[Long])
 
   def apply(config: Map[String, Any], sources: Seq[DataFrame])
       : Seq[DataFrame] = {
@@ -86,7 +100,12 @@ object NearDupOp extends OperatorFactory {
     val numHashes = config.getOrElse("num_hashes", 128).toString.toInt
     val bands = config.getOrElse("bands", 32).toString.toInt
     val shortDocs = config.getOrElse("short_docs", "novel").toString
+    val verify = config.getOrElse("verify", false).toString.toBoolean
+    val threshold = config.getOrElse("threshold", 0.5).toString.toDouble
+    val maxGroup =
+      config.getOrElse("max_batch_group", 65536).toString.toInt
     require(numHashes % bands == 0, "bands must divide num_hashes")
+    require(maxGroup > 0, "max_batch_group must be positive")
     require(graft.llm.Dedup.ShortDocPolicies(shortDocs),
       s"short_docs must be one of " +
         s"${graft.llm.Dedup.ShortDocPolicies.mkString("/")}: '$shortDocs'")
@@ -128,54 +147,140 @@ object NearDupOp extends OperatorFactory {
       transform(sequence(lit(0), lit(bands - 1)), contentlessKey))
       .otherwise(graft.llm.Dedup.bandKeysFromSig(col("sig"), numHashes,
         bands))
-    val banded = sig.select(col("id"), col("ts"),
-        explode(keys).as("bkey"))
-      .as[BandEvent]
-    val claims = banded
-      .groupByKey(_.bkey)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.EventTimeTimeout)(
-        (_: Long, rows: Iterator[BandEvent],
-         state: GroupState[BandState]) => {
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            // one O(1)-memory pass: the state-eviction timeout must be
-            // EVENT-time-relative (maxTs + lateness — a
-            // watermark-relative timeout set in the first batch, when
-            // the watermark is still 0, would evict every band before
-            // the second batch) and the API requires state calls before
-            // the function returns, so the group is consumed here; only
-            // the running (min id, its newest ts) and the group max ts
-            // are kept.
-            var minId = Long.MaxValue
-            var minTs = Long.MinValue
-            var maxTs = Long.MinValue
-            rows.foreach { e =>
-              val t = e.ts.getTime
-              if (t > maxTs) maxTs = t
-              if (e.id < minId) { minId = e.id; minTs = t }
-              else if (e.id == minId && t > minTs) minTs = t
-            }
-            if (maxTs == Long.MinValue) Iterator.empty // no rows
-            else {
-              val prior = state.getOption
-              if (prior.isEmpty) state.update(BandState(minId))
-              if (streaming) {
-                state.setTimeoutTimestamp(
-                  math.max(maxTs, state.getCurrentWatermarkMs()) +
-                    latenessMs)
+    val claims: org.apache.spark.sql.Dataset[BandClaim] =
+      if (!verify) {
+        val banded = sig.select(col("id"), col("ts"),
+            explode(keys).as("bkey"))
+          .as[BandEvent]
+        banded
+          .groupByKey(_.bkey)
+          .flatMapGroupsWithState(OutputMode.Append(),
+            GroupStateTimeout.EventTimeTimeout)(
+            (_: Long, rows: Iterator[BandEvent],
+             state: GroupState[BandState]) => {
+              if (state.hasTimedOut) { state.remove(); Iterator.empty }
+              else {
+                // one O(1)-memory pass: the state-eviction timeout must
+                // be EVENT-time-relative (maxTs + lateness — a
+                // watermark-relative timeout set in the first batch,
+                // when the watermark is still 0, would evict every band
+                // before the second batch) and the API requires state
+                // calls before the function returns, so the group is
+                // consumed here; only the running (min id, its newest
+                // ts) and the group max ts are kept.
+                var minId = Long.MaxValue
+                var minTs = Long.MinValue
+                var maxTs = Long.MinValue
+                rows.foreach { e =>
+                  val t = e.ts.getTime
+                  if (t > maxTs) maxTs = t
+                  if (e.id < minId) { minId = e.id; minTs = t }
+                  else if (e.id == minId && t > minTs) minTs = t
+                }
+                if (maxTs == Long.MinValue) Iterator.empty // no rows
+                else {
+                  val prior = state.getOption
+                  if (prior.isEmpty) state.update(BandState(minId))
+                  if (streaming) {
+                    state.setTimeoutTimestamp(
+                      math.max(maxTs, state.getCurrentWatermarkMs()) +
+                        latenessMs)
+                  }
+                  // claim emitted only by the batch that first claims
+                  // the band: losers can never total `bands` claims,
+                  // and a redelivered winner's claim row already exists
+                  // — either emission would only distort the per-doc
+                  // tally.
+                  if (prior.isEmpty)
+                    Iterator.single(
+                      BandClaim(minId, new java.sql.Timestamp(minTs)))
+                  else Iterator.empty
+                }
               }
-              // claim emitted only by the batch that first claims the
-              // band: losers can never total `bands` claims, and a
-              // redelivered winner's claim row already exists — either
-              // emission would only distort the per-doc tally.
-              if (prior.isEmpty)
-                Iterator.single(
-                  BandClaim(minId, new java.sql.Timestamp(minTs)))
-              else Iterator.empty
-            }
-          }
-        })
+            })
+      } else {
+        // VERIFY mode (the batch twin is Dedup.minhashNovelVerified): a
+        // band suppresses a doc only if the band WINNER's stored
+        // signature actually agrees on >= threshold of the slots; a
+        // below-threshold collision emits a PASS row instead, so the
+        // same count === bands tally re-admits the doc. Costs: the
+        // signature rides the banding shuffle (numHashes longs × bands
+        // per doc) and per-band state grows to numHashes longs — the
+        // documented trade; the group pass dedups per doc id in a map
+        // bounded by max_batch_group entries (each holding a signature:
+        // budget ≈ cap × numHashes × 8 B). Over-cap docs are suppressed
+        // (each shares the band with the kept minimum). PASS rows are
+        // per-delivery: under an at-least-once source run exact dedup
+        // (DedupOp) upstream, or a cross-batch redelivery of a passing
+        // doc inflates its tally past `bands` and flips it to
+        // not-novel (claims are idempotent; passes cannot be without
+        // per-doc band state).
+        val log = org.slf4j.LoggerFactory.getLogger(getClass)
+        val bandedV = sig.select(col("id"), col("ts"),
+            explode(keys).as("bkey"), col("sig"))
+          .as[BandEventV]
+        bandedV
+          .groupByKey(_.bkey)
+          .flatMapGroupsWithState(OutputMode.Append(),
+            GroupStateTimeout.EventTimeTimeout)(
+            (_: Long, rows: Iterator[BandEventV],
+             state: GroupState[BandStateV]) => {
+              if (state.hasTimedOut) { state.remove(); Iterator.empty }
+              else {
+                val seen =
+                  new scala.collection.mutable.LongMap[(Long, Array[Long])]()
+                var minId = Long.MaxValue
+                var minTs = Long.MinValue
+                var minSig: Array[Long] = null
+                var maxTs = Long.MinValue
+                var dropped = 0L
+                rows.foreach { e =>
+                  val t = e.ts.getTime
+                  if (t > maxTs) maxTs = t
+                  if (e.id < minId) {
+                    minId = e.id; minTs = t; minSig = e.sig
+                  } else if (e.id == minId && t > minTs) minTs = t
+                  if (seen.contains(e.id)) {
+                    val cur = seen(e.id)
+                    if (t > cur._1) seen(e.id) = (t, cur._2)
+                  } else if (seen.size < maxGroup) seen(e.id) = (t, e.sig)
+                  else dropped += 1
+                }
+                if (maxTs == Long.MinValue) Iterator.empty // no rows
+                else {
+                  if (!seen.contains(minId)) seen(minId) = (minTs, minSig)
+                  if (dropped > 0) log.warn(
+                    s"NearDupOp(verify): band group exceeded " +
+                      s"max_batch_group=$maxGroup; $dropped over-cap " +
+                      "rows suppressed unverified")
+                  val prior = state.getOption
+                  val winner = prior.map(_.winner).getOrElse(minId)
+                  val wsig = prior.map(_.sig).getOrElse(minSig)
+                  if (prior.isEmpty) state.update(BandStateV(minId, minSig))
+                  if (streaming) {
+                    state.setTimeoutTimestamp(
+                      math.max(maxTs, state.getCurrentWatermarkMs()) +
+                        latenessMs)
+                  }
+                  val out = scala.collection.mutable.ArrayBuffer
+                    .empty[BandClaim]
+                  if (prior.isEmpty)
+                    out += BandClaim(minId, new java.sql.Timestamp(minTs))
+                  seen.foreach { case (id, (t, s)) =>
+                    if (id != winner) {
+                      var eq = 0
+                      var i = 0
+                      val n = math.min(s.length, wsig.length)
+                      while (i < n) { if (s(i) == wsig(i)) eq += 1; i += 1 }
+                      if (eq.toDouble / numHashes < threshold)
+                        out += BandClaim(id, new java.sql.Timestamp(t))
+                    }
+                  }
+                  out.iterator
+                }
+              }
+            })
+      }
     // novel iff the doc claimed every one of its `bands` bands (at most
     // one claim row exists per band, so the count is duplicate-proof);
     // the aggregate finalizes per window in append mode (allowed after

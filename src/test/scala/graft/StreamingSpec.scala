@@ -472,6 +472,75 @@ class StreamingSpec extends SparkSpec {
     assert(run("pair") == Set(1L, 5L) && run("drop") == Set(1L))
   }
 
+  test("NearDupOp verify mode: batch parity with minhashNovelVerified, " +
+    "and a raised threshold RE-ADMITS a banded near-dup the unverified " +
+    "path suppresses") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val tA = (1 to 40).map(i => s"ver$i").mkString(" ")
+    // ~5-token edit: collides in SOME band with near certainty but
+    // signature agreement sits far below 0.99
+    val tA2 = (1 to 35).map(i => s"ver$i").mkString(" ") + " a b c d e"
+    val tB = (1 to 40).map(i => s"oth$i").mkString(" ")
+    val docs = Seq((1L, ts(1), tA), (2L, ts(2), tA2), (3L, ts(3), tB))
+      .toDF("doc_id", "ts", "text")
+    def run(cfg: Map[String, Any]) = graft.streaming.ops.NearDupOp(
+        Map("window" -> "1 hour") ++ cfg, Seq(docs)).head
+      .select("doc_id").as[Long].collect().toSet
+    // unverified: band collision suppresses doc 2
+    assert(run(Map()) == Set(1L, 3L))
+    // verified at the default knee: 2 agrees with 1 well above 0.5
+    assert(run(Map("verify" -> true)) == Set(1L, 3L))
+    // verified at 0.99: the collision no longer clears the bar
+    assert(run(Map("verify" -> true, "threshold" -> 0.99)) ==
+      Set(1L, 2L, 3L))
+    // exact batch-twin parity at both thresholds
+    Seq(0.5, 0.99).foreach { th =>
+      val twin = graft.llm.Dedup.minhashNovelVerified(
+        docs, "doc_id", "text", threshold = th)
+        .as[Long].collect().toSet
+      assert(run(Map("verify" -> true, "threshold" -> th)) == twin,
+        s"threshold $th")
+    }
+  }
+
+  test("NearDupOp verify mode streams: a below-threshold collision in " +
+    "a LATER batch is re-admitted from the winner signature in state") {
+    val tmp = Files.createTempDirectory("neardup_verify").toString
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val tA = (1 to 40).map(i => s"sv$i").mkString(" ")
+    val tA2 = (1 to 35).map(i => s"sv$i").mkString(" ") + " p q r s t"
+    Seq((1L, ts(0, 5), tA)).toDF("doc_id", "ts", "text")
+      .write.mode("append").parquet(s"$tmp/in")
+    val src = spark.readStream
+      .schema("doc_id long, ts timestamp, text string")
+      .parquet(s"$tmp/in")
+      .withWatermark("ts", "10 minutes")
+    val q = graft.streaming.ops.NearDupOp(
+        Map("window" -> "1 hour", "lateness" -> "10 minutes",
+          "verify" -> true, "threshold" -> 0.99), Seq(src))
+      .head
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append").start()
+    AnalysisConf.restoreAll(spark)
+    try {
+      q.processAllAvailable()
+      Seq((2L, ts(0, 20), tA2),
+        (9L, ts(3, 0), "late marker closing hour zero"))
+        .toDF("doc_id", "ts", "text")
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").as[Long].collect().toSet
+    // doc 2 collides with doc 1's recovered band state but agreement
+    // < 0.99 -> PASS rows -> novel (the unverified restart test pins
+    // the opposite outcome for the same shape)
+    assert(got == Set(1L, 2L), got)
+  }
+
   test("NearDupOp: at-least-once redelivery — a doc delivered twice in " +
     "one micro-batch and again in a later one is still novel") {
     val tmp = Files.createTempDirectory("neardup_redeliver").toString
