@@ -195,6 +195,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("BPE encoding is a compiled map-only pass: the merge table rides " +
+    "the expression (no join), inside whole-stage codegen") {
+    val p = planStr("q_token_bpe")
+    assert(!p.contains("Join"), p)
+    assert(p.toLowerCase.contains("bpeencode"), p)
+    // map-only: the ONLY exchange is the output-order range partition
+    // (pre-AQE plan strings don't render WholeStageCodegen spans; the
+    // expression's codegen path is exercised by BpeSpec at runtime)
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
+  }
+
+  test("BPE-budget mixing keeps the q_mix_budget plan shape (broadcast " +
+    "prefix table, bucket-keyed cumsum window)") {
+    val p = planStr("q_mix_budget_bpe")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val win = p.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(win.contains("__b"), s"window not bucket-keyed: $win\n$p")
+  }
+
+  test("far-keeper semantic dedup broadcasts the k-row centroid table " +
+    "and ranks inside per-component windows") {
+    val p = planStr("q_semantic_dedup_far")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val win = p.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(win.contains("component"), s"$win\n$p")
+  }
+
   test("paragraph dedup partitions every exchange by hash/id keys, " +
     "never by the paragraph text column") {
     val p = planStr("q_paragraph_dedup")
