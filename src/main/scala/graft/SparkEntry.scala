@@ -59,6 +59,14 @@ object SparkEntry {
   private val toksSql =
     "list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0)"
 
+  /** Constant 44-byte RIFF/PCM16 header (mono, 16 kHz) as uppercase hex
+    * — the per-clip sample counts in the wav queries are compile-time
+    * constants, so the oracle embeds the real encoder's header bytes. */
+  private def wavHeaderHex(nSamples: Int): String =
+    graft.llm.Wav.encode(graft.llm.Wav.Audio(16000, 1,
+      new Array[Short](nSamples))).take(44)
+      .map(b => f"${b & 0xff}%02X").mkString
+
   /** Sequential-fold cosine similarity between list columns a and b —
     * mirrors [[Vectors.cosine]] op-for-op so doubles match bit-exactly. */
   private def cosSql(a: String, b: String): String =
@@ -1198,6 +1206,17 @@ object SparkEntry {
         budget = 4096, shards = 8)
         .orderBy("doc_id")),
 
+    // packing measured in REAL BPE tokens (the budget a trainer actually
+    // fills), same sharded window shape
+    "q_pack_bpe" -> ((s, dir) => {
+      val sized = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("__t"))
+        .select(col("doc_id"), size(Bpe.encode(col("__t"))).as("n_tok"))
+      graft.llm.Packing.pack(sized, "doc_id", "n_tok",
+        budget = 512, shards = 8)
+        .orderBy("doc_id")
+    }),
+
     // distributed k-means + SemDeDup semantic dedup: the seeded
     // assignment path is exactly deterministic (fixed init from the k
     // smallest ids, strict-< argmin, sequential distance folds) and
@@ -1412,6 +1431,54 @@ object SparkEntry {
           col("frame_idx").cast("long").as("frame_idx"),
           hex(col("frame")).as("frame_hex"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // REAL audio decode: synthetic 64-sample PCM16 clips built by the
+    // real RIFF encoder, parsed back by the real chunk-walking parser;
+    // decoded rate/length + 4 fixed-arithmetic features oracled
+    "q_wav_features" -> ((s, dir) => {
+      import s.implicits._
+      val clips = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id,
+          graft.llm.Wav.encode(graft.llm.Wav.synthetic(id, 64))))
+        .toDF("doc_id", "content")
+      Multimodal.extractAudioFeatures(clips, "doc_id")
+        .select(Seq(col("id").as("doc_id"), col("sample_rate"),
+          col("n_samples")) ++
+          (0 until 4).map(i => element_at(col("feature"), i + 1)
+            .as(s"f$i")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // real clip sampling: decoded time slices re-encoded as standalone
+    // WAVs; every clip's full bytes are pinned (hex)
+    "q_wav_clips" -> ((s, dir) => {
+      import s.implicits._
+      val clips = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id,
+          graft.llm.Wav.encode(graft.llm.Wav.synthetic(id, 64))))
+        .toDF("doc_id", "content")
+      Multimodal.sampleAudioClips(clips, "doc_id", 4)
+        .select(col("id").as("doc_id"),
+          col("clip_idx").cast("long").as("clip_idx"),
+          hex(col("clip")).as("clip_hex"))
+        .orderBy("doc_id", "clip_idx")
+    }),
+
+    // real decimation: nearest-neighbor 64 -> 16 frames on decoded
+    // samples, re-encoded payload pinned byte-for-byte
+    "q_wav_decimate" -> ((s, dir) => {
+      import s.implicits._
+      val clips = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id,
+          graft.llm.Wav.encode(graft.llm.Wav.synthetic(id, 64))))
+        .toDF("doc_id", "content")
+      Multimodal.decimateAudio(clips, "doc_id", 16)
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          hex(col("content")).as("content_hex"))
+        .orderBy("doc_id")
     }),
 
     // real resize: nearest-neighbor 8x6 -> 4x3 on decoded pixels,
@@ -1736,6 +1803,26 @@ object SparkEntry {
           |       CAST(floor(s / 4096) AS BIGINT) AS seq_id,
           |       s % 4096 AS seq_offset
           |FROM cum ORDER BY doc_id""".stripMargin,
+
+      "q_pack_bpe" ->
+        s"""WITH RECURSIVE ${Bpe.oracleCtes(toksSql)},
+           |sized AS (
+           |  SELECT d.doc_id, coalesce(len(b.ids), 0) AS cost
+           |  FROM documents d LEFT JOIN bpe_doc b USING (doc_id)),
+           |sh AS (
+           |  SELECT doc_id, cost,
+           |         (((doc_id % 2147483647) * 48271) % 2147483647) % 8
+           |           AS shard
+           |  FROM sized),
+           |cum AS (
+           |  SELECT doc_id, cost, shard,
+           |         CAST(sum(cost) OVER (PARTITION BY shard
+           |           ORDER BY doc_id) - cost AS BIGINT) AS s
+           |  FROM sh)
+           |SELECT doc_id, cost, shard,
+           |       CAST(floor(s / 512) AS BIGINT) AS seq_id,
+           |       s % 512 AS seq_offset
+           |FROM cum ORDER BY doc_id""".stripMargin,
 
       "q_top_per_key" ->
         """SELECT event_type, event_id, value, rank FROM (
@@ -2403,6 +2490,70 @@ object SparkEntry {
           |       hex('P6' || chr(10) || '8 ' || bh || chr(10) || '255'
           |           || chr(10)) || body AS frame_hex
           |FROM px ORDER BY doc_id, frame_idx""".stripMargin,
+
+      // wav replay: the synthetic sample generator
+      // ((id*31 + j*7) mod 65521 - 32760, Wav.synthetic) recomputed,
+      // exact BIGINT sums, the decoder's fixed double->float chains
+      // (sqrt is IEEE-correctly-rounded in both engines)
+      "q_wav_features" ->
+        """WITH sm AS (
+          |  SELECT doc_id, j,
+          |         ((doc_id * 31 + j * 7) % 65521) - 32760 AS v
+          |  FROM documents, unnest(generate_series(0, 63)) AS t(j)),
+          |a AS (
+          |  SELECT doc_id, sum(v) AS sv, sum(v * v) AS sq,
+          |         max(abs(v)) AS pk,
+          |         sum(CASE WHEN j > 0 AND
+          |               ((((doc_id * 31 + (j - 1) * 7) % 65521) - 32760
+          |                 < 0) <> (v < 0)) THEN 1 ELSE 0 END) AS zc
+          |  FROM sm GROUP BY doc_id)
+          |SELECT doc_id, 16000::INTEGER AS sample_rate,
+          |       64::INTEGER AS n_samples,
+          |       CAST(CAST(sv AS DOUBLE) / 64 / 32768.0 AS FLOAT) AS f0,
+          |       CAST(sqrt(CAST(sq AS DOUBLE) / 64) / 32768.0 AS FLOAT)
+          |         AS f1,
+          |       CAST(CAST(zc AS DOUBLE) / 63 AS FLOAT) AS f2,
+          |       CAST(CAST(pk AS DOUBLE) / 32768.0 AS FLOAT) AS f3
+          |FROM a ORDER BY doc_id""".stripMargin,
+
+      // clip f of 4 covers sample frames [f*16, (f+1)*16); each clip is
+      // a standalone WAV: the real encoder's constant header + the
+      // slice's little-endian PCM16 bytes, hex-pinned end to end
+      "q_wav_clips" ->
+        s"""WITH fr AS (
+           |  SELECT doc_id, f
+           |  FROM documents, unnest(generate_series(0, 3)) AS t(f)
+           |  WHERE doc_id < 100),
+           |px AS (
+           |  SELECT doc_id, f,
+           |         string_agg(printf('%02X%02X', u % 256, u // 256),
+           |           '' ORDER BY j) AS body
+           |  FROM (SELECT doc_id, f, j,
+           |          ((((((doc_id * 31 + j * 7) % 65521) - 32760)
+           |            % 65536) + 65536) % 65536) AS u
+           |        FROM fr, unnest(generate_series(0, 63)) AS t2(j)
+           |        WHERE j >= f * 16 AND j < (f + 1) * 16) s
+           |  GROUP BY doc_id, f)
+           |SELECT doc_id, f::BIGINT AS clip_idx,
+           |       '${wavHeaderHex(16)}' || body AS clip_hex
+           |FROM px ORDER BY doc_id, clip_idx""".stripMargin,
+
+      // nearest-neighbor 64 -> 16 frames: output frame i samples source
+      // frame 4i; payload = constant 16-frame header + decimated bytes
+      "q_wav_decimate" ->
+        s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+           |px AS (
+           |  SELECT doc_id,
+           |         string_agg(printf('%02X%02X', u % 256, u // 256),
+           |           '' ORDER BY i) AS body
+           |  FROM (SELECT doc_id, i,
+           |          ((((((doc_id * 31 + (i * 4) * 7) % 65521) - 32760)
+           |            % 65536) + 65536) % 65536) AS u
+           |        FROM d, unnest(generate_series(0, 15)) AS t(i)) s
+           |  GROUP BY doc_id)
+           |SELECT doc_id, 76::BIGINT AS n_bytes,
+           |       '${wavHeaderHex(16)}' || body AS content_hex
+           |FROM px ORDER BY doc_id""".stripMargin,
 
       // nearest-neighbor 8x6 -> 4x3: destination byte k maps to source
       // byte ((2*(p//4))*8 + 2*(p%4))*3 + c with p = k//3, c = k%3

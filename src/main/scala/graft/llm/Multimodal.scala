@@ -160,6 +160,71 @@ object Multimodal {
           sha2(col("content"), 256).as("sha256")).as("meta"))
   }
 
+  /** Feature schema of [[extractAudioFeatures]] — decoded rate/length
+    * ride along so a parser regression is visible. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** REAL decode + feature extraction for WAV payloads ([[Wav]] PCM16
+    * codec): mean/RMS/zero-crossings/peak over actual decoded samples.
+    * Same kernel shape as [[extractImageFeatures]]. */
+  def extractAudioFeatures(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val a = Wav.decode(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), a.sampleRate, a.samples.length,
+            Wav.features(a))
+        }
+      }(org.apache.spark.sql.Encoders.row(audioFeatureSchema))
+
+  /** REAL clip sampling for WAV payloads: decode, slice into `nClips`
+    * time ranges ([[Wav.clip]]), re-encode each as a standalone WAV.
+    * The audio analogue of [[sampleImageRows]]. */
+  def sampleAudioClips(df: DataFrame, idCol: String, nClips: Int)
+      : DataFrame = {
+    require(nClips > 0, "nClips must be positive")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("clip_idx", IntegerType),
+      StructField("clip", BinaryType)))
+    df.select(col(idCol).cast("long").as("id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val a = Wav.decode(r.getAs[Array[Byte]](1))
+          (0 until nClips).flatMap { f =>
+            Wav.clip(a, f, nClips).map(c =>
+              Row(r.getLong(0), f, Wav.encode(c)))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** REAL decimation for WAV payloads: nearest-neighbor down-sample to
+    * `newFrames` frames ([[Wav.decimate]]), re-encoded, metadata
+    * refreshed — the audio analogue of [[resizeImage]]. */
+  def decimateAudio(df: DataFrame, idCol: String, newFrames: Int)
+      : DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("content", BinaryType)))
+    df.select(col(idCol).cast("long").as("id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val a = Wav.decode(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), Wav.encode(Wav.decimate(a, newFrames)))
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+      .select(col("id").as(idCol), col("content"),
+        struct(
+          lit(Wav.Mime).as("mime"),
+          length(col("content")).cast("long").as("n_bytes"),
+          sha2(col("content"), 256).as("sha256")).as("meta"))
+  }
+
   /** STUB frame sampling for video-shaped payloads: emit `nFrames`
     * evenly-spaced "frames" per payload — one output row per frame,
     * (id, frame_idx, frame binary). Real implementation: the container
