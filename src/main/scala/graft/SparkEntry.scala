@@ -67,6 +67,13 @@ object SparkEntry {
       new Array[Short](nSamples))).take(44)
       .map(b => f"${b & 0xff}%02X").mkString
 
+  /** Constant single-frame y4m prefix (stream header + FRAME marker)
+    * as uppercase hex — the real muxer's bytes, embedded so the frame
+    * oracle pins the full emitted payload. */
+  private def y4mHeaderHex(w: Int, h: Int): String =
+    s"YUV4MPEG2 W$w H$h F25:1 C444\nFRAME\n".getBytes("US-ASCII")
+      .map(b => f"${b & 0xff}%02X").mkString
+
   /** Sequential-fold cosine similarity between list columns a and b —
     * mirrors [[Vectors.cosine]] op-for-op so doubles match bit-exactly. */
   private def cosSql(a: String, b: String): String =
@@ -1433,6 +1440,38 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // REAL video demux: synthetic 4x4 C444 clips (6 frames) built by
+    // the real muxer, parsed back by the real header/FRAME walker;
+    // decoded dims/frame count + plane means + temporal motion oracled
+    "q_y4m_features" -> ((s, dir) => {
+      import s.implicits._
+      val clips = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id,
+          graft.llm.Y4m.encode(graft.llm.Y4m.synthetic(id, 4, 4, 6))))
+        .toDF("doc_id", "content")
+      Multimodal.extractVideoFeatures(clips, "doc_id")
+        .select(Seq(col("id").as("doc_id"), col("width"), col("height"),
+          col("n_frames")) ++
+          (0 until 4).map(i => element_at(col("feature"), i + 1)
+            .as(s"f$i")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // real keyframe sampling: 3 evenly-spaced frames of 6, each
+    // re-encoded as a standalone single-frame clip, bytes hex-pinned
+    "q_y4m_frames" -> ((s, dir) => {
+      import s.implicits._
+      val clips = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id,
+          graft.llm.Y4m.encode(graft.llm.Y4m.synthetic(id, 4, 4, 6))))
+        .toDF("doc_id", "content")
+      Multimodal.sampleVideoFrames(clips, "doc_id", 3)
+        .select(col("id").as("doc_id"), col("frame_idx"),
+          hex(col("frame")).as("frame_hex"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // REAL audio decode: synthetic 64-sample PCM16 clips built by the
     // real RIFF encoder, parsed back by the real chunk-walking parser;
     // decoded rate/length + 4 fixed-arithmetic features oracled
@@ -2490,6 +2529,52 @@ object SparkEntry {
           |       hex('P6' || chr(10) || '8 ' || bh || chr(10) || '255'
           |           || chr(10)) || body AS frame_hex
           |FROM px ORDER BY doc_id, frame_idx""".stripMargin,
+
+      // y4m replay: the synthetic plane generator
+      // ((id*31 + f*101 + j*7) mod 251, Y4m.synthetic) recomputed;
+      // planes split by sample index (Y < 16 <= U < 32 <= V), motion =
+      // mean abs frame delta; 4x4 C444, 6 frames
+      "q_y4m_features" ->
+        """WITH s AS (
+          |  SELECT doc_id, f, j,
+          |         ((doc_id * 31 + f * 101 + j * 7) % 251) AS v
+          |  FROM documents, unnest(generate_series(0, 5)) AS tf(f),
+          |       unnest(generate_series(0, 47)) AS tj(j)),
+          |a AS (
+          |  SELECT doc_id,
+          |    sum(CASE WHEN j < 16 THEN v END) AS sy,
+          |    sum(CASE WHEN j >= 16 AND j < 32 THEN v END) AS su,
+          |    sum(CASE WHEN j >= 32 THEN v END) AS sv,
+          |    sum(CASE WHEN f > 0 THEN abs(v -
+          |        ((doc_id * 31 + (f - 1) * 101 + j * 7) % 251))
+          |      ELSE 0 END) AS mo
+          |  FROM s GROUP BY doc_id)
+          |SELECT doc_id, 4::INTEGER AS width, 4::INTEGER AS height,
+          |       6::INTEGER AS n_frames,
+          |       CAST(CAST(sy AS DOUBLE) / 96 / 255.0 AS FLOAT) AS f0,
+          |       CAST(CAST(su AS DOUBLE) / 96 / 255.0 AS FLOAT) AS f1,
+          |       CAST(CAST(sv AS DOUBLE) / 96 / 255.0 AS FLOAT) AS f2,
+          |       CAST(CAST(mo AS DOUBLE) / 240 / 255.0 AS FLOAT) AS f3
+          |FROM a ORDER BY doc_id""".stripMargin,
+
+      // sampled frame i of 3 is SOURCE frame 2i; each emitted clip is
+      // the real muxer's single-frame form: constant header + FRAME
+      // marker + the frame's raster bytes, hex-pinned end to end
+      "q_y4m_frames" ->
+        s"""WITH fr AS (
+           |  SELECT doc_id, i * 2 AS src
+           |  FROM documents, unnest(generate_series(0, 2)) AS t(i)
+           |  WHERE doc_id < 100),
+           |px AS (
+           |  SELECT doc_id, src,
+           |         string_agg(printf('%02X',
+           |             ((doc_id * 31 + src * 101 + j * 7) % 251)::INT),
+           |           '' ORDER BY j) AS body
+           |  FROM fr, unnest(generate_series(0, 47)) AS tj(j)
+           |  GROUP BY doc_id, src)
+           |SELECT doc_id, src::INTEGER AS frame_idx,
+           |       '${y4mHeaderHex(4, 4)}' || body AS frame_hex
+           |FROM px ORDER BY doc_id, frame_idx""".stripMargin,
 
       // wav replay: the synthetic sample generator
       // ((id*31 + j*7) mod 65521 - 32760, Wav.synthetic) recomputed,

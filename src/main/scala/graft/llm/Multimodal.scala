@@ -225,6 +225,50 @@ object Multimodal {
           sha2(col("content"), 256).as("sha256")).as("meta"))
   }
 
+  /** Feature schema of [[extractVideoFeatures]]. */
+  val videoFeatureSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** REAL demux + feature extraction for Y4M video payloads ([[Y4m]]):
+    * per-plane means + temporal-motion proxy over actual decoded
+    * frames. Same kernel shape as the image/audio extractors. */
+  def extractVideoFeatures(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val v = Y4m.decode(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), v.width, v.height, v.frames.length,
+            Y4m.features(v))
+        }
+      }(org.apache.spark.sql.Encoders.row(videoFeatureSchema))
+
+  /** REAL keyframe sampling for Y4M payloads: demux, select `nSel`
+    * evenly-spaced frames ([[Y4m.sampleFrames]] — the demuxer seek
+    * pattern the byte-slicing [[sampleFrames]] stands in for), emit
+    * each as a standalone single-frame clip. Output: (id, frame_idx =
+    * SOURCE frame number, frame binary). */
+  def sampleVideoFrames(df: DataFrame, idCol: String, nSel: Int)
+      : DataFrame = {
+    require(nSel > 0, "nSel must be positive")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    df.select(col(idCol).cast("long").as("id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val v = Y4m.decode(r.getAs[Array[Byte]](1))
+          Y4m.sampleFrames(v, nSel).map { case (src, fv) =>
+            Row(r.getLong(0), src, Y4m.encode(fv))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** STUB frame sampling for video-shaped payloads: emit `nFrames`
     * evenly-spaced "frames" per payload — one output row per frame,
     * (id, frame_idx, frame binary). Real implementation: the container
