@@ -128,4 +128,50 @@ class PropertySpec extends SparkSpec {
       assert(est.length == 1 && est.head == 1.0)
     }
   }
+
+  test("property: BPE kernel matches an independent reference " +
+    "implementation on random words; encodes concatenate per word; " +
+    "reassembled tokens reproduce the word") {
+    val t = graft.functions.Bpe.default
+    // independent slow reference: recompute the rank table from the
+    // merges list and run the textbook loop over immutable lists
+    val ranks = t.merges.zipWithIndex.map { case ((l, r), i) =>
+      (l, r) -> i
+    }.toMap
+    def reference(word: String): List[String] = {
+      var seq = word.map(_.toString).toList
+      var done = seq.length < 2
+      while (!done) {
+        val cands = seq.zip(seq.tail).zipWithIndex
+          .flatMap { case (p, i) => ranks.get(p).map(r => (r, i)) }
+        if (cands.isEmpty) done = true
+        else {
+          val (_, i) = cands.min
+          seq = seq.take(i) ::: (seq(i) + seq(i + 1)) :: seq.drop(i + 2)
+        }
+      }
+      seq
+    }
+    def arr(ws: Seq[String]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+          .toArray[Any])
+    val wordGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    samples(Gen.listOfN(4, wordGen), 25).foreach { words =>
+      val got = t.encode(arr(words)).toIntArray().toSeq
+      val want = words.flatMap(w =>
+        reference(w).map(tok => t.vocab.indexOf(tok)))
+      assert(got == want, s"words=$words got=$got want=$want")
+      // per-word concatenation property
+      assert(got == words.flatMap(w =>
+        t.encode(arr(Seq(w))).toIntArray().toSeq))
+      // lossless: concatenating the id's tokens rebuilds each word
+      words.foreach { w =>
+        val toks = t.encode(arr(Seq(w))).toIntArray().toSeq
+        assert(toks.forall(_ >= 0) && // a-z base chars are all in vocab
+          toks.map(t.vocab(_)).mkString == w)
+      }
+    }
+  }
 }
