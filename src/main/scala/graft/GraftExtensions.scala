@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSignature, RhpSignature, ShingleHashes, SimHash64}
+import graft.functions.{Bpe, BpeEncode, DotProduct, MinHashSignature, RhpSignature, ShingleHashes, SimHash64}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** SparkSessionExtensions entry point: registers graft's native
@@ -61,6 +61,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "shingle_hashes(tokens, n)")
         ShingleHashes(children.head, intArg(children(1), "n"))
+      }))
+    // bpe_encode(tokens): the committed corpus-learned table; custom
+    // vocab/merges pairs go through the Scala API (Bpe.encode(_, table))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "bpe_encode(tokens)")
+        BpeEncode(children.head, Bpe.default)
       }))
   }
 }

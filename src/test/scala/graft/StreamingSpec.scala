@@ -198,6 +198,18 @@ class StreamingSpec extends SparkSpec {
       "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .as[Double].collect().head
     assert(got == 11.0)
+    // bpe_encode rides the same injection path with the default table
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_encode",
+      exprs => graft.functions.BpeEncode(exprs.head,
+        graft.functions.Bpe.default),
+      "built-in")
+    val ids = spark.sql(
+      "SELECT bpe_encode(array('customer', 'zz')) AS ids")
+      .as[Seq[Int]].collect().head
+    val t = graft.functions.Bpe.default
+    assert(ids.head == t.vocab.indexOf("customer") &&
+      ids.drop(1).map(t.vocab(_)).mkString == "zz")
   }
 
   test("topology runs the README flagship RollMean factory from YAML") {
