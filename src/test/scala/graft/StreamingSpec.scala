@@ -673,6 +673,57 @@ class StreamingSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  test("topology: MediaFeaturesOp routes mixed mimes to the REAL " +
+    "codecs from YAML (one pass, unified feature rows)") {
+    import graft.llm.{Ppm, Wav, Y4m}
+    val tmp = Files.createTempDirectory("topo_media").toString
+    Seq(
+      (10L, Ppm.Mime, Ppm.encodeP6(Ppm.synthetic(10L, 8, 6))),
+      (11L, Wav.Mime, Wav.encode(Wav.synthetic(11L, 64))),
+      (12L, Y4m.Mime, Y4m.encode(Y4m.synthetic(12L, 4, 4, 6))))
+      .toDF("doc_id", "mime", "content")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: media
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: features
+         |    kind: parquet
+         |    path: unused
+         |operators:
+         |  feats:
+         |    factory: graft.streaming.ops.MediaFeaturesOp
+         |    sources: [media]
+         |    sinks: [features]
+         |""".stripMargin
+    Topology.parse(yaml).runBatch(spark, s"$tmp/sinks")
+    val got = spark.read.parquet(s"$tmp/sinks/features")
+      .orderBy("id")
+      .as[(Long, String, Int, Int, Int, Int, Float, Float, Float, Float)]
+      .collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)) == Seq(
+      (10L, "image", 8, 6, 1, 8),
+      (11L, "audio", 16000, 64, 1, 4),
+      (12L, "video", 4, 4, 6, 4)))
+    val imgF = Ppm.features(Ppm.synthetic(10L, 8, 6))
+    val audF = Wav.features(Wav.synthetic(11L, 64))
+    val vidF = Y4m.features(Y4m.synthetic(12L, 4, 4, 6))
+    assert(got(0).productIterator.drop(6).toSeq == imgF.take(4).toSeq)
+    assert(got(1).productIterator.drop(6).toSeq == audF.toSeq)
+    assert(got(2).productIterator.drop(6).toSeq == vidF.toSeq)
+    // unknown mimes are input errors, not silent zero rows
+    val bad = Seq((13L, "image/webp", Array[Byte](1, 2)))
+      .toDF("doc_id", "mime", "content")
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.streaming.ops.MediaFeaturesOp(Map.empty, Seq(bad))
+        .head.collect()
+    }
+    assert(ex.getMessage.contains("unsupported media mime") ||
+      Option(ex.getCause).exists(
+        _.getMessage.contains("unsupported media mime")))
+  }
+
   test("topology: SessionOp groups activity bursts per key from YAML " +
     "(gap-separated sessions, batch mode)") {
     val tmp = Files.createTempDirectory("topo_session").toString
