@@ -8,11 +8,14 @@ package graft.llm
   * then per frame an ASCII `FRAME[params]\n` marker followed by raw
   * planar YUV data.
   *
-  * Scope: the `C444` colorspace (three full-resolution planes per
-  * frame — no chroma subsampling arithmetic to misreplicate); other
-  * colorspaces error explicitly, as do missing W/H, truncated frames,
-  * and unknown-magic payloads. Decode failures throw — a corrupt clip
-  * is an input error, not a silent zero-feature row.
+  * Scope: the `C444` colorspace (three full-resolution planes) and
+  * the format's default `C420` family (`C420`, `C420jpeg`,
+  * `C420mpeg2`, `C420paldv` — quarter-size chroma planes; the siting
+  * variants differ only in sample POSITION semantics, not layout, so
+  * they parse identically); other colorspaces error explicitly, as do
+  * missing W/H, odd dimensions under 4:2:0, truncated frames, and
+  * unknown-magic payloads. Decode failures throw — a corrupt clip is
+  * an input error, not a silent zero-feature row.
   *
   * Everything downstream of decode is deterministic integer/IEEE
   * arithmetic, so per-plane statistics, the temporal-motion proxy, and
@@ -22,15 +25,24 @@ object Y4m extends Serializable {
 
   val Mime = "video/x-yuv4mpeg"
 
-  /** Decoded clip: per-frame planar YUV444 samples in [0,255],
-    * `frames(f).length == 3 * width * height` (Y plane, then U, then
-    * V). */
+  /** Decoded clip: per-frame planar YUV samples in [0,255] — the Y
+    * plane (width×height) then U then V ([[chromaSize]] each; equal to
+    * the luma plane under C444, a quarter of it under the C420
+    * family). */
   case class Video(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
-                   frames: IndexedSeq[Array[Int]]) {
+                   frames: IndexedSeq[Array[Int]],
+                   chroma: String = "C444") {
     require(width > 0 && height > 0, s"bad dimensions: $width x $height")
     require(fpsNum > 0 && fpsDen > 0, s"bad rate: $fpsNum:$fpsDen")
-    require(frames.forall(_.length == 3 * width * height),
-      "frame size mismatch")
+    require(chroma == "C444" || chroma.startsWith("C420"),
+      s"unsupported colorspace $chroma")
+    require(chroma == "C444" || (width % 2 == 0 && height % 2 == 0),
+      s"4:2:0 needs even dimensions: $width x $height")
+    /** samples per chroma plane */
+    def chromaSize: Int =
+      if (chroma == "C444") width * height else (width / 2) * (height / 2)
+    def frameSamples: Int = width * height + 2 * chromaSize
+    require(frames.forall(_.length == frameSamples), "frame size mismatch")
   }
 
   def decode(bytes: Array[Byte]): Video = {
@@ -52,6 +64,7 @@ object Y4m extends Serializable {
     var h = -1
     var num = 30
     var den = 1
+    var chroma = "C444"
     header.split(' ').filter(_.nonEmpty).foreach { p =>
       p.head match {
         case 'W' => w = p.tail.toInt
@@ -60,13 +73,23 @@ object Y4m extends Serializable {
           val nd = p.tail.split(':')
           require(nd.length == 2, s"bad frame-rate tag: $p")
           num = nd(0).toInt; den = nd(1).toInt
-        case 'C' => require(p == "C444",
-          s"unsupported colorspace ${p} (C444 only)")
+        case 'C' => require(p == "C444" || p.startsWith("C420"),
+          s"unsupported colorspace ${p} (C444 / C420 family only)")
+          chroma = p
         case _ => // Ip/A../X.. tags: accepted, ignored
       }
     }
     require(w > 0 && h > 0, s"missing W/H in header: '$header'")
-    val frameBytes = 3 * w * h
+    // C420 siting variants (jpeg/mpeg2/paldv) share the quarter-chroma
+    // LAYOUT; the distinction is sample positioning, irrelevant here
+    val chromaSz =
+      if (chroma == "C444") w * h
+      else {
+        require(w % 2 == 0 && h % 2 == 0,
+          s"4:2:0 needs even dimensions: $w x $h")
+        (w / 2) * (h / 2)
+      }
+    val frameBytes = w * h + 2 * chromaSz
     val frames = IndexedSeq.newBuilder[Array[Int]]
     while (pos < bytes.length) {
       val marker = readLine()
@@ -82,15 +105,15 @@ object Y4m extends Serializable {
     }
     val fs = frames.result()
     require(fs.nonEmpty, "no frames")
-    Video(w, h, num, den, fs)
+    Video(w, h, num, den, fs, chroma)
   }
 
   def encode(v: Video): Array[Byte] = {
     val header =
-      s"YUV4MPEG2 W${v.width} H${v.height} F${v.fpsNum}:${v.fpsDen} C444\n"
+      s"YUV4MPEG2 W${v.width} H${v.height} F${v.fpsNum}:${v.fpsDen} ${v.chroma}\n"
         .getBytes("US-ASCII")
     val marker = "FRAME\n".getBytes("US-ASCII")
-    val frameBytes = 3 * v.width * v.height
+    val frameBytes = v.frameSamples
     val out = new Array[Byte](header.length +
       v.frames.length * (marker.length + frameBytes))
     System.arraycopy(header, 0, out, 0, header.length)
@@ -120,7 +143,8 @@ object Y4m extends Serializable {
   def features(v: Video): Array[Float] = {
     val n = v.frames.length
     require(n > 1, s"need > 1 frame for motion: $n")
-    val plane = v.width * v.height
+    val y = v.width * v.height
+    val c = v.chromaSize
     val sums = new Array[Long](3)
     var motion = 0L
     var f = 0
@@ -128,18 +152,18 @@ object Y4m extends Serializable {
       val fr = v.frames(f)
       var j = 0
       while (j < fr.length) {
-        sums(j / plane) += fr(j)
+        sums(if (j < y) 0 else if (j < y + c) 1 else 2) += fr(j)
         if (f > 0) motion += math.abs(fr(j) - v.frames(f - 1)(j))
         j += 1
       }
       f += 1
     }
-    val perPlane = n.toLong * plane
     Array(
-      (sums(0).toDouble / perPlane / 255.0).toFloat,
-      (sums(1).toDouble / perPlane / 255.0).toFloat,
-      (sums(2).toDouble / perPlane / 255.0).toFloat,
-      (motion.toDouble / ((n - 1).toLong * 3 * plane) / 255.0).toFloat)
+      (sums(0).toDouble / (n.toLong * y) / 255.0).toFloat,
+      (sums(1).toDouble / (n.toLong * c) / 255.0).toFloat,
+      (sums(2).toDouble / (n.toLong * c) / 255.0).toFloat,
+      (motion.toDouble / ((n - 1).toLong * (y + 2L * c)) / 255.0)
+        .toFloat)
   }
 
   /** Evenly-spaced keyframe selection: sampled frame i is source frame
@@ -148,7 +172,7 @@ object Y4m extends Serializable {
   def sampleFrames(v: Video, nSel: Int): IndexedSeq[(Int, Video)] = {
     require(nSel > 0, s"bad sample count: $nSel")
     def one(src: Int) = (src, Video(v.width, v.height, v.fpsNum,
-      v.fpsDen, IndexedSeq(v.frames(src))))
+      v.fpsDen, IndexedSeq(v.frames(src)), v.chroma))
     if (nSel >= v.frames.length) v.frames.indices.map(one)
     else (0 until nSel).map(i => one(i * v.frames.length / nSel))
   }

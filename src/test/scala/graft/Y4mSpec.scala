@@ -41,8 +41,8 @@ class Y4mSpec extends SparkSpec {
       Y4m.decode("XUV4MPEG2 W2 H2\nFRAME\n".getBytes)
     }.getMessage.contains("magic"))
     assert(intercept[IllegalArgumentException] {
-      Y4m.decode("YUV4MPEG2 W2 H2 C420\nFRAME\n".getBytes ++
-        new Array[Byte](6))
+      Y4m.decode("YUV4MPEG2 W2 H2 C422\nFRAME\n".getBytes ++
+        new Array[Byte](8))
     }.getMessage.contains("colorspace"))
     assert(intercept[IllegalArgumentException] {
       Y4m.decode("YUV4MPEG2 F25:1\nFRAME\n".getBytes)
@@ -50,6 +50,41 @@ class Y4mSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Y4m.decode(ok.dropRight(1))
     }.getMessage.contains("truncated frame"))
+  }
+
+  test("C420 family: quarter-size chroma planes parse for every siting " +
+    "variant, round-trip, and feature divisors follow the plane sizes") {
+    // 2x2 C420: frame = 4 Y + 1 U + 1 V samples
+    val fr0 = Array(10, 20, 30, 40, 50, 60)
+    val fr1 = Array(12, 22, 32, 42, 52, 62)
+    val v = Y4m.Video(2, 2, 25, 1, IndexedSeq(fr0, fr1), "C420")
+    assert(v.chromaSize == 1 && v.frameSamples == 6)
+    val back = Y4m.decode(Y4m.encode(v))
+    assert(back.chroma == "C420" && back.frames.length == 2 &&
+      back.frames(0).toSeq == fr0.toSeq)
+    // siting variants share the layout
+    Seq("C420jpeg", "C420mpeg2", "C420paldv").foreach { cs =>
+      val hdr = s"YUV4MPEG2 W2 H2 F25:1 $cs\nFRAME\n"
+      val bytes = hdr.getBytes("US-ASCII") ++ fr0.map(_.toByte)
+      val d = Y4m.decode(bytes)
+      assert(d.chroma == cs && d.frames.head.toSeq == fr0.toSeq)
+    }
+    // features: Y mean over 2*4 samples, U/V means over 2*1, motion
+    // over 1*6
+    val f = Y4m.features(v)
+    assert(f(0) == ((10 + 20 + 30 + 40 + 12 + 22 + 32 + 42).toDouble
+      / 8 / 255.0).toFloat)
+    assert(f(1) == ((50 + 52).toDouble / 2 / 255.0).toFloat)
+    assert(f(2) == ((60 + 62).toDouble / 2 / 255.0).toFloat)
+    assert(f(3) == (12.0 / 6 / 255.0).toFloat) // six deltas of 2
+    // odd dims under 4:2:0 are refused
+    assert(intercept[IllegalArgumentException] {
+      Y4m.decode("YUV4MPEG2 W3 H2 C420\nFRAME\n".getBytes ++
+        new Array[Byte](9))
+    }.getMessage.contains("even dimensions"))
+    // sampled frames keep the colorspace
+    val (_, kf) = Y4m.sampleFrames(v, 1).head
+    assert(kf.chroma == "C420" && Y4m.decode(Y4m.encode(kf)).chroma == "C420")
   }
 
   test("features: hand-computed on a 1x1 two-frame clip") {
