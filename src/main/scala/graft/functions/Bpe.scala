@@ -88,7 +88,10 @@ object Bpe {
         tokens.numElements() * 2)
       var w = 0
       while (w < tokens.numElements()) {
-        encodeWord(tokens.getUTF8String(w).toString, out)
+        val t = tokens.getUTF8String(w)
+        require(t != null,
+          "bpe_encode: NULL token element (tokenize upstream drops them)")
+        encodeWord(t.toString, out)
         w += 1
       }
       new GenericArrayData(out.toArray)

@@ -297,6 +297,32 @@ object Dedup {
                    shingleSize: Int = 3, numHashes: Int = 128,
                    bands: Int = 32,
                    shortDocs: String = "novel"): DataFrame = {
+    val st = novelStage(df, idCol, textCol, shingleSize, numHashes,
+      bands, shortDocs)
+    st.banded.join(st.firsts, "bkey")
+      .groupBy("id")
+      .agg(sum(when(col("__w") === col("id"), 1L).otherwise(0L)).as("__nw"),
+        count(lit(1)).as("__nb"))
+      .filter(col("__nw") === col("__nb"))
+      .select(col("id").as(idCol))
+      .unionByName(st.contentless)
+  }
+
+  /** Shared staging of the first-occurrence novelty family
+    * ([[minhashNovel]], [[minhashNovelVerified]]): tokens → shingle
+    * hashes (repartition barrier before the minhash fan-out, see
+    * [[minhashPairs]]) → shortDocs split — shingle-less docs never
+    * enter banding: their signature would be the all-sentinel MinHash
+    * (identical for EVERY short doc), banding unrelated short docs
+    * together; the policy decides their fate instead
+    * ([[ShortDocPolicies]]) — → signatures → (id, bkey) band rows →
+    * per-band minimum-id winners. */
+  private case class NovelStage(sig: DataFrame, banded: DataFrame,
+                                firsts: DataFrame, contentless: DataFrame)
+
+  private def novelStage(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int, numHashes: Int, bands: Int,
+                         shortDocs: String): NovelStage = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     requireShortDocPolicy(shortDocs)
     val p = df.sparkSession.sparkContext.defaultParallelism
@@ -305,28 +331,14 @@ object Dedup {
         Text.tokens(col(textCol)).as("__t"))
       .select(col("id"), shingleHashes(col("__t"), shingleSize).as("hs"))
       .repartition(p, col("id"))
-    // shingle-less docs (< shingleSize tokens) never enter banding:
-    // their signature would be the all-sentinel MinHash (identical for
-    // EVERY such doc), which would band unrelated short docs together
-    // and suppress all but the first. The shortDocs policy decides
-    // their fate instead ([[ShortDocPolicies]], default "novel": no
-    // shingles ⇒ nothing to collide on ⇒ trivially novel; run exact
-    // dedup upstream for short docs).
-    val withContent = hs.filter(size(col("hs")) > 0)
     val contentless = shortDocFate(
       hs.filter(size(col("hs")) === 0), idCol, shortDocs)
-    val sig = withContent.select(col("id"),
+    val sig = hs.filter(size(col("hs")) > 0).select(col("id"),
       minhashSigFromHashes(col("hs"), numHashes).as("sig"))
     val banded = sig.select(col("id"),
       explode(bandKeysFromSig(col("sig"), numHashes, bands)).as("bkey"))
     val firsts = banded.groupBy("bkey").agg(min("id").as("__w"))
-    banded.join(firsts, "bkey")
-      .groupBy("id")
-      .agg(sum(when(col("__w") === col("id"), 1L).otherwise(0L)).as("__nw"),
-        count(lit(1)).as("__nb"))
-      .filter(col("__nw") === col("__nb"))
-      .select(col("id").as(idCol))
-      .unionByName(contentless)
+    NovelStage(sig, banded, firsts, contentless)
   }
 
   /** The one `shortDocs` policy knob shared by [[minhashPairs]],
@@ -382,39 +394,26 @@ object Dedup {
                            shingleSize: Int = 3, numHashes: Int = 128,
                            bands: Int = 32, threshold: Double = 0.5,
                            shortDocs: String = "novel"): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    requireShortDocPolicy(shortDocs)
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val hs = df
-      .select(col(idCol).cast("long").as("id"),
-        Text.tokens(col(textCol)).as("__t"))
-      .select(col("id"), shingleHashes(col("__t"), shingleSize).as("hs"))
-      .repartition(p, col("id"))
-    val withContent = hs.filter(size(col("hs")) > 0)
-    val contentless = shortDocFate(
-      hs.filter(size(col("hs")) === 0), idCol, shortDocs)
-    val sig = withContent.select(col("id"),
-      minhashSigFromHashes(col("hs"), numHashes).as("sig"))
-    val banded = sig.select(col("id"),
-      explode(bandKeysFromSig(col("sig"), numHashes, bands)).as("bkey"))
-    val firsts = banded.groupBy("bkey").agg(min("id").as("__w"))
+    val st = novelStage(df, idCol, textCol, shingleSize, numHashes,
+      bands, shortDocs)
     // suppression evidence, deduped BEFORE signatures ride any join
-    val cand = banded.join(firsts, "bkey")
+    val cand = st.banded.join(st.firsts, "bkey")
       .filter(col("__w") =!= col("id"))
       .select(col("id"), col("__w").as("wid"))
       .distinct()
     val confirmed = cand
-      .join(sig.select(col("id"), col("sig")), "id")
-      .join(sig.select(col("id").as("wid"), col("sig").as("wsig")), "wid")
+      .join(st.sig.select(col("id"), col("sig")), "id")
+      .join(st.sig.select(col("id").as("wid"), col("sig").as("wsig")),
+        "wid")
       .filter(size(filter(zip_with(col("sig"), col("wsig"),
         (x, y) => x === y), b => b)).cast("double") / numHashes
         >= threshold)
       .select(col("id"))
       .distinct()
-    sig.select(col("id"))
+    st.sig.select(col("id"))
       .join(confirmed, Seq("id"), "left_anti")
       .select(col("id").as(idCol))
-      .unionByName(contentless)
+      .unionByName(st.contentless)
   }
 
   /** NEAR-dup cross-corpus dedup — [[dedupAgainst]]'s MinHash sibling:

@@ -192,12 +192,17 @@ object KMeans {
             (i, c.toSeq)
           }).toDF("cell", "__cv")
         .withColumn("__cn", Vectors.norm(col("__cv")))
-      val ccos = assign(df, idCol, vecCol, model)
+      // restrict to component MEMBERS before any per-row vector math:
+      // assignment + cosine run only for paired docs, not the corpus
+      val comp = Dedup.components(pairs, "id_a", "id_b")
+      val members = df.join(
+        comp.select(col("id").cast("long").as("__mid")),
+        col(idCol).cast("long") === col("__mid")).drop("__mid")
+      val ranked = assign(members, idCol, vecCol, model)
         .join(broadcast(cents), "cell")
         .select(col("id"), Vectors.cosineWithNorms(col("v"), col("__cv"),
           col("nm"), col("__cn")).as("__cc"))
-      val ranked = Dedup.components(pairs, "id_a", "id_b")
-        .join(ccos, "id")
+        .join(comp, "id")
         .withColumn("__rk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("component"))

@@ -57,6 +57,9 @@ object Ppm extends Serializable {
       var v = 0
       var any = false
       while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        // no silent 32-bit wrap: a corrupt header must throw, not
+        // decode "valid" wrong dimensions
+        require(v <= 100000000, s"header integer too large at byte $pos")
         v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
       }
       require(any, s"expected integer at byte $pos")
@@ -68,6 +71,8 @@ object Ppm extends Serializable {
     val maxVal = nextInt()
     require(maxVal <= 255,
       s"maxval $maxVal needs the 2-byte sample form (unsupported)")
+    require(width.toLong * height * 3 <= Int.MaxValue,
+      s"raster too large: $width x $height")
     val n = width * height * 3
     val px = new Array[Int](n)
     if (magic == "P6") {

@@ -48,7 +48,9 @@ object Wav extends Serializable {
     while (pos + 8 <= bytes.length && samples == null) {
       val id = tag(bytes, pos)
       val sz = le32(bytes, pos + 4)
-      require(sz >= 0 && pos + 8 + sz <= bytes.length,
+      // compare against the REMAINING byte count — `pos + 8 + sz` could
+      // wrap negative for a crafted ~2^31 size and sail past the check
+      require(sz >= 0 && sz <= bytes.length - pos - 8,
         s"truncated wav chunk '$id': $sz bytes declared at $pos")
       id match {
         case "fmt " =>

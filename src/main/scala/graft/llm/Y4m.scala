@@ -38,6 +38,8 @@ object Y4m extends Serializable {
       s"unsupported colorspace $chroma")
     require(chroma == "C444" || (width % 2 == 0 && height % 2 == 0),
       s"4:2:0 needs even dimensions: $width x $height")
+    require(width.toLong * height * 3 <= Int.MaxValue,
+      s"frame too large: $width x $height")
     /** samples per chroma plane */
     def chromaSize: Int =
       if (chroma == "C444") width * height else (width / 2) * (height / 2)
@@ -80,6 +82,8 @@ object Y4m extends Serializable {
       }
     }
     require(w > 0 && h > 0, s"missing W/H in header: '$header'")
+    require(w.toLong * h * 3 <= Int.MaxValue,
+      s"frame too large: $w x $h") // no silent 32-bit product wrap
     // C420 siting variants (jpeg/mpeg2/paldv) share the quarter-chroma
     // LAYOUT; the distinction is sample positioning, irrelevant here
     val chromaSz =
@@ -150,10 +154,11 @@ object Y4m extends Serializable {
     var f = 0
     while (f < n) {
       val fr = v.frames(f)
+      val prev = if (f > 0) v.frames(f - 1) else null
       var j = 0
       while (j < fr.length) {
         sums(if (j < y) 0 else if (j < y + c) 1 else 2) += fr(j)
-        if (f > 0) motion += math.abs(fr(j) - v.frames(f - 1)(j))
+        if (prev != null) motion += math.abs(fr(j) - prev(j))
         j += 1
       }
       f += 1

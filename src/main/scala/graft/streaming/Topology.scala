@@ -411,7 +411,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     * would restart its state every micro-batch; keep stateful operators
     * on the static path. */
   def runStream(spark: SparkSession, checkpointRoot: String)
-      : Seq[StreamingQuery] = {
+      : Seq[StreamingQuery] = try {
     val (dynamic, static) = operators.partition(_.configTopic.nonEmpty)
     val staticQueries =
       wire(spark, streamSource(spark, _), static).map { case (sinkTopic, df) =>
@@ -465,10 +465,12 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
         }
         .start()
     }
-    // factories may have relaxed analysis-time-only session confs for
-    // their query's start(); every query is started, so restore the
-    // user's values before handing the session back
-    AnalysisConf.restoreAll(spark)
     staticQueries ++ dynamicQueries
+  } finally {
+    // factories may have relaxed analysis-time-only session confs for
+    // their query's start(); restore the user's values before handing
+    // the session back — ALSO when a start() throws mid-way, or the
+    // relaxation would leak for the rest of the session
+    AnalysisConf.restoreAll(spark)
   }
 }

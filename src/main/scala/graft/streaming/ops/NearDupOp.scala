@@ -237,7 +237,11 @@ object NearDupOp extends OperatorFactory {
                 rows.foreach { e =>
                   val t = e.ts.getTime
                   if (t > maxTs) maxTs = t
-                  if (e.id < minId) {
+                  // minSig == null doubles as the first-row test: a doc
+                  // id equal to Long.MaxValue (the initializer) would
+                  // otherwise never assign its signature and persist a
+                  // null into band state
+                  if (minSig == null || e.id < minId) {
                     minId = e.id; minTs = t; minSig = e.sig
                   } else if (e.id == minId && t > minTs) minTs = t
                   if (seen.contains(e.id)) {
