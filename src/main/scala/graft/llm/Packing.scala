@@ -29,7 +29,14 @@ object Packing {
            budget: Long, shards: Int): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     require(shards > 0, s"shards must be positive: $shards")
-    val sharded = df.select(col(idCol), col(costCol).cast("long").as("cost"))
+    // NULL cost would ride free past the sequence budget (window sums
+    // skip NULLs) and poison seq_id/seq_offset — an input error, same
+    // contract as sampleToBudget's guard
+    val guardedCost = when(col(costCol).isNull,
+        raise_error(concat(lit("pack: NULL cost for id="),
+          col(idCol).cast("string"))))
+      .otherwise(col(costCol)).cast("long")
+    val sharded = df.select(col(idCol), guardedCost.as("cost"))
       .withColumn("shard", Ops.idBucket(col(idCol), shards))
     val w = Window.partitionBy("shard").orderBy(idCol)
     // running total INCLUDING this doc; the doc starts at cum - cost

@@ -553,6 +553,48 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L, 2L), got)
   }
 
+  test("NearDupOp verify mode PINS its documented delivery contract: " +
+    "within-batch duplicates are deduped; a cross-batch redelivery of " +
+    "a PASSING doc flips it to not-novel (run exact dedup upstream)") {
+    val tmp = Files.createTempDirectory("neardup_verify_redeliver").toString
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val tA = (1 to 40).map(i => s"vc$i").mkString(" ")
+    val tA2 = (1 to 35).map(i => s"vc$i").mkString(" ") + " h i j k l"
+    // batch 1: winner + the passing doc delivered TWICE (within-batch
+    // dedup must keep it novel)
+    Seq((1L, ts(0, 5), tA), (2L, ts(0, 10), tA2), (2L, ts(0, 10), tA2))
+      .toDF("doc_id", "ts", "text")
+      .write.mode("append").parquet(s"$tmp/in")
+    val src = spark.readStream
+      .schema("doc_id long, ts timestamp, text string")
+      .parquet(s"$tmp/in")
+      .withWatermark("ts", "10 minutes")
+    val q = graft.streaming.ops.NearDupOp(
+        Map("window" -> "1 hour", "lateness" -> "10 minutes",
+          "verify" -> true, "threshold" -> 0.99), Seq(src))
+      .head
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append").start()
+    AnalysisConf.restoreAll(spark)
+    try {
+      q.processAllAvailable()
+      // batch 2: doc 2 re-delivered CROSS-batch — its PASS rows are
+      // per-delivery (the documented at-least-once caveat), so the
+      // tally inflates past `bands` and doc 2 drops out
+      Seq((2L, ts(0, 10), tA2),
+        (9L, ts(3, 0), "late marker closing hour zero"))
+        .toDF("doc_id", "ts", "text")
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L), got)
+  }
+
   test("NearDupOp: at-least-once redelivery — a doc delivered twice in " +
     "one micro-batch and again in a later one is still novel") {
     val tmp = Files.createTempDirectory("neardup_redeliver").toString
