@@ -183,9 +183,16 @@ object Ops {
     * ANY id (a bare id·48271 wraps at ids ≥ ~1.9e14, silently diverging
     * from an exact-arithmetic oracle). The basis of
     * [[hashSample]]/[[mixSample]]. */
-  def idBucket(idCol: Column, buckets: Int = 10000): Column =
-    pmod(pmod(pmod(idCol.cast("long"), lit(2147483647L)) * 48271L,
+  def idBucket(idCol: Column, buckets: Int = 10000): Column = {
+    // a NULL id would make the bucket NULL and the row silently vanish
+    // from every filter built on it (hashSample/mixSample/pack) — the
+    // deterministic-sampling contract treats that as an input error
+    val gid = when(idCol.isNull,
+        raise_error(lit("idBucket: NULL id")))
+      .otherwise(idCol).cast("long")
+    pmod(pmod(pmod(gid, lit(2147483647L)) * 48271L,
       lit(2147483647L)), lit(buckets.toLong))
+  }
 
   /** Deterministic row sampling at `rate` — training-data pipelines need
     * sampling that is stable under retries and re-runs (a rerun must
@@ -220,7 +227,12 @@ object Ops {
   def shuffleShards(idCol: Column, nShards: Int, seed: Int = 0): Op = { df =>
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
     val w = Window.partitionBy(col("shard")).orderBy(col("__h"), idCol)
-    df.withColumn("__h", xxhash64(lit(seed), idCol))
+    // Spark's xxhash64 SKIPS null inputs, so NULL ids would all hash to
+    // the seed constant and pile into one shard — refuse them instead
+    val gid = when(idCol.isNull,
+        raise_error(lit("shuffleShards: NULL id")))
+      .otherwise(idCol)
+    df.withColumn("__h", xxhash64(lit(seed), gid))
       .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
       .withColumn("shuffle_pos", row_number().over(w).cast("long") - 1L)
       .drop("__h")

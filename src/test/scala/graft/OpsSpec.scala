@@ -175,6 +175,25 @@ class OpsSpec extends SparkSpec {
     assert(got == Set(("a", 1L), ("b", 3L)))
   }
 
+  test("NULL ids are refused by the deterministic sampling/sharding " +
+    "family (a null would silently vanish from samples or pile into " +
+    "one shard)") {
+    val df = Seq(Some(1L), None, Some(3L)).toDF("id")
+      .withColumn("src", lit("a"))
+    def raises(op: graft.core.Pipe.Op, what: String): Unit = {
+      // raise_error surfaces as SparkRuntimeException (driver-local
+      // eval) or SparkException (task failure) depending on the plan
+      val ex = intercept[Exception] { (df >> op).collect() }
+      val msg = ex.getMessage +
+        Option(ex.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("NULL id"), s"$what: $msg")
+    }
+    raises(Ops.hashSample(col("id"), 0.5), "hashSample")
+    raises(Ops.mixSample(col("id"), col("src"), Map("a" -> 0.5)),
+      "mixSample")
+    raises(Ops.shuffleShards(col("id"), 4), "shuffleShards")
+  }
+
   test("histogram buckets clamp to range") {
     val df = Seq(-5.0, 0.0, 5.0, 95.0, 200.0).toDF("v")
     val got = df >> MathOps.histogram(col("v"), 0, 100, 10)
