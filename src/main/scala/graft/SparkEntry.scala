@@ -1464,6 +1464,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // composed MEDIA pipeline (the multimodal q_pipeline_* sibling):
+    // duplicated payloads (consecutive id pairs share content) ->
+    // content-addressed dedup keeps the min id -> mime routing to the
+    // real codecs -> per-modality stats; every stage individually
+    // oracled, the composition hash-matched end to end
+    "q_pipeline_media" -> ((s, dir) => {
+      import s.implicits._
+      val mixed = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val k = id - (id % 2) // content key: pairs share payloads
+          (k % 3) match {
+            case 0 => (id, graft.llm.Ppm.Mime,
+              graft.llm.Ppm.encodeP6(graft.llm.Ppm.synthetic(k, 8, 6)))
+            case 1 => (id, graft.llm.Wav.Mime,
+              graft.llm.Wav.encode(graft.llm.Wav.synthetic(k, 64)))
+            case _ => (id, graft.llm.Y4m.Mime,
+              graft.llm.Y4m.encode(graft.llm.Y4m.synthetic(k, 4, 4, 6)))
+          }
+        }.toDF("doc_id", "mime", "content")
+        .withColumn("meta", struct(col("mime"),
+          length(col("content")).cast("long").as("n_bytes"),
+          sha2(col("content"), 256).as("sha256")))
+      val survivors = Multimodal.dedupByContent(mixed, "doc_id")
+        .select(col("doc_id"), col("n_dups"))
+        .join(mixed, "doc_id")
+      val feats = graft.streaming.ops.MediaFeaturesOp(
+        Map.empty, Seq(survivors)).head
+      // float mins/maxes are order-independent (unlike float sums), so
+      // the aggregate stays bit-replayable
+      feats.groupBy("modality")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("f0")).as("f0_min"),
+          max(col("f3")).as("f3_max"))
+        .orderBy("modality")
+    }),
+
     // REAL video demux: synthetic 4x4 C444 clips (6 frames) built by
     // the real muxer, parsed back by the real header/FRAME walker;
     // decoded dims/frame count + plane means + temporal motion oracled
@@ -2618,6 +2654,60 @@ object SparkEntry {
           |FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
           |      UNION ALL SELECT * FROM vid)
           |ORDER BY doc_id""".stripMargin,
+
+      // media pipeline replay: consecutive id pairs share content so
+      // content dedup keeps the EVEN ids; per-modality branches
+      // recompute f0/f3 for survivors and aggregate with
+      // order-independent float min/max
+      "q_pipeline_media" ->
+        """WITH ipx AS (
+          |  SELECT doc_id, p,
+          |         ((doc_id * 31 + (p * 3) * 7) % 251) AS r,
+          |         ((doc_id * 31 + (p * 3 + 1) * 7) % 251) AS g,
+          |         ((doc_id * 31 + (p * 3 + 2) * 7) % 251) AS b
+          |  FROM documents, unnest(generate_series(0, 47)) AS t(p)
+          |  WHERE doc_id % 2 = 0 AND doc_id % 3 = 0),
+          |idoc AS (
+          |  SELECT doc_id,
+          |         CAST(CAST(sum(r) AS DOUBLE) / 48 / 255 AS FLOAT) AS f0,
+          |         CAST(CAST(sum(299 * r + 587 * g + 114 * b) AS DOUBLE)
+          |           / 1000.0 / 48 / 255 AS FLOAT) AS f3
+          |  FROM ipx GROUP BY doc_id),
+          |img AS (SELECT 'image' AS modality, count(*) AS n_docs,
+          |               min(f0) AS f0_min, max(f3) AS f3_max FROM idoc),
+          |asm AS (
+          |  SELECT doc_id, j,
+          |         ((doc_id * 31 + j * 7) % 65521) - 32760 AS v
+          |  FROM documents, unnest(generate_series(0, 63)) AS t(j)
+          |  WHERE doc_id % 2 = 0 AND doc_id % 3 = 1),
+          |adoc AS (
+          |  SELECT doc_id,
+          |         CAST(CAST(sum(v) AS DOUBLE) / 64 / 32768.0 AS FLOAT)
+          |           AS f0,
+          |         CAST(CAST(max(abs(v)) AS DOUBLE) / 32768.0 AS FLOAT)
+          |           AS f3
+          |  FROM asm GROUP BY doc_id),
+          |aud AS (SELECT 'audio' AS modality, count(*) AS n_docs,
+          |               min(f0) AS f0_min, max(f3) AS f3_max FROM adoc),
+          |vsm AS (
+          |  SELECT doc_id, f, j,
+          |         ((doc_id * 31 + f * 101 + j * 7) % 251) AS v
+          |  FROM documents, unnest(generate_series(0, 5)) AS tf(f),
+          |       unnest(generate_series(0, 47)) AS tj(j)
+          |  WHERE doc_id % 2 = 0 AND doc_id % 3 = 2),
+          |vdoc AS (
+          |  SELECT doc_id,
+          |         CAST(CAST(sum(CASE WHEN j < 16 THEN v END) AS DOUBLE)
+          |           / 96 / 255.0 AS FLOAT) AS f0,
+          |         CAST(CAST(sum(CASE WHEN f > 0 THEN abs(v -
+          |             ((doc_id * 31 + (f - 1) * 101 + j * 7) % 251))
+          |           ELSE 0 END) AS DOUBLE) / 240 / 255.0 AS FLOAT) AS f3
+          |  FROM vsm GROUP BY doc_id)
+          |SELECT modality, n_docs, f0_min, f3_max FROM (
+          |  SELECT * FROM img UNION ALL SELECT * FROM aud
+          |  UNION ALL SELECT 'video' AS modality, count(*) AS n_docs,
+          |         min(f0) AS f0_min, max(f3) AS f3_max FROM vdoc)
+          |ORDER BY modality""".stripMargin,
 
       // y4m replay: the synthetic plane generator
       // ((id*31 + f*101 + j*7) mod 251, Y4m.synthetic) recomputed;
