@@ -45,9 +45,13 @@ import graft.streaming.{AnalysisConf, OperatorFactory}
   * RE-ADMITS a colliding doc whose agreement with the winner stays
   * below `threshold` — the streaming twin of
   * [[graft.llm.Dedup.minhashNovelVerified]] (batch mode through this
-  * factory matches it exactly; test-pinned). Verify-mode pass rows are
-  * per-delivery: run exact dedup upstream under at-least-once sources
-  * (claims stay idempotent, passes cannot be).
+  * factory matches it exactly; test-pinned). PASS rows are idempotent
+  * like claims: each band remembers the ids it re-admitted (a sorted
+  * array in state, bounded by `verify_memory`), so at-least-once
+  * redelivery never re-emits; past the memory cap (or with
+  * `verify_memory: 0`) re-admission degrades to per-delivery and a
+  * redelivered passing doc flips to not-novel — the conservative
+  * direction for dedup, warn-logged and test-pinned.
   *
   * Config: `id_col` ("doc_id"), `text_col` ("text"), `timestamp_col`
   * ("ts"), `window` ("1 hour"), `lateness` ("10 minutes" — also the
@@ -55,7 +59,8 @@ import graft.streaming.{AnalysisConf, OperatorFactory}
   * `num_hashes` (128), `bands` (32), `verify` (false), `threshold`
   * (0.5 — verify-mode re-admission bound), `max_batch_group` (65536 —
   * verify-mode per-band within-batch distinct-doc cap; memory budget
-  * ≈ cap × num_hashes × 8 B), `short_docs` ("novel" — the
+  * ≈ cap × num_hashes × 8 B), `verify_memory` (4096 — per-band
+  * re-admitted-id memory; 0 disables), `short_docs` ("novel" — the
   * one [[graft.llm.Dedup.ShortDocPolicies]] knob: "novel" bands
   * shingle-less docs on per-doc-unique synthetic keys so each is
   * trivially novel; "pair" bands them on SHARED sentinel keys so the
@@ -82,11 +87,15 @@ object NearDupOp extends OperatorFactory {
   case class BandEvent(id: Long, ts: java.sql.Timestamp, bkey: Long)
   case class BandClaim(id: Long, ts: java.sql.Timestamp)
   case class BandState(winner: Long)
-  // verify mode: events carry the doc signature, state stores the
-  // winner's (numHashes longs — the documented verify cost)
+  // verify mode: events carry the doc signature; state stores the
+  // winner's (numHashes longs — the documented verify cost) plus the
+  // SORTED ids that already emitted a PASS row for this band, so
+  // re-admissions are idempotent under at-least-once redelivery
+  // (bounded by verify_memory; binary-searched)
   case class BandEventV(id: Long, ts: java.sql.Timestamp, bkey: Long,
                         sig: Array[Long])
-  case class BandStateV(winner: Long, sig: Array[Long])
+  case class BandStateV(winner: Long, sig: Array[Long],
+                        passed: Array[Long])
 
   def apply(config: Map[String, Any], sources: Seq[DataFrame])
       : Seq[DataFrame] = {
@@ -104,8 +113,11 @@ object NearDupOp extends OperatorFactory {
     val threshold = config.getOrElse("threshold", 0.5).toString.toDouble
     val maxGroup =
       config.getOrElse("max_batch_group", 65536).toString.toInt
+    val verifyMemory =
+      config.getOrElse("verify_memory", 4096).toString.toInt
     require(numHashes % bands == 0, "bands must divide num_hashes")
     require(maxGroup > 0, "max_batch_group must be positive")
+    require(verifyMemory >= 0, "verify_memory must be >= 0")
     require(graft.llm.Dedup.ShortDocPolicies(shortDocs),
       s"short_docs must be one of " +
         s"${graft.llm.Dedup.ShortDocPolicies.mkString("/")}: '$shortDocs'")
@@ -260,7 +272,8 @@ object NearDupOp extends OperatorFactory {
                   val prior = state.getOption
                   val winner = prior.map(_.winner).getOrElse(minId)
                   val wsig = prior.map(_.sig).getOrElse(minSig)
-                  if (prior.isEmpty) state.update(BandStateV(minId, minSig))
+                  val passedPrior =
+                    prior.map(_.passed).getOrElse(Array.emptyLongArray)
                   if (streaming) {
                     state.setTimeoutTimestamp(
                       math.max(maxTs, state.getCurrentWatermarkMs()) +
@@ -268,17 +281,38 @@ object NearDupOp extends OperatorFactory {
                   }
                   val out = scala.collection.mutable.ArrayBuffer
                     .empty[BandClaim]
+                  val newPassers = scala.collection.mutable.ArrayBuffer
+                    .empty[Long]
                   if (prior.isEmpty)
                     out += BandClaim(minId, new java.sql.Timestamp(minTs))
                   seen.foreach { case (id, (t, s)) =>
-                    if (id != winner) {
+                    if (id != winner &&
+                      java.util.Arrays.binarySearch(passedPrior, id) < 0) {
                       var eq = 0
                       var i = 0
                       val n = math.min(s.length, wsig.length)
                       while (i < n) { if (s(i) == wsig(i)) eq += 1; i += 1 }
-                      if (eq.toDouble / numHashes < threshold)
+                      if (eq.toDouble / numHashes < threshold) {
                         out += BandClaim(id, new java.sql.Timestamp(t))
+                        // remember the pass so a redelivery never
+                        // re-emits; beyond the memory cap, re-admission
+                        // degrades to per-delivery (the conservative
+                        // direction: an inflated tally suppresses)
+                        if (passedPrior.length + newPassers.length <
+                          verifyMemory) newPassers += id
+                        else log.warn(
+                          s"NearDupOp(verify): pass memory full " +
+                            s"(verify_memory=$verifyMemory); " +
+                            s"re-admissions for this band are no " +
+                            "longer redelivery-idempotent")
+                      }
                     }
+                  }
+                  if (prior.isEmpty || newPassers.nonEmpty) {
+                    val passed =
+                      if (newPassers.isEmpty) passedPrior
+                      else (passedPrior ++ newPassers).sorted
+                    state.update(BandStateV(winner, wsig, passed))
                   }
                   out.iterator
                 }

@@ -553,46 +553,51 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L, 2L), got)
   }
 
-  test("NearDupOp verify mode PINS its documented delivery contract: " +
-    "within-batch duplicates are deduped; a cross-batch redelivery of " +
-    "a PASSING doc flips it to not-novel (run exact dedup upstream)") {
-    val tmp = Files.createTempDirectory("neardup_verify_redeliver").toString
+  test("NearDupOp verify mode is redelivery-idempotent: within-batch " +
+    "duplicates dedup and the per-band pass memory keeps a cross-batch " +
+    "redelivered PASSING doc novel; verify_memory=0 degrades to the " +
+    "conservative per-delivery flip") {
     def ts(h: Int, m: Int) =
       java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
     val tA = (1 to 40).map(i => s"vc$i").mkString(" ")
     val tA2 = (1 to 35).map(i => s"vc$i").mkString(" ") + " h i j k l"
-    // batch 1: winner + the passing doc delivered TWICE (within-batch
-    // dedup must keep it novel)
-    Seq((1L, ts(0, 5), tA), (2L, ts(0, 10), tA2), (2L, ts(0, 10), tA2))
-      .toDF("doc_id", "ts", "text")
-      .write.mode("append").parquet(s"$tmp/in")
-    val src = spark.readStream
-      .schema("doc_id long, ts timestamp, text string")
-      .parquet(s"$tmp/in")
-      .withWatermark("ts", "10 minutes")
-    val q = graft.streaming.ops.NearDupOp(
-        Map("window" -> "1 hour", "lateness" -> "10 minutes",
-          "verify" -> true, "threshold" -> 0.99), Seq(src))
-      .head
-      .writeStream.format("parquet")
-      .option("path", s"$tmp/out")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode("append").start()
-    AnalysisConf.restoreAll(spark)
-    try {
-      q.processAllAvailable()
-      // batch 2: doc 2 re-delivered CROSS-batch — its PASS rows are
-      // per-delivery (the documented at-least-once caveat), so the
-      // tally inflates past `bands` and doc 2 drops out
-      Seq((2L, ts(0, 10), tA2),
-        (9L, ts(3, 0), "late marker closing hour zero"))
+    def run(extra: Map[String, Any]): Set[Long] = {
+      val tmp = Files.createTempDirectory("neardup_vredeliver").toString
+      // batch 1: winner + the passing doc delivered TWICE
+      Seq((1L, ts(0, 5), tA), (2L, ts(0, 10), tA2), (2L, ts(0, 10), tA2))
         .toDF("doc_id", "ts", "text")
         .write.mode("append").parquet(s"$tmp/in")
-      q.processAllAvailable()
-    } finally q.stop()
-    val got = spark.read.parquet(s"$tmp/out")
-      .select("doc_id").as[Long].collect().toSet
-    assert(got == Set(1L), got)
+      val src = spark.readStream
+        .schema("doc_id long, ts timestamp, text string")
+        .parquet(s"$tmp/in")
+        .withWatermark("ts", "10 minutes")
+      val q = graft.streaming.ops.NearDupOp(
+          Map("window" -> "1 hour", "lateness" -> "10 minutes",
+            "verify" -> true, "threshold" -> 0.99) ++ extra, Seq(src))
+        .head
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      AnalysisConf.restoreAll(spark)
+      try {
+        q.processAllAvailable()
+        // batch 2: doc 2 re-delivered CROSS-batch + the late marker
+        Seq((2L, ts(0, 10), tA2),
+          (9L, ts(3, 0), "late marker closing hour zero"))
+          .toDF("doc_id", "ts", "text")
+          .write.mode("append").parquet(s"$tmp/in")
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$tmp/out")
+        .select("doc_id").as[Long].collect().toSet
+    }
+    // default: the band pass memory recognizes the redelivery — doc 2
+    // stays novel, matching the batch twin
+    assert(run(Map()) == Set(1L, 2L))
+    // memory disabled: PASS rows are per-delivery, the tally inflates
+    // past `bands`, and the redelivered passer conservatively drops
+    assert(run(Map("verify_memory" -> 0)) == Set(1L))
   }
 
   test("NearDupOp: at-least-once redelivery — a doc delivered twice in " +
