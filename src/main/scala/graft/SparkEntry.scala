@@ -1471,24 +1471,44 @@ object SparkEntry {
     // oracled, the composition hash-matched end to end
     "q_pipeline_media" -> ((s, dir) => {
       import s.implicits._
+      // pipeline-SPECIFIC injective generators: the shared synthetics
+      // are periodic in the id (mod 251), so at corpus scale distinct
+      // content keys would produce byte-identical payloads and break
+      // the pairs-only dedup invariant the oracle replays. A constant
+      // (k/251)-offset term is NOT enough (the payload is then a pure
+      // function of one value mod 251 — pigeonhole collisions as soon
+      // as keys approach 251); the (1+j)-scaled term makes the pixel
+      // VECTOR injective in (k mod 251, k/251 mod 251): equal payloads
+      // force 31Δk + 97(1+j)Δd ≡ 0 (mod 251) for every j, hence
+      // Δd ≡ Δk ≡ 0 — distinct keys below 251² never collide (audio's
+      // 65521 period already exceeds every test corpus)
+      def img(k: Long) = graft.llm.Ppm.encodeP6(
+        graft.llm.Ppm.Image(8, 6, 255, Array.tabulate(144)(j =>
+          ((k * 31 + j * 7 + k / 251 * 97 * (1 + j)) % 251).toInt)))
+      def vid(k: Long) = graft.llm.Y4m.encode(
+        graft.llm.Y4m.Video(4, 4, 25, 1, IndexedSeq.tabulate(6)(f =>
+          Array.tabulate(48)(j =>
+            ((k * 31 + f * 101 + j * 7 + k / 251 * 97 * (1 + j)) % 251)
+              .toInt))))
       val mixed = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val k = id - (id % 2) // content key: pairs share payloads
           (k % 3) match {
-            case 0 => (id, graft.llm.Ppm.Mime,
-              graft.llm.Ppm.encodeP6(graft.llm.Ppm.synthetic(k, 8, 6)))
+            case 0 => (id, graft.llm.Ppm.Mime, img(k))
             case 1 => (id, graft.llm.Wav.Mime,
               graft.llm.Wav.encode(graft.llm.Wav.synthetic(k, 64)))
-            case _ => (id, graft.llm.Y4m.Mime,
-              graft.llm.Y4m.encode(graft.llm.Y4m.synthetic(k, 4, 4, 6)))
+            case _ => (id, graft.llm.Y4m.Mime, vid(k))
           }
         }.toDF("doc_id", "mime", "content")
-        .withColumn("meta", struct(col("mime"),
-          length(col("content")).cast("long").as("n_bytes"),
-          sha2(col("content"), 256).as("sha256")))
-      val survivors = Multimodal.dedupByContent(mixed, "doc_id")
-        .select(col("doc_id"), col("n_dups"))
-        .join(mixed, "doc_id")
+      // content-addressed dedup in ONE pass: min id per digest via a
+      // window (dedupByContent's groupBy twin — the window form never
+      // re-reads the payload-synthesis lineage through a self-join)
+      val survivors = mixed
+        .withColumn("__sha", sha2(col("content"), 256))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("__sha")).orderBy(col("doc_id"))))
+        .filter(col("__rk") === 1)
+        .drop("__sha", "__rk")
       val feats = graft.streaming.ops.MediaFeaturesOp(
         Map.empty, Seq(survivors)).head
       // float mins/maxes are order-independent (unlike float sums), so
@@ -2662,9 +2682,12 @@ object SparkEntry {
       "q_pipeline_media" ->
         """WITH ipx AS (
           |  SELECT doc_id, p,
-          |         ((doc_id * 31 + (p * 3) * 7) % 251) AS r,
-          |         ((doc_id * 31 + (p * 3 + 1) * 7) % 251) AS g,
-          |         ((doc_id * 31 + (p * 3 + 2) * 7) % 251) AS b
+          |         ((doc_id * 31 + (p * 3) * 7
+          |           + (doc_id // 251) * 97 * (1 + p * 3)) % 251) AS r,
+          |         ((doc_id * 31 + (p * 3 + 1) * 7
+          |           + (doc_id // 251) * 97 * (2 + p * 3)) % 251) AS g,
+          |         ((doc_id * 31 + (p * 3 + 2) * 7
+          |           + (doc_id // 251) * 97 * (3 + p * 3)) % 251) AS b
           |  FROM documents, unnest(generate_series(0, 47)) AS t(p)
           |  WHERE doc_id % 2 = 0 AND doc_id % 3 = 0),
           |idoc AS (
@@ -2691,7 +2714,8 @@ object SparkEntry {
           |               min(f0) AS f0_min, max(f3) AS f3_max FROM adoc),
           |vsm AS (
           |  SELECT doc_id, f, j,
-          |         ((doc_id * 31 + f * 101 + j * 7) % 251) AS v
+          |         ((doc_id * 31 + f * 101 + j * 7
+          |           + (doc_id // 251) * 97 * (1 + j)) % 251) AS v
           |  FROM documents, unnest(generate_series(0, 5)) AS tf(f),
           |       unnest(generate_series(0, 47)) AS tj(j)
           |  WHERE doc_id % 2 = 0 AND doc_id % 3 = 2),
@@ -2700,7 +2724,8 @@ object SparkEntry {
           |         CAST(CAST(sum(CASE WHEN j < 16 THEN v END) AS DOUBLE)
           |           / 96 / 255.0 AS FLOAT) AS f0,
           |         CAST(CAST(sum(CASE WHEN f > 0 THEN abs(v -
-          |             ((doc_id * 31 + (f - 1) * 101 + j * 7) % 251))
+          |             ((doc_id * 31 + (f - 1) * 101 + j * 7
+          |               + (doc_id // 251) * 97 * (1 + j)) % 251))
           |           ELSE 0 END) AS DOUBLE) / 240 / 255.0 AS FLOAT) AS f3
           |  FROM vsm GROUP BY doc_id)
           |SELECT modality, n_docs, f0_min, f3_max FROM (

@@ -31,11 +31,10 @@ object Packing {
     require(shards > 0, s"shards must be positive: $shards")
     // NULL cost would ride free past the sequence budget (window sums
     // skip NULLs) and poison seq_id/seq_offset — an input error, same
-    // contract as sampleToBudget's guard
-    val guardedCost = when(col(costCol).isNull,
-        raise_error(concat(lit("pack: NULL cost for id="),
-          col(idCol).cast("string"))))
-      .otherwise(col(costCol)).cast("long")
+    // contract as sampleToBudget's guards (Ops.refuseNull)
+    val guardedCost = Ops.refuseNull(col(costCol),
+      concat(lit("pack: NULL cost for id="), col(idCol).cast("string")))
+      .cast("long")
     val sharded = df.select(col(idCol), guardedCost.as("cost"))
       .withColumn("shard", Ops.idBucket(col(idCol), shards))
     val w = Window.partitionBy("shard").orderBy(idCol)

@@ -183,16 +183,18 @@ object Ops {
     * ANY id (a bare id·48271 wraps at ids ≥ ~1.9e14, silently diverging
     * from an exact-arithmetic oracle). The basis of
     * [[hashSample]]/[[mixSample]]. */
-  def idBucket(idCol: Column, buckets: Int = 10000): Column = {
-    // a NULL id would make the bucket NULL and the row silently vanish
-    // from every filter built on it (hashSample/mixSample/pack) — the
-    // deterministic-sampling contract treats that as an input error
-    val gid = when(idCol.isNull,
-        raise_error(lit("idBucket: NULL id")))
-      .otherwise(idCol).cast("long")
-    pmod(pmod(pmod(gid, lit(2147483647L)) * 48271L,
+  /** The deterministic-op input-error contract, one definition: a NULL
+    * in a column these operators key on (ids, strata, sizes) would
+    * silently vanish from filters, ride free past budgets, or collapse
+    * hash order — refuse it with context instead. */
+  private[graft] def refuseNull(c: Column, msg: Column): Column =
+    when(c.isNull, raise_error(msg)).otherwise(c)
+
+  def idBucket(idCol: Column, buckets: Int = 10000): Column =
+    pmod(pmod(pmod(
+      refuseNull(idCol, lit("idBucket: NULL id")).cast("long"),
+      lit(2147483647L)) * 48271L,
       lit(2147483647L)), lit(buckets.toLong))
-  }
 
   /** Deterministic row sampling at `rate` — training-data pipelines need
     * sampling that is stable under retries and re-runs (a rerun must
@@ -229,10 +231,8 @@ object Ops {
     val w = Window.partitionBy(col("shard")).orderBy(col("__h"), idCol)
     // Spark's xxhash64 SKIPS null inputs, so NULL ids would all hash to
     // the seed constant and pile into one shard — refuse them instead
-    val gid = when(idCol.isNull,
-        raise_error(lit("shuffleShards: NULL id")))
-      .otherwise(idCol)
-    df.withColumn("__h", xxhash64(lit(seed), gid))
+    df.withColumn("__h", xxhash64(lit(seed),
+      refuseNull(idCol, lit("shuffleShards: NULL id"))))
       .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
       .withColumn("shuffle_pos", row_number().over(w).cast("long") - 1L)
       .drop("__h")
@@ -262,23 +262,21 @@ object Ops {
                      buckets: Int = 1024): Op = { df =>
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val dec = "decimal(38,0)"
+    // NULL id/size/stratum are input errors (refuseNull): a NULL id
+    // hashes to the seed constant and collapses the deterministic
+    // order; a NULL size rides free past the exact-budget contract
+    // (window sums skip NULLs); NULL stratum rows vanish in the
+    // prefix join
     val base = df
-      .withColumn("__h", xxhash64(lit(seed), idCol))
+      .withColumn("__h", xxhash64(lit(seed),
+        refuseNull(idCol, lit("sampleToBudget: NULL id"))))
       .withColumn("__b", pmod(col("__h"), lit(buckets.toLong)))
-      // NULL size would ride free past the exact-budget contract (window
-      // sums skip NULLs, so __cum would not grow) and NULL stratum rows
-      // would vanish in the prefix join — both are input errors, refused
-      // like the paragraphDedup packed-key guard
-      .withColumn("__s", when(stratumCol.isNull,
-          raise_error(concat(
-            lit("sampleToBudget: NULL stratum for id="),
-            idCol.cast("string"))))
-        .otherwise(stratumCol).cast("string"))
-      .withColumn("__sz", when(sizeCol.isNull,
-          raise_error(concat(
-            lit("sampleToBudget: NULL size for id="),
-            idCol.cast("string"))))
-        .otherwise(sizeCol).cast(dec))
+      .withColumn("__s", refuseNull(stratumCol,
+        concat(lit("sampleToBudget: NULL stratum for id="),
+          idCol.cast("string"))).cast("string"))
+      .withColumn("__sz", refuseNull(sizeCol,
+        concat(lit("sampleToBudget: NULL size for id="),
+          idCol.cast("string"))).cast(dec))
     val prefixes = base.groupBy(col("__s").as("__ps"), col("__b").as("__pb"))
       .agg(sum(col("__sz")).as("__bt"))
       .withColumn("__prev", coalesce(

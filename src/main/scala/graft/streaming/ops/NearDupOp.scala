@@ -217,16 +217,20 @@ object NearDupOp extends OperatorFactory {
         // below-threshold collision emits a PASS row instead, so the
         // same count === bands tally re-admits the doc. Costs: the
         // signature rides the banding shuffle (numHashes longs × bands
-        // per doc) and per-band state grows to numHashes longs — the
-        // documented trade; the group pass dedups per doc id in a map
-        // bounded by max_batch_group entries (each holding a signature:
-        // budget ≈ cap × numHashes × 8 B). Over-cap docs are suppressed
-        // (each shares the band with the kept minimum). PASS rows are
-        // per-delivery: under an at-least-once source run exact dedup
-        // (DedupOp) upstream, or a cross-batch redelivery of a passing
-        // doc inflates its tally past `bands` and flips it to
-        // not-novel (claims are idempotent; passes cannot be without
-        // per-doc band state).
+        // per doc) and per-band state grows to numHashes longs plus up
+        // to verify_memory re-admitted ids — the documented trade; the
+        // group pass dedups per doc id in a map bounded by
+        // max_batch_group entries (each holding a signature: budget
+        // ≈ cap × numHashes × 8 B). Over-cap docs are suppressed (each
+        // shares the band with the kept minimum). PASS rows are
+        // idempotent via the per-band pass memory (scaladoc); past the
+        // cap or with verify_memory: 0 they degrade to per-delivery
+        // and a redelivered passer conservatively flips to not-novel.
+        // NOTE: adding `passed` to BandStateV changed the verify-mode
+        // state encoder — restarting a verify-mode query from a
+        // checkpoint written before this field fails Spark's state
+        // schema check; start a fresh checkpoint (the unverified path
+        // is unchanged).
         val log = org.slf4j.LoggerFactory.getLogger(getClass)
         val bandedV = sig.select(col("id"), col("ts"),
             explode(keys).as("bkey"), col("sig"))
@@ -283,6 +287,7 @@ object NearDupOp extends OperatorFactory {
                     .empty[BandClaim]
                   val newPassers = scala.collection.mutable.ArrayBuffer
                     .empty[Long]
+                  var unremembered = 0L
                   if (prior.isEmpty)
                     out += BandClaim(minId, new java.sql.Timestamp(minTs))
                   seen.foreach { case (id, (t, s)) =>
@@ -300,14 +305,18 @@ object NearDupOp extends OperatorFactory {
                         // direction: an inflated tally suppresses)
                         if (passedPrior.length + newPassers.length <
                           verifyMemory) newPassers += id
-                        else log.warn(
-                          s"NearDupOp(verify): pass memory full " +
-                            s"(verify_memory=$verifyMemory); " +
-                            s"re-admissions for this band are no " +
-                            "longer redelivery-idempotent")
+                        else unremembered += 1
                       }
                     }
                   }
+                  // aggregate warn (like the max_batch_group one), and
+                  // only for genuine overflow — verify_memory: 0 is the
+                  // documented per-delivery opt-out, not a surprise
+                  if (unremembered > 0 && verifyMemory > 0) log.warn(
+                    s"NearDupOp(verify): pass memory full " +
+                      s"(verify_memory=$verifyMemory); $unremembered " +
+                      "re-admissions this batch are not " +
+                      "redelivery-idempotent")
                   if (prior.isEmpty || newPassers.nonEmpty) {
                     val passed =
                       if (newPassers.isEmpty) passedPrior
