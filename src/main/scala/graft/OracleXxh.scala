@@ -117,6 +117,54 @@ SELECT doc_id,
     (acc, h) -> (acc * 1000003 + h) % 1000000007) AS rfp
 FROM toks ORDER BY doc_id"""
 
+  /** [[graft.llm.Dsir]] replay: hashed unigram+bigram occurrence bags
+    * (duplicates kept), Laplace-smoothed target/raw bucket models, and
+    * the exact common-denominator ranking statistic
+    * Σ c_b·((cnt_p+1)(C_q+B) − (cnt_q+1)(C_p+B)) in HUGEINT — the
+    * integer pipeline is engine-portable where the paper's log-ratio
+    * is not (ln ulp). `targetSql` is the SQL form of the target
+    * predicate over `documents` columns. */
+  private def dsirScoreCtes(buckets: Int, targetSql: String): String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(string_split(lower(trim(text)), ' '),
+       |                t -> len(t) > 0) AS ts,
+       |    CASE WHEN $targetSql THEN 1 ELSE 0 END AS tgt
+       |  FROM documents),
+       |f0 AS (
+       |  SELECT doc_id, tgt,
+       |    list_concat(
+       |      list_transform(ts,
+       |        t -> ((g_xxh_str(t) % $buckets) + $buckets) % $buckets),
+       |      CASE WHEN len(ts) < 2 THEN []::BIGINT[]
+       |           ELSE list_transform(range(1, len(ts)),
+       |             i -> ((g_xxh_str(ts[i] || ' ' || ts[i+1]) % $buckets)
+       |                    + $buckets) % $buckets) END) AS bs
+       |  FROM toks),
+       |f AS (SELECT doc_id, tgt, unnest(bs) AS b FROM f0),
+       |bc AS (SELECT b, count(*)::HUGEINT AS cq,
+       |              sum(tgt)::HUGEINT AS cp
+       |       FROM f GROUP BY b),
+       |tot AS (SELECT sum(cq)::HUGEINT AS tq, sum(cp)::HUGEINT AS tp
+       |        FROM bc),
+       |w AS (SELECT b, (cp + 1) * (tq + $buckets)
+       |               - (cq + 1) * (tp + $buckets) AS wb
+       |      FROM bc, tot),
+       |dc AS (SELECT doc_id, b, count(*)::HUGEINT AS c
+       |       FROM f GROUP BY doc_id, b),
+       |sc AS (SELECT doc_id, sum(c) AS n_feats, sum(c * wb) AS score
+       |       FROM dc JOIN w USING (b) GROUP BY doc_id)""".stripMargin
+
+  def q_dsir_scores(buckets: Int, targetSql: String): String =
+    prologue + "\n" + dsirScoreCtes(buckets, targetSql) + "\n" +
+      """SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+        |       CAST(score AS DECIMAL(38,0)) AS score
+        |FROM sc ORDER BY doc_id""".stripMargin
+
+  def q_dsir_select(buckets: Int, targetSql: String, n: Int): String =
+    prologue + "\n" + dsirScoreCtes(buckets, targetSql) + "\n" +
+      s"""SELECT doc_id, CAST(score AS DECIMAL(38,0)) AS score
+         |FROM sc ORDER BY score DESC, doc_id LIMIT $n""".stripMargin
+
   /** Winnowing prints: positional 3-gram hashes, w=4 window minima, value-dedup (WinnowKernel semantics). */
   val q_winnow: String =
     prologue + "\n" +

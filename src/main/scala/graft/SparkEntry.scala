@@ -1613,6 +1613,62 @@ object SparkEntry {
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
           hex(col("content")).as("content_hex"))
         .orderBy("doc_id")
+    }),
+
+    // DSIR importance resampling (Xie et al. NeurIPS'23): hashed
+    // unigram+bigram bags scored against the lang='en' target slice.
+    // The EXACT integer ranking statistic is the oracled contract; the
+    // paper's log-ratio rides along as log_weight (ln is not
+    // oracle-portable — Dsir scaladoc)
+    "q_dsir_scores" -> ((s, dir) =>
+      graft.llm.Dsir.importanceScores(t(s, dir, "documents"), "doc_id",
+        "text", col("lang") === "en", buckets = 1024)
+        .select(col("doc_id"), col("n_feats"), col("score"))
+        .orderBy("doc_id")),
+
+    // the selection step: top-100 by (score desc, id) — distributed
+    // partial top-n (TakeOrderedAndProject), deterministic tiebreak
+    "q_dsir_select" -> ((s, dir) =>
+      graft.llm.Dsir.selectTop(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", n = 100, buckets = 1024)
+        .select(col("doc_id"), col("score"))
+        .orderBy("doc_id")),
+
+    // product quantization: 64 dims -> m=8 subspaces × ksub=16 codes
+    // (seeded codebooks — the exactly-deterministic path, like
+    // q_kmeans_assign); the stored code of every (vector, subspace)
+    "q_pq_codes" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = graft.llm.Pq.train(e, "vec_id", "embedding",
+        m = 8, ksub = 16)
+      graft.llm.Pq.encode(e, "vec_id", "embedding", cb)
+        .select(col("id").as("vec_id"), posexplode(col("code")))
+        .select(col("vec_id"), col("pos").as("s"), col("col").as("code"))
+        .orderBy("vec_id", "s")
+    }),
+
+    // BPE roundtrip: decode(encode(tokens)) must reproduce the exact
+    // token concatenation — vocab completeness + merge-loop losslessness
+    // through the REAL committed tables, against an oracle that never
+    // sees BPE at all
+    "q_bpe_roundtrip" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Text.tokens(col("text")).as("ts"))
+        .select(col("doc_id"),
+          graft.functions.Bpe.decode(
+            graft.functions.Bpe.encode(col("ts"))).as("detok"))
+        .orderBy("doc_id")),
+
+    // ADC top-5 per query over codes alone — m table lookups per
+    // candidate, folded left-to-right, ties to the smaller neighbor id
+    "q_pq_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = graft.llm.Pq.train(e, "vec_id", "embedding",
+        m = 8, ksub = 16)
+      graft.llm.Pq.adcTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", cb, k = 5)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -2244,6 +2300,72 @@ object SparkEntry {
            |SELECT vec_id, cell FROM asg WHERE rn = 1
            |ORDER BY vec_id""".stripMargin,
 
+      // PQ code assignment: per subspace s, the strict-< argmin over the
+      // 16 seed centroids of the SLICED vectors (dims s*8+1 .. s*8+8),
+      // same sequential per-dim fold as NearestCells' kernel
+      "q_pq_codes" ->
+        s"""WITH cents AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |         embedding AS cv
+           |  FROM embeddings ORDER BY vec_id LIMIT 16),
+           |sp AS (SELECT s FROM unnest(generate_series(0, 7)) AS t(s)),
+           |d AS (SELECT e.vec_id, sp.s, c.cell,
+           |  list_reduce(list_prepend(0.0,
+           |    list_transform(range(1, 9),
+           |      i -> (e.embedding[sp.s*8 + i]::DOUBLE
+           |              - c.cv[sp.s*8 + i]::DOUBLE)
+           |         * (e.embedding[sp.s*8 + i]::DOUBLE
+           |              - c.cv[sp.s*8 + i]::DOUBLE))),
+           |    (a, y) -> a + y) AS dist
+           |  FROM embeddings e CROSS JOIN sp CROSS JOIN cents c),
+           |asg AS (SELECT vec_id, s, cell, row_number() OVER (
+           |          PARTITION BY vec_id, s ORDER BY dist, cell) AS rn
+           |        FROM d)
+           |SELECT vec_id, CAST(s AS INT) AS s, CAST(cell AS INT) AS code
+           |FROM asg WHERE rn = 1
+           |ORDER BY vec_id, s""".stripMargin,
+
+      // ADC search replay: each query's per-(subspace, cell) distance
+      // table is the same `d` CTE restricted to the query rows; the
+      // approximate distance folds the 8 looked-up table entries in
+      // ascending subspace order (list(… ORDER BY s) → sequential
+      // reduce), matching Pq.adcTopK's left-to-right aggregate
+      "q_pq_search" ->
+        s"""WITH cents AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |         embedding AS cv
+           |  FROM embeddings ORDER BY vec_id LIMIT 16),
+           |sp AS (SELECT s FROM unnest(generate_series(0, 7)) AS t(s)),
+           |d AS (SELECT e.vec_id, sp.s, c.cell,
+           |  list_reduce(list_prepend(0.0,
+           |    list_transform(range(1, 9),
+           |      i -> (e.embedding[sp.s*8 + i]::DOUBLE
+           |              - c.cv[sp.s*8 + i]::DOUBLE)
+           |         * (e.embedding[sp.s*8 + i]::DOUBLE
+           |              - c.cv[sp.s*8 + i]::DOUBLE))),
+           |    (a, y) -> a + y) AS dist
+           |  FROM embeddings e CROSS JOIN sp CROSS JOIN cents c),
+           |asg AS (SELECT vec_id, s, cell FROM (
+           |  SELECT vec_id, s, cell, row_number() OVER (
+           |    PARTITION BY vec_id, s ORDER BY dist, cell) AS rn FROM d)
+           |  WHERE rn = 1),
+           |lk AS (
+           |  SELECT dq.vec_id AS query_id, a.vec_id AS nbr_id, a.s,
+           |         dq.dist AS dd
+           |  FROM asg a
+           |  JOIN d dq ON dq.s = a.s AND dq.cell = a.cell
+           |  WHERE dq.vec_id < 5 AND dq.vec_id <> a.vec_id),
+           |adc AS (
+           |  SELECT query_id, nbr_id,
+           |         list_reduce(list_prepend(0.0, list(dd ORDER BY s)),
+           |           (acc, v) -> acc + v) AS adc_dist
+           |  FROM lk GROUP BY query_id, nbr_id)
+           |SELECT query_id, nbr_id, adc_dist, rank FROM (
+           |  SELECT query_id, nbr_id, adc_dist, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY adc_dist, nbr_id) AS rank
+           |  FROM adc)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
       "q_semantic_dedup" ->
         s"""WITH cents AS (
            |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
@@ -2537,6 +2659,12 @@ object SparkEntry {
       "q_countmin" -> OracleXxh.q_countmin,
       "q_fingerprint_rolling" -> OracleXxh.q_fingerprint_rolling,
       "q_winnow" -> OracleXxh.q_winnow,
+      "q_dsir_scores" -> OracleXxh.q_dsir_scores(1024, "lang = 'en'"),
+      "q_dsir_select" ->
+        OracleXxh.q_dsir_select(1024, "lang = 'en'", 100),
+      "q_bpe_roundtrip" ->
+        s"""SELECT doc_id, array_to_string($toksSql, '') AS detok
+           |FROM documents ORDER BY doc_id""".stripMargin,
       "q_shuffle_shards" -> OracleXxh.q_shuffle_shards(nShards = 8,
         seed = 7),
       "q_pipeline_export" -> OracleXxh.q_pipeline_export(

@@ -162,6 +162,20 @@ object Bpe {
   def countTokens(tokens: Column, table: Table = default): Column =
     org.apache.spark.sql.functions.size(encode(tokens, table))
 
+  /** Inverse of [[encode]] at the text level: ids → vocab strings,
+    * concatenated (the vocab rides as a literal array — codegen'd
+    * element_at, no join). Word boundaries are not represented in the
+    * id stream (GPT-2 marks them with Ġ; this corpus fixture is
+    * plain), so the lossless-roundtrip identity is
+    * `decode(encode(tokens)) == concat(tokens)` — which q_bpe_roundtrip
+    * pins against the oracle's direct token concatenation, proving the
+    * vocab covers every token and the merge loop loses nothing. */
+  def decode(ids: Column, table: Table = default): Column = {
+    import org.apache.spark.sql.functions._
+    array_join(transform(ids,
+      i => element_at(typedlit(table.vocab), i + 1)), "")
+  }
+
   // --- DuckDB oracle replay --------------------------------------------
 
   private def esc(s: String): String = s.replace("'", "''")

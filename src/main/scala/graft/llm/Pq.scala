@@ -1,0 +1,134 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.NearestCells
+
+/** Product quantization for embedding columns (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+  * compression leg of billion-scale ANN, complementing [[Ivf]] (which
+  * prunes WHERE to look, PQ shrinks WHAT is stored): split each D-dim
+  * vector into `m` contiguous subvectors, quantize each against its own
+  * `ksub`-centroid codebook, and store only the m code bytes — a
+  * D·4 / m byte compression (64-dim float → 8 bytes at m=8). Search
+  * runs on codes alone via ADC (asymmetric distance computation): per
+  * query, an m×ksub table of exact subspace distances is built ONCE,
+  * and each candidate's approximate distance is m table lookups — no
+  * float vector is ever read at scan time.
+  *
+  * Scale shape: [[encode]] is map-only (m native [[NearestCells]]
+  * passes per row, codebook rides the task binaries); the codes table
+  * is what a 100 TB corpus materializes (32× smaller than the floats).
+  * [[adcTopK]] broadcasts the queries' distance tables and scans codes
+  * map-only into the bounded top-k aggregate
+  * ([[graft.operators.Ops.takeOrderedByKey]] — each task forwards ≤ k
+  * rows per query, never O(corpus)). Compose with [[Ivf]] cell routing
+  * for the IVF-PQ layout when even the code scan needs pruning.
+  *
+  * Determinism: subspace assignment inherits [[KMeans]]'s contract
+  * (strict-< argmin ties to the lowest code, sequential per-dim
+  * distance folds); ADC accumulates the m lookups in a fixed
+  * left-to-right fold and the per-query tables are built with the same
+  * ascending-dimension loop — so codes, distances, and ranks are
+  * bit-reproducible on any engine (q_pq_codes / q_pq_search
+  * hash-match a SQL replay).
+  */
+object Pq {
+
+  /** Per-subspace codebooks: `books(s)` quantizes dimensions
+    * [s·subDim, (s+1)·subDim). */
+  case class Codebook(subDim: Int, books: Array[KMeans.Model]) {
+    def m: Int = books.length
+    def ksub: Int = books.head.k
+    require(books.nonEmpty, "codebook needs at least one subspace")
+    require(books.forall(_.k == books.head.k),
+      "all subspaces must share ksub")
+  }
+
+  /** Train per-subspace codebooks on the corpus itself: slice, then
+    * [[KMeans.seed]] (`iters = 0`, exactly deterministic — the oracled
+    * path) or [[KMeans.fit]] (fixed-point Lloyd refits, bit-exact per
+    * its scaladoc). m·(iters+1) full scans at train time; production
+    * trains on a bounded sample like [[Ivf.train]] when the corpus is
+    * large — the codebook is m·ksub·subDim doubles either way. */
+  def train(df: DataFrame, idCol: String, vecCol: String, m: Int,
+            ksub: Int, iters: Int = 0): Codebook = {
+    require(m >= 1, s"m must be >= 1: $m")
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val books = (0 until m).map { s =>
+      val sliced = df.select(col(idCol),
+        slice(col(vecCol), s * subDim + 1, subDim).as("__sub"))
+      if (iters == 0) KMeans.seed(sliced, idCol, "__sub", ksub)
+      else KMeans.fit(sliced, idCol, "__sub", ksub, iters)
+    }.toArray
+    Codebook(subDim, books)
+  }
+
+  /** (id, code: array<int> of m entries) — the stored representation.
+    * Map-only; each subspace code is the [[NearestCells]] argmin over
+    * that subspace's codebook. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             cb: Codebook): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      array((0 until cb.m).map { s =>
+        element_at(NearestCells(
+          slice(col(vecCol), s * cb.subDim + 1, cb.subDim),
+          cb.books(s).centroids.map(_.toSeq).toSeq, 1), 1)
+      }: _*).as("code"))
+
+  /** Exact squared-L2 between a query subvector and one centroid —
+    * ascending-dimension accumulation, the same IEEE op sequence as
+    * [[NearestCells]]'s kernel and the SQL oracle's sequential fold. */
+  private def subDist(q: Array[Double], cent: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < cent.length) {
+      val diff = q(i) - cent(i)
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  /** ADC top-k: for each row of `queries` (must be small — collected
+    * and broadcast), the k nearest corpus rows by approximate distance
+    * Σ_s dtab(s)(code_s), ties to the smaller neighbor id. Output:
+    * (query_id, nbr_id, adc_dist, rank). Queries are searched against
+    * the CODES of the corpus — encode once, reuse across queries. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, cb: Codebook, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qrows = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qrows.nonEmpty, "queries must be non-empty")
+    // per-query distance tables, built driver-side (m × ksub doubles
+    // per query — the whole point of ADC is this is tiny)
+    val qdf = qrows.toSeq.map { case (qid, qv) =>
+      val dtab = (0 until cb.m).map { s =>
+        val sub = java.util.Arrays.copyOfRange(qv, s * cb.subDim,
+          (s + 1) * cb.subDim)
+        cb.books(s).centroids.toSeq.map(c => subDist(sub, c))
+      }
+      (qid, dtab)
+    }.toDF("query_id", "dtab")
+    val scored = encode(corpus, idCol, vecCol, cb)
+      .crossJoin(broadcast(qdf))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0),
+          (acc, s) => acc + element_at(element_at(col("dtab"), s + 1),
+            element_at(col("code"), s + 1) + 1)).as("adc"))
+    // bounded top-k wants score-DESCENDING; distances rank ascending, so
+    // feed the negation (exact: IEEE sign flip) and flip back
+    graft.operators.Ops.takeOrderedByKey(k, col("id"), -col("adc"),
+      Seq(col("query_id")), as = ("nbr_id", "__neg"))(scored)
+      .select(col("query_id"), col("nbr_id"),
+        (-col("__neg")).as("adc_dist"), col("rank"))
+  }
+}

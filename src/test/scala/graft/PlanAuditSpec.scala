@@ -107,6 +107,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("dsir scoring broadcasts the bucket-model tables — the corpus " +
+    "path is aggregates plus a broadcast join, never a sort-merge") {
+    val p = planStr("q_dsir_scores")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window "), p)
+  }
+
+  test("dsir selection is a distributed partial top-n, not a global " +
+    "sort of the scored corpus") {
+    val p = planStr("q_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("pq encode is map-only (codebook rides the plan); adc search " +
+    "ranks via the bounded top-k aggregate, no window, no sort-merge") {
+    val pc = planStr("q_pq_codes")
+    assert(!pc.contains("Join"), pc)
+    val ps = planStr("q_pq_search")
+    assert(!ps.contains("Window "), ps)
+    assert(!ps.contains("SortMergeJoin"), ps)
+    assert(ps.contains("topk"), ps)
+  }
+
   test("k-means assignment is map-only: the centroid table rides the " +
     "plan, no join and no window anywhere") {
     val p = planStr("q_kmeans_assign")
