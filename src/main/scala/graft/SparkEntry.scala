@@ -1669,6 +1669,21 @@ object SparkEntry {
       graft.llm.Pq.adcTopK(e, e.filter(col("vec_id") < 5), "vec_id",
         "embedding", cb, k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ: coarse routing (8 seeded cells, 2 probed) + ADC over the
+    // codes inside probed cells only — the production billion-scale
+    // ANN layout, both quantizers on their exactly-deterministic
+    // seeded paths; fewer than k rows per query when the probed cells
+    // run dry (the recall trade the oracle replays too)
+    "q_pq_ivf_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val coarse = graft.llm.KMeans.seed(e, "vec_id", "embedding", k = 8)
+      val cb = graft.llm.Pq.train(e, "vec_id", "embedding",
+        m = 8, ksub = 16)
+      graft.llm.Pq.ivfAdcTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", coarse, cb, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -2354,6 +2369,67 @@ object SparkEntry {
            |         dq.dist AS dd
            |  FROM asg a
            |  JOIN d dq ON dq.s = a.s AND dq.cell = a.cell
+           |  WHERE dq.vec_id < 5 AND dq.vec_id <> a.vec_id),
+           |adc AS (
+           |  SELECT query_id, nbr_id,
+           |         list_reduce(list_prepend(0.0, list(dd ORDER BY s)),
+           |           (acc, v) -> acc + v) AS adc_dist
+           |  FROM lk GROUP BY query_id, nbr_id)
+           |SELECT query_id, nbr_id, adc_dist, rank FROM (
+           |  SELECT query_id, nbr_id, adc_dist, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY adc_dist, nbr_id) AS rank
+           |  FROM adc)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // IVF-PQ replay: coarse assignment + probe ranking reuse the
+      // full-vector q_kmeans_assign fold; the PQ chain is q_pq_search's;
+      // candidates are restricted to probed (query cell = corpus cell)
+      "q_pq_ivf_search" ->
+        s"""WITH ccents AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |         embedding AS cv
+           |  FROM embeddings ORDER BY vec_id LIMIT 8),
+           |cd AS (SELECT e.vec_id, c.cell,
+           |  list_reduce(list_prepend(0.0,
+           |    list_transform(list_zip(e.embedding, c.cv),
+           |      x -> (x[1]::DOUBLE - x[2]::DOUBLE)
+           |         * (x[1]::DOUBLE - x[2]::DOUBLE))),
+           |    (a, y) -> a + y) AS dist
+           |  FROM embeddings e CROSS JOIN ccents c),
+           |asgc AS (SELECT vec_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM cd)
+           |  WHERE rn = 1),
+           |probe AS (SELECT vec_id AS query_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM cd
+           |  WHERE vec_id < 5) WHERE rn <= 2),
+           |pcents AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pcell,
+           |         embedding AS cv
+           |  FROM embeddings ORDER BY vec_id LIMIT 16),
+           |sp AS (SELECT s FROM unnest(generate_series(0, 7)) AS t(s)),
+           |pd AS (SELECT e.vec_id, sp.s, p.pcell,
+           |  list_reduce(list_prepend(0.0,
+           |    list_transform(range(1, 9),
+           |      i -> (e.embedding[sp.s*8 + i]::DOUBLE
+           |              - p.cv[sp.s*8 + i]::DOUBLE)
+           |         * (e.embedding[sp.s*8 + i]::DOUBLE
+           |              - p.cv[sp.s*8 + i]::DOUBLE))),
+           |    (a, y) -> a + y) AS dist
+           |  FROM embeddings e CROSS JOIN sp CROSS JOIN pcents p),
+           |pasg AS (SELECT vec_id, s, pcell FROM (
+           |  SELECT vec_id, s, pcell, row_number() OVER (
+           |    PARTITION BY vec_id, s ORDER BY dist, pcell) AS rn
+           |  FROM pd) WHERE rn = 1),
+           |lk AS (
+           |  SELECT dq.vec_id AS query_id, a.vec_id AS nbr_id, a.s,
+           |         dq.dist AS dd
+           |  FROM pasg a
+           |  JOIN pd dq ON dq.s = a.s AND dq.pcell = a.pcell
+           |  JOIN asgc ON asgc.vec_id = a.vec_id
+           |  JOIN probe ON probe.query_id = dq.vec_id
+           |            AND probe.cell = asgc.cell
            |  WHERE dq.vec_id < 5 AND dq.vec_id <> a.vec_id),
            |adc AS (
            |  SELECT query_id, nbr_id,

@@ -67,17 +67,21 @@ object Pq {
     Codebook(subDim, books)
   }
 
-  /** (id, code: array<int> of m entries) — the stored representation.
-    * Map-only; each subspace code is the [[NearestCells]] argmin over
-    * that subspace's codebook. */
+  /** The m-entry code vector of `vec` as a Column — each subspace code
+    * is the [[NearestCells]] argmin over that subspace's codebook
+    * (codebook rides the plan; map-only). */
+  def codeColumn(vec: Column, cb: Codebook): Column =
+    array((0 until cb.m).map { s =>
+      element_at(NearestCells(
+        slice(vec, s * cb.subDim + 1, cb.subDim),
+        cb.books(s).centroids.map(_.toSeq).toSeq, 1), 1)
+    }: _*)
+
+  /** (id, code: array<int> of m entries) — the stored representation. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
              cb: Codebook): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
-      array((0 until cb.m).map { s =>
-        element_at(NearestCells(
-          slice(col(vecCol), s * cb.subDim + 1, cb.subDim),
-          cb.books(s).centroids.map(_.toSeq).toSeq, 1), 1)
-      }: _*).as("code"))
+      codeColumn(col(vecCol), cb).as("code"))
 
   /** Exact squared-L2 between a query subvector and one centroid —
     * ascending-dimension accumulation, the same IEEE op sequence as
@@ -93,23 +97,27 @@ object Pq {
     d
   }
 
-  /** ADC top-k: for each row of `queries` (must be small — collected
-    * and broadcast), the k nearest corpus rows by approximate distance
-    * Σ_s dtab(s)(code_s), ties to the smaller neighbor id. Output:
-    * (query_id, nbr_id, adc_dist, rank). Queries are searched against
-    * the CODES of the corpus — encode once, reuse across queries. */
-  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, cb: Codebook, k: Int): DataFrame = {
-    val spark = corpus.sparkSession
+  /** The ADC approximate distance: Σ_s dtab(s)(code_s), folded
+    * left-to-right over the subspaces (fixed IEEE op order — the SQL
+    * oracle replays the identical fold). */
+  private def adcColumn(dtab: Column, code: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(element_at(dtab, s + 1),
+        element_at(code, s + 1) + 1))
+
+  /** (query_id, dtab) frame of per-query subspace distance tables,
+    * built driver-side (m × ksub doubles per query — the whole point
+    * of ADC is this is tiny) from a small collected query set. */
+  private def queryTables(queries: DataFrame, idCol: String,
+                          vecCol: String, cb: Codebook): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
     val qrows = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(qrows.nonEmpty, "queries must be non-empty")
-    // per-query distance tables, built driver-side (m × ksub doubles
-    // per query — the whole point of ADC is this is tiny)
-    val qdf = qrows.toSeq.map { case (qid, qv) =>
+    qrows.toSeq.map { case (qid, qv) =>
       val dtab = (0 until cb.m).map { s =>
         val sub = java.util.Arrays.copyOfRange(qv, s * cb.subDim,
           (s + 1) * cb.subDim)
@@ -117,18 +125,60 @@ object Pq {
       }
       (qid, dtab)
     }.toDF("query_id", "dtab")
-    val scored = encode(corpus, idCol, vecCol, cb)
-      .crossJoin(broadcast(qdf))
-      .filter(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("id"),
-        aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0),
-          (acc, s) => acc + element_at(element_at(col("dtab"), s + 1),
-            element_at(col("code"), s + 1) + 1)).as("adc"))
-    // bounded top-k wants score-DESCENDING; distances rank ascending, so
-    // feed the negation (exact: IEEE sign flip) and flip back
+  }
+
+  /** Ranking finale shared by the ADC paths: bounded top-k wants
+    * score-DESCENDING, distances rank ascending — feed the negation
+    * (exact: IEEE sign flip) and flip back. */
+  private def rankByDistance(scored: DataFrame, k: Int): DataFrame =
     graft.operators.Ops.takeOrderedByKey(k, col("id"), -col("adc"),
       Seq(col("query_id")), as = ("nbr_id", "__neg"))(scored)
       .select(col("query_id"), col("nbr_id"),
         (-col("__neg")).as("adc_dist"), col("rank"))
+
+  /** ADC top-k: for each row of `queries` (must be small — collected
+    * and broadcast), the k nearest corpus rows by approximate distance,
+    * ties to the smaller neighbor id. Output:
+    * (query_id, nbr_id, adc_dist, rank). Queries are searched against
+    * the CODES of the corpus — encode once, reuse across queries. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, cb: Codebook, k: Int): DataFrame = {
+    val qdf = queryTables(queries, idCol, vecCol, cb)
+    val scored = encode(corpus, idCol, vecCol, cb)
+      .crossJoin(broadcast(qdf))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        adcColumn(col("dtab"), col("code"), cb.m).as("adc"))
+    rankByDistance(scored, k)
+  }
+
+  /** IVF-PQ: the production billion-scale ANN layout — a coarse
+    * quantizer routes each corpus row to one cell ([[KMeans.cellOf]],
+    * map-only) and each query to its `nProbe` nearest cells; ADC then
+    * scores ONLY the codes inside probed cells. The corpus-side work
+    * per query drops from a full code scan to the probed fraction
+    * (~nProbe/k of the corpus), and the candidate join is keyed on
+    * `cell` with the tiny probe frame broadcast — the scan never
+    * shuffles. Same output contract as [[adcTopK]]; fewer than k rows
+    * per query when the probed cells hold fewer candidates (the IVF
+    * recall trade, tuned by nProbe). */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, coarse: KMeans.Model, cb: Codebook,
+                 k: Int, nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+    val qdf = queryTables(queries, idCol, vecCol, cb)
+    val qprobe = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(NearestCells(col(vecCol),
+          coarse.centroids.map(_.toSeq).toSeq, nProbe)).as("cell"))
+      .join(qdf, "query_id")
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+      KMeans.cellOf(col(vecCol), coarse).as("cell"),
+      codeColumn(col(vecCol), cb).as("code"))
+    val scored = c.join(broadcast(qprobe), "cell")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        adcColumn(col("dtab"), col("code"), cb.m).as("adc"))
+    rankByDistance(scored, k)
   }
 }

@@ -129,6 +129,37 @@ class PqDsirSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ivf-pq with every cell probed degenerates to plain adc; " +
+    "partial probing returns a subset with identical distances") {
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val coarse = graft.llm.KMeans.seed(emb, "vec_id", "embedding", k = 4)
+    val queries = emb.filter(col("vec_id") < 5)
+    val full = Pq.adcTopK(emb, queries, "vec_id", "embedding", cb, 5)
+      .select("query_id", "nbr_id", "adc_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // nProbe = k: every cell probed, candidates identical -> same output
+    val all = Pq.ivfAdcTopK(emb, queries, "vec_id", "embedding",
+      coarse, cb, k = 5, nProbe = 4)
+      .select("query_id", "nbr_id", "adc_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(all == full)
+    // partial probe: each hit carries the same ADC distance the full
+    // scan computed for that pair (routing prunes, never re-scores)
+    val some = Pq.ivfAdcTopK(emb, queries, "vec_id", "embedding",
+      coarse, cb, k = 5, nProbe = 1)
+      .select("query_id", "nbr_id", "adc_dist")
+      .as[(Long, Long, Double)].collect()
+    val fullDist = Pq.adcTopK(emb, queries, "vec_id", "embedding", cb,
+      emb.count().toInt)
+      .select("query_id", "nbr_id", "adc_dist")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, d) => (q, n) -> d }.toMap
+    assert(some.nonEmpty)
+    some.foreach { case (q, n, d) =>
+      assert(fullDist((q, n)) == d, s"pair ($q,$n)")
+    }
+  }
+
   test("pq rejects dimensions that do not divide into m") {
     val e = intercept[IllegalArgumentException] {
       Pq.train(emb, "vec_id", "embedding", m = 7, ksub = 4)
