@@ -1647,6 +1647,15 @@ object SparkEntry {
         .orderBy("vec_id", "s")
     }),
 
+    // temperature mixture (α=1/2): rates from the corpus's own source
+    // counts, every arithmetic step IEEE correctly-rounded, so the
+    // EXACT kept set replays in SQL — pinned per (doc, source)
+    "q_mix_temperature" -> ((s, dir) =>
+      graft.operators.Ops.temperatureMix(col("doc_id"), col("source"),
+        outFraction = 0.5)(t(s, dir, "documents"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // BPE roundtrip: decode(encode(tokens)) must reproduce the exact
     // token concatenation — vocab completeness + merge-loop losslessness
     // through the REAL committed tables, against an oracle that never
@@ -2741,6 +2750,28 @@ object SparkEntry {
       "q_bpe_roundtrip" ->
         s"""SELECT doc_id, array_to_string($toksSql, '') AS detok
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // rate replay: count / +,×,/,sqrt only (each correctly rounded,
+      // denominator folded in stratum-name order) — bit-identical to
+      // the driver-computed rates; then the q_mix_sample Lehmer filter
+      "q_mix_temperature" ->
+        """WITH c AS (
+          |  SELECT source AS s, count(*) AS n FROM documents
+          |  WHERE source IS NOT NULL GROUP BY source),
+          |tot AS (SELECT sum(n) AS nn FROM c),
+          |den AS (SELECT list_reduce(list_prepend(0.0,
+          |          list(sqrt(n::DOUBLE) ORDER BY s)),
+          |          (a, v) -> a + v) AS d
+          |        FROM c),
+          |r AS (SELECT s, least(1.0,
+          |        (0.5 * nn::DOUBLE) * sqrt(n::DOUBLE) / d / n::DOUBLE)
+          |        AS rate
+          |      FROM c, tot, den)
+          |SELECT d2.doc_id, d2.source
+          |FROM documents d2 JOIN r ON r.s = d2.source
+          |WHERE (((d2.doc_id % 2147483647) * 48271) % 2147483647) % 10000
+          |      < CAST(floor(rate * 10000) AS BIGINT)
+          |ORDER BY doc_id""".stripMargin,
       "q_shuffle_shards" -> OracleXxh.q_shuffle_shards(nShards = 8,
         seed = 7),
       "q_pipeline_export" -> OracleXxh.q_pipeline_export(

@@ -217,6 +217,46 @@ object Ops {
       (rateExpr * buckets).cast("long"))
   }
 
+  /** Temperature-balanced mixture sampling at α = 1/2 — the
+    * multilingual pre-training recipe (XLM-R, mT5: sample stratum s
+    * with probability ∝ share^α, α < 1 up-weighting low-resource
+    * strata) as a deterministic filter. Per-stratum rates derive from
+    * the corpus's own stratum counts: output share of stratum s
+    * ∝ sqrt(c_s), scaled so the expected output is `outFraction` of
+    * the corpus, capped at keeping a stratum whole (a low-resource
+    * stratum cannot supply more than itself). NULL strata are dropped
+    * (the [[mixSample]] allowlist convention).
+    *
+    * Determinism across engines: the rates touch only count, +, ×, /,
+    * sqrt — each IEEE correctly-rounded — with the denominator folded
+    * in stratum-name order, so the rates AND the exact kept set replay
+    * bit-identically in external SQL (q_mix_temperature). One tiny
+    * count aggregate is collected (≤ |strata| rows); the corpus pass
+    * is [[mixSample]]'s map-only Lehmer filter. α is fixed at 1/2
+    * because sqrt is the one power IEEE guarantees correctly rounded —
+    * a general pow(x, α) differs across libm implementations, which
+    * would break the exact-replay contract this family promises. */
+  def temperatureMix(idCol: Column, stratumCol: Column,
+                     outFraction: Double, buckets: Int = 10000)
+      : Op = { df =>
+    require(outFraction > 0 && outFraction <= 1,
+      s"outFraction must be in (0,1]: $outFraction")
+    val counts = df.groupBy(stratumCol.cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMix: no non-null strata")
+    val nOut = outFraction * counts.map(_._2).sum.toDouble
+    val denom = counts.foldLeft(0.0) { case (a, (_, c)) =>
+      a + math.sqrt(c.toDouble)
+    }
+    val rates = counts.map { case (s, c) =>
+      s -> math.min(1.0, nOut * math.sqrt(c.toDouble) / denom / c.toDouble)
+    }.toMap
+    mixSample(idCol, stratumCol, rates, defaultRate = 0.0, buckets)(df)
+  }
+
   /** Deterministic GLOBAL corpus shuffle + sharding — the training-data
     * export step (LLM training wants the corpus in pseudorandom order,
     * reproducibly): order = ascending `xxhash64(seed, id)`, shard =

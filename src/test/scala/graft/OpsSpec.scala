@@ -194,6 +194,32 @@ class OpsSpec extends SparkSpec {
     raises(Ops.shuffleShards(col("id"), 4), "shuffleShards")
   }
 
+  test("temperatureMix up-weights low-resource strata and honors the " +
+    "expected output fraction") {
+    // 900 docs of 'big', 100 of 'small': α=1/2 shifts share toward the
+    // small stratum (kept fraction of small > kept fraction of big)
+    val df = ((1L to 900L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, "small"))).toDF("id", "src")
+    val kept = df >> Ops.temperatureMix(col("id"), col("src"), 0.5)
+    val by = kept.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    val fracBig = by.getOrElse("big", 0L).toDouble / 900
+    val fracSmall = by.getOrElse("small", 0L).toDouble / 100
+    assert(fracSmall > fracBig, s"small $fracSmall <= big $fracBig")
+    // Lehmer buckets approximate the rate; total lands near half
+    val total = by.values.sum.toDouble / 1000
+    assert(total > 0.35 && total < 0.65, s"total fraction $total")
+    // deterministic across runs
+    val again = (df >> Ops.temperatureMix(col("id"), col("src"), 0.5))
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+    // NULL strata drop (allowlist convention)
+    val withNull = df.union(Seq((2000L,
+      null.asInstanceOf[String])).toDF("id", "src"))
+    val noNull = withNull >> Ops.temperatureMix(col("id"), col("src"), 0.5)
+    assert(noNull.filter(col("id") === 2000L).count() == 0)
+  }
+
   test("histogram buckets clamp to range") {
     val df = Seq(-5.0, 0.0, 5.0, 95.0, 200.0).toDF("v")
     val got = df >> MathOps.histogram(col("v"), 0, 100, 10)
