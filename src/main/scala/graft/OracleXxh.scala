@@ -117,6 +117,32 @@ SELECT doc_id,
     (acc, h) -> (acc * 1000003 + h) % 1000000007) AS rfp
 FROM toks ORDER BY doc_id"""
 
+  /** [[graft.functions.RhpProject]] replay: the staged hashInt ±1 plane
+    * table of the q_embed_neardup_lsh chain, but emitting the scaled
+    * per-plane sums instead of sign bits. */
+  def q_rp_project(outDim: Int, seed: Int): String =
+    prologue + "\n" +
+      s"""WITH ps1 AS MATERIALIZED (
+         |  SELECT g_xxh_int($seed::INTEGER, 42::HUGEINT) AS base),
+         |ps2 AS MATERIALIZED (
+         |  SELECT j, g_xxh_int(j::INTEGER, base) AS hj
+         |  FROM ps1, range(0, $outDim) rj(j)),
+         |ps3 AS MATERIALIZED (
+         |  SELECT j, i, g_xxh_int(i::INTEGER, hj) AS hi
+         |  FROM ps2, (SELECT unnest(range(0,
+         |    (SELECT max(len(embedding)) FROM embeddings))) AS i) ri),
+         |planes AS MATERIALIZED (
+         |  SELECT j, list(CASE WHEN (hi & 1) = 0 THEN 1.0 ELSE -1.0 END
+         |                 ORDER BY i) AS pl
+         |  FROM ps3 GROUP BY j)
+         |SELECT e.vec_id, CAST(p.j AS INT) AS j,
+         |  list_reduce(list_prepend(0.0,
+         |    list_transform(list_zip(e.embedding, p.pl),
+         |      x -> x[1]::DOUBLE * x[2])), (a, x) -> a + x)
+         |    / sqrt(${outDim}.0) AS v
+         |FROM embeddings e CROSS JOIN planes p
+         |ORDER BY vec_id, j""".stripMargin
+
   /** [[graft.llm.Dsir]] replay: hashed unigram+bigram occurrence bags
     * (duplicates kept), Laplace-smoothed target/raw bucket models, and
     * the exact common-denominator ranking statistic

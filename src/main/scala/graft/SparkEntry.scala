@@ -1647,6 +1647,17 @@ object SparkEntry {
         .orderBy("vec_id", "s")
     }),
 
+    // JL random projection 64 → 16 dims: deterministic ±1 planes from
+    // the RhpSignature hash chain, exact per-(vector, dim) values —
+    // the pre-ANN compression step, oracled against the staged
+    // hashInt plane replay
+    "q_rp_project" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(
+          graft.functions.Vectors.rhpProject(col("embedding"), 16, 9)))
+        .select(col("vec_id"), col("pos").as("j"), col("col").as("v"))
+        .orderBy("vec_id", "j")),
+
     // temperature mixture (α=1/2): rates from the corpus's own source
     // counts, every arithmetic step IEEE correctly-rounded, so the
     // EXACT kept set replays in SQL — pinned per (doc, source)
@@ -2744,6 +2755,7 @@ object SparkEntry {
       "q_countmin" -> OracleXxh.q_countmin,
       "q_fingerprint_rolling" -> OracleXxh.q_fingerprint_rolling,
       "q_winnow" -> OracleXxh.q_winnow,
+      "q_rp_project" -> OracleXxh.q_rp_project(16, 9),
       "q_dsir_scores" -> OracleXxh.q_dsir_scores(1024, "lang = 'en'"),
       "q_dsir_select" ->
         OracleXxh.q_dsir_select(1024, "lang = 'en'", 100),

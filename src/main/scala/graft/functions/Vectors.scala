@@ -61,6 +61,13 @@ object Vectors {
   def rhpSignature(vec: Column, nBits: Int, seed: Int): Column =
     RhpSignature(vec, nBits, seed)
 
+  /** Johnson–Lindenstrauss ±1 random projection to `outDim` dims — the
+    * pre-ANN compression step; shares [[RhpSignature]]'s deterministic
+    * plane table, so `rhpSignature(v, k, s)` is exactly the sign-bit
+    * vector of `rhpProject(v, k, s)`. See [[RhpProject]]. */
+  def rhpProject(vec: Column, outDim: Int, seed: Int): Column =
+    RhpProject(vec, outDim, seed)
+
   /** The original HOF formulation of [[rhpSignature]] — kept as the
     * executable specification the native expression is tested against. */
   private[graft] def rhpSignatureHof(vec: Column, nBits: Int,

@@ -33,6 +33,39 @@ class RhpSignatureSpec extends SparkSpec {
     assert(a.join(b, "id").filter(a("sig") =!= b("sig")).count() == 0L)
   }
 
+  test("rhpProject sign bits equal rhpSignature bit-for-bit (shared " +
+    "plane table), and the projection is deterministic across plans") {
+    for (seed <- Seq(1, 7); k <- Seq(8, 16)) {
+      val rows = vecs.select(col("id"),
+        Vectors.rhpProject(col("v"), k, seed).as("p"),
+        Vectors.rhpSignature(col("v"), k, seed).as("sig"))
+        .as[(Long, Seq[Double], Long)].collect()
+      rows.foreach { case (id, p, sig) =>
+        assert(p.length == k, s"id=$id")
+        p.zipWithIndex.foreach { case (v, j) =>
+          assert((v >= 0.0) == ((sig >> j & 1L) == 1L),
+            s"id=$id seed=$seed k=$k j=$j v=$v")
+        }
+      }
+    }
+    val a = vecs.select(col("id"),
+      Vectors.rhpProject(col("v"), 16, 3).as("p"))
+    val b = vecs.repartition(3).select(col("id"),
+      Vectors.rhpProject(col("v"), 16, 3).as("p"))
+    assert(a.join(b, "id").filter(a("p") =!= b("p")).count() == 0L)
+  }
+
+  test("rhpProject preserves squared norms in expectation (JL scaling)") {
+    // mean over vectors of ||proj||^2 / ||v||^2 should sit near 1
+    val ratio = vecs.select(
+      (graft.functions.DotProduct(
+        Vectors.rhpProject(col("v"), 16, 11).cast("array<double>"),
+        Vectors.rhpProject(col("v"), 16, 11).cast("array<double>")) /
+        graft.functions.DotProduct(col("v"), col("v"))).as("r"))
+      .agg(avg("r")).head().getDouble(0)
+    assert(ratio > 0.6 && ratio < 1.4, s"mean norm ratio $ratio")
+  }
+
   test("double-element arrays are accepted and match float semantics " +
     "on exactly-representable values") {
     val d = Seq((1L, Array(1.0, -2.0, 3.0, -4.0))).toDF("id", "v")
