@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Bpe, BpeEncode, DotProduct, MinHashSignature, RhpSignature, ShingleHashes, SimHash64}
+import graft.functions.{Bpe, BpeEncode, DotProduct, MinHashSignature, RhpProject, RhpSignature, ShingleHashes, SimHash64}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** SparkSessionExtensions entry point: registers graft's native
@@ -53,6 +53,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 3, "rhp_signature(vec, nBits, seed)")
         RhpSignature(children.head, intArg(children(1), "nBits"),
+          intArg(children(2), "seed"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rhp_project"),
+      new ExpressionInfo(classOf[RhpProject].getName, "rhp_project"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "rhp_project(vec, outDim, seed)")
+        RhpProject(children.head, intArg(children(1), "outDim"),
           intArg(children(2), "seed"))
       }))
     ext.injectFunction((

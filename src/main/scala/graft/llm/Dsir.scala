@@ -62,16 +62,37 @@ object Dsir {
     * Output: (idCol, n_feats, score, log_weight). */
   def importanceScores(df: DataFrame, idCol: String, textCol: String,
                        targetPred: Column, buckets: Int = 4096)
-      : DataFrame = {
-    val dec = "decimal(38,0)"
-    val feats = df
-      .select(col(idCol), targetPred.as("__tgt"),
+      : DataFrame =
+    scoreStaged(stageCounts(df, idCol, textCol, targetPred, buckets),
+      idCol, buckets)
+
+  /** Stage 1 of [[importanceScores]]: per-(doc, target-flag, bucket)
+    * occurrence counts — the one corpus-sized aggregate (map-side
+    * combined, keyed by (id, bucket)). Split out because DSIR is
+    * inherently two-pass (build the model, then score): the composed
+    * plan references this stage twice, so a caller at corpus scale
+    * persists it (`val st = stageCounts(…); st.persist();
+    * scoreStaged(st, …)`) and pays tokenize+hash+explode once — the
+    * staged frame is distinct (doc, bucket) pairs, far smaller than
+    * the text it came from. */
+  def stageCounts(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 4096): DataFrame =
+    df.select(col(idCol), targetPred.as("__tgt"),
         graft.functions.Text.tokens(col(textCol)).as("__ts"))
       .select(col(idCol), col("__tgt"),
         explode(featureBuckets(col("__ts"), buckets)).as("__b"))
-    val model = feats.groupBy("__b").agg(
-      count(lit(1)).cast(dec).as("__cq"),
-      sum(when(col("__tgt"), 1L).otherwise(0L)).cast(dec).as("__cp"))
+      .groupBy(col(idCol), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+
+  /** Stage 2 of [[importanceScores]]: bucket model (≤ `buckets` rows,
+    * broadcast) + scoring join over a [[stageCounts]] frame. */
+  def scoreStaged(staged: DataFrame, idCol: String, buckets: Int)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val model = staged.groupBy("__b").agg(
+      sum(col("__c")).cast(dec).as("__cq"),
+      sum(when(col("__tgt"), col("__c")).otherwise(0L)).cast(dec)
+        .as("__cp"))
     // totals named apart from the per-bucket counts in case-INSENSITIVE
     // resolution (the Spark default) — __Cp would collide with __cp
     val totals = model.agg(sum("__cq").as("__tq"), sum("__cp").as("__tp"))
@@ -85,9 +106,7 @@ object Dsir {
           log(col("__tp").cast("double") + buckets) -
           log(col("__cq").cast("double") + 1.0) +
           log(col("__tq").cast("double") + buckets)).as("__lw"))
-    feats.groupBy(col(idCol), col("__b"))
-      .agg(count(lit(1)).as("__c"))
-      .join(broadcast(weights), "__b")
+    staged.join(broadcast(weights), "__b")
       .groupBy(idCol)
       .agg(sum(col("__c")).as("n_feats"),
         sum(col("__c") * col("__w")).as("score"),

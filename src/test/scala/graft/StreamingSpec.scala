@@ -210,6 +210,19 @@ class StreamingSpec extends SparkSpec {
     val t = graft.functions.Bpe.default
     assert(ids.head == t.vocab.indexOf("customer") &&
       ids.drop(1).map(t.vocab(_)).mkString == "zz")
+    // rhp_project: literal int args unwrap through the same intArg path
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rhp_project",
+      exprs => graft.functions.RhpProject(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
+    val proj = spark.sql(
+      "SELECT rhp_project(array(1.0F, 2.0F), 4, 7) AS p")
+      .as[Seq[Double]].collect().head
+    val api = spark.range(1).select(graft.functions.Vectors
+        .rhpProject(array(lit(1.0f), lit(2.0f)), 4, 7).as("p"))
+      .as[Seq[Double]].collect().head
+    assert(proj.size == 4 && proj == api)
   }
 
   test("topology runs the README flagship RollMean factory from YAML") {
