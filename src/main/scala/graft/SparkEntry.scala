@@ -59,6 +59,41 @@ object SparkEntry {
   private val toksSql =
     "list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0)"
 
+  /** Oracle body for the bigram-LM score (q_bigram_lik / q_lm_buckets):
+    * replays [[graft.llm.TextStats.bigramLikelihood]] — sliced-list
+    * two-arg-lambda bigram expansion, top-K count tables, and the
+    * fixed-point exact mean (floor·1e15 → HUGEINT sum → one
+    * correctly-rounded cast → shared division order). */
+  private def bigramLikSql(topV: Int, topB: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS ts FROM documents),
+       |pairs AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(ts[1:len(ts)-1],
+       |           (x, i) -> {'w1': x, 'bg': x || chr(1) || ts[i+1]}),
+       |           recursive := true)
+       |  FROM toks WHERE len(ts) >= 2),
+       |firsts AS (
+       |  SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1
+       |  ORDER BY c1 DESC, w1 ASC LIMIT $topV),
+       |bigrams AS (
+       |  SELECT bg, count(*) AS cb FROM pairs GROUP BY 1
+       |  ORDER BY cb DESC, bg ASC LIMIT $topB),
+       |vocab AS (SELECT count(*) AS v FROM firsts)
+       |SELECT doc_id,
+       |       count(*) AS n_bigrams,
+       |       CAST(sum(CASE WHEN bigrams.cb IS NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_oov,
+       |       CAST(CAST(sum(CAST(floor(
+       |             (CAST(coalesce(bigrams.cb, 0) + 1 AS DOUBLE) /
+       |              CAST(coalesce(firsts.c1, 0) + vocab.v AS DOUBLE))
+       |             * 1e15) AS BIGINT)) AS HUGEINT) AS DOUBLE)
+       |         / count(*) / 1e15 AS score
+       |FROM pairs LEFT JOIN bigrams USING (bg)
+       |           LEFT JOIN firsts USING (w1)
+       |           CROSS JOIN vocab
+       |GROUP BY doc_id""".stripMargin
+
   /** Constant 44-byte RIFF/PCM16 header (mono, 16 kHz) as uppercase hex
     * — the per-clip sample counts in the wav queries are compile-time
     * constants, so the oracle embeds the real encoder's header bytes. */
@@ -1167,6 +1202,26 @@ object SparkEntry {
         "doc_id", "text", topV = 64)
         .orderBy("doc_id")),
 
+    // bigram LM quality score: average Laplace-smoothed conditional
+    // bigram probability, fixed-point exact mean (KMeans.fit recipe) —
+    // the conditional sibling of q_unigram_lik
+    "q_bigram_lik" -> ((s, dir) =>
+      graft.llm.TextStats.bigramLikelihood(t(s, dir, "documents"),
+        "doc_id", "text", topV = 64, topB = 256)
+        .orderBy("doc_id")),
+
+    // CCNet head/middle/tail terciles over the bigram-LM score: EXACT
+    // global rank via the two-level histogram trick (no unkeyed window
+    // over the corpus); oracle replays the naive single-window form
+    "q_lm_buckets" -> ((s, dir) =>
+      graft.operators.Ops.globalRankBuckets(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("score"), k = 3)(
+        graft.llm.TextStats.bigramLikelihood(t(s, dir, "documents"),
+          "doc_id", "text", topV = 64, topB = 256))
+        .select("doc_id", "score", "rank", "bucket")
+        .orderBy("rank")),
+
     // benchmark decontamination: docs sharing >=3 distinct 3-gram
     // shingles with the (broadcast) benchmark slice; 8-byte shingle
     // hashes both sides — results match the oracle's exact string
@@ -1930,6 +1985,23 @@ object SparkEntry {
            |         AS score
            |FROM toks LEFT JOIN vocab USING (t) CROSS JOIN totals
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_bigram_lik" ->
+        s"""${bigramLikSql(64, 256)}
+           |ORDER BY doc_id""".stripMargin,
+
+      "q_lm_buckets" ->
+        s"""WITH scored AS (
+           |${bigramLikSql(64, 256)}),
+           |ranked AS (
+           |  SELECT doc_id, score,
+           |         row_number() OVER (ORDER BY score DESC, doc_id ASC)
+           |           AS rank,
+           |         count(*) OVER () AS nt
+           |  FROM scored)
+           |SELECT doc_id, score, rank,
+           |       CAST(((rank - 1) * 3) // nt AS INT) AS bucket
+           |FROM ranked ORDER BY rank""".stripMargin,
 
       "q_contamination" ->
         s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),

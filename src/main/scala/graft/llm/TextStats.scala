@@ -186,4 +186,75 @@ object TextStats {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"),
         col("rank"))
   }
+
+  /** Bigram language-model quality score — the conditional-probability
+    * sibling of [[unigramLikelihood]], the relational core of the
+    * CCNet-style "how natural is this doc under corpus statistics"
+    * filter (Wenzek et al. 2020 score with a KenLM n-gram model; here
+    * the model is the corpus's own bigram table, which is what a
+    * from-scratch engine can train in-plan). Per document:
+    *
+    *   score = (1/n) Σ_i  (c(w_i, w_{i+1}) + 1) / (c1(w_i) + V)
+    *
+    * — the average Laplace-smoothed conditional bigram probability,
+    * where `c(·,·)` is the corpus count of the bigram (top-`topB`
+    * retained), `c1(·)` the corpus count of the token in bigram-FIRST
+    * position (top-`topV` retained — this, not the raw unigram count,
+    * is the correct conditional denominator: Σ_w2 c(w1,w2) = c1(w1)),
+    * and V the retained first-position vocabulary size. Out-of-vocab
+    * bigrams score 1/(c1+V) (pure smoothing mass); out-of-vocab first
+    * tokens take denominator V. Low score ⇒ improbable token
+    * transitions: shuffled text, boilerplate keyword soup, wrong-
+    * language fragments — signals invisible to unigram statistics.
+    *
+    * Exactness: each term is a ratio of two integers — ONE IEEE
+    * division — then the [[KMeans.fit]] fixed-point recipe makes the
+    * per-doc mean order-independent: `floor(term · 1e15)` (exact in
+    * any engine), exact integer sum (decimal(38,0) ≡ HUGEINT), one
+    * correctly-rounded int→double conversion, and the shared division
+    * sequence `/ n / 1e15`. Oracled bit-exactly (q_bigram_lik). Terms
+    * are Laplace probabilities ≤ 1 whenever the first token is in
+    * vocab; the OOV-first case is bounded by (minVocabCount+1)/V,
+    * guarded like KMeans.fit against the 9.2e3 floor-saturation edge.
+    *
+    * Scale: bigram expansion is a per-row transform (no join); both
+    * count tables are bounded top-K (TakeOrderedAndProject) and
+    * BROADCAST, so the corpus is scored in one map pass over the
+    * exploded frame plus the per-doc aggregate — the same
+    * shuffle-linear shape as [[unigramLikelihood]]. Docs with < 2
+    * tokens yield no row (no transitions to measure). */
+  def bigramLikelihood(df: DataFrame, idCol: String, textCol: String,
+      topV: Int = 10000, topB: Int = 30000): DataFrame = {
+    require(topV > 0 && topB > 0, "topV and topB must be positive")
+    val pairs = df
+      .select(col(idCol), Text.tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__ts) - 1), i -> struct(" +
+          "element_at(__ts, i) AS w1, " +
+          "concat(element_at(__ts, i), chr(1), element_at(__ts, i + 1))" +
+          " AS bg))")).as("__p"))
+      .select(col(idCol), col("__p.w1").as("__w1"), col("__p.bg").as("__bg"))
+    val firsts = pairs.groupBy("__w1").agg(count(lit(1)).as("__c1"))
+      .orderBy(col("__c1").desc, col("__w1").asc).limit(topV)
+    val bigrams = pairs.groupBy("__bg").agg(count(lit(1)).as("__cb"))
+      .orderBy(col("__cb").desc, col("__bg").asc).limit(topB)
+    val vocabN = firsts.agg(count(lit(1)).as("__V"))
+    val term = (coalesce(col("__cb"), lit(0L)) + 1L).cast("double") /
+      (coalesce(col("__c1"), lit(0L)) + col("__V")).cast("double")
+    val guarded = when(term >= lit(9.2e3), raise_error(concat(
+      lit("bigramLikelihood: term >= 9.2e3 overflows the 1e15 " +
+        "fixed-point quantization for bigram "), col("__bg")))).otherwise(term)
+    pairs
+      .join(broadcast(bigrams), Seq("__bg"), "left")
+      .join(broadcast(firsts), Seq("__w1"), "left")
+      .crossJoin(broadcast(vocabN))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("__cb").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(floor(guarded * lit(1e15)).cast("decimal(38,0)")).as("__s"))
+      .select(col(idCol), col("n_bigrams"), col("n_oov"),
+        (col("__s").cast("double") / col("n_bigrams") / lit(1e15))
+          .as("score"))
+  }
 }

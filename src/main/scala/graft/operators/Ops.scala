@@ -389,4 +389,61 @@ object Ops {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** EXACT corpus-wide rank (1 = best score, ties by id asc) + equal-
+    * frequency bucket index — the CCNet head/middle/tail split (Wenzek
+    * et al. 2020 bucket a corpus into perplexity terciles; any k works).
+    * Adds `rank` (long, dense over the corpus) and `bucket` (int in
+    * [0,k): `floor((rank-1)·k / n)` — bucket sizes differ by at most
+    * one, earlier buckets take the extras, the SQL-standard NTILE
+    * distribution).
+    *
+    * Scale shape — naive rank is `row_number` over an UNKEYED window
+    * (single-partition global sort, the exact hazard [[UnkeyedGuard]]
+    * exists for). This is the two-level exact equivalent, same recipe
+    * as [[sampleToBudget]]: (1) coarse order-preserving histogram cell
+    * `floor(score · coarse)` — floor of one IEEE multiply, engine-
+    * independent; (2) per-cell counts (≤ coarse+1 rows for scores in
+    * [0,1], the intended domain) prefix-summed into rank offsets —
+    * a window over the constant-bounded histogram, corpus-independent;
+    * (3) `row_number` in windows KEYED by cell (partitions bounded by
+    * the per-cell doc count) + broadcast offset = the exact global
+    * rank, because cells preserve order: floor is monotone. The SQL
+    * oracle replays the single-window form (q_lm_buckets) — pinning
+    * that the distributed two-level plan equals the sequential
+    * definition. Skew caveat: all-equal scores put the corpus in one
+    * cell and degenerate to the naive form — pick `coarse` so cells
+    * split the real score distribution (4096 default).
+    *
+    * NULL score or id is refused ([[sampleToBudget]]'s contract: NULLs
+    * sort last in Spark but FIRST under DuckDB defaults — a silent
+    * cross-engine fork); guard against it instead. */
+  def globalRankBuckets(idCol: Column, scoreCol: Column, k: Int = 3,
+                        coarse: Int = 4096): Op = { df =>
+    require(k >= 1, s"k must be >= 1: $k")
+    require(coarse >= 1, s"coarse must be >= 1: $coarse")
+    val base = df.withColumn("__cell",
+      floor(refuseNull(scoreCol, concat(
+        lit("globalRankBuckets: NULL score for id="),
+        idCol.cast("string"))) * lit(coarse.toDouble)))
+    val offsets = base.groupBy(col("__cell").as("__oc"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__prev", coalesce(
+        sum(col("__n")).over(Window.orderBy(col("__oc").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__oc", "__prev")
+    val total = base.agg(count(lit(1)).as("__nt"))
+    val wIn = Window.partitionBy(col("__cell"))
+      .orderBy(scoreCol.desc,
+        refuseNull(idCol, lit("globalRankBuckets: NULL id")).asc)
+    base
+      .join(broadcast(offsets), col("__cell") === col("__oc"))
+      .crossJoin(broadcast(total))
+      .withColumn("rank", col("__prev") + row_number().over(wIn))
+      // integer DIV, not floor(double /): exact at any corpus size
+      // (and DuckDB's `/` is float division — `//` replays this)
+      .withColumn("bucket",
+        expr(s"CAST(((rank - 1) * ${k}L) DIV __nt AS INT)"))
+      .drop("__cell", "__oc", "__prev", "__nt")
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.TextStats
+import graft.operators.Ops
+
+/** Pins [[TextStats.bigramLikelihood]] (hand-computed Laplace bigram
+  * conditionals on a tiny corpus) and [[Ops.globalRankBuckets]] (the
+  * two-level exact rank vs the naive single-window definition). */
+class BigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigram score matches the hand-computed Laplace conditionals") {
+    // corpus bigram-first counts (docs 1+2): a->3, b->1
+    // bigrams: a^b -> 3, b^a -> 1; V = 2 (both firsts retained)
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextStats.bigramLikelihood(docs, "doc_id", "text",
+        topV = 10, topB = 10)
+      .orderBy("doc_id")
+      .collect()
+    // doc 1: terms (a,b)=(3+1)/(3+2), (b,a)=(1+1)/(1+2), (a,b)=4/5
+    val t1 = Seq(4.0 / 5, 2.0 / 3, 4.0 / 5)
+      .map(x => math.floor(x * 1e15).toLong).sum
+    val exp1 = t1.toDouble / 3 / 1e15
+    val r1 = got(0)
+    assert(r1.getLong(1) == 3 && r1.getLong(2) == 0 &&
+      r1.getDouble(3) == exp1)
+    // doc 2: one term (a,b) = 4/5
+    val exp2 = math.floor(4.0 / 5 * 1e15).toLong.toDouble / 1 / 1e15
+    assert(got(1).getDouble(3) == exp2)
+    // doc 3: single token — no transitions, no row
+    assert(got.length == 2)
+  }
+
+  test("out-of-vocab bigrams take pure smoothing mass and count as oov") {
+    // topB=1 keeps only a^b (count 2); b^a falls out of vocab:
+    // term = (0+1)/(c1(b)+V) = 1/(1+2)
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val got = TextStats.bigramLikelihood(docs, "doc_id", "text",
+        topV = 10, topB = 1).collect().head
+    val s = Seq(3.0 / 4, 1.0 / 3, 3.0 / 4)
+      .map(x => math.floor(x * 1e15).toLong).sum
+    assert(got.getLong(2) == 1 && got.getDouble(3) == s.toDouble / 3 / 1e15)
+  }
+
+  test("globalRankBuckets equals the naive single-window rank/ntile " +
+    "for clustered, uniform, and all-equal score shapes") {
+    for ((name, scores) <- Seq(
+      "uniform" -> Seq.tabulate(97)(i => (i.toLong, (i * 37 % 101) / 101.0)),
+      "clustered" -> Seq.tabulate(97)(i =>
+        (i.toLong, 0.5 + (i % 7) * 1e-9)),
+      "all-equal" -> Seq.tabulate(31)(i => (i.toLong, 0.25)))) {
+      val df = scores.toDF("id", "score").repartition(4)
+      val got = Ops.globalRankBuckets(col("id"), col("score"), k = 3)(df)
+        .select("id", "rank", "bucket")
+      val n = scores.size
+      val naive = df.withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("id"))))
+        .withColumn("bucket",
+          expr(s"CAST(((rank - 1) * 3L) DIV ${n}L AS INT)"))
+        .select("id", "rank", "bucket")
+      assert(got.except(naive).isEmpty && naive.except(got).isEmpty,
+        name)
+    }
+  }
+
+  test("bucket sizes follow the NTILE distribution (earlier buckets " +
+    "take the extras)") {
+    val df = Seq.tabulate(11)(i => (i.toLong, i / 11.0)).toDF("id", "score")
+    val sizes = Ops.globalRankBuckets(col("id"), col("score"), k = 3)(df)
+      .groupBy("bucket").count().orderBy("bucket")
+      .as[(Int, Long)].collect().toSeq
+    assert(sizes == Seq((0, 4L), (1, 4L), (2, 3L)))
+  }
+
+  test("NULL score is refused, not silently mis-ranked") {
+    val df = Seq((1L, Some(0.5)), (2L, None))
+      .toDF("id", "score")
+    val ex = intercept[Exception] {
+      Ops.globalRankBuckets(col("id"), col("score"))(df).collect()
+    }
+    assert(ex.getMessage.contains("NULL score") ||
+      Option(ex.getCause).exists(_.getMessage.contains("NULL score")))
+  }
+}
