@@ -94,6 +94,39 @@ object SparkEntry {
        |           CROSS JOIN vocab
        |GROUP BY doc_id""".stripMargin
 
+  /** Oracle body for BM25 (q_bm25 / q_hybrid_topk): replays
+    * [[graft.llm.Search.bm25]] — the log-free rational idf, the
+    * (k1+1)/k1(1−b)/k1·b constants spelled as the same IEEE expressions
+    * over double-cast literals, and the 1e9 fixed-point exact term sum. */
+  private def bm25Sql(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS ts FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+       |tots AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS c
+       |         FROM dl),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+       |  WHERE t IN ($inList) GROUP BY 1, 2),
+       |dfq AS (SELECT t, count(*) AS dfc FROM tf GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_terms,
+       |       CAST(CAST(sum(CAST(floor(
+       |           ((CAST(2 * n - 2 * dfc + 1 AS DOUBLE) /
+       |             CAST(2 * dfc + 1 AS DOUBLE)) *
+       |            ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+       |             (CAST(tf AS DOUBLE) +
+       |              (CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE)))
+       |              +
+       |              ((CAST(1.2 AS DOUBLE) * CAST(0.75 AS DOUBLE)) *
+       |               ((CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)) /
+       |                CAST(c AS DOUBLE))))))
+       |           * 1e9) AS BIGINT)) AS HUGEINT) AS DOUBLE) / 1e9
+       |         AS score
+       |FROM tf JOIN dl USING (doc_id) CROSS JOIN tots JOIN dfq USING (t)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   /** Constant 44-byte RIFF/PCM16 header (mono, 16 kHz) as uppercase hex
     * — the per-clip sample counts in the wav queries are compile-time
     * constants, so the oracle embeds the real encoder's header bytes. */
@@ -1406,6 +1439,31 @@ object SparkEntry {
       SimSearch.bruteForceTopK(e, e.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // BM25 lexical retrieval: log-free rational idf, query terms
+    // filtered before aggregation, df/N/C broadcast — one
+    // shuffle-linear pass
+    "q_bm25" -> ((s, dir) =>
+      graft.llm.Search.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("customer", "window", "filter"))
+        .orderBy("doc_id")),
+
+    // hybrid retrieval: BM25 top-50 + cosine top-50 to the vec_id=0
+    // embedding, fused by reciprocal-rank (k=60), top-10 — both lists
+    // bounded, so fusion is constant-sized at any corpus scale
+    "q_hybrid_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = graft.llm.Search.rankTop(
+        graft.llm.Search.bm25(docs, "doc_id", "text",
+          Seq("customer", "window", "filter")),
+        "doc_id", "score", topK = 50)
+      val sem = graft.llm.SimSearch.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("nbr_id").as("doc_id"), col("rank"))
+      graft.llm.Search.rrfFuse(lex, sem, "doc_id", "rank", topK = 10)
+        .orderBy(col("rrf").desc, col("id"))
     }),
 
     "q_simsearch_lsh" -> ((s, dir) => {
@@ -3360,6 +3418,39 @@ object SparkEntry {
            |  FROM embeddings q CROSS JOIN embeddings c
            |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "q_bm25" ->
+        s"""${bm25Sql(Seq("customer", "window", "filter"))}
+           |ORDER BY doc_id""".stripMargin,
+
+      "q_hybrid_topk" ->
+        s"""WITH lex0 AS (
+           |${bm25Sql(Seq("customer", "window", "filter"))}),
+           |lexr AS (
+           |  SELECT id, r FROM (
+           |    SELECT doc_id AS id,
+           |           row_number() OVER (ORDER BY score DESC, doc_id)
+           |             AS r
+           |    FROM lex0)
+           |  WHERE r <= 50),
+           |semr AS (
+           |  SELECT id, r FROM (
+           |    SELECT c.vec_id AS id,
+           |           row_number() OVER (
+           |             ORDER BY ${cosSql("q.embedding", "c.embedding")}
+           |               DESC, c.vec_id) AS r
+           |    FROM embeddings c CROSS JOIN embeddings q
+           |    WHERE q.vec_id = 0 AND c.vec_id <> 0)
+           |  WHERE r <= 50)
+           |SELECT coalesce(l.id, s.id) AS id, l.r AS r_a, s.r AS r_b,
+           |       (CASE WHEN l.r IS NULL THEN 0.0
+           |             ELSE CAST(1.0 AS DOUBLE) / CAST(60 + l.r AS DOUBLE)
+           |        END +
+           |        CASE WHEN s.r IS NULL THEN 0.0
+           |             ELSE CAST(1.0 AS DOUBLE) / CAST(60 + s.r AS DOUBLE)
+           |        END) AS rrf
+           |FROM lexr l FULL OUTER JOIN semr s ON l.id = s.id
+           |ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
 
       "q_frame_sample" ->
         """WITH w AS (

@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical (BM25) retrieval and lexical+semantic hybrid fusion over the
+  * corpus — the query-time counterpart of the index-shaped operators
+  * ([[SimSearch]]/[[Ivf]] for embeddings, [[TextStats.tfidfTop]] for
+  * salient terms). A training-data engine needs retrieval for targeted
+  * corpus slicing ("all docs about X"), decontamination audits, and
+  * RAG-style eval-set construction.
+  *
+  * Exactness contract (the engine-wide rule): every score is built from
+  * integer counts with IEEE multiply/divide only — no `ln` (the
+  * Robertson idf is replaced by its log-free rational core, monotone in
+  * the classic form per-term) — and per-doc term sums go through the
+  * fixed-point recipe ([[KMeans.fit]]): `floor(x·1e9)` → exact integer
+  * sum → one correctly-rounded cast → shared division. Oracled
+  * bit-exactly (q_bm25, q_hybrid_topk). */
+object Search {
+
+  /** BM25 relevance of every document against a bag of query `terms`.
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1(1−b) + k1·b·dl·N/C)
+    *
+    * with `idf(t) = (2N − 2df + 1)/(2df + 1)` — the log-free rational
+    * core of the Robertson–Spärck Jones idf (the classic form is
+    * `ln(1 + idf/2 + …)`-shaped; this is its argument, the same
+    * per-term ordering, kept log-free so the score replays bit-exactly
+    * in any engine — see the `ln`-ulp note in the Hll scaladoc),
+    * `dl·N/C` = doc length over mean doc length (N docs, C corpus
+    * tokens). k1=1.2, b=0.75 are the standard defaults; the derived
+    * constants are spelled as the same IEEE expressions on both engine
+    * and oracle sides.
+    *
+    * Scale: tokens are filtered to the query terms BEFORE any
+    * aggregation — the tf frame is O(docs containing a term), not
+    * O(corpus tokens) — and the doc length rides the explode as a
+    * grouping key, so no corpus-sized side table is ever joined back;
+    * N, C (one partial-agg row) and the ≤|terms|-row df table ride
+    * broadcast. One shuffle-linear pass at any corpus size. Output:
+    * (id, n_terms, score) for docs matching ≥ 1 term; docs matching
+    * none yield no row (BM25 0). */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(terms.nonEmpty, "bm25: empty query")
+    require(terms.distinct.size == terms.size, s"bm25: duplicate terms")
+    val toks = df.select(col(idCol),
+      graft.functions.Text.tokens(col(textCol)).as("__ts"))
+    val tots = toks.agg(count(lit(1)).as("__n"),
+      sum(size(col("__ts")).cast("long")).cast("decimal(38,0)")
+        .cast("long").as("__c"))
+    // doc length rides the explode as a grouping key (functionally
+    // dependent on the id, so the extra key is free) — joining a
+    // corpus-sized doc-length table back to tf would cost a full
+    // corpus shuffle per query
+    val tf = toks
+      .select(col(idCol), size(col("__ts")).cast("long").as("__dl"),
+        explode(col("__ts")).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy(col(idCol), col("__dl"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    // the three BM25 constants — SAME IEEE expression shape as the
+    // oracle SQL ((k1+1), k1(1-b), k1·b over double-cast literals)
+    val c1 = lit(k1) + lit(1.0)
+    val c2 = lit(k1) * (lit(1.0) - lit(b))
+    val c3 = lit(k1) * lit(b)
+    val idf = (lit(2L) * col("__n") - lit(2L) * col("__df") + lit(1L))
+      .cast("double") /
+      (lit(2L) * col("__df") + lit(1L)).cast("double")
+    val tfPart = (col("__tf").cast("double") * c1) /
+      (col("__tf").cast("double") + c2 +
+        (c3 * ((col("__dl").cast("double") * col("__n").cast("double")) /
+          col("__c").cast("double"))))
+    val term = idf * tfPart
+    val guarded = when(term >= lit(9.2e9), raise_error(concat(
+      lit("bm25: term score >= 9.2e9 overflows the 1e9 fixed-point " +
+        "quantization for term "), col("__t")))).otherwise(term)
+    tf.join(broadcast(dfq), "__t")
+      .crossJoin(broadcast(tots))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_terms"),
+        sum(floor(guarded * lit(1e9)).cast("decimal(38,0)")).as("__s"))
+      .select(col(idCol), col("n_terms"),
+        (col("__s").cast("double") / lit(1e9)).as("score"))
+  }
+
+  /** Top-`topK` of a scored frame with an explicit dense `rank` column
+    * (1 = best; ties by id asc). The cut is a distributed partial top-k
+    * (TakeOrderedAndProject); the rank window then runs over ≤ topK
+    * rows — bounded by the constant, never by the corpus. */
+  def rankTop(df: DataFrame, idCol: String, scoreCol: String, topK: Int)
+      : DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    df.orderBy(col(scoreCol).desc, col(idCol).asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col(scoreCol).desc, col(idCol).asc)))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR'09) of two ranked
+    * lists: `rrf(d) = Σ_lists 1/(kRrf + rank_list(d))`, docs absent
+    * from a list contribute 0 from it. The robust standard for fusing
+    * lexical and semantic retrieval — rank-only, so the incomparable
+    * score scales (BM25 vs cosine) never meet. Inputs: two frames with
+    * (`idCol`, `rankCol`); both are top-K lists — bounded — so the
+    * fusion join and final sort are constant-sized regardless of
+    * corpus. Output: (id, r_a, r_b, rrf) top-`topK` by rrf desc, ties
+    * by id asc. Exact: integer add → one cast → one division per list,
+    * one fixed-order double add (no aggregation). */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              rankCol: String, topK: Int, kRrf: Int = 60): DataFrame = {
+    require(topK >= 1 && kRrf >= 0, s"bad topK=$topK / kRrf=$kRrf")
+    def contrib(r: Column): Column =
+      when(r.isNull, lit(0.0))
+        .otherwise(lit(1.0) / (lit(kRrf.toLong) + r).cast("double"))
+    val l = a.select(col(idCol).as("id"), col(rankCol).as("r_a"))
+    val r = b.select(col(idCol).as("id"), col(rankCol).as("r_b"))
+    l.join(r, Seq("id"), "full_outer")
+      .select(col("id"), col("r_a"), col("r_b"),
+        (contrib(col("r_a")) + contrib(col("r_b"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("id").asc).limit(topK)
+  }
+}

@@ -263,4 +263,44 @@ class PlanAuditSpec extends SparkSpec {
         s"paragraph text is a partition key: $s")
     }
   }
+
+  test("bigram LM scoring broadcasts both count tables — the corpus " +
+    "path is one map pass plus the per-doc aggregate, no sort-merge") {
+    val p = planStr("q_bigram_lik")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window "), p)
+  }
+
+  test("lm tercile bucketing windows are KEYED by histogram cell — no " +
+    "corpus-wide single-partition window (the offsets window runs over " +
+    "the constant-bounded histogram only)") {
+    val p = planStr("q_lm_buckets")
+    // the corpus-side rank window must partition by the cell key
+    assert(p.contains("windowspecdefinition(__cell"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bm25 broadcasts df/totals and joins NO corpus-sized side " +
+    "table (doc length rides the explode); no sort-merge, no window") {
+    val p = planStr("q_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window "), p)
+    // exactly two joins: broadcast df + 1-row totals cross — a third
+    // would be the corpus-sized doc-length join this plan must avoid
+    assert(p.linesIterator.count(_.trim.startsWith("+- Broadcast")) <= 3, p)
+  }
+
+  test("hybrid fusion cuts both lists to their top-k BEFORE ranking " +
+    "and fusing — the fusion join inputs are constant-bounded (the " +
+    "full-outer itself can't broadcast in Spark, which is fine at " +
+    "50 rows a side)") {
+    val p = planStr("q_hybrid_topk")
+    assert(p.contains("TakeOrderedAndProject(limit=50"), p)
+    assert(p.contains("TakeOrderedAndProject(limit=10"), p)
+    // no window over an uncut corpus: every Window sits above a
+    // TakeOrderedAndProject or a bounded top-k aggregate
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
