@@ -426,13 +426,18 @@ object Ops {
       floor(refuseNull(scoreCol, concat(
         lit("globalRankBuckets: NULL score for id="),
         idCol.cast("string"))) * lit(coarse.toDouble)))
-    val offsets = base.groupBy(col("__cell").as("__oc"))
+    val hist = base.groupBy(col("__cell").as("__oc"))
       .agg(count(lit(1)).as("__n"))
+    val offsets = hist
       .withColumn("__prev", coalesce(
         sum(col("__n")).over(Window.orderBy(col("__oc").desc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__oc", "__prev")
-    val total = base.agg(count(lit(1)).as("__nt"))
+    // total from the HISTOGRAM, not another base.agg: the two
+    // histogram consumers share one canonical exchange (ReuseExchange),
+    // so the corpus subtree is computed twice (histogram + rank join),
+    // not three times
+    val total = hist.agg(sum(col("__n")).as("__nt"))
     val wIn = Window.partitionBy(col("__cell"))
       .orderBy(scoreCol.desc,
         refuseNull(idCol, lit("globalRankBuckets: NULL id")).asc)
