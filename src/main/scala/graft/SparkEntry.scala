@@ -94,6 +94,22 @@ object SparkEntry {
        |           CROSS JOIN vocab
        |GROUP BY doc_id""".stripMargin
 
+  /** The per-(doc, term) BM25 fixed-point sum fragment over staged
+    * columns (tf, dfc, dl, n, c) — replays
+    * [[graft.llm.Search]]'s `termScore` IEEE expression shape. */
+  private val bm25SumSql =
+    s"""CAST(CAST(sum(CAST(floor(
+       |    ((CAST(2 * n - 2 * dfc + 1 AS DOUBLE) /
+       |      CAST(2 * dfc + 1 AS DOUBLE)) *
+       |     ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+       |      (CAST(tf AS DOUBLE) +
+       |       (CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE)))
+       |       +
+       |       ((CAST(1.2 AS DOUBLE) * CAST(0.75 AS DOUBLE)) *
+       |        ((CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)) /
+       |         CAST(c AS DOUBLE))))))
+       |    * 1e9) AS BIGINT)) AS HUGEINT) AS DOUBLE) / 1e9""".stripMargin
+
   /** Oracle body for BM25 (q_bm25 / q_hybrid_topk): replays
     * [[graft.llm.Search.bm25]] — the log-free rational idf, the
     * (k1+1)/k1(1−b)/k1·b constants spelled as the same IEEE expressions
@@ -111,18 +127,7 @@ object SparkEntry {
        |  WHERE t IN ($inList) GROUP BY 1, 2),
        |dfq AS (SELECT t, count(*) AS dfc FROM tf GROUP BY 1)
        |SELECT doc_id, count(*) AS n_terms,
-       |       CAST(CAST(sum(CAST(floor(
-       |           ((CAST(2 * n - 2 * dfc + 1 AS DOUBLE) /
-       |             CAST(2 * dfc + 1 AS DOUBLE)) *
-       |            ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
-       |             (CAST(tf AS DOUBLE) +
-       |              (CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE)))
-       |              +
-       |              ((CAST(1.2 AS DOUBLE) * CAST(0.75 AS DOUBLE)) *
-       |               ((CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)) /
-       |                CAST(c AS DOUBLE))))))
-       |           * 1e9) AS BIGINT)) AS HUGEINT) AS DOUBLE) / 1e9
-       |         AS score
+       |       $bm25SumSql AS score
        |FROM tf JOIN dl USING (doc_id) CROSS JOIN tots JOIN dfq USING (t)
        |GROUP BY doc_id""".stripMargin
   }
@@ -1238,9 +1243,12 @@ object SparkEntry {
     // bigram LM quality score: average Laplace-smoothed conditional
     // bigram probability, fixed-point exact mean (KMeans.fit recipe) —
     // the conditional sibling of q_unigram_lik
+    // (neg_avg_logp — the ln-based cross-entropy — rides along in the
+    // operator but is excluded here: ln is not engine-portable)
     "q_bigram_lik" -> ((s, dir) =>
       graft.llm.TextStats.bigramLikelihood(t(s, dir, "documents"),
         "doc_id", "text", topV = 64, topB = 256)
+        .select("doc_id", "n_bigrams", "n_oov", "score")
         .orderBy("doc_id")),
 
     // CCNet head/middle/tail terciles over the bigram-LM score: EXACT
@@ -1448,6 +1456,20 @@ object SparkEntry {
       graft.llm.Search.bm25(t(s, dir, "documents"), "doc_id", "text",
         Seq("customer", "window", "filter"))
         .orderBy("doc_id")),
+
+    // batch retrieval: ONE corpus pass scores every query at once —
+    // query terms union broadcast-semi-joins the explode; the per-query
+    // fan-out is a broadcast of the tiny qterms table
+    "q_bm25_multi" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, Seq("customer", "window")),
+        (1L, Seq("filter", "spark")),
+        (2L, Seq("merge"))).toDF("query_id", "terms")
+      graft.llm.Search.bm25Queries(t(s, dir, "documents"),
+          "doc_id", "text", qs)
+        .orderBy("query_id", "doc_id")
+    }),
 
     // hybrid retrieval: BM25 top-50 + cosine top-50 to the vec_id=0
     // embedding, fused by reciprocal-rank (k=60), top-10 — both lists
@@ -3422,6 +3444,28 @@ object SparkEntry {
       "q_bm25" ->
         s"""${bm25Sql(Seq("customer", "window", "filter"))}
            |ORDER BY doc_id""".stripMargin,
+
+      "q_bm25_multi" ->
+        s"""WITH queries(query_id, terms) AS (
+           |  VALUES (CAST(0 AS BIGINT), ['customer', 'window']),
+           |         (CAST(1 AS BIGINT), ['filter', 'spark']),
+           |         (CAST(2 AS BIGINT), ['merge'])),
+           |qterms AS (SELECT query_id, unnest(terms) AS t FROM queries),
+           |toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+           |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl
+           |       FROM toks),
+           |tots AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS c
+           |         FROM dl),
+           |tf AS (
+           |  SELECT doc_id, t, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+           |  WHERE t IN (SELECT DISTINCT t FROM qterms) GROUP BY 1, 2),
+           |dfq AS (SELECT t, count(*) AS dfc FROM tf GROUP BY 1)
+           |SELECT query_id, doc_id, count(*) AS n_terms,
+           |       $bm25SumSql AS score
+           |FROM tf JOIN dfq USING (t) JOIN qterms USING (t)
+           |     JOIN dl USING (doc_id) CROSS JOIN tots
+           |GROUP BY query_id, doc_id ORDER BY query_id, doc_id""".stripMargin,
 
       "q_hybrid_topk" ->
         s"""WITH lex0 AS (

@@ -63,8 +63,22 @@ object Search {
       .groupBy(col(idCol), col("__dl"), col("__t"))
       .agg(count(lit(1)).as("__tf"))
     val dfq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
-    // the three BM25 constants — SAME IEEE expression shape as the
-    // oracle SQL ((k1+1), k1(1-b), k1·b over double-cast literals)
+    tf.join(broadcast(dfq), "__t")
+      .crossJoin(broadcast(tots))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_terms"),
+        sum(floor(termScore(k1, b) * lit(1e9)).cast("decimal(38,0)"))
+          .as("__s"))
+      .select(col(idCol), col("n_terms"),
+        (col("__s").cast("double") / lit(1e9)).as("score"))
+  }
+
+  /** The per-(doc, term) BM25 contribution over the staged columns
+    * (__tf, __df, __dl, __n, __c) — the three derived constants are
+    * spelled as the SAME IEEE expression shape as the oracle SQL
+    * ((k1+1), k1(1−b), k1·b over double-cast literals); guarded at the
+    * 1e9-fixed-point Long-saturation bound like [[KMeans.fit]]. */
+  private def termScore(k1: Double, b: Double): Column = {
     val c1 = lit(k1) + lit(1.0)
     val c2 = lit(k1) * (lit(1.0) - lit(b))
     val c3 = lit(k1) * lit(b)
@@ -76,15 +90,51 @@ object Search {
         (c3 * ((col("__dl").cast("double") * col("__n").cast("double")) /
           col("__c").cast("double"))))
     val term = idf * tfPart
-    val guarded = when(term >= lit(9.2e9), raise_error(concat(
+    when(term >= lit(9.2e9), raise_error(concat(
       lit("bm25: term score >= 9.2e9 overflows the 1e9 fixed-point " +
         "quantization for term "), col("__t")))).otherwise(term)
+  }
+
+  /** Batch retrieval: BM25 of every document against EVERY query in a
+    * (small, broadcast) queries table — the engine shape of retrieval
+    * at scale: one corpus pass scores all queries at once instead of
+    * |queries| single-query passes. `queries` carries (`queryIdCol`,
+    * `termsCol: array<string>`); duplicate terms within a query are
+    * collapsed (BM25 sums per distinct term). df is corpus-global per
+    * term (shared across queries, computed once from the tf frame).
+    *
+    * Scale: the corpus explode is filtered by a broadcast semi-join on
+    * the union of all query terms — the tf frame is O(docs matching
+    * ANY query); the per-query fan-out joins the ≤Σ|terms|-row qterms
+    * table broadcast. Everything else is [[bm25]]. Output:
+    * (queryIdCol, id, n_terms, score) per query × matching doc. */
+  def bm25Queries(corpus: DataFrame, idCol: String, textCol: String,
+                  queries: DataFrame, queryIdCol: String = "query_id",
+                  termsCol: String = "terms", k1: Double = 1.2,
+                  b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(col(queryIdCol),
+      explode(array_distinct(col(termsCol))).as("__t"))
+    val termSet = qterms.select("__t").distinct()
+    val toks = corpus.select(col(idCol),
+      graft.functions.Text.tokens(col(textCol)).as("__ts"))
+    val tots = toks.agg(count(lit(1)).as("__n"),
+      sum(size(col("__ts")).cast("long")).cast("decimal(38,0)")
+        .cast("long").as("__c"))
+    val tf = toks
+      .select(col(idCol), size(col("__ts")).cast("long").as("__dl"),
+        explode(col("__ts")).as("__t"))
+      .join(broadcast(termSet), "__t")
+      .groupBy(col(idCol), col("__dl"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     tf.join(broadcast(dfq), "__t")
+      .join(broadcast(qterms), "__t")
       .crossJoin(broadcast(tots))
-      .groupBy(idCol).agg(
+      .groupBy(col(queryIdCol), col(idCol)).agg(
         count(lit(1)).as("n_terms"),
-        sum(floor(guarded * lit(1e9)).cast("decimal(38,0)")).as("__s"))
-      .select(col(idCol), col("n_terms"),
+        sum(floor(termScore(k1, b) * lit(1e9)).cast("decimal(38,0)"))
+          .as("__s"))
+      .select(col(queryIdCol), col(idCol), col("n_terms"),
         (col("__s").cast("double") / lit(1e9)).as("score"))
   }
 

@@ -252,9 +252,19 @@ object TextStats {
       .groupBy(idCol).agg(
         count(lit(1)).as("n_bigrams"),
         sum(when(col("__cb").isNull, 1L).otherwise(0L)).as("n_oov"),
-        sum(floor(guarded * lit(1e15)).cast("decimal(38,0)")).as("__s"))
+        sum(floor(guarded * lit(1e15)).cast("decimal(38,0)")).as("__s"),
+        // the paper-faithful cross-entropy rides ALONGSIDE the exact
+        // ranking score (the Dsir log_weight precedent): ln is not
+        // engine-portable (last-ulp divergence, see the Hll scaladoc),
+        // so neg_avg_logp is fixed-point-summed for RUN-deterministic
+        // Spark output but excluded from the oracled column set.
+        // Perplexity = exp(neg_avg_logp).
+        sum(floor(log(guarded) * lit(-1e15)).cast("decimal(38,0)"))
+          .as("__l"))
       .select(col(idCol), col("n_bigrams"), col("n_oov"),
         (col("__s").cast("double") / col("n_bigrams") / lit(1e15))
-          .as("score"))
+          .as("score"),
+        (col("__l").cast("double") / col("n_bigrams") / lit(1e15))
+          .as("neg_avg_logp"))
   }
 }

@@ -35,6 +35,24 @@ class BigramLmSpec extends SparkSpec {
     assert(got.length == 2)
   }
 
+  test("neg_avg_logp is the fixed-point cross-entropy of the same " +
+    "conditionals (perplexity = exp of it) and is repartition-stable") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextStats.bigramLikelihood(docs, "doc_id", "text",
+        topV = 10, topB = 10).orderBy("doc_id").collect()
+    // model: firsts a->3, b->1; bigrams a^b->3, b^a->1; V=2
+    val exp1 = Seq(4.0 / 5, 2.0 / 3, 4.0 / 5)
+      .map(x => math.floor(math.log(x) * -1e15).toLong).sum
+      .toDouble / 3 / 1e15
+    assert(got(0).getDouble(4) == exp1)
+    assert(exp1 > 0) // probabilities < 1 => positive cross-entropy
+    // exact integer sums: identical across physical layouts
+    val re = TextStats.bigramLikelihood(
+      docs.repartition(7), "doc_id", "text", topV = 10, topB = 10)
+      .orderBy("doc_id").collect()
+    assert(re(0).getDouble(4) == exp1)
+  }
+
   test("out-of-vocab bigrams take pure smoothing mass and count as oov") {
     // topB=1 keeps only a^b (count 2); b^a falls out of vocab:
     // term = (0+1)/(c1(b)+V) = 1/(1+2)

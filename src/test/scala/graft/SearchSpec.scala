@@ -68,6 +68,24 @@ class SearchSpec extends SparkSpec {
     assert(got.take(4).map(_.getLong(0)).toSeq == Seq(4L, 9L, 14L, 19L))
   }
 
+  test("bm25Queries slices to exactly the single-query scores (df is " +
+    "corpus-global per term, unaffected by other queries' terms) and " +
+    "collapses duplicate terms within a query") {
+    val docs = Seq((1L, "x y x z"), (2L, "y z"), (3L, "x w"), (4L, "w w"))
+      .toDF("doc_id", "text")
+    val qs = Seq((0L, Seq("x", "y")), (1L, Seq("w", "w", "z")))
+      .toDF("query_id", "terms")
+    val multi = Search.bm25Queries(docs, "doc_id", "text", qs)
+    val q0 = multi.filter(col("query_id") === 0)
+      .select("doc_id", "n_terms", "score")
+    val single0 = Search.bm25(docs, "doc_id", "text", Seq("x", "y"))
+    assert(q0.except(single0).isEmpty && single0.except(q0).isEmpty)
+    val q1 = multi.filter(col("query_id") === 1)
+      .select("doc_id", "n_terms", "score")
+    val single1 = Search.bm25(docs, "doc_id", "text", Seq("w", "z"))
+    assert(q1.except(single1).isEmpty && single1.except(q1).isEmpty)
+  }
+
   test("bm25 refuses empty and duplicate query term lists") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
