@@ -260,6 +260,42 @@ class ScaleSpec extends SparkSpec {
     assert(t8 < 12 * t1 + 2.0, f"trim 8x: $t1%.2fs -> $t8%.2fs")
   }
 
+  test("RUNTIME scaling pin: 8x corpus costs < ~12x wall time for " +
+    "bigramLikelihood and bm25Queries (model/df tables are bounded " +
+    "broadcasts — scoring must stay one linear corpus pass)") {
+    // fixed small vocabulary (tokens t0..t12 x 7 forms) so the top-V/
+    // top-B model tables and the query-term df table stay
+    // constant-sized while the corpus grows 8x along the doc axis
+    def docs(n: Int) = spark.range(n.toLong)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 30).map(i =>
+          concat(lit(s"t${i % 7}v"),
+            pmod(col("id") + lit(i), lit(13)))): _*).as("text"))
+    import spark.implicits._
+    val qs = Seq((0L, Seq("t0v1", "t3v5")), (1L, Seq("t1v2", "t6v0")))
+      .toDF("query_id", "terms")
+    def best(act: => Long): Double = {
+      def one = { val t0 = System.nanoTime(); act
+        (System.nanoTime() - t0) / 1e9 }
+      math.min(one, one)
+    }
+    graft.llm.TextStats.bigramLikelihood(docs(100), "doc_id", "text")
+      .count() // warmup
+    graft.llm.Search.bm25Queries(docs(100), "doc_id", "text", qs).count()
+
+    val g1 = best(graft.llm.TextStats.bigramLikelihood(
+      docs(1500), "doc_id", "text").count())
+    val g8 = best(graft.llm.TextStats.bigramLikelihood(
+      docs(12000), "doc_id", "text").count())
+    assert(g8 < 12 * g1 + 2.0, f"bigramLikelihood 8x: $g1%.2fs -> $g8%.2fs")
+
+    val b1 = best(graft.llm.Search.bm25Queries(
+      docs(1500), "doc_id", "text", qs).count())
+    val b8 = best(graft.llm.Search.bm25Queries(
+      docs(12000), "doc_id", "text", qs).count())
+    assert(b8 < 12 * b1 + 2.0, f"bm25Queries 8x: $b1%.2fs -> $b8%.2fs")
+  }
+
   test("bucket cap degrades replicated boilerplate to ZERO pairs for " +
     "the overflowing bucket, never a partial/skewed subset") {
     // 60 identical docs with a cap of 50: every band bucket holds all
