@@ -78,7 +78,7 @@ object Search {
     * spelled as the SAME IEEE expression shape as the oracle SQL
     * ((k1+1), k1(1−b), k1·b over double-cast literals); guarded at the
     * 1e9-fixed-point Long-saturation bound like [[KMeans.fit]]. */
-  private def termScore(k1: Double, b: Double): Column = {
+  private[graft] def termScore(k1: Double, b: Double): Column = {
     val c1 = lit(k1) + lit(1.0)
     val c2 = lit(k1) * (lit(1.0) - lit(b))
     val c3 = lit(k1) * lit(b)

@@ -86,6 +86,29 @@ class SearchSpec extends SparkSpec {
     assert(q1.except(single1).isEmpty && single1.except(q1).isEmpty)
   }
 
+  test("Bm25Op (frozen-stats scorer) matches batch bm25 bit-for-bit " +
+    "on the reference corpus; non-matching rows kept at 0 or dropped " +
+    "by config") {
+    val docs = Seq((1L, "x y x z"), (2L, "y z"), (3L, "x w"), (4L, "q q"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25ref").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val out = graft.streaming.ops.Bm25Op(
+      Map("terms" -> Seq("x", "y"), "ref_path" -> tmp), Seq(docs)).head
+    val batch = Search.bm25(docs, "doc_id", "text", Seq("x", "y"))
+    val matched = out.filter(col("n_terms") > 0)
+      .select("doc_id", "n_terms", "score")
+    assert(matched.except(batch).isEmpty && batch.except(matched).isEmpty)
+    val z = out.filter(col("doc_id") === 4)
+      .select("n_terms", "score").as[(Long, Double)].collect().head
+    assert(z == ((0L, 0.0)))
+    val dropped = graft.streaming.ops.Bm25Op(
+      Map("terms" -> "x, y", "ref_path" -> tmp,
+        "drop_nonmatching" -> "true"), Seq(docs)).head
+    assert(dropped.filter(col("doc_id") === 4).isEmpty)
+    assert(dropped.count() == 3)
+  }
+
   test("bm25 refuses empty and duplicate query term lists") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

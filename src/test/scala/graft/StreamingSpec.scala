@@ -32,6 +32,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Bm25Op scores an unbounded stream statelessly from frozen " +
+    "reference stats — no state store, rows flow through per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("bm25_ref").toString
+    Seq((1L, "x y"), (2L, "x z"), (3L, "w w"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(tmp)
+    val in = MemoryStream[(Long, String)]
+    val src = in.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.ops.Bm25Op(
+      Map("terms" -> Seq("x"), "ref_path" -> tmp), Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("bm25_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, "x x y"), (11L, "nothing here"))
+      q.processAllAvailable()
+      in.addData((12L, "x q q")) // same dl as doc 10, lower tf
+      q.processAllAvailable()
+      val got = spark.table("bm25_stream")
+        .select("doc_id", "n_terms", "score")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got.map(_._1) == Seq(10L, 11L, 12L))
+      assert(got(0)._2 == 1L && got(0)._3 > 0.0)
+      assert(got(1) == ((11L, 0L, 0.0)))
+      assert(got(2)._2 == 1L && got(2)._3 > 0.0)
+      // at EQUAL doc length, higher tf ⇒ strictly higher score
+      assert(got(0)._3 > got(2)._3)
+    } finally q.stop()
+  }
+
   test("rollStream: sliding windows (stride < window) overlap correctly") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedEvent]
