@@ -85,11 +85,21 @@ object Dsir {
       .agg(count(lit(1)).as("__c"))
 
   /** Stage 2 of [[importanceScores]]: bucket model (≤ `buckets` rows,
-    * broadcast) + scoring join over a [[stageCounts]] frame. */
+    * broadcast) + scoring join over a [[stageCounts]] frame. `buckets`
+    * MUST be the value the staged frame was hashed with — the Laplace
+    * smoothing depends on it — so an in-plan guard on the (tiny) model
+    * aggregate raises if a bucket id falls outside [0, buckets) rather
+    * than silently mis-smoothing every score. */
   def scoreStaged(staged: DataFrame, idCol: String, buckets: Int)
       : DataFrame = {
     val dec = "decimal(38,0)"
-    val model = staged.groupBy("__b").agg(
+    val model = staged.groupBy(
+      when(col("__b") >= lit(buckets.toLong) || col("__b") < 0L,
+        raise_error(concat(lit("Dsir.scoreStaged: bucket id "),
+          col("__b"),
+          lit(s" outside [0, $buckets) — staged frame was built " +
+            "with a different buckets value"))))
+        .otherwise(col("__b")).as("__b")).agg(
       sum(col("__c")).cast(dec).as("__cq"),
       sum(when(col("__tgt"), col("__c")).otherwise(0L)).cast(dec)
         .as("__cp"))

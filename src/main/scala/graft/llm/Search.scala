@@ -45,32 +45,55 @@ object Search {
   def bm25(df: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
       : DataFrame = {
-    require(terms.nonEmpty, "bm25: empty query")
-    require(terms.distinct.size == terms.size, s"bm25: duplicate terms")
-    val toks = df.select(col(idCol),
+    val norm = normTerms(terms, "bm25")
+    score(df, idCol, textCol, k1, b, Seq(col(idCol)),
+      _.filter(col("__t").isin(norm: _*)), identity)
+      .select(col(idCol), col("n_terms"), col("score"))
+  }
+
+  /** Query terms are matched against [[Text.tokens]] output, which is
+    * lowercased — normalize the same way (a mixed-case term would
+    * otherwise silently score zero) and refuse empties/duplicates. */
+  private def normTerms(terms: Seq[String], op: String): Seq[String] = {
+    require(terms.nonEmpty, s"$op: empty query")
+    val norm = terms.map(_.trim.toLowerCase)
+    require(norm.forall(_.nonEmpty), s"$op: blank term in query")
+    require(norm.distinct.size == norm.size,
+      s"$op: duplicate terms after lowercasing: $norm")
+    norm
+  }
+
+  /** Shared BM25 pipeline: tokenize → totals (decimal-exact token sum,
+    * one partial-agg row) → term-restricted explode with the doc
+    * length riding as a grouping key (joining a corpus-sized
+    * doc-length table back to tf would cost a full corpus shuffle per
+    * query) → corpus-global df → fixed-point score aggregate keyed by
+    * `keys`. `restrict` cuts the exploded (id, __dl, __t) frame to
+    * query terms (literal isin, or broadcast semi-join for a term
+    * table); `fanOut` optionally multiplies matched rows per query
+    * (the qterms broadcast join) before scoring. */
+  private def score(corpus: DataFrame, idCol: String, textCol: String,
+                    k1: Double, b: Double, keys: Seq[Column],
+                    restrict: DataFrame => DataFrame,
+                    fanOut: DataFrame => DataFrame): DataFrame = {
+    val toks = corpus.select(col(idCol),
       graft.functions.Text.tokens(col(textCol)).as("__ts"))
     val tots = toks.agg(count(lit(1)).as("__n"),
-      sum(size(col("__ts")).cast("long")).cast("decimal(38,0)")
+      sum(size(col("__ts")).cast("long").cast("decimal(38,0)"))
         .cast("long").as("__c"))
-    // doc length rides the explode as a grouping key (functionally
-    // dependent on the id, so the extra key is free) — joining a
-    // corpus-sized doc-length table back to tf would cost a full
-    // corpus shuffle per query
-    val tf = toks
+    val tf = restrict(toks
       .select(col(idCol), size(col("__ts")).cast("long").as("__dl"),
-        explode(col("__ts")).as("__t"))
-      .filter(col("__t").isin(terms: _*))
+        explode(col("__ts")).as("__t")))
       .groupBy(col(idCol), col("__dl"), col("__t"))
       .agg(count(lit(1)).as("__tf"))
     val dfq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
-    tf.join(broadcast(dfq), "__t")
+    fanOut(tf.join(broadcast(dfq), "__t"))
       .crossJoin(broadcast(tots))
-      .groupBy(idCol).agg(
+      .groupBy(keys: _*).agg(
         count(lit(1)).as("n_terms"),
         sum(floor(termScore(k1, b) * lit(1e9)).cast("decimal(38,0)"))
           .as("__s"))
-      .select(col(idCol), col("n_terms"),
-        (col("__s").cast("double") / lit(1e9)).as("score"))
+      .withColumn("score", col("__s").cast("double") / lit(1e9))
   }
 
   /** The per-(doc, term) BM25 contribution over the staged columns
@@ -112,30 +135,17 @@ object Search {
                   queries: DataFrame, queryIdCol: String = "query_id",
                   termsCol: String = "terms", k1: Double = 1.2,
                   b: Double = 0.75): DataFrame = {
+    // same normalization as the token side (lowercased) — a
+    // mixed-case query term would silently score zero otherwise
     val qterms = queries.select(col(queryIdCol),
-      explode(array_distinct(col(termsCol))).as("__t"))
+      explode(array_distinct(transform(col(termsCol),
+        t => lower(trim(t))))).as("__t"))
     val termSet = qterms.select("__t").distinct()
-    val toks = corpus.select(col(idCol),
-      graft.functions.Text.tokens(col(textCol)).as("__ts"))
-    val tots = toks.agg(count(lit(1)).as("__n"),
-      sum(size(col("__ts")).cast("long")).cast("decimal(38,0)")
-        .cast("long").as("__c"))
-    val tf = toks
-      .select(col(idCol), size(col("__ts")).cast("long").as("__dl"),
-        explode(col("__ts")).as("__t"))
-      .join(broadcast(termSet), "__t")
-      .groupBy(col(idCol), col("__dl"), col("__t"))
-      .agg(count(lit(1)).as("__tf"))
-    val dfq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
-    tf.join(broadcast(dfq), "__t")
-      .join(broadcast(qterms), "__t")
-      .crossJoin(broadcast(tots))
-      .groupBy(col(queryIdCol), col(idCol)).agg(
-        count(lit(1)).as("n_terms"),
-        sum(floor(termScore(k1, b) * lit(1e9)).cast("decimal(38,0)"))
-          .as("__s"))
-      .select(col(queryIdCol), col(idCol), col("n_terms"),
-        (col("__s").cast("double") / lit(1e9)).as("score"))
+    score(corpus, idCol, textCol, k1, b,
+      Seq(col(queryIdCol), col(idCol)),
+      _.join(broadcast(termSet), "__t"),
+      _.join(broadcast(qterms), "__t"))
+      .select(col(queryIdCol), col(idCol), col("n_terms"), col("score"))
   }
 
   /** Top-`topK` of a scored frame with an explicit dense `rank` column

@@ -38,14 +38,19 @@ import graft.streaming.OperatorFactory
 object Bm25Op extends OperatorFactory {
   def apply(config: Map[String, Any], sources: Seq[DataFrame])
       : Seq[DataFrame] = {
-    val terms: Seq[String] = config.getOrElse("terms",
+    val raw: Seq[String] = config.getOrElse("terms",
       sys.error("Bm25Op needs config key terms")) match {
       case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
       case l: Seq[_]            => l.map(_.toString)
       case s => s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     }
+    // tokens are lowercased — normalize terms the same way (a
+    // mixed-case term would silently score zero)
+    val terms = raw.map(_.trim.toLowerCase)
     require(terms.nonEmpty, "Bm25Op: empty term list")
-    require(terms.distinct.size == terms.size, "Bm25Op: duplicate terms")
+    require(terms.forall(_.nonEmpty), "Bm25Op: blank term")
+    require(terms.distinct.size == terms.size,
+      s"Bm25Op: duplicate terms after lowercasing: $terms")
     val refPath = config.getOrElse("ref_path",
       sys.error("Bm25Op needs config key ref_path")).toString
     val k1 = config.getOrElse("k1", 1.2).toString.toDouble
@@ -54,18 +59,22 @@ object Bm25Op extends OperatorFactory {
     val drop = config.getOrElse("drop_nonmatching", false).toString.toBoolean
 
     val spark = sources.head.sparkSession
+    // one read + tokenize for both bounded stats jobs (1 totals row +
+    // ≤|terms| df rows collected)
     val ref = spark.read.parquet(refPath)
-      .select(Text.tokens(col(textCol)).as("__ts"))
-    // bounded stats collect: 1 totals row + ≤|terms| df rows
-    val tot = ref.agg(count(lit(1)).as("n"),
-      sum(size(col("__ts")).cast("long")).cast("decimal(38,0)")
-        .cast("long").as("c")).head
-    val (n, c) = (tot.getLong(0), tot.getLong(1))
-    val dfMap = ref
-      .select(explode(array_distinct(col("__ts"))).as("__t"))
-      .filter(col("__t").isin(terms: _*))
-      .groupBy("__t").agg(count(lit(1)).as("__df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .select(Text.tokens(col(textCol)).as("__ts")).cache()
+    val (n, c, dfMap) = try {
+      val tot = ref.agg(count(lit(1)).as("n"),
+        sum(size(col("__ts")).cast("long").cast("decimal(38,0)"))
+          .cast("long").as("c")).head
+      val m = ref
+        .select(explode(array_distinct(col("__ts"))).as("__t"))
+        .filter(col("__t").isin(terms: _*))
+        .groupBy("__t").agg(count(lit(1)).as("__df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (tot.getLong(0), tot.getLong(1), m)
+    } finally ref.unpersist()
+    require(n > 0, s"Bm25Op: empty reference corpus at $refPath")
 
     val src = sources.head
     def tfOf(t: String): Column =
@@ -73,7 +82,12 @@ object Bm25Op extends OperatorFactory {
     // stage the termScore inputs per term and reuse the EXACT batch
     // expression; per-term fixed-point longs sum associatively (exact)
     val staged = terms.zipWithIndex.foldLeft(
-      src.withColumn("__ts", Text.tokens(col(textCol)))
+      // NULL text must keep the documented n_terms=0/score=0.0
+      // contract (size/filter of a NULL array is NULL otherwise, and a
+      // NULL n_terms would silently vanish under drop_nonmatching)
+      src.withColumn("__ts",
+          coalesce(Text.tokens(col(textCol)),
+            array().cast("array<string>")))
         .withColumn("__dl", size(col("__ts")).cast("long"))
         .withColumn("__n", lit(n)).withColumn("__c", lit(c))) {
       case (d, (t, i)) =>
@@ -84,8 +98,11 @@ object Bm25Op extends OperatorFactory {
             floor(Search.termScore(k1, b) * lit(1e9)).cast("long"))
           .withColumn(s"__hit$i", (col("__tf") > 0L).cast("long"))
     }
-    val sumFx = terms.indices.map(i => col(s"__fx$i"))
-      .reduce(_ + _)
+    // decimal sum like the batch aggregate — per-term longs can reach
+    // ~9.2e18 each under the guard, so a LongType '+' could overflow
+    // on multi-term matches where the batch decimal(38,0) sum succeeds
+    val sumFx = terms.indices.map(i =>
+      col(s"__fx$i").cast("decimal(38,0)")).reduce(_ + _)
     val nTerms = terms.indices.map(i => col(s"__hit$i"))
       .reduce(_ + _)
     val scored = staged

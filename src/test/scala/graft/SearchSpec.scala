@@ -118,4 +118,40 @@ class SearchSpec extends SparkSpec {
       Search.bm25(docs, "doc_id", "text", Seq("x", "x"))
     }
   }
+
+  test("query terms are normalized like the tokens (lowercased): " +
+    "mixed-case terms match instead of silently scoring zero, and " +
+    "case-duplicates are refused") {
+    val docs = Seq((1L, "x y"), (2L, "z")).toDF("doc_id", "text")
+    val lower = Search.bm25(docs, "doc_id", "text", Seq("x"))
+    val mixed = Search.bm25(docs, "doc_id", "text", Seq(" X "))
+    assert(mixed.except(lower).isEmpty && lower.except(mixed).isEmpty)
+    assert(mixed.count() == 1)
+    intercept[IllegalArgumentException] {
+      Search.bm25(docs, "doc_id", "text", Seq("x", "X"))
+    }
+    val qs = Seq((0L, Seq("X", "y"))).toDF("query_id", "terms")
+    val multi = Search.bm25Queries(docs, "doc_id", "text", qs)
+      .select("doc_id", "n_terms", "score")
+    val single = Search.bm25(docs, "doc_id", "text", Seq("x", "y"))
+    assert(multi.except(single).isEmpty && single.except(multi).isEmpty)
+  }
+
+  test("Bm25Op: NULL text keeps the n_terms=0/score=0.0 contract and " +
+    "survives drop_nonmatching as an explicit non-match") {
+    val docs = Seq((1L, Some("x y")), (2L, None))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25null").toString
+    Seq((1L, "x y")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(tmp)
+    val out = graft.streaming.ops.Bm25Op(
+      Map("terms" -> Seq("x"), "ref_path" -> tmp), Seq(docs)).head
+    val z = out.filter(col("doc_id") === 2)
+      .select("n_terms", "score").as[(Long, Double)].collect().head
+    assert(z == ((0L, 0.0)))
+    val dropped = graft.streaming.ops.Bm25Op(
+      Map("terms" -> Seq("x"), "ref_path" -> tmp,
+        "drop_nonmatching" -> "true"), Seq(docs)).head
+    assert(dropped.count() == 1) // the null-text row drops EXPLICITLY
+  }
 }
