@@ -1839,6 +1839,19 @@ object SparkEntry {
       graft.llm.Pq.ivfAdcTopK(e, e.filter(col("vec_id") < 5), "vec_id",
         "embedding", coarse, cb, k = 5, nProbe = 2)
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ proper: codes quantize RESIDUALS (vector - own coarse
+    // centroid); distance tables are per (query, probed cell) from the
+    // query's residual against that cell — Jégou TPAMI'11 §III.C
+    "q_pq_ivf_residual" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val coarse = graft.llm.KMeans.seed(e, "vec_id", "embedding", k = 8)
+      val cb = graft.llm.Pq.trainResidual(e, "vec_id", "embedding",
+        coarse, m = 8, ksub = 16)
+      graft.llm.Pq.ivfResidualAdcTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", coarse, cb, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -2603,6 +2616,87 @@ object SparkEntry {
            |  JOIN probe ON probe.query_id = dq.vec_id
            |            AND probe.cell = asgc.cell
            |  WHERE dq.vec_id < 5 AND dq.vec_id <> a.vec_id),
+           |adc AS (
+           |  SELECT query_id, nbr_id,
+           |         list_reduce(list_prepend(0.0, list(dd ORDER BY s)),
+           |           (acc, v) -> acc + v) AS adc_dist
+           |  FROM lk GROUP BY query_id, nbr_id)
+           |SELECT query_id, nbr_id, adc_dist, rank FROM (
+           |  SELECT query_id, nbr_id, adc_dist, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY adc_dist, nbr_id) AS rank
+           |  FROM adc)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // IVF-PQ with residual encoding: the q_pq_ivf_search replay with
+      // res/qres CTEs — corpus codes from (vector − own-cell centroid),
+      // query tables from (query − probed-cell centroid), both exact
+      // double subtractions; the codebook seeds from the first 16
+      // RESIDUAL vectors (trainResidual's deterministic contract)
+      "q_pq_ivf_residual" ->
+        s"""WITH ccents AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |         embedding AS cv
+           |  FROM embeddings ORDER BY vec_id LIMIT 8),
+           |cd AS (SELECT e.vec_id, c.cell,
+           |  list_reduce(list_prepend(0.0,
+           |    list_transform(list_zip(e.embedding, c.cv),
+           |      x -> (x[1]::DOUBLE - x[2]::DOUBLE)
+           |         * (x[1]::DOUBLE - x[2]::DOUBLE))),
+           |    (a, y) -> a + y) AS dist
+           |  FROM embeddings e CROSS JOIN ccents c),
+           |asgc AS (SELECT vec_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM cd)
+           |  WHERE rn = 1),
+           |probe AS (SELECT vec_id AS query_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM cd
+           |  WHERE vec_id < 5) WHERE rn <= 2),
+           |res AS (
+           |  SELECT e.vec_id, a.cell,
+           |         list_transform(list_zip(e.embedding, c.cv),
+           |           x -> x[1]::DOUBLE - x[2]::DOUBLE) AS rv
+           |  FROM embeddings e
+           |  JOIN asgc a ON a.vec_id = e.vec_id
+           |  JOIN ccents c ON c.cell = a.cell),
+           |pcents AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pcell,
+           |         rv AS cv
+           |  FROM res ORDER BY vec_id LIMIT 16),
+           |sp AS (SELECT s FROM unnest(generate_series(0, 7)) AS t(s)),
+           |pd AS (SELECT r.vec_id, sp.s, p.pcell,
+           |  list_reduce(list_prepend(0.0,
+           |    list_transform(range(1, 9),
+           |      i -> (r.rv[sp.s*8 + i] - p.cv[sp.s*8 + i])
+           |         * (r.rv[sp.s*8 + i] - p.cv[sp.s*8 + i]))),
+           |    (a, y) -> a + y) AS dist
+           |  FROM res r CROSS JOIN sp CROSS JOIN pcents p),
+           |pasg AS (SELECT vec_id, s, pcell FROM (
+           |  SELECT vec_id, s, pcell, row_number() OVER (
+           |    PARTITION BY vec_id, s ORDER BY dist, pcell) AS rn
+           |  FROM pd) WHERE rn = 1),
+           |qres AS (
+           |  SELECT probe.query_id, probe.cell,
+           |         list_transform(list_zip(e.embedding, c.cv),
+           |           x -> x[1]::DOUBLE - x[2]::DOUBLE) AS qrv
+           |  FROM probe
+           |  JOIN embeddings e ON e.vec_id = probe.query_id
+           |  JOIN ccents c ON c.cell = probe.cell),
+           |qd AS (SELECT q.query_id, q.cell, sp.s, p.pcell,
+           |  list_reduce(list_prepend(0.0,
+           |    list_transform(range(1, 9),
+           |      i -> (q.qrv[sp.s*8 + i] - p.cv[sp.s*8 + i])
+           |         * (q.qrv[sp.s*8 + i] - p.cv[sp.s*8 + i]))),
+           |    (a, y) -> a + y) AS dist
+           |  FROM qres q CROSS JOIN sp CROSS JOIN pcents p),
+           |lk AS (
+           |  SELECT qd.query_id, a.vec_id AS nbr_id, a.s,
+           |         qd.dist AS dd
+           |  FROM pasg a
+           |  JOIN asgc ON asgc.vec_id = a.vec_id
+           |  JOIN qd ON qd.cell = asgc.cell AND qd.s = a.s
+           |         AND qd.pcell = a.pcell
+           |  WHERE qd.query_id <> a.vec_id),
            |adc AS (
            |  SELECT query_id, nbr_id,
            |         list_reduce(list_prepend(0.0, list(dd ORDER BY s)),

@@ -43,9 +43,15 @@ object KMeans {
     * LIMIT), floats widened exactly to double. */
   def seed(df: DataFrame, idCol: String, vecCol: String, k: Int): Model = {
     require(k >= 1, s"k must be >= 1: $k")
+    // element-type tolerant: raw embeddings are float (widened exactly),
+    // residual/derived frames are already double
     val rows = df.orderBy(col(idCol)).limit(k).select(col(vecCol))
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Any](0).map {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+        case other => sys.error(s"seed: non-float vector element $other")
+      }.toArray)
     require(rows.length >= k, s"corpus has fewer than $k rows")
     Model(rows)
   }

@@ -160,6 +160,58 @@ class PqDsirSpec extends SparkSpec {
     }
   }
 
+  test("residual ivf-pq with ONE coarse cell equals plain adc over a " +
+    "codebook trained on the same globally-shifted vectors (the " +
+    "residual machinery reduces to a constant translation)") {
+    val coarse1 = graft.llm.KMeans.seed(emb, "vec_id", "embedding", k = 1)
+    val cbR = Pq.trainResidual(emb, "vec_id", "embedding", coarse1,
+      m = 8, ksub = 16)
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Pq.ivfResidualAdcTopK(emb, queries, "vec_id", "embedding",
+      coarse1, cbR, k = 5, nProbe = 1)
+      .select("query_id", "nbr_id", "adc_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // shift every vector by the single centroid and run the plain path
+    val shifted = emb.select(col("vec_id"),
+      Pq.residualColumn(col("embedding"), coarse1, lit(0)).as("rv"))
+    val cbS = Pq.train(shifted, "vec_id", "rv", m = 8, ksub = 16)
+    val exp = Pq.adcTopK(shifted, shifted.filter(col("vec_id") < 5),
+      "vec_id", "rv", cbS, 5)
+      .select("query_id", "nbr_id", "adc_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == exp)
+  }
+
+  test("residual encoding beats raw-position encoding at equal code " +
+    "budget: mean ADC error vs true L2 is strictly smaller") {
+    val coarse = graft.llm.KMeans.seed(emb, "vec_id", "embedding", k = 8)
+    val cbRaw = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val cbRes = Pq.trainResidual(emb, "vec_id", "embedding", coarse,
+      m = 8, ksub = 16)
+    val queries = emb.filter(col("vec_id") < 10)
+    def l2 = udf { (a: Seq[Float], b: Seq[Float]) =>
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble)
+      }.sum
+    }
+    val truth = emb.crossJoin(broadcast(queries
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("nbr_id"),
+        l2(col("qv"), col("embedding")).as("true_d"))
+    def meanErr(approx: org.apache.spark.sql.DataFrame): Double =
+      approx.join(truth, Seq("query_id", "nbr_id"))
+        .select(avg(abs(col("adc_dist") - col("true_d"))))
+        .as[Double].collect().head
+    val n = emb.count().toInt
+    val rawErr = meanErr(Pq.ivfAdcTopK(emb, queries, "vec_id",
+      "embedding", coarse, cbRaw, k = n, nProbe = 8))
+    val resErr = meanErr(Pq.ivfResidualAdcTopK(emb, queries, "vec_id",
+      "embedding", coarse, cbRes, k = n, nProbe = 8))
+    assert(resErr < rawErr, f"residual $resErr%.4f vs raw $rawErr%.4f")
+  }
+
   test("pq rejects dimensions that do not divide into m") {
     val e = intercept[IllegalArgumentException] {
       Pq.train(emb, "vec_id", "embedding", m = 7, ksub = 4)
