@@ -1457,6 +1457,28 @@ object SparkEntry {
         Seq("customer", "window", "filter"))
         .orderBy("doc_id")),
 
+    // composed retrieval AUDIT: each eval doc's top-3 salient terms
+    // (tf-idf over the eval slice) become a BM25 query against the
+    // full corpus; top-3 non-self hits per eval doc — "which corpus
+    // docs are lexically closest to each benchmark doc", the retrieval
+    // face of decontamination review. tfidf → bm25Queries →
+    // takeOrderedByKey, every stage individually oracled.
+    "q_retrieval_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = graft.llm.TextStats
+        .tfidfTop(docs.filter(col("doc_id") < 10), "doc_id", "text",
+          topN = 3)
+        .groupBy(col("doc_id").as("query_id"))
+        .agg(sort_array(collect_list(col("term"))).as("terms"))
+      val scored = graft.llm.Search
+        .bm25Queries(docs, "doc_id", "text", qs)
+        .filter(col("query_id") =!= col("doc_id"))
+      graft.operators.Ops.takeOrderedByKey(3, col("doc_id"),
+        col("score"), Seq(col("query_id")), as = ("doc_id", "score"))(
+        scored)
+        .orderBy("query_id", "rank")
+    }),
+
     // batch retrieval: ONE corpus pass scores every query at once —
     // query terms union broadcast-semi-joins the explode; the per-query
     // fan-out is a broadcast of the tiny qterms table
@@ -3538,6 +3560,45 @@ object SparkEntry {
       "q_bm25" ->
         s"""${bm25Sql(Seq("customer", "window", "filter"))}
            |ORDER BY doc_id""".stripMargin,
+
+      "q_retrieval_audit" ->
+        s"""WITH btoks AS (
+           |  SELECT doc_id, $toksSql AS ts FROM documents
+           |  WHERE doc_id < 10),
+           |btf AS (SELECT doc_id, t, count(*)::BIGINT AS btf
+           |        FROM (SELECT doc_id, unnest(ts) AS t FROM btoks)
+           |        GROUP BY doc_id, t),
+           |bdf AS (SELECT t, count(*)::BIGINT AS bdf FROM btf GROUP BY t),
+           |bnd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs
+           |        FROM documents WHERE doc_id < 10),
+           |brk AS (SELECT doc_id, t, row_number() OVER (
+           |          PARTITION BY doc_id ORDER BY
+           |            CAST(btf.btf * bnd.n_docs AS DOUBLE)
+           |              / CAST(bdf.bdf AS DOUBLE) DESC, t) AS r
+           |        FROM btf JOIN bdf USING (t) CROSS JOIN bnd),
+           |qterms AS (SELECT doc_id AS query_id, t FROM brk
+           |           WHERE r <= 3),
+           |toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+           |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl
+           |       FROM toks),
+           |tots AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS c
+           |         FROM dl),
+           |tf AS (
+           |  SELECT doc_id, t, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+           |  WHERE t IN (SELECT DISTINCT t FROM qterms) GROUP BY 1, 2),
+           |dfq AS (SELECT t, count(*) AS dfc FROM tf GROUP BY 1),
+           |sc AS (
+           |  SELECT query_id, doc_id, $bm25SumSql AS score
+           |  FROM tf JOIN dfq USING (t) JOIN qterms USING (t)
+           |       JOIN dl USING (doc_id) CROSS JOIN tots
+           |  GROUP BY query_id, doc_id)
+           |SELECT query_id, doc_id, score, rank FROM (
+           |  SELECT query_id, doc_id, score, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY score DESC, doc_id)
+           |      AS rank
+           |  FROM sc WHERE query_id <> doc_id)
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
       "q_bm25_multi" ->
         s"""WITH queries(query_id, terms) AS (

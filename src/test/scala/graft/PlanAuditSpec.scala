@@ -292,6 +292,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.trim.startsWith("+- Broadcast")) <= 3, p)
   }
 
+  test("residual ivf-pq keeps the cell-keyed candidate join (probe " +
+    "frame broadcast) — no cartesian, no sort-merge, no window; " +
+    "ranking is the bounded top-k aggregate") {
+    val p = planStr("q_pq_ivf_residual")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window "), p)
+  }
+
+  test("retrieval audit composes without a corpus sort-merge: model " +
+    "tables broadcast end to end, per-query ranking via the bounded " +
+    "top-k aggregate") {
+    val p = planStr("q_retrieval_audit")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("hybrid fusion cuts both lists to their top-k BEFORE ranking " +
     "and fusing — the fusion join inputs are constant-bounded (the " +
     "full-outer itself can't broadcast in Spark, which is fine at " +
