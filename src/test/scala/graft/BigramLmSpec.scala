@@ -94,6 +94,62 @@ class BigramLmSpec extends SparkSpec {
     assert(sizes == Seq((0, 4L), (1, 4L), (2, 3L)))
   }
 
+  test("LmGateOp (frozen-model gate) scores bit-identically to batch " +
+    "bigramLikelihood over the reference corpus; short docs keep the " +
+    "0/0 contract; min_score gates") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("lmref").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val out = graft.streaming.ops.LmGateOp(
+      Map("ref_path" -> tmp, "top_v" -> 10, "top_b" -> 10),
+      Seq(docs)).head
+    val batch = TextStats.bigramLikelihood(docs, "doc_id", "text",
+      topV = 10, topB = 10)
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        col("score").as("lm_score"))
+    val matched = out.filter(col("n_bigrams") > 0)
+      .select("doc_id", "n_bigrams", "n_oov", "lm_score")
+    assert(matched.except(batch).isEmpty && batch.except(matched).isEmpty)
+    // doc 3 ("solo"): no transitions — kept at 0/0, not dropped
+    val z = out.filter(col("doc_id") === 3)
+      .select("n_bigrams", "n_oov", "lm_score")
+      .as[(Long, Long, Double)].collect().head
+    assert(z == ((0L, 0L, 0.0)))
+    // gate: min_score above doc 3's 0.0 but below the real scores
+    val gated = graft.streaming.ops.LmGateOp(
+      Map("ref_path" -> tmp, "top_v" -> 10, "top_b" -> 10,
+        "min_score" -> "0.1"), Seq(docs)).head
+    assert(gated.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+  }
+
+  test("LmGateOp scores an unbounded stream statelessly (model rides " +
+    "the plan — no state store)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("lmref_s").toString
+    Seq((1L, "a b a b"), (2L, "a b c"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(tmp)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val src = in.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.ops.LmGateOp(
+      Map("ref_path" -> tmp, "top_v" -> 10, "top_b" -> 10),
+      Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("lm_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, "a b"), (11L, "zz"))
+      q.processAllAvailable()
+      val got = spark.table("lm_stream")
+        .select("doc_id", "n_bigrams", "lm_score")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got.map(_._1) == Seq(10L, 11L))
+      assert(got(0)._2 == 1L && got(0)._3 > 0.0)
+      assert(got(1) == ((11L, 0L, 0.0)))
+    } finally q.stop()
+  }
+
   test("NULL score is refused, not silently mis-ranked") {
     val df = Seq((1L, Some(0.5)), (2L, None))
       .toDF("id", "score")
