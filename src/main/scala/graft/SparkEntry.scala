@@ -1874,6 +1874,58 @@ object SparkEntry {
       graft.llm.Pq.ivfResidualAdcTopK(e, e.filter(col("vec_id") < 5),
         "vec_id", "embedding", coarse, cb, k = 5, nProbe = 2)
         .orderBy("query_id", "rank")
+    }),
+
+    // overlap-FRACTION decontamination (Brown et al. 2020 appendix C /
+    // PaLM): per-doc share of distinct 3-gram shingles found in the
+    // pooled benchmark slice; one IEEE division per doc, same broadcast
+    // shape as q_contamination
+    "q_contamination_frac" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationFraction(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", shingleSize = 3, minFrac = 0.05)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2): the corpus is
+    // single-line, so each doc is deterministically dirtied into a page
+    // — two good sentences, a javascript line, a bare source tag, a
+    // 2-word line, a conditional third good line (doc_id % 3), and
+    // conditional lorem-ipsum / curly-brace page poisons — then every
+    // rule fires: page gates drop the poisoned docs whole, line gates
+    // keep exactly the sentence-shaped lines, floor >= 2 lines
+    "q_c4_clean" -> ((s, dir) => {
+      val dirty = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          col("text"), lit(".\n"),
+          lit("enable javascript to continue.\n"),
+          col("source"), lit("\n"),
+          lit("too short.\n"),
+          when(col("doc_id") % 3 === 0,
+            lit("this extra line stays here!\n")).otherwise(lit("")),
+          when(col("doc_id") % 97 === 0,
+            lit("lorem ipsum dolor sit.\n")).otherwise(lit("")),
+          when(col("doc_id") % 89 === 0,
+            lit("a curly { brace here.\n")).otherwise(lit("")),
+          col("text"), lit(" indeed?")).as("text"))
+      Dedup.c4Clean(dirty, "doc_id", "text",
+        minLineWords = 3, minLines = 2)
+        .orderBy("doc_id")
+    }),
+
+    // Naive-Bayes document-quality classifier (the GPT-3/LLaMA
+    // "reference-like" filter): positive class = the English slice,
+    // negative = the whole corpus; average per-token Laplace likelihood
+    // ratio over a top-64 vocab, fixed-point exact mean
+    "q_quality_nb" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.llm.TextStats.nbQualityScore(d,
+        d.filter(col("lang") === "en"), "doc_id", "text", "text",
+        topV = 64)
+        .orderBy("doc_id")
     })
   )
 
@@ -3696,7 +3748,103 @@ object SparkEntry {
       "q_multimodal_dedup" ->
         """SELECT sha256(text) AS sha256, min(doc_id) AS doc_id,
           |       count(*) AS n_dups
-          |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin
+          |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+      // overlap-fraction decontamination: exact string shingles stand in
+      // for the engine's 8-byte hashes (the q_contamination rule); LEFT
+      // join so zero-overlap docs still count, one double division
+      "q_contamination_frac" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+           |sets AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(1, greatest(len(ts) - 2, 0)),
+           |    i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+           |  FROM toks WHERE len(ts) >= 3),
+           |e AS (SELECT doc_id, len(sh)::BIGINT AS n_shingles,
+           |             unnest(sh) AS s
+           |      FROM sets WHERE len(sh) > 0),
+           |b AS (SELECT DISTINCT s FROM e WHERE doc_id % 17 = 0),
+           |c AS (SELECT e.doc_id, e.n_shingles, count(b.s)::BIGINT AS n_shared
+           |      FROM e LEFT JOIN b ON e.s = b.s
+           |      WHERE e.doc_id % 17 <> 0
+           |      GROUP BY 1, 2)
+           |SELECT doc_id, n_shingles, n_shared,
+           |       n_shared::DOUBLE / n_shingles::DOUBLE AS frac
+           |FROM c
+           |WHERE n_shared::DOUBLE / n_shingles::DOUBLE >= 0.05
+           |ORDER BY doc_id""".stripMargin,
+
+      // C4 cleaning: same deterministic dirtying, then page gates
+      // (lorem ipsum / curly brace), line gates (terminal punctuation,
+      // >= 3 words, no javascript), >= 2 surviving lines, ordered
+      // reassembly
+      "q_c4_clean" ->
+        """WITH dirty AS (
+          |  SELECT doc_id,
+          |    text || '.' || chr(10) ||
+          |    'enable javascript to continue.' || chr(10) ||
+          |    source || chr(10) ||
+          |    'too short.' || chr(10) ||
+          |    CASE WHEN doc_id % 3 = 0
+          |      THEN 'this extra line stays here!' || chr(10) ELSE '' END ||
+          |    CASE WHEN doc_id % 97 = 0
+          |      THEN 'lorem ipsum dolor sit.' || chr(10) ELSE '' END ||
+          |    CASE WHEN doc_id % 89 = 0
+          |      THEN 'a curly { brace here.' || chr(10) ELSE '' END ||
+          |    text || ' indeed?' AS text
+          |  FROM documents),
+          |pages AS (SELECT * FROM dirty
+          |  WHERE NOT contains(lower(text), 'lorem ipsum')
+          |    AND NOT contains(text, '{')),
+          |lines AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(string_split(text, chr(10)),
+          |      (x, i) -> {'idx': i - 1, 'line': x}), recursive := true)
+          |  FROM pages),
+          |kept AS (SELECT doc_id, idx, line FROM lines
+          |  WHERE regexp_matches(trim(line), '[.!?"]$')
+          |    AND len(list_filter(string_split(lower(trim(line)), ' '),
+          |          t -> len(t) > 0)) >= 3
+          |    AND NOT contains(lower(line), 'javascript'))
+          |SELECT doc_id, count(*)::BIGINT AS n_lines_kept,
+          |       string_agg(line, chr(10) ORDER BY idx) AS text
+          |FROM kept GROUP BY doc_id
+          |HAVING count(*) >= 2
+          |ORDER BY doc_id""".stripMargin,
+
+      // Naive-Bayes quality score: top-64 vocab by combined count (ties
+      // to token asc), totals over the FULL class token streams, exact
+      // HUGEINT products -> one division per term -> the fixed-point
+      // mean recipe at 1e12
+      "q_quality_nb" ->
+        s"""WITH dt AS (SELECT doc_id, unnest($toksSql) AS w
+           |            FROM documents),
+           |rt AS (SELECT unnest($toksSql) AS w
+           |       FROM documents WHERE lang = 'en'),
+           |cpos AS (SELECT w, count(*)::BIGINT AS cp FROM rt GROUP BY w),
+           |cneg AS (SELECT w, count(*)::BIGINT AS cn FROM dt GROUP BY w),
+           |vocab AS (
+           |  SELECT w, coalesce(cp, 0)::BIGINT AS cp,
+           |         coalesce(cn, 0)::BIGINT AS cn
+           |  FROM cpos FULL OUTER JOIN cneg USING (w)
+           |  ORDER BY (coalesce(cp, 0) + coalesce(cn, 0)) DESC, w ASC
+           |  LIMIT 64),
+           |tot AS (SELECT (SELECT count(*) FROM rt)::BIGINT AS np,
+           |               (SELECT count(*) FROM dt)::BIGINT AS nn,
+           |               (SELECT count(*) FROM vocab)::BIGINT AS v),
+           |terms AS (
+           |  SELECT dt.doc_id, vo.cp, vo.cn,
+           |    ((coalesce(vo.cp, 0) + 1)::HUGEINT
+           |       * (tot.nn + tot.v)::HUGEINT)::DOUBLE /
+           |    ((coalesce(vo.cn, 0) + 1)::HUGEINT
+           |       * (tot.np + tot.v)::HUGEINT)::DOUBLE AS term
+           |  FROM dt LEFT JOIN vocab vo USING (w) CROSS JOIN tot)
+           |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           |  sum(CASE WHEN cp IS NULL AND cn IS NULL THEN 1 ELSE 0
+           |      END)::BIGINT AS n_oov,
+           |  (sum(floor(term * 1e12)::HUGEINT)::DOUBLE
+           |     / count(*) / 1e12) AS score
+           |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
     )
   }
 }

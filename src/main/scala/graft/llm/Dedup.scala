@@ -800,6 +800,86 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Overlap-FRACTION decontamination — the per-document relative form
+    * of [[contamination]] (the Brown et al. 2020 appendix-C / PaLM
+    * formulation: a doc is contaminated when the FRACTION of its
+    * n-grams appearing in the eval set crosses a threshold, so long
+    * docs aren't flagged by an absolute count a short doc could never
+    * reach). Per doc: `frac = n_shared / n_shingles` over DISTINCT
+    * `shingleSize`-gram shingles, benchmark side pooled exactly as in
+    * [[contamination]]; emitted when `frac >= minFrac`.
+    *
+    * Exactness: both counts are integers; `frac` is ONE IEEE division
+    * (engine-portable bit-exactly — the [[Search.bm25Queries]]
+    * rational-arithmetic rule). Scale shape identical to
+    * [[contamination]]: 8-byte shingle hashes, broadcast benchmark set,
+    * one map pass + per-doc partial-aggregated count — the left join
+    * against the broadcast set costs the same as the inner join (every
+    * probe hits the hash table either way) and keeps zero-overlap docs
+    * countable. Docs with no shingles (< shingleSize tokens) have no
+    * defined fraction and are excluded — gate short docs upstream.
+    * Output: (id, n_shingles, n_shared, frac) for contaminated docs —
+    * anti-join back to drop them. */
+  def contaminationFraction(docs: DataFrame, bench: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleSize: Int = 3,
+                            minFrac: Double = 0.1): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1,
+      s"minFrac must be in (0,1]: $minFrac")
+    val d = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__t"))
+      .select(col("id"), shingleHashes(col("__t"), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("id"), size(col("__sh")).cast("long").as("n_shingles"),
+        explode(col("__sh")).as("s"))
+    val b = broadcast(bench
+      .select(Text.tokens(col(textCol)).as("__t"))
+      .select(explode(shingleHashes(col("__t"), shingleSize)).as("s"))
+      .distinct()
+      .withColumn("__hit", lit(1)))
+    d.join(b, Seq("s"), "left")
+      // shingleHashes is distinct per doc and the bench side is
+      // distinct, so counting hits counts DISTINCT shared shingles
+      .groupBy("id", "n_shingles")
+      .agg(count(col("__hit")).as("n_shared"))
+      .withColumn("frac",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+      .filter(col("frac") >= minFrac)
+  }
+
+  /** C4-style page cleaning (Raffel et al. 2020 §2.2, the line-level
+    * half of the C4 recipe; the span-level dedup half is
+    * [[duplicateSpans]]/[[trimDuplicateParagraphs]]). Page gates first:
+    * any page containing "lorem ipsum" (case-folded) or a curly brace
+    * is dropped whole. Then line gates over a `sep` split: a line
+    * survives iff it ends in terminal punctuation (`. ! ? "`), has at
+    * least `minLineWords` words, and does not contain "javascript"
+    * (case-folded). Pages keeping fewer than `minLines` lines drop out
+    * (the paper's "at least 5 sentences" page floor, parameterized).
+    * Survivors reassemble in original order.
+    *
+    * Scale shape: page gates and line predicates are map-side codegen
+    * built-ins (rlike / instr / split); the only shuffle is the per-doc
+    * reassembly groupBy inherited from [[filterParagraphs]] — shuffle-
+    * linear in surviving lines, no corpus-wide state. Output:
+    * (id, n_lines_kept, textCol). */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 3, minLines: Int = 3,
+              sep: String = "\n"): DataFrame = {
+    require(minLineWords > 0, s"minLineWords must be positive: $minLineWords")
+    require(minLines > 0, s"minLines must be positive: $minLines")
+    val pages = df.filter(
+      !lower(col(textCol)).contains("lorem ipsum") &&
+        !col(textCol).contains("{"))
+    filterParagraphs(pages, idCol, textCol, sep) { p =>
+      trim(p).rlike("[.!?\"]$") &&
+        size(Text.tokens(p)) >= minLineWords &&
+        !lower(p).contains("javascript")
+    }
+      .filter(col("n_paras_kept") >= minLines)
+      .withColumnRenamed("n_paras_kept", "n_lines_kept")
+  }
+
   /** Embedding near-dup pairs: random-hyperplane LSH buckets → exact cosine
     * verify within buckets. `nBits` trades recall (more probes) vs bucket
     * size; at 100 TB run multiple independent tables (seeds) and union. */

@@ -267,4 +267,88 @@ object TextStats {
         (col("__l").cast("double") / col("n_bigrams") / lit(1e15))
           .as("neg_avg_logp"))
   }
+
+  /** Naive-Bayes document-quality classifier — the relational form of
+    * the fastText-style "is this page reference-like" filter used to
+    * select GPT-3/LLaMA pre-training data (Brown et al. 2020 appendix A;
+    * Touvron et al. 2023 "classify as references"): the positive class
+    * is a `ref` frame of exemplar documents (a Wikipedia-like slice),
+    * the negative class is the corpus being scored itself, and each
+    * document's score is the average per-token Laplace-smoothed
+    * likelihood ratio
+    *
+    *   score = (1/n) Σ_i  [ (cPos(w_i)+1) / (nPos+V) ]
+    *                    / [ (cNeg(w_i)+1) / (nNeg+V) ]
+    *
+    * where cPos/cNeg are class token counts over the retained top-`topV`
+    * vocabulary (by combined count, ties to token asc), nPos/nNeg the
+    * TOTAL class token counts, and V the retained vocabulary size.
+    * Averaging ratios instead of multiplying keeps the statistic
+    * bounded and n-normalized (the geometric-mean/product form is the
+    * same ranking through a log — not engine-portable, the
+    * [[bigramLikelihood]] neg_avg_logp note); score > 1 ⇒ the document's
+    * vocabulary looks more like the reference class than the corpus
+    * background. Out-of-vocab tokens take the pure-smoothing ratio
+    * (nNeg+V)/(nPos+V).
+    *
+    * Exactness: each term's numerator (cPos+1)·(nNeg+V) and denominator
+    * (cNeg+1)·(nPos+V) are EXACT integer products (decimal(38,0) ≡
+    * DuckDB HUGEINT — int64 would silently wrap at web scale), each
+    * cast to double (correctly rounded in both engines), ONE IEEE
+    * division per term, then the [[KMeans.fit]] fixed-point mean:
+    * floor(term·1e12) (1e12, not 1e15 — likelihood ratios are not
+    * probabilities; terms up to 9.2e6 stay exact, raise_error past it),
+    * exact decimal sum, one rounded cast, shared division sequence.
+    * Oracled bit-exactly (q_quality_nb).
+    *
+    * Scale: both count tables are one aggregate each over the exploded
+    * token frames; the retained vocab (top-`topV` + the two totals) is
+    * BROADCAST, so scoring is one map pass over the corpus tokens plus
+    * the per-doc aggregate — the [[unigramLikelihood]] shuffle-linear
+    * shape. The ref frame is typically a tiny curated slice; nothing
+    * about it is collected to the driver. Docs with zero tokens yield
+    * no row. Output: (idCol, n_tokens, n_oov, score). */
+  def nbQualityScore(docs: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, refTextCol: String,
+      topV: Int = 10000): DataFrame = {
+    require(topV > 0, s"topV must be positive: $topV")
+    val docToks = docs
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("__w"))
+    val refToks = ref
+      .select(explode(Text.tokens(col(refTextCol))).as("__w"))
+    val cPos = refToks.groupBy("__w").agg(count(lit(1)).as("__cp"))
+    val cNeg = docToks.groupBy("__w").agg(count(lit(1)).as("__cn"))
+    val vocab = cPos.join(cNeg, Seq("__w"), "full_outer")
+      .select(col("__w"),
+        coalesce(col("__cp"), lit(0L)).as("__cp"),
+        coalesce(col("__cn"), lit(0L)).as("__cn"))
+      .orderBy((col("__cp") + col("__cn")).desc, col("__w").asc)
+      .limit(topV)
+    // totals over the FULL class token streams (not the retained
+    // vocab): three 1-row side frames riding the plan as broadcasts —
+    // no driver action
+    val totals = refToks.agg(count(lit(1)).as("__np"))
+      .crossJoin(docToks.agg(count(lit(1)).as("__nn")))
+      .crossJoin(vocab.agg(count(lit(1)).as("__V")))
+    val num = ((coalesce(col("__cp"), lit(0L)) + 1L).cast("decimal(38,0)") *
+      (col("__nn") + col("__V")).cast("decimal(38,0)")).cast("double")
+    val den = ((coalesce(col("__cn"), lit(0L)) + 1L).cast("decimal(38,0)") *
+      (col("__np") + col("__V")).cast("decimal(38,0)")).cast("double")
+    val term = num / den
+    val guarded = when(term >= lit(9.2e6), raise_error(concat(
+      lit("nbQualityScore: likelihood ratio >= 9.2e6 overflows the 1e12 " +
+        "fixed-point quantization for token "), col("__w"))))
+      .otherwise(term)
+    docToks
+      .join(broadcast(vocab), Seq("__w"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__cp").isNull && col("__cn").isNull, 1L)
+          .otherwise(0L)).as("n_oov"),
+        sum(floor(guarded * lit(1e12)).cast("decimal(38,0)")).as("__s"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        (col("__s").cast("double") / col("n_tokens") / lit(1e12))
+          .as("score"))
+  }
 }

@@ -754,4 +754,76 @@ class TextDedupSpec extends SparkSpec {
       .collect().head
     assert(got == "hello world x 1 ok")
   }
+
+  test("contaminationFraction: per-doc overlap share, threshold cut, " +
+    "shingle-less docs excluded") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // 7/7 shared
+      (2L, "the quick brown fox went home early today now"), // 2/7
+      (3L, "completely different words about nothing shared here at all"),
+      (4L, "too short")) // < 3 tokens: no shingles, no row
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationFraction(docs, bench, "doc_id", "text",
+      shingleSize = 3, minFrac = 0.01)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((7L, 7L, 1.0)))
+    assert(got(2L) == ((7L, 2L, 2.0 / 7.0)))
+    assert(!got.contains(3L)) // frac 0 < minFrac
+    assert(!got.contains(4L))
+    // tighter threshold keeps only the full-overlap doc
+    val strict = Dedup.contaminationFraction(docs, bench, "doc_id",
+      "text", shingleSize = 3, minFrac = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(strict == Set(1L))
+  }
+
+  test("c4Clean: page gates (lorem ipsum, curly brace), line gates " +
+    "(terminal punct, min words, javascript), min-lines floor, order") {
+    val docs = Seq(
+      // two good lines + every line-gate violation in between
+      (1L, "this line is kept.\nno terminal punct here\nshort one.\n" +
+        "please enable javascript now.\nthis other line also stays!"),
+      // page poisons: dropped whole despite good lines
+      (2L, "a good line here.\nsome lorem ipsum filler text."),
+      (3L, "a good line here.\nhas a { brace."),
+      // survives line gates but < minLines
+      (4L, "only one good line survives here.\nnope")).toDF("doc_id", "text")
+    val got = Dedup.c4Clean(docs, "doc_id", "text",
+      minLineWords = 3, minLines = 2)
+      .as[(Long, Long, String)].collect()
+    assert(got.toSeq == Seq((1L, 2L,
+      "this line is kept.\nthis other line also stays!")))
+  }
+
+  test("nbQualityScore: hand-computed likelihood-ratio means, OOV " +
+    "tokens take the smoothing ratio") {
+    val docs = Seq(
+      (1L, "wiki wiki facts"),
+      (2L, "spam spam spam"),
+      (3L, "wiki zzz")).toDF("doc_id", "text")
+    val ref = docs.filter(col("doc_id") === 1L) // positive class
+    val got = graft.llm.TextStats.nbQualityScore(docs, ref, "doc_id",
+      "text", "text", topV = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // nPos=3 (wiki wiki facts), nNeg=8; vocab (top-3 by combined count):
+    // spam(0,3), wiki(2,3), facts(1,1) — zzz is OOV; V=3
+    // term(w) = (cp+1)(nNeg+V) / ((cn+1)(nPos+V)) with nNeg+V=11, nPos+V=6
+    def fx(x: Double) = math.floor(x * 1e12) / 1e12
+    val tWiki = fx(3.0 * 11 / (4 * 6))
+    val tFacts = fx(2.0 * 11 / (2 * 6))
+    val tSpam = fx(1.0 * 11 / (4 * 6))
+    val tOov = fx(1.0 * 11 / (1 * 6))
+    assert(got(1L)._1 == 3L && got(1L)._2 == 0L)
+    assert(math.abs(got(1L)._3 - (2 * tWiki + tFacts) / 3) < 1e-12)
+    assert(math.abs(got(2L)._3 - tSpam) < 1e-12)
+    assert(got(3L)._1 == 2L && got(3L)._2 == 1L)
+    assert(math.abs(got(3L)._3 - (tWiki + tOov) / 2) < 1e-12)
+    // the positive-exemplar doc outscores the spam doc
+    assert(got(1L)._3 > got(2L)._3)
+  }
 }
