@@ -99,6 +99,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("fraction decontamination keeps the contamination shape: the " +
+    "benchmark set broadcasts, the corpus side never sort-merges") {
+    val p = planStr("q_contamination_frac")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("NB quality scoring broadcasts the class-count tables to the " +
+    "corpus pass; the only sort-merge is the vocab-sized full-outer " +
+    "of the two count tables (full outer can't broadcast), never the " +
+    "corpus; no window") {
+    val p = planStr("q_quality_nb")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.forall(_.contains("FullOuter")), p)
+    assert(!p.contains("Window "), p)
+  }
+
+  test("C4 cleaning is map-side gates + one per-doc reassembly agg: no " +
+    "join of any kind, no window") {
+    val p = planStr("q_c4_clean")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window "), p)
+  }
+
   test("bloom decontamination probes map-side: the bloom filter rides as " +
     "a literal in a Filter, no join on the corpus probe path") {
     val p = planStr("q_contamination_bloom")

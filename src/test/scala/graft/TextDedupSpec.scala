@@ -826,4 +826,70 @@ class TextDedupSpec extends SparkSpec {
     // the positive-exemplar doc outscores the spam doc
     assert(got(1L)._3 > got(2L)._3)
   }
+
+  test("NbGateOp (frozen-classifier gate) scores bit-identically to " +
+    "batch nbQualityScore when the background is the batch input; " +
+    "token-less docs keep the 0/0 contract; min_score gates") {
+    val docs = Seq(
+      (1L, "wiki wiki facts"),
+      (2L, "spam spam spam"),
+      (3L, "wiki zzz"),
+      (4L, "")).toDF("doc_id", "text")
+    val ref = docs.filter(col("doc_id") === 1L)
+    val refTmp = java.nio.file.Files.createTempDirectory("nbref").toString
+    val bgTmp = java.nio.file.Files.createTempDirectory("nbbg").toString
+    ref.write.mode("overwrite").parquet(refTmp)
+    docs.write.mode("overwrite").parquet(bgTmp)
+    val out = graft.streaming.ops.NbGateOp(
+      Map("ref_path" -> refTmp, "corpus_path" -> bgTmp, "top_v" -> 3),
+      Seq(docs)).head
+    val batch = graft.llm.TextStats.nbQualityScore(docs, ref, "doc_id",
+      "text", "text", topV = 3)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        col("score").as("nb_score"))
+    val matched = out.filter(col("n_tokens") > 0)
+      .select("doc_id", "n_tokens", "n_oov", "nb_score")
+    assert(matched.except(batch).isEmpty && batch.except(matched).isEmpty)
+    // doc 4: no tokens — kept at 0/0, not dropped
+    val z = out.filter(col("doc_id") === 4)
+      .select("n_tokens", "n_oov", "nb_score")
+      .as[(Long, Long, Double)].collect().head
+    assert(z == ((0L, 0L, 0.0)))
+    // gate: spam scores < 1 < wiki-like; min_score=1.0 keeps docs 1, 3
+    val gated = graft.streaming.ops.NbGateOp(
+      Map("ref_path" -> refTmp, "corpus_path" -> bgTmp, "top_v" -> 3,
+        "min_score" -> "1.0"), Seq(docs)).head
+    assert(gated.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
+  test("NbGateOp scores an unbounded stream statelessly (classifier " +
+    "rides the plan — no state store)") {
+    implicit val sqlCtx = spark.sqlContext
+    val refTmp = java.nio.file.Files.createTempDirectory("nbref_s").toString
+    val bgTmp = java.nio.file.Files.createTempDirectory("nbbg_s").toString
+    Seq((1L, "wiki facts")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(refTmp)
+    Seq((1L, "wiki facts"), (2L, "spam spam")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(bgTmp)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val src = in.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.ops.NbGateOp(
+      Map("ref_path" -> refTmp, "corpus_path" -> bgTmp, "top_v" -> 10),
+      Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("nb_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, "wiki facts"), (11L, "spam zzz"))
+      q.processAllAvailable()
+      val got = spark.table("nb_stream")
+        .select("doc_id", "n_tokens", "nb_score")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got.map(_._1) == Seq(10L, 11L))
+      // "wiki facts" is pure positive evidence; "spam zzz" pure negative
+      assert(got(0)._2 == 2L && got(0)._3 > 1.0)
+      assert(got(1)._2 == 2L && got(1)._3 < 1.0)
+    } finally q.stop()
+  }
 }
