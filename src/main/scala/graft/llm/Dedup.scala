@@ -773,32 +773,49 @@ object Dedup {
                          fpp: Double = 1e-6): DataFrame = {
     require(minShared > 0, s"minShared must be positive: $minShared")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
-    val b = bench
-      .select(Text.tokens(col(textCol)).as("__t"))
-      .select(explode(shingleHashes(col("__t"), shingleSize)).as("s"))
-      .distinct()
-    // the count sizes the filter; both actions run over the (small)
-    // benchmark side only — the corpus is never collected or counted
-    val nBench = b.count()
-    val bf = b.stat.bloomFilter("s", math.max(nBench, 1L), fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
-    val might = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        org.apache.spark.sql.catalyst.expressions.Literal(bytes,
-          org.apache.spark.sql.types.BinaryType),
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("s"))))
+    val bytes = benchBloomBytes(bench, textCol, shingleSize, fpp)
     docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__t"))
       .select(col("id"),
         explode(shingleHashes(col("__t"), shingleSize)).as("s"))
-      .filter(might)
+      .filter(bloomMightContain(bytes, col("s")))
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Shared Bloom half of the decontamination family
+    * ([[contaminationBloom]], the streaming
+    * [[graft.streaming.ops.ContaminationGateOp]]): the benchmark's
+    * distinct shingle hashes collapse into a Bloom filter's serialized
+    * bit array. Both actions (count to size the filter, the build
+    * itself) run over the small benchmark side only — the corpus is
+    * never collected or counted. */
+  private[graft] def benchBloomBytes(bench: DataFrame, textCol: String,
+                                     shingleSize: Int,
+                                     fpp: Double): Array[Byte] = {
+    val b = bench
+      .select(Text.tokens(col(textCol)).as("__t"))
+      .select(explode(shingleHashes(col("__t"), shingleSize)).as("s"))
+      .distinct()
+    val nBench = b.count()
+    val bf = b.stat.bloomFilter("s", math.max(nBench, 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Spark's native codegen `BloomFilterMightContain` probe over a
+    * serialized filter riding the plan as a foldable binary literal —
+    * composes inside higher-order-function lambdas (the element Column
+    * bridges to its Catalyst expression), which is what lets the
+    * streaming gate count hits per ROW with no explode and no shuffle. */
+  private[graft] def bloomMightContain(bytes: Array[Byte],
+                                       item: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(item)))
 
   /** Overlap-FRACTION decontamination — the per-document relative form
     * of [[contamination]] (the Brown et al. 2020 appendix-C / PaLM

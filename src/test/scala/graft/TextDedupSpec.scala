@@ -892,4 +892,71 @@ class TextDedupSpec extends SparkSpec {
       assert(got(1)._2 == 2L && got(1)._3 < 1.0)
     } finally q.stop()
   }
+
+  test("ContaminationGateOp: per-row Bloom hit counts match batch " +
+    "contaminationBloom; drop/annotate, min_frac mode, shingle-less " +
+    "rows kept") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // 7/7
+      (2L, "the quick brown fox went home early today now"), // 2/7
+      (3L, "completely different words about nothing shared here at all"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("cgate").toString
+    bench.write.mode("overwrite").parquet(tmp)
+    // annotate mode: counts equal the batch operator's per present doc
+    val ann = graft.streaming.ops.ContaminationGateOp(
+      Map("bench_path" -> tmp, "drop" -> "false"), Seq(docs)).head
+      .select("doc_id", "n_shingles", "n_shared", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val batch = Dedup.contaminationBloom(docs, bench, "doc_id", "text",
+      shingleSize = 3, minShared = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(ann(1L) == ((7L, 7L, true)) && batch(1L) == 7L)
+    assert(ann(2L) == ((7L, 2L, true)) && batch(2L) == 2L)
+    assert(ann(3L) == ((7L, 0L, false)) && !batch.contains(3L))
+    assert(ann(4L) == ((0L, 0L, false))) // nothing to match — kept
+    // drop mode removes exactly the contaminated rows
+    val kept = graft.streaming.ops.ContaminationGateOp(
+      Map("bench_path" -> tmp), Seq(docs)).head
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+    // min_frac: only the full-overlap doc crosses 0.5
+    val frac = graft.streaming.ops.ContaminationGateOp(
+      Map("bench_path" -> tmp, "min_frac" -> "0.5"), Seq(docs)).head
+      .select("doc_id").as[Long].collect().toSet
+    assert(frac == Set(2L, 3L, 4L))
+  }
+
+  test("ContaminationGateOp gates an unbounded stream statelessly " +
+    "(the Bloom filter rides the plan — no state store, no shuffle)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("cgate_s").toString
+    // a bench of a couple sentences, not a couple SHINGLES: a filter
+    // sized for 2 items is a single 64-bit word and observably FPs
+    // (caught here in development — n_shared=1 on a clean doc); eval
+    // suites are thousands of shingles, where fpp means what it says
+    Seq((100L, "the quick brown fox jumps over the lazy dog"),
+        (101L, "pack my box with five dozen liquor jugs please today"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(tmp)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val src = in.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.ops.ContaminationGateOp(
+      Map("bench_path" -> tmp), Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("cgate_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (10L, "the quick brown fox went home early today now"), // 2 hits
+        (11L, "totally unrelated clean content here"))
+      q.processAllAvailable()
+      val got = spark.table("cgate_stream")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(got == Seq(11L))
+    } finally q.stop()
+  }
 }
