@@ -111,6 +111,67 @@ class ScaleSpec extends SparkSpec {
       s"base=${base.size} docs, replicated kept ${got.size}")
   }
 
+  test("c4Clean under k-fold doc replication keeps exactly k x the base " +
+    "run's rows with identical per-doc output (page/line gates are " +
+    "per-row — no cross-doc state to corrupt at scale)") {
+    val docs = graft.core.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), concat(col("text"), lit(".\n"),
+        lit("enable javascript now.\n"), col("text"), lit(" indeed?"))
+        .as("text"))
+    val base = Dedup.c4Clean(docs, "doc_id", "text", minLineWords = 3,
+      minLines = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val k = 3
+    val rep = (0 until k)
+      .map(j => docs.select((col("doc_id") + j * 100000L).as("doc_id"),
+        col("text")))
+      .reduce(_.unionByName(_))
+    val got = Dedup.c4Clean(rep, "doc_id", "text", minLineWords = 3,
+      minLines = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val expected = (0 until k).flatMap(j =>
+      base.map(b => (b._1 + j * 100000L, b._2, b._3))).toSet
+    assert(got == expected,
+      s"base=${base.size} rows, replicated kept ${got.size}")
+  }
+
+  test("contaminationFraction is invariant under doc replication (the " +
+    "fraction is per-doc) and monotone under benchmark growth") {
+    val docs = graft.core.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val d = docs.filter(col("doc_id") % 17 =!= 0)
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val base = Dedup.contaminationFraction(d, bench, "doc_id", "text",
+      minFrac = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // replicating the SCORED side must not change any doc's fraction
+    val rep = (0 until 2)
+      .map(j => d.select((col("doc_id") + j * 100000L).as("doc_id"),
+        col("text")))
+      .reduce(_.unionByName(_))
+    val got = Dedup.contaminationFraction(rep, bench, "doc_id", "text",
+      minFrac = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val expected = (0 until 2).flatMap(j =>
+      base.map(b => (b._1 + j * 100000L, b._2, b._3, b._4))).toSet
+    assert(got == expected)
+    // growing the benchmark can only grow each doc's n_shared
+    val biggerBench = bench.unionByName(
+      docs.filter(col("doc_id") % 17 === 1))
+    val grown = Dedup.contaminationFraction(d, biggerBench, "doc_id",
+      "text", minFrac = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val baseShared = base.map(b => b._1 -> b._3).toMap
+    assert(baseShared.forall { case (id, n) =>
+      grown.getOrElse(id, 0L) >= n })
+  }
+
   test("dedupAgainst a reference corpus equal to the input drops " +
     "EVERY row (self-reference identity)") {
     val docs = graft.core.Tables
