@@ -959,4 +959,57 @@ class TextDedupSpec extends SparkSpec {
       assert(got == Seq(11L))
     } finally q.stop()
   }
+
+  test("EmbedGateOp keeps exactly the rows batch embeddingDedupAgainst " +
+    "keeps (same band keys, same exact-cosine verify) and refuses a " +
+    "corpus-sized reference") {
+    val emb = graft.core.Tables
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val ref = emb.filter(col("vec_id") < 25)
+    val tmp = java.nio.file.Files.createTempDirectory("egate").toString
+    ref.write.mode("overwrite").parquet(tmp)
+    val gateKept = graft.streaming.ops.EmbedGateOp(
+      Map("ref_path" -> tmp, "threshold" -> "0.8"), Seq(emb)).head
+      .select("vec_id").as[Long].collect().toSet
+    val batchKept = Dedup.embeddingDedupAgainst(emb, ref, "vec_id",
+      "embedding", "vec_id", "embedding", threshold = 0.8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gateKept == batchKept,
+      s"gate=${gateKept.size} batch=${batchKept.size} " +
+        s"onlyGate=${(gateKept -- batchKept).take(5)} " +
+        s"onlyBatch=${(batchKept -- gateKept).take(5)}")
+    // the ref vectors themselves are all suppressed (self cosine 1.0)
+    assert((0L until 25L).forall(i => !gateKept.contains(i)))
+    // bounded wire-time collect: a reference past max_ref is refused
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.ops.EmbedGateOp(
+        Map("ref_path" -> tmp, "max_ref" -> "10"), Seq(emb))
+    }
+    assert(e.getMessage.contains("max_ref"))
+  }
+
+  test("EmbedGateOp gates an unbounded stream statelessly (the bucket " +
+    "index rides the plan — no state store, no join)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("egate_s").toString
+    Seq((100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(tmp)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val src = in.toDF().toDF("vec_id", "embedding")
+    val out = graft.streaming.ops.EmbedGateOp(
+      Map("ref_path" -> tmp, "threshold" -> "0.9"), Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("egate_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (10L, Seq(0.99f, 0.01f, 0.0f, 0.0f)), // near the ref vector
+        (11L, Seq(0.0f, 0.0f, 1.0f, 0.0f))) // orthogonal
+      q.processAllAvailable()
+      val got = spark.table("egate_stream")
+        .select("vec_id").as[Long].collect().toSeq
+      assert(got == Seq(11L))
+    } finally q.stop()
+  }
 }
