@@ -1926,6 +1926,45 @@ object SparkEntry {
         d.filter(col("lang") === "en"), "doc_id", "text", "text",
         topV = 64)
         .orderBy("doc_id")
+    }),
+
+    // composed INGEST pipeline — this round's cleaning battery end to
+    // end: C4 page/line cleaning over the dirtied corpus -> overlap-
+    // fraction decontamination of the CLEANED text against the
+    // benchmark slice -> NB quality scoring trained on the survivors
+    // themselves (ref = their English slice) — every stage oracled
+    // individually, the composition hash-matched as a whole
+    "q_pipeline_ingest" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val dirty = d.select(col("doc_id"),
+        concat(
+          col("text"), lit(".\n"),
+          lit("enable javascript to continue.\n"),
+          col("source"), lit("\n"),
+          lit("too short.\n"),
+          when(col("doc_id") % 3 === 0,
+            lit("this extra line stays here!\n")).otherwise(lit("")),
+          when(col("doc_id") % 97 === 0,
+            lit("lorem ipsum dolor sit.\n")).otherwise(lit("")),
+          when(col("doc_id") % 89 === 0,
+            lit("a curly { brace here.\n")).otherwise(lit("")),
+          col("text"), lit(" indeed?")).as("text"))
+      val cleaned = Dedup.c4Clean(dirty, "doc_id", "text",
+        minLineWords = 3, minLines = 2)
+      val nonBench = cleaned.filter(col("doc_id") % 17 =!= 0)
+      val contaminated = Dedup.contaminationFraction(
+        nonBench, d.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", shingleSize = 3, minFrac = 0.05)
+        .select(col("id").as("doc_id"))
+      val survivors = nonBench
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      val scored = graft.llm.TextStats.nbQualityScore(survivors,
+        survivors.filter(col("lang") === "en"), "doc_id", "text",
+        "text", topV = 64)
+      survivors.select("doc_id", "n_lines_kept")
+        .join(scored, Seq("doc_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3844,7 +3883,112 @@ object SparkEntry {
            |      END)::BIGINT AS n_oov,
            |  (sum(floor(term * 1e12)::HUGEINT)::DOUBLE
            |     / count(*) / 1e12) AS score
-           |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+           |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // composed ingest pipeline: the q_c4_clean stage verbatim, its
+      // survivors decontaminated by overlap fraction vs the ORIGINAL
+      // benchmark slice (multi-line tokens need the \s+ regexp
+      // normalization — the single-space toks macro under-splits
+      // reassembled text), then the q_quality_nb stage trained on the
+      // survivors themselves
+      "q_pipeline_ingest" ->
+        """WITH dirty AS (
+          |  SELECT doc_id,
+          |    text || '.' || chr(10) ||
+          |    'enable javascript to continue.' || chr(10) ||
+          |    source || chr(10) ||
+          |    'too short.' || chr(10) ||
+          |    CASE WHEN doc_id % 3 = 0
+          |      THEN 'this extra line stays here!' || chr(10) ELSE '' END ||
+          |    CASE WHEN doc_id % 97 = 0
+          |      THEN 'lorem ipsum dolor sit.' || chr(10) ELSE '' END ||
+          |    CASE WHEN doc_id % 89 = 0
+          |      THEN 'a curly { brace here.' || chr(10) ELSE '' END ||
+          |    text || ' indeed?' AS text
+          |  FROM documents),
+          |pages AS (SELECT * FROM dirty
+          |  WHERE NOT contains(lower(text), 'lorem ipsum')
+          |    AND NOT contains(text, '{')),
+          |lns AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(string_split(text, chr(10)),
+          |      (x, i) -> {'idx': i - 1, 'line': x}), recursive := true)
+          |  FROM pages),
+          |kept AS (SELECT doc_id, idx, line FROM lns
+          |  WHERE regexp_matches(trim(line), '[.!?"]$')
+          |    AND len(list_filter(string_split(lower(trim(line)), ' '),
+          |          t -> len(t) > 0)) >= 3
+          |    AND NOT contains(lower(line), 'javascript')),
+          |cleaned AS (
+          |  SELECT doc_id, count(*)::BIGINT AS n_lines_kept,
+          |         string_agg(line, chr(10) ORDER BY idx) AS text
+          |  FROM kept GROUP BY doc_id HAVING count(*) >= 2),
+          |ctoks AS (SELECT doc_id, list_filter(string_split(
+          |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+          |    t -> len(t) > 0) AS ts
+          |  FROM cleaned WHERE doc_id % 17 <> 0),
+          |csets AS (
+          |  SELECT doc_id, list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ts) - 2, 0)),
+          |    i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+          |  FROM ctoks WHERE len(ts) >= 3),
+          |ce AS (SELECT doc_id, len(sh)::BIGINT AS n_shingles,
+          |              unnest(sh) AS s
+          |       FROM csets WHERE len(sh) > 0),
+          |btoks AS (SELECT list_filter(string_split(lower(trim(text)),
+          |    ' '), t -> len(t) > 0) AS ts
+          |  FROM documents WHERE doc_id % 17 = 0),
+          |b AS (SELECT DISTINCT s FROM (
+          |  SELECT unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ts) - 2, 0)),
+          |    i -> array_to_string(list_slice(ts, i, i + 2), ' ')))) AS s
+          |  FROM btoks WHERE len(ts) >= 3)),
+          |contaminated AS (
+          |  SELECT ce.doc_id FROM ce LEFT JOIN b ON ce.s = b.s
+          |  GROUP BY ce.doc_id, ce.n_shingles
+          |  HAVING count(b.s)::DOUBLE / ce.n_shingles::DOUBLE >= 0.05),
+          |surv AS (
+          |  SELECT c.doc_id, c.n_lines_kept, c.text, d.lang
+          |  FROM cleaned c JOIN documents d USING (doc_id)
+          |  WHERE c.doc_id % 17 <> 0
+          |    AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+          |dt AS (SELECT doc_id, unnest(list_filter(string_split(
+          |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+          |    t -> len(t) > 0)) AS w
+          |  FROM surv),
+          |rt AS (SELECT doc_id, unnest(list_filter(string_split(
+          |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+          |    t -> len(t) > 0)) AS w
+          |  FROM surv WHERE lang = 'en'),
+          |cpos AS (SELECT w, count(*)::BIGINT AS cp FROM rt GROUP BY w),
+          |cneg AS (SELECT w, count(*)::BIGINT AS cn FROM dt GROUP BY w),
+          |vocab AS (
+          |  SELECT w, coalesce(cp, 0)::BIGINT AS cp,
+          |         coalesce(cn, 0)::BIGINT AS cn
+          |  FROM cpos FULL OUTER JOIN cneg USING (w)
+          |  ORDER BY (coalesce(cp, 0) + coalesce(cn, 0)) DESC, w ASC
+          |  LIMIT 64),
+          |tot AS (SELECT (SELECT count(*) FROM rt)::BIGINT AS np,
+          |               (SELECT count(*) FROM dt)::BIGINT AS nn,
+          |               (SELECT count(*) FROM vocab)::BIGINT AS v),
+          |terms AS (
+          |  SELECT dt.doc_id, vo.cp, vo.cn,
+          |    ((coalesce(vo.cp, 0) + 1)::HUGEINT
+          |       * (tot.nn + tot.v)::HUGEINT)::DOUBLE /
+          |    ((coalesce(vo.cn, 0) + 1)::HUGEINT
+          |       * (tot.np + tot.v)::HUGEINT)::DOUBLE AS term
+          |  FROM dt LEFT JOIN vocab vo USING (w) CROSS JOIN tot),
+          |scored AS (
+          |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+          |    sum(CASE WHEN cp IS NULL AND cn IS NULL THEN 1 ELSE 0
+          |        END)::BIGINT AS n_oov,
+          |    (sum(floor(term * 1e12)::HUGEINT)::DOUBLE
+          |       / count(*) / 1e12) AS score
+          |  FROM terms GROUP BY doc_id)
+          |SELECT s.doc_id, s.n_lines_kept, sc.n_tokens, sc.n_oov,
+          |       sc.score
+          |FROM surv s JOIN scored sc USING (doc_id)
+          |ORDER BY s.doc_id""".stripMargin
     )
   }
 }
