@@ -33,6 +33,16 @@ import graft.streaming.OperatorFactory
   * TextDedupSpec, which also pins the no-false-negative superset
   * relation to exact [[graft.llm.Dedup.contamination]]).
   *
+  * TINY-benchmark caveat (measured, not theoretical): Spark's Bloom
+  * filter probes by double hashing (`h1 + i·h2 mod m`), which
+  * degenerates when `h2` aligns with a small `m` — a filter sized for
+  * a handful of shingles (m = a few hundred bits) shows ~1% per-probe
+  * false positives where the fpp math promises 1e-6 (observed twice
+  * in this repo's development on 2- and 7-shingle benchmarks).
+  * Real evaluation suites (≥ thousands of shingles) are unaffected;
+  * for toy benchmarks raise `min_shared` to ≥ 2 or use the exact
+  * batch operator.
+  *
   * Config: `bench_path` (parquet evaluation corpus), `text_col`
   * ("text"), `bench_text_col` (defaults to `text_col`), `shingle_size`
   * (3), `min_shared` (1), `min_frac` (optional — overrides min_shared),

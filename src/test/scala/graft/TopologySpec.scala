@@ -327,4 +327,73 @@ class TopologySpec extends SparkSpec {
       plan.contains("lang"), plan)
     assert(back.filter(col("lang") === "en").count() == 2)
   }
+
+  test("ingest-gate chain wired from YAML: decontamination gate then " +
+    "NB quality gate, each a topology operator (frozen-model configs " +
+    "ride the config block)") {
+    val tmp = Files.createTempDirectory("gate_chain").toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contaminated
+      (2L, "wiki wiki facts today"), // clean + reference-like
+      (3L, "spam spam spam junk")) // clean + spammy
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/in")
+    Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/bench")
+    Seq((200L, "wiki wiki facts today")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/ref")
+    Seq((2L, "wiki wiki facts today"), (3L, "spam spam spam junk"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/corpus")
+    val yaml1 =
+      s"""topics:
+         |  - name: docs
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: decontaminated
+         |    kind: parquet
+         |    path: $tmp/mid
+         |operators:
+         |  cgate:
+         |    factory: graft.streaming.ops.ContaminationGateOp
+         |    sources: [docs]
+         |    sinks: [decontaminated]
+         |config:
+         |  bench_path: $tmp/bench
+         |  min_shared: 2
+         |  mode: batch
+         |  output: $tmp/sinks1
+         |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/a.yaml"), yaml1)
+    Main.main(Array("--config", s"$tmp/a.yaml"))
+    val mid = spark.read.parquet(s"$tmp/sinks1/decontaminated")
+    assert(mid.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+    val yaml2 =
+      s"""topics:
+         |  - name: decontaminated
+         |    kind: parquet
+         |    path: $tmp/sinks1/decontaminated
+         |  - name: quality
+         |    kind: parquet
+         |    path: $tmp/out
+         |operators:
+         |  nbgate:
+         |    factory: graft.streaming.ops.NbGateOp
+         |    sources: [decontaminated]
+         |    sinks: [quality]
+         |config:
+         |  ref_path: $tmp/ref
+         |  corpus_path: $tmp/corpus
+         |  min_score: 1.0
+         |  mode: batch
+         |  output: $tmp/sinks2
+         |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/b.yaml"), yaml2)
+    Main.main(Array("--config", s"$tmp/b.yaml"))
+    val out = spark.read.parquet(s"$tmp/sinks2/quality")
+    // doc 1 fell to the contamination gate, doc 3 to the quality gate
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    val score = out.select("nb_score").as[Double].collect().head
+    assert(score > 1.0)
+  }
 }
