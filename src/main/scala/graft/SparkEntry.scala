@@ -1956,9 +1956,17 @@ object SparkEntry {
         nonBench, d.filter(col("doc_id") % 17 === 0),
         "doc_id", "text", shingleSize = 3, minFrac = 0.05)
         .select(col("id").as("doc_id"))
+      // stage boundary: the NB stage reads the survivor frame several
+      // times (both class token streams, two totals, the final join) —
+      // unpersisted, each read would re-run cleaning + decontamination
+      // (measured 15s -> 2s at sf0.001; at 100 TB this materialization
+      // is the difference between 1 pass and ~6 over the corpus).
+      // Verify/Bench queries leak this cache by design: the frame is
+      // survivor-sized and the session is short-lived.
       val survivors = nonBench
         .join(contaminated, Seq("doc_id"), "left_anti")
         .join(d.select("doc_id", "lang"), Seq("doc_id"))
+        .persist()
       val scored = graft.llm.TextStats.nbQualityScore(survivors,
         survivors.filter(col("lang") === "en"), "doc_id", "text",
         "text", topV = 64)
