@@ -324,6 +324,22 @@ SELECT id AS doc_id FROM novel WHERE nw = nb
 UNION ALL SELECT id AS doc_id FROM sh WHERE len(hs) = 0
 ORDER BY doc_id"""
 
+  /** [[graft.llm.Dedup.minhashBandWinners]] replay: the per-band
+    * minimum-id winner table itself — the warm-start index the
+    * streaming NearDupOp consumes. Band keys are emitted as SIGNED
+    * 64-bit (two's complement of the unsigned XXH64 chain) to match
+    * Spark's long-typed xxhash64. */
+  val q_band_winners: String =
+    prologue + "\nWITH " + minhashBandsFrom(
+      """toks AS (SELECT doc_id::BIGINT AS id, list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0) AS ts FROM documents)""") + ",\n" +
+"""bkr AS (SELECT b.* FROM bk b JOIN sh USING (id) WHERE len(sh.hs) > 0),
+firsts AS (SELECT bkey, min(id) AS winner FROM bkr GROUP BY bkey)
+SELECT CASE WHEN bkey >= 9223372036854775808::HUGEINT
+       THEN (bkey - 18446744073709551616::HUGEINT)::BIGINT
+       ELSE bkey::BIGINT END AS bkey,
+       winner
+FROM firsts ORDER BY 1"""
+
   /** [[graft.llm.Dedup.minhashNovelVerified]] replay: band winners as
     * in q_minhash_novel, then every suppressed (id, winner) pair
     * verified against the full signatures — novel iff NO winner agrees

@@ -1081,6 +1081,13 @@ object SparkEntry {
       Dedup.minhashNovel(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // band-winner index export — the warm-start handoff from batch to
+    // the streaming NearDupOp (one row per occupied band: min-id
+    // winner, exactly the operator's per-band state)
+    "q_band_winners" -> ((s, dir) =>
+      Dedup.minhashBandWinners(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("bkey")),
+
     // opt-in verify pass on first-occurrence near-dup: suppressed docs
     // join back to their band WINNERS' signatures and are re-admitted
     // unless one verifies at >= threshold (candidate rows are bounded
@@ -3162,6 +3169,7 @@ object SparkEntry {
           "src7" -> 1L), seed = 3, buckets = 1024),
       "q_minhash_pairs" -> OracleXxh.q_minhash_pairs,
       "q_minhash_novel" -> OracleXxh.q_minhash_novel,
+      "q_band_winners" -> OracleXxh.q_band_winners,
       "q_minhash_novel_verified" -> OracleXxh.q_minhash_novel_verified,
       "q_short_novel" -> OracleXxh.q_minhash_novel_policy("novel"),
       "q_short_pair" -> OracleXxh.q_minhash_novel_policy("pair"),

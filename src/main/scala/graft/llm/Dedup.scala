@@ -308,6 +308,25 @@ object Dedup {
       .unionByName(st.contentless)
   }
 
+  /** Band-winner INDEX export — the warm-start handoff from a batch
+    * corpus to the streaming [[graft.streaming.ops.NearDupOp]]: one row
+    * per occupied band key, `(bkey, winner)` where `winner` is the
+    * minimum id holding the band (exactly the per-band state the
+    * streaming operator builds for itself). Write this over tonight's
+    * corpus, point NearDupOp's `warm_start` at it, and the stream
+    * dedupes against everything already crawled without replaying it.
+    * Shingle-less docs never band (the [[ShortDocPolicies]] rule), so
+    * the index covers content bands only — the streaming sentinel
+    * bands of the "pair" policy start cold. Scale: the index is one
+    * map-side-combined min per occupied band — strictly smaller than
+    * the corpus. Oracled bit-exactly (q_band_winners). */
+  def minhashBandWinners(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3, numHashes: Int = 128,
+                         bands: Int = 32): DataFrame =
+    novelStage(df, idCol, textCol, shingleSize, numHashes, bands,
+      shortDocs = "novel")
+      .firsts.select(col("bkey"), col("__w").as("winner"))
+
   /** Shared staging of the first-occurrence novelty family
     * ([[minhashNovel]], [[minhashNovelVerified]]): tokens → shingle
     * hashes (repartition barrier before the minhash fan-out, see

@@ -65,7 +65,11 @@ import graft.streaming.{AnalysisConf, OperatorFactory}
   * shingle-less docs on per-doc-unique synthetic keys so each is
   * trivially novel; "pair" bands them on SHARED sentinel keys so the
   * first-ever short doc claims them all and every later one is
-  * suppressed; "drop" excludes them).
+  * suppressed; "drop" excludes them), `warm_start` (optional parquet
+  * path of a batch-built `(bkey, winner)` band index —
+  * [[graft.llm.Dedup.minhashBandWinners]] — pre-populating per-band
+  * state so the stream dedupes against an already-crawled corpus
+  * without replaying it; non-verify mode only).
   *
   * Streaming analysis note: Spark's analysis-time guard rejects ANY
   * stateful op downstream of flatMapGroupsWithState because FMGWS
@@ -110,6 +114,7 @@ object NearDupOp extends OperatorFactory {
     val bands = config.getOrElse("bands", 32).toString.toInt
     val shortDocs = config.getOrElse("short_docs", "novel").toString
     val verify = config.getOrElse("verify", false).toString.toBoolean
+    val warmStart = config.get("warm_start").map(_.toString)
     val threshold = config.getOrElse("threshold", 0.5).toString.toDouble
     val maxGroup =
       config.getOrElse("max_batch_group", 65536).toString.toInt
@@ -121,6 +126,9 @@ object NearDupOp extends OperatorFactory {
     require(graft.llm.Dedup.ShortDocPolicies(shortDocs),
       s"short_docs must be one of " +
         s"${graft.llm.Dedup.ShortDocPolicies.mkString("/")}: '$shortDocs'")
+    require(warmStart.isEmpty || !verify,
+      "warm_start with verify: true is unsupported — the band-winner " +
+        "index carries no signatures; build a fresh checkpoint instead")
     val latenessMs = parseMs(lateness)
     val streaming = df.isStreaming
     if (streaming) {
@@ -164,11 +172,19 @@ object NearDupOp extends OperatorFactory {
         val banded = sig.select(col("id"), col("ts"),
             explode(keys).as("bkey"))
           .as[BandEvent]
-        banded
-          .groupByKey(_.bkey)
-          .flatMapGroupsWithState(OutputMode.Append(),
-            GroupStateTimeout.EventTimeTimeout)(
-            (_: Long, rows: Iterator[BandEvent],
+        val grouped = banded.groupByKey(_.bkey)
+        // warm start: pre-populate per-band winner state from a batch-
+        // built index ([[graft.llm.Dedup.minhashBandWinners]]) so the
+        // stream dedupes against an already-crawled corpus without
+        // replaying it. Same BandState the operator builds itself —
+        // warm bands behave exactly like bands claimed in an earlier
+        // micro-batch (claims for them are never re-emitted). Caveat:
+        // a warm band UNTOUCHED by the stream holds its 8-byte state
+        // until the query ends (event-time timeouts are armed on first
+        // touch) — prune the exported index to the dedup horizon if
+        // that matters. Applies in bounded batch runs through this
+        // factory too (one-shot "novel vs the index" semantics).
+        val func = (_: Long, rows: Iterator[BandEvent],
              state: GroupState[BandState]) => {
               if (state.hasTimedOut) { state.remove(); Iterator.empty }
               else {
@@ -209,7 +225,20 @@ object NearDupOp extends OperatorFactory {
                   else Iterator.empty
                 }
               }
-            })
+            }
+        warmStart match {
+          case Some(path) =>
+            val init = spark.read.parquet(path)
+              .select(col("bkey").cast("long"), col("winner").cast("long"))
+              .as[(Long, Long)]
+              .groupByKey(_._1)
+              .mapValues(v => BandState(v._2))
+            grouped.flatMapGroupsWithState(OutputMode.Append(),
+              GroupStateTimeout.EventTimeTimeout, init)(func)
+          case None =>
+            grouped.flatMapGroupsWithState(OutputMode.Append(),
+              GroupStateTimeout.EventTimeTimeout)(func)
+        }
       } else {
         // VERIFY mode (the batch twin is Dedup.minhashNovelVerified): a
         // band suppresses a doc only if the band WINNER's stored

@@ -508,6 +508,57 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L), got)
   }
 
+  test("NearDupOp warm_start: a stream dedupes against a batch-built " +
+    "band-winner index without replaying the corpus — novel set " +
+    "equals minhashNovel over the UNION restricted to the stream") {
+    val tmp = Files.createTempDirectory("neardup_warm").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val textA = (1 to 40).map(i => s"warm$i").mkString(" ")
+    val textA2 = (1 to 38).map(i => s"warm$i").mkString(" ") + " x y"
+    val textB = (1 to 40).map(i => s"cold$i").mkString(" ")
+    // yesterday's corpus: batch index export (ids below the stream's)
+    val crawled = Seq((1L, ts(1), textA)).toDF("doc_id", "ts", "text")
+    graft.llm.Dedup.minhashBandWinners(crawled, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/index")
+    // tonight's stream: a near-dup of the crawled doc + a novel doc
+    Seq((10L, ts(10), textA2), (11L, ts(11), textB))
+      .toDF("doc_id", "ts", "text")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val src = spark.readStream
+      .schema("doc_id long, ts timestamp, text string")
+      .parquet(s"$tmp/in")
+      .withWatermark("ts", "10 minutes")
+    val q = graft.streaming.ops.NearDupOp(
+      Map("window" -> "1 hour", "lateness" -> "10 minutes",
+        "warm_start" -> s"$tmp/index"), Seq(src)).head
+      .writeStream.format("memory").queryName("neardup_warm")
+      .outputMode("append").start()
+    AnalysisConf.restoreAll(spark)
+    try {
+      q.processAllAvailable()
+      // close the window so the append-mode aggregate finalizes
+      Seq((99L, ts(0) /* unused */, "closer"))
+        .toDF("doc_id", "ts", "text")
+        .select(col("doc_id"),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 03:00:00")).as("ts"),
+          col("text"))
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+      val got = spark.table("neardup_warm")
+        .select("doc_id").as[Long].collect().toSet
+      // doc 10 fell to the warm index; doc 11 is novel
+      assert(got == Set(11L), got)
+      // equivalence: the batch union says exactly the same about the
+      // stream's rows
+      val union = crawled.unionByName(
+        Seq((10L, ts(10), textA2), (11L, ts(11), textB))
+          .toDF("doc_id", "ts", "text"))
+      val batchNovel = graft.llm.Dedup.minhashNovel(
+        union, "doc_id", "text").as[Long].collect().toSet
+      assert(batchNovel.filter(_ >= 10L) == Set(11L), batchNovel)
+    } finally q.stop()
+  }
+
   test("NearDupOp short_docs config matches Dedup.ShortDocPolicies in " +
     "batch mode (novel keeps each short doc, pair keeps the minimum, " +
     "drop removes them)") {
