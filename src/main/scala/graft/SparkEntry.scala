@@ -1935,6 +1935,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus dataset card: one rollup pass over (lang, source) — doc/
+    // token/char volumes, EXACT distinct-content count, Gopher pass
+    // count, duplicate fraction; subtotal rows via ROLLUP
+    "q_corpus_card" -> ((s, dir) =>
+      graft.llm.TextStats.corpusCard(t(s, dir, "documents"), "text",
+        Seq("lang", "source"))
+        .orderBy(col("lang").asc_nulls_first,
+          col("source").asc_nulls_first)),
+
     // composed INGEST pipeline — this round's cleaning battery end to
     // end: C4 page/line cleaning over the dirtied corpus -> overlap-
     // fraction decontamination of the CLEANED text against the
@@ -3900,6 +3909,40 @@ object SparkEntry {
            |  (sum(floor(term * 1e12)::HUGEINT)::DOUBLE
            |     / count(*) / 1e12) AS score
            |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // dataset card: ROLLUP over (lang, source); fingerprint = md5 of
+      // the space-joined token list (the Text.fingerprint replay);
+      // gopher gate replayed with the q_gopher_rules thresholds
+      "q_corpus_card" ->
+        s"""WITH staged AS (
+           |  SELECT lang, source, $toksSql AS ts,
+           |         substr(md5(array_to_string($toksSql, ' ')), 1, 16)
+           |           AS fp,
+           |         len(text)::BIGINT AS nc
+           |  FROM documents)
+           |SELECT lang, source,
+           |  count(*)::BIGINT AS n_docs,
+           |  sum(len(ts))::BIGINT AS n_tokens,
+           |  sum(nc)::BIGINT AS n_chars,
+           |  count(DISTINCT fp)::BIGINT AS n_distinct,
+           |  sum(CASE WHEN
+           |    len(ts) BETWEEN 50 AND 100000
+           |    AND CAST(list_sum(list_transform(ts, t -> len(t)))
+           |        AS DOUBLE) / len(ts) BETWEEN 3.0 AND 10.0
+           |    AND CAST(len(list_filter(ts,
+           |        t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+           |        / len(ts) >= 0.8
+           |    AND CAST(len(list_filter(ts, t -> contains(t, '#')
+           |        OR contains(t, '...'))) AS DOUBLE) / len(ts) <= 0.1
+           |    AND len(list_filter(ts, t -> list_contains(
+           |        ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+           |         'with'], t))) >= 2
+           |    THEN 1 ELSE 0 END)::BIGINT AS n_gopher_pass,
+           |  (count(*) - count(DISTINCT fp))::DOUBLE
+           |    / count(*)::DOUBLE AS dup_frac
+           |FROM staged
+           |GROUP BY ROLLUP (lang, source)
+           |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
 
       // composed ingest pipeline: the q_c4_clean stage verbatim, its
       // survivors decontaminated by overlap fraction vs the ORIGINAL

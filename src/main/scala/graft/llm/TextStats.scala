@@ -268,6 +268,42 @@ object TextStats {
           .as("neg_avg_logp"))
   }
 
+  /** Corpus "dataset card" — the observability pass every corpus-prep
+    * pipeline ends with: one aggregation over the corpus producing, per
+    * rollup cell of `dims` (each dim slice, plus subtotals and the
+    * grand total), the document count, token and char volumes, the
+    * number of DISTINCT normalized-content fingerprints (exact — the
+    * honest dedup-rate denominator, not a sketch), the Gopher-gate pass
+    * count, and the duplicate fraction `(n_docs − n_distinct)/n_docs`
+    * (one IEEE division — oracle-portable).
+    *
+    * Scale shape: ROLLUP expands each row into |dims|+1 grouping sets
+    * (constant factor); the only heavy aggregate is the exact distinct,
+    * which Spark plans as the standard two-phase (group, fp) expand —
+    * shuffle keys are 16-byte fingerprints plus the dims, never text.
+    * Swap [[graft.functions.Hll]] for the distinct at the scale where
+    * exactness stops paying its shuffle. Output: dims ++ (n_docs,
+    * n_tokens, n_chars, n_distinct, n_gopher_pass, dup_frac); NULL dim
+    * values mark subtotal rows (standard ROLLUP convention). */
+  def corpusCard(df: DataFrame, textCol: String,
+                 dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "corpusCard needs at least one dimension")
+    val staged = df.select(dims.map(col) ++ Seq(
+      Text.tokens(col(textCol)).as("__ts"),
+      Text.fingerprint(col(textCol)).as("__fp"),
+      length(col(textCol)).cast("long").as("__nc")): _*)
+    staged.rollup(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__ts")).cast("long")).as("n_tokens"),
+        sum(col("__nc")).as("n_chars"),
+        countDistinct(col("__fp")).as("n_distinct"),
+        sum(when(gopherKeepOf(col("__ts")), 1L).otherwise(0L))
+          .as("n_gopher_pass"))
+      .withColumn("dup_frac",
+        (col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs").cast("double"))
+  }
+
   /** Naive-Bayes document-quality classifier — the relational form of
     * the fastText-style "is this page reference-like" filter used to
     * select GPT-3/LLaMA pre-training data (Brown et al. 2020 appendix A;

@@ -1012,4 +1012,24 @@ class TextDedupSpec extends SparkSpec {
       assert(got == Seq(11L))
     } finally q.stop()
   }
+
+  test("corpusCard: rollup cells, exact distinct-content counts and " +
+    "duplicate fraction, hand-computed") {
+    val docs = Seq(
+      ("en", "a", "shared words here"),
+      ("en", "a", "Shared   WORDS here"), // same normalized content
+      ("en", "b", "unique en b content"),
+      ("fr", "a", "contenu unique fr")).toDF("lang", "source", "text")
+    val got = graft.llm.TextStats.corpusCard(docs, "text",
+      Seq("lang", "source"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)))
+        -> ((r.getLong(2), r.getLong(5), r.getDouble(7)))).toMap
+    // leaf (en, a): 2 docs, 1 distinct, dup_frac 0.5
+    assert(got((Some("en"), Some("a"))) == ((2L, 1L, 0.5)))
+    // subtotal (en, null): 3 docs, 2 distinct
+    assert(got((Some("en"), None)) == ((3L, 2L, 1.0 / 3.0)))
+    // grand total: 4 docs, 3 distinct
+    assert(got((None, None)) == ((4L, 3L, 0.25)))
+    assert(got.size == 6) // 3 leaves + 2 lang subtotals + grand total
+  }
 }
