@@ -508,6 +508,47 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L), got)
   }
 
+  test("CardOp: per-window per-dims volumes on a stream match the batch " +
+    "card's leaf cells (exact columns) and finalize in append mode") {
+    val tmp = Files.createTempDirectory("card_stream").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val body = (1 to 60).map(i => s"card$i").mkString(" ") +
+      " the the of of" // 64 tokens, gopher-passing (stop hits, alpha)
+    val rows = Seq(
+      (1L, ts(1), "en", body),
+      (2L, ts(2), "en", body), // duplicate content
+      (3L, ts(3), "fr", "petit doc"))
+    rows.toDF("doc_id", "ts", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val src = spark.readStream
+      .schema("doc_id long, ts timestamp, lang string, text string")
+      .parquet(s"$tmp/in")
+    val q = graft.streaming.ops.CardOp(
+      Map("dims" -> "lang", "window" -> "1 hour",
+        "lateness" -> "10 minutes"), Seq(src)).head
+      .writeStream.format("memory").queryName("card_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // close the window
+      Seq((99L, java.sql.Timestamp.valueOf("2024-01-01 03:00:00"),
+        "en", "closer")).toDF("doc_id", "ts", "lang", "text")
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+      val got = spark.table("card_stream")
+        .select("lang", "n_docs", "n_tokens", "n_gopher_pass")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == Set(("en", 2L, 128L, 2L), ("fr", 1L, 2L, 0L)), got)
+      // the exact columns agree with the batch card's matching cells
+      val card = graft.llm.TextStats.corpusCard(
+        rows.toDF("doc_id", "ts", "lang", "text"), "text", Seq("lang"))
+        .filter(col("lang").isNotNull)
+        .select("lang", "n_docs", "n_tokens", "n_gopher_pass")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(card == got, s"card=$card stream=$got")
+    } finally q.stop()
+  }
+
   test("NearDupOp warm_start: a stream dedupes against a batch-built " +
     "band-winner index without replaying the corpus — novel set " +
     "equals minhashNovel over the UNION restricted to the stream") {
