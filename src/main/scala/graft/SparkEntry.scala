@@ -30,6 +30,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** The synthetic-PII dirtying shared by q_scrub_pii / q_pii_stats:
+    * the corpus carries no real PII, so each doc gets deterministic
+    * email/IP/phone/card derived from doc_id prepended, plus a
+    * date+timestamp that must SURVIVE scrubbing. */
+  private val piiSynth: org.apache.spark.sql.Column = concat(
+    lit("user"), col("doc_id").cast("string"),
+    lit("@example.com on 2026-08-12 10:30:45 ip "),
+    (col("doc_id") % 223).cast("string"), lit(".10.0."),
+    ((col("doc_id") * 7) % 251).cast("string"),
+    lit(" call +1 (555) 123-"),
+    lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    lit(" card 4111-1111-1111-"),
+    lpad(((col("doc_id") * 31) % 10000).cast("string"), 4, "0"),
+    lit(" :: "), col("text"))
+
   /** documents with every 50th text replaced by a TWO-token string —
     * the shingle-less corpus the shortDocs-policy queries run on (the
     * oracle applies the identical CASE rewrite). */
@@ -58,6 +73,26 @@ object SparkEntry {
 
   private val toksSql =
     "list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0)"
+
+  /** The synthetic-PII build + scrub chain shared by q_scrub_pii /
+    * q_pii_stats — the SQL twin of `piiSynth` through `Text.scrubPii`. */
+  private val scrubPiiSql =
+    """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |         'user' || CAST(doc_id AS VARCHAR) ||
+      |         '@example.com on 2026-08-12 10:30:45 ip ' ||
+      |         CAST(doc_id % 223 AS VARCHAR) || '.10.0.' ||
+      |         CAST((doc_id * 7) % 251 AS VARCHAR) ||
+      |         ' call +1 (555) 123-' ||
+      |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |         ' card 4111-1111-1111-' ||
+      |         lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0') ||
+      |         ' :: ' || text,
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |         '<EMAIL>', 'g'),
+      |         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+      |         '\+?\b\d(?:[()-]*\d){8,}\b', '<NUMBER>', 'g'),
+      |         '\+?\b(?:\d{1,2}[ -]?)?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b',
+      |         '<NUMBER>', 'g')""".stripMargin
 
   /** Oracle body for the bigram-LM score (q_bigram_lik / q_lm_buckets):
     * replays [[graft.llm.TextStats.bigramLikelihood]] — sliced-list
@@ -984,18 +1019,20 @@ object SparkEntry {
     // SURVIVE scrubbing — both engines build and scrub the same string
     // (every pattern is RE2-compatible, see Text.scrubPii)
     "q_scrub_pii" -> ((s, dir) => {
-      val synth = concat(
-        lit("user"), col("doc_id").cast("string"),
-        lit("@example.com on 2026-08-12 10:30:45 ip "),
-        (col("doc_id") % 223).cast("string"), lit(".10.0."),
-        ((col("doc_id") * 7) % 251).cast("string"),
-        lit(" call +1 (555) 123-"),
-        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
-        lit(" card 4111-1111-1111-"),
-        lpad(((col("doc_id") * 31) % 10000).cast("string"), 4, "0"),
-        lit(" :: "), col("text"))
       t(s, dir, "documents")
-        .select(col("doc_id"), Text.scrubPii(synth).as("scrubbed"))
+        .select(col("doc_id"),
+          Text.scrubPii(piiSynth).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    // PII DETECTION stats — the audit sibling of q_scrub_pii: counts
+    // of the scrubber's own redactions per doc (detection ≡ redaction
+    // by construction), over the same synthetic-PII corpus
+    "q_pii_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.piiCounts(piiSynth).as("__p"))
+        .select(col("doc_id"), col("__p.n_email").as("n_email"),
+          col("__p.n_ip").as("n_ip"), col("__p.n_number").as("n_number"))
         .orderBy("doc_id")
     }),
 
@@ -3494,24 +3531,21 @@ object SparkEntry {
           |FROM px ORDER BY doc_id""".stripMargin,
 
       "q_scrub_pii" ->
-        """SELECT doc_id,
-          |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          |         'user' || CAST(doc_id AS VARCHAR) ||
-          |         '@example.com on 2026-08-12 10:30:45 ip ' ||
-          |         CAST(doc_id % 223 AS VARCHAR) || '.10.0.' ||
-          |         CAST((doc_id * 7) % 251 AS VARCHAR) ||
-          |         ' call +1 (555) 123-' ||
-          |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
-          |         ' card 4111-1111-1111-' ||
-          |         lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0') ||
-          |         ' :: ' || text,
-          |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-          |         '<EMAIL>', 'g'),
-          |         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-          |         '\+?\b\d(?:[()-]*\d){8,}\b', '<NUMBER>', 'g'),
-          |         '\+?\b(?:\d{1,2}[ -]?)?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b',
-          |         '<NUMBER>', 'g') AS scrubbed
-          |FROM documents ORDER BY doc_id""".stripMargin,
+        s"""SELECT doc_id, $scrubPiiSql AS scrubbed
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // PII detection stats: counts of the scrubber's own placeholders
+      // — the same scrub expression, then split-count per category
+      "q_pii_stats" ->
+        s"""WITH s AS (SELECT doc_id, $scrubPiiSql AS scrubbed
+           |           FROM documents)
+           |SELECT doc_id,
+           |  (len(string_split(scrubbed, '<EMAIL>')) - 1)::BIGINT
+           |    AS n_email,
+           |  (len(string_split(scrubbed, '<IP>')) - 1)::BIGINT AS n_ip,
+           |  (len(string_split(scrubbed, '<NUMBER>')) - 1)::BIGINT
+           |    AS n_number
+           |FROM s ORDER BY doc_id""".stripMargin,
 
       "q_dedup_content" ->
         """SELECT min(doc_id) AS doc_id, count(*) AS n_dups

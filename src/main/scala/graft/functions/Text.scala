@@ -184,6 +184,21 @@ object Text {
       "<NUMBER>")
   }
 
+  /** Per-document PII DETECTION counts — the audit face of
+    * [[scrubPii]]: (n_email, n_ip, n_number) as a struct, counted as
+    * the scrubber's own redaction placeholders in the scrubbed text,
+    * so detection and redaction can never disagree (a count rule
+    * diverging from the replace rule is the classic compliance-audit
+    * bug). Pure codegen built-ins (the scrub chain + split-count);
+    * same RE2-compatible pattern seam as the scrubber. */
+  def piiCounts(text: Column): Column = {
+    val s = scrubPii(text)
+    def cnt(tok: String): Column =
+      (size(split(s, tok)) - 1).cast("long")
+    struct(cnt("<EMAIL>").as("n_email"), cnt("<IP>").as("n_ip"),
+      cnt("<NUMBER>").as("n_number"))
+  }
+
   // --- fingerprinting ------------------------------------------------------
 
   /** Content fingerprint of whitespace-normalized lowercase text: first 16
