@@ -755,6 +755,70 @@ SELECT doc_id,
           ORDER BY h, doc_id) - 1)::BIGINT AS shuffle_pos
 FROM h0 ORDER BY shard, shuffle_pos"""
 
+  /** [[graft.operators.Ops.groupSplit]] replay over documents: bucket =
+    * Java-% of xxhash64(seed, source), carved into contiguous
+    * [0, buckets) ranges by the fraction list in its given order (same
+    * floor(cum·buckets) bounds the engine computes). */
+  def q_group_split(fractions: Seq[(String, Double)], seed: Int,
+                    buckets: Int): String = {
+    val bounds = fractions.scanLeft(0.0)(_ + _._2)
+      .map(f => math.floor(f * buckets).toLong)
+    val cases = fractions.zipWithIndex.map { case ((name, _), i) =>
+      s"WHEN b >= ${bounds(i)} AND b < ${bounds(i + 1)} THEN '$name'"
+    }.mkString(" ")
+    prologue + s"""
+WITH h0 AS MATERIALIZED (SELECT doc_id, source,
+  g_sgn(g_xxh_bytes(g_bytes(source), ${chainedIntSeed(seed)}::HUGEINT)) AS h
+  FROM documents),
+b0 AS (SELECT doc_id, source,
+  ((h % $buckets) + $buckets) % $buckets AS b FROM h0)
+SELECT doc_id, source, CASE $cases END AS split
+FROM b0 WHERE (CASE $cases END) IS NOT NULL
+ORDER BY doc_id"""
+  }
+
+  /** Train/test leakage audit replay (q_split_leakage): n-gram Jaccard
+    * near-dup pairs joined to [[q_group_split]]'s per-source
+    * assignment, keeping pairs whose endpoints straddle splits. */
+  def q_split_leakage(fractions: Seq[(String, Double)], seed: Int,
+                      buckets: Int, threshold: Double): String = {
+    val bounds = fractions.scanLeft(0.0)(_ + _._2)
+      .map(f => math.floor(f * buckets).toLong)
+    val cases = fractions.zipWithIndex.map { case ((name, _), i) =>
+      s"WHEN b >= ${bounds(i)} AND b < ${bounds(i + 1)} THEN '$name'"
+    }.mkString(" ")
+    prologue + s"""
+WITH h0 AS MATERIALIZED (SELECT doc_id,
+  g_sgn(g_xxh_bytes(g_bytes(source), ${chainedIntSeed(seed)}::HUGEINT)) AS h
+  FROM documents),
+assign AS (SELECT doc_id, CASE $cases END AS split
+  FROM (SELECT doc_id, ((h % $buckets) + $buckets) % $buckets AS b
+        FROM h0)
+  WHERE (CASE $cases END) IS NOT NULL),
+toks AS (SELECT doc_id,
+    list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0)
+      AS ts FROM documents),
+sets AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(ts) - 2, 0)),
+    i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+  FROM toks WHERE len(ts) >= 3),
+e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets
+      WHERE len(sh) > 0),
+p AS (SELECT id_a, id_b, jaccard FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS DOUBLE)
+             / (any_value(a.n) + any_value(b.n) - count(*)) AS jaccard
+    FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+  WHERE jaccard >= $threshold)
+SELECT id_a, id_b, jaccard, sa.split AS split_a, sb.split AS split_b
+FROM p JOIN assign sa ON p.id_a = sa.doc_id
+       JOIN assign sb ON p.id_b = sb.doc_id
+WHERE sa.split <> sb.split
+ORDER BY id_a, id_b"""
+  }
+
   /** [[graft.operators.Ops.sampleToBudget]] replay — the SINGLE-window
     * formulation (cumulative size per source ordered by (bucket, hash,
     * id)), which the engine's two-level bucket decomposition selects

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Pipe._
 import graft.functions.{Bpe, Codecs, Hll, Text, Vectors}
-import graft.llm.{Dedup, Multimodal, SimSearch}
+import graft.llm.{Chunk, Dedup, Delta, Multimodal, SimSearch}
 import graft.operators.{AsOfJoin, DataOps, MathOps, Ops, RangeJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1150,6 +1150,106 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+
+    // edit-distance verify pass over cheap LSH-style candidates: n-gram
+    // Jaccard at a LOW threshold proposes, normalized Levenshtein
+    // similarity (order-sensitive, codegen built-in) confirms
+    "q_edit_neardup" -> ((s, dir) =>
+      Dedup.editNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, candidateThreshold = 0.3,
+        editSimThreshold = 0.6, maxChars = 1000)
+        .orderBy("id_a", "id_b")),
+
+    // corpus snapshot delta — incremental-pipeline bookkeeping: diff
+    // yesterday's corpus against today's by id, content compared via
+    // map-side xxhash64 so the join moves 24 bytes/doc, never text.
+    // "Today's" snapshot is derived deterministically: every 7th doc
+    // removed, every 11th edited, every 13th re-added under a new id.
+    "q_corpus_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newSnap = docs
+        .filter(pmod(col("doc_id"), lit(7)) =!= 3)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" v2 edit")))
+            .otherwise(col("text")).as("text"))
+        .union(docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Delta.corpusDelta(docs, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // RAG document chunking: overlapping 64-token windows, stride 48 —
+    // map-only explode, the retrieval sibling of q_pack_sequences
+    "q_chunk_docs" -> ((s, dir) =>
+      Chunk.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 64, strideTokens = 48)
+        .orderBy("doc_id", "chunk_id")),
+
+    // leakage-safe train/val/test split: assignment by source GROUP
+    // (correlated docs never straddle splits), pure fn of (seed, group)
+    "q_group_split" -> ((s, dir) =>
+      t(s, dir, "documents") >>
+        Ops.groupSplit(col("source"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7) >>
+        Ops.map("doc_id" -> col("doc_id"),
+                "source" -> col("source"),
+                "split" -> col("split")) >>
+        (_.orderBy("doc_id"))),
+
+    // composed INCREMENTAL ingest: snapshot delta → re-process only
+    // added/changed docs → exact-dedup them against the retained
+    // corpus (re-crawled copies of already-held content are dropped;
+    // genuinely new/edited content survives). The 100 TB point: the
+    // heavy stages touch the DELTA, never the full corpus.
+    "q_pipeline_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newSnap = docs
+        .filter(pmod(col("doc_id"), lit(7)) =!= 3)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" v2 edit")))
+            .otherwise(col("text")).as("text"))
+        .union(docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val delta = Delta.corpusDelta(docs, newSnap, "doc_id", "text")
+      val incoming = newSnap.join(
+        delta.filter(col("status").isin("added", "changed"))
+          .select("doc_id"), Seq("doc_id"))
+      val retained = docs.join(delta.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      Dedup.dedupAgainst(incoming, retained, "doc_id", "text", "text")
+        .select(col("doc_id"), length(col("text")).cast("long")
+          .as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // train/test LEAKAGE audit: near-dup pairs straddling split
+    // boundaries — the check every eval-set builder runs after
+    // splitting (a test doc near-identical to a train doc leaks)
+    "q_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val assign = (docs >> Ops.groupSplit(col("source"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7))
+        .select(col("doc_id"), col("split"))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      pairs
+        .join(assign.select(col("doc_id").as("id_a"),
+          col("split").as("split_a")), Seq("id_a"))
+        .join(assign.select(col("doc_id").as("id_b"),
+          col("split").as("split_b")), Seq("id_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // corpus vocabulary stats: top-V tokens with rank + cumulative
+    // coverage — the tokenizer-design dataset-card rider
+    "q_vocab_stats" -> ((s, dir) =>
+      graft.llm.TextStats.vocabStats(t(s, dir, "documents"), "text",
+        topV = 100)
+        .orderBy("rank")),
 
     // exact duplicate-span detection (Lee et al. ACL'22 substring dedup,
     // relational form): maximal shared token runs >= 8 via gram-hash
@@ -3206,6 +3306,12 @@ object SparkEntry {
           |ORDER BY doc_id""".stripMargin,
       "q_shuffle_shards" -> OracleXxh.q_shuffle_shards(nShards = 8,
         seed = 7),
+      "q_group_split" -> OracleXxh.q_group_split(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        seed = 7, buckets = 10000),
+      "q_split_leakage" -> OracleXxh.q_split_leakage(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        seed = 7, buckets = 10000, threshold = 0.5),
       "q_pipeline_export" -> OracleXxh.q_pipeline_export(
         Map("src2" -> 4000L, "src5" -> 4000L, "src11" -> 100000L,
           "src17" -> 2500L), mixSeed = 5, nShards = 4, shuffleSeed = 11,
@@ -3666,6 +3772,119 @@ object SparkEntry {
            |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2)
            |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+      "q_edit_neardup" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+           |sets AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(1, greatest(len(ts) - 2, 0)),
+           |    i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+           |  FROM toks WHERE len(ts) >= 3),
+           |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets
+           |      WHERE len(sh) > 0),
+           |cand AS (
+           |  SELECT id_a, id_b, jaccard FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |           CAST(count(*) AS DOUBLE)
+           |             / (any_value(a.n) + any_value(b.n) - count(*))
+           |             AS jaccard
+           |    FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+           |    GROUP BY 1, 2)
+           |  WHERE jaccard >= 0.3),
+           |tx AS (SELECT doc_id, substring(text, 1, 1000) AS t
+           |       FROM documents)
+           |SELECT id_a, id_b, jaccard, edit_sim FROM (
+           |  SELECT id_a, id_b, jaccard,
+           |         CASE WHEN greatest(len(ta.t), len(tb.t)) = 0 THEN 1.0
+           |              ELSE 1.0 - CAST(levenshtein(ta.t, tb.t) AS DOUBLE)
+           |                / CAST(greatest(len(ta.t), len(tb.t)) AS DOUBLE)
+           |         END AS edit_sim
+           |  FROM cand JOIN tx ta ON cand.id_a = ta.doc_id
+           |            JOIN tx tb ON cand.id_b = tb.doc_id)
+           |WHERE edit_sim >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+      "q_corpus_delta" ->
+        """WITH o_snap AS (SELECT doc_id, text FROM documents),
+          |n_snap AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2 edit'
+          |              ELSE text END AS text
+          |  FROM documents WHERE doc_id % 7 <> 3
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents
+          |  WHERE doc_id % 13 = 0),
+          |j AS (
+          |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          |         CASE WHEN o.doc_id IS NULL THEN 'added'
+          |              WHEN n.doc_id IS NULL THEN 'removed'
+          |              WHEN o.text <> n.text THEN 'changed' END AS status,
+          |         len(o.text)::BIGINT AS old_n_chars,
+          |         len(n.text)::BIGINT AS new_n_chars
+          |  FROM o_snap o FULL OUTER JOIN n_snap n ON o.doc_id = n.doc_id)
+          |SELECT doc_id, status, old_n_chars, new_n_chars FROM j
+          |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+      "q_pipeline_incremental" ->
+        """WITH o_snap AS (SELECT doc_id, text FROM documents),
+          |n_snap AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2 edit'
+          |              ELSE text END AS text
+          |  FROM documents WHERE doc_id % 7 <> 3
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents
+          |  WHERE doc_id % 13 = 0),
+          |delta AS (
+          |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          |         CASE WHEN o.doc_id IS NULL THEN 'added'
+          |              WHEN n.doc_id IS NULL THEN 'removed'
+          |              WHEN o.text <> n.text THEN 'changed' END AS status
+          |  FROM o_snap o FULL OUTER JOIN n_snap n
+          |    ON o.doc_id = n.doc_id),
+          |d AS (SELECT doc_id, status FROM delta WHERE status IS NOT NULL),
+          |incoming AS (
+          |  SELECT n.doc_id, n.text FROM n_snap n JOIN d USING (doc_id)
+          |  WHERE d.status IN ('added', 'changed')),
+          |retained AS (
+          |  SELECT o.doc_id, o.text FROM o_snap o
+          |  WHERE o.doc_id NOT IN (SELECT doc_id FROM d)),
+          |reffp AS (SELECT DISTINCT substr(md5(regexp_replace(
+          |    lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp
+          |  FROM retained)
+          |SELECT doc_id, len(text)::BIGINT AS n_chars FROM incoming
+          |WHERE substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ',
+          |    'g')), 1, 16) NOT IN (SELECT fp FROM reffp)
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_chunk_docs" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+           |c AS (SELECT doc_id, ts, len(ts) AS n,
+           |        CASE WHEN len(ts) <= 64 THEN 1
+           |             ELSE 1 + (len(ts) - 64 + 47) // 48 END AS nc
+           |      FROM toks WHERE len(ts) > 0),
+           |x AS (SELECT doc_id, ts, n,
+           |        unnest(generate_series(0, nc - 1)) AS i FROM c)
+           |SELECT doc_id, i AS chunk_id, i * 48 AS chunk_start,
+           |       least(64, n - i * 48) AS n_chunk_tokens,
+           |       array_to_string(list_slice(ts, i * 48 + 1, i * 48 + 64),
+           |         ' ') AS chunk_text
+           |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
+
+      "q_vocab_stats" ->
+        s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+           |f AS (SELECT token, count(*)::BIGINT AS freq FROM tok
+           |      GROUP BY token),
+           |tot AS (SELECT count(*)::BIGINT AS total FROM tok),
+           |top AS (SELECT token, freq FROM f
+           |        ORDER BY freq DESC, token LIMIT 100)
+           |SELECT CAST(row_number() OVER (ORDER BY freq DESC, token)
+           |         AS BIGINT) AS rank,
+           |       token, freq,
+           |       CAST(sum(freq) OVER (ORDER BY freq DESC, token
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |         AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+           |FROM top CROSS JOIN tot
+           |ORDER BY rank""".stripMargin,
 
       "q_pipeline_clean" ->
         s"""WITH toks AS (

@@ -587,6 +587,54 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Edit-distance near-dup verification — the precision pass of the
+    * dedup family: generate candidate pairs cheaply (n-gram Jaccard at a
+    * LOW threshold), then confirm each with normalized Levenshtein
+    * similarity `1 - dist / max(len_a, len_b)` over the first `maxChars`
+    * characters. Set-based measures (Jaccard/MinHash) ignore token
+    * order, so "a b c d" and "d c b a"-style rearrangements can score
+    * high; edit distance is the order-sensitive arbiter pipelines use
+    * on short-to-medium docs (and on the candidate tail where a wrong
+    * merge is expensive).
+    *
+    * Scale shape: candidates come from [[ngramJaccardPairs]] — posting
+    * lists capped at `maxShingleFreq`, shuffle-linear, never all-pairs.
+    * Only candidate PAIRS (two 8-byte ids each) join back to the corpus
+    * for text; the O(len²) Levenshtein DP runs per candidate pair on
+    * `maxChars`-truncated text, so per-pair cost is bounded at
+    * maxChars² regardless of document length (the documented trade:
+    * docs identical in their first `maxChars` chars score 1.0). Spark's
+    * `levenshtein` is a codegen built-in with the same unit-cost DP as
+    * every standard implementation — oracle-portable.
+    *
+    * Output: (id_a, id_b, jaccard, edit_sim), filtered to
+    * `edit_sim >= editSimThreshold`. */
+  def editNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3,
+                       candidateThreshold: Double = 0.3,
+                       editSimThreshold: Double = 0.8,
+                       maxChars: Int = 1000,
+                       maxShingleFreq: Long = 1000): DataFrame = {
+    require(maxChars >= 1, s"maxChars must be >= 1: $maxChars")
+    val cands = ngramJaccardPairs(df, idCol, textCol, shingleSize,
+      candidateThreshold, maxShingleFreq)
+    val texts = df.select(col(idCol).cast("long").as("__tid"),
+      substring(col(textCol), 1, maxChars).as("__txt"))
+    val withA = cands.join(texts, col("id_a") === col("__tid"))
+      .withColumnRenamed("__txt", "__ta").drop("__tid")
+    val withB = withA.join(texts, col("id_b") === col("__tid"))
+      .withColumnRenamed("__txt", "__tb").drop("__tid")
+    val maxLen = greatest(length(col("__ta")), length(col("__tb")))
+    withB
+      .withColumn("edit_sim",
+        when(maxLen === 0, lit(1.0)) // both empty ⇒ identical
+          .otherwise(lit(1.0) -
+            levenshtein(col("__ta"), col("__tb")).cast("double") /
+              maxLen.cast("double")))
+      .filter(col("edit_sim") >= editSimThreshold)
+      .select("id_a", "id_b", "jaccard", "edit_sim")
+  }
+
   /** Connected components over an undirected near-dup PAIR list — the
     * step that turns pairwise matches into dedup clusters (keep one
     * representative per component, drop the rest). Min-label

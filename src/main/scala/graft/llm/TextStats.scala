@@ -387,4 +387,42 @@ object TextStats {
         (col("__s").cast("double") / col("n_tokens") / lit(1e12))
           .as("score"))
   }
+
+  /** Corpus vocabulary statistics — the tokenizer-design / dataset-card
+    * rider: the top-`topV` tokens by frequency with rank and CUMULATIVE
+    * corpus coverage (what fraction of all token occurrences the top-k
+    * vocabulary explains — the curve that decides vocab sizes and
+    * flags corpus skew, e.g. boilerplate tokens covering half the
+    * corpus).
+    *
+    * Scale shape: one map-combined token count (vocab-sized result,
+    * orders of magnitude smaller than the corpus), `TakeOrderedAndProject`
+    * for the top-`topV` slice, and the cumulative window runs over the
+    * topV rows ONLY (single tiny partition by construction — never a
+    * corpus-wide unkeyed window); the grand total rides as a 1-row
+    * broadcast. Coverage = exact BIGINT cumsum / exact BIGINT total, one
+    * IEEE division — oracle-portable. Rank ties break by token asc.
+    *
+    * Output: (rank, token, freq, coverage), rank 1-based. */
+  def vocabStats(df: DataFrame, textCol: String,
+                 topV: Int = 100): DataFrame = {
+    require(topV > 0, s"topV must be positive: $topV")
+    val toks = df.select(explode(Text.tokens(col(textCol))).as("token"))
+    val freqs = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = toks.agg(count(lit(1)).as("__total"))
+    val top = freqs
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(topV)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("token").asc)).cast("long"))
+      .withColumn("coverage",
+        sum(col("freq")).over(w).cast("double") /
+          col("__total").cast("double"))
+      .select("rank", "token", "freq", "coverage")
+  }
 }

@@ -278,6 +278,43 @@ object Ops {
       .drop("__h")
   }
 
+  /** Leakage-safe deterministic train/val/test assignment — split by
+    * GROUP, not by row: every row of a group (same source domain, same
+    * near-dup cluster, same user) lands in the same split, because
+    * splitting correlated rows across train and eval leaks training
+    * signal into the benchmark. Assignment is a pure function of
+    * (seed, group): bucket = Lehmer-free `pmod(xxhash64(seed, group),
+    * buckets)`, and the `fractions` list (in its GIVEN order) carves
+    * `[0, buckets)` into contiguous ranges — so any engine reproduces
+    * the exact assignment (oracled), reruns are stable, and growing the
+    * corpus never moves an existing group to a different split (the
+    * property rng-based splitters lack). Fractions may sum to < 1 —
+    * the remainder is dropped (holdout carve-outs); NULL groups are
+    * refused ([[refuseNull]] contract). Map-only, no shuffle.
+    *
+    * Adds a `split` string column. */
+  def groupSplit(groupCol: Column, fractions: Seq[(String, Double)],
+                 seed: Int = 0, buckets: Int = 10000): Op = { df =>
+    require(fractions.nonEmpty, "groupSplit: no fractions")
+    require(fractions.forall(_._2 > 0),
+      s"groupSplit: fractions must be positive: $fractions")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"groupSplit: fractions sum to > 1: $fractions")
+    val bucket = pmod(xxhash64(lit(seed),
+      refuseNull(groupCol, lit("groupSplit: NULL group"))),
+      lit(buckets.toLong))
+    // cumulative integer bucket bounds: split i owns
+    // [floor(cum_{i-1} * buckets), floor(cum_i * buckets))
+    val bounds = fractions.scanLeft(0.0)(_ + _._2).map(f =>
+      math.floor(f * buckets).toLong)
+    val expr = fractions.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), i)) =>
+        when(bucket >= bounds(i) && bucket < bounds(i + 1), lit(name))
+          .otherwise(acc)
+    }
+    df.withColumn("split", expr).filter(col("split").isNotNull)
+  }
+
   /** Token-BUDGETED deterministic corpus mixing — the exact companion to
     * the rate-based [[mixSample]]: keep, per stratum, the docs that fit
     * a SIZE budget (token/char counts) in deterministic pseudorandom

@@ -32,6 +32,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ChunkOp: streaming chunks equal the batch twin; stateless " +
+    "across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"), (3L, ""))
+    val in = MemoryStream[(Long, String)]
+    val src = in.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.ops.ChunkOp(
+      Map("chunk_tokens" -> 4, "stride_tokens" -> 3), Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.take(1))
+      q.processAllAvailable()
+      in.addData(docs.drop(1)) // later batch: no state, same per-doc fanout
+      q.processAllAvailable()
+      val got = spark.table("chunk_stream")
+        .select("doc_id", "chunk_id", "chunk_start", "n_chunk_tokens",
+          "chunk_text")
+        .as[(Long, Long, Long, Long, String)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      val batch = graft.llm.Chunk.chunkDocs(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 4, 3)
+        .select("doc_id", "chunk_id", "chunk_start", "n_chunk_tokens",
+          "chunk_text")
+        .as[(Long, Long, Long, Long, String)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(got == batch)
+      assert(got.count(_._1 == 1L) == 3 && got.count(_._1 == 2L) == 1 &&
+        !got.exists(_._1 == 3L))
+    } finally q.stop()
+  }
+
   test("Bm25Op scores an unbounded stream statelessly from frozen " +
     "reference stats — no state store, rows flow through per batch") {
     implicit val sqlCtx = spark.sqlContext
