@@ -2126,7 +2126,99 @@ object SparkEntry {
       survivors.select("doc_id", "n_lines_kept")
         .join(scored, Seq("doc_id"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // SQ8 scalar quantization: per-dim affine int8 codes against the
+    // corpus's own [min, max] ranges — the codebook-free compression
+    // leg (FAISS QT_8bit), complementing PQ's subspace codebooks
+    "q_sq_codes" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val st = graft.llm.Sq.stats(e, "embedding")
+      graft.llm.Sq.encode(e, "vec_id", "embedding", st)
+        .select(col("id").as("vec_id"), posexplode(col("code")))
+        .select(col("vec_id"), col("pos"), col("col").as("code"))
+        .orderBy("vec_id", "pos")
+    }),
+
+    // ADC top-5 per query over SQ8 codes: exact query vector vs
+    // decoded corpus codes, ascending-dimension squared-L2 fold,
+    // ties to the smaller neighbor id
+    "q_sq_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val st = graft.llm.Sq.stats(e, "embedding")
+      graft.llm.Sq.adcTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", st, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // integer fixed-point PageRank (damping 85/100, scale 1e9, 3 exact
+    // iterations) over the per-user event-type transition graph — the
+    // centrality-weighting leg of corpus curation; exact integer ops
+    // make the ranks partitioning-independent and SQL-replayable
+    "q_pagerank" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val edges = graft.llm.Graph.transitionEdges(ev, "user_id",
+        "event_type", Seq(col("ts"), col("event_id")))
+      graft.llm.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy("node")
+    }),
+
+    // Z-order layout keys over (value, user_id): Morton interleave of
+    // 8-bit affine rank buckets against the corpus min/max — the
+    // write-time multi-dimensional clustering that makes file-level
+    // min/max stats prune on EVERY interleaved column
+    "q_zorder" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.select(col("event_id"),
+        graft.operators.Layout.zorderKey(ev, Seq("value", "user_id"), 8)
+          .as("zkey"))
+        .orderBy("event_id")
+    }),
+
+    // personalized PageRank: teleport mass lands only on the seed
+    // nodes ('purchase', 'signup') — authority flows out from the
+    // trusted set, the domain-whitelist weighting of corpus curation
+    "q_pagerank_seeded" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val edges = graft.llm.Graph.transitionEdges(ev, "user_id",
+        "event_type", Seq(col("ts"), col("event_id")))
+      graft.llm.Graph.pageRank(edges, "src", "dst", iters = 3,
+        seeds = Some(Seq("purchase", "signup").toDF("node")))
+        .orderBy("node")
+    }),
+
+    // Markov transition matrix of the event-type graph: per (src, dst)
+    // the transition count and probability (one IEEE division over
+    // exact integer counts)
+    "q_transitions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.llm.Graph.transitionCounts(
+        graft.llm.Graph.transitionEdges(ev, "user_id", "event_type",
+          Seq(col("ts"), col("event_id"))), "src", "dst")
+        .orderBy("src", "dst")
+    }),
+
+    // ordered funnel view -> click -> purchase: per user the furthest
+    // step reached, step k strictly after the matched step k-1 event
+    // (greedy-earliest matching — optimal for reachability)
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnel(t(s, dir, "events"), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
+    // the conversion curve: users reaching at least step k
+    "q_funnel_counts" -> ((s, dir) =>
+      graft.operators.Funnel.funnelCounts(
+        graft.operators.Funnel.funnel(t(s, dir, "events"), "user_id",
+          "event_type", "ts", Seq("view", "click", "purchase")),
+        nSteps = 3)),
+
+    // weekly cohort retention: cohort = ISO week of first touch,
+    // period = floor(days since first event / 7), exact distinct users
+    "q_retention" -> ((s, dir) =>
+      graft.operators.Retention.weekly(t(s, dir, "events"),
+        "user_id", "ts"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4300,7 +4392,211 @@ object SparkEntry {
           |SELECT s.doc_id, s.n_lines_kept, sc.n_tokens, sc.n_oov,
           |       sc.score
           |FROM surv s JOIN scored sc USING (doc_id)
-          |ORDER BY s.doc_id""".stripMargin
+          |ORDER BY s.doc_id""".stripMargin,
+
+      // SQ8 forward map replay: exact per-dim min/max, then the same
+      // floor(((x - mn) * 255) / (mx - mn)) affine, clamped
+      "q_sq_codes" ->
+        """WITH pos AS (SELECT i FROM unnest(generate_series(1, 64)) AS t(i)),
+          |vals AS (SELECT e.vec_id, p.i, e.embedding[p.i]::DOUBLE AS x
+          |         FROM embeddings e CROSS JOIN pos p),
+          |st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM vals GROUP BY i),
+          |codes AS (SELECT v.vec_id, v.i,
+          |  CASE WHEN st.mx = st.mn THEN 0
+          |       ELSE least(255, greatest(0,
+          |         CAST(floor(((v.x - st.mn) * 255.0) / (st.mx - st.mn))
+          |              AS BIGINT)))
+          |  END AS code
+          |  FROM vals v JOIN st USING (i))
+          |SELECT vec_id, CAST(i - 1 AS INT) AS pos, CAST(code AS INT) AS code
+          |FROM codes ORDER BY vec_id, pos""".stripMargin,
+
+      // SQ8 ADC replay: decode = mn + code * ((mx - mn) / 255); the
+      // approximate distance folds (q_i - decoded_i)^2 in ascending
+      // dimension order (list(... ORDER BY i) -> sequential reduce),
+      // matching Sq.adcTopK's left-to-right aggregate; ties to the
+      // smaller neighbor id
+      "q_sq_search" ->
+        """WITH pos AS (SELECT i FROM unnest(generate_series(1, 64)) AS t(i)),
+          |vals AS (SELECT e.vec_id, p.i, e.embedding[p.i]::DOUBLE AS x
+          |         FROM embeddings e CROSS JOIN pos p),
+          |st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM vals GROUP BY i),
+          |codes AS (SELECT v.vec_id, v.i,
+          |  CASE WHEN st.mx = st.mn THEN 0
+          |       ELSE least(255, greatest(0,
+          |         CAST(floor(((v.x - st.mn) * 255.0) / (st.mx - st.mn))
+          |              AS BIGINT)))
+          |  END AS code
+          |  FROM vals v JOIN st USING (i)),
+          |dec AS (SELECT c.vec_id, c.i,
+          |          st.mn + c.code * ((st.mx - st.mn) / 255.0) AS vd
+          |        FROM codes c JOIN st USING (i)),
+          |q AS (SELECT vec_id AS query_id, i, x FROM vals WHERE vec_id < 5),
+          |d AS (SELECT q.query_id, dec.vec_id AS nbr_id,
+          |        list_reduce(list_prepend(0.0,
+          |          list((q.x - dec.vd) * (q.x - dec.vd) ORDER BY q.i)),
+          |          (a, y) -> a + y) AS adc
+          |      FROM q JOIN dec ON q.i = dec.i
+          |      WHERE dec.vec_id <> q.query_id
+          |      GROUP BY q.query_id, dec.vec_id)
+          |SELECT query_id, nbr_id, adc_dist, rank FROM (
+          |  SELECT query_id, nbr_id, adc AS adc_dist, row_number() OVER (
+          |    PARTITION BY query_id ORDER BY adc, nbr_id) AS rank FROM d)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // integer fixed-point PageRank replay: the 3 power iterations
+      // unrolled as CTE pairs (per-edge floor-div contribution, damped
+      // floor-div update) — every op exact integer arithmetic, so the
+      // HUGEINT sums cast back to the engine's longs bit-for-bit
+      "q_pagerank" -> {
+        val iterCtes = (1 to 3).map { i =>
+          s"""c$i AS (SELECT e.dst, sum((r.rank * e.w) // o.ow) AS s
+             |  FROM e0 e JOIN ow o USING (src)
+             |  JOIN r${i - 1} r ON r.node = e.src
+             |  GROUP BY e.dst),
+             |r$i AS (SELECT n.node,
+             |  CAST(150000000 + coalesce((c$i.s * 85) // 100, 0) AS BIGINT)
+             |    AS rank
+             |  FROM nodes n LEFT JOIN c$i ON c$i.dst = n.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ed AS (
+           |  SELECT lag(event_type) OVER (
+           |           PARTITION BY user_id ORDER BY ts, event_id) AS src,
+           |         event_type AS dst
+           |  FROM events),
+           |e0 AS (SELECT src, dst, count(*)::BIGINT AS w FROM ed
+           |       WHERE src IS NOT NULL GROUP BY src, dst),
+           |ow AS (SELECT src, sum(w)::BIGINT AS ow FROM e0 GROUP BY src),
+           |nodes AS (SELECT DISTINCT node FROM (
+           |  SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+           |r0 AS (SELECT node, 1000000000::BIGINT AS rank FROM nodes),
+           |$iterCtes
+           |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+      },
+
+      // Z-order replay: the SQ8 affine bucket at 8 bits per column,
+      // then the Morton interleave as an explicit shift/mask OR chain
+      "q_zorder" -> {
+        val terms = (0 until 8).map { b =>
+          s"((((b0 >> $b) & 1) << ${2 * b}) | (((b1 >> $b) & 1) << ${2 * b + 1}))"
+        }.mkString(" | ")
+        s"""WITH st AS (SELECT min(value) AS mnv, max(value) AS mxv,
+           |                   min(CAST(user_id AS DOUBLE)) AS mnu,
+           |                   max(CAST(user_id AS DOUBLE)) AS mxu
+           |            FROM events),
+           |b AS (SELECT e.event_id,
+           |  least(255, greatest(0, CAST(floor(
+           |    ((e.value - st.mnv) * 255.0) / (st.mxv - st.mnv))
+           |    AS BIGINT))) AS b0,
+           |  least(255, greatest(0, CAST(floor(
+           |    ((CAST(e.user_id AS DOUBLE) - st.mnu) * 255.0)
+           |      / (st.mxu - st.mnu)) AS BIGINT))) AS b1
+           |  FROM events e CROSS JOIN st)
+           |SELECT event_id, CAST($terms AS BIGINT) AS zkey
+           |FROM b ORDER BY event_id""".stripMargin
+      },
+
+      // personalized PageRank replay: identical to q_pagerank except
+      // the teleport base lands only on the seed nodes
+      "q_pagerank_seeded" -> {
+        val iterCtes = (1 to 3).map { i =>
+          s"""c$i AS (SELECT e.dst, sum((r.rank * e.w) // o.ow) AS s
+             |  FROM e0 e JOIN ow o USING (src)
+             |  JOIN r${i - 1} r ON r.node = e.src
+             |  GROUP BY e.dst),
+             |r$i AS (SELECT n.node,
+             |  CAST((CASE WHEN n.node IN ('purchase', 'signup')
+             |        THEN 150000000 ELSE 0 END)
+             |    + coalesce((c$i.s * 85) // 100, 0) AS BIGINT) AS rank
+             |  FROM nodes n LEFT JOIN c$i ON c$i.dst = n.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ed AS (
+           |  SELECT lag(event_type) OVER (
+           |           PARTITION BY user_id ORDER BY ts, event_id) AS src,
+           |         event_type AS dst
+           |  FROM events),
+           |e0 AS (SELECT src, dst, count(*)::BIGINT AS w FROM ed
+           |       WHERE src IS NOT NULL GROUP BY src, dst),
+           |ow AS (SELECT src, sum(w)::BIGINT AS ow FROM e0 GROUP BY src),
+           |nodes AS (SELECT DISTINCT node FROM (
+           |  SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+           |r0 AS (SELECT node, 1000000000::BIGINT AS rank FROM nodes),
+           |$iterCtes
+           |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+      },
+
+      // Markov transition matrix: exact counts, one double division
+      "q_transitions" ->
+        """WITH ed AS (
+          |  SELECT lag(event_type) OVER (
+          |           PARTITION BY user_id ORDER BY ts, event_id) AS src,
+          |         event_type AS dst
+          |  FROM events),
+          |e0 AS (SELECT src, dst, count(*)::BIGINT AS w FROM ed
+          |       WHERE src IS NOT NULL GROUP BY src, dst),
+          |t AS (SELECT src, sum(w)::BIGINT AS tot FROM e0 GROUP BY src)
+          |SELECT e0.src, e0.dst, e0.w, e0.w::DOUBLE / t.tot::DOUBLE AS p
+          |FROM e0 JOIN t USING (src) ORDER BY src, dst""".stripMargin,
+
+      // funnel replay: chained earliest-after min aggregations
+      "q_funnel" ->
+        """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          |            WHERE event_type = 'view' GROUP BY user_id),
+          |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          |       JOIN s1 ON e.user_id = s1.user_id
+          |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+          |       GROUP BY e.user_id),
+          |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          |       JOIN s2 ON e.user_id = s2.user_id
+          |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          |       GROUP BY e.user_id)
+          |SELECT s1.user_id,
+          |       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+          |                 WHEN s2.user_id IS NOT NULL THEN 2
+          |                 ELSE 1 END AS INT) AS depth
+          |FROM s1
+          |LEFT JOIN s2 ON s1.user_id = s2.user_id
+          |LEFT JOIN s3 ON s1.user_id = s3.user_id
+          |ORDER BY s1.user_id""".stripMargin,
+
+      "q_funnel_counts" ->
+        """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          |            WHERE event_type = 'view' GROUP BY user_id),
+          |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          |       JOIN s1 ON e.user_id = s1.user_id
+          |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+          |       GROUP BY e.user_id),
+          |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          |       JOIN s2 ON e.user_id = s2.user_id
+          |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          |       GROUP BY e.user_id),
+          |f AS (SELECT s1.user_id,
+          |        CASE WHEN s3.user_id IS NOT NULL THEN 3
+          |             WHEN s2.user_id IS NOT NULL THEN 2
+          |             ELSE 1 END AS depth
+          |      FROM s1
+          |      LEFT JOIN s2 ON s1.user_id = s2.user_id
+          |      LEFT JOIN s3 ON s1.user_id = s3.user_id),
+          |steps AS (SELECT s FROM unnest(generate_series(1, 3)) t(s))
+          |SELECT CAST(steps.s AS INT) AS step,
+          |       count(f.depth)::BIGINT AS users
+          |FROM steps LEFT JOIN f ON f.depth >= steps.s
+          |GROUP BY steps.s ORDER BY step""".stripMargin,
+
+      // weekly cohort retention replay: first-touch day, ISO-week
+      // cohort, integer day arithmetic, exact distinct users
+      "q_retention" ->
+        """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+          |           FROM events GROUP BY user_id),
+          |c AS (SELECT user_id,
+          |        CAST(date_trunc('week', d0) AS DATE) AS cohort, d0
+          |      FROM f)
+          |SELECT c.cohort,
+          |  CAST(floor(date_diff('day', c.d0, CAST(e.ts AS DATE)) / 7)
+          |       AS INT) AS period,
+          |  count(DISTINCT e.user_id)::BIGINT AS users
+          |FROM events e JOIN c ON e.user_id = c.user_id
+          |GROUP BY 1, 2 ORDER BY cohort, period""".stripMargin
     )
   }
 }

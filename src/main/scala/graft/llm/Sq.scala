@@ -1,0 +1,125 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar quantization (SQ8) for embedding columns — the OTHER
+  * compression leg of production ANN (FAISS `ScalarQuantizer` QT_8bit):
+  * each dimension is affinely mapped to an 8-bit code against the
+  * corpus's own per-dimension [min, max] range, shrinking a D-dim float
+  * vector to D bytes (4× vs float32) with no codebook training at all.
+  * Complements [[Pq]]: PQ buys a larger ratio (D·4/m) but pays a k-means
+  * codebook and m argmin scans per row; SQ8 is one global min/max
+  * aggregate and a map-only affine transform — the cheap first rung of
+  * the compression ladder, and the variant that stays accurate when
+  * dimensions carry independent scales (PQ subspaces mix them).
+  *
+  * Scale shape: [[stats]] is ONE map-side-combined aggregate
+  * (posexplode → groupBy(dim) min/max partially aggregates per task, so
+  * the shuffle carries tasks×D rows and the result is D rows → driver,
+  * broadcast back as a plan literal). [[encode]] is map-only (the 2·D
+  * range doubles ride the plan). [[adcTopK]] scans codes map-only with
+  * the query set broadcast and finishes in the bounded top-k aggregate
+  * ([[graft.operators.Ops.takeOrderedByKey]] — ≤ k rows per query per
+  * task cross the exchange, never O(corpus)).
+  *
+  * Determinism: min/max are exact; the affine forward map
+  * `floor(((x − mn) · 255) / (mx − mn))` (clamped to [0, 255],
+  * degenerate mn = mx dims code to 0) and the decode
+  * `mn + code · ((mx − mn) / 255)` are fixed IEEE double op sequences,
+  * and the ADC distance folds dimensions in ascending order — so codes,
+  * distances and ranks are bit-reproducible on any engine
+  * (q_sq_codes / q_sq_search hash-match a SQL replay in DuckDB).
+  */
+object Sq {
+
+  /** Per-dimension corpus ranges; `levels` is the code-point count
+    * (256 = SQ8). */
+  case class Stats(mins: Array[Double], maxs: Array[Double],
+                   levels: Int = 256) {
+    require(mins.length == maxs.length, "mins/maxs length mismatch")
+    require(levels >= 2, s"levels must be >= 2: $levels")
+    def dim: Int = mins.length
+  }
+
+  /** Exact per-dimension [min, max] over the corpus — one aggregate,
+    * D rows to the driver. NULL vectors are refused upstream by the
+    * posexplode (a NULL array explodes to nothing — its rows simply
+    * don't constrain the range; encode would then raise on the NULL). */
+  def stats(df: DataFrame, vecCol: String, levels: Int = 256): Stats = {
+    val rows = df
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("__pos", "__x")))
+      .groupBy("__pos")
+      .agg(min("__x").as("mn"), max("__x").as("mx"))
+      .orderBy("__pos")
+      .collect()
+    require(rows.nonEmpty, "stats: corpus has no non-null vectors")
+    require(rows.head.getInt(0) == 0 &&
+      rows.last.getInt(0) == rows.length - 1,
+      "stats: ragged vectors — dimensions must be dense")
+    Stats(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)), levels)
+  }
+
+  /** The D-entry SQ code vector of `vec` as a Column —
+    * `least(L−1, greatest(0, floor(((x − mn) · (L−1)) / (mx − mn))))`
+    * per dimension, 0 where the corpus range is degenerate (mn = mx).
+    * The clamp only matters for out-of-corpus vectors (encoding a new
+    * crawl against yesterday's ranges); in-corpus values land in
+    * [0, L−1] by construction. */
+  def codeColumn(vec: Column, st: Stats): Column = {
+    val mnL = typedLit(st.mins.toSeq)
+    val mxL = typedLit(st.maxs.toSeq)
+    val top = lit((st.levels - 1).toDouble)
+    transform(sequence(lit(0), lit(st.dim - 1)), i => {
+      val mn = element_at(mnL, i + 1)
+      val mx = element_at(mxL, i + 1)
+      val x = element_at(vec.cast("array<double>"), i + 1)
+      when(mx === mn, lit(0)).otherwise(
+        least(lit(st.levels - 1), greatest(lit(0),
+          floor(((x - mn) * top) / (mx - mn)).cast("int"))))
+    })
+  }
+
+  /** (id, code: array<int> of D entries in [0, levels)) — the stored
+    * representation; 1 byte per dimension once packed to binary. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             st: Stats): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      codeColumn(col(vecCol), st).as("code"))
+
+  /** Approximate reconstruction of dimension `i` (1-based element
+    * index): `mn + code · ((mx − mn) / (L−1))` — the decode the ADC
+    * distance runs against. */
+  private def decodeAt(code: Column, i: Column, st: Stats): Column = {
+    val mnL = typedLit(st.mins.toSeq)
+    val mxL = typedLit(st.maxs.toSeq)
+    val top = lit((st.levels - 1).toDouble)
+    element_at(mnL, i) + element_at(code, i).cast("double") *
+      ((element_at(mxL, i) - element_at(mnL, i)) / top)
+  }
+
+  /** ADC top-k: for each row of `queries` (small — broadcast), the k
+    * nearest corpus rows by squared L2 between the exact query vector
+    * and the DECODED corpus codes, ties to the smaller neighbor id.
+    * Output: (query_id, nbr_id, adc_dist, rank). The corpus side reads
+    * codes alone — encode once, reuse across query batches. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, st: Stats, k: Int): DataFrame = {
+    val qdf = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("__q"))
+    val scored = encode(corpus, idCol, vecCol, st)
+      .crossJoin(broadcast(qdf))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        aggregate(sequence(lit(1), lit(st.dim)), lit(0.0), (acc, i) => {
+          val diff = element_at(col("__q"), i) -
+            decodeAt(col("code"), i, st)
+          acc + diff * diff
+        }).as("adc"))
+    graft.operators.Ops.takeOrderedByKey(k, col("id"), -col("adc"),
+      Seq(col("query_id")), as = ("nbr_id", "__neg"))(scored)
+      .select(col("query_id"), col("nbr_id"),
+        (-col("__neg")).as("adc_dist"), col("rank"))
+  }
+}

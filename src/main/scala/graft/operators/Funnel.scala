@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and cohort-retention analytics over event streams —
+  * the behavioral-query face of the engine (the reference's event
+  * topics feed exactly this kind of question downstream).
+  *
+  * Both operators are pure relational compositions keyed on the user
+  * column: a k-step funnel is k filtered min-aggregations chained by
+  * strictly-after joins, retention is one first-touch aggregate plus
+  * one integer date arithmetic groupBy — every shuffle is keyed by
+  * user (then cohort), nothing is ever collected, and all outputs are
+  * exact integers/dates, so results replay bit-for-bit in SQL
+  * (q_funnel / q_retention).
+  */
+object Funnel {
+
+  /** First-match ordered funnel: step k matches a user's EARLIEST
+    * event of type `steps(k)` strictly after their matched step k−1
+    * event (greedy-earliest is optimal for reachability: taking the
+    * earliest valid occurrence can only widen later steps' windows).
+    * With `withinSeconds`, steps 2..k must also land within that span
+    * of the step-1 match — the conversion-window form.
+    *
+    * Output: (<user>, depth) for every user with at least one step-1
+    * event; depth in [1, k] = furthest step reached. Scale shape: k−1
+    * user-keyed join+min-agg rounds over frames that only SHRINK
+    * (each round keeps converting users only); the event table is
+    * filtered to one step's type before each aggregation. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String],
+             withinSeconds: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      "repeated step types are ambiguous — funnel steps must be distinct")
+    val u = col(userCol)
+    // step 1: earliest event of the first type per user
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(u.as("__u")).agg(min(col(tsCol)).as("__t1"))
+      .withColumn("__prev", col("__t1"))
+    var out = reached.select(col("__u"), lit(1).as("depth"))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      val ev = events.filter(col(typeCol) === step)
+        .select(u.as("__eu"), col(tsCol).as("__et"))
+      val cond = withinSeconds match {
+        case Some(s) => col("__et") > col("__prev") &&
+          col("__et") <= col("__t1") + expr(s"INTERVAL $s SECONDS")
+        case None => col("__et") > col("__prev")
+      }
+      reached = reached.join(ev, col("__eu") === col("__u"))
+        .filter(cond)
+        .groupBy("__u").agg(min(col("__et")).as("__next"),
+          first(col("__t1")).as("__t1"))
+        .withColumn("__prev", col("__next")).drop("__next")
+      out = out.join(
+        reached.select(col("__u"), lit(i + 1).as("__d")),
+        Seq("__u"), "left")
+        .select(col("__u"),
+          coalesce(col("__d"), col("depth")).as("depth"))
+    }
+    out.select(col("__u").as(userCol), col("depth"))
+  }
+
+  /** Funnel summary: users reaching at least step k, for k = 1..n —
+    * the conversion curve. One tiny aggregate over [[funnel]]'s
+    * output. Output: (step, users). */
+  def funnelCounts(perUser: DataFrame, nSteps: Int): DataFrame = {
+    require(nSteps >= 1, "nSteps must be >= 1")
+    val steps = perUser.sparkSession.range(1, nSteps + 1)
+      .select(col("id").cast("int").as("step"))
+    steps.join(perUser, col("depth") >= col("step"), "left")
+      .groupBy("step")
+      .agg(count(col("depth")).as("users"))
+      .orderBy("step")
+  }
+}
+
+/** Cohort retention: group users by their first-touch period, then
+  * count how many are still active k periods later. */
+object Retention {
+
+  /** Weekly cohort retention matrix. cohort = ISO week (Monday) of the
+    * user's first event; period = floor(days since the user's FIRST
+    * event day / 7). Output: (cohort, period, users) with exact
+    * distinct-user counts — (cohort, period 0) is the cohort size.
+    * Scale shape: first-touch = one user-keyed min-aggregate; the
+    * matrix = one (cohort, period)-keyed distinct-count over events
+    * joined to the tiny per-user first-touch frame (user-keyed
+    * broadcast-or-shuffle join); output is |cohorts|·|periods| rows. */
+  def weekly(events: DataFrame, userCol: String, tsCol: String)
+      : DataFrame = {
+    val first = events.groupBy(col(userCol).as("__u"))
+      .agg(min(to_date(col(tsCol))).as("__d0"))
+      .withColumn("__cohort", date_trunc("week", col("__d0")).cast("date"))
+    events.select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .join(first, "__u")
+      .groupBy(col("__cohort").as("cohort"),
+        floor(datediff(col("__d"), col("__d0")) / 7).cast("int")
+          .as("period"))
+      .agg(count_distinct(col("__u")).as("users"))
+      .orderBy("cohort", "period")
+  }
+}

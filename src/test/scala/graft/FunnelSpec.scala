@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Funnel, Retention}
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.toDF("user_id", "sec", "event_type")
+      .select(col("user_id"), col("sec").cast("timestamp").as("ts"),
+        col("event_type"))
+
+  private val steps = Seq("view", "click", "purchase")
+
+  test("funnel: ordered matching, out-of-order events don't count, " +
+    "users without step 1 are absent") {
+    val events = ev(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 1L, "view"), (2L, 2L, "purchase"), (2L, 3L, "click"),
+      (3L, 1L, "click"), (3L, 2L, "view"), (3L, 3L, "click"),
+      (4L, 5L, "view"),
+      (5L, 1L, "click"))
+    val got = Funnel.funnel(events, "user_id", "event_type", "ts", steps)
+      .as[(Long, Int)].collect().toMap
+    // u2: purchase@2 precedes the click match@3 -> depth 2
+    // u3: click@1 is BEFORE the view -> only click@3 counts -> depth 2
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 2, 4L -> 1))
+  }
+
+  test("funnel: same-timestamp step is NOT strictly after") {
+    val events = ev((6L, 1L, "view"), (6L, 1L, "click"))
+    val got = Funnel.funnel(events, "user_id", "event_type", "ts", steps)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(6L -> 1))
+  }
+
+  test("funnel: conversion window cuts late steps") {
+    val events = ev(
+      (7L, 0L, "view"), (7L, 5L, "click"), (7L, 20L, "purchase"))
+    val open = Funnel.funnel(events, "user_id", "event_type", "ts", steps)
+      .as[(Long, Int)].collect().toMap
+    assert(open == Map(7L -> 3))
+    val windowed = Funnel.funnel(events, "user_id", "event_type", "ts",
+      steps, withinSeconds = Some(10L))
+      .as[(Long, Int)].collect().toMap
+    assert(windowed == Map(7L -> 2))
+  }
+
+  test("funnelCounts: monotone conversion curve, zero-filled steps") {
+    val events = ev(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 1L, "view"), (2L, 3L, "click"),
+      (3L, 2L, "view"),
+      (4L, 5L, "view"))
+    val per = Funnel.funnel(events, "user_id", "event_type", "ts", steps)
+    val got = Funnel.funnelCounts(per, 3)
+      .as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 4L), (2, 2L), (3, 1L)))
+  }
+
+  test("retention: weekly cohorts, exact distinct users per period") {
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 12:00:00")
+    val events = Seq(
+      (1L, ts("2026-01-05")), (1L, ts("2026-01-13")),
+      (2L, ts("2026-01-07")), (2L, ts("2026-01-20")),
+      (3L, ts("2026-01-13"))).toDF("user_id", "ts")
+    val got = Retention.weekly(events, "user_id", "ts")
+      .as[(java.sql.Date, Int, Long)].collect().toSeq
+    val w1 = java.sql.Date.valueOf("2026-01-05")
+    val w2 = java.sql.Date.valueOf("2026-01-12")
+    // u1: d0=01-05 (cohort w1), 01-13 is day 8 -> period 1
+    // u2: d0=01-07 (cohort w1), 01-20 is day 13 -> period 1
+    // u3: d0=01-13 (cohort w2), period 0
+    assert(got == Seq((w1, 0, 2L), (w1, 1, 2L), (w2, 0, 1L)))
+  }
+}

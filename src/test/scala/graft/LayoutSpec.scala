@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rankBucket affine map: endpoints, midpoint floor, clamp, " +
+    "degenerate range") {
+    val df = Seq(0.0, 5.0, 10.0, -3.0, 42.0).toDF("x")
+    val got = df.select(Layout.rankBucket(col("x"), 0.0, 10.0, 3))
+      .as[Long].collect().toSeq
+    // top = 7: 0->0, 5->floor(3.5)=3, 10->7, out-of-range clamps
+    assert(got == Seq(0L, 3L, 7L, 0L, 7L))
+    val deg = df.select(Layout.rankBucket(col("x"), 4.0, 4.0, 3))
+      .as[Long].collect().toSeq
+    assert(deg.forall(_ == 0L))
+  }
+
+  test("interleave: hand-pinned Morton bits") {
+    // b0 = 0b11, b1 = 0b01, bits=2 -> z bits: pos0=b0[0]=1, pos1=b1[0]=1,
+    // pos2=b0[1]=1, pos3=b1[1]=0 -> z = 0b0111 = 7
+    val df = Seq((3L, 1L)).toDF("b0", "b1")
+    val z = df.select(Layout.interleave(Seq(col("b0"), col("b1")), 2))
+      .as[Long].head()
+    assert(z == 7L)
+    // single column, identity up to bit width
+    val one = Seq(5L).toDF("b")
+    assert(one.select(Layout.interleave(Seq(col("b")), 3))
+      .as[Long].head() == 5L)
+  }
+
+  test("z-layout clusters BOTH dimensions; single-column sort leaves " +
+    "the other dimension unpruned") {
+    val grid = spark.range(1024)
+      .select((col("id") % 32).cast("int").as("x"),
+        (col("id") / 32).cast("int").as("y"))
+    def spans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val parts = df.select("x", "y").as[(Int, Int)]
+        .mapPartitions { it =>
+          val rows = it.toSeq
+          if (rows.isEmpty) Iterator.empty
+          else Iterator((rows.map(_._1).max - rows.map(_._1).min,
+            rows.map(_._2).max - rows.map(_._2).min))
+        }.collect()
+      (parts.map(_._1).sum.toDouble / parts.length,
+        parts.map(_._2).sum.toDouble / parts.length)
+    }
+    val zkey = Layout.zorderKey(grid, Seq("x", "y"), bits = 5)
+    val zLaid = Layout.layoutBy(zkey, 16)(grid)
+    val (zx, zy) = spans(zLaid)
+    // 16 partitions of a 32x32 grid in z-order ~ 8x8-ish blocks: both
+    // dims tightly bounded (block-crossing partitions stay < half range)
+    assert(zx <= 16.0 && zy <= 16.0, s"z spans ($zx, $zy)")
+    // sorting by x alone: x clusters, y spans the whole range
+    val xLaid = grid.repartitionByRange(16, col("x"))
+      .sortWithinPartitions(col("x"))
+    val (sx, sy) = spans(xLaid)
+    assert(sx <= 4.0, s"x-sorted x span $sx")
+    assert(sy >= 28.0, s"x-sorted leaves y unclustered, got $sy")
+  }
+
+  test("zorderKey is deterministic across partitioning") {
+    val ev = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "events")
+    val a = ev.select(col("event_id"),
+      Layout.zorderKey(ev, Seq("value", "user_id"), 8).as("z"))
+      .orderBy("event_id").as[(Long, Long)].collect().toSeq
+    val ev2 = ev.repartition(13)
+    val b = ev2.select(col("event_id"),
+      Layout.zorderKey(ev2, Seq("value", "user_id"), 8).as("z"))
+      .orderBy("event_id").as[(Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
