@@ -658,6 +658,49 @@ FROM aest, best, uest, ex"""
     * same Scala double (`Hll.rawNumerator(9).toString` round-trips), so
     * both engines run the identical IEEE op sequence and the
     * floor-millis output hash-matches. */
+  /** Grouped HLL retention matrix at p=6: the q_retention
+    * cohort/period frame feeding a per-(cohort, period) register
+    * estimate chain — same constants as the set-algebra chains
+    * (w=58, mask=2^58−1, K=59, m=64, threshold 160), grouped by the
+    * matrix cell. */
+  def q_retention_hll: String = {
+    val num = graft.functions.Hll.rawNumerator(6).toString
+    prologue + "\n" +
+s"""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+  FROM events GROUP BY user_id),
+c AS (SELECT user_id, CAST(date_trunc('week', d0) AS DATE) AS cohort, d0
+  FROM f),
+pu AS (SELECT c.cohort,
+    CAST(floor(date_diff('day', c.d0, CAST(e.ts AS DATE)) / 7) AS INT)
+      AS period,
+    e.user_id AS k
+  FROM events e JOIN c ON e.user_id = c.user_id),
+h AS MATERIALIZED (SELECT cohort, period, g_xxh_long(k, 42::HUGEINT) AS u
+  FROM pu),
+br AS (SELECT cohort, period, (u >> 58)::BIGINT AS bucket,
+    CASE WHEN (u & 288230376151711743::HUGEINT) = 0::HUGEINT THEN 59
+         ELSE 59 - length(bin((u & 288230376151711743::HUGEINT)::BIGINT))
+    END AS rho
+  FROM h),
+regs AS (SELECT cohort, period, bucket, max(rho) AS register
+  FROM br GROUP BY cohort, period, bucket),
+agg AS (SELECT cohort, period, count(*) AS nonempty_buckets,
+    sum(register)::BIGINT AS register_sum,
+    sum(((1::BIGINT << (59 - register)))::HUGEINT) AS s_ne
+  FROM regs GROUP BY cohort, period),
+est0 AS (SELECT cohort, period, nonempty_buckets, register_sum,
+    $num / ((s_ne + (64 - nonempty_buckets)::HUGEINT
+             * 576460752303423488::HUGEINT)::DOUBLE) AS est,
+    64 - nonempty_buckets AS v
+  FROM agg)
+SELECT cohort, period,
+  CAST(floor(CASE WHEN est <= 160.0 AND v > 0
+      THEN 64.0 * ln(64.0 / v::DOUBLE) ELSE est END * 1000.0) AS BIGINT)
+    AS est_millis,
+  nonempty_buckets, register_sum
+FROM est0 ORDER BY cohort, period"""
+  }
+
   def q_hll_distinct: String = {
     val num = graft.functions.Hll.rawNumerator(9).toString
     prologue + "\n" +

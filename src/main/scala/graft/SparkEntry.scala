@@ -2218,7 +2218,15 @@ object SparkEntry {
     // period = floor(days since first event / 7), exact distinct users
     "q_retention" -> ((s, dir) =>
       graft.operators.Retention.weekly(t(s, dir, "events"),
-        "user_id", "ts"))
+        "user_id", "ts")),
+
+    // the retention matrix at HLL precision (p=6): per-cell register
+    // sketches replace the exact distinct — mergeable across days,
+    // map-side-combined at any user cardinality; the whole estimate
+    // chain replays bit-exact through the OracleXxh XXH64 macros
+    "q_retention_hll" -> ((s, dir) =>
+      graft.operators.Retention.weeklyHll(t(s, dir, "events"),
+        "user_id", "ts", p = 6))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4596,7 +4604,9 @@ object SparkEntry {
           |       AS INT) AS period,
           |  count(DISTINCT e.user_id)::BIGINT AS users
           |FROM events e JOIN c ON e.user_id = c.user_id
-          |GROUP BY 1, 2 ORDER BY cohort, period""".stripMargin
+          |GROUP BY 1, 2 ORDER BY cohort, period""".stripMargin,
+
+      "q_retention_hll" -> OracleXxh.q_retention_hll
     )
   }
 }

@@ -43,9 +43,11 @@ object Sq {
   }
 
   /** Exact per-dimension [min, max] over the corpus — one aggregate,
-    * D rows to the driver. NULL vectors are refused upstream by the
-    * posexplode (a NULL array explodes to nothing — its rows simply
-    * don't constrain the range; encode would then raise on the NULL). */
+    * D rows to the driver. NULL vectors don't constrain the range (a
+    * NULL array explodes to nothing); [[encode]] maps them to a NULL
+    * code vector, which [[adcTopK]]'s bounded top-k then drops (its
+    * null-score rule) — so NULL embeddings silently vanish from
+    * search results rather than erroring. */
   def stats(df: DataFrame, vecCol: String, levels: Int = 256): Stats = {
     val rows = df
       .select(posexplode(col(vecCol).cast("array<double>"))

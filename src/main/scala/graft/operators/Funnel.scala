@@ -81,25 +81,51 @@ object Funnel {
   * count how many are still active k periods later. */
 object Retention {
 
-  /** Weekly cohort retention matrix. cohort = ISO week (Monday) of the
-    * user's first event; period = floor(days since the user's FIRST
-    * event day / 7). Output: (cohort, period, users) with exact
-    * distinct-user counts — (cohort, period 0) is the cohort size.
-    * Scale shape: first-touch = one user-keyed min-aggregate; the
-    * matrix = one (cohort, period)-keyed distinct-count over events
-    * joined to the tiny per-user first-touch frame (user-keyed
-    * broadcast-or-shuffle join); output is |cohorts|·|periods| rows. */
-  def weekly(events: DataFrame, userCol: String, tsCol: String)
-      : DataFrame = {
+  /** (__u, cohort, period) per event row: cohort = ISO week (Monday)
+    * of the user's first event, period = floor(days since the user's
+    * FIRST event day / 7). One user-keyed min-aggregate + one
+    * user-keyed join. */
+  private def periodsFrame(events: DataFrame, userCol: String,
+                           tsCol: String): DataFrame = {
     val first = events.groupBy(col(userCol).as("__u"))
       .agg(min(to_date(col(tsCol))).as("__d0"))
       .withColumn("__cohort", date_trunc("week", col("__d0")).cast("date"))
     events.select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
       .join(first, "__u")
-      .groupBy(col("__cohort").as("cohort"),
+      .select(col("__u"), col("__cohort").as("cohort"),
         floor(datediff(col("__d"), col("__d0")) / 7).cast("int")
           .as("period"))
+  }
+
+  /** Weekly cohort retention matrix. Output: (cohort, period, users)
+    * with EXACT distinct-user counts — (cohort, period 0) is the
+    * cohort size. Scale shape: the matrix is one (cohort, period)-
+    * keyed distinct-count over [[periodsFrame]]; output is
+    * |cohorts|·|periods| rows. The exact distinct shuffles every
+    * (cohort, period, user) triple once — at 100 TB switch to
+    * [[weeklyHll]], whose state per cell is 2^p registers instead. */
+  def weekly(events: DataFrame, userCol: String, tsCol: String)
+      : DataFrame =
+    periodsFrame(events, userCol, tsCol)
+      .groupBy("cohort", "period")
       .agg(count_distinct(col("__u")).as("users"))
+      .orderBy("cohort", "period")
+
+  /** The retention matrix at HLL precision — the 100 TB path: per
+    * (cohort, period) cell a 2^p-register sketch replaces the exact
+    * distinct (map-side combine caps each task's shuffle at
+    * cells × 2^p rows regardless of user cardinality), and the
+    * register tables stay MERGEABLE across days/streams — yesterday's
+    * matrix unions with today's without replaying either. Same
+    * estimate contract as [[graft.functions.Hll.estimate]]
+    * (`est_millis` floor fixed-point + integer diagnostics), so the
+    * whole chain is oracle-replayable (q_retention_hll). */
+  def weeklyHll(events: DataFrame, userCol: String, tsCol: String,
+                p: Int = 6): DataFrame = {
+    val g = Seq(col("cohort"), col("period"))
+    graft.functions.Hll.estimate(
+      graft.functions.Hll.registers(
+        periodsFrame(events, userCol, tsCol), col("__u"), p, g), p, g)
       .orderBy("cohort", "period")
   }
 }

@@ -75,4 +75,31 @@ class FunnelSpec extends SparkSpec {
     // u3: d0=01-13 (cohort w2), period 0
     assert(got == Seq((w1, 0, 2L), (w1, 1, 2L), (w2, 0, 1L)))
   }
+
+  test("retention HLL twin: same cells, estimates track exact counts, " +
+    "layout-independent") {
+    val ev = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "events")
+    val exact = Retention.weekly(ev, "user_id", "ts")
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val est = Retention.weeklyHll(ev, "user_id", "ts", p = 6)
+      .select(col("cohort"), col("period"), col("est_millis"))
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(est.keySet == exact.keySet)
+    // 3-sigma at p=6: 1.04/sqrt(64) ~ 13%; allow 40% + 2 absolute slack
+    est.foreach { case (cell, millis) =>
+      val e = millis / 1000.0
+      val x = exact(cell).toDouble
+      assert(math.abs(e - x) <= 0.4 * x + 2.0,
+        s"cell $cell est $e exact $x")
+    }
+    val est2 = Retention.weeklyHll(ev.repartition(13), "user_id", "ts",
+      p = 6)
+      .select(col("cohort"), col("period"), col("est_millis"))
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(est2 == est)
+  }
 }
