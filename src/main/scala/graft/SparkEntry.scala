@@ -2226,7 +2226,14 @@ object SparkEntry {
     // chain replays bit-exact through the OracleXxh XXH64 macros
     "q_retention_hll" -> ((s, dir) =>
       graft.operators.Retention.weeklyHll(t(s, dir, "events"),
-        "user_id", "ts", p = 6))
+        "user_id", "ts", p = 6)),
+
+    // single-pass column profiler over events: per column the row/NULL
+    // counts, exact distincts, and numeric range (NULL for non-numeric
+    // via try_cast) — the nightly ingest audit
+    "q_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(t(s, dir, "events"),
+        Seq("event_id", "user_id", "event_type", "value", "props")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4606,7 +4613,28 @@ object SparkEntry {
           |FROM events e JOIN c ON e.user_id = c.user_id
           |GROUP BY 1, 2 ORDER BY cohort, period""".stripMargin,
 
-      "q_retention_hll" -> OracleXxh.q_retention_hll
+      "q_retention_hll" -> OracleXxh.q_retention_hll,
+
+      // profiler replay: one aggregate row, pivoted per column
+      "q_profile" -> {
+        val cols = Seq("event_id", "user_id", "event_type", "value",
+          "props")
+        val aggs = cols.zipWithIndex.map { case (c, i) =>
+          s"""count($c) AS c$i, count(DISTINCT $c) AS d$i,
+             |  min(TRY_CAST($c AS DOUBLE)) AS mn$i,
+             |  max(TRY_CAST($c AS DOUBLE)) AS mx$i""".stripMargin
+        }.mkString(",\n  ")
+        val branches = cols.zipWithIndex.map { case (c, i) =>
+          s"""SELECT '$c' AS col_name, n, n - c$i AS nulls,
+             |  d$i AS n_distinct, mn$i AS min_num, mx$i AS max_num
+             |FROM a""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH a AS (SELECT count(*) AS n,
+           |  $aggs
+           |FROM events)
+           |$branches
+           |ORDER BY col_name""".stripMargin
+      }
     )
   }
 }

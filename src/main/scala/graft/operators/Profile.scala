@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-pass column profiler — the data-quality audit face of the
+  * engine (what a nightly ingest job prints before anyone trains on
+  * the drop): per column the row count, NULL count, exact distinct
+  * count, and numeric range (NULL for non-numeric columns via
+  * try_cast, so one output schema covers heterogeneous tables).
+  *
+  * Scale shape: ONE aggregate over the table — Spark plans the
+  * multi-column distinct set via Expand (rows × |cols| intermediate,
+  * map-side partial aggregation per column), which is the standard
+  * one-pass trade; the result is a single row that pivots to
+  * |cols| output rows driver-free. Exact distincts are the honest
+  * audit numbers; swap in [[graft.functions.Hll]] registers per
+  * column when the table outgrows them.
+  *
+  * Output: (col_name, n, nulls, n_distinct, min_num, max_num),
+  * one row per profiled column — all exact integers/doubles, so the
+  * profile replays bit-for-bit in SQL (q_profile).
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap {
+      case (c, i) => Seq(
+        count(col(c)).as(s"__c$i"),
+        count_distinct(col(c)).as(s"__d$i"),
+        min(expr(s"try_cast(`$c` AS double)")).as(s"__mn$i"),
+        max(expr(s"try_cast(`$c` AS double)")).as(s"__mx$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col("__n").as("n"),
+        (col("__n") - col(s"__c$i")).as("nulls"),
+        col(s"__d$i").as("n_distinct"),
+        col(s"__mn$i").as("min_num"), col(s"__mx$i").as("max_num"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select("r.*")
+      .orderBy("col_name")
+  }
+}

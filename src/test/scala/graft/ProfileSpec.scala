@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Profile
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: counts, nulls, exact distincts, numeric ranges; " +
+    "non-numeric strings yield NULL range") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some("2.5")),
+      (Some(2L), None, Some("x")),
+      (Some(2L), Some("b"), None),
+      (None, Some("a"), Some("-1e2"))).toDF("k", "s", "t")
+    val got = Profile.profile(df, Seq("k", "s", "t"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("k", 4L, 1L, 2L, Some(1.0), Some(2.0)),
+      // 's' holds no numeric strings -> NULL range
+      ("s", 4L, 1L, 2L, None, None),
+      // 't' mixes numeric and not: range over the parseable ones
+      ("t", 4L, 1L, 3L, Some(-100.0), Some(2.5))))
+  }
+
+  test("profile is layout-independent") {
+    val ev = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "events")
+    val cols = Seq("event_id", "user_id", "event_type", "value")
+    val a = Profile.profile(ev, cols).collect().toSeq
+    val b = Profile.profile(ev.repartition(13), cols).collect().toSeq
+    assert(a == b && a.size == 4)
+  }
+}

@@ -1423,6 +1423,77 @@ class StreamingSpec extends SparkSpec {
       assert(est("absent") <= 20, est) // collisions only
     } finally queries.foreach(_.stop())
   }
+
+  test("TransitionOp chains per-user edges ACROSS micro-batches via " +
+    "state and matches the batch twin transitionEdges") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val batch1 = Seq(
+      (1L, ts(10, 0), "view"), (1L, ts(10, 5), "click"),
+      (2L, ts(10, 0), "view"))
+    val batch2 = Seq(
+      (1L, ts(10, 10), "purchase"), // chains on batch1's click via state
+      (2L, ts(10, 20), "click"))
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = in.toDF().toDF("user_id", "ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+    val out = graft.streaming.ops.TransitionOp(Map.empty, Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1)
+      q.processAllAvailable()
+      val afterB1 = spark.table("trans_stream")
+        .select("src", "dst").as[(String, String)].collect().toSeq
+      assert(afterB1 == Seq("view" -> "click"), afterB1)
+      in.addData(batch2)
+      q.processAllAvailable()
+      val got = spark.table("trans_stream")
+        .select("src", "dst", "ts")
+        .as[(String, String, java.sql.Timestamp)].collect()
+        .sortBy(r => (r._3.getTime, r._1)).toSeq
+      assert(got == Seq(
+        ("view", "click", ts(10, 5)),
+        ("click", "purchase", ts(10, 10)),
+        ("view", "click", ts(10, 20))), got)
+      // batch twin on the union: identical edge multiset
+      val union = (batch1 ++ batch2).toDF("user_id", "ts", "event_type")
+      val batchEdges = graft.llm.Graph.transitionEdges(union,
+        "user_id", "event_type", Seq(col("ts")))
+        .as[(String, String)].collect().sorted.toSeq
+      assert(batchEdges == got.map(r => (r._1, r._2)).sorted, batchEdges)
+      // batch mode through the SAME factory (bounded one-shot run)
+      val batchOp = graft.streaming.ops.TransitionOp(Map.empty,
+        Seq(union)).head
+        .select("src", "dst").as[(String, String)].collect().sorted.toSeq
+      assert(batchOp == batchEdges, batchOp)
+    } finally q.stop()
+  }
+
+  test("TransitionOp sorts within a micro-batch by event time — " +
+    "arrival order inside one trigger doesn't matter") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = in.toDF().toDF("user_id", "ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+    val out = graft.streaming.ops.TransitionOp(Map.empty, Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("trans_unsorted")
+      .outputMode("append").start()
+    try {
+      // delivered out of order within ONE batch
+      in.addData(Seq((7L, ts(12, 30), "purchase"),
+        (7L, ts(12, 0), "view"), (7L, ts(12, 15), "click")))
+      q.processAllAvailable()
+      val got = spark.table("trans_unsorted")
+        .select("src", "dst").as[(String, String)].collect()
+        .sortBy(_._2).toSeq
+      assert(got.toSet == Set("view" -> "click", "click" -> "purchase"),
+        got)
+    } finally q.stop()
+  }
 }
 
 /** Reflection-resolvable pre-transform for the serve dict-event test —
