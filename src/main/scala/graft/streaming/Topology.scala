@@ -41,14 +41,28 @@ trait OperatorFactory {
   *    micro-batches makes millions of kilobyte files and the NEXT
   *    job's planning chokes on listing). With it, rows are
   *    repartitioned to N tasks — hashed by the partition_by columns
-  *    when set, so each hive directory is written by few tasks. */
+  *    when set, so each hive directory is written by few tasks.
+  *  - `zorderBy` (YAML `zorder_by: [value, user_id]`, optional
+  *    `zorder_bits`): write-time Z-order clustering for PARQUET sinks
+  *    ([[graft.operators.Layout]]) — rows are range-partitioned and
+  *    locally sorted by the Morton key of these columns, so each
+  *    output file covers a compact hyper-rectangle and file-level
+  *    min/max stats prune scans on EVERY interleaved column (the
+  *    Delta `OPTIMIZE ZORDER BY` contract at write time). Bounded
+  *    frames only (batch runs and config_topic foreachBatch sinks —
+  *    each micro-batch lays out against its own ranges); a static
+  *    streaming sink refuses loudly, since the key needs corpus
+  *    min/max. With `partition_by` too, rows z-sort WITHIN their hive
+  *    directory. */
 case class TopicSpec(name: String, codec: String, startFrom: String,
                      kind: String, path: String, endpoint: String,
                      timestampCol: String = "", watermark: String = "",
                      partitionSelector: String = "",
                      schema: String = "",
                      partitionBy: Seq[String] = Nil,
-                     sinkPartitions: Int = 0)
+                     sinkPartitions: Int = 0,
+                     zorderBy: Seq[String] = Nil,
+                     zorderBits: Int = 8)
 
 /** `configTopic` (YAML `config_topic`): name of a topic whose NEWEST
   * record is merged over the static `config:` block and handed to this
@@ -105,7 +119,14 @@ object Topology {
               .filter(_.nonEmpty).toSeq
           },
           sinkPartitions =
-            m.getOrElse("sink_partitions", "0").toString.toInt)
+            m.getOrElse("sink_partitions", "0").toString.toInt,
+          zorderBy = m.getOrElse("zorder_by", null) match {
+            case null => Nil
+            case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
+            case s => s.toString.split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+          },
+          zorderBits = m.getOrElse("zorder_bits", "8").toString.toInt)
       }.toSeq
 
     val operators = asMap(root.getOrElse("operators", null)).map {
@@ -325,12 +346,36 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
       op.sinks.map(topic).zip(outs)
     }
 
-  /** Small-files control (`sink_partitions`): bound the task count of a
-    * parquet write, hashing by the partition_by columns when set so
-    * each hive directory is written by few tasks instead of every
-    * task. */
+  /** Small-files control (`sink_partitions`) + write-time Z-order
+    * clustering (`zorder_by`): bound the task count of a parquet
+    * write, hashing by the partition_by columns when set so each hive
+    * directory is written by few tasks instead of every task; with
+    * zorder_by, range-partition + locally sort by the Morton key so
+    * file-level min/max stats prune every interleaved column. */
   private def shapeForParquet(df: DataFrame, t: TopicSpec): DataFrame =
-    if (t.sinkPartitions <= 0) df
+    if (t.zorderBy.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      require(!df.isStreaming,
+        s"sink '${t.name}': zorder_by needs corpus min/max — bounded " +
+          "frames only (batch runs or a config_topic foreachBatch sink)")
+      if (df.isEmpty) df // nothing to lay out; ranges() has no row
+      else {
+        val n = if (t.sinkPartitions > 0) t.sinkPartitions
+          else df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            .toInt
+        val zkey = graft.operators.Layout.zorderKey(df, t.zorderBy,
+          t.zorderBits)
+        if (t.partitionBy.isEmpty)
+          graft.operators.Layout.layoutBy(zkey, n)(df)
+        else // z-sort WITHIN each hive directory
+          df.withColumn("__z", zkey)
+            .repartition(n, t.partitionBy.map(col): _*)
+            .sortWithinPartitions(
+              (t.partitionBy.map(col) :+ col("__z")): _*)
+            .drop("__z")
+      }
+    }
+    else if (t.sinkPartitions <= 0) df
     else if (t.partitionBy.nonEmpty)
       df.repartition(t.sinkPartitions, t.partitionBy.map(
         org.apache.spark.sql.functions.col): _*)

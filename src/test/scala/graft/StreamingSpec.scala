@@ -1494,6 +1494,74 @@ class StreamingSpec extends SparkSpec {
         got)
     } finally q.stop()
   }
+
+  test("FunnelOp advances the per-user state machine across " +
+    "micro-batches, emits each depth once, matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val cfg = Map[String, Any](
+      "steps" -> "view,click,purchase", "lateness" -> "2 hours")
+    val batch1 = Seq(
+      (1L, ts(10, 0), "view"), (1L, ts(10, 5), "click"),
+      (2L, ts(10, 0), "purchase"), // not step 1: no funnel starts
+      (3L, ts(10, 1), "view"))
+    val batch2 = Seq(
+      (1L, ts(10, 30), "purchase"), // completes across batches
+      (2L, ts(10, 31), "view"), // funnel starts only now
+      (3L, ts(10, 32), "view")) // repeat of step 1: NOT an advance
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = in.toDF().toDF("user_id", "ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+    val out = graft.streaming.ops.FunnelOp(cfg, Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1)
+      q.processAllAvailable()
+      in.addData(batch2)
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream")
+        .select("user_id", "depth", "ts")
+        .as[(Long, Int, java.sql.Timestamp)].collect().toSeq.sorted
+      assert(got == Seq(
+        (1L, 1, ts(10, 0)), (1L, 2, ts(10, 5)), (1L, 3, ts(10, 30)),
+        (2L, 1, ts(10, 31)),
+        (3L, 1, ts(10, 1))), got)
+      // max depth per user equals the batch twin on the union
+      val union = (batch1 ++ batch2).toDF("user_id", "ts", "event_type")
+      val batch = graft.operators.Funnel.funnel(union, "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+        .as[(Long, Int)].collect().toMap
+      val streamDepth = got.groupBy(_._1).view
+        .mapValues(_.map(_._2).max).toMap
+      assert(streamDepth == batch, s"$streamDepth vs $batch")
+    } finally q.stop()
+  }
+
+  test("FunnelOp conversion window cuts late steps in stream mode") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int, s: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:$s%02d")
+    val cfg = Map[String, Any](
+      "steps" -> "view,click", "within_seconds" -> 60)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = in.toDF().toDF("user_id", "ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+    val out = graft.streaming.ops.FunnelOp(cfg, Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("funnel_window")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq(
+        (1L, ts(9, 0, 0), "view"), (1L, ts(9, 0, 50), "click"), // in
+        (2L, ts(9, 0, 0), "view"), (2L, ts(9, 2, 0), "click"))) // out
+      q.processAllAvailable()
+      val got = spark.table("funnel_window")
+        .select("user_id", "depth").as[(Long, Int)].collect().toSeq
+        .sorted
+      assert(got == Seq((1L, 1), (1L, 2), (2L, 1)), got)
+    } finally q.stop()
+  }
 }
 
 /** Reflection-resolvable pre-transform for the serve dict-event test —

@@ -396,4 +396,79 @@ class TopologySpec extends SparkSpec {
     val score = out.select("nb_score").as[Double].collect().head
     assert(score > 1.0)
   }
+
+  test("zorder_by sink layout: every part file covers a compact " +
+    "hyper-rectangle of BOTH interleaved columns") {
+    val tmp = Files.createTempDirectory("topo_zorder").toString
+    spark.range(1024)
+      .select((col("id") % 32).cast("double").as("x"),
+        (col("id") / 32).cast("long").as("y"),
+        col("id").as("event_id"))
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: events
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: laid
+         |    kind: parquet
+         |    path: $tmp/out
+         |    zorder_by: [x, y]
+         |    zorder_bits: 5
+         |    sink_partitions: 16
+         |operators:
+         |  pass:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [events]
+         |    sinks: [laid]
+         |config:
+         |  filter_expr: event_id >= 0
+         |""".stripMargin
+    Topology.parse(yaml).runBatch(spark, s"$tmp/sinks")
+    val parts = new java.io.File(s"$tmp/sinks/laid").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(parts.length == 16, parts.length)
+    // per-FILE spans: each part file reads back with bounded x AND y
+    // ranges (the single-column sort would leave y spanning 0..31)
+    val spans = parts.map { p =>
+      val f = spark.read.parquet(s"$tmp/sinks/laid/$p")
+        .agg(min("x"), max("x"), min("y"), max("y")).head()
+      (f.getDouble(1) - f.getDouble(0), f.getLong(3) - f.getLong(2))
+    }
+    val avgX = spans.map(_._1).sum / spans.length
+    val avgY = spans.map(_._2).sum.toDouble / spans.length
+    assert(avgX <= 16.0 && avgY <= 16.0, s"spans ($avgX, $avgY)")
+    assert(spark.read.parquet(s"$tmp/sinks/laid").count() == 1024)
+  }
+
+  test("zorder_by on a STATIC streaming sink refuses loudly") {
+    val tmp = Files.createTempDirectory("topo_zorder_stream").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("event_id", "ts", "x")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: events
+         |    kind: parquet
+         |    path: $tmp/in
+         |    timestamp_col: ts
+         |    watermark: 10 minutes
+         |  - name: laid
+         |    kind: parquet
+         |    path: $tmp/out
+         |    zorder_by: [x]
+         |operators:
+         |  pass:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [events]
+         |    sinks: [laid]
+         |config:
+         |  filter_expr: event_id >= 0
+         |""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+        .foreach(_.processAllAvailable())
+    }
+    assert(e.getMessage.contains("zorder_by"), e.getMessage)
+  }
 }
