@@ -2233,7 +2233,14 @@ object SparkEntry {
     // via try_cast) — the nightly ingest audit
     "q_profile" -> ((s, dir) =>
       graft.operators.Profile.profile(t(s, dir, "events"),
-        Seq("event_id", "user_id", "event_type", "value", "props")))
+        Seq("event_id", "user_id", "event_type", "value", "props"))),
+
+    // time-series regularization: per-user hourly grid with GAP rows
+    // materialized, decimal-exact sums, forward-filled last observation
+    "q_resample" -> ((s, dir) =>
+      graft.operators.Resample.grid(t(s, dir, "events"), "ts", "value",
+        Seq("user_id"), "1 hour", 3600L)
+        .orderBy("user_id", "bucket"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4634,7 +4641,32 @@ object SparkEntry {
            |FROM events)
            |$branches
            |ORDER BY col_name""".stripMargin
-      }
+      },
+
+      // resample replay: hour buckets, per-key complete grid via
+      // generate_series, decimal-exact sums, IGNORE NULLS running
+      // last_value for the forward fill
+      "q_resample" ->
+        """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+          |    count(*)::BIGINT AS n,
+          |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |      AS sum_value
+          |  FROM events GROUP BY 1, 2),
+          |s AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+          |      FROM b GROUP BY 1),
+          |g AS (SELECT s.user_id, t.bucket FROM s,
+          |      unnest(generate_series(s.b0, s.b1, INTERVAL 1 HOUR))
+          |        AS t(bucket)),
+          |j AS (SELECT g.user_id, g.bucket, coalesce(b.n, 0) AS n,
+          |        b.sum_value
+          |      FROM g LEFT JOIN b
+          |        ON b.user_id = g.user_id AND b.bucket = g.bucket)
+          |SELECT user_id, bucket, n, sum_value,
+          |  last_value(sum_value IGNORE NULLS) OVER (
+          |    PARTITION BY user_id ORDER BY bucket
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS filled_value
+          |FROM j ORDER BY user_id, bucket""".stripMargin
     )
   }
 }
