@@ -90,35 +90,50 @@ object Sq {
     df.select(col(idCol).cast("long").as("id"),
       codeColumn(col(vecCol), st).as("code"))
 
-  /** Approximate reconstruction of dimension `i` (1-based element
-    * index): `mn + code · ((mx − mn) / (L−1))` — the decode the ADC
-    * distance runs against. */
-  private def decodeAt(code: Column, i: Column, st: Stats): Column = {
-    val mnL = typedLit(st.mins.toSeq)
-    val mxL = typedLit(st.maxs.toSeq)
-    val top = lit((st.levels - 1).toDouble)
-    element_at(mnL, i) + element_at(code, i).cast("double") *
-      ((element_at(mxL, i) - element_at(mnL, i)) / top)
-  }
-
-  /** ADC top-k: for each row of `queries` (small — broadcast), the k
-    * nearest corpus rows by squared L2 between the exact query vector
-    * and the DECODED corpus codes, ties to the smaller neighbor id.
-    * Output: (query_id, nbr_id, adc_dist, rank). The corpus side reads
-    * codes alone — encode once, reuse across query batches. */
+  /** ADC top-k: for each row of `queries` (small — collected and
+    * broadcast), the k nearest corpus rows by squared L2 between the
+    * exact query vector and the DECODED corpus codes, ties to the
+    * smaller neighbor id. Output: (query_id, nbr_id, adc_dist, rank).
+    *
+    * The [[Pq.adcTopK]] table trick applies unchanged: every possible
+    * per-dimension contribution `(q_i − (mn_i + c · step_i))²` is
+    * precomputed driver-side into a D×levels table per query (64·256
+    * doubles — tiny), so the scan folds D table lookups per candidate
+    * instead of re-deriving the decode arithmetic 2^8 ways per row.
+    * Same IEEE ops per entry (sub, mul-add decode, sub, square) in the
+    * same ascending-dimension fold — bit-identical to the inline form
+    * and to the SQL oracle. The corpus side reads codes alone —
+    * encode once, reuse across query batches. */
   def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, st: Stats, k: Int): DataFrame = {
-    val qdf = queries.select(col(idCol).cast("long").as("query_id"),
-      col(vecCol).cast("array<double>").as("__q"))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qrows = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qrows.nonEmpty, "queries must be non-empty")
+    val top = (st.levels - 1).toDouble
+    val qdf = qrows.toSeq.map { case (qid, qv) =>
+      require(qv.length == st.dim,
+        s"query $qid dim ${qv.length} != stats dim ${st.dim}")
+      val dtab = (0 until st.dim).map { i =>
+        val mn = st.mins(i)
+        val step = (st.maxs(i) - st.mins(i)) / top
+        (0 until st.levels).map { c =>
+          val diff = qv(i) - (mn + c * step)
+          diff * diff
+        }
+      }
+      (qid, dtab)
+    }.toDF("query_id", "dtab")
     val scored = encode(corpus, idCol, vecCol, st)
       .crossJoin(broadcast(qdf))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"),
-        aggregate(sequence(lit(1), lit(st.dim)), lit(0.0), (acc, i) => {
-          val diff = element_at(col("__q"), i) -
-            decodeAt(col("code"), i, st)
-          acc + diff * diff
-        }).as("adc"))
+        aggregate(sequence(lit(0), lit(st.dim - 1)), lit(0.0),
+          (acc, i) => acc + element_at(element_at(col("dtab"), i + 1),
+            element_at(col("code"), i + 1) + 1)).as("adc"))
     graft.operators.Ops.takeOrderedByKey(k, col("id"), -col("adc"),
       Seq(col("query_id")), as = ("nbr_id", "__neg"))(scored)
       .select(col("query_id"), col("nbr_id"),
