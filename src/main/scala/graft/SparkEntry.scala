@@ -2240,7 +2240,39 @@ object SparkEntry {
     "q_resample" -> ((s, dir) =>
       graft.operators.Resample.grid(t(s, dir, "events"), "ts", "value",
         Seq("user_id"), "1 hour", 3600L)
-        .orderBy("user_id", "bucket"))
+        .orderBy("user_id", "bucket")),
+
+    // z-score anomaly flagging: events whose value sits > 3 sample
+    // stddevs from their event_type's mean — per-key exact moments
+    // (MathOps.describe) broadcast back over the stream, three IEEE
+    // ops per row (sub, div, abs), all SQL-replayable
+    "q_anomaly" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val stats = (ev >> MathOps.describe(col("value"),
+        Seq(col("event_type"))))
+        .select(col("event_type"), col("mean"), col("stddev_samp"))
+      ev.join(broadcast(stats), "event_type")
+        .filter(col("stddev_samp") > 0.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((col("value") - col("mean")) / col("stddev_samp")).as("z"))
+        .filter(abs(col("z")) > 3.0)
+        .orderBy("event_id")
+    }),
+
+    // PageRank over the document near-dup graph: exact ngram-Jaccard
+    // pairs (>= 0.3) as symmetric edges, 2 integer iterations — which
+    // docs sit at the center of duplication clusters (the curation
+    // face of graph centrality: high rank = template/boilerplate hub)
+    "q_pagerank_docs" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", shingleSize = 3, threshold = 0.3)
+      val edges = pairs.select(col("id_a").as("src"),
+        col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"),
+          col("id_a").as("dst")))
+      graft.llm.Graph.pageRank(edges, "src", "dst", iters = 2)
+        .orderBy("node")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4666,7 +4698,69 @@ object SparkEntry {
           |    PARTITION BY user_id ORDER BY bucket
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           |    AS filled_value
-          |FROM j ORDER BY user_id, bucket""".stripMargin
+          |FROM j ORDER BY user_id, bucket""".stripMargin,
+
+      // anomaly replay: the q_stats exact-moment chain per event_type,
+      // one (sub, div) per row, abs > 3 cut
+      "q_anomaly" ->
+        """WITH st AS (SELECT event_type,
+          |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |      / count(value) AS mean,
+          |    sqrt((CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+          |             * CAST(value AS DECIMAL(18,2))
+          |             AS DECIMAL(38,4))) AS DOUBLE)
+          |      - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |        * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |        / CAST(count(value) AS DOUBLE))
+          |      / (CAST(count(value) AS DOUBLE) - 1.0)) AS sd
+          |  FROM events GROUP BY event_type)
+          |SELECT e.event_id, e.event_type, e.value,
+          |       (e.value - st.mean) / st.sd AS z
+          |FROM events e JOIN st USING (event_type)
+          |WHERE st.sd > 0
+          |  AND abs((e.value - st.mean) / st.sd) > 3.0
+          |ORDER BY e.event_id""".stripMargin,
+
+      // doc-graph PageRank replay: the q_ngram_jaccard pair chain at
+      // threshold 0.3, symmetric directed edges, 2 unrolled integer
+      // iterations (the q_pagerank arithmetic on doc-id nodes)
+      "q_pagerank_docs" -> {
+        val iterCtes = (1 to 2).map { i =>
+          s"""c$i AS (SELECT e.dst, sum((r.rank * e.w) // o.ow) AS s
+             |  FROM e0 e JOIN ow o USING (src)
+             |  JOIN r${i - 1} r ON r.node = e.src
+             |  GROUP BY e.dst),
+             |r$i AS (SELECT n.node,
+             |  CAST(150000000 + coalesce((c$i.s * 85) // 100, 0) AS BIGINT)
+             |    AS rank
+             |  FROM nodes n LEFT JOIN c$i ON c$i.dst = n.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+           |sets AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(1, greatest(len(ts) - 2, 0)),
+           |    i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+           |  FROM toks WHERE len(ts) >= 3),
+           |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets
+           |      WHERE len(sh) > 0),
+           |pr AS (SELECT id_a, id_b FROM (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         CAST(count(*) AS DOUBLE)
+           |           / (any_value(a.n) + any_value(b.n) - count(*))
+           |           AS jaccard
+           |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |  WHERE jaccard >= 0.3),
+           |e0 AS (SELECT id_a AS src, id_b AS dst, 1::BIGINT AS w FROM pr
+           |       UNION ALL
+           |       SELECT id_b AS src, id_a AS dst, 1::BIGINT AS w FROM pr),
+           |ow AS (SELECT src, sum(w)::BIGINT AS ow FROM e0 GROUP BY src),
+           |nodes AS (SELECT DISTINCT node FROM (
+           |  SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+           |r0 AS (SELECT node, 1000000000::BIGINT AS rank FROM nodes),
+           |$iterCtes
+           |SELECT node, rank FROM r2 ORDER BY node""".stripMargin
+      }
     )
   }
 }
