@@ -29,6 +29,19 @@ class FunnelSpec extends SparkSpec {
     assert(got == Map(1L -> 3, 2L -> 2, 3L -> 2, 4L -> 1))
   }
 
+  test("event duplication (at-least-once delivery) leaves funnel " +
+    "depths exactly unchanged — min-aggregation is idempotent") {
+    val events = ev(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 1L, "view"), (2L, 3L, "click"))
+    val once = Funnel.funnel(events, "user_id", "event_type", "ts",
+      steps).as[(Long, Int)].collect().toMap
+    val tripled = Funnel.funnel(events.union(events).union(events),
+      "user_id", "event_type", "ts", steps)
+      .as[(Long, Int)].collect().toMap
+    assert(once == tripled && once == Map(1L -> 3, 2L -> 2))
+  }
+
   test("funnel: same-timestamp step is NOT strictly after") {
     val events = ev((6L, 1L, "view"), (6L, 1L, "click"))
     val got = Funnel.funnel(events, "user_id", "event_type", "ts", steps)

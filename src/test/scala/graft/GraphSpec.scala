@@ -91,6 +91,14 @@ class GraphSpec extends SparkSpec {
       ("B", "C") -> (1L, 1.0)))
   }
 
+  test("k-fold edge replication leaves ranks EXACTLY unchanged " +
+    "(floor(k·a / k·b) = floor(a/b) — the scale identity)") {
+    val edges = Seq("A" -> "B", "A" -> "C", "B" -> "C", "C" -> "A")
+    val once = ranks(edges, 3)
+    val five = ranks(Seq.fill(5)(edges).flatten, 3)
+    assert(once == five)
+  }
+
   test("transitionEdges: consecutive per-user pairs, singletons none") {
     val ev = Seq(
       (1L, 1L, "x"), (1L, 2L, "y"), (1L, 3L, "x"),

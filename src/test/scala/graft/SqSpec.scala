@@ -42,6 +42,14 @@ class SqSpec extends SparkSpec {
     assert(all.getInt(0) >= 0 && all.getInt(1) <= 255)
   }
 
+  test("corpus replication leaves stats — and therefore codes — " +
+    "exactly unchanged (min/max are idempotent under duplication)") {
+    val st1 = Sq.stats(emb, "embedding")
+    val st2 = Sq.stats(emb.union(emb).union(emb), "embedding")
+    assert(st1.mins.toSeq == st2.mins.toSeq &&
+      st1.maxs.toSeq == st2.maxs.toSeq)
+  }
+
   test("encode is layout-independent (repartition invariance)") {
     val st = Sq.stats(emb, "embedding")
     val a = Sq.encode(emb, "vec_id", "embedding", st)

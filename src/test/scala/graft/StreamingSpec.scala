@@ -1495,6 +1495,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AnomalyOp freezes reference moments at wire time and gates a " +
+    "stream statelessly; batch parity with the z-score query") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("anomaly_gate").toString
+    val ev = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").parquet(s"$tmp/ref")
+    val cfg = Map[String, Any]("ref_path" -> s"$tmp/ref")
+    // expected: the q_anomaly formulation (reference = the same frame)
+    val stats = (ev >> graft.operators.MathOps.describe(col("value"),
+      Seq(col("event_type"))))
+      .select(col("event_type"), col("mean"), col("stddev_samp"))
+    val expected = ev.join(broadcast(stats), "event_type")
+      .filter(col("stddev_samp") > 0.0 &&
+        abs((col("value") - col("mean")) / col("stddev_samp")) > 3.0)
+      .select("event_id").as[Long].collect().toSet
+    assert(expected.nonEmpty, "fixture should contain anomalies")
+    // batch mode through the factory
+    val batchGot = graft.streaming.ops.AnomalyOp(cfg, Seq(ev)).head
+      .select("event_id").as[Long].collect().toSet
+    assert(batchGot == expected)
+    // stream mode: same rows through MemoryStream
+    val in = MemoryStream[(Long, String, Double)]
+    val src = in.toDF().toDF("event_id", "event_type", "value")
+    val out = graft.streaming.ops.AnomalyOp(cfg, Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("anomaly_stream")
+      .outputMode("append").start()
+    try {
+      val rows = ev.as[(Long, String, Double)].collect().toSeq
+      in.addData(rows.take(rows.size / 2))
+      q.processAllAvailable()
+      in.addData(rows.drop(rows.size / 2))
+      q.processAllAvailable()
+      val streamGot = spark.table("anomaly_stream")
+        .select("event_id").as[Long].collect().toSet
+      assert(streamGot == expected)
+      // unknown key: never anomalous — dropped by anomalies, kept by
+      // clean with NULL z
+      in.addData(Seq((999999L, "unseen_type", 1e9)))
+      q.processAllAvailable()
+      assert(spark.table("anomaly_stream")
+        .filter(col("event_id") === 999999L).isEmpty)
+      val clean = graft.streaming.ops.AnomalyOp(
+        cfg + ("emit" -> "clean"),
+        Seq(Seq((999999L, "unseen_type", 1e9))
+          .toDF("event_id", "event_type", "value"))).head
+      assert(clean.count() == 1 && clean.select("z").head().isNullAt(0))
+    } finally q.stop()
+  }
+
   test("FunnelOp advances the per-user state machine across " +
     "micro-batches, emits each depth once, matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
