@@ -2259,6 +2259,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // HITS hubs & authorities over the event-type transition graph:
+    // exact integer iterations with max rescaling — hubs = states
+    // journeys leave from, authorities = states they converge to
+    "q_hits" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val edges = graft.llm.Graph.transitionEdges(ev, "user_id",
+        "event_type", Seq(col("ts"), col("event_id")))
+      graft.llm.Graph.hits(edges, "src", "dst", iters = 2)
+        .orderBy("node")
+    }),
+
     // PageRank over the document near-dup graph: exact ngram-Jaccard
     // pairs (>= 0.3) as symmetric edges, 2 integer iterations — which
     // docs sit at the center of duplication clusters (the curation
@@ -4720,6 +4731,47 @@ object SparkEntry {
           |WHERE st.sd > 0
           |  AND abs((e.value - st.mean) / st.sd) > 3.0
           |ORDER BY e.event_id""".stripMargin,
+
+      // HITS replay: per iteration an authority pass (sum of in-hub
+      // mass, max-rescaled by floor div) then a hub pass over the NEW
+      // authorities — Kleinberg's sequential order, all exact integers
+      "q_hits" -> {
+        val iterCtes = (1 to 2).map { i =>
+          val ph = if (i == 1) "h0" else s"h${i - 1}"
+          s"""ar$i AS (SELECT e.dst AS node, sum(h.rank * e.w) AS r
+             |  FROM e0 e JOIN $ph h ON h.node = e.src GROUP BY e.dst),
+             |af$i AS (SELECT n.node, coalesce(ar$i.r, 0) AS r
+             |  FROM nodes n LEFT JOIN ar$i ON ar$i.node = n.node),
+             |am$i AS (SELECT max(r) AS mx FROM af$i),
+             |a$i AS (SELECT node, CAST(CASE WHEN mx > 0
+             |    THEN (r * 1000000000) // mx ELSE 0 END AS BIGINT) AS rank
+             |  FROM af$i CROSS JOIN am$i),
+             |hr$i AS (SELECT e.src AS node, sum(a.rank * e.w) AS r
+             |  FROM e0 e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+             |hf$i AS (SELECT n.node, coalesce(hr$i.r, 0) AS r
+             |  FROM nodes n LEFT JOIN hr$i ON hr$i.node = n.node),
+             |hm$i AS (SELECT max(r) AS mx FROM hf$i),
+             |h$i AS (SELECT node, CAST(CASE WHEN mx > 0
+             |    THEN (r * 1000000000) // mx ELSE 0 END AS BIGINT) AS rank
+             |  FROM hf$i CROSS JOIN hm$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ed AS (
+           |  SELECT lag(event_type) OVER (
+           |           PARTITION BY user_id ORDER BY ts, event_id) AS src,
+           |         event_type AS dst
+           |  FROM events),
+           |e0 AS (SELECT src, dst, count(*)::BIGINT AS w FROM ed
+           |       WHERE src IS NOT NULL GROUP BY src, dst),
+           |nodes AS (SELECT DISTINCT node FROM (
+           |  SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+           |h0 AS (SELECT node, 1000000000::BIGINT AS rank FROM nodes),
+           |$iterCtes
+           |SELECT n.node, h2.rank AS hub, a2.rank AS authority
+           |FROM nodes n
+           |JOIN h2 ON h2.node = n.node
+           |JOIN a2 ON a2.node = n.node
+           |ORDER BY n.node""".stripMargin
+      },
 
       // doc-graph PageRank replay: the q_ngram_jaccard pair chain at
       // threshold 0.3, symmetric directed edges, 2 unrolled integer

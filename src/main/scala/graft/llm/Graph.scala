@@ -135,6 +135,77 @@ object Graph {
       .select("src", "dst")
   }
 
+  /** HITS hubs & authorities (Kleinberg JACM'99) — the second classic
+    * centrality, in the same exact-integer discipline as [[pageRank]]:
+    * per iteration `a(v) = Σ_{u→v} w·h(u)` then `h(u) = Σ_{u→v} w·a(v)`
+    * (the updated a — Kleinberg's sequential order), each rescaled by
+    * its MAX via floor division (`r' = (r · scale) div max r`) so the
+    * top score pins to `scale` and every op stays exact integer
+    * arithmetic — partitioning-independent, SQL-replayable with
+    * unrolled iterations (q_hits). Each iteration: two edge⋈rank
+    * joins + two node-keyed aggregates + two single-row max frames
+    * (broadcast). Nodes without in-edges get authority 0; without
+    * out-edges hub 0. Start: h = scale everywhere.
+    *
+    * Output: (node, hub, authority) as fixed-point longs. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           weightCol: Option[String] = None, iters: Int = 2,
+           scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(scale > 0, s"scale must be positive: $scale")
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val e0 = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
+      .groupBy("__src", "__dst").agg(sum("__w").as("__w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e0.select(col("__src").as("node"))
+      .union(e0.select(col("__dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // rescale a raw score frame (node, __r DECIMAL) to max = scale,
+    // keeping node coverage complete (missing nodes -> 0). Raw mass
+    // and the rescale multiply run in exact DECIMAL(38,0) — rank·w
+    // sums and r·scale both overflow longs on heavy graphs — and the
+    // integral `div` lands the result back in the long domain exactly
+    // (the DuckDB replay does the same arithmetic in HUGEINT).
+    def rescaled(raw: DataFrame): DataFrame = {
+      val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
+      val full = nodes.join(raw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__r"), zero).as("__r"))
+      val mx = full.agg(max("__r").as("__mx"))
+      full.crossJoin(broadcast(mx))
+        .select(col("node"),
+          when(col("__mx") > 0,
+            expr(s"(__r * $scale) div __mx")).otherwise(lit(0L))
+            .as("rank"))
+    }
+    def massToward(ranks: DataFrame, edgeEnd: String, groupEnd: String)
+        : DataFrame =
+      e0.join(ranks, e0(edgeEnd) === ranks("node"))
+        .select(col(groupEnd).as("node"),
+          (col("rank").cast("decimal(38,0)") * col("__w")).as("__c"))
+        .groupBy("node").agg(sum("__c").as("__r"))
+
+    var hubs = nodes.select(col("node"), lit(scale).as("rank"))
+    var auths: DataFrame = null
+    var prev: Seq[DataFrame] = Nil
+    for (_ <- 1 to iters) {
+      auths = rescaled(massToward(hubs, "__src", "__dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newHubs = rescaled(massToward(auths, "__dst", "__src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      newHubs.count(); auths.count() // materialize before unpersisting
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Seq(auths, newHubs)
+      hubs = newHubs
+    }
+    nodes
+      .join(hubs.withColumnRenamed("rank", "hub"), "node")
+      .join(auths.withColumnRenamed("rank", "authority"), "node")
+  }
+
   /** Markov transition matrix of an edge frame: per (src, dst) the
     * summed weight and the transition probability w / Σ_dst w — one
     * IEEE double division per cell (exact-replay rule: both engines

@@ -91,6 +91,29 @@ class GraphSpec extends SparkSpec {
       ("B", "C") -> (1L, 1.0)))
   }
 
+  test("HITS: two hand-computed iterations with max rescaling") {
+    val edges = Seq("A" -> "B", "A" -> "C", "B" -> "C", "C" -> "A")
+      .toDF("src", "dst")
+    val got = Graph.hits(edges, "src", "dst", iters = 2, scale = S)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // iter1: a=(500,500,1000), h=(1000,666,333)
+    // iter2: a=(199,600,1000), h=(1000,625,124)  [worked by hand]
+    assert(got == Map(
+      "A" -> (1000L, 199L),
+      "B" -> (625L, 600L),
+      "C" -> (124L, 1000L)), got)
+  }
+
+  test("HITS is invariant under k-fold edge replication (the max " +
+    "rescale cancels the common factor)") {
+    val edges = Seq("A" -> "B", "A" -> "C", "B" -> "C", "C" -> "A")
+    def run(e: Seq[(String, String)]) =
+      Graph.hits(e.toDF("src", "dst"), "src", "dst", iters = 2,
+        scale = S).as[(String, Long, Long)].collect().toSet
+    assert(run(edges) == run(Seq.fill(4)(edges).flatten))
+  }
+
   test("k-fold edge replication leaves ranks EXACTLY unchanged " +
     "(floor(k·a / k·b) = floor(a/b) — the scale identity)") {
     val edges = Seq("A" -> "B", "A" -> "C", "B" -> "C", "C" -> "A")
