@@ -786,6 +786,23 @@ FROM h1 ORDER BY shard, shuffle_pos"""
   /** [[graft.operators.Ops.shuffleShards]] replay: signed-order hash
     * (g_sgn — Spark orders the SIGNED long), Java-% shard, per-shard
     * dense 0-based positions. */
+  /** [[graft.operators.Ops.prioritySample]] replay over documents with
+    * weight = n_chars: priority = w / u with u = (xxhash64(seed, id) &
+    * (2^53−1)) + 1 — the mask runs on the SIGNED value in both engines
+    * (two's-complement & is bit-identical), the division is one IEEE op,
+    * ties break by id. */
+  def q_weighted_sample(k: Int, seed: Int): String =
+    prologue + s"""
+WITH pr AS MATERIALIZED (SELECT doc_id, n_chars,
+  CAST(n_chars AS DOUBLE) /
+    CAST((g_sgn(g_xxh_long(doc_id, ${chainedIntSeed(seed)}::HUGEINT))
+          & 9007199254740991) + 1 AS DOUBLE) AS priority
+  FROM documents)
+SELECT doc_id, n_chars, priority,
+       CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
+            AS INTEGER) AS sample_rank
+FROM pr ORDER BY priority DESC, doc_id LIMIT $k"""
+
   def q_shuffle_shards(nShards: Int, seed: Int): String =
     prologue + s"""
 WITH h0 AS MATERIALIZED (SELECT doc_id,

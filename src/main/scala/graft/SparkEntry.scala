@@ -2283,7 +2283,41 @@ object SparkEntry {
           col("id_a").as("dst")))
       graft.llm.Graph.pageRank(edges, "src", "dst", iters = 2)
         .orderBy("node")
-    })
+    }),
+
+    // exact corpus drift: total-variation distance between the token
+    // distributions of two snapshot halves (even vs odd doc ids — the
+    // same-distribution control; the lang slices below are the drifted
+    // case). Every intermediate is an exact integer; one cast + one
+    // IEEE division at the end
+    "q_token_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.Drift.tokenDrift(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text")
+    }),
+
+    // the drift triage view: top-20 tokens by exact cross-multiplied
+    // share movement between the en and de slices, with which side
+    // over-represents
+    "q_drift_top" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.Drift.driftTop(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") === "de"), "text", k = 20)
+        .orderBy(col("drift_num").desc, col("token"))
+    }),
+
+    // deterministic weight-proportional sampling without replacement
+    // (priority sampling): 50 docs drawn proportional to n_chars via
+    // hash-derived uniforms — reproducible under reruns, replayable in
+    // any engine through the XXH64 oracle macros
+    "q_weighted_sample" -> ((s, dir) =>
+      (t(s, dir, "documents") >> Ops.prioritySample(col("doc_id"),
+        col("n_chars"), k = 50, seed = 7))
+        .select(col("doc_id"), col("n_chars"), col("priority"),
+          col("sample_rank"))
+        .orderBy("sample_rank"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4812,7 +4846,60 @@ object SparkEntry {
            |r0 AS (SELECT node, 1000000000::BIGINT AS rank FROM nodes),
            |$iterCtes
            |SELECT node, rank FROM r2 ORDER BY node""".stripMargin
-      }
+      },
+
+      // exact TVD between the even/odd snapshot halves: cross-multiplied
+      // integer numerators in HUGEINT, one cast + one division — the
+      // identical op sequence to Drift.tokenDrift
+      "q_token_drift" ->
+        s"""WITH ca AS (
+           |  SELECT token, count(*) AS cnt_a FROM (
+           |    SELECT unnest($toksSql) AS token FROM documents
+           |    WHERE doc_id % 2 = 0) GROUP BY 1),
+           |cb AS (
+           |  SELECT token, count(*) AS cnt_b FROM (
+           |    SELECT unnest($toksSql) AS token FROM documents
+           |    WHERE doc_id % 2 = 1) GROUP BY 1),
+           |j AS (SELECT coalesce(cnt_a, 0)::HUGEINT AS cnt_a,
+           |             coalesce(cnt_b, 0)::HUGEINT AS cnt_b
+           |      FROM ca FULL OUTER JOIN cb USING (token)),
+           |tot AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b FROM j)
+           |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           |       CAST((SELECT sum(abs(cnt_a * n_b - cnt_b * n_a))
+           |             FROM j, tot) AS DOUBLE) AS tvd_num,
+           |       CAST((SELECT sum(abs(cnt_a * n_b - cnt_b * n_a))
+           |             FROM j, tot) AS DOUBLE)
+           |         / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           |         AS tvd
+           |FROM tot""".stripMargin,
+
+      // top-20 drift contributors between the en and de slices, ranked
+      // by the exact integer numerator (ties token asc)
+      "q_drift_top" ->
+        s"""WITH ca AS (
+           |  SELECT token, count(*) AS cnt_a FROM (
+           |    SELECT unnest($toksSql) AS token FROM documents
+           |    WHERE lang = 'en') GROUP BY 1),
+           |cb AS (
+           |  SELECT token, count(*) AS cnt_b FROM (
+           |    SELECT unnest($toksSql) AS token FROM documents
+           |    WHERE lang = 'de') GROUP BY 1),
+           |j AS (SELECT token,
+           |             coalesce(cnt_a, 0)::BIGINT AS cnt_a,
+           |             coalesce(cnt_b, 0)::BIGINT AS cnt_b,
+           |             coalesce(cnt_a, 0)::HUGEINT AS ha,
+           |             coalesce(cnt_b, 0)::HUGEINT AS hb
+           |      FROM ca FULL OUTER JOIN cb USING (token)),
+           |tot AS (SELECT sum(ha) AS n_a, sum(hb) AS n_b FROM j)
+           |SELECT token, cnt_a, cnt_b,
+           |       CAST(abs(ha * n_b - hb * n_a) AS DOUBLE) AS drift_num,
+           |       CASE WHEN ha * n_b > hb * n_a THEN 'a'
+           |            WHEN ha * n_b < hb * n_a THEN 'b'
+           |            ELSE '=' END AS heavier
+           |FROM j, tot
+           |ORDER BY abs(ha * n_b - hb * n_a) DESC, token LIMIT 20""".stripMargin,
+
+      "q_weighted_sample" -> OracleXxh.q_weighted_sample(k = 50, seed = 7)
     )
   }
 }

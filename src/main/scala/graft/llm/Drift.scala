@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Corpus distribution drift — EXACT total-variation distance between the
+  * token distributions of two corpus snapshots, plus the per-token drift
+  * decomposition. The monitoring leg of a training-data pipeline: a new
+  * crawl whose unigram distribution has drifted from the reference corpus
+  * (new boilerplate, a source gone spammy, a language-mix shift) should
+  * trip an alert BEFORE it trains a model. Reference precedent for
+  * corpus-level quality gating: config.sample.processor.yml operator
+  * chains; the distance itself is the classic statistical-distance choice
+  * because it is the only common one that needs NO logs or square roots —
+  * every intermediate here is an exact integer.
+  *
+  * TVD(P, Q) = 1/2 · Σ_t |P(t) − Q(t)| with P(t) = c_a(t)/n_a,
+  * Q(t) = c_b(t)/n_b. Cross-multiplying clears the denominators:
+  *
+  *   numerator(t) = |c_a(t)·n_b − c_b(t)·n_a|   (exact integer)
+  *   TVD = Σ_t numerator(t) / (2·n_a·n_b)       (one cast + one division)
+  *
+  * so the whole statistic is exact-integer arithmetic (decimal(38,0) —
+  * counts up to 10^13 tokens per side cross-multiply to 10^26, well inside
+  * decimal range; overflow is LOUD under ANSI) followed by a single
+  * deterministic decimal→double cast and one IEEE division, spelled
+  * identically in the oracle — bit-exact in any engine (q_token_drift,
+  * q_drift_top).
+  *
+  * Scale: token counting is the shuffle-linear map-side-combined aggregate
+  * (the [[TextStats.repetition]] shape); the join is vocab-sized (distinct
+  * tokens, ≪ corpus), totals ride as broadcast 1-row frames. Nothing
+  * corpus-sized crosses an exchange after the per-side count tables.
+  * At truly unbounded vocab (adversarial token soup) use the hashed
+  * [[bucketCounts]] twin whose state is capped at `buckets` rows and whose
+  * TVD lower-bounds the exact one (every merge of two tokens into one
+  * bucket can only cancel mass — pinned by DriftSpec). */
+object Drift {
+
+  /** Per-token counts of one snapshot: (token, cnt). Whitespace tokens,
+    * lowercased — the [[Text.tokens]] convention every text stat shares. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Hashed-bucket counts: (bucket, cnt) with bucket =
+    * pmod(xxhash64(seed, token), buckets) — the bounded-state twin (the
+    * DSIR hashed-bag trick). Collisions merge tokens; the resulting TVD
+    * is a LOWER bound on the exact one. */
+  def bucketCounts(df: DataFrame, textCol: String, buckets: Int,
+                   seed: Int = 0): DataFrame = {
+    require(buckets >= 1, s"bucketCounts: buckets must be >= 1: $buckets")
+    df.select(explode(Text.tokens(col(textCol))).as("__tok"))
+      .select(pmod(xxhash64(lit(seed), col("__tok")), lit(buckets.toLong))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** One-row exact TVD between two count tables (`keyCol`, `cnt`) as
+    * produced by [[tokenCounts]]/[[bucketCounts]]: n_a, n_b (total token
+    * counts), tvd_num (Σ numerator, exact decimal cast to double — the
+    * deterministic one-cast recipe), tvd ∈ [0, 1]. An EMPTY side is
+    * refused loudly (its distribution is undefined, and a silent NaN
+    * would sail through a monitoring dashboard). */
+  def driftFromCounts(ca: DataFrame, cb: DataFrame, keyCol: String)
+      : DataFrame = {
+    val joined = countsJoined(ca, cb, keyCol)
+    joined
+      .agg(sum(col("__num")).as("__tvd_num"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        col("__tvd_num").cast("double").as("tvd_num"),
+        (col("__tvd_num").cast("double") /
+          (lit(2.0) * col("n_a").cast("double") *
+            col("n_b").cast("double"))).as("tvd"))
+  }
+
+  /** Exact TVD between the token distributions of two document frames —
+    * [[tokenCounts]] on each side + [[driftFromCounts]]. */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame =
+    driftFromCounts(tokenCounts(a, textCol), tokenCounts(b, textCol),
+      "token")
+
+  /** Top-k drift CONTRIBUTORS: the tokens whose share moved most between
+    * the snapshots — ranked by the exact integer numerator
+    * |c_a·n_b − c_b·n_a| desc (ties token asc — deterministic), with the
+    * per-side counts and which side over-represents (`heavier` = 'a',
+    * 'b', or '=' when shares agree exactly). The triage view a drift
+    * alert links to. */
+  def driftTop(a: DataFrame, b: DataFrame, textCol: String, k: Int)
+      : DataFrame = {
+    require(k >= 1, s"driftTop: k must be >= 1: $k")
+    countsJoined(tokenCounts(a, textCol), tokenCounts(b, textCol), "token")
+      .withColumn("heavier",
+        when(col("__lhs") > col("__rhs"), lit("a"))
+          .when(col("__lhs") < col("__rhs"), lit("b"))
+          .otherwise(lit("=")))
+      .orderBy(col("__num").desc, col("token"))
+      .limit(k)
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        col("__num").cast("double").as("drift_num"), col("heavier"))
+  }
+
+  /** Full-outer count join with broadcast totals: one row per key seen on
+    * either side, with cnt_a/cnt_b (0 where absent), n_a/n_b totals, the
+    * cross-multiplied shares __lhs/__rhs and |difference| __num — all
+    * exact decimal(38,0). */
+  private def countsJoined(ca: DataFrame, cb: DataFrame, keyCol: String)
+      : DataFrame = {
+    val dec = "decimal(18,0)"
+    // total tokens per side; raise on an empty side (sum over zero rows
+    // is NULL — a distribution over nothing has no TVD)
+    def total(c: DataFrame, name: String): DataFrame =
+      c.agg(coalesce(sum(col("cnt")),
+        raise_error(lit(s"drift: empty side $name"))).as(name))
+    val a = ca.withColumnRenamed("cnt", "cnt_a")
+    val b = cb.withColumnRenamed("cnt", "cnt_b")
+    a.join(b, Seq(keyCol), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .crossJoin(broadcast(total(ca, "n_a")))
+      .crossJoin(broadcast(total(cb, "n_b")))
+      .withColumn("__lhs",
+        col("cnt_a").cast(dec) * col("n_b").cast(dec))
+      .withColumn("__rhs",
+        col("cnt_b").cast(dec) * col("n_a").cast(dec))
+      .withColumn("__num",
+        abs(col("__lhs") - col("__rhs")).cast("decimal(38,0)"))
+  }
+}

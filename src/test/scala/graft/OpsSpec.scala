@@ -259,4 +259,66 @@ class OpsSpec extends SparkSpec {
       conf.unset("spark.graft.unkeyed.fail")
     }
   }
+
+  test("prioritySample: priority = w/u with the documented hash-derived " +
+    "uniform, dense ranks, reproducible, reshuffled by seed") {
+    val df = (1L to 200L).map(i => (i, (i % 7 + 1).toDouble))
+      .toDF("id", "w")
+    val got = df >> Ops.prioritySample(col("id"), col("w"), k = 20,
+      seed = 7)
+    val rows = got.orderBy("sample_rank").collect()
+    assert(rows.map(_.getAs[Int]("sample_rank")).toSeq == (1 to 20))
+    // replay the documented arithmetic row by row
+    val expected = df
+      .withColumn("__u", (xxhash64(lit(7), col("id"))
+        .bitwiseAND(lit((1L << 53) - 1)) + lit(1L)).cast("double"))
+      .withColumn("p", col("w") / col("__u"))
+      .orderBy(col("p").desc, col("id")).limit(20)
+      .select("id").as[Long].collect().toSeq
+    assert(rows.map(_.getAs[Long]("id")).toSeq == expected)
+    // priorities sorted desc, rerun identical, different seed differs
+    val ps = rows.map(_.getAs[Double]("priority")).toSeq
+    assert(ps == ps.sorted.reverse)
+    val again = (df >> Ops.prioritySample(col("id"), col("w"), 20, 7))
+      .orderBy("sample_rank").select("id").as[Long].collect().toSeq
+    assert(again == rows.map(_.getAs[Long]("id")).toSeq)
+    val other = (df >> Ops.prioritySample(col("id"), col("w"), 20, 8))
+      .orderBy("sample_rank").select("id").as[Long].collect().toSeq
+    assert(other != again)
+  }
+
+  test("prioritySample: k >= n keeps every row; heavier rows are " +
+    "sampled more often across seeds (weight-proportionality smoke)") {
+    val df = (1L to 10L).map(i => (i, 1.0)).toDF("id", "w")
+    assert((df >> Ops.prioritySample(col("id"), col("w"), 50, 0))
+      .count() == 10)
+    // two-row corpus, weight ratio 99:1 — the heavy row should win the
+    // 1-slot sample for nearly every seed
+    val two = Seq((1L, 99.0), (2L, 1.0)).toDF("id", "w")
+    val wins = (0 until 50).count { s =>
+      (two >> Ops.prioritySample(col("id"), col("w"), 1, s))
+        .select("id").as[Long].head() == 1L
+    }
+    assert(wins >= 45, s"heavy row won only $wins/50")
+  }
+
+  test("prioritySample: NULL id, NULL weight, and non-positive weight " +
+    "are refused loudly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType, true),
+      StructField("w", DoubleType, true)))
+    def mk(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    for (bad <- Seq(Row(null, 1.0), Row(3L, null), Row(3L, 0.0),
+      Row(3L, -2.0))) {
+      val e = intercept[Exception] {
+        (mk(Seq(Row(1L, 1.0), bad)) >>
+          Ops.prioritySample(col("id"), col("w"), 5, 0)).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("prioritySample")), e)
+    }
+  }
 }
