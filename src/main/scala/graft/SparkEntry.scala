@@ -2317,7 +2317,23 @@ object SparkEntry {
         col("n_chars"), k = 50, seed = 7))
         .select(col("doc_id"), col("n_chars"), col("priority"),
           col("sample_rank"))
-        .orderBy("sample_rank"))
+        .orderBy("sample_rank")),
+
+    // event correlation through the stream-stream join factory in batch
+    // mode: each purchase paired with the same user's views within
+    // ±30 minutes (the JoinOp streaming twin buffers watermark-bounded
+    // state for exactly this pairing)
+    "q_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.streaming.ops.JoinOp(Map("key_col" -> "user_id",
+        "time_bound" -> "30 minutes"), Seq(l, r)).head
+        .select(col("user_id"), col("event_id"), col("r_event_id"))
+        .orderBy("user_id", "event_id", "r_event_id")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4899,7 +4915,18 @@ object SparkEntry {
            |FROM j, tot
            |ORDER BY abs(ha * n_b - hb * n_a) DESC, token LIMIT 20""".stripMargin,
 
-      "q_weighted_sample" -> OracleXxh.q_weighted_sample(k = 50, seed = 7)
+      "q_weighted_sample" -> OracleXxh.q_weighted_sample(k = 50, seed = 7),
+
+      // interval join: purchases × same-user views within ±30 minutes —
+      // exact integer-micros timestamp arithmetic in both engines
+      "q_interval_join" ->
+        """SELECT l.user_id, l.event_id, r.event_id AS r_event_id
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+          |JOIN (SELECT * FROM events WHERE event_type = 'view') r
+          |  ON l.user_id = r.user_id
+          | AND r.ts >= l.ts - INTERVAL 30 MINUTE
+          | AND r.ts <= l.ts + INTERVAL 30 MINUTE
+          |ORDER BY 1, 2, 3""".stripMargin
     )
   }
 }
