@@ -2319,6 +2319,26 @@ object SparkEntry {
           col("sample_rank"))
         .orderBy("sample_rank")),
 
+    // which source drifted: per-source exact TVD against the whole
+    // corpus's token distribution — the triage row a corpus-wide drift
+    // alert links to (left join + totals closure, no per-stratum grid)
+    "q_drift_by_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.Drift.driftByStratum(docs, "source", "text", docs, "text")
+        .orderBy("stratum")
+    }),
+
+    // numeric distribution drift: exact TVD between the fixed-bin value
+    // histograms of purchase vs view events (32 bins over [0, 500)) —
+    // the PSI-style feature-drift monitor, log-free
+    "q_hist_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.llm.Drift.histDrift(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        col("value"), bins = 32, lo = 0.0, hi = 500.0)
+    }),
+
     // event correlation through the stream-stream join factory in batch
     // mode: each purchase paired with the same user's views within
     // ±30 minutes (the JoinOp streaming twin buffers watermark-bounded
@@ -4916,6 +4936,67 @@ object SparkEntry {
            |ORDER BY abs(ha * n_b - hb * n_a) DESC, token LIMIT 20""".stripMargin,
 
       "q_weighted_sample" -> OracleXxh.q_weighted_sample(k = 50, seed = 7),
+
+      // per-source TVD vs the whole corpus: left join + totals closure
+      // (reference-only mass = n_a·(n_b − matched ref counts))
+      "q_drift_by_source" ->
+        s"""WITH sc AS (
+           |  SELECT stratum, token, count(*) AS cnt_a FROM (
+           |    SELECT source AS stratum, unnest($toksSql) AS token
+           |    FROM documents) GROUP BY 1, 2),
+           |rc AS (
+           |  SELECT token, count(*) AS cnt_b FROM (
+           |    SELECT unnest($toksSql) AS token FROM documents)
+           |  GROUP BY 1),
+           |tot AS (SELECT sum(cnt_b)::HUGEINT AS n_b FROM rc),
+           |st AS (SELECT stratum, sum(cnt_a)::HUGEINT AS n_a FROM sc
+           |       GROUP BY 1),
+           |j AS (SELECT sc.stratum, sc.cnt_a::HUGEINT AS ca,
+           |             coalesce(rc.cnt_b, 0)::HUGEINT AS cb
+           |      FROM sc LEFT JOIN rc USING (token)),
+           |agg AS (
+           |  SELECT j.stratum,
+           |         sum(abs(j.ca * tot.n_b - j.cb * st.n_a)) AS s1,
+           |         sum(j.cb) AS m,
+           |         any_value(st.n_a) AS n_a, any_value(tot.n_b) AS n_b
+           |  FROM j JOIN st ON st.stratum = j.stratum CROSS JOIN tot
+           |  GROUP BY j.stratum)
+           |SELECT stratum, CAST(n_a AS BIGINT) AS n_a,
+           |       CAST(n_b AS BIGINT) AS n_b,
+           |       CAST(s1 + n_a * (n_b - m) AS DOUBLE) AS tvd_num,
+           |       CAST(s1 + n_a * (n_b - m) AS DOUBLE)
+           |         / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           |         AS tvd
+           |FROM agg ORDER BY stratum""".stripMargin,
+
+      // fixed-bin value-histogram TVD, purchase vs view: identical
+      // binning arithmetic ((x−lo)/range·bins, floor, clamp) then the
+      // q_token_drift numerator chain over buckets
+      "q_hist_drift" ->
+        """WITH ca AS (
+          |  SELECT bucket, count(*) AS cnt_a FROM (
+          |    SELECT CAST(least(greatest(
+          |      floor((value - 0.0) / 500.0 * 32.0), 0), 31) AS BIGINT)
+          |      AS bucket FROM events WHERE event_type = 'purchase')
+          |  GROUP BY 1),
+          |cb AS (
+          |  SELECT bucket, count(*) AS cnt_b FROM (
+          |    SELECT CAST(least(greatest(
+          |      floor((value - 0.0) / 500.0 * 32.0), 0), 31) AS BIGINT)
+          |      AS bucket FROM events WHERE event_type = 'view')
+          |  GROUP BY 1),
+          |j AS (SELECT coalesce(cnt_a, 0)::HUGEINT AS cnt_a,
+          |             coalesce(cnt_b, 0)::HUGEINT AS cnt_b
+          |      FROM ca FULL OUTER JOIN cb USING (bucket)),
+          |tot AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b FROM j)
+          |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          |       CAST((SELECT sum(abs(cnt_a * n_b - cnt_b * n_a))
+          |             FROM j, tot) AS DOUBLE) AS tvd_num,
+          |       CAST((SELECT sum(abs(cnt_a * n_b - cnt_b * n_a))
+          |             FROM j, tot) AS DOUBLE)
+          |         / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+          |         AS tvd
+          |FROM tot""".stripMargin,
 
       // interval join: purchases × same-user views within ±30 minutes —
       // exact integer-micros timestamp arithmetic in both engines

@@ -103,6 +103,86 @@ object Drift {
         col("__num").cast("double").as("drift_num"), col("heavier"))
   }
 
+  /** Fixed-bin histogram counts of a NUMERIC column: (bucket, cnt) with
+    * bucket = floor((x − lo) / (hi − lo) · bins) clamped to [0, bins−1]
+    * — three IEEE ops + a monotone floor, so any engine reproduces the
+    * binning (the [[graft.operators.Ops.globalRankBuckets]] cell trick).
+    * Feed two sides to [[driftFromCounts]] for NUMERIC distribution
+    * drift (doc lengths, scores, embedding norms) — the PSI-style
+    * monitor, TVD instead of PSI because it needs no logs. NULL values
+    * are refused (a silently vanishing NULL would understate drift). */
+  def binCounts(df: DataFrame, valueCol: Column, bins: Int,
+                lo: Double, hi: Double): DataFrame = {
+    require(bins >= 1, s"binCounts: bins must be >= 1: $bins")
+    require(lo < hi, s"binCounts: need lo < hi: $lo, $hi")
+    val x = when(valueCol.isNull, raise_error(lit("binCounts: NULL value")))
+      .otherwise(valueCol.cast("double"))
+    df.select(least(greatest(
+        floor((x - lit(lo)) / lit(hi - lo) * lit(bins.toDouble)), lit(0L)),
+        lit(bins - 1L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Numeric distribution drift: exact TVD between the fixed-bin
+    * histograms of `valueCol` on the two sides. */
+  def histDrift(a: DataFrame, b: DataFrame, valueCol: Column, bins: Int,
+                lo: Double, hi: Double): DataFrame =
+    driftFromCounts(binCounts(a, valueCol, bins, lo, hi),
+      binCounts(b, valueCol, bins, lo, hi), "bucket")
+
+  /** PER-STRATUM drift: the TVD of each stratum's token distribution
+    * against a REFERENCE corpus — the "which source went bad" answer a
+    * corpus-wide [[tokenDrift]] alert needs next. One row per stratum:
+    * (stratum, n_a = stratum tokens, n_b = reference tokens, tvd_num,
+    * tvd), the [[driftFromCounts]] arithmetic per stratum (DriftSpec
+    * parity pin).
+    *
+    * No per-stratum grid and no vocab broadcast: a LEFT join from the
+    * (stratum, token) counts to the reference counts (one token-keyed
+    * shuffle, linear) covers tokens the stratum has; the reference-only
+    * mass follows from totals —
+    *
+    *   Σ_{t∉stratum} r(t)·n_s  =  n_s · (n_ref − Σ_{t∈stratum} r(t))
+    *
+    * so two per-stratum sums close the full-outer without materializing
+    * it. NULL strata are refused ([[graft.operators.Ops]] NULL-key
+    * contract). */
+  def driftByStratum(df: DataFrame, stratumCol: String, textCol: String,
+                     ref: DataFrame, refTextCol: String): DataFrame = {
+    val dec = "decimal(18,0)"
+    val sc = df.select(
+        when(col(stratumCol).isNull,
+          raise_error(lit("driftByStratum: NULL stratum")))
+          .otherwise(col(stratumCol)).as("stratum"),
+        explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("stratum", "token").agg(count(lit(1)).as("cnt_a"))
+    val rc = tokenCounts(ref, refTextCol).withColumnRenamed("cnt", "cnt_b")
+    val refTot = rc.agg(coalesce(sum(col("cnt_b")),
+      raise_error(lit("driftByStratum: empty reference"))).as("n_b"))
+    val sTot = sc.groupBy("stratum").agg(sum(col("cnt_a")).as("n_a"))
+    sc.join(rc, Seq("token"), "left")
+      .na.fill(0L, Seq("cnt_b"))
+      .join(broadcast(sTot), Seq("stratum"))
+      .crossJoin(broadcast(refTot))
+      .withColumn("__num", abs(
+        col("cnt_a").cast(dec) * col("n_b").cast(dec) -
+          col("cnt_b").cast(dec) * col("n_a").cast(dec))
+        .cast("decimal(38,0)"))
+      .groupBy("stratum")
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(col("__num")).as("__s1"),
+        sum(col("cnt_b").cast(dec)).as("__m"))
+      // + the reference-only mass: n_a · (n_ref − matched ref counts)
+      .withColumn("__tvd_num",
+        (col("__s1") + col("n_a").cast(dec) *
+          (col("n_b").cast(dec) - col("__m"))).cast("decimal(38,0)"))
+      .select(col("stratum"), col("n_a"), col("n_b"),
+        col("__tvd_num").cast("double").as("tvd_num"),
+        (col("__tvd_num").cast("double") /
+          (lit(2.0) * col("n_a").cast("double") *
+            col("n_b").cast("double"))).as("tvd"))
+  }
+
   /** Full-outer count join with broadcast totals: one row per key seen on
     * either side, with cnt_a/cnt_b (0 where absent), n_a/n_b totals, the
     * cross-multiplied shares __lhs/__rhs and |difference| __num — all

@@ -82,6 +82,56 @@ class DriftSpec extends SparkSpec {
     assert(self == 0.0)
   }
 
+  test("driftByStratum: per-stratum TVD equals the full driftFromCounts " +
+    "of that stratum's slice (the totals-closure shortcut is exact)") {
+    val df = Seq((1L, "s1", "x x y"), (2L, "s1", "y z"),
+      (3L, "s2", "z z q"), (4L, "s2", "x")).toDF("doc_id", "src", "text")
+    val ref = Seq((9L, "x y z z w"), (10L, "w q")).toDF("doc_id", "text")
+    val got = Drift.driftByStratum(df, "src", "text", ref, "text")
+      .orderBy("stratum")
+      .select("stratum", "n_a", "n_b", "tvd_num", "tvd")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    val want = Seq("s1", "s2").map { s =>
+      val slice = df.filter(col("src") === s)
+      val r = Drift.driftFromCounts(
+        Drift.tokenCounts(slice, "text"), Drift.tokenCounts(ref, "text"),
+        "token").select("n_a", "n_b", "tvd_num", "tvd")
+        .as[(Long, Long, Double, Double)].head()
+      (s, r._1, r._2, r._3, r._4)
+    }
+    assert(got == want)
+    // NULL stratum refused
+    val bad = Seq((1L, "s1", "x"), (2L, null, "y"))
+      .toDF("doc_id", "src", "text")
+    val e = intercept[Exception] {
+      Drift.driftByStratum(bad, "src", "text", ref, "text").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL stratum")), e)
+  }
+
+  test("histDrift: hand-computed bin TVD with out-of-range values " +
+    "clamped to the edge bins") {
+    // bins=2 over [0,10): a = {0:2, 1:1}, b = {0:1, 1:2} → TVD = 1/3;
+    // -5 clamps to bin 0, 99 clamps to bin 1
+    val a = Seq(1.0, -5.0, 7.0).toDF("v")
+    val b = Seq(2.0, 99.0, 8.0).toDF("v")
+    val row = Drift.histDrift(a, b, col("v"), bins = 2, lo = 0.0,
+      hi = 10.0).collect().head
+    assert(row.getAs[Long]("n_a") == 3L && row.getAs[Long]("n_b") == 3L)
+    // |2·3−1·3| + |1·3−2·3| = 6; tvd = 6/(2·3·3) = 1/3
+    assert(row.getAs[Double]("tvd_num") == 6.0)
+    assert(row.getAs[Double]("tvd") == 6.0 / 18.0)
+    val e = intercept[Exception] {
+      Drift.histDrift(Seq[Option[Double]](Some(1.0), None).toDF("v"),
+        b, col("v"), 2, 0.0, 10.0).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL value")), e)
+  }
+
   test("DriftOp.finish equals Drift.driftFromCounts per window " +
     "(batch parity) across multiple windows") {
     val ts0 = Timestamp.valueOf("2026-01-01 00:10:00")

@@ -77,6 +77,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_weighted_sample scores map-only and cuts via " +
+    "TakeOrderedAndProject — the only WindowExec ranks the k-row result") {
+    val p = planStr("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hash"), p)
+  }
+
+  test("drift queries: corpus sides never broadcast (vocab-sized joins " +
+    "stay keyed); totals ride as broadcast 1-row frames") {
+    for (q <- Seq("q_token_drift", "q_drift_by_source", "q_hist_drift")) {
+      val p = planStr(q)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q: totals not broadcast\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+  }
+
   test("similarity-search ranking is a bounded top-k aggregation, not a " +
     "per-query window (map-side partials carry ≤k rows per query)") {
     for (q <- Seq("q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf")) {
