@@ -2319,6 +2319,23 @@ object SparkEntry {
           col("sample_rank"))
         .orderBy("sample_rank")),
 
+    // skew-resistant salted join: orders ⋈ customer keyed on
+    // (custkey, salt-of-orderkey) with the customer side replicated 8
+    // ways — result EQUALS the plain join (the per-row salt meets
+    // exactly one replica), while a hot custkey's rows spread across 8
+    // tasks instead of one
+    "q_salted_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Ops.saltedJoin(o, c, Seq("o_custkey"), col("o_orderkey"), salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // which source drifted: per-source exact TVD against the whole
     // corpus's token distribution — the triage row a corpus-wide drift
     // alert links to (left join + totals closure, no per-stratum grid)
@@ -4936,6 +4953,15 @@ object SparkEntry {
            |ORDER BY abs(ha * n_b - hb * n_a) DESC, token LIMIT 20""".stripMargin,
 
       "q_weighted_sample" -> OracleXxh.q_weighted_sample(k = 50, seed = 7),
+
+      // the salted join must EQUAL the plain join — the oracle IS the
+      // unsalted form
+      "q_salted_join" ->
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |            AS DOUBLE) AS total
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // per-source TVD vs the whole corpus: left join + totals closure
       // (reference-only mass = n_a·(n_b − matched ref counts))

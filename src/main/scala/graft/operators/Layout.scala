@@ -88,4 +88,40 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Bucketed table write — the CO-LOCATED join layout: two tables
+    * bucketed by the same key into the same bucket count join with ZERO
+    * shuffle exchange (LayoutSpec pins the plan), because Spark's file
+    * source trusts the persisted hashing (the residual Sort before a
+    * merge join is LOCAL per bucket — Spark ≥3.0 ignores write-time
+    * sortBy ordering unless the legacy outputOrdering conf is on). At
+    * 100 TB this turns the nightly fact⋈fact join from the cluster's
+    * biggest shuffle into a per-bucket local merge — the layout is paid
+    * ONCE at write and amortized over every downstream join/aggregate
+    * on that key.
+    *
+    * Managed-table form on purpose (`saveAsTable`): bucket metadata
+    * lives in the catalog — a plain `.parquet(path)` write cannot
+    * record it, which is why the YAML parquet sinks don't offer this
+    * (they stay hive-partitioned/Z-ordered; see `shapeForParquet`).
+    * Spark's bucketing differs from Hive's (no per-bucket file
+    * contract), so readers must be Spark — the training-pipeline case. */
+  def bucketedWrite(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int, sortCols: Seq[String] = Seq.empty,
+                    mode: String = "overwrite"): Unit = {
+    require(keys.nonEmpty, "bucketedWrite: no bucket keys")
+    require(buckets >= 1, s"bucketedWrite: buckets must be >= 1: $buckets")
+    // repartition on the bucket keys into exactly `buckets` tasks:
+    // repartition and bucketBy share the hash (Murmur3 pmod buckets), so
+    // task i holds exactly bucket i and each bucket lands in ONE file —
+    // the small-files control, and the condition under which the reader
+    // trusts write-time sortBy (multi-file buckets are each sorted but
+    // not merged, so Spark would re-Sort before a merge join)
+    val shaped = df.repartition(buckets, keys.map(col): _*)
+    val w0 = shaped.write.mode(mode)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    val w = if (sortCols.isEmpty) w0
+      else w0.sortBy(sortCols.head, sortCols.tail: _*)
+    w.format("parquet").saveAsTable(table)
+  }
 }

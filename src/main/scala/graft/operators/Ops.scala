@@ -512,6 +512,35 @@ object Ops {
     * valid priority of 0 — refused loudly instead so a half-NULL score
     * column fails the run, not the sample). Adds `priority` and 1-based
     * `sample_rank`. */
+  /** Skew-resistant equi-join — the classic SALTED join: a plain
+    * key-shuffle join sends a hot key's entire left side to ONE task
+    * (the Zipf cliff every web corpus hits: one domain, one user id, one
+    * template fingerprint owning 10% of rows). Salting splits each left
+    * key across `salts` tasks — left rows get a deterministic salt from
+    * `saltFrom` (a row-unique column, hashed; NOT rand(), so reruns and
+    * retries shuffle identically), the right side is replicated once per
+    * salt, and the join keys on (key, salt): every left row still meets
+    * exactly one right replica, so the result EQUALS the plain join
+    * row-for-row (oracled as q_salted_join) while the hot key's work
+    * spreads `salts` ways.
+    *
+    * Cost model: right side pays ×`salts` replication — use when the
+    * right is modest (dimension-sized but past the broadcast threshold)
+    * and the left is huge and skewed. AQE's skew-join split handles the
+    * sort-merge case adaptively; the salt is the static form that also
+    * works under AQE-hostile shapes (stateful plans, disabled AQE) and
+    * composes with any join the optimizer picks. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltFrom: Column, salts: Int): DataFrame = {
+    require(salts >= 1, s"saltedJoin: salts must be >= 1: $salts")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(refuseNull(saltFrom, lit("saltedJoin: NULL salt " +
+        "source"))), lit(salts.toLong)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+
   def prioritySample(idCol: Column, weightCol: Column, k: Int,
                      seed: Int = 0): Op = { df =>
     require(k >= 1, s"prioritySample: k must be >= 1: $k")

@@ -62,6 +62,44 @@ class LayoutSpec extends SparkSpec {
     assert(sy >= 28.0, s"x-sorted leaves y unclustered, got $sy")
   }
 
+  test("co-bucketed tables join with ZERO shuffle exchange " +
+    "(the layout is paid once at write, every keyed join after is " +
+    "shuffle-free; the residual Sort is local per bucket)") {
+    val n = 4
+    val a = (1L to 500L).map(i => (i % 50, i)).toDF("k", "va")
+    val b = (1L to 300L).map(i => (i % 50, i * 10)).toDF("k", "vb")
+    Layout.bucketedWrite(a, "lay_buck_a", Seq("k"), n, sortCols = Seq("k"))
+    Layout.bucketedWrite(b, "lay_buck_b", Seq("k"), n, sortCols = Seq("k"))
+    // the shuffle-join regime is where bucketing pays — disable the
+    // broadcast fallback these test-sized tables would otherwise take
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("lay_buck_a").join(spark.table("lay_buck_b"), "k")
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      // (Spark ≥3.0 re-sorts LOCALLY before the merge regardless of
+      // write-time sortBy — bucketed scans stopped reporting output
+      // ordering, spark.sql.legacy.bucketedTableScan.outputOrdering —
+      // so the pin is on the exchange, the cluster-scale cost)
+      // and the result is the plain join, row for row
+      val want = a.join(b, "k").count()
+      assert(j.count() == want && want > 0)
+      // a DIFFERENT bucket count must shuffle one side — the pin is on
+      // CO-bucketing, not on bucketing per se
+      Layout.bucketedWrite(b, "lay_buck_c", Seq("k"), n * 2)
+      val p2 = spark.table("lay_buck_a")
+        .join(spark.table("lay_buck_c"), "k")
+        .queryExecution.executedPlan.toString
+      assert(p2.contains("Exchange hashpartitioning"), p2)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Seq("lay_buck_a", "lay_buck_b", "lay_buck_c").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("zorderKey is deterministic across partitioning") {
     val ev = graft.core.Tables.table(
       spark, "/root/testdata/sf0.001", "events")

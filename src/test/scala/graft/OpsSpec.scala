@@ -302,6 +302,36 @@ class OpsSpec extends SparkSpec {
     assert(wins >= 45, s"heavy row won only $wins/50")
   }
 
+  test("saltedJoin equals the plain join row-for-row and spreads a hot " +
+    "key across all salts") {
+    val left = (1L to 1000L).map(i =>
+      (if (i <= 900) "hot" else s"k${i % 7}", i)).toDF("k", "lv")
+    val right = Seq(("hot", 1L), ("k1", 2L), ("k3", 3L), ("cold", 4L))
+      .toDF("k", "rv")
+    val salted = Ops.saltedJoin(left, right, Seq("k"), col("lv"), 8)
+    val plain = left.join(right, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "lv", "rv").exceptAll(
+      plain.select("k", "lv", "rv")).isEmpty)
+    assert(plain.select("k", "lv", "rv").exceptAll(
+      salted.select("k", "lv", "rv")).isEmpty)
+    // the hot key's 900 rows hash across ALL 8 salt values — the join
+    // key is (k, salt), so no single task owns the key
+    val hotSalts = left.filter(col("k") === "hot")
+      .select(pmod(xxhash64(col("lv")), lit(8L)).as("s"))
+      .distinct().count()
+    assert(hotSalts == 8L)
+    // NULL salt source refused
+    val e = intercept[Exception] {
+      Ops.saltedJoin(
+        Seq((Some("a"), Option.empty[Long])).toDF("k", "lv"),
+        right, Seq("k"), col("lv"), 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("saltedJoin")), e)
+  }
+
   test("prioritySample: NULL id, NULL weight, and non-positive weight " +
     "are refused loudly") {
     import org.apache.spark.sql.Row
