@@ -2319,6 +2319,31 @@ object SparkEntry {
           col("sample_rank"))
         .orderBy("sample_rank")),
 
+    // the streaming temporal-join factory in batch mode: purchases
+    // enriched with the same user's newest view value at event time
+    // (the FMGWS state machine, exact as-of semantics — parity with
+    // AsOfJoin pinned by TemporalJoinSpec, hash-matched here)
+    "q_temporal_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("k"), col("ts"),
+          col("event_id").as("id"))
+      val r = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("k"), col("ts"),
+          col("value").cast("string").as("v"),
+          col("event_id").as("tie"))
+      graft.streaming.ops.TemporalJoinOp(Map("key_col" -> "k",
+        "timestamp_col" -> "ts", "id_col" -> "id", "value_col" -> "v",
+        "tie_col" -> "tie"), Seq(l, r)).head
+        .select(col("id"), col("k").cast("long").as("user_id"),
+          col("r_ts"),
+          // the op carries values as strings for type-generality; the
+          // double→string→double round-trip is exact (shortest-roundtrip
+          // rendering), so casting back oracles against the raw column
+          col("r_value").cast("double").as("r_value"))
+        .orderBy("id")
+    }),
+
     // skew-resistant salted join: orders ⋈ customer keyed on
     // (custkey, salt-of-orderkey) with the customer side replicated 8
     // ways — result EQUALS the plain join (the per-row salt meets
@@ -4953,6 +4978,20 @@ object SparkEntry {
            |ORDER BY abs(ha * n_b - hb * n_a) DESC, token LIMIT 20""".stripMargin,
 
       "q_weighted_sample" -> OracleXxh.q_weighted_sample(k = 50, seed = 7),
+
+      // as-of enrichment through the streaming temporal-join factory:
+      // newest view at or before each purchase, ties to the larger
+      // event_id
+      "q_temporal_join" ->
+        """SELECT id, user_id, r_ts, r_value FROM (
+          |  SELECT p.event_id AS id, p.user_id, v.ts AS r_ts,
+          |         v.value AS r_value,
+          |         row_number() OVER (PARTITION BY p.event_id
+          |           ORDER BY v.ts DESC, v.event_id DESC) AS rn
+          |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          |    ON v.user_id = p.user_id AND v.ts <= p.ts)
+          |WHERE rn = 1 ORDER BY id""".stripMargin,
 
       // the salted join must EQUAL the plain join — the oracle IS the
       // unsalted form
