@@ -2319,6 +2319,20 @@ object SparkEntry {
           col("sample_rank"))
         .orderBy("sample_rank")),
 
+    // changepoint series: exact TVD between each hour's value histogram
+    // and the previous present hour's — drift monitoring WITHOUT a
+    // reference corpus (a spike marks the hour the distribution moved)
+    "q_adjacent_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val x = col("value").cast("double")
+      val bucket = least(greatest(
+        floor((x - lit(0.0)) / lit(500.0) * lit(8.0)), lit(0L)), lit(7L))
+      val cells = ev.groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        bucket.as("bucket")).agg(count(lit(1)).as("cnt"))
+      graft.llm.Drift.adjacentDrift(cells).orderBy("window_start")
+    }),
+
     // the streaming temporal-join factory in batch mode: purchases
     // enriched with the same user's newest view value at event time
     // (the FMGWS state machine, exact as-of semantics — parity with
@@ -4978,6 +4992,47 @@ object SparkEntry {
            |ORDER BY abs(ha * n_b - hb * n_a) DESC, token LIMIT 20""".stripMargin,
 
       "q_weighted_sample" -> OracleXxh.q_weighted_sample(k = 50, seed = 7),
+
+      // adjacent-window self-drift over hourly value histograms:
+      // present-window rank pairing, per-pair bucket-union full outer,
+      // the q_token_drift numerator chain
+      "q_adjacent_drift" ->
+        """WITH cells AS (
+          |  SELECT date_trunc('hour', ts) AS w,
+          |         CAST(least(greatest(
+          |           floor((value - 0.0) / 500.0 * 8.0), 0), 7)
+          |           AS BIGINT) AS bucket,
+          |         count(*) AS cnt
+          |  FROM events GROUP BY 1, 2),
+          |tot AS (SELECT w, sum(cnt)::HUGEINT AS tot,
+          |               row_number() OVER (ORDER BY w) AS r
+          |        FROM cells GROUP BY w),
+          |pairs AS (SELECT c.w AS w, p.w AS pw,
+          |                 c.tot AS n_a, p.tot AS n_b
+          |          FROM tot c JOIN tot p ON c.r = p.r + 1),
+          |bks AS (SELECT DISTINCT w, pw, bucket FROM (
+          |  SELECT pairs.w, pairs.pw, cells.bucket FROM pairs
+          |  JOIN cells ON cells.w = pairs.w
+          |  UNION ALL
+          |  SELECT pairs.w, pairs.pw, cells.bucket FROM pairs
+          |  JOIN cells ON cells.w = pairs.pw)),
+          |j AS (SELECT b.w, b.pw,
+          |             coalesce(a.cnt, 0)::HUGEINT AS ca,
+          |             coalesce(p.cnt, 0)::HUGEINT AS cb
+          |      FROM bks b
+          |      LEFT JOIN cells a ON a.w = b.w AND a.bucket = b.bucket
+          |      LEFT JOIN cells p ON p.w = b.pw AND p.bucket = b.bucket),
+          |agg AS (SELECT j.w, j.pw,
+          |               sum(abs(ca * t.n_b - cb * t.n_a)) AS s,
+          |               any_value(t.n_a) AS n_a, any_value(t.n_b) AS n_b
+          |        FROM j JOIN pairs t ON t.w = j.w GROUP BY j.w, j.pw)
+          |SELECT w AS window_start, pw AS prev_start,
+          |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          |       CAST(s AS DOUBLE) AS tvd_num,
+          |       CAST(s AS DOUBLE)
+          |         / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+          |         AS tvd
+          |FROM agg ORDER BY 1""".stripMargin,
 
       // as-of enrichment through the streaming temporal-join factory:
       // newest view at or before each purchase, ties to the larger

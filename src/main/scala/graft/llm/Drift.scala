@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -177,6 +178,58 @@ object Drift {
         (col("__s1") + col("n_a").cast(dec) *
           (col("n_b").cast(dec) - col("__m"))).cast("decimal(38,0)"))
       .select(col("stratum"), col("n_a"), col("n_b"),
+        col("__tvd_num").cast("double").as("tvd_num"),
+        (col("__tvd_num").cast("double") /
+          (lit(2.0) * col("n_a").cast("double") *
+            col("n_b").cast("double"))).as("tvd"))
+  }
+
+  /** Adjacent-window SELF-drift — changepoint detection without a
+    * reference: given a per-window count table `(window_start, bucket,
+    * cnt)` (the [[graft.streaming.ops.DriftOp]] cell product, or
+    * [[binCounts]] grouped by a window column), the exact TVD between
+    * each window and the PREVIOUS present window. A spike in the series
+    * marks the hour the corpus changed. Adjacency is by rank over the
+    * PRESENT windows (an empty hour doesn't break the chain — the next
+    * present window compares against the last one that had data).
+    *
+    * The window list is tiny (windows, not rows) and broadcasts; each
+    * side of the per-pair full-outer is a bounded bucket table, so the
+    * whole series costs two window-keyed joins + one aggregate. Output:
+    * (window_start, prev_start, n_a = window tokens, n_b = previous
+    * window's, tvd_num, tvd) — the [[driftFromCounts]] arithmetic per
+    * pair (DriftSpec pin). */
+  def adjacentDrift(cells: DataFrame): DataFrame = {
+    val dec = "decimal(18,0)"
+    val wTot = cells.groupBy("window_start")
+      .agg(sum(col("cnt")).as("__tot"))
+    val ranked = wTot.select(col("window_start"), col("__tot"),
+      row_number().over(Window.orderBy(col("window_start"))).as("__r"))
+    // (current, previous) pairs of PRESENT windows, with both totals
+    val pairs = ranked.alias("c")
+      .join(ranked.alias("p"), col("c.__r") === col("p.__r") + 1)
+      .select(col("c.window_start").as("window_start"),
+        col("p.window_start").as("prev_start"),
+        col("c.__tot").as("n_a"), col("p.__tot").as("n_b"))
+    val a = cells.join(broadcast(pairs), Seq("window_start"))
+      .select(col("window_start"), col("prev_start"), col("bucket"),
+        col("cnt").as("cnt_a"))
+    val b = cells.select(col("window_start").as("prev_start"),
+        col("bucket"), col("cnt").as("cnt_b"))
+      .join(broadcast(pairs.select("window_start", "prev_start")),
+        Seq("prev_start"))
+    a.join(b, Seq("window_start", "prev_start", "bucket"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .join(broadcast(pairs), Seq("window_start", "prev_start"))
+      .withColumn("__num", abs(
+        col("cnt_a").cast(dec) * col("n_b").cast(dec) -
+          col("cnt_b").cast(dec) * col("n_a").cast(dec))
+        .cast("decimal(38,0)"))
+      .groupBy("window_start", "prev_start")
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(col("__num")).as("__tvd_num"))
+      .select(col("window_start"), col("prev_start"), col("n_a"),
+        col("n_b"),
         col("__tvd_num").cast("double").as("tvd_num"),
         (col("__tvd_num").cast("double") /
           (lit(2.0) * col("n_a").cast("double") *

@@ -132,6 +132,34 @@ class DriftSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("NULL value")), e)
   }
 
+  test("adjacentDrift: each (window, previous) pair equals the full " +
+    "driftFromCounts of the two windows' cells; gaps chain to the last " +
+    "PRESENT window") {
+    val w1 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val w2 = Timestamp.valueOf("2026-01-01 01:00:00")
+    val w4 = Timestamp.valueOf("2026-01-01 03:00:00") // hour 2 empty
+    val cells = Seq(
+      (w1, 0L, 3L), (w1, 1L, 1L),
+      (w2, 0L, 1L), (w2, 2L, 2L),
+      (w4, 1L, 5L)).toDF("window_start", "bucket", "cnt")
+    val got = Drift.adjacentDrift(cells).orderBy("window_start")
+      .select("window_start", "prev_start", "n_a", "n_b", "tvd_num",
+        "tvd")
+      .as[(Timestamp, Timestamp, Long, Long, Double, Double)]
+      .collect().toSeq
+    // adjacency: (w2 vs w1), (w4 vs w2 — across the empty hour)
+    assert(got.map(r => (r._1, r._2)) == Seq((w2, w1), (w4, w2)))
+    val want = Seq((w2, w1), (w4, w2)).map { case (c, p) =>
+      def slice(w: Timestamp) = cells
+        .filter(col("window_start") === w).select("bucket", "cnt")
+      val r = Drift.driftFromCounts(slice(c), slice(p), "bucket")
+        .select("n_a", "n_b", "tvd_num", "tvd")
+        .as[(Long, Long, Double, Double)].head()
+      (c, p, r._1, r._2, r._3, r._4)
+    }
+    assert(got == want)
+  }
+
   test("DriftOp.finish equals Drift.driftFromCounts per window " +
     "(batch parity) across multiple windows") {
     val ts0 = Timestamp.valueOf("2026-01-01 00:10:00")

@@ -471,4 +471,57 @@ class TopologySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("zorder_by"), e.getMessage)
   }
+
+  test("two-source join factories wire from YAML: TemporalJoinOp and " +
+    "JoinOp each read a pair of parquet topics in batch mode") {
+    val tmp = Files.createTempDirectory("topo_joins").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:01:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-01-01 00:02:00")
+    val t3 = java.sql.Timestamp.valueOf("2026-01-01 00:03:00")
+    Seq(("a", t3, 1L), ("b", t3, 2L)).toDF("k", "ts", "id")
+      .write.mode("overwrite").parquet(s"$tmp/lefts")
+    Seq(("a", t0, "v1", 1L), ("a", t2, "v2", 2L))
+      .toDF("k", "ts", "v", "tie")
+      .write.mode("overwrite").parquet(s"$tmp/rights")
+    val yaml =
+      s"""topics:
+         |  - name: lefts
+         |    kind: parquet
+         |    path: $tmp/lefts
+         |  - name: rights
+         |    kind: parquet
+         |    path: $tmp/rights
+         |  - name: enriched
+         |    kind: parquet
+         |    path: $tmp/enriched
+         |  - name: paired
+         |    kind: parquet
+         |    path: $tmp/paired
+         |operators:
+         |  asof:
+         |    factory: graft.streaming.ops.TemporalJoinOp
+         |    sources: [lefts, rights]
+         |    sinks: [enriched]
+         |  band:
+         |    factory: graft.streaming.ops.JoinOp
+         |    sources: [lefts, rights]
+         |    sinks: [paired]
+         |config:
+         |  key_col: k
+         |  timestamp_col: ts
+         |  id_col: id
+         |  value_col: v
+         |  tie_col: tie
+         |  time_bound: 1 minutes
+         |""".stripMargin
+    Topology.parse(yaml).runBatch(spark, s"$tmp/sinks")
+    val asof = spark.read.parquet(s"$tmp/sinks/enriched")
+      .select("id", "r_value").as[(Long, Option[String])]
+      .collect().toMap
+    assert(asof == Map(1L -> Some("v2"), 2L -> None))
+    val band = spark.read.parquet(s"$tmp/sinks/paired")
+      .select("k", "id", "r_v").as[(String, Long, String)]
+      .collect().toSet
+    assert(band == Set(("a", 1L, "v2"))) // only a@3 ↔ v2@2 within 1 min
+  }
 }
