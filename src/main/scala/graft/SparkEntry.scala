@@ -2277,10 +2277,14 @@ object SparkEntry {
     "q_pagerank_docs" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         "doc_id", "text", shingleSize = 3, threshold = 0.3)
-      val edges = pairs.select(col("id_a").as("src"),
-        col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"),
-          col("id_a").as("dst")))
+      // symmetrize via explode, not union: a union traverses the pair
+      // subtree twice, and pair GENERATION is the expensive stage here
+      // (measured 2× ngram-Jaccard per run → once; 3.4s → 2.3s at sf0.1)
+      val edges = pairs.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.llm.Graph.pageRank(edges, "src", "dst", iters = 2)
         .orderBy("node")
     }),
@@ -2318,6 +2322,34 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"), col("priority"),
           col("sample_rank"))
         .orderBy("sample_rank")),
+
+    // composed MONITORING pipeline — the nightly corpus-health run in
+    // one plan: today's snapshot (even ids) vs reference (odd ids),
+    // per source: volume, Gopher pass count, and exact TVD drift vs
+    // the reference distribution; every stage individually oracled,
+    // the composition hash-matched end to end
+    "q_pipeline_monitor" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // split on mod 3, not parity: doc_id parity correlates with
+      // source in the fixture (even ids land in even sources), and a
+      // monitor demo where every source appears on both sides is the
+      // honest one
+      val snap = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val ref = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val drift = graft.llm.Drift
+        .driftByStratum(snap, "source", "text", ref, "text")
+        .withColumnRenamed("stratum", "source")
+      val card = snap
+        .select(col("source"), Text.tokens(col("text")).as("__ts"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(graft.llm.TextStats.gopherKeepOf(col("__ts")), 1L)
+            .otherwise(0L)).as("n_gopher_pass"))
+      card.join(drift, "source")
+        .select("source", "n_docs", "n_gopher_pass", "n_a", "n_b",
+          "tvd_num", "tvd")
+        .orderBy("source")
+    }),
 
     // changepoint series: exact TVD between each hour's value histogram
     // and the previous present hour's — drift monitoring WITHOUT a
@@ -4992,6 +5024,58 @@ object SparkEntry {
            |ORDER BY abs(ha * n_b - hb * n_a) DESC, token LIMIT 20""".stripMargin,
 
       "q_weighted_sample" -> OracleXxh.q_weighted_sample(k = 50, seed = 7),
+
+      // composed monitoring: per-source card (docs, gopher passes) +
+      // the q_drift_by_source TVD chain against the odd-id reference
+      "q_pipeline_monitor" ->
+        s"""WITH snap AS (
+           |  SELECT source, $toksSql AS ts FROM documents
+           |  WHERE doc_id % 3 = 0),
+           |card AS (
+           |  SELECT source, count(*)::BIGINT AS n_docs,
+           |    sum(CASE WHEN
+           |      len(ts) BETWEEN 50 AND 100000
+           |      AND CAST(list_sum(list_transform(ts, t -> len(t)))
+           |          AS DOUBLE) / len(ts) BETWEEN 3.0 AND 10.0
+           |      AND CAST(len(list_filter(ts,
+           |          t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+           |          / len(ts) >= 0.8
+           |      AND CAST(len(list_filter(ts, t -> contains(t, '#')
+           |          OR contains(t, '...'))) AS DOUBLE) / len(ts) <= 0.1
+           |      AND len(list_filter(ts, t -> list_contains(
+           |          ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+           |           'with'], t))) >= 2
+           |      THEN 1 ELSE 0 END)::BIGINT AS n_gopher_pass
+           |  FROM snap GROUP BY 1),
+           |sc AS (
+           |  SELECT source AS stratum, token, count(*) AS cnt_a FROM (
+           |    SELECT source, unnest(ts) AS token FROM snap)
+           |  GROUP BY 1, 2),
+           |rc AS (
+           |  SELECT token, count(*) AS cnt_b FROM (
+           |    SELECT unnest($toksSql) AS token FROM documents
+           |    WHERE doc_id % 3 <> 0) GROUP BY 1),
+           |tot AS (SELECT sum(cnt_b)::HUGEINT AS n_b FROM rc),
+           |st AS (SELECT stratum, sum(cnt_a)::HUGEINT AS n_a FROM sc
+           |       GROUP BY 1),
+           |j AS (SELECT sc.stratum, sc.cnt_a::HUGEINT AS ca,
+           |             coalesce(rc.cnt_b, 0)::HUGEINT AS cb
+           |      FROM sc LEFT JOIN rc USING (token)),
+           |agg AS (
+           |  SELECT j.stratum,
+           |         sum(abs(j.ca * tot.n_b - j.cb * st.n_a)) AS s1,
+           |         sum(j.cb) AS m,
+           |         any_value(st.n_a) AS n_a, any_value(tot.n_b) AS n_b
+           |  FROM j JOIN st ON st.stratum = j.stratum CROSS JOIN tot
+           |  GROUP BY j.stratum)
+           |SELECT card.source, card.n_docs, card.n_gopher_pass,
+           |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           |       CAST(s1 + n_a * (n_b - m) AS DOUBLE) AS tvd_num,
+           |       CAST(s1 + n_a * (n_b - m) AS DOUBLE)
+           |         / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           |         AS tvd
+           |FROM card JOIN agg ON agg.stratum = card.source
+           |ORDER BY card.source""".stripMargin,
 
       // adjacent-window self-drift over hourly value histograms:
       // present-window rank pairing, per-pair bucket-union full outer,

@@ -116,7 +116,11 @@ object Drift {
                 lo: Double, hi: Double): DataFrame = {
     require(bins >= 1, s"binCounts: bins must be >= 1: $bins")
     require(lo < hi, s"binCounts: need lo < hi: $lo, $hi")
-    val x = when(valueCol.isNull, raise_error(lit("binCounts: NULL value")))
+    // NaN would floor to NULL and silently pool in a NULL bucket —
+    // refuse it like NULL (a poisoned feature column should fail the
+    // monitor, not skew it)
+    val x = when(valueCol.isNull || isnan(valueCol.cast("double")),
+      raise_error(lit("binCounts: NULL value")))
       .otherwise(valueCol.cast("double"))
     df.select(least(greatest(
         floor((x - lit(lo)) / lit(hi - lo) * lit(bins.toDouble)), lit(0L)),
@@ -201,7 +205,13 @@ object Drift {
     * pair (DriftSpec pin). */
   def adjacentDrift(cells: DataFrame): DataFrame = {
     val dec = "decimal(18,0)"
-    val wTot = cells.groupBy("window_start")
+    // a NULL window would rank first and silently pair with the real
+    // first window — refuse it (the Ops NULL-key contract)
+    val wTot = cells
+      .withColumn("window_start", when(col("window_start").isNull,
+        raise_error(lit("adjacentDrift: NULL window_start")))
+        .otherwise(col("window_start")))
+      .groupBy("window_start")
       .agg(sum(col("cnt")).as("__tot"))
     val ranked = wTot.select(col("window_start"), col("__tot"),
       row_number().over(Window.orderBy(col("window_start"))).as("__r"))

@@ -51,6 +51,11 @@ object JoinOp extends OperatorFactory {
     require(Seq("inner", "left_outer").contains(joinType),
       s"JoinOp: join_type must be inner or left_outer: $joinType")
     val left = sources.head
+    val clash = left.columns.toSet
+      .intersect(sources(1).columns.map(prefix + _).toSet)
+    require(clash.isEmpty,
+      s"JoinOp: left columns collide with prefixed right columns " +
+        s"($clash) — set a different right_prefix")
     val right = sources(1).columns.foldLeft(sources(1)) {
       (d, c) => d.withColumnRenamed(c, prefix + c)
     }

@@ -70,16 +70,23 @@ object TemporalJoinOp extends OperatorFactory {
     // event-time-timeout analysis (the TransitionOp rule); `t` is the
     // MICROS twin the state machine sorts on (millis would truncate
     // parquet TIMESTAMP precision and shift every reconstructed r_ts)
-    val l = sources.head.select(col(keyCol).cast("string").as("k"),
-      unix_micros(col(tsCol)).as("t"),
+    // NULL key/ts/id would NPE the non-nullable encoder fields deep in
+    // the state machine — refuse them at the plan edge with context
+    def refuse(c: org.apache.spark.sql.Column, what: String) =
+      when(c.isNull, raise_error(lit(s"TemporalJoinOp: NULL $what")))
+        .otherwise(c)
+    val l = sources.head.select(
+      refuse(col(keyCol).cast("string"), keyCol).as("k"),
+      refuse(unix_micros(col(tsCol)), tsCol).as("t"),
       col(tsCol).as("ts"), lit(1).as("side"),
-      col(idCol).cast("long").as("id"),
+      refuse(col(idCol).cast("long"), idCol).as("id"),
       lit(null).cast("string").as("v"), lit(0L).as("tie"))
     // a non-numeric tie column casts to NULL — fold to 0 rather than
     // NPE the non-nullable encoder field (ties then resolve by order of
     // state merge; declare a numeric tie_col for full determinism)
-    val r = sources(1).select(col(keyCol).cast("string").as("k"),
-      unix_micros(col(tsCol)).as("t"),
+    val r = sources(1).select(
+      refuse(col(keyCol).cast("string"), keyCol).as("k"),
+      refuse(unix_micros(col(tsCol)), tsCol).as("t"),
       col(tsCol).as("ts"), lit(0).as("side"),
       lit(0L).as("id"), col(valueCol).cast("string").as("v"),
       coalesce(col(tieCol).cast("long"), lit(0L)).as("tie"))
