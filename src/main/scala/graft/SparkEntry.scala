@@ -2323,6 +2323,18 @@ object SparkEntry {
           col("sample_rank"))
         .orderBy("sample_rank")),
 
+    // the SQL escape hatch as a topology operator: YAML-declared
+    // spark.sql over the source topic registered as a view — Catalyst
+    // end to end, no Scala required of the operator author
+    "q_sql_op" -> ((s, dir) =>
+      graft.streaming.ops.SqlOp(Map(
+        "views" -> Seq("ev"),
+        "sql" -> ("SELECT event_type, count(*) AS n, " +
+          "CAST(min(value) AS DOUBLE) AS min_v, " +
+          "CAST(max(value) AS DOUBLE) AS max_v " +
+          "FROM ev GROUP BY event_type ORDER BY event_type")),
+        Seq(t(s, dir, "events"))).head),
+
     // composed MONITORING pipeline — the nightly corpus-health run in
     // one plan: today's snapshot (even ids) vs reference (odd ids),
     // per source: volume, Gopher pass count, and exact TVD drift vs
@@ -5024,6 +5036,13 @@ object SparkEntry {
            |ORDER BY abs(ha * n_b - hb * n_a) DESC, token LIMIT 20""".stripMargin,
 
       "q_weighted_sample" -> OracleXxh.q_weighted_sample(k = 50, seed = 7),
+
+      // the SqlOp transform is itself SQL — the oracle is the same text
+      "q_sql_op" ->
+        """SELECT event_type, count(*) AS n,
+          |       CAST(min(value) AS DOUBLE) AS min_v,
+          |       CAST(max(value) AS DOUBLE) AS max_v
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       // composed monitoring: per-source card (docs, gopher passes) +
       // the q_drift_by_source TVD chain against the odd-id reference

@@ -472,6 +472,70 @@ class TopologySpec extends SparkSpec {
     assert(e.getMessage.contains("zorder_by"), e.getMessage)
   }
 
+  test("SqlOp runs YAML-declared SQL over source topics as views: " +
+    "single-source aggregate and a two-source join") {
+    val tmp = Files.createTempDirectory("topo_sql").toString
+    Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    Seq(("a", "alpha"), ("b", "beta")).toDF("k", "name")
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    val yaml =
+      s"""topics:
+         |  - name: rows
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: dim
+         |    kind: parquet
+         |    path: $tmp/dim
+         |  - name: agg
+         |    kind: parquet
+         |    path: $tmp/agg
+         |operators:
+         |  rollup:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [rows, dim]
+         |    sinks: [agg]
+         |config:
+         |  views: [r, d]
+         |  sql: >
+         |    SELECT d.name, sum(r.v) AS total
+         |    FROM r JOIN d ON r.k = d.k GROUP BY d.name
+         |""".stripMargin
+    Topology.parse(yaml).runBatch(spark, s"$tmp/sinks")
+    val got = spark.read.parquet(s"$tmp/sinks/agg")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("alpha" -> 3L, "beta" -> 5L))
+    // missing sql refused; view/source count mismatch refused
+    intercept[IllegalArgumentException] {
+      graft.streaming.ops.SqlOp(Map.empty, Seq(spark.range(1).toDF()))
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.ops.SqlOp(Map("sql" -> "SELECT 1",
+        "views" -> Seq("a", "b")), Seq(spark.range(1).toDF()))
+    }
+  }
+
+  test("SqlOp composes with a STREAMING source: the SQL view is a " +
+    "streaming frame and the result streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val out = graft.streaming.ops.SqlOp(Map(
+      "views" -> Seq("sev"),
+      "sql" -> "SELECT k, v * 10 AS v10 FROM sev WHERE v % 2 = 1"),
+      Seq(in.toDF().toDF("k", "v"))).head
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("sqlop_out")
+      .outputMode("append").start()
+    try {
+      in.addData(("a", 1L), ("a", 2L), ("b", 3L))
+      q.processAllAvailable()
+      val got = spark.table("sqlop_out").as[(String, Long)]
+        .collect().toSet
+      assert(got == Set(("a", 10L), ("b", 30L)))
+    } finally q.stop()
+  }
+
   test("two-source join factories wire from YAML: TemporalJoinOp and " +
     "JoinOp each read a pair of parquet topics in batch mode") {
     val tmp = Files.createTempDirectory("topo_joins").toString
