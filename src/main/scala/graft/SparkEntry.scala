@@ -2323,6 +2323,13 @@ object SparkEntry {
           col("sample_rank"))
         .orderBy("sample_rank")),
 
+    // collocation mining: adjacent bigrams ranked by exact-rational
+    // LIFT (log-free PMI) with a support floor — "new york"-style
+    // multiword expressions out of the raw corpus
+    "q_collocations" -> ((s, dir) =>
+      graft.llm.TextStats.collocations(t(s, dir, "documents"), "text",
+        minCount = 5L, k = 30)),
+
     // the SQL escape hatch as a topology operator: YAML-declared
     // spark.sql over the source topic registered as a view — Catalyst
     // end to end, no Scala required of the operator author
@@ -5036,6 +5043,28 @@ object SparkEntry {
            |ORDER BY abs(ha * n_b - hb * n_a) DESC, token LIMIT 20""".stripMargin,
 
       "q_weighted_sample" -> OracleXxh.q_weighted_sample(k = 50, seed = 7),
+
+      // collocations: sliced-list bigram expansion (the bigramLik
+      // pattern), HUGEINT cross-products, one IEEE division
+      "q_collocations" ->
+        s"""WITH toks AS (SELECT $toksSql AS ts FROM documents),
+           |uni AS (SELECT w, count(*) AS c FROM (
+           |  SELECT unnest(ts) AS w FROM toks) GROUP BY 1),
+           |n AS (SELECT sum(c)::HUGEINT AS n FROM uni),
+           |pr AS (
+           |  SELECT w1, w2, count(*) AS c_ab FROM (
+           |    SELECT unnest(list_transform(ts[1:len(ts)-1],
+           |      (x, i) -> {'w1': x, 'w2': ts[i+1]}),
+           |      recursive := true)
+           |    FROM toks WHERE len(ts) >= 2)
+           |  GROUP BY 1, 2 HAVING count(*) >= 5)
+           |SELECT pr.w1, pr.w2, pr.c_ab, a.c AS c_a, b.c AS c_b,
+           |       CAST(pr.c_ab::HUGEINT * n.n AS DOUBLE)
+           |         / CAST(a.c::HUGEINT * b.c::HUGEINT AS DOUBLE)
+           |         AS lift
+           |FROM pr JOIN uni a ON a.w = pr.w1
+           |JOIN uni b ON b.w = pr.w2 CROSS JOIN n
+           |ORDER BY lift DESC, pr.w1, pr.w2 LIMIT 30""".stripMargin,
 
       // the SqlOp transform is itself SQL — the oracle is the same text
       "q_sql_op" ->

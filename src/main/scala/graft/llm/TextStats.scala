@@ -425,4 +425,52 @@ object TextStats {
           col("__total").cast("double"))
       .select("rank", "token", "freq", "coverage")
   }
+
+  /** Collocation extraction — adjacent bigrams ranked by LIFT, the
+    * log-free PMI (pointwise mutual information without the log, which
+    * is order-preserving since log is monotone):
+    *
+    *   lift(a, b) = c(ab) · N / (c(a) · c(b))
+    *
+    * with c(ab) adjacent-bigram count, c(w) unigram count, N total
+    * tokens — the classic collocation statistic ("new york" scores far
+    * above "of the" because lift normalizes away both words'
+    * individual frequencies). `minCount` is the standard support floor
+    * (rare pairs otherwise dominate: two hapaxes that co-occur once
+    * have sky-high lift and zero evidence).
+    *
+    * Exactness: numerator and denominator are exact decimal products;
+    * lift is two deterministic casts + one IEEE division, ties break
+    * (w1, w2) asc — oracled bit-exact (q_collocations). Scale: the
+    * support filter lands directly on the bigram aggregate, so the
+    * unigram joins see only surviving pairs; both joins are keyed
+    * (shuffle-linear), totals broadcast, top-k via
+    * TakeOrderedAndProject. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+                   k: Int = 30): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(k >= 1, s"k must be >= 1: $k")
+    val dec = "decimal(18,0)"
+    val toks = df.select(Text.tokens(col(textCol)).as("__ts"))
+    val uni = toks.select(explode(col("__ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("__n"))
+    val pairs = toks.filter(size(col("__ts")) >= 2)
+      .select(explode(expr(
+        "transform(slice(__ts, 1, size(__ts) - 1), " +
+          "(x, i) -> struct(x AS w1, __ts[i + 1] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(nTok))
+      .withColumn("lift",
+        (col("c_ab").cast(dec) * col("__n").cast(dec)).cast("double") /
+          (col("c_a").cast(dec) * col("c_b").cast(dec)).cast("double"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "c_ab", "c_a", "c_b", "lift")
+  }
 }

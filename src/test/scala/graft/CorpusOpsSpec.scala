@@ -207,4 +207,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.map(_._2) == Seq("a", "b"))
     assert(got.last._4 == 5.0 / 8.0)
   }
+
+  test("collocations: hand-computed lift, support floor, frequent-pair " +
+    "normalization (the 'of the' suppression)") {
+    // "x y" repeats as a tight pair; "of the" repeats but both words
+    // are everywhere, so lift normalizes it down
+    val df = Seq(
+      "x y of the a", "x y of the b", "of a the x",
+      "the c of d", "x y of the e").toDF("text")
+    // pairs at support 3: c(x y)=3, c(y of)=3, c(of the)=3;
+    // c(x)=4, c(y)=3, c(of)=5, c(the)=5; N=23 tokens →
+    // lift: x y = 69/12; y of = 69/15; of the = 69/25
+    val got = TextStats.collocations(df, "text", minCount = 3L, k = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq(("x", "y"), ("y", "of"), ("of", "the")))
+    val xy = got.head
+    assert((xy._3, xy._4, xy._5) == (3L, 4L, 3L))
+    assert(xy._6 == 3.0 * 23.0 / (4.0 * 3.0))
+    val ofThe = got(2)
+    assert(ofThe._6 == 3.0 * 23.0 / 25.0)
+    assert(xy._6 > ofThe._6)
+    // below the support floor: nothing at minCount = 4
+    assert(TextStats.collocations(df, "text", minCount = 4L, k = 10)
+      .count() == 0)
+  }
 }
