@@ -701,6 +701,43 @@ SELECT cohort, period,
 FROM est0 ORDER BY cohort, period"""
   }
 
+  /** Rolling `windowDays`-day distinct actives per PRESENT day —
+    * [[graft.operators.Retention.rollingActives]] replay: per-day p=6
+    * register tables, window = register-max union over the trailing
+    * days (inequality join over the tiny day list — the engine uses an
+    * equi-keyed explode, same result), the standard estimate chain. */
+  def q_rolling_actives(windowDays: Int): String = {
+    val num = graft.functions.Hll.rawNumerator(6).toString
+    prologue + "\n" +
+s"""WITH du AS (SELECT CAST(ts AS DATE) AS day, user_id AS k FROM events),
+h AS MATERIALIZED (SELECT day, g_xxh_long(k, 42::HUGEINT) AS u FROM du),
+br AS (SELECT day, (u >> 58)::BIGINT AS bucket,
+    CASE WHEN (u & 288230376151711743::HUGEINT) = 0::HUGEINT THEN 59
+         ELSE 59 - length(bin((u & 288230376151711743::HUGEINT)::BIGINT))
+    END AS rho
+  FROM h),
+regs AS (SELECT day, bucket, max(rho) AS register FROM br GROUP BY 1, 2),
+dl AS (SELECT DISTINCT day FROM du),
+mr AS (SELECT d.day, r.bucket, max(r.register) AS register
+  FROM dl d JOIN regs r
+    ON r.day <= d.day AND r.day > d.day - $windowDays
+  GROUP BY 1, 2),
+agg AS (SELECT day, count(*) AS nonempty_buckets,
+    sum(register)::BIGINT AS register_sum,
+    sum(((1::BIGINT << (59 - register)))::HUGEINT) AS s_ne
+  FROM mr GROUP BY day),
+est0 AS (SELECT day, nonempty_buckets, register_sum,
+    $num / ((s_ne + (64 - nonempty_buckets)::HUGEINT
+             * 576460752303423488::HUGEINT)::DOUBLE) AS est,
+    64 - nonempty_buckets AS v
+  FROM agg)
+SELECT day, CAST(floor(CASE WHEN est <= 160.0 AND v > 0
+      THEN 64.0 * ln(64.0 / v::DOUBLE) ELSE est END * 1000.0) AS BIGINT)
+    AS est_millis,
+  nonempty_buckets, register_sum
+FROM est0 ORDER BY day"""
+  }
+
   def q_hll_distinct: String = {
     val num = graft.functions.Hll.rawNumerator(9).toString
     prologue + "\n" +

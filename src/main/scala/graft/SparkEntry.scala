@@ -2323,6 +2323,22 @@ object SparkEntry {
           col("sample_rank"))
         .orderBy("sample_rank")),
 
+    // exact per-key quantile (type-1): the p95 value per event_type —
+    // no interpolation, so the answer exists in the data and the one
+    // IEEE multiply + ceil replays in any engine
+    "q_quantile_by_key" -> ((s, dir) =>
+      (t(s, dir, "events") >> MathOps.quantileByKey(col("value"), 0.95,
+        Seq(col("event_type"))))
+        .orderBy("event_type")),
+
+    // rolling 7-day distinct actives per day via HLL register UNION:
+    // daily register tables computed once, each day's window is a
+    // register-max merge of ≤7 of them — the dashboard metric the
+    // mergeable-sketch algebra exists for
+    "q_rolling_actives" -> ((s, dir) =>
+      graft.operators.Retention.rollingActives(t(s, dir, "events"),
+        "user_id", "ts", windowDays = 7, p = 6)),
+
     // collocation mining: adjacent bigrams ranked by exact-rational
     // LIFT (log-free PMI) with a support floor — "new york"-style
     // multiword expressions out of the raw corpus
@@ -5043,6 +5059,20 @@ object SparkEntry {
            |ORDER BY abs(ha * n_b - hb * n_a) DESC, token LIMIT 20""".stripMargin,
 
       "q_weighted_sample" -> OracleXxh.q_weighted_sample(k = 50, seed = 7),
+
+      // type-1 quantile: identical rank arithmetic (ceil of one IEEE
+      // multiply), value picked by ascending row_number
+      "q_quantile_by_key" ->
+        """SELECT event_type, n, q FROM (
+          |  SELECT event_type, value AS q,
+          |         row_number() OVER (PARTITION BY event_type
+          |           ORDER BY value) AS rn,
+          |         count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM events)
+          |WHERE rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+          |ORDER BY event_type""".stripMargin,
+
+      "q_rolling_actives" -> OracleXxh.q_rolling_actives(windowDays = 7),
 
       // collocations: sliced-list bigram expansion (the bigramLik
       // pattern), HUGEINT cross-products, one IEEE division

@@ -128,4 +128,37 @@ object Retention {
         periodsFrame(events, userCol, tsCol), col("__u"), p, g), p, g)
       .orderBy("cohort", "period")
   }
+
+  /** Rolling distinct actives — the DAU/WAU/MAU dashboard number: per
+    * PRESENT day, the HLL-estimated distinct users over the trailing
+    * `windowDays` days. This is exactly what the mergeable register
+    * algebra is for: the per-(day, bucket) table is computed ONCE (one
+    * aggregate over events), and every window is a register-max union
+    * of ≤ `windowDays` daily tables — no re-scan of the event corpus
+    * per window, which is what a naive per-day `COUNT(DISTINCT …
+    * trailing 7d)` costs. The window expansion runs over the sketch
+    * (days × 2^p rows), corpus-size-independent; the day fan-out is an
+    * equi-keyed explode (no inequality join) semi-joined to present
+    * days so trailing synthetic days never appear.
+    *
+    * The whole estimate chain is the fixed-point [[graft.functions.Hll]]
+    * arithmetic — oracled bit-exact (q_rolling_actives). Output per day:
+    * est_millis, nonempty_buckets, register_sum. */
+  def rollingActives(events: DataFrame, userCol: String, tsCol: String,
+                     windowDays: Int = 7, p: Int = 6): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val daily = events.select(col(tsCol).cast("date").as("day"),
+      col(userCol).as("__u"))
+    val regs = graft.functions.Hll.registers(daily, col("__u"), p,
+      Seq(col("day")))
+    val contrib = regs.select(
+      explode(expr(s"sequence(day, date_add(day, ${windowDays - 1}))"))
+        .as("day"),
+      col("bucket"), col("register"))
+    val present = daily.select("day").distinct()
+    val merged = contrib.join(broadcast(present), "day")
+      .groupBy("day", "bucket").agg(max(col("register")).as("register"))
+    graft.functions.Hll.estimate(merged, p, Seq(col("day")))
+      .orderBy("day")
+  }
 }

@@ -299,4 +299,32 @@ object MathOps {
       .groupBy(keys :+ col("bucket"): _*)
       .agg(count(lit(1)).as("n"))
   }
+
+  /** EXACT per-key quantile, type-1 (inverted CDF): the value at
+    * 1-based ascending rank max(1, ceil(p·n)) within each key — the
+    * p95-latency-per-endpoint / p99-doc-length-per-source number, with
+    * no interpolation (the answer is a value that EXISTS in the data,
+    * and the arithmetic — one IEEE multiply + ceil — replays in any
+    * engine, unlike interpolated quantiles whose blend arithmetic
+    * differs; oracled as q_quantile_by_key). [[median]] stays the
+    * interpolating convenience where cross-engine exactness is not
+    * needed.
+    *
+    * One key-partitioned WindowExec (rank + count share the partition);
+    * per-task work is bounded by the largest single key, the usual
+    * keyed-window contract. Output: keys…, n, q. */
+  def quantileByKey(valueCol: Column, p: Double,
+                    keys: Seq[Column]): Op = { df =>
+    require(p > 0 && p <= 1, s"quantileByKey: p must be in (0, 1]: $p")
+    require(keys.nonEmpty,
+      "quantileByKey: keys must be non-empty (a keyless exact quantile " +
+        "is a global sort — use median/approx quantiles)")
+    val w = Window.partitionBy(keys: _*).orderBy(valueCol.asc)
+    val wAll = Window.partitionBy(keys: _*)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("__rn") ===
+        greatest(lit(1L), ceil(lit(p) * col("n"))))
+      .select(keys ++ Seq(col("n"), valueCol.as("q")): _*)
+  }
 }

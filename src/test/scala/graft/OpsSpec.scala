@@ -302,6 +302,51 @@ class OpsSpec extends SparkSpec {
     assert(wins >= 45, s"heavy row won only $wins/50")
   }
 
+  test("quantileByKey: type-1 quantile picks the exact in-data value at " +
+    "rank ceil(p·n); p=1 is the max; keyless refused") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0),
+      ("b", 5.0), ("b", 7.0)).toDF("k", "v")
+    def q(p: Double) = (df >> MathOps.quantileByKey(col("v"), p,
+      Seq(col("k")))).orderBy("k")
+      .select("k", "n", "q").as[(String, Long, Double)].collect().toSeq
+    // p=0.5 over 4 values → rank ceil(2)=2 → 20; over 2 → rank 1 → 5
+    assert(q(0.5) == Seq(("a", 4L, 20.0), ("b", 2L, 5.0)))
+    // p=0.75 → rank 3 → 30; rank ceil(1.5)=2 → 7
+    assert(q(0.75) == Seq(("a", 4L, 30.0), ("b", 2L, 7.0)))
+    assert(q(1.0) == Seq(("a", 4L, 40.0), ("b", 2L, 7.0)))
+    intercept[IllegalArgumentException] {
+      df >> MathOps.quantileByKey(col("v"), 0.5, Nil)
+    }
+  }
+
+  test("rollingActives: window-union estimate equals distinctCount of " +
+    "the trailing window's users, day for day") {
+    val day0 = java.sql.Date.valueOf("2026-01-01")
+    def d(i: Int) = new java.sql.Date(
+      day0.getTime + i.toLong * 86400000L)
+    def tsOf(i: Int) = new java.sql.Timestamp(
+      day0.getTime + i.toLong * 86400000L + 3600000L)
+    // users churn across 10 days; day 5 is EMPTY (no synthetic row)
+    val rows = (0 until 10).filter(_ != 5).flatMap { i =>
+      (0 until 20).map(u => ((i * 7 + u).toLong % 60, tsOf(i)))
+    }
+    val ev = rows.toDF("user_id", "ts")
+    val got = graft.operators.Retention.rollingActives(ev, "user_id",
+      "ts", windowDays = 3, p = 6)
+      .select("day", "est_millis").as[(java.sql.Date, Long)]
+      .collect().toMap
+    assert(!got.contains(d(5)), "empty day must not appear")
+    assert(got.keySet.size == 9)
+    for ((day, est) <- got) {
+      val lo = new java.sql.Date(day.getTime - 2L * 86400000L)
+      val want = graft.functions.Hll.distinctCount(
+        ev.filter(col("ts").cast("date").between(lo, day)),
+        col("user_id"), p = 6)
+        .select("est_millis").as[Long].head()
+      assert(est == want, s"$day: $est != $want")
+    }
+  }
+
   test("saltedJoin equals the plain join row-for-row and spreads a hot " +
     "key across all salts") {
     val left = (1L to 1000L).map(i =>
