@@ -2323,6 +2323,19 @@ object SparkEntry {
           col("sample_rank"))
         .orderBy("sample_rank")),
 
+    // time-to-convert: per funnel depth, user count + exact p50
+    // conversion latency (micros between the step-1 match and the
+    // furthest step's match) — funnelLatency ∘ quantileByKey, the
+    // composed behavioral-latency dashboard row
+    "q_funnel_latency" -> ((s, dir) => {
+      val lat = graft.operators.Funnel.funnelLatency(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"),
+        withinSeconds = Some(86400L)) // 1-day conversion window
+      lat >> MathOps.quantileByKey(col("latency_us"), 0.5,
+        Seq(col("depth")))
+    }),
+
     // exact per-key quantile (type-1): the p95 value per event_type —
     // no interpolation, so the answer exists in the data and the one
     // IEEE multiply + ceil replays in any engine
@@ -5059,6 +5072,41 @@ object SparkEntry {
            |ORDER BY abs(ha * n_b - hb * n_a) DESC, token LIMIT 20""".stripMargin,
 
       "q_weighted_sample" -> OracleXxh.q_weighted_sample(k = 50, seed = 7),
+
+      // funnel latency: the q_funnel chain carrying its matched
+      // timestamps, exact micros gaps, the type-1 quantile rank per depth
+      "q_funnel_latency" ->
+        """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          |            WHERE event_type = 'view' GROUP BY user_id),
+          |s2 AS (SELECT e.user_id, min(e.ts) AS t2,
+          |              any_value(s1.t1) AS w1 FROM events e
+          |       JOIN s1 ON e.user_id = s1.user_id
+          |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+          |         AND e.ts <= s1.t1 + INTERVAL 86400 SECONDS
+          |       GROUP BY e.user_id),
+          |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          |       JOIN s2 ON e.user_id = s2.user_id
+          |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          |         AND e.ts <= s2.w1 + INTERVAL 86400 SECONDS
+          |       GROUP BY e.user_id),
+          |f AS (SELECT s1.user_id,
+          |        CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+          |                  WHEN s2.user_id IS NOT NULL THEN 2
+          |                  ELSE 1 END AS INT) AS depth,
+          |        epoch_us(CASE WHEN s3.user_id IS NOT NULL THEN s3.t3
+          |                      WHEN s2.user_id IS NOT NULL THEN s2.t2
+          |                      ELSE s1.t1 END)
+          |          - epoch_us(s1.t1) AS lat
+          |      FROM s1
+          |      LEFT JOIN s2 ON s1.user_id = s2.user_id
+          |      LEFT JOIN s3 ON s1.user_id = s3.user_id),
+          |r AS (SELECT depth, lat,
+          |        row_number() OVER (PARTITION BY depth ORDER BY lat)
+          |          AS rn,
+          |        count(*) OVER (PARTITION BY depth) AS n FROM f)
+          |SELECT depth, n, lat AS q FROM r
+          |WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+          |ORDER BY depth""".stripMargin,
 
       // type-1 quantile: identical rank arithmetic (ceil of one IEEE
       // multiply), value picked by ascending row_number

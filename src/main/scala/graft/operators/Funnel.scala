@@ -31,7 +31,21 @@ object Funnel {
     * filtered to one step's type before each aggregation. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, steps: Seq[String],
-             withinSeconds: Option[Long] = None): DataFrame = {
+             withinSeconds: Option[Long] = None): DataFrame =
+    funnelLatency(events, userCol, typeCol, tsCol, steps, withinSeconds)
+      .select(col(userCol), col("depth"))
+
+  /** [[funnel]] plus the matched TIMESTAMPS — the conversion-latency
+    * view: `t_first` = the step-1 match, `t_last` = the furthest
+    * step's match, `latency_us` = their exact integer micros gap (0 at
+    * depth 1). Feed `latency_us` to [[graft.operators.MathOps
+    * .quantileByKey]] keyed by depth for the p50-time-to-convert
+    * dashboard number (q_funnel_latency composes exactly that). Same
+    * shape and cost as [[funnel]] — the timestamps were always inside
+    * the per-step aggregates; this surface just keeps them. */
+  def funnelLatency(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, steps: Seq[String],
+                    withinSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       "repeated step types are ambiguous — funnel steps must be distinct")
@@ -40,7 +54,8 @@ object Funnel {
     var reached = events.filter(col(typeCol) === steps.head)
       .groupBy(u.as("__u")).agg(min(col(tsCol)).as("__t1"))
       .withColumn("__prev", col("__t1"))
-    var out = reached.select(col("__u"), lit(1).as("depth"))
+    var out = reached.select(col("__u"), lit(1).as("depth"),
+      col("__t1").as("t_first"), col("__t1").as("t_last"))
     steps.zipWithIndex.drop(1).foreach { case (step, i) =>
       val ev = events.filter(col(typeCol) === step)
         .select(u.as("__eu"), col(tsCol).as("__et"))
@@ -55,12 +70,18 @@ object Funnel {
           first(col("__t1")).as("__t1"))
         .withColumn("__prev", col("__next")).drop("__next")
       out = out.join(
-        reached.select(col("__u"), lit(i + 1).as("__d")),
+        reached.select(col("__u"), lit(i + 1).as("__d"),
+          col("__prev").as("__tl")),
         Seq("__u"), "left")
         .select(col("__u"),
-          coalesce(col("__d"), col("depth")).as("depth"))
+          coalesce(col("__d"), col("depth")).as("depth"),
+          col("t_first"),
+          coalesce(col("__tl"), col("t_last")).as("t_last"))
     }
-    out.select(col("__u").as(userCol), col("depth"))
+    out.select(col("__u").as(userCol), col("depth"), col("t_first"),
+      col("t_last"),
+      (unix_micros(col("t_last")) - unix_micros(col("t_first")))
+        .as("latency_us"))
   }
 
   /** Funnel summary: users reaching at least step k, for k = 1..n —

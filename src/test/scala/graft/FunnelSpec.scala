@@ -115,4 +115,24 @@ class FunnelSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(est2 == est)
   }
+
+  test("funnelLatency: matched timestamps and exact micros gaps; " +
+    "depth column equals funnel's") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(4)), (1L, "purchase", ts(9)),
+      (2L, "view", ts(2)), (2L, "click", ts(3)),
+      (3L, "view", ts(5))).toDF("user_id", "event_type", "ts")
+    val got = Funnel.funnelLatency(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .select("user_id", "depth", "latency_us")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq((1L, 3, 8L * 60 * 1000000),
+      (2L, 2, 1L * 60 * 1000000), (3L, 1, 0L)))
+    val depths = Funnel.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .orderBy("user_id").select("depth").as[Int].collect().toSeq
+    assert(depths == got.map(_._2))
+  }
 }
