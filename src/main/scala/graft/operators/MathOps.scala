@@ -319,7 +319,12 @@ object MathOps {
     require(keys.nonEmpty,
       "quantileByKey: keys must be non-empty (a keyless exact quantile " +
         "is a global sort — use median/approx quantiles)")
-    val w = Window.partitionBy(keys: _*).orderBy(valueCol.asc)
+    // NULL values are refused: Spark sorts NULLs FIRST ascending while
+    // SQL engines default NULLS LAST — a silent cross-engine rank fork
+    // (and a NULL "quantile" answers nothing anyway)
+    val v = when(valueCol.isNull,
+      raise_error(lit("quantileByKey: NULL value"))).otherwise(valueCol)
+    val w = Window.partitionBy(keys: _*).orderBy(v.asc)
     val wAll = Window.partitionBy(keys: _*)
     df.withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(wAll))

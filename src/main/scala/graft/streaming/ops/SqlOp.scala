@@ -44,6 +44,13 @@ object SqlOp extends OperatorFactory {
     require(views.size == sources.size,
       s"SqlOp: ${views.size} views for ${sources.size} sources")
     sources.zip(views).foreach { case (df, name) =>
+      // temp views are session-global: overwriting someone else's name
+      // silently rebinds their queries planned AFTER this point — warn
+      // so colliding topologies are debuggable
+      if (df.sparkSession.catalog.tableExists(name))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"SqlOp: temp view '$name' already exists and is being " +
+            "replaced — pick distinct view names per SqlOp when composing")
       df.createOrReplaceTempView(name)
     }
     Seq(sources.head.sparkSession.sql(sql))

@@ -34,6 +34,11 @@ import graft.streaming.OperatorFactory
   * left arriving after its key's eviction re-starts with no carry —
   * the bounded-state tradeoff, same as [[TransitionOp]]'s horizon.
   *
+  * Delivery: at-least-once sources that redeliver a left event emit its
+  * enriched row once per delivery (append mode has no retraction);
+  * dedupe ids upstream (`ops.DedupOp`) where exactly-once output
+  * matters — the [[NearDupOp]] convention.
+  *
   * Config: `key_col` ("k"), `timestamp_col` ("ts" — shared by both
   * sources), `id_col` ("id", left), `value_col` ("v", right; carried as
   * string for type-generality), `tie_col` (optional right tiebreak,

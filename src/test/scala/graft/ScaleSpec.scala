@@ -369,4 +369,53 @@ class ScaleSpec extends SparkSpec {
       threshold = 0.4, maxBucketSize = 50).count()
     assert(n == 0L)
   }
+
+  test("tokenDrift is EXACTLY invariant under k-fold replication of " +
+    "either side (counts scale k, cross-products scale k², the " +
+    "statistic cancels)") {
+    val docs = graft.core.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val base = graft.llm.Drift.tokenDrift(a, b, "text")
+      .select("tvd").as[Double].head()
+    val k = 5
+    def rep(df: org.apache.spark.sql.DataFrame) = (0 until k)
+      .map(j => df.select((col("doc_id") + j * 100000L).as("doc_id"),
+        col("text")))
+      .reduce(_.unionByName(_))
+    // replicate the SNAPSHOT side only, then BOTH sides: tvd unchanged
+    // bit for bit each time (integer-exact through the numerators)
+    assert(graft.llm.Drift.tokenDrift(rep(a), b, "text")
+      .select("tvd").as[Double].head() == base)
+    assert(graft.llm.Drift.tokenDrift(rep(a), rep(b), "text")
+      .select("tvd").as[Double].head() == base)
+    assert(base > 0.0 && base < 1.0)
+  }
+
+  test("collocations are EXACTLY invariant under k-fold corpus " +
+    "replication once the support floor is scaled (every count " +
+    "multiplies by k, lift cancels)") {
+    val docs = graft.core.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val base = graft.llm.TextStats
+      .collocations(docs, "text", minCount = 3L, k = 25)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(5))).toSeq
+    val k = 4
+    val rep = (0 until k)
+      .map(j => docs.select((col("doc_id") + j * 100000L).as("doc_id"),
+        col("text")))
+      .reduce(_.unionByName(_))
+    val got = graft.llm.TextStats
+      .collocations(rep, "text", minCount = 3L * k, k = 25)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(5))).toSeq
+    assert(got.map(x => (x._1, x._2, x._4)) ==
+      base.map(x => (x._1, x._2, x._4)), "same pairs, same exact lifts")
+    assert(got.map(_._3) == base.map(_._3 * k), "counts scale by k")
+    assert(base.nonEmpty)
+  }
 }
