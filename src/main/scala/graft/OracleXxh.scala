@@ -840,6 +840,23 @@ SELECT doc_id, n_chars, priority,
             AS INTEGER) AS sample_rank
 FROM pr ORDER BY priority DESC, doc_id LIMIT $k"""
 
+  /** [[graft.operators.Ops.prioritySampleByKey]] replay: the
+    * q_weighted_sample arithmetic ranked per stratum (ties to the
+    * smaller id — the TopKCollect order). */
+  def q_quota_sample(kPerStratum: Int, seed: Int): String =
+    prologue + s"""
+WITH pr AS MATERIALIZED (SELECT doc_id, source,
+  CAST(n_chars AS DOUBLE) /
+    CAST((g_sgn(g_xxh_long(doc_id, ${chainedIntSeed(seed)}::HUGEINT))
+          & 9007199254740991) + 1 AS DOUBLE) AS priority
+  FROM documents)
+SELECT stratum, id, priority, rank FROM (
+  SELECT source AS stratum, doc_id AS id, priority,
+         CAST(row_number() OVER (PARTITION BY source
+           ORDER BY priority DESC, doc_id) AS INTEGER) AS rank
+  FROM pr)
+WHERE rank <= $kPerStratum ORDER BY stratum, rank"""
+
   def q_shuffle_shards(nShards: Int, seed: Int): String =
     prologue + s"""
 WITH h0 AS MATERIALIZED (SELECT doc_id,

@@ -2352,6 +2352,14 @@ object SparkEntry {
       graft.operators.Retention.rollingActives(t(s, dir, "events"),
         "user_id", "ts", windowDays = 7, p = 6)),
 
+    // quota sampling: 3 docs per source drawn weight-proportional to
+    // n_chars — the per-stratum form of priority sampling, ranked by
+    // the bounded TopKCollect aggregate (no WindowExec)
+    "q_quota_sample" -> ((s, dir) =>
+      (t(s, dir, "documents") >> Ops.prioritySampleByKey(col("doc_id"),
+        col("n_chars"), col("source"), kPerStratum = 3, seed = 7))
+        .orderBy("stratum", "rank")),
+
     // collocation mining: adjacent bigrams ranked by exact-rational
     // LIFT (log-free PMI) with a support floor — "new york"-style
     // multiword expressions out of the raw corpus
@@ -5072,6 +5080,9 @@ object SparkEntry {
            |ORDER BY abs(ha * n_b - hb * n_a) DESC, token LIMIT 20""".stripMargin,
 
       "q_weighted_sample" -> OracleXxh.q_weighted_sample(k = 50, seed = 7),
+
+      "q_quota_sample" -> OracleXxh.q_quota_sample(kPerStratum = 3,
+        seed = 7),
 
       // funnel latency: the q_funnel chain carrying its matched
       // timestamps, exact micros gaps, the type-1 quantile rank per depth

@@ -167,16 +167,30 @@ object Retention {
     * est_millis, nonempty_buckets, register_sum. */
   def rollingActives(events: DataFrame, userCol: String, tsCol: String,
                      windowDays: Int = 7, p: Int = 6): DataFrame = {
-    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
     val daily = events.select(col(tsCol).cast("date").as("day"),
       col(userCol).as("__u"))
-    val regs = graft.functions.Hll.registers(daily, col("__u"), p,
-      Seq(col("day")))
+    rollingFromRegisters(
+      graft.functions.Hll.registers(daily, col("__u"), p,
+        Seq(col("day"))), windowDays, p)
+  }
+
+  /** The rolling-union finisher on its own: takes ANY per-day register
+    * table `(day DATE, bucket, register)` — [[rollingActives]]'s batch
+    * aggregate, or the streaming `ops.ApproxDistinctOp` window product
+    * with `window_start` cast to its day — and emits the trailing
+    * `windowDays`-day estimates for the PRESENT days. This is the
+    * cross-surface payoff of sketches-as-tables: the stream emits
+    * bounded per-window registers once, and any window length is a
+    * batch merge after the fact (StreamingSpec pins streaming cells →
+    * rolling == the batch corpus answer). */
+  def rollingFromRegisters(regs: DataFrame, windowDays: Int,
+                           p: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
     val contrib = regs.select(
       explode(expr(s"sequence(day, date_add(day, ${windowDays - 1}))"))
         .as("day"),
       col("bucket"), col("register"))
-    val present = daily.select("day").distinct()
+    val present = regs.select("day").distinct()
     val merged = contrib.join(broadcast(present), "day")
       .groupBy("day", "bucket").agg(max(col("register")).as("register"))
     graft.functions.Hll.estimate(merged, p, Seq(col("day")))

@@ -541,6 +541,34 @@ object Ops {
     l.join(r, keys :+ "__salt").drop("__salt")
   }
 
+  /** QUOTA sampling — [[prioritySample]] per stratum: the k highest
+    * priorities within EACH stratum ("100 docs per language, drawn
+    * proportional to quality"), keeping the global sampler's exact
+    * determinism contract (hash-derived uniforms, one IEEE division,
+    * ties to the smaller id). Ranking runs through the bounded
+    * [[graft.functions.TopKCollect]] aggregate — map-side partials
+    * carry ≤ k rows per stratum across the exchange, no WindowExec —
+    * so a million-stratum corpus samples in one shuffle-linear pass.
+    * Output: (stratum, id, priority, rank); oracled as q_quota_sample. */
+  def prioritySampleByKey(idCol: Column, weightCol: Column,
+                          stratumCol: Column, kPerStratum: Int,
+                          seed: Int = 0): Op = { df =>
+    require(kPerStratum >= 1,
+      s"prioritySampleByKey: kPerStratum must be >= 1: $kPerStratum")
+    val w = when(weightCol.isNull || weightCol <= 0.0, raise_error(
+      concat(lit("prioritySampleByKey: weight must be > 0 for id="),
+        idCol.cast("string")))).otherwise(weightCol.cast("double"))
+    val h = xxhash64(lit(seed),
+      refuseNull(idCol, lit("prioritySampleByKey: NULL id")))
+    val u = (h.bitwiseAND(lit((1L << 53) - 1)) + lit(1L)).cast("double")
+    // pre-project the key: takeOrderedByKey re-selects its key columns
+    // after the aggregate, where the source expression no longer resolves
+    val pre = df.withColumn("stratum", refuseNull(stratumCol,
+      lit("prioritySampleByKey: NULL stratum")))
+    takeOrderedByKey(kPerStratum, idCol, w / u, Seq(col("stratum")),
+      as = ("id", "priority"))(pre)
+  }
+
   def prioritySample(idCol: Column, weightCol: Column, k: Int,
                      seed: Int = 0): Op = { df =>
     require(k >= 1, s"prioritySample: k must be >= 1: $k")

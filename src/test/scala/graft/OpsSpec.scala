@@ -347,6 +347,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("prioritySampleByKey: each stratum's sample equals the global " +
+    "sampler run on that stratum alone; NULL stratum refused") {
+    val df = (1L to 120L).map(i =>
+      (i, (i % 5 + 1).toDouble, s"s${i % 3}")).toDF("id", "w", "src")
+    val got = (df >> Ops.prioritySampleByKey(col("id"), col("w"),
+      col("src"), kPerStratum = 4, seed = 9))
+      .orderBy("stratum", "rank")
+      .select("stratum", "id").as[(String, Long)].collect().toSeq
+    val want = Seq("s0", "s1", "s2").flatMap { s =>
+      (df.filter(col("src") === s) >>
+        Ops.prioritySample(col("id"), col("w"), 4, 9))
+        .orderBy("sample_rank").select("id").as[Long].collect()
+        .map(s -> _)
+    }
+    assert(got == want && got.size == 12)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      (Seq((1L, 1.0, null.asInstanceOf[String])).toDF("id", "w", "src") >>
+        Ops.prioritySampleByKey(col("id"), col("w"), col("src"), 2, 0))
+        .collect()
+    }
+    assert(msgs(e).exists(_.contains("NULL stratum")), e)
+  }
+
   test("saltedJoin equals the plain join row-for-row and spreads a hot " +
     "key across all salts") {
     val left = (1L to 1000L).map(i =>

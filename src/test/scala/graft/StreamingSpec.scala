@@ -1613,6 +1613,47 @@ class StreamingSpec extends SparkSpec {
       assert(got == Seq((1L, 1), (1L, 2), (2L, 1)), got)
     } finally q.stop()
   }
+
+  test("rolling actives from STREAMED register tables: ApproxDistinctOp " +
+    "daily windows -> rollingFromRegisters equals the batch " +
+    "rollingActives on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2026-02-0$d $h%02d:00:00")
+    val rows = Seq(
+      (ts(1, 1), 10L), (ts(1, 2), 11L), (ts(1, 3), 12L),
+      (ts(2, 1), 11L), (ts(2, 2), 13L),
+      (ts(3, 1), 10L), (ts(3, 2), 14L), (ts(3, 3), 15L))
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val src = in.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "0 seconds")
+    val cells = graft.streaming.ops.ApproxDistinctOp(
+      Map("window" -> "1 day", "item_col" -> "user_id",
+        "precision" -> 6), Seq(src)).head
+    val q = cells.writeStream.format("memory").queryName("rolling_regs")
+      .outputMode("append").start()
+    try {
+      rows.grouped(3).foreach { batch =>
+        in.addData(batch); q.processAllAvailable()
+      }
+      in.addData((ts(9, 1), 99L)) // close day 3
+      q.processAllAvailable()
+      val streamedRegs = spark.table("rolling_regs")
+        .filter(col("window_start") < ts(9, 0))
+        .select(col("window_start").cast("date").as("day"),
+          col("bucket"), col("register"))
+      val got = graft.operators.Retention.rollingFromRegisters(
+        streamedRegs, windowDays = 2, p = 6)
+        .select("day", "est_millis").as[(java.sql.Date, Long)]
+        .collect().toSeq
+      val want = graft.operators.Retention.rollingActives(
+        rows.toDF("ts", "user_id"), "user_id", "ts",
+        windowDays = 2, p = 6)
+        .select("day", "est_millis").as[(java.sql.Date, Long)]
+        .collect().toSeq
+      assert(got == want && got.size == 3, s"got=$got want=$want")
+    } finally q.stop()
+  }
 }
 
 /** Reflection-resolvable pre-transform for the serve dict-event test —
