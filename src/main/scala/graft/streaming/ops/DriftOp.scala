@@ -27,7 +27,9 @@ import graft.streaming.OperatorFactory
   * bucketed alert threshold is conservative — also pinned.
   *
   * Config: `window` (default "1 hour"), `timestamp_col` ("ts"),
-  * `text_col` ("text"), `buckets` (1024), `seed` (0). */
+  * `text_col` ("text"), `buckets` (1024), `seed` (0); optional
+  * `stratum_col` keys the cells per stratum too — "which SOURCE
+  * drifted this hour" via [[finishBy]] over (window_start, stratum). */
 object DriftOp extends OperatorFactory {
   def apply(config: Map[String, Any], sources: Seq[DataFrame])
       : Seq[DataFrame] = {
@@ -36,17 +38,22 @@ object DriftOp extends OperatorFactory {
     val textCol = config.getOrElse("text_col", "text").toString
     val buckets = config.getOrElse("buckets", 1024).toString.toInt
     val seed = config.getOrElse("seed", 0).toString.toInt
+    val stratum = config.get("stratum_col").map(_.toString)
     require(buckets >= 1, s"DriftOp: buckets must be >= 1: $buckets")
+    val stratumIn = stratum.map(c => Seq(col(c).as("stratum")))
+      .getOrElse(Nil)
+    val stratumKey = if (stratum.isEmpty) Nil else Seq(col("stratum"))
     val cells = sources.head
-      .select(window(col(tsCol), win).as("__win"),
+      .select(Seq(window(col(tsCol), win).as("__win"),
         explode(graft.functions.Text.tokens(col(textCol))).as("__tok"))
-      .select(col("__win"),
+        ++ stratumIn: _*)
+      .select(Seq(col("__win"),
         pmod(xxhash64(lit(seed), col("__tok")), lit(buckets.toLong))
-          .as("bucket"))
-      .groupBy(col("__win"), col("bucket"))
+          .as("bucket")) ++ stratumKey: _*)
+      .groupBy(col("__win") +: stratumKey :+ col("bucket"): _*)
       .agg(count(lit(1)).as("cnt"))
-    Seq(cells.select(col("__win.start").as("window_start"),
-      col("bucket"), col("cnt")))
+    Seq(cells.select(col("__win.start").as("window_start") +:
+      stratumKey :+ col("bucket") :+ col("cnt"): _*))
   }
 
   /** Batch finisher: per finalized window, the TVD of that window's
@@ -62,34 +69,45 @@ object DriftOp extends OperatorFactory {
     * broadcasts into is bounded at `buckets` rows per window, and one
     * full-outer join + one window-keyed aggregate finish EVERY window
     * in a single pass. */
-  def finish(cells: DataFrame, refCells: DataFrame): DataFrame = {
+  def finish(cells: DataFrame, refCells: DataFrame): DataFrame =
+    finishBy(cells, refCells, Seq("window_start"))
+
+  /** [[finish]] generalized to any cell key — `keys` =
+    * Seq("window_start") for the plain windowed monitor,
+    * Seq("window_start", "stratum") for the per-source form emitted
+    * under `stratum_col`: one TVD row per key combination, each
+    * bit-identical to [[graft.llm.Drift.driftFromCounts]] on that
+    * slice (DriftSpec pin). */
+  def finishBy(cells: DataFrame, refCells: DataFrame,
+               keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "finishBy: keys must be non-empty")
     val dec = "decimal(18,0)"
-    val wTot = cells.groupBy("window_start")
+    val kc = keys.map(col)
+    val wTot = cells.groupBy(kc: _*)
       .agg(sum(col("cnt")).as("n_a"))
     val refTot = refCells.agg(coalesce(sum(col("cnt")),
       raise_error(lit("DriftOp.finish: empty reference"))).as("n_b"))
-    // every (finalized window, reference bucket) cell — buckets absent
-    // from the window count 0 there but still contribute drift mass
-    val grid = wTot.select(col("window_start"))
+    // every (finalized key, reference bucket) cell — buckets absent
+    // from the slice count 0 there but still contribute drift mass
+    val grid = wTot.select(kc: _*)
       .crossJoin(broadcast(
         refCells.select(col("bucket"), col("cnt").as("cnt_b"))))
-    cells.select(col("window_start"), col("bucket"),
-        col("cnt").as("cnt_a"))
-      .join(grid, Seq("window_start", "bucket"), "full_outer")
+    cells.select(kc :+ col("bucket") :+ col("cnt").as("cnt_a"): _*)
+      .join(grid, keys :+ "bucket", "full_outer")
       .na.fill(0L, Seq("cnt_a", "cnt_b"))
-      .join(broadcast(wTot), Seq("window_start"))
+      .join(broadcast(wTot), keys)
       .crossJoin(broadcast(refTot))
       .withColumn("__num", abs(
         col("cnt_a").cast(dec) * col("n_b").cast(dec) -
           col("cnt_b").cast(dec) * col("n_a").cast(dec))
         .cast("decimal(38,0)"))
-      .groupBy("window_start")
+      .groupBy(kc: _*)
       .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
         sum(col("__num")).as("__tvd_num"))
-      .select(col("window_start"), col("n_a"), col("n_b"),
+      .select(kc ++ Seq(col("n_a"), col("n_b"),
         col("__tvd_num").cast("double").as("tvd_num"),
         (col("__tvd_num").cast("double") /
           (lit(2.0) * col("n_a").cast("double") *
-            col("n_b").cast("double"))).as("tvd"))
+            col("n_b").cast("double"))).as("tvd")): _*)
   }
 }

@@ -189,6 +189,40 @@ class DriftSpec extends SparkSpec {
     assert(got.size == 2 && got.forall(r => r._4 > 0.0 && r._4 < 1.0))
   }
 
+  test("DriftOp with stratum_col: per-(window, stratum) cells; finishBy " +
+    "equals driftFromCounts on every slice") {
+    val ts0 = Timestamp.valueOf("2026-01-01 00:10:00")
+    val ts1 = Timestamp.valueOf("2026-01-01 01:10:00")
+    val stream = Seq(
+      (ts0, "s1", "a a b"), (ts0, "s2", "b c c"),
+      (ts1, "s1", "c z z")).toDF("ts", "src", "text")
+    val ref = docs(1L -> "a b c z").select(col("text"))
+    val buckets = 8
+    val cells = DriftOp(Map("window" -> "1 hour", "buckets" -> buckets,
+      "seed" -> 3, "stratum_col" -> "src"), Seq(stream)).head
+    assert(cells.columns.toSeq ==
+      Seq("window_start", "stratum", "bucket", "cnt"))
+    val refCells = Drift.bucketCounts(ref, "text", buckets, seed = 3)
+    val got = DriftOp.finishBy(cells, refCells,
+      Seq("window_start", "stratum"))
+      .orderBy("window_start", "stratum")
+      .select("window_start", "stratum", "n_a", "n_b", "tvd_num", "tvd")
+      .as[(Timestamp, String, Long, Long, Double, Double)]
+      .collect().toSeq
+    val w0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val w1 = Timestamp.valueOf("2026-01-01 01:00:00")
+    val want = Seq((w0, "s1"), (w0, "s2"), (w1, "s1")).map {
+      case (w, s) =>
+        val slice = cells.filter(col("window_start") === w &&
+          col("stratum") === s).select("bucket", "cnt")
+        val r = Drift.driftFromCounts(slice, refCells, "bucket")
+          .select("n_a", "n_b", "tvd_num", "tvd")
+          .as[(Long, Long, Double, Double)].head()
+        (w, s, r._1, r._2, r._3, r._4)
+    }
+    assert(got == want)
+  }
+
   test("DriftOp streams per-window bucket cells that finalize in append " +
     "mode and match the batch twin exactly") {
     implicit val sqlCtx = spark.sqlContext
