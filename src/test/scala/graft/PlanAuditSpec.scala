@@ -84,6 +84,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hash"), p)
   }
 
+  test("q_quota_sample ranks through the bounded TopKCollect aggregate " +
+    "— no WindowExec anywhere") {
+    val p = planStr("q_quota_sample")
+    assert(!p.contains("Window "), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      p)
+  }
+
+  test("q_rolling_actives: the window fan-out is an equi-keyed explode " +
+    "— no inequality join (BroadcastNestedLoopJoin) in the plan") {
+    val p = planStr("q_rolling_actives")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("drift queries: corpus sides never broadcast (vocab-sized joins " +
     "stay keyed); totals ride as broadcast 1-row frames") {
     for (q <- Seq("q_token_drift", "q_drift_by_source", "q_hist_drift")) {
