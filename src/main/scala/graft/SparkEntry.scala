@@ -2352,6 +2352,22 @@ object SparkEntry {
       graft.operators.Retention.rollingActives(t(s, dir, "events"),
         "user_id", "ts", windowDays = 7, p = 6)),
 
+    // EMBEDDING-distribution drift (semantic drift monitoring): both
+    // snapshot halves assigned against the SAME frozen quantizer (the
+    // seeded k=8 centroids), then exact TVD over the cell histograms —
+    // "did the embedding distribution move" without any pairwise math
+    "q_embed_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m = graft.llm.KMeans.seed(e, "vec_id", "embedding", k = 8)
+      def cells(side: DataFrame) =
+        graft.llm.KMeans.assign(side, "vec_id", "embedding", m)
+          .groupBy(col("cell").as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+      graft.llm.Drift.driftFromCounts(
+        cells(e.filter(pmod(col("vec_id"), lit(2)) === 0)),
+        cells(e.filter(pmod(col("vec_id"), lit(2)) === 1)), "bucket")
+    }),
+
     // quota sampling: 3 docs per source drawn weight-proportional to
     // n_chars — the per-stratum form of priority sampling, ranked by
     // the bounded TopKCollect aggregate (no WindowExec)
@@ -3144,6 +3160,41 @@ object SparkEntry {
            |        FROM d)
            |SELECT vec_id, cell FROM asg WHERE rn = 1
            |ORDER BY vec_id""".stripMargin,
+
+      // embedding drift: the q_kmeans_assign chain split into halves,
+      // cell histograms through the q_token_drift numerator chain
+      "q_embed_drift" ->
+        s"""WITH cents AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |         embedding AS cv
+           |  FROM embeddings ORDER BY vec_id LIMIT 8),
+           |d AS (SELECT e.vec_id, c.cell,
+           |  list_reduce(list_prepend(0.0,
+           |    list_transform(list_zip(e.embedding, c.cv),
+           |      x -> (x[1]::DOUBLE - x[2]::DOUBLE)
+           |         * (x[1]::DOUBLE - x[2]::DOUBLE))),
+           |    (a, y) -> a + y) AS dist
+           |  FROM embeddings e CROSS JOIN cents c),
+           |asg AS (SELECT vec_id, cell, row_number() OVER (
+           |          PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |        FROM d),
+           |cl AS (SELECT vec_id, cell FROM asg WHERE rn = 1),
+           |ca AS (SELECT cell, count(*) AS cnt_a FROM cl
+           |       WHERE vec_id % 2 = 0 GROUP BY 1),
+           |cb AS (SELECT cell, count(*) AS cnt_b FROM cl
+           |       WHERE vec_id % 2 = 1 GROUP BY 1),
+           |j AS (SELECT coalesce(cnt_a, 0)::HUGEINT AS cnt_a,
+           |             coalesce(cnt_b, 0)::HUGEINT AS cnt_b
+           |      FROM ca FULL OUTER JOIN cb USING (cell)),
+           |tot AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b FROM j)
+           |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           |       CAST((SELECT sum(abs(cnt_a * n_b - cnt_b * n_a))
+           |             FROM j, tot) AS DOUBLE) AS tvd_num,
+           |       CAST((SELECT sum(abs(cnt_a * n_b - cnt_b * n_a))
+           |             FROM j, tot) AS DOUBLE)
+           |         / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           |         AS tvd
+           |FROM tot""".stripMargin,
 
       // PQ code assignment: per subspace s, the strict-< argmin over the
       // 16 seed centroids of the SLICED vectors (dims s*8+1 .. s*8+8),
