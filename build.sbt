@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally rides sbt's logger, which prefixes every
+// line with "[info] " — that prefix broke the driver's JSON parse of the
+// bench headline line three rounds running ("parsed": null). StdoutOutput
+// pipes the forked JVM's stdout/stderr straight through, prefix-free.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

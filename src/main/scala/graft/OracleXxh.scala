@@ -151,12 +151,12 @@ FROM toks ORDER BY doc_id"""
     * is not (ln ulp). `targetSql` is the SQL form of the target
     * predicate over `documents` columns. */
   private def dsirScoreCtes(buckets: Int, targetSql: String): String =
-    s"""WITH toks AS (SELECT doc_id,
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id,
        |    list_filter(string_split(lower(trim(text)), ' '),
        |                t -> len(t) > 0) AS ts,
        |    CASE WHEN $targetSql THEN 1 ELSE 0 END AS tgt
        |  FROM documents),
-       |f0 AS (
+       |f0 AS MATERIALIZED (
        |  SELECT doc_id, tgt,
        |    list_concat(
        |      list_transform(ts,
@@ -166,30 +166,42 @@ FROM toks ORDER BY doc_id"""
        |             i -> ((g_xxh_str(ts[i] || ' ' || ts[i+1]) % $buckets)
        |                    + $buckets) % $buckets) END) AS bs
        |  FROM toks),
-       |f AS (SELECT doc_id, tgt, unnest(bs) AS b FROM f0),
-       |bc AS (SELECT b, count(*)::HUGEINT AS cq,
+       |f AS MATERIALIZED (SELECT doc_id, tgt, unnest(bs) AS b FROM f0),
+       |bc AS MATERIALIZED (SELECT b, count(*)::HUGEINT AS cq,
        |              sum(tgt)::HUGEINT AS cp
        |       FROM f GROUP BY b),
-       |tot AS (SELECT sum(cq)::HUGEINT AS tq, sum(cp)::HUGEINT AS tp
+       |tot AS MATERIALIZED (SELECT sum(cq)::HUGEINT AS tq, sum(cp)::HUGEINT AS tp
        |        FROM bc),
-       |w AS (SELECT b, (cp + 1) * (tq + $buckets)
+       |w AS MATERIALIZED (SELECT b, (cp + 1) * (tq + $buckets)
        |               - (cq + 1) * (tp + $buckets) AS wb
        |      FROM bc, tot),
-       |dc AS (SELECT doc_id, b, count(*)::HUGEINT AS c
+       |dc AS MATERIALIZED (SELECT doc_id, b, count(*)::HUGEINT AS c
        |       FROM f GROUP BY doc_id, b),
-       |sc AS (SELECT doc_id, sum(c) AS n_feats, sum(c * wb) AS score
+       |sc AS MATERIALIZED (SELECT doc_id, sum(c) AS n_feats, sum(c * wb) AS score
        |       FROM dc JOIN w USING (b) GROUP BY doc_id)""".stripMargin
 
+  // r7: both dsir outputs ship as BIGINT, not DECIMAL(38,0) — at oracle
+  // scale |score| < 2^63, and int64 survives every pandas/pyarrow
+  // conversion identically on both sides where Decimal objects may not
+  // (DuckDB DECIMAL→pandas can widen to float64; parquet decimal stays
+  // Decimal — same values, different canonical strings, r6 driver-red).
+  // The engine keeps decimal(38,0) internally; only the oracle-facing
+  // projection narrows, with ANSI cast raising loudly on overflow.
   def q_dsir_scores(buckets: Int, targetSql: String): String =
     prologue + "\n" + dsirScoreCtes(buckets, targetSql) + "\n" +
       """SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
-        |       CAST(score AS DECIMAL(38,0)) AS score
+        |       CAST(score AS BIGINT) AS score
         |FROM sc ORDER BY doc_id""".stripMargin
 
+  // selection membership is pinned by the top-n subquery; the OUTER
+  // order is doc_id to match the Spark artifact's row order exactly
+  // (a row-order-sensitive driver hash was the other r6 suspect)
   def q_dsir_select(buckets: Int, targetSql: String, n: Int): String =
     prologue + "\n" + dsirScoreCtes(buckets, targetSql) + "\n" +
-      s"""SELECT doc_id, CAST(score AS DECIMAL(38,0)) AS score
-         |FROM sc ORDER BY score DESC, doc_id LIMIT $n""".stripMargin
+      s"""SELECT doc_id, CAST(score AS BIGINT) AS score
+         |FROM (SELECT doc_id, score FROM sc
+         |      ORDER BY score DESC, doc_id LIMIT $n)
+         |ORDER BY doc_id""".stripMargin
 
   /** Winnowing prints: positional 3-gram hashes, w=4 window minima, value-dedup (WinnowKernel semantics). */
   val q_winnow: String =

@@ -1921,10 +1921,15 @@ object SparkEntry {
     // The EXACT integer ranking statistic is the oracled contract; the
     // paper's log-ratio rides along as log_weight (ln is not
     // oracle-portable — Dsir scaladoc)
+    // the oracle-facing projection narrows score decimal(38,0) → long:
+    // int64 canonicalizes identically through every driver-side
+    // conversion path where Decimal may not (r6 driver-red with
+    // locally-bit-exact values); ANSI cast raises loudly on overflow
     "q_dsir_scores" -> ((s, dir) =>
       graft.llm.Dsir.importanceScores(t(s, dir, "documents"), "doc_id",
         "text", col("lang") === "en", buckets = 1024)
-        .select(col("doc_id"), col("n_feats"), col("score"))
+        .select(col("doc_id"), col("n_feats"),
+          col("score").cast("long").as("score"))
         .orderBy("doc_id")),
 
     // the selection step: top-100 by (score desc, id) — distributed
@@ -1932,7 +1937,7 @@ object SparkEntry {
     "q_dsir_select" -> ((s, dir) =>
       graft.llm.Dsir.selectTop(t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", n = 100, buckets = 1024)
-        .select(col("doc_id"), col("score"))
+        .select(col("doc_id"), col("score").cast("long").as("score"))
         .orderBy("doc_id")),
 
     // product quantization: 64 dims -> m=8 subspaces × ksub=16 codes

@@ -310,6 +310,16 @@ object MathOps {
     * interpolating convenience where cross-engine exactness is not
     * needed.
     *
+    * Rank arithmetic contract: the rank is `ceil` of the RAW IEEE
+    * product p·n — when the mathematical product is an integer whose
+    * double rounding lands a hair high (p=0.95, n=20 → 19.000000000000004
+    * → rank 20, not the textbook 19), the IEEE answer is the contract,
+    * because that exact product is what ANY engine computes from the
+    * same doubles (the oracle replays it bit-for-bit; a tolerance would
+    * instead fork on where the tolerance sits). Callers at those
+    * boundaries get the element one rank above the textbook inverted
+    * CDF — by design, deterministically, on every engine.
+    *
     * One key-partitioned WindowExec (rank + count share the partition);
     * per-task work is bounded by the largest single key, the usual
     * keyed-window contract. Output: keys…, n, q. */

@@ -489,29 +489,6 @@ object Ops {
       .drop("__cell", "__oc", "__prev", "__nt")
   }
 
-  /** Deterministic WEIGHT-PROPORTIONAL sampling without replacement —
-    * priority sampling (Duffield–Lund–Thorup, JACM'07): each row gets
-    * priority q = w / u with u a per-row uniform, and the k highest
-    * priorities form the sample (heavier rows need a smaller uniform to
-    * be excluded, so inclusion probability grows with weight; the
-    * estimator max(w, τ) with τ = the (k+1)-th priority makes subset
-    * sums unbiased — expose τ by asking for k+1 and dropping the last).
-    * The training-data use: "sample n docs proportional to quality
-    * score" without a giant multinomial draw.
-    *
-    * Determinism across engines and reruns, the [[hashSample]] bar: u
-    * derives from `xxhash64(seed, id)` — u = (h & (2^53−1)) + 1 scaled
-    * by nothing (q = w·2^53/u orders identically to w/u, so the
-    * constant cancels and is dropped). One IEEE division per row, ties
-    * broken by id asc; the oracle replays the identical arithmetic
-    * through the OracleXxh macros (q_weighted_sample).
-    *
-    * Scale: map-only scoring + `TakeOrderedAndProject` top-k (each task
-    * keeps ≤ k rows, no global sort). NULL id/weight refused; weights
-    * must be > 0 (a zero weight can never win but would divide into a
-    * valid priority of 0 — refused loudly instead so a half-NULL score
-    * column fails the run, not the sample). Adds `priority` and 1-based
-    * `sample_rank`. */
   /** Skew-resistant equi-join — the classic SALTED join: a plain
     * key-shuffle join sends a hot key's entire left side to ONE task
     * (the Zipf cliff every web corpus hits: one domain, one user id, one
@@ -563,12 +540,42 @@ object Ops {
     val u = (h.bitwiseAND(lit((1L << 53) - 1)) + lit(1L)).cast("double")
     // pre-project the key: takeOrderedByKey re-selects its key columns
     // after the aggregate, where the source expression no longer resolves
+    // the id rides through refuseNull as a projected column too:
+    // takeOrderedByKey pre-filters id.isNotNull (its own NULL-drop
+    // contract), which would otherwise short-circuit the raise_error in
+    // the score expression and silently drop NULL-id rows — this family
+    // REFUSES them (same contract as prioritySample / sampleToBudget)
     val pre = df.withColumn("stratum", refuseNull(stratumCol,
       lit("prioritySampleByKey: NULL stratum")))
-    takeOrderedByKey(kPerStratum, idCol, w / u, Seq(col("stratum")),
-      as = ("id", "priority"))(pre)
+      .withColumn("__psk_id", refuseNull(idCol,
+        lit("prioritySampleByKey: NULL id")))
+    takeOrderedByKey(kPerStratum, col("__psk_id"), w / u,
+      Seq(col("stratum")), as = ("id", "priority"))(pre)
   }
 
+  /** Deterministic WEIGHT-PROPORTIONAL sampling without replacement —
+    * priority sampling (Duffield–Lund–Thorup, JACM'07): each row gets
+    * priority q = w / u with u a per-row uniform, and the k highest
+    * priorities form the sample (heavier rows need a smaller uniform to
+    * be excluded, so inclusion probability grows with weight; the
+    * estimator max(w, τ) with τ = the (k+1)-th priority makes subset
+    * sums unbiased — expose τ by asking for k+1 and dropping the last).
+    * The training-data use: "sample n docs proportional to quality
+    * score" without a giant multinomial draw.
+    *
+    * Determinism across engines and reruns, the [[hashSample]] bar: u
+    * derives from `xxhash64(seed, id)` — u = (h & (2^53−1)) + 1 scaled
+    * by nothing (q = w·2^53/u orders identically to w/u, so the
+    * constant cancels and is dropped). One IEEE division per row, ties
+    * broken by id asc; the oracle replays the identical arithmetic
+    * through the OracleXxh macros (q_weighted_sample).
+    *
+    * Scale: map-only scoring + `TakeOrderedAndProject` top-k (each task
+    * keeps ≤ k rows, no global sort). NULL id/weight refused; weights
+    * must be > 0 (a zero weight can never win but would divide into a
+    * valid priority of 0 — refused loudly instead so a half-NULL score
+    * column fails the run, not the sample). Adds `priority` and 1-based
+    * `sample_rank`. */
   def prioritySample(idCol: Column, weightCol: Column, k: Int,
                      seed: Int = 0): Op = { df =>
     require(k >= 1, s"prioritySample: k must be >= 1: $k")

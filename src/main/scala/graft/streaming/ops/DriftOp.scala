@@ -40,7 +40,12 @@ object DriftOp extends OperatorFactory {
     val seed = config.getOrElse("seed", 0).toString.toInt
     val stratum = config.get("stratum_col").map(_.toString)
     require(buckets >= 1, s"DriftOp: buckets must be >= 1: $buckets")
-    val stratumIn = stratum.map(c => Seq(col(c).as("stratum")))
+    // NULL stratum refused, the driftByStratum/adjacentDrift NULL-key
+    // contract — otherwise NULL-source rows silently aggregate into a
+    // phantom NULL stratum cell group that flows through finishBy
+    val stratumIn = stratum.map(c => Seq(
+      graft.operators.Ops.refuseNull(col(c),
+        lit("DriftOp: NULL stratum")).as("stratum")))
       .getOrElse(Nil)
     val stratumKey = if (stratum.isEmpty) Nil else Seq(col("stratum"))
     val cells = sources.head

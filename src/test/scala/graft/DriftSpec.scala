@@ -221,6 +221,17 @@ class DriftSpec extends SparkSpec {
         (w, s, r._1, r._2, r._3, r._4)
     }
     assert(got == want)
+    // NULL stratum refused (the driftByStratum/adjacentDrift NULL-key
+    // contract) — no phantom NULL stratum cell group through finishBy
+    val nullSrc = Seq((ts0, "s1", "a"),
+      (ts0, null.asInstanceOf[String], "b")).toDF("ts", "src", "text")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      DriftOp(Map("window" -> "1 hour", "buckets" -> buckets,
+        "seed" -> 3, "stratum_col" -> "src"), Seq(nullSrc)).head.collect()
+    }
+    assert(msgs(e).exists(_.contains("DriftOp: NULL stratum")), e)
   }
 
   test("DriftOp streams per-window bucket cells that finalize in append " +

@@ -370,6 +370,22 @@ class OpsSpec extends SparkSpec {
         .collect()
     }
     assert(msgs(e).exists(_.contains("NULL stratum")), e)
+    // NULL id refused too — NOT silently dropped by takeOrderedByKey's
+    // internal NULL-drop pre-filter (the r6 ADVICE finding: the filter
+    // short-circuited the raise before it could fire)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType, true),
+      StructField("w", DoubleType, true),
+      StructField("src", StringType, true)))
+    val nullId = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, 1.0, "a"), Row(null, 1.0, "a"))), schema)
+    val e2 = intercept[Exception] {
+      (nullId >> Ops.prioritySampleByKey(col("id"), col("w"),
+        col("src"), 2, 0)).collect()
+    }
+    assert(msgs(e2).exists(_.contains("NULL id")), e2)
   }
 
   test("saltedJoin equals the plain join row-for-row and spreads a hot " +

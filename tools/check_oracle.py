@@ -26,6 +26,9 @@ def canon(rows, colnames):
 
 
 def main(sf_dir, out_dir):
+    # version skew between this box's DuckDB and the driver's is a live
+    # suspect whenever local-pass/driver-fail divergence appears (r6 DSIR)
+    print(f"duckdb {duckdb.__version__}")
     con = duckdb.connect()
     for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
                 "lineitem", "events", "documents", "embeddings"]:
