@@ -1765,6 +1765,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // magic-byte dispatch: the SAME mixed corpus with NO mime column —
+    // extractFeatures sniffs each payload's magic bytes
+    // (Multimodal.sniffModality) and routes to the identical real
+    // codecs; first four features of every modality oracled
+    "q_magic_features" -> ((s, dir) => {
+      import s.implicits._
+      val mixed = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id % 3) match {
+            case 0 => (id,
+              graft.llm.Ppm.encodeP6(graft.llm.Ppm.synthetic(id, 8, 6)))
+            case 1 => (id,
+              graft.llm.Wav.encode(graft.llm.Wav.synthetic(id, 64)))
+            case _ => (id,
+              graft.llm.Y4m.encode(graft.llm.Y4m.synthetic(id, 4, 4, 6)))
+          }
+        }.toDF("doc_id", "content")
+      Multimodal.extractFeatures(s, mixed, "doc_id")
+        .select(Seq(col("id").as("doc_id"), col("modality"),
+          size(col("feature")).as("n_feats")) ++
+          (0 until 4).map(i => element_at(col("feature"), i + 1)
+            .as(s"f$i")): _*)
+        .orderBy("doc_id")
+    }),
+
     // composed MEDIA pipeline (the multimodal q_pipeline_* sibling):
     // duplicated payloads (consecutive id pairs share content) ->
     // content-addressed dedup keeps the min id -> mime routing to the
@@ -2530,6 +2555,72 @@ object SparkEntry {
     * OracleXxh prologue replicates Spark's XXH64 inside DuckDB for the
     * minhash/simhash/RHP-LSH/winnow/rolling-fp family, and the IVF
     * quantizer's sequential training replays in SQL (ivfOracleSql). */
+  // mixed-media feature replay shared by q_media_features (mime
+  // routing) and q_magic_features (magic-byte routing): doc_id mod 3
+  // picks the modality, each branch recomputes its generator + feature
+  // arithmetic (the three single-modality oracles, filtered + unioned)
+  private val mediaFeaturesOracleSql: String =
+    """WITH ipx AS (
+          |  SELECT doc_id, p,
+          |         ((doc_id * 31 + (p * 3) * 7) % 251) AS r,
+          |         ((doc_id * 31 + (p * 3 + 1) * 7) % 251) AS g,
+          |         ((doc_id * 31 + (p * 3 + 2) * 7) % 251) AS b
+          |  FROM documents, unnest(generate_series(0, 47)) AS t(p)
+          |  WHERE doc_id % 3 = 0),
+          |img AS (
+          |  SELECT doc_id, 'image' AS modality,
+          |         8 AS d1, 6 AS d2, 1 AS d3, 8 AS n_feats,
+          |         CAST(CAST(sum(r) AS DOUBLE) / 48 / 255 AS FLOAT) AS f0,
+          |         CAST(CAST(sum(g) AS DOUBLE) / 48 / 255 AS FLOAT) AS f1,
+          |         CAST(CAST(sum(b) AS DOUBLE) / 48 / 255 AS FLOAT) AS f2,
+          |         CAST(CAST(sum(299 * r + 587 * g + 114 * b) AS DOUBLE)
+          |           / 1000.0 / 48 / 255 AS FLOAT) AS f3
+          |  FROM ipx GROUP BY doc_id),
+          |asm AS (
+          |  SELECT doc_id, j,
+          |         ((doc_id * 31 + j * 7) % 65521) - 32760 AS v
+          |  FROM documents, unnest(generate_series(0, 63)) AS t(j)
+          |  WHERE doc_id % 3 = 1),
+          |aud AS (
+          |  SELECT doc_id, 'audio' AS modality,
+          |         16000 AS d1, 64 AS d2, 1 AS d3, 4 AS n_feats,
+          |         CAST(CAST(sum(v) AS DOUBLE) / 64 / 32768.0 AS FLOAT)
+          |           AS f0,
+          |         CAST(sqrt(CAST(sum(v * v) AS DOUBLE) / 64) / 32768.0
+          |           AS FLOAT) AS f1,
+          |         CAST(CAST(sum(CASE WHEN j > 0 AND
+          |             ((((doc_id * 31 + (j - 1) * 7) % 65521) - 32760
+          |               < 0) <> (v < 0)) THEN 1 ELSE 0 END) AS DOUBLE)
+          |           / 63 AS FLOAT) AS f2,
+          |         CAST(CAST(max(abs(v)) AS DOUBLE) / 32768.0 AS FLOAT)
+          |           AS f3
+          |  FROM asm GROUP BY doc_id),
+          |vsm AS (
+          |  SELECT doc_id, f, j,
+          |         ((doc_id * 31 + f * 101 + j * 7) % 251) AS v
+          |  FROM documents, unnest(generate_series(0, 5)) AS tf(f),
+          |       unnest(generate_series(0, 47)) AS tj(j)
+          |  WHERE doc_id % 3 = 2),
+          |vid AS (
+          |  SELECT doc_id, 'video' AS modality,
+          |         4 AS d1, 4 AS d2, 6 AS d3, 4 AS n_feats,
+          |         CAST(CAST(sum(CASE WHEN j < 16 THEN v END) AS DOUBLE)
+          |           / 96 / 255.0 AS FLOAT) AS f0,
+          |         CAST(CAST(sum(CASE WHEN j >= 16 AND j < 32 THEN v END)
+          |           AS DOUBLE) / 96 / 255.0 AS FLOAT) AS f1,
+          |         CAST(CAST(sum(CASE WHEN j >= 32 THEN v END) AS DOUBLE)
+          |           / 96 / 255.0 AS FLOAT) AS f2,
+          |         CAST(CAST(sum(CASE WHEN f > 0 THEN abs(v -
+          |             ((doc_id * 31 + (f - 1) * 101 + j * 7) % 251))
+          |           ELSE 0 END) AS DOUBLE) / 240 / 255.0 AS FLOAT) AS f3
+          |  FROM vsm GROUP BY doc_id)
+          |SELECT doc_id, modality, d1::INTEGER AS d1, d2::INTEGER AS d2,
+          |       d3::INTEGER AS d3, n_feats::INTEGER AS n_feats,
+          |       f0, f1, f2, f3
+          |FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
+          |      UNION ALL SELECT * FROM vid)
+          |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val allStops = sqlList(
       Text.stopwords.values.flatten.toSeq.distinct.sorted)
@@ -3814,67 +3905,15 @@ object SparkEntry {
       // mixed-media routing replay: doc_id mod 3 picks the modality,
       // each branch recomputes its generator + feature arithmetic
       // (the three single-modality oracles, filtered and unioned)
-      "q_media_features" ->
-        """WITH ipx AS (
-          |  SELECT doc_id, p,
-          |         ((doc_id * 31 + (p * 3) * 7) % 251) AS r,
-          |         ((doc_id * 31 + (p * 3 + 1) * 7) % 251) AS g,
-          |         ((doc_id * 31 + (p * 3 + 2) * 7) % 251) AS b
-          |  FROM documents, unnest(generate_series(0, 47)) AS t(p)
-          |  WHERE doc_id % 3 = 0),
-          |img AS (
-          |  SELECT doc_id, 'image' AS modality,
-          |         8 AS d1, 6 AS d2, 1 AS d3, 8 AS n_feats,
-          |         CAST(CAST(sum(r) AS DOUBLE) / 48 / 255 AS FLOAT) AS f0,
-          |         CAST(CAST(sum(g) AS DOUBLE) / 48 / 255 AS FLOAT) AS f1,
-          |         CAST(CAST(sum(b) AS DOUBLE) / 48 / 255 AS FLOAT) AS f2,
-          |         CAST(CAST(sum(299 * r + 587 * g + 114 * b) AS DOUBLE)
-          |           / 1000.0 / 48 / 255 AS FLOAT) AS f3
-          |  FROM ipx GROUP BY doc_id),
-          |asm AS (
-          |  SELECT doc_id, j,
-          |         ((doc_id * 31 + j * 7) % 65521) - 32760 AS v
-          |  FROM documents, unnest(generate_series(0, 63)) AS t(j)
-          |  WHERE doc_id % 3 = 1),
-          |aud AS (
-          |  SELECT doc_id, 'audio' AS modality,
-          |         16000 AS d1, 64 AS d2, 1 AS d3, 4 AS n_feats,
-          |         CAST(CAST(sum(v) AS DOUBLE) / 64 / 32768.0 AS FLOAT)
-          |           AS f0,
-          |         CAST(sqrt(CAST(sum(v * v) AS DOUBLE) / 64) / 32768.0
-          |           AS FLOAT) AS f1,
-          |         CAST(CAST(sum(CASE WHEN j > 0 AND
-          |             ((((doc_id * 31 + (j - 1) * 7) % 65521) - 32760
-          |               < 0) <> (v < 0)) THEN 1 ELSE 0 END) AS DOUBLE)
-          |           / 63 AS FLOAT) AS f2,
-          |         CAST(CAST(max(abs(v)) AS DOUBLE) / 32768.0 AS FLOAT)
-          |           AS f3
-          |  FROM asm GROUP BY doc_id),
-          |vsm AS (
-          |  SELECT doc_id, f, j,
-          |         ((doc_id * 31 + f * 101 + j * 7) % 251) AS v
-          |  FROM documents, unnest(generate_series(0, 5)) AS tf(f),
-          |       unnest(generate_series(0, 47)) AS tj(j)
-          |  WHERE doc_id % 3 = 2),
-          |vid AS (
-          |  SELECT doc_id, 'video' AS modality,
-          |         4 AS d1, 4 AS d2, 6 AS d3, 4 AS n_feats,
-          |         CAST(CAST(sum(CASE WHEN j < 16 THEN v END) AS DOUBLE)
-          |           / 96 / 255.0 AS FLOAT) AS f0,
-          |         CAST(CAST(sum(CASE WHEN j >= 16 AND j < 32 THEN v END)
-          |           AS DOUBLE) / 96 / 255.0 AS FLOAT) AS f1,
-          |         CAST(CAST(sum(CASE WHEN j >= 32 THEN v END) AS DOUBLE)
-          |           / 96 / 255.0 AS FLOAT) AS f2,
-          |         CAST(CAST(sum(CASE WHEN f > 0 THEN abs(v -
-          |             ((doc_id * 31 + (f - 1) * 101 + j * 7) % 251))
-          |           ELSE 0 END) AS DOUBLE) / 240 / 255.0 AS FLOAT) AS f3
-          |  FROM vsm GROUP BY doc_id)
-          |SELECT doc_id, modality, d1::INTEGER AS d1, d2::INTEGER AS d2,
-          |       d3::INTEGER AS d3, n_feats::INTEGER AS n_feats,
-          |       f0, f1, f2, f3
-          |FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
-          |      UNION ALL SELECT * FROM vid)
-          |ORDER BY doc_id""".stripMargin,
+      "q_media_features" -> mediaFeaturesOracleSql,
+
+      // magic-byte dispatch replay: identical corpus and feature
+      // arithmetic, but the engine routes by sniffModality (no mime
+      // column) — so the oracle is the media oracle minus the dims,
+      // which extractFeatures doesn't carry
+      "q_magic_features" ->
+        ("SELECT doc_id, modality, n_feats, f0, f1, f2, f3 FROM (" +
+          mediaFeaturesOracleSql + ") ORDER BY doc_id"),
 
       // media pipeline replay: consecutive id pairs share content so
       // content dedup keeps the EVEN ids; per-modality branches

@@ -14,9 +14,12 @@ import org.apache.spark.sql.types._
   * netpbm P6/P3 codec, and [[extractImageFeatures]] /
   * [[sampleImageRows]] / [[resizeImage]] run on actual decoded pixels
   * (oracled: q_multimodal_features, q_ppm_frames, q_ppm_resize). The
-  * BYTE-level kernels ([[extractFeatures]], [[sampleFrames]],
-  * [[resizeTo]]) remain the documented seam for formats whose codecs
-  * aren't in this container (audio/video): deterministic byte
+  * same goes for audio ([[Wav]]) and video ([[Y4m]]);
+  * [[extractFeatures]] dispatches payloads to those real codecs by
+  * magic bytes ([[sniffModality]], oracled as q_magic_features). The
+  * BYTE-level kernels (the [[extractFeatures]] fallback branch,
+  * [[sampleFrames]], [[resizeTo]]) remain the documented seam for
+  * formats whose codecs aren't in this container: deterministic byte
   * arithmetic behind the same `mapPartitions`/map-only shapes, so the
   * Spark-side contract (schema, batch shape, partitioning) is real and
   * tested; in production the byte kernel is replaced by the codec
@@ -50,20 +53,51 @@ object Multimodal {
       .groupBy("sha256")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
-  /** Feature-extraction schema produced by [[extractFeatures]]. */
+  /** Feature-extraction schema produced by [[extractFeatures]]:
+    * `modality` records which codec the magic bytes dispatched to
+    * ("image"/"audio"/"video", or "bytes" for the generic fallback). */
   val featureSchema: StructType = StructType(Seq(
     StructField("id", LongType),
+    StructField("modality", StringType),
     StructField("n_bytes", LongType),
     StructField("feature", ArrayType(FloatType))))
 
-  /** STUB decode + feature-extract over binary payloads.
-    *
-    * Real implementation: an image/audio codec decodes `content` and a model
-    * produces an embedding, batched per partition so the codec/model loads
-    * once per task (the 1000-executor pattern: partition count ≈ cluster
-    * parallelism; payloads stay where they were read — map-only, no
-    * shuffle). Here the "feature" is a deterministic fake derived from the
-    * payload bytes, so tests pin schema/shape/determinism.
+  /** Modality sniffed from the payload's MAGIC BYTES — the dispatch
+    * rule for corpora that carry no (or untrustworthy) mime column:
+    * netpbm "P6"/"P3" + whitespace → image, RIFF····WAVE → audio,
+    * "YUV4MPEG2" → video, anything else → "bytes" (generic fallback).
+    * Pure function of the first 12 bytes; a payload that matches a
+    * magic but fails its codec is an input error (decode throws), not
+    * a silent fallback — a corrupt image should fail the run, not
+    * quietly become a byte histogram. */
+  def sniffModality(bytes: Array[Byte]): String = {
+    def ascii(off: Int, n: Int): String =
+      if (bytes.length >= off + n)
+        new String(bytes, off, n,
+          java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    val p2 = ascii(0, 2)
+    val pbmWs = bytes.length >= 3 && (bytes(2) == ' ' ||
+      bytes(2) == '\n' || bytes(2) == '\t' || bytes(2) == '\r')
+    if ((p2 == "P6" || p2 == "P3") && pbmWs) "image"
+    else if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") "audio"
+    else if (ascii(0, 9) == "YUV4MPEG2") "video"
+    else "bytes"
+  }
+
+  /** Decode + feature-extract over binary payloads, dispatching each
+    * payload to its REAL codec by [[sniffModality]] magic bytes:
+    * [[Ppm.features]] (8 pixel features), [[Wav.features]] (4 sample
+    * features), [[Y4m.features]] (4 plane/motion features). Payloads
+    * matching no magic take the deterministic `dim`-bucket strided
+    * byte-histogram fallback — the documented seam for formats whose
+    * codecs aren't in this container; in production that branch is
+    * another codec call, nothing else changes. Batched per partition
+    * so codec state loads once per task (the 1000-executor pattern:
+    * partition count ≈ cluster parallelism; payloads stay where they
+    * were read — map-only, no shuffle). Mime-keyed routing (explicit
+    * mime column, unknown mime refused) is
+    * [[graft.streaming.ops.MediaFeaturesOp]].
     */
   def extractFeatures(spark: SparkSession, df: DataFrame, idCol: String,
                       dim: Int = 8): DataFrame =
@@ -78,14 +112,19 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          // ??? real codec goes here; deterministic fake: byte histogram
-          val feature = Array.tabulate(dim) { i =>
-            var acc = 0L
-            var j = i
-            while (j < bytes.length) { acc += (bytes(j) & 0xff); j += dim }
-            (acc % 1000).toFloat / 1000f
+          val modality = sniffModality(bytes)
+          val feature = modality match {
+            case "image" => Ppm.features(Ppm.decode(bytes))
+            case "audio" => Wav.features(Wav.decode(bytes))
+            case "video" => Y4m.features(Y4m.decode(bytes))
+            case _ => Array.tabulate(dim) { i =>
+              var acc = 0L
+              var j = i
+              while (j < bytes.length) { acc += (bytes(j) & 0xff); j += dim }
+              (acc % 1000).toFloat / 1000f
+            }
           }
-          Row(id, bytes.length.toLong, feature)
+          Row(id, modality, bytes.length.toLong, feature)
         }
       }(org.apache.spark.sql.Encoders.row(featureSchema))
 

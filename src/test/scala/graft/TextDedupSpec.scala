@@ -164,6 +164,42 @@ class TextDedupSpec extends SparkSpec {
     assert(f1 == f2)
     assert(f1.head.size == 4)
     assert(f1(0) == f1(1)) // same content → same feature
+    // text payloads match no magic → generic "bytes" fallback, flagged
+    assert(Multimodal.extractFeatures(spark, bin, "doc_id", dim = 4)
+      .select("modality").distinct().as[String].collect().toSeq ==
+      Seq("bytes"))
+  }
+
+  test("extractFeatures dispatches by magic bytes to the real codecs " +
+    "and agrees with each codec's own feature arithmetic") {
+    import graft.llm.{Ppm, Wav, Y4m}
+    val img = Ppm.encodeP6(Ppm.synthetic(7L, 8, 6))
+    val wav = Wav.encode(Wav.synthetic(8L, 64))
+    val vid = Y4m.encode(Y4m.synthetic(9L, 4, 4, 6))
+    assert(Multimodal.sniffModality(img) == "image")
+    assert(Multimodal.sniffModality(wav) == "audio")
+    assert(Multimodal.sniffModality(vid) == "video")
+    assert(Multimodal.sniffModality("plain old text".getBytes) == "bytes")
+    assert(Multimodal.sniffModality(Array.emptyByteArray) == "bytes")
+    // "P6x" (no whitespace after the magic) is NOT a netpbm payload
+    assert(Multimodal.sniffModality("P6x".getBytes) == "bytes")
+    val mixed = Seq((7L, img), (8L, wav), (9L, vid))
+      .toDF("doc_id", "content")
+    val got = Multimodal.extractFeatures(spark, mixed, "doc_id")
+      .orderBy("id")
+      .select("modality", "feature")
+      .as[(String, Seq[Float])].collect().toSeq
+    assert(got.map(_._1) == Seq("image", "audio", "video"))
+    assert(got(0)._2 == Ppm.features(Ppm.decode(img)).toSeq)
+    assert(got(1)._2 == Wav.features(Wav.decode(wav)).toSeq)
+    assert(got(2)._2 == Y4m.features(Y4m.decode(vid)).toSeq)
+    // a payload that MATCHES a magic but fails its codec is an input
+    // error, not a silent fallback
+    val corrupt = Seq((1L, "P6\nnot really a ppm".getBytes))
+      .toDF("doc_id", "content")
+    intercept[Exception] {
+      Multimodal.extractFeatures(spark, corrupt, "doc_id").collect()
+    }
   }
 
   test("scrubPii redacts emails, IPv4s, and long digit runs; clean text " +
