@@ -319,13 +319,27 @@ object Dedup {
     * the index covers content bands only — the streaming sentinel
     * bands of the "pair" policy start cold. Scale: the index is one
     * map-side-combined min per occupied band — strictly smaller than
-    * the corpus. Oracled bit-exactly (q_band_winners). */
+    * the corpus. Oracled bit-exactly (q_band_winners).
+    *
+    * `withSignatures: true` additionally exports each winner's full
+    * MinHash signature (`sig`, numHashes longs) — the handoff a
+    * VERIFY-mode stream needs, since its per-band state holds the
+    * winner's signature to score collisions against. Cost: one
+    * winner-keyed join (signatures ride only the index rows, never the
+    * corpus) and numHashes longs per occupied band in the artifact —
+    * the same ×numHashes factor verify mode pays in state. */
   def minhashBandWinners(df: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int = 3, numHashes: Int = 128,
-                         bands: Int = 32): DataFrame =
-    novelStage(df, idCol, textCol, shingleSize, numHashes, bands,
-      shortDocs = "novel")
-      .firsts.select(col("bkey"), col("__w").as("winner"))
+                         bands: Int = 32,
+                         withSignatures: Boolean = false): DataFrame = {
+    val st = novelStage(df, idCol, textCol, shingleSize, numHashes,
+      bands, shortDocs = "novel")
+    val winners = st.firsts.select(col("bkey"), col("__w").as("winner"))
+    if (!withSignatures) winners
+    else winners.join(st.sig.select(col("id").as("winner"),
+      col("sig")), "winner")
+      .select(col("bkey"), col("winner"), col("sig"))
+  }
 
   /** Shared staging of the first-occurrence novelty family
     * ([[minhashNovel]], [[minhashNovelVerified]]): tokens → shingle

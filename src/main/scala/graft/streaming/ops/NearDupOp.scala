@@ -69,7 +69,10 @@ import graft.streaming.{AnalysisConf, OperatorFactory}
   * path of a batch-built `(bkey, winner)` band index —
   * [[graft.llm.Dedup.minhashBandWinners]] — pre-populating per-band
   * state so the stream dedupes against an already-crawled corpus
-  * without replaying it; non-verify mode only).
+  * without replaying it; with `verify: true` the index must carry the
+  * winner signatures — export it with
+  * `minhashBandWinners(withSignatures = true)` — so warm collisions
+  * are scored exactly like streamed ones).
   *
   * Streaming analysis note: Spark's analysis-time guard rejects ANY
   * stateful op downstream of flatMapGroupsWithState because FMGWS
@@ -126,9 +129,10 @@ object NearDupOp extends OperatorFactory {
     require(graft.llm.Dedup.ShortDocPolicies(shortDocs),
       s"short_docs must be one of " +
         s"${graft.llm.Dedup.ShortDocPolicies.mkString("/")}: '$shortDocs'")
-    require(warmStart.isEmpty || !verify,
-      "warm_start with verify: true is unsupported — the band-winner " +
-        "index carries no signatures; build a fresh checkpoint instead")
+    // verify-mode warm start needs the winner SIGNATURES in the index
+    // (minhashBandWinners(withSignatures = true)) — validated at load
+    // below, so a plain (bkey, winner) index fails loudly, not as a
+    // NULL-signature comparison at runtime
     val latenessMs = parseMs(lateness)
     val streaming = df.isStreaming
     if (streaming) {
@@ -264,11 +268,8 @@ object NearDupOp extends OperatorFactory {
         val bandedV = sig.select(col("id"), col("ts"),
             explode(keys).as("bkey"), col("sig"))
           .as[BandEventV]
-        bandedV
-          .groupByKey(_.bkey)
-          .flatMapGroupsWithState(OutputMode.Append(),
-            GroupStateTimeout.EventTimeTimeout)(
-            (_: Long, rows: Iterator[BandEventV],
+        val groupedV = bandedV.groupByKey(_.bkey)
+        val funcV = (_: Long, rows: Iterator[BandEventV],
              state: GroupState[BandStateV]) => {
               if (state.hasTimedOut) { state.remove(); Iterator.empty }
               else {
@@ -355,7 +356,31 @@ object NearDupOp extends OperatorFactory {
                   out.iterator
                 }
               }
-            })
+            }
+        warmStart match {
+          case Some(path) =>
+            // verify-mode warm start: the index must carry winner
+            // SIGNATURES (minhashBandWinners(withSignatures = true));
+            // warm bands start with an empty pass memory — a stream
+            // doc re-admitted against a warm winner is remembered
+            // exactly like one re-admitted against a streamed winner
+            val raw = spark.read.parquet(path)
+            require(raw.columns.contains("sig"),
+              s"NearDupOp: verify-mode warm_start index at $path has " +
+                "no 'sig' column — export it with " +
+                "Dedup.minhashBandWinners(withSignatures = true)")
+            val init = raw
+              .select(col("bkey").cast("long"), col("winner").cast("long"),
+                col("sig"))
+              .as[(Long, Long, Array[Long])]
+              .groupByKey(_._1)
+              .mapValues(v => BandStateV(v._2, v._3, Array.emptyLongArray))
+            groupedV.flatMapGroupsWithState(OutputMode.Append(),
+              GroupStateTimeout.EventTimeTimeout, init)(funcV)
+          case None =>
+            groupedV.flatMapGroupsWithState(OutputMode.Append(),
+              GroupStateTimeout.EventTimeTimeout)(funcV)
+        }
       }
     // novel iff the doc claimed every one of its `bands` bands (at most
     // one claim row exists per band, so the count is duplicate-proof);

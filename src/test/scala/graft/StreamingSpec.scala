@@ -634,6 +634,75 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("NearDupOp verify-mode warm_start: warm collisions are scored " +
+    "against the exported winner signatures — a below-threshold " +
+    "collision is re-admitted, a real near-dup is suppressed; parity " +
+    "with minhashNovelVerified on the union corpus") {
+    val tmp = Files.createTempDirectory("neardup_warm_v").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val textA = (1 to 40).map(i => s"wv$i").mkString(" ")
+    // near-dup of A: collides AND agrees far above the 0.5 knee
+    val textA2 = (1 to 38).map(i => s"wv$i").mkString(" ") + " x y"
+    val textB = (1 to 40).map(i => s"wvb$i").mkString(" ")
+    val crawled = Seq((1L, ts(1), textA)).toDF("doc_id", "ts", "text")
+    graft.llm.Dedup.minhashBandWinners(crawled, "doc_id", "text",
+        withSignatures = true)
+      .write.mode("overwrite").parquet(s"$tmp/index")
+    // a plain index (no signatures) is refused in verify mode
+    graft.llm.Dedup.minhashBandWinners(crawled, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/plain")
+    val probe = Seq((10L, ts(10), textA2)).toDF("doc_id", "ts", "text")
+    val eNoSig = intercept[IllegalArgumentException] {
+      graft.streaming.ops.NearDupOp(
+        Map("window" -> "1 hour", "verify" -> true,
+          "warm_start" -> s"$tmp/plain"), Seq(probe)).head.collect()
+    }
+    assert(eNoSig.getMessage.contains("sig"), eNoSig.getMessage)
+    Seq((10L, ts(10), textA2), (11L, ts(11), textB))
+      .toDF("doc_id", "ts", "text")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    def run(threshold: Double): Set[Long] = {
+      val name = s"neardup_warm_v_${(threshold * 100).toInt}"
+      val src = spark.readStream
+        .schema("doc_id long, ts timestamp, text string")
+        .parquet(s"$tmp/in")
+        .withWatermark("ts", "10 minutes")
+      val q = graft.streaming.ops.NearDupOp(
+        Map("window" -> "1 hour", "lateness" -> "10 minutes",
+          "verify" -> true, "threshold" -> threshold,
+          "warm_start" -> s"$tmp/index"), Seq(src)).head
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$tmp/cp_$name")
+        .outputMode("append").start()
+      AnalysisConf.restoreAll(spark)
+      try {
+        q.processAllAvailable()
+        Seq((99L, java.sql.Timestamp.valueOf("2024-01-01 03:00:00"),
+          "closer")).toDF("doc_id", "ts", "text")
+          .write.mode("append").parquet(s"$tmp/in")
+        q.processAllAvailable()
+        spark.table(name).select("doc_id").as[Long].collect().toSet
+      } finally q.stop()
+    }
+    // default knee: doc 10 agrees with warm winner 1 above 0.5 →
+    // suppressed; doc 11 is novel
+    assert(run(0.5) == Set(11L))
+    // raised bar: the warm collision no longer clears 0.99 → doc 10 is
+    // RE-ADMITTED against the warm band's stored signature
+    assert(run(0.99) == Set(10L, 11L))
+    // batch-twin parity on the union corpus, restricted to stream ids
+    val union = crawled.unionByName(
+      Seq((10L, ts(10), textA2), (11L, ts(11), textB))
+        .toDF("doc_id", "ts", "text"))
+    Seq(0.5 -> Set(11L), 0.99 -> Set(10L, 11L)).foreach {
+      case (th, want) =>
+        val twin = graft.llm.Dedup.minhashNovelVerified(
+          union, "doc_id", "text", threshold = th)
+          .as[Long].collect().toSet.filter(_ >= 10L)
+        assert(twin == want, s"threshold $th: twin=$twin want=$want")
+    }
+  }
+
   test("NearDupOp short_docs config matches Dedup.ShortDocPolicies in " +
     "batch mode (novel keeps each short doc, pair keeps the minimum, " +
     "drop removes them)") {
@@ -1652,6 +1721,58 @@ class StreamingSpec extends SparkSpec {
         .select("day", "est_millis").as[(java.sql.Date, Long)]
         .collect().toSeq
       assert(got == want && got.size == 3, s"got=$got want=$want")
+    } finally q.stop()
+  }
+
+  test("RollingActivesOp: daily register cells finalize in append mode " +
+    "and finish() equals the batch rollingActives bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2026-03-0$d $h%02d:00:00")
+    val rows = Seq(
+      (ts(1, 1), 20L), (ts(1, 2), 21L),
+      (ts(2, 1), 21L), (ts(2, 2), 22L), (ts(2, 3), 23L),
+      (ts(4, 1), 20L), (ts(4, 2), 24L))
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val src = in.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "0 seconds")
+    val cells = graft.streaming.ops.RollingActivesOp(
+      Map("user_col" -> "user_id", "precision" -> 6), Seq(src)).head
+    assert(cells.columns.toSeq == Seq("day", "bucket", "register"))
+    val q = cells.writeStream.format("memory")
+      .queryName("rolling_actives_op")
+      .outputMode("append").start()
+    try {
+      rows.grouped(3).foreach { batch =>
+        in.addData(batch); q.processAllAvailable()
+      }
+      in.addData((ts(9, 1), 99L)) // advance the watermark past day 4
+      q.processAllAvailable()
+      val streamed = spark.table("rolling_actives_op")
+        .filter(col("day") < java.sql.Date.valueOf("2026-03-09"))
+      val got = graft.streaming.ops.RollingActivesOp.finish(
+        streamed, windowDays = 3, p = 6)
+        .select("day", "est_millis", "nonempty_buckets", "register_sum")
+        .as[(java.sql.Date, Long, Long, Long)].collect().toSeq
+      val want = graft.operators.Retention.rollingActives(
+        rows.toDF("ts", "user_id"), "user_id", "ts",
+        windowDays = 3, p = 6)
+        .select("day", "est_millis", "nonempty_buckets", "register_sum")
+        .as[(java.sql.Date, Long, Long, Long)].collect().toSeq
+      // present days only: 1, 2, 4 (day 3 has no events and no row —
+      // the rollingActives present-days contract)
+      assert(got == want && got.map(_._1.toString) ==
+        Seq("2026-03-01", "2026-03-02", "2026-03-04"),
+        s"got=$got want=$want")
+      // batch mode through the same factory: identical cells
+      val batchCells = graft.streaming.ops.RollingActivesOp(
+        Map("user_col" -> "user_id", "precision" -> 6),
+        Seq(rows.toDF("ts", "user_id"))).head
+      val sc = streamed.orderBy("day", "bucket")
+        .as[(java.sql.Date, Int, Int)].collect().toSeq
+      val bc = batchCells.orderBy("day", "bucket")
+        .as[(java.sql.Date, Int, Int)].collect().toSeq
+      assert(sc == bc, s"stream=$sc batch=$bc")
     } finally q.stop()
   }
 }
