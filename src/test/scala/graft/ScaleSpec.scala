@@ -357,6 +357,38 @@ class ScaleSpec extends SparkSpec {
     assert(b8 < 12 * b1 + 2.0, f"bm25Queries 8x: $b1%.2fs -> $b8%.2fs")
   }
 
+  test("RUNTIME pin: deep-iteration pageRank (iters=10, " +
+    "checkpointEvery=3) stays ~linear in iters and the final analyzed " +
+    "plan is lineage-truncated") {
+    import graft.llm.Graph
+    val edges = spark.range(2000L)
+      .select(col("id").as("src"),
+        pmod(col("id") * 7 + 1, lit(2000L)).as("dst"))
+      .union(spark.range(2000L).select(col("id").as("src"),
+        pmod(col("id") * 13 + 5, lit(2000L)).as("dst")))
+    def best(act: => Long): Double = {
+      def one = { val t0 = System.nanoTime(); act
+        (System.nanoTime() - t0) / 1e9 }
+      math.min(one, one)
+    }
+    Graph.pageRank(edges, "src", "dst", iters = 1).count() // warmup
+    val t2 = best(Graph.pageRank(edges, "src", "dst", iters = 2).count())
+    val deep = Graph.pageRank(edges, "src", "dst", iters = 10,
+      checkpointEvery = 3)
+    val t10 = best(deep.count())
+    // 5x the iterations must cost < ~8x the wall (per-level jobs are
+    // the cost; the +2s grace absorbs fixed overhead on a loaded box)
+    assert(t10 < 8 * t2 + 2.0, f"pageRank iters 2->10: $t2%.2fs -> $t10%.2fs")
+    // lineage pin: the final frame's analyzed plan hangs off the
+    // iter-9 localCheckpoint (a LogicalRDD), NOT the full 10-level
+    // join chain — node count stays far below the unchckpointed one
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case n => n }.size
+    val full = Graph.pageRank(edges, "src", "dst", iters = 10)
+    assert(planNodes(deep) * 3 < planNodes(full),
+      s"plan nodes: deep=${planNodes(deep)} full=${planNodes(full)}")
+  }
+
   test("bucket cap degrades replicated boilerplate to ZERO pairs for " +
     "the overflowing bucket, never a partial/skewed subset") {
     // 60 identical docs with a cap of 50: every band bucket holds all
