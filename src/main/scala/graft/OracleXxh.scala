@@ -117,6 +117,54 @@ SELECT doc_id,
     (acc, h) -> (acc * 1000003 + h) % 1000000007) AS rfp
 FROM toks ORDER BY doc_id"""
 
+  /** [[graft.functions.FreqItems.orderedFold]] replay: the bounded
+    * ordered per-lang token-hash sample folded through the classic
+    * Misra-Gries step as a `list_reduce` whose accumulator is the MG
+    * state list (insertion-ordered `STRUCT(k, c)[]`, the init state
+    * prepended and each item lifted into the same list type — the
+    * g_xxh_bytes fold-typing trick). State transitions mirror the
+    * engine bit-for-bit: present key +1, room left append (k, 1),
+    * full decrement-all drop-zeros. */
+  def q_heavy_hitters_oracle(m: Int, maxItems: Int, topJ: Int): String =
+    prologue + "\n" +
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id, lang,
+         |    list_filter(string_split(lower(trim(text)), ' '),
+         |                t -> len(t) > 0) AS ts
+         |  FROM documents),
+         |tok AS MATERIALIZED (
+         |  SELECT lang, doc_id, j - 1 AS pos, g_xxh_str(ts[j]) AS h
+         |  FROM toks, unnest(generate_series(1, len(ts))) AS u(j)),
+         |ordered AS MATERIALIZED (
+         |  SELECT lang, (list(h ORDER BY doc_id, pos))[1:$maxItems]
+         |    AS items
+         |  FROM tok GROUP BY lang),
+         |folded AS MATERIALIZED (SELECT lang,
+         |  list_reduce(
+         |    list_prepend([]::STRUCT(k BIGINT, c BIGINT)[],
+         |      list_transform(items,
+         |        x -> [{'k': x, 'c': NULL}]::STRUCT(k BIGINT, c BIGINT)[])),
+         |    (acc, e) -> CASE
+         |      WHEN len(list_filter(acc, s -> s.k = e[1].k)) > 0
+         |        THEN list_transform(acc, s ->
+         |          CASE WHEN s.k = e[1].k
+         |               THEN {'k': s.k, 'c': s.c + 1} ELSE s END)
+         |      WHEN len(acc) < $m
+         |        THEN list_append(acc, {'k': e[1].k, 'c': 1::BIGINT})
+         |      ELSE list_filter(
+         |        list_transform(acc, s -> {'k': s.k, 'c': s.c - 1}),
+         |        s -> s.c > 0)
+         |    END) AS st
+         |  FROM ordered),
+         |ex AS (SELECT lang, u.s.k AS token_hash, u.s.c AS est_count
+         |       FROM folded, unnest(st) AS u(s)),
+         |rk AS (SELECT lang, token_hash, est_count,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY est_count DESC, token_hash) AS rank
+         |       FROM ex)
+         |SELECT lang, rank::BIGINT AS rank, token_hash,
+         |       est_count::BIGINT AS est_count
+         |FROM rk WHERE rank <= $topJ ORDER BY lang, rank""".stripMargin
+
   /** [[graft.functions.RhpProject]] replay: the staged hashInt ±1 plane
     * table of the q_embed_neardup_lsh chain, but emitting the scaled
     * per-plane sums instead of sign bits. */

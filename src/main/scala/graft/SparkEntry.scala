@@ -986,6 +986,37 @@ object SparkEntry {
           col("col._1").as("token_hash"), col("col._2").as("est_count"))
         .orderBy("lang", "rank")),
 
+    // the ORACLE-replayable Misra-Gries sibling: a bounded,
+    // deterministically ordered sample per lang (first 2000 token
+    // hashes by (doc_id, pos) — the Ivf.train audit pattern) folded
+    // SEQUENTIALLY through the classic MG step, so the exact state
+    // hash-matches a DuckDB list_reduce replay; the distributed
+    // q_heavy_hitters (merge-order counts) stays the production path
+    "q_heavy_hitters_oracle" -> ((s, dir) => {
+      val ordered = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+        .select(col("lang"), struct(col("doc_id"), col("pos"),
+          xxhash64(col("tok")).as("h")).as("e"))
+        .groupBy("lang")
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .select(col("lang"),
+          slice(transform(col("es"), e => e.getField("h")), 1, 2000)
+            .as("items"))
+      val folded = ordered.select(col("lang"),
+        graft.functions.FreqItems.orderedFold(col("items"), 32).as("st"))
+      folded.select(col("lang"), explode(col("st")).as("s"))
+        .select(col("lang"), col("s.k").as("token_hash"),
+          col("s.c").as("est_count"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")
+            .orderBy(col("est_count").desc, col("token_hash"))))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank").cast("long").as("rank"),
+          col("token_hash"), col("est_count"))
+        .orderBy("lang", "rank")
+    }),
+
     // Count-Min token-frequency sketch — the deterministic (merge-order
     // free) sketch companion to q_heavy_hitters, so the whole pipeline
     // (per-row hashes -> cell counts -> min-over-rows estimates for the
@@ -3792,6 +3823,11 @@ object SparkEntry {
       "q_hll_intersect" -> OracleXxh.q_hll_intersect,
       "q_countmin" -> OracleXxh.q_countmin,
       "q_fingerprint_rolling" -> OracleXxh.q_fingerprint_rolling,
+
+      // bounded ordered MG fold, replayed as a list_reduce over the
+      // same sequence — see FreqItems.orderedFold
+      "q_heavy_hitters_oracle" ->
+        OracleXxh.q_heavy_hitters_oracle(32, 2000, 5),
       "q_winnow" -> OracleXxh.q_winnow,
       "q_rp_project" -> OracleXxh.q_rp_project(16, 9),
       "q_dsir_scores" -> OracleXxh.q_dsir_scores(1024, "lang = 'en'"),

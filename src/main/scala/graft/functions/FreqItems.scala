@@ -70,6 +70,40 @@ object FreqItems {
     udaf(new MisraGries(m), Encoders.scalaLong)
   }
 
+  /** SEQUENTIAL Misra-Gries fold over an ORDERED item array — the
+    * deterministic-replay AUDIT sibling of [[sketch]] (the Ivf.train
+    * pattern: a bounded, deterministically ordered sample folded in
+    * one defined order, so any engine replays the exact state). The
+    * distributed [[sketch]] is the production path — its counts are
+    * merge-order dependent, hence rows-only checkable; this fold's
+    * entire state is a pure function of the input sequence and
+    * hash-matches a DuckDB `list_reduce` replay (q_heavy_hitters_
+    * oracle). Bound the array upstream (`slice`) — the fold is
+    * per-row sequential by design.
+    *
+    * State: `array<struct<k, c>>` in insertion order (classic MG:
+    * present key +1; room left → append (k, 1); full → decrement all,
+    * drop zeros). Entirely codegen HOFs — no UDF. */
+  def orderedFold(items: org.apache.spark.sql.Column, m: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(m > 0, "m must be positive")
+    aggregate(items,
+      expr("CAST(array() AS array<struct<k:bigint,c:bigint>>)"),
+      (acc, x) =>
+        when(exists(acc, s => s.getField("k") === x),
+          transform(acc, s =>
+            when(s.getField("k") === x,
+              struct(s.getField("k").as("k"),
+                (s.getField("c") + lit(1L)).as("c"))).otherwise(s)))
+          .when(size(acc) < m,
+            array_append(acc, struct(x.as("k"), lit(1L).as("c"))))
+          .otherwise(filter(
+            transform(acc, s => struct(s.getField("k").as("k"),
+              (s.getField("c") - lit(1L)).as("c"))),
+            s => s.getField("c") > lit(0L))))
+  }
+
   // --- Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05) --------------
   //
   // The deterministic counterpart to Misra-Gries: given fixed

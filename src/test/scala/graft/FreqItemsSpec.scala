@@ -114,6 +114,34 @@ class FreqItemsSpec extends SparkSpec {
     assert(est("t1") >= 2L)
   }
 
+  test("orderedFold: the sequential MG state equals a reference Scala " +
+    "fold step-for-step (insertion order, decrement-all, drop zeros) " +
+    "and keeps the MG heavy-hitter guarantee") {
+    // reference fold: classic MG over an ordered stream
+    def ref(items: Seq[Long], m: Int): Seq[(Long, Long)] =
+      items.foldLeft(Vector.empty[(Long, Long)]) { (acc, x) =>
+        if (acc.exists(_._1 == x))
+          acc.map { case (k, c) => if (k == x) (k, c + 1) else (k, c) }
+        else if (acc.size < m) acc :+ (x, 1L)
+        else acc.map { case (k, c) => (k, c - 1) }.filter(_._2 > 0)
+      }
+    // skewed stream exercising all three branches incl. decrements
+    val stream: Seq[Long] =
+      (1 to 50).flatMap(i => Seq(1L, 2L, i.toLong + 10)) ++
+        (1 to 30).map(_ => 3L)
+    val got = Seq(Tuple1(stream))
+      .toDF("items")
+      .select(FreqItems.orderedFold(col("items"), 4).as("st"))
+      .select(explode(col("st")).as("s"))
+      .select(col("s.k"), col("s.c")).as[(Long, Long)].collect().toSeq
+    assert(got == ref(stream, 4), s"got=$got ref=${ref(stream, 4)}")
+    // item 1 and 2 (150/180 > n/(m+1)) must be present
+    assert(got.map(_._1).contains(1L) && got.map(_._1).contains(2L))
+    // estimates never exceed true counts
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong)
+    got.foreach { case (k, c) => assert(c <= truth(k), s"$k: $c") }
+  }
+
   test("count-min lookup rejects invalid (depth, width) up front — the " +
     "parameters must match the sketch build or buckets are garbage") {
     val df = (1L to 5L).map(i => s"t$i").toDF("token")
