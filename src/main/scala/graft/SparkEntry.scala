@@ -964,6 +964,38 @@ object SparkEntry {
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // Unicode NFC normalization (codegen Expression over the JDK
+    // Normalizer): the corpus is ASCII, so a decomposed e+combining-
+    // acute is injected deterministically in BOTH engines first
+    // (regexp_replace 'e' -> e,U+0301), then NFC recomposes it —
+    // char counts shrink, bytes hash-match DuckDB's nfc_normalize
+    "q_nfc_norm" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "e", "e\u0301").as("__d"))
+        .select(col("doc_id"),
+          length(col("__d")).cast("long").as("len_decomposed"),
+          length(graft.functions.NfcNormalize(col("__d"))).cast("long")
+            .as("len_nfc"),
+          md5(graft.functions.NfcNormalize(col("__d")).cast("binary"))
+            .as("nfc_md5"))
+        .orderBy("doc_id")),
+
+    // accent stripping (NFD + drop combining marks, the utf8proc
+    // strip_accents convention): accents injected via translate
+    // (a,e,u,n -> á,é,ü,ñ) in both engines; stripping restores the
+    // original text exactly — both md5s oracled
+    "q_strip_accents" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          translate(col("text"), "aeun", "\u00e1\u00e9\u00fc\u00f1")
+            .as("__acc"))
+        .select(col("doc_id"),
+          md5(col("__acc").cast("binary")).as("accented_md5"),
+          md5(graft.functions.StripAccents(col("__acc")).cast("binary"))
+            .as("stripped_md5"))
+        .orderBy("doc_id")),
+
     // rolling (order-sensitive) fingerprint — oracled end-to-end: the
     // DuckDB side replicates xxhash64 via the OracleXxh macro library
     "q_fingerprint_rolling" -> ((s, dir) =>
@@ -2327,7 +2359,11 @@ object SparkEntry {
       val ev = t(s, dir, "events")
       val edges = graft.llm.Graph.transitionEdges(ev, "user_id",
         "event_type", Seq(col("ts"), col("event_id")))
-      graft.llm.Graph.hits(edges, "src", "dst", iters = 2)
+      // checkpointEvery=1: hits' plan multiplies ~4x per iteration
+      // (each rescale references its input twice) — measured 3.15s ->
+      // 1.90s at sf0.1 from truncating that lineage per level
+      graft.llm.Graph.hits(edges, "src", "dst", iters = 2,
+        checkpointEvery = 1)
         .orderBy("node")
     }),
 
@@ -2346,6 +2382,9 @@ object SparkEntry {
           struct(col("id_b").as("src"), col("id_a").as("dst"))))
           .as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // NO checkpointEvery here: pageRank lineage is linear, and the
+      // eager per-level materialization cost the query 2.4s -> 3.2s at
+      // sf0.1 (hits, whose lineage multiplies ~4x/level, wins instead)
       graft.llm.Graph.pageRank(edges, "src", "dst", iters = 2)
         .orderBy("node")
     }),
@@ -3823,6 +3862,29 @@ object SparkEntry {
       "q_hll_intersect" -> OracleXxh.q_hll_intersect,
       "q_countmin" -> OracleXxh.q_countmin,
       "q_fingerprint_rolling" -> OracleXxh.q_fingerprint_rolling,
+
+      // Unicode normalization replays: the combining-acute injection
+      // uses chr(769) (never a raw codepoint in the SQL artifact);
+      // utf8proc (DuckDB) and the JDK Normalizer must produce
+      // byte-identical normal forms per the Unicode standard
+      "q_nfc_norm" ->
+        """SELECT doc_id,
+          |  length(regexp_replace(text, 'e', 'e' || chr(769), 'g'))
+          |    ::BIGINT AS len_decomposed,
+          |  length(nfc_normalize(
+          |    regexp_replace(text, 'e', 'e' || chr(769), 'g')))
+          |    ::BIGINT AS len_nfc,
+          |  md5(nfc_normalize(
+          |    regexp_replace(text, 'e', 'e' || chr(769), 'g')))
+          |    AS nfc_md5
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_strip_accents" ->
+        """SELECT doc_id,
+          |  md5(translate(text, 'aeun', chr(225)||chr(233)||chr(252)||chr(241))) AS accented_md5,
+          |  md5(strip_accents(translate(text, 'aeun', chr(225)||chr(233)||chr(252)||chr(241))))
+          |    AS stripped_md5
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       // bounded ordered MG fold, replayed as a list_reduce over the
       // same sequence — see FreqItems.orderedFold
