@@ -1458,6 +1458,16 @@ object SparkEntry {
         .select("doc_id", "n_bigrams", "n_oov", "score")
         .orderBy("doc_id")),
 
+    // Kneser-Ney bigram LM (the CCNet/KenLM smoothing class): absolute
+    // discount D=3/4 + continuation-unigram backoff, all statistics
+    // from the retained top-B table, exact-rational terms fixed-point
+    // summed — neg_avg_logp excluded (ln not oracle-portable)
+    "q_kn_bigram" -> ((s, dir) =>
+      graft.llm.TextStats.kneserNeyBigram(t(s, dir, "documents"),
+        "doc_id", "text", topB = 256)
+        .select("doc_id", "n_bigrams", "n_unseen", "score")
+        .orderBy("doc_id")),
+
     // CCNet head/middle/tail terciles over the bigram-LM score: EXACT
     // global rank via the two-level histogram trick (no unkeyed window
     // over the corpus); oracle replays the naive single-window form
@@ -2908,6 +2918,54 @@ object SparkEntry {
 
       "q_bigram_lik" ->
         s"""${bigramLikSql(64, 256)}
+           |ORDER BY doc_id""".stripMargin,
+
+      // Kneser-Ney replay: same retained-table statistics, the exact
+      // rational term [max(4cb-3,0)(Nbb+Vc) + 3·f1·(p2+1)] /
+      // [4·c1·(Nbb+Vc)] in HUGEINT, one double division, fixed-point
+      // mean — the bigramLikSql discipline with discounting
+      "q_kn_bigram" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toksSql AS ts FROM documents),
+           |pairs AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(ts[1:len(ts)-1],
+           |           (x, i) -> {'w1': x, 'w2': ts[i+1]}),
+           |           recursive := true)
+           |  FROM toks WHERE len(ts) >= 2),
+           |bigrams AS MATERIALIZED (
+           |  SELECT w1, w2, count(*)::HUGEINT AS cb FROM pairs
+           |  GROUP BY 1, 2
+           |  ORDER BY cb DESC, w1 ASC, w2 ASC LIMIT 256),
+           |w1s AS MATERIALIZED (
+           |  SELECT w1, sum(cb)::HUGEINT AS c1, count(*)::HUGEINT AS f1
+           |  FROM bigrams GROUP BY 1),
+           |w2s AS MATERIALIZED (
+           |  SELECT w2, count(*)::HUGEINT AS p2 FROM bigrams GROUP BY 1),
+           |tot AS MATERIALIZED (
+           |  SELECT count(*)::HUGEINT AS nbb,
+           |         count(DISTINCT w2)::HUGEINT AS vc FROM bigrams)
+           |SELECT doc_id,
+           |       count(*) AS n_bigrams,
+           |       CAST(sum(CASE WHEN w1s.c1 IS NULL THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_unseen,
+           |       CAST(CAST(sum(CAST(floor(
+           |         (CASE WHEN w1s.c1 IS NOT NULL THEN
+           |            CAST(greatest(4 * coalesce(bigrams.cb, 0) - 3, 0)
+           |                   * (tot.nbb + tot.vc)
+           |                 + 3 * w1s.f1 * (coalesce(w2s.p2, 0) + 1)
+           |                 AS DOUBLE)
+           |            / CAST(4 * w1s.c1 * (tot.nbb + tot.vc) AS DOUBLE)
+           |          ELSE
+           |            CAST(coalesce(w2s.p2, 0) + 1 AS DOUBLE)
+           |            / CAST(tot.nbb + tot.vc AS DOUBLE)
+           |          END) * 1e15) AS BIGINT)) AS HUGEINT) AS DOUBLE)
+           |         / count(*) / 1e15 AS score
+           |FROM pairs LEFT JOIN bigrams USING (w1, w2)
+           |           LEFT JOIN w1s USING (w1)
+           |           LEFT JOIN w2s USING (w2)
+           |           CROSS JOIN tot
+           |GROUP BY doc_id
            |ORDER BY doc_id""".stripMargin,
 
       "q_lm_buckets" ->

@@ -268,6 +268,94 @@ object TextStats {
           .as("neg_avg_logp"))
   }
 
+  /** KNESER-NEY–smoothed bigram LM scoring — the CCNet/KenLM recipe
+    * class ([[bigramLikelihood]]'s Laplace smoothing over-penalizes
+    * frequent-but-promiscuous histories; absolute discounting with a
+    * CONTINUATION unigram is the standard fix): per transition
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c1(w1)
+    *            + D·f1(w1)/c1(w1) · Pcont(w2)
+    *
+    * with discount D = `discountNum`/`discountDen` (default 3/4, the
+    * classic value), c1(w1) = Σ_w2 c(w1,w2) over the RETAINED bigram
+    * table, f1(w1) = its distinct continuations, and the continuation
+    * distribution Laplace-floored so no transition scores zero:
+    * Pcont(w2) = (p2(w2) + 1)/(Nbb + Vc), where p2(w2) = distinct
+    * predecessors of w2, Nbb = retained bigram count, Vc = retained
+    * distinct continuations. A w1 with no retained continuations backs
+    * off to Pcont(w2) alone. All statistics are computed from the
+    * top-`topB` bigram table (the pruned-LM convention: the model IS
+    * the retained table, so the scoring pass needs nothing else).
+    *
+    * Exactness — the [[bigramLikelihood]] discipline with RATIONAL
+    * discounting: each term is one ratio of exact integer products,
+    *   [max(den·cb − num, 0)·(Nbb+Vc) + num·f1·(p2+1)]
+    *     / [den·c1·(Nbb+Vc)]
+    * (decimal(38,0) ≡ HUGEINT), ONE correctly-rounded int→double cast
+    * per side, ONE IEEE division, then the fixed-point mean
+    * (floor(term·1e15), exact sum, shared division sequence). Terms
+    * are ≤ 1 + D < 2 by construction (cb ≤ c1, λ·Pcont ≤ D), so no
+    * saturation guard is needed. Oracled bit-exactly (q_kn_bigram).
+    *
+    * Scale: identical shape to [[bigramLikelihood]] — per-row bigram
+    * expansion, one bounded top-B aggregate, three ≤topB-row stat
+    * tables + a 1-row total all BROADCAST, one map scoring pass, one
+    * per-doc aggregate. Output: (idCol, n_bigrams, n_unseen — w1 with
+    * no retained continuation —, score, neg_avg_logp — the
+    * cross-entropy companion, run-deterministic but not
+    * oracle-portable, the [[bigramLikelihood]] note). */
+  def kneserNeyBigram(df: DataFrame, idCol: String, textCol: String,
+      topB: Int = 30000, discountNum: Long = 3, discountDen: Long = 4)
+      : DataFrame = {
+    require(topB > 0, "topB must be positive")
+    require(discountDen > 0 && discountNum >= 0 &&
+      discountNum < discountDen,
+      s"discount must satisfy 0 <= num < den: $discountNum/$discountDen")
+    val dec = "decimal(38,0)"
+    val pairs = df
+      .select(col(idCol), Text.tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__ts) - 1), i -> struct(" +
+          "element_at(__ts, i) AS w1, element_at(__ts, i + 1) AS w2))"))
+        .as("__p"))
+      .select(col(idCol), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+    val bigrams = pairs.groupBy("__w1", "__w2")
+      .agg(count(lit(1)).as("__cb"))
+      .orderBy(col("__cb").desc, col("__w1").asc, col("__w2").asc)
+      .limit(topB)
+    val w1s = bigrams.groupBy("__w1")
+      .agg(sum("__cb").as("__c1"), count(lit(1)).as("__f1"))
+    val w2s = bigrams.groupBy("__w2").agg(count(lit(1)).as("__p2"))
+    val tot = bigrams.agg(count(lit(1)).as("__nbb"),
+      countDistinct(col("__w2")).as("__vc"))
+    val nbbv = (col("__nbb") + col("__vc")).cast(dec)
+    val p2p1 = (coalesce(col("__p2"), lit(0L)) + 1L).cast(dec)
+    val numSeen =
+      greatest(lit(discountDen) * coalesce(col("__cb"), lit(0L))
+        - lit(discountNum), lit(0L)).cast(dec) * nbbv +
+        lit(discountNum).cast(dec) * col("__f1").cast(dec) * p2p1
+    val denSeen = lit(discountDen).cast(dec) * col("__c1").cast(dec) * nbbv
+    val term = when(col("__c1").isNotNull,
+      numSeen.cast("double") / denSeen.cast("double"))
+      .otherwise(p2p1.cast("double") / nbbv.cast("double"))
+    pairs
+      .join(broadcast(bigrams), Seq("__w1", "__w2"), "left")
+      .join(broadcast(w1s), Seq("__w1"), "left")
+      .join(broadcast(w2s), Seq("__w2"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("__c1").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(floor(term * lit(1e15)).cast(dec)).as("__s"),
+        sum(floor(log(term) * lit(-1e15)).cast(dec)).as("__l"))
+      .select(col(idCol), col("n_bigrams"), col("n_unseen"),
+        (col("__s").cast("double") / col("n_bigrams") / lit(1e15))
+          .as("score"),
+        (col("__l").cast("double") / col("n_bigrams") / lit(1e15))
+          .as("neg_avg_logp"))
+  }
+
   /** Corpus "dataset card" — the observability pass every corpus-prep
     * pipeline ends with: one aggregation over the corpus producing, per
     * rollup cell of `dims` (each dim slice, plus subtotals and the

@@ -35,6 +35,40 @@ class BigramLmSpec extends SparkSpec {
     assert(got.length == 2)
   }
 
+  test("kneserNeyBigram matches the hand-computed discounted " +
+    "conditionals, backs unseen histories off to the continuation " +
+    "unigram, and refuses an invalid discount") {
+    // corpus bigrams: a^b x3, b^a x1, z^q x1; topB=2 retains
+    //   (a,b,3) then the (cb desc, w1, w2) tie-break picks (b,a,1) —
+    //   so z^q is PRUNED and z is an unseen history. Model:
+    //   c1(a)=3 f1(a)=1, c1(b)=1 f1(b)=1, p2(b)=1, p2(a)=1,
+    //   Nbb=2, Vc=2 -> Nbb+Vc=4
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z q"))
+      .toDF("doc_id", "text")
+    val got = TextStats.kneserNeyBigram(docs, "doc_id", "text",
+        topB = 2)
+      .orderBy("doc_id").collect()
+    // term(a,b) = [max(4*3-3,0)*4 + 3*1*(1+1)] / [4*3*4] = 42/48
+    // term(b,a) = [max(4*1-3,0)*4 + 3*1*(1+1)] / [4*1*4] = 10/16
+    def fx(x: Double) = math.floor(x * 1e15).toLong
+    val exp1 = (Seq(42.0 / 48, 10.0 / 16, 42.0 / 48).map(fx).sum)
+      .toDouble / 3 / 1e15
+    assert(got(0).getLong(1) == 3 && got(0).getLong(2) == 0 &&
+      got(0).getDouble(3) == exp1, got(0))
+    val exp2 = fx(42.0 / 48).toDouble / 1 / 1e15
+    assert(got(1).getDouble(3) == exp2, got(1))
+    // doc 3: z never a retained history -> n_unseen=1, backoff
+    // Pcont(q) = (0+1)/4
+    val exp3 = fx(1.0 / 4).toDouble / 1 / 1e15
+    assert(got(2).getLong(2) == 1 && got(2).getDouble(3) == exp3, got(2))
+    // every term is a probability-like value in (0, 2) and never zero
+    assert(got.forall(r => r.getDouble(3) > 0 && r.getDouble(3) < 2))
+    intercept[IllegalArgumentException] {
+      TextStats.kneserNeyBigram(docs, "doc_id", "text",
+        discountNum = 4, discountDen = 4)
+    }
+  }
+
   test("neg_avg_logp is the fixed-point cross-entropy of the same " +
     "conditionals (perplexity = exp of it) and is repartition-stable") {
     val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
