@@ -855,6 +855,31 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // the ORACLE-replayable distogram sibling (FreqItems.orderedFold
+    // pattern): first 300 values per event_type in (event_id, value)
+    // order folded sequentially through the BHTT insert+closest-merge
+    // step — every centroid a fixed IEEE chain, hash-matched by a
+    // DuckDB list_reduce replay; the distributed merge-order sketch
+    // (q_distogram) stays the production path
+    "q_distogram_oracle" -> ((s, dir) => {
+      val ordered = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          struct(col("event_id"), col("value")).as("e"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .select(col("event_type"),
+          slice(transform(col("es"), e => e.getField("value")), 1, 300)
+            .as("vals"))
+      ordered.select(col("event_type"),
+          posexplode(graft.operators.Distogram.orderedFold(
+            col("vals"), 16)))
+        .select(col("event_type"),
+          (col("pos") + 1).cast("long").as("bin"),
+          col("col.v").as("v"), col("col.c").as("c"))
+        .orderBy("event_type", "bin")
+    }),
+
     // ===== codecs (SURVEY.md §2.2) =======================================
 
     // json codec: decode props payload, aggregate a field
@@ -3948,6 +3973,48 @@ object SparkEntry {
       // same sequence — see FreqItems.orderedFold
       "q_heavy_hitters_oracle" ->
         OracleXxh.q_heavy_hitters_oracle(32, 2000, 5),
+
+      // bounded ordered BHTT fold — every centroid a fixed IEEE chain
+      // (one multiply per side, one add, one divide per merge), the
+      // closest-pair choice pinned to FIRST minimal gap on both
+      // engines (list_position/array_position)
+      "q_distogram_oracle" ->
+        """WITH o AS MATERIALIZED (
+          |  SELECT event_type,
+          |         (list(value ORDER BY event_id, value))[1:300] AS vals
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+          |f AS MATERIALIZED (SELECT event_type,
+          |  list_reduce(
+          |    list_prepend([]::STRUCT(v DOUBLE, c BIGINT)[],
+          |      list_transform(vals,
+          |        x -> [{'v': x, 'c': NULL}]::STRUCT(v DOUBLE, c BIGINT)[])),
+          |    (acc, e) -> CASE
+          |      WHEN len(list_filter(acc, b -> b.v = e[1].v)) > 0
+          |        THEN list_transform(acc, b -> CASE WHEN b.v = e[1].v
+          |          THEN {'v': b.v, 'c': b.c + 1} ELSE b END)
+          |      ELSE list_transform([
+          |          list_filter(acc, b -> b.v < e[1].v)
+          |          || [{'v': e[1].v, 'c': 1::BIGINT}]
+          |          || list_filter(acc, b -> b.v > e[1].v)], s2 ->
+          |        CASE WHEN len(s2) <= 16 THEN s2 ELSE
+          |          list_transform([list_position(
+          |              list_transform(range(1, len(s2)),
+          |                i -> s2[i+1].v - s2[i].v),
+          |              list_min(list_transform(range(1, len(s2)),
+          |                i -> s2[i+1].v - s2[i].v)))], best ->
+          |            s2[1:best-1]
+          |            || [{'v': (s2[best].v * s2[best].c
+          |                       + s2[best+1].v * s2[best+1].c)
+          |                      / (s2[best].c + s2[best+1].c),
+          |                 'c': s2[best].c + s2[best+1].c}]
+          |            || s2[best+2:len(s2)])[1]
+          |        END)[1]
+          |    END) AS st
+          |  FROM o)
+          |SELECT event_type, t.bin::BIGINT AS bin,
+          |       st[t.bin].v AS v, st[t.bin].c AS c
+          |FROM f, unnest(generate_series(1, len(st))) AS t(bin)
+          |ORDER BY event_type, bin""".stripMargin,
       "q_winnow" -> OracleXxh.q_winnow,
       "q_rp_project" -> OracleXxh.q_rp_project(16, 9),
       "q_dsir_scores" -> OracleXxh.q_dsir_scores(1024, "lang = 'en'"),

@@ -98,4 +98,60 @@ object Distogram {
       def bufferEncoder: Encoder[Sketch] = Encoders.product[Sketch]
       def outputEncoder: Encoder[Sketch] = Encoders.product[Sketch]
     }
+
+  /** SEQUENTIAL BHTT fold over an ORDERED value array — the
+    * deterministic-replay AUDIT sibling of [[sketch]] (the
+    * FreqItems.orderedFold pattern): the distributed sketch's centroids
+    * are merge-order dependent (hence rows-only checkable), but this
+    * fold's state is a pure function of the input sequence — every
+    * centroid is a fixed chain of IEEE ops (one multiply per side, one
+    * add, one divide per merge) that DuckDB replays bit-for-bit
+    * (q_distogram_oracle). Bound the array upstream (`slice`); per-item
+    * work is O(maxBins), entirely codegen HOFs, no UDF.
+    *
+    * Per item: exact-equal centroid → count+1; else sorted insert,
+    * and when bins exceed `maxBins`, merge the closest adjacent pair
+    * (FIRST minimal gap — array_position semantics on both engines),
+    * weighted-mean value, summed count — one merge per item by
+    * construction, exactly [[sketch]]'s reduce arithmetic. */
+  def orderedFold(items: org.apache.spark.sql.Column, maxBins: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    require(maxBins >= 2, s"maxBins must be >= 2: $maxBins")
+    val init = expr("CAST(array() AS array<struct<v:double,c:bigint>>)")
+    aggregate(items, init, (acc: Column, x: Column) => {
+      val updated = transform(acc, b =>
+        when(b.getField("v") === x,
+          struct(b.getField("v").as("v"),
+            (b.getField("c") + lit(1L)).as("c"))).otherwise(b))
+      val inserted = concat(
+        filter(acc, b => b.getField("v") < x),
+        array(struct(x.as("v"), lit(1L).as("c"))),
+        filter(acc, b => b.getField("v") > x))
+      // single-element-array "let" binding (the OracleXxh lambda-let
+      // trick, Spark side): gaps/best reference the bound s2, not a
+      // re-evaluated insert expression
+      val compressed = transform(array(inserted), s2 => {
+        val n = size(s2)
+        val gaps = transform(sequence(lit(1), n - 1), i =>
+          element_at(s2, (i + 1).cast("int")).getField("v") -
+            element_at(s2, i.cast("int")).getField("v"))
+        val best = array_position(gaps, array_min(gaps)).cast("int")
+        val b1 = element_at(s2, best)
+        val b2 = element_at(s2, best + 1)
+        val merged = struct(
+          ((b1.getField("v") * b1.getField("c") +
+            b2.getField("v") * b2.getField("c")) /
+            (b1.getField("c") + b2.getField("c"))).as("v"),
+          (b1.getField("c") + b2.getField("c")).as("c"))
+        when(n <= maxBins, s2).otherwise(
+          concat(slice(s2, lit(1), best - 1), array(merged),
+            slice(s2, best + 2, n - best - 1)))
+      })
+      element_at(
+        when(exists(acc, b => b.getField("v") === x), array(updated))
+          .otherwise(compressed), 1)
+    })
+  }
 }

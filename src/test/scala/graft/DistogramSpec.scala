@@ -33,6 +33,24 @@ class DistogramSpec extends SparkSpec {
     assert(sk.bins.length <= 16)
   }
 
+  test("orderedFold equals the Aggregator's sequential reduce " +
+    "step-for-step on the same ordered input") {
+    import org.apache.spark.sql.functions._
+    val values: Seq[Double] =
+      (1 to 120).map(i => (i * 37 % 101) + (i % 7) * 0.25)
+    val agg = Distogram.sketch(16)
+    val ref = values.foldLeft(agg.zero)(agg.reduce).bins
+    val got = Seq(Tuple1(values)).toDF("vals")
+      .select(posexplode(Distogram.orderedFold(col("vals"), 16)))
+      .select(col("col.v"), col("col.c")).as[(Double, Long)]
+      .collect().toVector
+    assert(got == ref, s"got=$got ref=$ref")
+    assert(got.map(_._2).sum == 120L)
+    intercept[IllegalArgumentException] {
+      Distogram.orderedFold(col("vals"), 1)
+    }
+  }
+
   test("merge-under-shuffle property: count exact and quantiles stable " +
     "across partition layouts (1, 4, 16, 64)") {
     val n = 20000
