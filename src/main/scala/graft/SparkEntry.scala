@@ -2109,6 +2109,23 @@ object SparkEntry {
             graft.functions.Bpe.encode(col("ts"))).as("detok"))
         .orderBy("doc_id")),
 
+    // in-engine BPE TRAINING (Sennrich ACL'16): one distributed
+    // word-count pass bounded to the top-200 words, then the
+    // deterministic driver merge-learning loop (ties to the smallest
+    // (left, right) pair) — the HF-tokenizers/SentencePiece scale
+    // split. The ENTIRE loop replays in DuckDB (word table as
+    // list_reduce state), so every learned merge is oracle-checked,
+    // not just the staging
+    "q_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val tbl = graft.functions.Bpe.train(t(s, dir, "documents"),
+        "text", numMerges = 30, topWords = 200)
+      tbl.merges.zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("m_rank", "lhs", "rhs")
+        .orderBy("m_rank")
+    }),
+
     // ADC top-5 per query over codes alone — m table lookups per
     // candidate, folded left-to-right, ties to the smaller neighbor id
     "q_pq_search" -> ((s, dir) => {
@@ -3973,6 +3990,68 @@ object SparkEntry {
       // same sequence — see FreqItems.orderedFold
       "q_heavy_hitters_oracle" ->
         OracleXxh.q_heavy_hitters_oracle(32, 2000, 5),
+
+      // full BPE-learning replay: the bounded word-count table rides a
+      // list_reduce as state {ws: [(symbols, count)], ms: [(a, b)]};
+      // each iteration sums adjacent-pair counts, picks max by
+      // (count desc, a, b) — a strict total order, so selection is
+      // fold-order independent — and applies the merge left-to-right
+      // non-overlapping via a pend-symbol sequential fold (the 'aaa'
+      // -> [aa, a] convention). Words never collide after merges (the
+      // concatenation invariant), so no re-aggregation is needed
+      "q_bpe_train" ->
+        s"""WITH wc AS MATERIALIZED (
+           |  SELECT t, count(*)::BIGINT AS c FROM (
+           |    SELECT unnest($toksSql) AS t FROM documents)
+           |  GROUP BY 1 ORDER BY c DESC, t ASC LIMIT 200),
+           |init AS MATERIALIZED (
+           |  SELECT list({'w': list_transform(
+           |            range(1, len(t)+1), i -> t[i]), 'c': c}) AS st
+           |  FROM wc),
+           |fold AS MATERIALIZED (SELECT list_reduce(
+           |  list_prepend((SELECT st FROM init),
+           |    list_transform(range(0, 30),
+           |      x -> []::STRUCT(w VARCHAR[], c BIGINT)[])),
+           |  (acc, e) -> list_transform([list_filter(acc, g -> g.c > 0)],
+           |    ws -> list_transform([flatten(list_transform(ws,
+           |        wr -> list_transform(range(1, len(wr.w)),
+           |          i -> {'a': wr.w[i], 'b': wr.w[i+1], 'c': wr.c})))],
+           |      ps -> CASE WHEN len(ps) = 0 THEN acc ELSE
+           |        list_transform([list_distinct(list_transform(ps,
+           |            x -> x.a || chr(1) || x.b))], dp ->
+           |          list_transform([list_transform(dp, d ->
+           |              {'a': string_split(d, chr(1))[1],
+           |               'b': string_split(d, chr(1))[2],
+           |               's': list_sum(list_transform(list_filter(ps,
+           |                 x -> x.a || chr(1) || x.b = d), x -> x.c))})],
+           |            sc -> list_transform([list_reduce(sc, (m, x) ->
+           |                CASE WHEN x.s > m.s OR (x.s = m.s AND
+           |                  (x.a < m.a OR (x.a = m.a AND x.b < m.b)))
+           |                  THEN x ELSE m END)], bst ->
+           |              list_transform(ws, wr -> {'w':
+           |                 list_transform([list_reduce(
+           |                   list_prepend([''],
+           |                     list_transform(wr.w, s -> [s])),
+           |                   (a2, el) -> CASE
+           |                     WHEN a2[len(a2)] = ''
+           |                       THEN a2[1:len(a2)-1] || [el[1]]
+           |                     WHEN a2[len(a2)] = bst.a AND el[1] = bst.b
+           |                       THEN a2[1:len(a2)-1]
+           |                            || [a2[len(a2)] || el[1], '']
+           |                     ELSE a2 || [el[1]]
+           |                   END)], fin ->
+           |                   CASE WHEN fin[len(fin)] = ''
+           |                        THEN fin[1:len(fin)-1] ELSE fin END)[1],
+           |                 'c': wr.c})
+           |              || list_filter(acc, g -> g.c < 0)
+           |              || [{'w': [bst.a, bst.b],
+           |                   'c': -(len(acc) - len(ws)) - 1}]
+           |            )[1])[1])[1]
+           |      END)[1])[1]) AS st)
+           |SELECT (-m.c - 1)::BIGINT AS m_rank,
+           |       m.w[1] AS lhs, m.w[2] AS rhs
+           |FROM fold, unnest(list_filter(st, x -> x.c < 0)) AS u(m)
+           |ORDER BY m_rank""".stripMargin,
 
       // bounded ordered BHTT fold — every centroid a fixed IEEE chain
       // (one multiply per side, one add, one divide per merge), the

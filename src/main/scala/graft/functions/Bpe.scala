@@ -176,6 +176,101 @@ object Bpe {
       i => element_at(typedlit(table.vocab), i + 1)), "")
   }
 
+  // --- training ---------------------------------------------------------
+
+  /** Distributed word-frequency staging for BPE training — the one
+    * corpus-sized pass: whitespace words with counts, bounded to the
+    * top `topWords` by (count desc, word asc). This is the classic
+    * scale split (HF tokenizers, SentencePiece): the CORPUS is big,
+    * the word-frequency table is not — learning then runs over the
+    * bounded table only. Oracled as q_bpe_train's `wc` CTE. */
+  def wordCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 topWords: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(topWords > 0, "topWords must be positive")
+    df.select(explode(Text.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc)
+      .limit(topWords)
+  }
+
+  /** Sennrich ACL'16 merge learning over a word-frequency table —
+    * deterministic by construction (ties break to the smallest
+    * (left, right) pair, exactly `tools/make_bpe_fixture.py`): start
+    * from characters, repeatedly merge the most frequent adjacent
+    * symbol pair (left-to-right non-overlapping application, the
+    * "aaa" → [aa, a] convention). Pure integer counts + string
+    * comparisons — engine-portable, which is what lets q_bpe_train
+    * hash-match a DuckDB list_reduce replay of the whole loop.
+    * Stops early when no pair remains (fully merged corpus). */
+  def learnMerges(wordCounts: Seq[(String, Long)], numMerges: Int)
+      : IndexedSeq[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    var words = scala.collection.mutable.LinkedHashMap
+      .empty[Vector[String], Long]
+    wordCounts.foreach { case (w, c) =>
+      val key = w.map(_.toString).toVector
+      words(key) = words.getOrElse(key, 0L) + c
+    }
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val pairs = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      words.foreach { case (w, c) =>
+        var i = 0
+        while (i < w.length - 1) {
+          val k = (w(i), w(i + 1))
+          pairs(k) = pairs.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val best = pairs.toSeq
+          .minBy { case ((a, b), s) => (-s, a, b) }._1
+        merges += best
+        val next = scala.collection.mutable.LinkedHashMap
+          .empty[Vector[String], Long]
+        words.foreach { case (w, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < w.length) {
+            if (i + 1 < w.length && w(i) == best._1 &&
+              w(i + 1) == best._2) {
+              out += w(i) + w(i + 1); i += 2
+            } else { out += w(i); i += 1 }
+          }
+          val key = out.result()
+          next(key) = next.getOrElse(key, 0L) + c
+        }
+        words = next
+      }
+    }
+    merges.toIndexedSeq
+  }
+
+  /** End-to-end in-engine training: [[wordCounts]] staging (bounded
+    * collect — the Ivf.train driver-model pattern) → [[learnMerges]]
+    * → a [[Table]] with the fixture's vocab convention (printable
+    * ASCII base alphabet in codepoint order, then merge products in
+    * rank order). The learned table satisfies the load-time BPE
+    * invariant by construction (every merge constituent is a char or
+    * an earlier product), so it feeds [[encode]] directly. */
+  def train(df: org.apache.spark.sql.DataFrame, textCol: String,
+            numMerges: Int, topWords: Int = 65536): Table = {
+    import org.apache.spark.sql.functions.col
+    val wc = wordCounts(df, textCol, topWords)
+      .select(col("t"), col("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = learnMerges(wc, numMerges)
+    val base = (33 until 127).map(_.toChar.toString)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    (base ++ merges.map { case (a, b) => a + b }).foreach(seen += _)
+    Table(merges, seen.toIndexedSeq)
+  }
+
   // --- DuckDB oracle replay --------------------------------------------
 
   private def esc(s: String): String = s.replace("'", "''")

@@ -59,6 +59,41 @@ class BpeSpec extends SparkSpec {
     assert(seg("zebra!") == Seq("z", "e", "b", "r", "a", "!"))
   }
 
+  test("learnMerges reproduces a hand-worked Sennrich run (counts, " +
+    "lexicographic ties, non-overlapping application) and train() " +
+    "yields a loadable Table that encodes with the learned merges") {
+    // word counts: "abab" x3, "ab" x2, "ba" x1
+    // iter 1: pairs (a,b)=3+3+2=8, (b,a)=3+1=4 -> merge (a,b)
+    //   words: [ab,ab]x3, [ab]x2, [b,a]x1
+    // iter 2: pairs (ab,ab)=3, (b,a)=1 -> merge (ab,ab)
+    // iter 3: only (b,a)=1 -> merge (b,a)
+    // iter 4: no pairs -> stop early
+    val wc = Seq(("abab", 3L), ("ab", 2L), ("ba", 1L))
+    assert(Bpe.learnMerges(wc, 10) ==
+      IndexedSeq(("a", "b"), ("ab", "ab"), ("b", "a")))
+    // lexicographic tie: (a,b)=1 vs (b,a)=1 -> (a,b) first
+    assert(Bpe.learnMerges(Seq(("ab", 1L), ("ba", 1L)), 1) ==
+      IndexedSeq(("a", "b")))
+    // self-pair run: "aaa" counts (a,a)=2 but merges non-overlapping
+    assert(Bpe.learnMerges(Seq(("aaa", 1L)), 2) ==
+      IndexedSeq(("a", "a"), ("aa", "a")))
+    // end-to-end: the learned Table passes the load invariant and
+    // segments per its merges
+    import spark.implicits._
+    val corpus = Seq((1L, "abab ab abab"), (2L, "ba abab"))
+      .toDF("doc_id", "text")
+    val t = Bpe.train(corpus, "text", numMerges = 2, topWords = 100)
+    assert(t.merges == IndexedSeq(("a", "b"), ("ab", "ab")))
+    def seg(word: String): Seq[String] =
+      ids(t, t.encode(arr(word))).map {
+        case -1 => "?"
+        case i  => t.vocab(i)
+      }
+    assert(seg("abab") == Seq("abab"))
+    assert(seg("ababab") == Seq("abab", "ab"))
+    assert(seg("ba") == Seq("b", "a"))
+  }
+
   test("Bpe.encode as a DataFrame column (codegen path) matches the " +
     "kernel, and countTokens counts it") {
     val df = Seq((1L, "the customer window"), (2L, ""), (3L, "value"))
