@@ -130,7 +130,7 @@ FROM toks ORDER BY doc_id"""
       s"""WITH toks AS MATERIALIZED (SELECT doc_id, lang,
          |    list_filter(string_split(lower(trim(text)), ' '),
          |                t -> len(t) > 0) AS ts
-         |  FROM documents),
+         |  FROM documents WHERE doc_id < 200),
          |tok AS MATERIALIZED (
          |  SELECT lang, doc_id, j - 1 AS pos, g_xxh_str(ts[j]) AS h
          |  FROM toks, unnest(generate_series(1, len(ts))) AS u(j)),

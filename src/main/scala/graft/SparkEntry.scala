@@ -863,7 +863,7 @@ object SparkEntry {
     // (q_distogram) stays the production path
     "q_distogram_oracle" -> ((s, dir) => {
       val ordered = t(s, dir, "events")
-        .filter(col("value").isNotNull)
+        .filter(col("value").isNotNull && col("event_id") < 5000)
         .select(col("event_type"),
           struct(col("event_id"), col("value")).as("e"))
         .groupBy("event_type")
@@ -1050,7 +1050,11 @@ object SparkEntry {
     // hash-matches a DuckDB list_reduce replay; the distributed
     // q_heavy_hitters (merge-order counts) stays the production path
     "q_heavy_hitters_oracle" -> ((s, dir) => {
+      // doc_id < 200 bounds the per-lang collect BY CONSTRUCTION (the
+      // audit-sample contract: a fixed, deterministic prefix of the
+      // corpus — never collect-then-slice over unbounded input)
       val ordered = t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
         .select(col("lang"), col("doc_id"),
           posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
         .select(col("lang"), struct(col("doc_id"), col("pos"),
@@ -4061,7 +4065,8 @@ object SparkEntry {
         """WITH o AS MATERIALIZED (
           |  SELECT event_type,
           |         (list(value ORDER BY event_id, value))[1:300] AS vals
-          |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+          |  FROM events WHERE value IS NOT NULL AND event_id < 5000
+          |  GROUP BY 1),
           |f AS MATERIALIZED (SELECT event_type,
           |  list_reduce(
           |    list_prepend([]::STRUCT(v DOUBLE, c BIGINT)[],
