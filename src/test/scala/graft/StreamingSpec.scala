@@ -1724,6 +1724,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HeavyHittersOp: per-window MG top-j finalizes in append mode " +
+    "and matches the batch twin on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-04-01 $h%02d:$m%02d:00")
+    // hour 0: item 1 heavy (x5), item 2 (x2), singles 7,8
+    // hour 1: item 3 heavy (x4), item 1 (x1)
+    // m=8 exceeds the distinct-item count, so no MG eviction fires and
+    // stream/batch parity is EXACT regardless of micro-batch merge
+    // order; under eviction only the FreqItems guarantees (membership
+    // above n/(m+1), bounded undercount, stable top-j) are portable
+    val rows: Seq[(java.sql.Timestamp, Long)] =
+      Seq.fill(5)((ts(0, 10), 1L)) ++ Seq.fill(2)((ts(0, 20), 2L)) ++
+        Seq((ts(0, 30), 7L), (ts(0, 40), 8L)) ++
+        Seq.fill(4)((ts(1, 10), 3L)) :+ ((ts(1, 20), 1L))
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val src = in.toDF().toDF("ts", "item")
+      .withWatermark("ts", "0 seconds")
+    val out = graft.streaming.ops.HeavyHittersOp(
+      Map("window" -> "1 hour", "m" -> 8, "top_j" -> 3), Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(5).foreach { b => in.addData(b); q.processAllAvailable() }
+      in.addData((ts(9, 0), 99L)) // close both hours
+      q.processAllAvailable()
+      val got = spark.table("hh_stream")
+        .filter(col("window_start") < ts(9, 0))
+        .select("window_start", "rank", "item", "est_count")
+        .as[(java.sql.Timestamp, Int, Long, Long)].collect().toSet
+      val batch = graft.streaming.ops.HeavyHittersOp(
+        Map("window" -> "1 hour", "m" -> 8, "top_j" -> 3),
+        Seq(rows.toDF("ts", "item"))).head
+        .select("window_start", "rank", "item", "est_count")
+        .as[(java.sql.Timestamp, Int, Long, Long)].collect().toSet
+      assert(got == batch, s"stream=$got batch=$batch")
+      // the guaranteed heavy hitters lead their windows
+      assert(got.exists(r => r._1 == ts(0, 0) && r._2 == 1 && r._3 == 1L))
+      assert(got.exists(r => r._1 == ts(1, 0) && r._2 == 1 && r._3 == 3L))
+    } finally q.stop()
+  }
+
   test("RollingActivesOp: daily register cells finalize in append mode " +
     "and finish() equals the batch rollingActives bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
