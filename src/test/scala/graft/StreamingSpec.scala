@@ -1724,6 +1724,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SimSearchOp: streamed queries against a frozen IVF corpus " +
+    "index equal the batch Ivf.topK per query row") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDir = "/root/testdata/sf0.001/embeddings.parquet"
+    val corpus = spark.read.parquet(corpusDir)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-05-01 00:$m%02d:00")
+    // three query vectors straight from the corpus (ids 3, 17, 40)
+    val qvecs = corpus.filter(col("vec_id").isin(3L, 17L, 40L))
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    assert(qvecs.size == 3)
+    val in = MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+    val src = in.toDF().toDF("ts", "vec_id", "embedding")
+      .withWatermark("ts", "0 seconds")
+    val out = graft.streaming.ops.SimSearchOp(
+      Map("corpus_dir" -> corpusDir, "window" -> "1 hour",
+        "k" -> 5, "ivf_k" -> 8, "nprobe" -> 2), Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("simsearch_op")
+      .outputMode("append").start()
+    try {
+      in.addData(qvecs.map { case (id, v) => (ts(10), id, v) })
+      q.processAllAvailable()
+      in.addData((ts(59), 999L,
+        qvecs.head._2)) // same window; then close it
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2026-05-01 03:00:00"),
+        998L, qvecs.head._2))
+      q.processAllAvailable()
+      val got = spark.table("simsearch_op")
+        .filter(col("query_id").isin(3L, 17L, 40L))
+        .select("query_id", "rank", "nbr_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val model = graft.llm.Ivf.train(corpus, "vec_id", "embedding", 8)
+      val queries = qvecs.toDF("vec_id", "embedding")
+      val want = graft.llm.Ivf.topK(corpus, queries, "vec_id",
+        "embedding", k = 5, model, nProbe = 2)
+        .select("query_id", "rank", "nbr_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(got == want, s"stream=${got.size} batch=${want.size}")
+      // a corpus vector's own nearest neighbor set never contains itself
+      assert(!got.exists(r => r._1 == r._3))
+    } finally q.stop()
+  }
+
   test("HeavyHittersOp: per-window MG top-j finalizes in append mode " +
     "and matches the batch twin on the same events") {
     implicit val sqlCtx = spark.sqlContext
