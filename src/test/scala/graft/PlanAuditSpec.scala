@@ -66,6 +66,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_kn_bigram broadcasts all three bounded model tables and " +
+    "plans no sort-merge join or window over the corpus") {
+    val p = planStr("q_kn_bigram")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window "), p)
+  }
+
   test("dense count-window queries plan no WindowExec (the 1-row max " +
     "side aggregate is the only single-partition stage)") {
     for (q <- Seq("q_roll_mean", "q_batch", "q_sample_every")) {

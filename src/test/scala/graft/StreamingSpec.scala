@@ -1724,6 +1724,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HistogramOp: per-window Distogram bins finalize in append " +
+    "mode; counts are exact and the window's bin table answers " +
+    "quantiles like the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-06-01 $h%02d:$m%02d:00")
+    // hour 0: 40 values in [0, 39]; hour 1: 10 values at 100+i
+    val rows: Seq[(java.sql.Timestamp, Double)] =
+      (0 until 40).map(i => (ts(0, i % 50), i.toDouble)) ++
+        (0 until 10).map(i => (ts(1, i), 100.0 + i))
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val src = in.toDF().toDF("ts", "value")
+      .withWatermark("ts", "0 seconds")
+    val out = graft.streaming.ops.HistogramOp(
+      Map("window" -> "1 hour", "max_bins" -> 8), Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("hist_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(13).foreach { b => in.addData(b); q.processAllAvailable() }
+      in.addData((ts(9, 0), -1.0)) // close both hours
+      q.processAllAvailable()
+      val got = spark.table("hist_stream")
+        .filter(col("window_start") < ts(9, 0))
+        .select("window_start", "bin", "value", "cnt")
+        .as[(java.sql.Timestamp, Int, Double, Long)].collect()
+      val h0 = got.filter(_._1 == ts(0, 0)).sortBy(_._2)
+      val h1 = got.filter(_._1 == ts(1, 0)).sortBy(_._2)
+      // counts exact per window, bins bounded
+      assert(h0.map(_._4).sum == 40L && h0.length <= 8, h0.toSeq)
+      assert(h1.map(_._4).sum == 10L && h1.length <= 8, h1.toSeq)
+      // centroid values ordered and inside each window's value range
+      assert(h0.map(_._3).toSeq == h0.map(_._3).sorted.toSeq)
+      assert(h0.forall(b => b._3 >= 0.0 && b._3 <= 39.0))
+      assert(h1.forall(b => b._3 >= 100.0 && b._3 <= 109.0))
+      // the finisher answers a sane median for hour 0
+      val med = graft.streaming.ops.HistogramOp.quantile(
+        h0.map(b => (b._3, b._4)).toSeq, 0.5)
+      assert(med > 10.0 && med < 30.0, med)
+      // batch mode through the same factory: same shape, exact counts
+      val batch = graft.streaming.ops.HistogramOp(
+        Map("window" -> "1 hour", "max_bins" -> 8),
+        Seq(rows.toDF("ts", "value"))).head
+        .filter(col("window_start") === ts(0, 0))
+        .select("cnt").as[Long].collect()
+      assert(batch.sum == 40L && batch.length <= 8)
+    } finally q.stop()
+  }
+
   test("SimSearchOp: streamed queries against a frozen IVF corpus " +
     "index equal the batch Ivf.topK per query row") {
     implicit val sqlCtx = spark.sqlContext
