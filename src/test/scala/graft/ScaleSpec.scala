@@ -355,6 +355,14 @@ class ScaleSpec extends SparkSpec {
     val b8 = best(graft.llm.Search.bm25Queries(
       docs(12000), "doc_id", "text", qs).count())
     assert(b8 < 12 * b1 + 2.0, f"bm25Queries 8x: $b1%.2fs -> $b8%.2fs")
+
+    graft.llm.TextStats.kneserNeyBigram(docs(100), "doc_id", "text")
+      .count() // warmup
+    val k1 = best(graft.llm.TextStats.kneserNeyBigram(
+      docs(1500), "doc_id", "text").count())
+    val k8 = best(graft.llm.TextStats.kneserNeyBigram(
+      docs(12000), "doc_id", "text").count())
+    assert(k8 < 12 * k1 + 2.0, f"kneserNeyBigram 8x: $k1%.2fs -> $k8%.2fs")
   }
 
   test("RUNTIME pin: deep-iteration pageRank (iters=10, " +
