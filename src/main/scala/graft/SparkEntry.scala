@@ -2384,6 +2384,20 @@ object SparkEntry {
       graft.operators.Profile.profile(t(s, dir, "events"),
         Seq("event_id", "user_id", "event_type", "value", "props"))),
 
+    // declarative data-quality contract (the Deequ category, the
+    // corpus-scale assert_): six checks compiled into one aggregate
+    // pass + the Unique distinct — one row per check, exact counts
+    "q_quality_checks" -> ((s, dir) =>
+      graft.operators.Quality.report(t(s, dir, "lineitem"), Seq(
+        graft.operators.Quality.NotNull("l_orderkey"),
+        graft.operators.Quality.Unique(
+          Seq("l_orderkey", "l_linenumber")),
+        graft.operators.Quality.InRange("l_discount", 0.0, 0.1),
+        graft.operators.Quality.InRange("l_quantity", 1.0, 50.0),
+        graft.operators.Quality.Matches("l_returnflag", "^[ARN]$"),
+        graft.operators.Quality.MinRows(1000L)))
+        .orderBy("check_id")),
+
     // time-series regularization: per-user hourly grid with GAP rows
     // materialized, decimal-exact sums, forward-filled last observation
     "q_resample" -> ((s, dir) =>
@@ -5282,6 +5296,42 @@ object SparkEntry {
       "q_retention_hll" -> OracleXxh.q_retention_hll,
 
       // profiler replay: one aggregate row, pivoted per column
+      // data-quality replay: each check recomputed as its plain SQL
+      // count, unioned in spec order
+      "q_quality_checks" ->
+        """WITH n AS (SELECT count(*)::BIGINT AS nr FROM lineitem),
+          |r AS (
+          |  SELECT 1::BIGINT AS check_id, 'not_null' AS "check",
+          |    'l_orderkey' AS detail, n.nr AS n_rows,
+          |    (SELECT count(*) FROM lineitem
+          |     WHERE l_orderkey IS NULL)::BIGINT AS violations FROM n
+          |  UNION ALL
+          |  SELECT 2, 'unique', 'l_orderkey,l_linenumber', n.nr,
+          |    (n.nr - (SELECT count(*) FROM
+          |       (SELECT DISTINCT l_orderkey, l_linenumber
+          |        FROM lineitem)))::BIGINT FROM n
+          |  UNION ALL
+          |  SELECT 3, 'in_range', 'l_discount in [0.0, 0.1]', n.nr,
+          |    (SELECT count(*) FROM lineitem WHERE l_discount IS NOT
+          |     NULL AND (l_discount < 0.0 OR l_discount > 0.1))::BIGINT
+          |  FROM n
+          |  UNION ALL
+          |  SELECT 4, 'in_range', 'l_quantity in [1.0, 50.0]', n.nr,
+          |    (SELECT count(*) FROM lineitem WHERE l_quantity IS NOT
+          |     NULL AND (l_quantity < 1.0 OR l_quantity > 50.0))::BIGINT
+          |  FROM n
+          |  UNION ALL
+          |  SELECT 5, 'matches', 'l_returnflag ~ ^[ARN]$', n.nr,
+          |    (SELECT count(*) FROM lineitem WHERE l_returnflag IS NOT
+          |     NULL AND NOT regexp_matches(l_returnflag, '^[ARN]$'))
+          |      ::BIGINT FROM n
+          |  UNION ALL
+          |  SELECT 6, 'min_rows', '>= 1000', n.nr,
+          |    greatest(1000 - n.nr, 0)::BIGINT FROM n)
+          |SELECT check_id, "check", detail, n_rows, violations,
+          |       violations = 0 AS pass
+          |FROM r ORDER BY check_id""".stripMargin,
+
       "q_profile" -> {
         val cols = Seq("event_id", "user_id", "event_type", "value",
           "props")
