@@ -79,7 +79,11 @@ class QualitySpec extends SparkSpec {
       Map[String, Any]("type" -> "not_null", "column" -> "id"),
       Map[String, Any]("type" -> "in_range", "column" -> "v",
         "lo" -> 0.0, "hi" -> 10.0),
-      Map[String, Any]("type" -> "min_rows", "at_least" -> 3))
+      Map[String, Any]("type" -> "min_rows", "at_least" -> 3),
+      // sketch-precision dup monitor: ids are distinct in both hours,
+      // and at these cardinalities HLL++ is exact, so violations = 0
+      Map[String, Any]("type" -> "unique_approx", "columns" -> "id",
+        "tolerance" -> 0))
     val out = graft.streaming.ops.CheckOp(
       Map("window" -> "1 hour", "checks" -> checks), Seq(src)).head
     val q = out.writeStream.format("memory").queryName("check_stream")
@@ -99,9 +103,11 @@ class QualitySpec extends SparkSpec {
         (w(0), 1L, "not_null", 3L, 1L, false),
         (w(0), 2L, "in_range", 3L, 1L, false),
         (w(0), 3L, "min_rows", 3L, 0L, true),
+        (w(0), 4L, "unique_approx", 3L, 0L, true),
         (w(1), 1L, "not_null", 2L, 0L, true),
         (w(1), 2L, "in_range", 2L, 1L, false),
-        (w(1), 3L, "min_rows", 2L, 1L, false)), got)
+        (w(1), 3L, "min_rows", 2L, 1L, false),
+        (w(1), 4L, "unique_approx", 2L, 0L, true)), got)
       // batch through the same factory: identical rows
       val batch = graft.streaming.ops.CheckOp(
         Map("window" -> "1 hour", "checks" -> checks),
