@@ -917,6 +917,35 @@ SELECT stratum, id, priority, rank FROM (
   FROM pr)
 WHERE rank <= $kPerStratum ORDER BY stratum, rank"""
 
+  /** [[graft.operators.Ops.negativeSample]] replay over documents:
+    * anchors = doc_id < `maxAnchor`, corpus = all doc ids, positives =
+    * (doc_id, doc_id + 1). The id↔index bijection is (hash-cell, id)
+    * order — replayed as one naive global row_number (the oracle may
+    * be naive; the engine's two-level form is the scale path). Draw j
+    * of anchor a lands on index pmod(xxhash64(seed, a, j), N) with the
+    * long-long seed chain. */
+  def q_negative_sample(k: Int, seed: Int, maxAnchor: Long,
+                        coarse: Int): String =
+    prologue + s"""
+WITH ids AS MATERIALIZED (SELECT DISTINCT doc_id AS cid FROM documents),
+rk AS MATERIALIZED (SELECT cid,
+  row_number() OVER (ORDER BY
+    ((g_sgn(g_xxh_long(cid, 42::HUGEINT)) % $coarse) + $coarse)
+      % $coarse, cid) - 1 AS r
+  FROM ids),
+n AS (SELECT count(*)::BIGINT AS n FROM ids),
+d AS (SELECT a.doc_id AS anchor, j AS draw
+      FROM documents a, range(0, $k) t(j) WHERE a.doc_id < $maxAnchor),
+h AS (SELECT anchor, draw,
+        g_sgn(g_xxh_long(draw,
+          g_xxh_long(anchor, ${chainedIntSeed(seed)}::HUGEINT))) AS hh
+      FROM d),
+c AS (SELECT anchor, draw, ((hh % n.n) + n.n) % n.n AS r FROM h, n)
+SELECT c.anchor, c.draw, rk.cid AS neg_id
+FROM c JOIN rk USING (r)
+WHERE rk.cid <> c.anchor AND rk.cid <> c.anchor + 1
+ORDER BY anchor, draw"""
+
   def q_shuffle_shards(nShards: Int, seed: Int): String =
     prologue + s"""
 WITH h0 AS MATERIALIZED (SELECT doc_id,

@@ -453,6 +453,21 @@ object SparkEntry {
         Ops.shuffleShards(col("doc_id"), nShards = 8, seed = 7) >>
         (_.orderBy("shard", "shuffle_pos"))),
 
+    // deterministic contrastive negatives: 4 hash-uniform corpus draws
+    // per anchor (doc_id < 50), minus the anchor and its synthetic
+    // positive (doc_id + 1) — the DPR/word2vec negatives step, every
+    // draw engine-replayable
+    "q_negative_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      import s.implicits._
+      val positives = docs.select(col("doc_id").as("anchor"),
+        (col("doc_id") + 1).as("pos"))
+      (docs.filter(col("doc_id") < 50) >>
+        Ops.negativeSample(col("doc_id"),
+          docs.select("doc_id"), positives, k = 4, seed = 11))
+        .orderBy("anchor", "draw")
+    }),
+
     // token-budgeted exact corpus mixing: per-source size budgets cut in
     // deterministic hash order via the two-level bucket decomposition;
     // the oracle replays the equivalent single-window formulation
@@ -4145,6 +4160,8 @@ object SparkEntry {
           |ORDER BY doc_id""".stripMargin,
       "q_shuffle_shards" -> OracleXxh.q_shuffle_shards(nShards = 8,
         seed = 7),
+      "q_negative_sample" -> OracleXxh.q_negative_sample(
+        k = 4, seed = 11, maxAnchor = 50L, coarse = 4096),
       "q_group_split" -> OracleXxh.q_group_split(
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
         seed = 7, buckets = 10000),

@@ -489,6 +489,71 @@ object Ops {
       .drop("__cell", "__oc", "__prev", "__nt")
   }
 
+  /** Deterministic NEGATIVE SAMPLING for contrastive training — the
+    * DPR/word2vec negatives step of an embedding-training pipeline:
+    * for each distinct anchor id, `k` pseudo-uniform draws from the
+    * corpus id population, minus the anchor itself and its known
+    * positives. Determinism is the [[hashSample]] contract: draw j of
+    * anchor a lands on corpus INDEX `pmod(xxhash64(seed, a, j), N)`,
+    * so reruns, retries and engines agree on every negative
+    * (q_negative_sample hash-matches the DuckDB replay).
+    *
+    * The id↔index bijection is built WITHOUT an unkeyed window (the
+    * globalRankBuckets two-level trick, hash-celled): corpus ids hash
+    * into `coarse` cells, per-cell offsets come from one ≤coarse-row
+    * window, ranks are per-cell row_numbers — index order is
+    * (cell, id), arbitrary but deterministic, which is all a bijection
+    * needs. Scale: one distinct + two cell-keyed passes over the id
+    * population (ids only, never payloads), one index-keyed join of
+    * |anchors|·k draw rows, one broadcast anti-join against the
+    * positives. Collisions with the anchor or a positive are DROPPED
+    * (deterministically), so an anchor can yield fewer than `k`
+    * negatives — re-draw with a different seed rather than chaining
+    * dependent retries. Output: (anchor, draw, neg_id). */
+  def negativeSample(anchorCol: Column, corpusIds: DataFrame,
+                     positives: DataFrame, k: Int, seed: Int = 0,
+                     coarse: Int = 4096): Op = { df =>
+    require(k >= 1, s"negativeSample: k must be >= 1: $k")
+    require(coarse >= 1, s"negativeSample: coarse must be >= 1: $coarse")
+    val ids = corpusIds
+      .select(refuseNull(col(corpusIds.columns.head),
+        lit("negativeSample: NULL corpus id")).cast("long").as("__cid"))
+      .distinct()
+    val celled = ids.withColumn("__cell",
+      pmod(xxhash64(col("__cid")), lit(coarse.toLong)))
+    val hist = celled.groupBy("__cell").agg(count(lit(1)).as("__n"))
+    val offsets = hist
+      .withColumn("__prev", coalesce(
+        sum(col("__n")).over(Window.orderBy(col("__cell").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__cell", "__prev")
+    val total = hist.agg(sum(col("__n")).as("__nt"))
+    val wIn = Window.partitionBy(col("__cell")).orderBy(col("__cid").asc)
+    val ranked = celled.join(broadcast(offsets), "__cell")
+      .withColumn("__r", col("__prev") + row_number().over(wIn) - 1)
+      .select("__r", "__cid")
+    val draws = df
+      .select(refuseNull(anchorCol, lit("negativeSample: NULL anchor"))
+        .cast("long").as("anchor"))
+      .distinct()
+      .select(col("anchor"),
+        explode(sequence(lit(0L), lit((k - 1).toLong))).as("draw"))
+      .crossJoin(broadcast(total))
+      .withColumn("__r",
+        pmod(xxhash64(lit(seed), col("anchor"), col("draw")),
+          col("__nt")))
+    val pos = positives.toDF("anchor", "neg_id")
+      .select(col("anchor").cast("long"), col("neg_id").cast("long"))
+    draws.join(ranked, "__r")
+      .select(col("anchor"), col("draw"), col("__cid").as("neg_id"))
+      .filter(col("neg_id") =!= col("anchor"))
+      // no broadcast hint: the positives frame is usually small (AQE
+      // broadcasts it) but can be corpus-scale for dense pair sets
+      .join(pos, Seq("anchor", "neg_id"), "left_anti")
+      // the anti-join fronts its keys — restore the documented order
+      .select("anchor", "draw", "neg_id")
+  }
+
   /** Skew-resistant equi-join — the classic SALTED join: a plain
     * key-shuffle join sends a hot key's entire left side to ONE task
     * (the Zipf cliff every web corpus hits: one domain, one user id, one

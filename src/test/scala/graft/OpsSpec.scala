@@ -388,6 +388,39 @@ class OpsSpec extends SparkSpec {
     assert(msgs(e2).exists(_.contains("NULL id")), e2)
   }
 
+  test("negativeSample: deterministic hash draws, anchor/positive " +
+    "exclusion, at most k per anchor, NULL anchor refused") {
+    val corpus = (1L to 200L).toDF("id")
+    val anchors = (1L to 20L).toDF("a")
+    val pos = (1L to 20L).map(a => (a, a + 100L)).toDF("anchor", "pos")
+    def run() = (anchors >> Ops.negativeSample(col("a"), corpus, pos,
+      k = 5, seed = 3))
+      .orderBy("anchor", "draw")
+      .as[(Long, Long, Long)].collect().toSeq
+    val got = run()
+    assert(got == run()) // rerun-identical
+    assert(got.nonEmpty && got.size <= 100)
+    // no anchor or positive ever appears as its own negative
+    got.foreach { case (a, _, n) =>
+      assert(n != a && n != a + 100L, s"($a, $n)")
+      assert(n >= 1L && n <= 200L)
+    }
+    // per-anchor draw count bounded by k
+    got.groupBy(_._1).values.foreach(g => assert(g.size <= 5))
+    // a different seed produces a different sample
+    val other = (anchors >> Ops.negativeSample(col("a"), corpus, pos,
+      k = 5, seed = 4)).as[(Long, Long, Long)].collect().toSeq
+    assert(other.toSet != got.toSet)
+    // NULL anchor refused
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      (Seq(Option.empty[Long]).toDF("a") >>
+        Ops.negativeSample(col("a"), corpus, pos, 2, 0)).collect()
+    }
+    assert(msgs(e).exists(_.contains("NULL anchor")), e)
+  }
+
   test("saltedJoin equals the plain join row-for-row and spreads a hot " +
     "key across all salts") {
     val left = (1L to 1000L).map(i =>
