@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Bpe, BpeEncode, DotProduct, MinHashSignature, RhpProject, RhpSignature, ShingleHashes, SimHash64}
+import graft.functions.{Bpe, BpeEncode, DotProduct, MinHashSignature, NfcNormalize, RhpProject, RhpSignature, ShingleHashes, SimHash64, StripAccents}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** SparkSessionExtensions entry point: registers graft's native
@@ -69,6 +69,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "shingle_hashes(tokens, n)")
         ShingleHashes(children.head, intArg(children(1), "n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc_normalize(text)")
+        NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "strip_accents(text)")
+        StripAccents(children.head)
       }))
     // bpe_encode(tokens): the committed corpus-learned table; custom
     // vocab/merges pairs go through the Scala API (Bpe.encode(_, table))

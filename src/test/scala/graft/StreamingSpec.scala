@@ -286,6 +286,21 @@ class StreamingSpec extends SparkSpec {
         .rhpProject(array(lit(1.0f), lit(2.0f)), 4, 7).as("p"))
       .as[Seq[Double]].collect().head
     assert(proj.size == 4 && proj == api)
+    // unicode normalization pair: same injection constructors
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      exprs => graft.functions.NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "strip_accents",
+      exprs => graft.functions.StripAccents(exprs.head), "built-in")
+    // Spark's chr() wraps mod 256 — embed the combining acute itself
+    val eNfd = "e" + '\u0301'
+    assert(spark.sql(
+      s"SELECT length(nfc_normalize('$eNfd')) AS l")
+      .as[Int].collect().head == 1)
+    assert(spark.sql(
+      s"SELECT strip_accents(nfc_normalize('$eNfd')) AS s")
+      .as[String].collect().head == "e")
   }
 
   test("topology runs the README flagship RollMean factory from YAML") {
