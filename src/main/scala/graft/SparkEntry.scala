@@ -54,6 +54,59 @@ object SparkEntry {
         concat(lit("short "), col("doc_id").cast("string")))
         .otherwise(col("text")).as("text"))
 
+  /** Deterministic URL mix for the curation queries: six shapes cycling
+    * on doc_id — www + fragment, explicit default port, schemeless,
+    * upper-case scheme/host + userinfo + :443, multi-label public suffix
+    * with exotic port, sub-subdomain with no path. The corpus has no URL
+    * column, so the parser's inputs are synthesized to exercise every
+    * branch (the oracle applies the identical CASE). */
+  private def synthUrl: Column = {
+    val id = col("doc_id").cast("string")
+    val m  = pmod(col("doc_id"), lit(6))
+    when(m === 0, concat(lit("https://www."), col("source"),
+        lit(".com/d/"), id, lit("?x=1#frag")))
+      .when(m === 1, concat(lit("http://"), col("source"),
+        lit(".com:80/d/"), id))
+      .when(m === 2, concat(col("source"), lit(".com/d/"), id))
+      .when(m === 3, concat(lit("HTTPS://user:pw@docs."),
+        upper(col("source")), lit(".COM:443/d/"), id, lit("?q=a&b=2")))
+      .when(m === 4, concat(lit("http://"), col("source"),
+        lit(".co.uk:8080/Path/"), id))
+      .otherwise(concat(lit("https://sub.cdn."), col("source"),
+        lit(".com#top")))
+  }
+
+  // ---- URL-curation SQL macros (mirror llm/Url.scala bit-for-bit) ----
+
+  private val urlCaseSql: String =
+    """CASE doc_id % 6
+      | WHEN 0 THEN 'https://www.' || source || '.com/d/' ||
+      |   doc_id::VARCHAR || '?x=1#frag'
+      | WHEN 1 THEN 'http://' || source || '.com:80/d/' || doc_id::VARCHAR
+      | WHEN 2 THEN source || '.com/d/' || doc_id::VARCHAR
+      | WHEN 3 THEN 'HTTPS://user:pw@docs.' || upper(source) ||
+      |   '.COM:443/d/' || doc_id::VARCHAR || '?q=a&b=2'
+      | WHEN 4 THEN 'http://' || source || '.co.uk:8080/Path/' ||
+      |   doc_id::VARCHAR
+      | ELSE 'https://sub.cdn.' || source || '.com#top' END""".stripMargin
+
+  private def urlHostSql(u: String): String =
+    s"regexp_extract(lower($u), " +
+      "'^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)', 1)"
+
+  private def urlDomainSql(hw: String): String = {
+    val sfx = graft.llm.Url.MultiLabelSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    s"""CASE WHEN len(string_split($hw, '.')) <= 2 THEN $hw
+       | WHEN array_to_string(
+       |     list_slice(string_split($hw, '.'), -2, -1), '.') IN ($sfx)
+       | THEN array_to_string(
+       |     list_slice(string_split($hw, '.'), -3, -1), '.')
+       | ELSE array_to_string(
+       |     list_slice(string_split($hw, '.'), -2, -1), '.') END"""
+      .stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference README's headline pipeline (reference README.rst:75-90):
     * count-based rolling mean, window=3 stride=3, over the events stream. */
@@ -2412,6 +2465,85 @@ object SparkEntry {
         graft.operators.Quality.Matches("l_returnflag", "^[ARN]$"),
         graft.operators.Quality.MinRows(1000L)))
         .orderBy("check_id")),
+
+    // ===== north-star: web-corpus URL curation ===========================
+
+    // URL identity layer: host / registered-domain / canonical form over
+    // a deterministic mix of URL shapes (scheme case, userinfo, default
+    // vs exotic ports, fragments, multi-label public suffixes) — all
+    // map-only codegen regexps (llm/Url.scala)
+    "q_url_parse" -> ((s, dir) => {
+      val u = t(s, dir, "documents")
+        .select(col("doc_id"), synthUrl.as("url"))
+      u.select(col("doc_id"), col("url"),
+          graft.llm.Url.host(col("url")).as("host"),
+          graft.llm.Url.registeredDomain(graft.llm.Url.stripWww(
+            graft.llm.Url.host(col("url")))).as("domain"),
+          graft.llm.Url.canonicalize(col("url")).as("canon"))
+        .orderBy("doc_id")
+    }),
+
+    // per-registered-domain corpus rollup: volume, exact distinct
+    // content, duplicate fraction — the "is this domain boilerplate?"
+    // crawl-cap signal; ONE shuffle on the domain key
+    "q_domain_stats" -> ((s, dir) =>
+      graft.llm.Url.domainStats(
+        t(s, dir, "documents").withColumn("url", synthUrl),
+        "url", "text")
+        .orderBy("domain")),
+
+    // RefinedWeb-style per-domain volume cap: keep ≤ 20 docs per
+    // registered domain preferring long docs (ties to low id) — bounded
+    // TopKCollect aggregate, no WindowExec
+    "q_domain_cap" -> ((s, dir) =>
+      graft.llm.Url.domainCap(
+        t(s, dir, "documents").withColumn("url", synthUrl),
+        "url", col("doc_id"), col("n_chars"), k = 20)
+        .orderBy("domain", "rank")),
+
+    // ===== north-star: ANN index evaluation ==============================
+
+    // recall@5 of the IVF index against brute-force ground truth — the
+    // harness that tunes nProbe before a corpus-wide rollout; both
+    // inputs bounded top-k frames, so the eval is |queries|·k-sized
+    "q_ann_recall" -> ((s, dir) => {
+      val e  = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = SimSearch.bruteForceTopK(e, qs,
+        "vec_id", "embedding", k = 5)
+      val model = graft.llm.Ivf.train(e, "vec_id", "embedding", k = 16)
+      val approx = graft.llm.Ivf.topK(e, qs,
+        "vec_id", "embedding", k = 5, model, nProbe = 4)
+      SimSearch.recallAtK(exact, approx).orderBy("query_id")
+    }),
+
+    // ===== SCD2 interval builder (reference-table producer) =============
+
+    // per-user event_type change log → validity intervals with
+    // consecutive equal states collapsed; the producer side of q_asof's
+    // reference tables. All windows keyed by user_id.
+    "q_scd2" -> ((s, dir) =>
+      graft.operators.Scd.scd2(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .select(col("key").as("user_id"), col("state"),
+          col("effective_from"), col("effective_to"),
+          col("is_current"), col("n_events"))
+        .orderBy("user_id", "effective_from", "state")),
+
+    // ===== sources: ORC round trip =======================================
+
+    // documents → ORC (Spark-native columnar sibling) → read back →
+    // rollup; proves the ORC source/sink against the parquet oracle
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_orc_").toString
+      graft.sources.Sources.writeOrc(t(s, dir, "documents"), out)
+      graft.sources.Sources.orc(s, out)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("source")
+    }),
 
     // time-series regularization: per-user hourly grid with GAP rows
     // materialized, decimal-exact sums, forward-filled last observation
@@ -5348,6 +5480,126 @@ object SparkEntry {
           |SELECT check_id, "check", detail, n_rows, violations,
           |       violations = 0 AS pass
           |FROM r ORDER BY check_id""".stripMargin,
+
+      // URL identity layer replay: same synth CASE, same RE2-subset
+      // regexps, staged through CTEs (host → www-strip → canon parts)
+      "q_url_parse" ->
+        s"""WITH u AS MATERIALIZED (
+           |  SELECT doc_id, $urlCaseSql AS url FROM documents),
+           |h AS (SELECT doc_id, url,
+           |  ${urlHostSql("url")} AS host FROM u),
+           |hw AS (SELECT doc_id, url, host,
+           |  regexp_replace(host, '^www\\.', '') AS hwx FROM h),
+           |c1 AS (SELECT doc_id, url, host, hwx,
+           |  regexp_replace(url, '#.*', '') AS nofrag FROM hw),
+           |c2 AS (SELECT *, lower(regexp_extract(nofrag,
+           |    '^[A-Za-z][A-Za-z0-9+.-]*://', 0)) AS rawscheme,
+           |  regexp_replace(nofrag,
+           |    '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS afters FROM c1),
+           |c3 AS (SELECT *, CASE WHEN rawscheme = '' THEN 'http'
+           |    ELSE replace(rawscheme, '://', '') END AS scheme,
+           |  regexp_extract(afters,
+           |    '^(?:[^/?#@]*@)?([^/?#]*)', 1) AS hostport,
+           |  regexp_extract(afters,
+           |    '^(?:[^/?#@]*@)?[^/?#]*(.*)', 1) AS pathq FROM c2),
+           |c4 AS (SELECT *,
+           |  lower(regexp_extract(hostport, '^([^:]+)', 1)) AS ch,
+           |  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port FROM c3)
+           |SELECT doc_id, url, host,
+           |  ${urlDomainSql("hwx")} AS domain,
+           |  scheme || '://' ||
+           |  CASE WHEN port <> '' AND NOT (scheme = 'http' AND
+           |    port = '80') AND NOT (scheme = 'https' AND port = '443')
+           |    THEN ch || ':' || port ELSE ch END ||
+           |  CASE WHEN pathq = '' THEN '/' ELSE pathq END AS canon
+           |FROM c4 ORDER BY doc_id""".stripMargin,
+
+      "q_domain_stats" ->
+        s"""WITH u AS MATERIALIZED (
+           |  SELECT $urlCaseSql AS url, text FROM documents),
+           |d AS (SELECT ${urlDomainSql(
+                  s"regexp_replace(${urlHostSql("url")}, '^www\\.', '')")}
+           |    AS domain, text FROM u)
+           |SELECT domain, count(*)::BIGINT AS n_docs,
+           |  sum(len(text))::BIGINT AS total_chars,
+           |  count(DISTINCT text)::BIGINT AS distinct_texts,
+           |  CAST(count(*) - count(DISTINCT text) AS DOUBLE) /
+           |    CAST(count(*) AS DOUBLE) AS dup_frac
+           |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+
+      "q_domain_cap" ->
+        s"""WITH u AS MATERIALIZED (
+           |  SELECT doc_id, n_chars, $urlCaseSql AS url FROM documents),
+           |d AS (SELECT doc_id, n_chars, ${urlDomainSql(
+                  s"regexp_replace(${urlHostSql("url")}, '^www\\.', '')")}
+           |    AS domain FROM u)
+           |SELECT domain, doc_id, score, rank FROM (
+           |  SELECT domain, doc_id,
+           |    CAST(n_chars AS DOUBLE) AS score,
+           |    CAST(row_number() OVER (PARTITION BY domain
+           |      ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank
+           |  FROM d)
+           |WHERE rank <= 20 ORDER BY domain, rank""".stripMargin,
+
+      // recall@5: brute-force ground truth vs the full IVF replay (the
+      // same ivfOracleSql the q_simsearch_ivf oracle runs), joined on
+      // (query_id, nbr_id) — one LEFT JOIN so zero-hit queries keep a row
+      "q_ann_recall" ->
+        s"""WITH brute AS MATERIALIZED (
+           |  SELECT query_id, nbr_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+           |                 c.vec_id) AS rank
+           |    FROM embeddings q CROSS JOIN embeddings c
+           |    WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+           |  WHERE rank <= 5),
+           |ivf AS MATERIALIZED (
+           |  SELECT query_id, nbr_id FROM (
+           |    ${ivfOracleSql(k = 16, iters = 5, nProbe = 4, topK = 5)}
+           |  ) ivfq),
+           |h AS (SELECT b.query_id, count(*)::BIGINT AS n_hits
+           |  FROM brute b JOIN ivf i ON b.query_id = i.query_id
+           |    AND b.nbr_id = i.nbr_id
+           |  GROUP BY b.query_id),
+           |kk AS (SELECT query_id, count(*)::BIGINT AS k_eff
+           |  FROM brute GROUP BY query_id)
+           |SELECT kk.query_id,
+           |  coalesce(h.n_hits, 0)::BIGINT AS n_hits, kk.k_eff,
+           |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) /
+           |    CAST(kk.k_eff AS DOUBLE) AS recall
+           |FROM kk LEFT JOIN h USING (query_id)
+           |ORDER BY query_id""".stripMargin,
+
+      // SCD2 replay: null-safe change flags (IS NOT DISTINCT FROM ≡
+      // Spark's <=>), keyed cumulative run ids, run collapse, interval
+      // close via lead over runs
+      "q_scd2" ->
+        """WITH b AS (SELECT user_id AS key, ts AS ord,
+          |    event_id AS tie, event_type AS state FROM events),
+          |c AS (SELECT *, CASE WHEN lag(state) OVER
+          |    (PARTITION BY key ORDER BY ord, tie)
+          |    IS NOT DISTINCT FROM state THEN 0 ELSE 1 END AS chg
+          |  FROM b),
+          |r AS (SELECT *, sum(chg) OVER (PARTITION BY key
+          |    ORDER BY ord, tie) AS run FROM c),
+          |g AS (SELECT key, run, state, min(ord) AS effective_from,
+          |    count(*)::BIGINT AS n_events
+          |  FROM r GROUP BY key, run, state),
+          |iv AS (SELECT key, state, effective_from, n_events,
+          |    lead(effective_from) OVER (PARTITION BY key
+          |      ORDER BY run) AS effective_to
+          |  FROM g)
+          |SELECT key AS user_id, state, effective_from, effective_to,
+          |  effective_to IS NULL AS is_current, n_events
+          |FROM iv ORDER BY user_id, effective_from, state""".stripMargin,
+
+      // the ORC leg is Spark-side plumbing; the oracle checks the rollup
+      // over the same rows from parquet
+      "q_orc_roundtrip" ->
+        """SELECT source, count(*)::BIGINT AS n_docs,
+          |  sum(n_chars)::BIGINT AS total_chars
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       "q_profile" -> {
         val cols = Seq("event_id", "user_id", "event_type", "value",

@@ -81,4 +81,27 @@ object SimSearch {
       .groupBy("query_id", "nbr_id").agg(max("cosine").as("cosine"))
     rankTopK(cand, k)
   }
+
+  /** Per-query recall@k of an approximate neighbor list against the
+    * exact ground truth — the evaluation harness that decides an index's
+    * nProbe/nBits/code-size budget before a corpus-wide rollout. Both
+    * inputs are bounded top-k frames `(query_id, nbr_id, …)` from
+    * [[bruteForceTopK]] / [[lshTopK]] / [[Ivf.topK]] / [[Pq]], so every
+    * join here is ≤ |queries|·k rows regardless of corpus scale. The
+    * recall division is the only float op (two exact BIGINTs in), so the
+    * result replays bit-for-bit in any engine. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val truth = exact.select(col("query_id"), col("nbr_id"))
+    val hits = truth
+      .join(approx.select(col("query_id"), col("nbr_id")),
+        Seq("query_id", "nbr_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    truth.groupBy("query_id").agg(count(lit(1)).as("k_eff"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("k_eff"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("k_eff").cast("double")).as("recall"))
+  }
 }

@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus URL curation: host extraction, registered-domain rollup and
+  * URL canonicalization — the identity layer of crawl-derived training
+  * corpora (CCNet / Gopher / RefinedWeb all key their volume caps, dedup
+  * scopes and quality strata on the registered domain, not the raw URL).
+  *
+  * Everything here is built-in `Column` expressions (regexp/split/slice —
+  * whole-stage codegen, no UDF), so host/domain extraction runs map-only
+  * at crawl scale and the downstream per-domain cap is one bounded
+  * aggregate. The regexes stay inside the RE2-compatible subset (no
+  * backreferences, no lookaround) so the DuckDB oracle replays them with
+  * the identical patterns.
+  *
+  * Reference scope: the reference (makinage) has no web-curation surface;
+  * this is a SURVEY §2.6 north-star extension (corpus assembly family).
+  */
+object Url {
+
+  /** Scheme prefix recognizer — permissive RFC 3986 scheme chars. */
+  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+  /** Host of a URL (lower-cased, port stripped): optional scheme,
+    * optional userinfo, then everything up to the first `/ : ? #`.
+    * Schemeless inputs ("example.com/x") parse as host-first. */
+  def host(url: Column): Column =
+    regexp_extract(lower(url),
+      "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)", 1)
+
+  /** Host with a single leading `www.` label stripped — the crawl
+    * convention before domain rollup. */
+  def stripWww(h: Column): Column = regexp_replace(h, "^www\\.", "")
+
+  /** Multi-label public suffixes recognized by [[registeredDomain]].
+    * Deliberately a SMALL documented subset of the PSL (the full list is
+    * data, not code — load it into a broadcast join when fidelity past
+    * these matters). */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "co.in", "co.kr",
+    "com.mx", "co.nz", "com.sg", "com.tr", "co.za")
+
+  /** Registered domain of a (lower-case, www-stripped) host: the last two
+    * labels, or the last three when the last two are a known multi-label
+    * public suffix ("a.b.example.co.uk" → "example.co.uk"). Hosts with
+    * ≤ 2 labels (or IPs) pass through unchanged. */
+  def registeredDomain(h: Column): Column = {
+    val labels = split(h, "\\.")
+    val n      = size(labels)
+    val last2  = concat_ws(".", slice(labels, -2, 2))
+    val last3  = concat_ws(".", slice(labels, -3, 3))
+    val isMulti = MultiLabelSuffixes
+      .map(s => last2 === lit(s)).reduce(_ || _)
+    when(n <= 2, h).otherwise(when(isMulti && n >= 3, last3)
+      .otherwise(last2))
+  }
+
+  /** Canonical URL: fragment stripped, scheme + host lower-cased (scheme
+    * defaults to `http` when absent), userinfo dropped, default ports
+    * (http:80 / https:443) removed, empty path normalized to `/`. Path +
+    * query keep their original case. The standard pre-dedup URL key. */
+  def canonicalize(url: Column): Column = {
+    val noFrag    = regexp_replace(url, "#.*", "")
+    val rawScheme = lower(regexp_extract(noFrag, SchemeRe, 0))
+    val scheme    = when(rawScheme === "", lit("http"))
+      .otherwise(regexp_replace(rawScheme, "://", ""))
+    val after     = regexp_replace(noFrag, SchemeRe, "")
+    val hostPort  = regexp_extract(after, "^(?:[^/?#@]*@)?([^/?#]*)", 1)
+    val pathQ     = regexp_extract(after, "^(?:[^/?#@]*@)?[^/?#]*(.*)", 1)
+    val h         = lower(regexp_extract(hostPort, "^([^:]+)", 1))
+    val port      = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort  = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val hp   = when(keepPort, concat(h, lit(":"), port)).otherwise(h)
+    val path = when(pathQ === "", lit("/")).otherwise(pathQ)
+    concat(scheme, lit("://"), hp, path)
+  }
+
+  /** Per-registered-domain corpus statistics: volume, exact distinct
+    * content, duplicate fraction — the "is this domain boilerplate?"
+    * rollup that decides crawl caps. One shuffle on the domain key. */
+  def domainStats(df: DataFrame, urlCol: String, textCol: String)
+  : DataFrame =
+    df.select(
+        registeredDomain(stripWww(host(col(urlCol)))).as("domain"),
+        col(textCol).as("__t"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("__t")).cast("long")).as("total_chars"),
+        countDistinct(col("__t")).as("distinct_texts"))
+      .withColumn("dup_frac",
+        (col("n_docs") - col("distinct_texts")).cast("double") /
+          col("n_docs").cast("double"))
+
+  /** Per-domain volume cap: keep at most `k` docs per registered domain,
+    * preferring high `scoreCol` (ties to low id) — RefinedWeb-style
+    * anti-boilerplate throttling. Bounded TopKCollect aggregate (≤ k rows
+    * per domain cross the exchange), no WindowExec. */
+  def domainCap(df: DataFrame, urlCol: String, idCol: Column,
+                scoreCol: Column, k: Int): DataFrame = {
+    // domain pre-projected: takeOrderedByKey re-selects its key columns
+    // after the aggregate, so the key must be a plain column there
+    val withDomain = df.withColumn("domain",
+      registeredDomain(stripWww(host(col(urlCol)))))
+    graft.operators.Ops.takeOrderedByKey(k, idCol, scoreCol,
+      Seq(col("domain")), as = ("doc_id", "score"))(withDomain)
+  }
+}

@@ -28,6 +28,31 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — the other columnar interchange format (Spark-native reader,
+    * same pushdown/pruning surface as parquet: PushedFilters +
+    * ReadSchema reach the scan). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Raw text: one `value` row per line — the pre-schema ingest shape
+    * for log/jsonl corpora (pair with from_json for late schemas). */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Whole files as binary rows (`path`, `modificationTime`, `length`,
+    * `content: binary`) — the multimodal ingest path: image/audio/video
+    * payloads land as opaque binary columns for
+    * [[graft.llm.Multimodal]]'s codec dispatch. `pathGlobFilter` bounds
+    * the listing; payloads stream straight to executors, never through
+    * the driver. */
+  def binaryFiles(spark: SparkSession, path: String,
+                  globFilter: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", globFilter).load(path)
+
   /** Streaming counterparts — same schema contract, unbounded. */
   def csvStream(spark: SparkSession, path: String, schema: StructType,
                 header: Boolean = true): DataFrame =

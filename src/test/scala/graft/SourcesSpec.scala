@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.core.Tables.table(
+    spark, "/root/testdata/sf0.001", "documents")
+
+  test("orc round trip preserves rows, schema and values") {
+    val dir = Files.createTempDirectory("graft_orc_spec_").toString
+    Sources.writeOrc(docs, dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.schema == docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("orc scan gets pushdown + pruning like parquet") {
+    val dir = Files.createTempDirectory("graft_orc_plan_").toString
+    Sources.writeOrc(docs, dir)
+    val plan = Sources.orc(spark, dir)
+      .filter(col("doc_id") > 100).select("doc_id", "source")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "GreaterThan(doc_id,100)]"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      plan)
+  }
+
+  test("text source: one value row per line") {
+    val dir = Files.createTempDirectory("graft_text_spec_")
+    Files.writeString(dir.resolve("a.txt"), "line1\nline2\nline3\n")
+    val got = Sources.text(spark, dir.toString)
+      .select("value").as[String].collect().sorted.toSeq
+    assert(got == Seq("line1", "line2", "line3"))
+  }
+
+  test("binaryFiles: whole-file payloads with glob filtering") {
+    val dir = Files.createTempDirectory("graft_bin_spec_")
+    Files.write(dir.resolve("x.bin"), Array[Byte](1, 2, 3, 4))
+    Files.write(dir.resolve("y.bin"), Array[Byte](9, 8))
+    Files.writeString(dir.resolve("skip.txt"), "nope")
+    val got = Sources.binaryFiles(spark, dir.toString, "*.bin")
+      .select(element_at(split(col("path"), "/"), -1).as("name"),
+        col("length"), col("content"))
+      .as[(String, Long, Array[Byte])].collect()
+      .sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("x.bin", "y.bin"))
+    assert(got.map(_._2) == Seq(4L, 2L))
+    assert(got.head._3.toSeq == Seq[Byte](1, 2, 3, 4))
+  }
+
+  test("recallAtK: identical lists → 1.0, disjoint lists → 0.0") {
+    val exact = Seq((0L, 1L), (0L, 2L), (1L, 3L))
+      .toDF("query_id", "nbr_id")
+    val same = graft.llm.SimSearch.recallAtK(exact, exact)
+      .orderBy("query_id")
+      .select("n_hits", "k_eff", "recall")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(same == Seq((2L, 2L, 1.0), (1L, 1L, 1.0)))
+    val disjoint = Seq((0L, 9L), (1L, 9L)).toDF("query_id", "nbr_id")
+    val zero = graft.llm.SimSearch.recallAtK(exact, disjoint)
+      .select("recall").as[Double].collect().toSeq
+    assert(zero == Seq(0.0, 0.0))
+  }
+}

@@ -1555,6 +1555,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ScdOp closes runs across micro-batches, flushes current rows on " +
+    "idle timeout, and matches the batch twin Scd.scd2") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val batch1 = Seq(
+      (1L, ts(10, 0), 1L, "A"), (1L, ts(10, 5), 2L, "A"),
+      (2L, ts(10, 0), 3L, "X"))
+    val batch2 = Seq((1L, ts(10, 10), 4L, "B")) // closes run A via state
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val src = in.toDF().toDF("user_id", "ts", "event_id", "event_type")
+      .withWatermark("ts", "10 minutes")
+    val out = graft.streaming.ops.ScdOp(Map.empty, Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("scd_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      val closed = spark.table("scd_stream")
+        .select("key", "state", "effective_from", "effective_to",
+          "is_current", "n_events")
+        .as[(Long, String, java.sql.Timestamp,
+          Option[java.sql.Timestamp], Boolean, Long)].collect().toSeq
+      assert(closed == Seq(
+        (1L, "A", ts(10, 0), Some(ts(10, 10)), false, 2L)), closed)
+      // watermark far past both keys' idle horizon → current rows flush
+      in.addData(Seq((9L, ts(12, 0), 8L, "Z"))); q.processAllAvailable()
+      in.addData(Seq((9L, ts(12, 1), 9L, "Z"))); q.processAllAvailable()
+      val current = spark.table("scd_stream").filter(col("is_current"))
+        .select("key", "state", "n_events")
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      assert(current == Seq((1L, "B", 1L), (2L, "X", 1L)), current)
+      // batch twin on the union of the replayed keys: same intervals
+      val union = (batch1 ++ batch2)
+        .toDF("user_id", "ts", "event_id", "event_type")
+      val twin = graft.operators.Scd.scd2(union, col("user_id"),
+          col("ts"), col("event_id"), col("event_type"))
+        .select("key", "state", "effective_from", "effective_to",
+          "is_current", "n_events")
+        .as[(Long, String, java.sql.Timestamp,
+          Option[java.sql.Timestamp], Boolean, Long)]
+        .collect().toSet
+      val streamed = spark.table("scd_stream")
+        .filter(col("key") < 9)
+        .select("key", "state", "effective_from", "effective_to",
+          "is_current", "n_events")
+        .as[(Long, String, java.sql.Timestamp,
+          Option[java.sql.Timestamp], Boolean, Long)].collect().toSet
+      assert(streamed == twin, s"streamed=$streamed twin=$twin")
+      // batch mode through the SAME factory: one-shot, identical rows
+      val batchOp = graft.streaming.ops.ScdOp(Map.empty, Seq(union)).head
+        .select("key", "state", "effective_from", "effective_to",
+          "is_current", "n_events")
+        .as[(Long, String, java.sql.Timestamp,
+          Option[java.sql.Timestamp], Boolean, Long)].collect().toSet
+      assert(batchOp == twin, batchOp)
+    } finally q.stop()
+  }
+
   test("TransitionOp sorts within a micro-batch by event time — " +
     "arrival order inside one trigger doesn't matter") {
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Url
+
+class UrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(urls: String*): Seq[(String, String, String)] =
+    urls.toDF("url")
+      .select(Url.host(col("url")).as("h"),
+        Url.registeredDomain(Url.stripWww(Url.host(col("url"))))
+          .as("d"),
+        Url.canonicalize(col("url")).as("c"))
+      .as[(String, String, String)].collect().toSeq
+
+  test("host: scheme/userinfo/port/case variants all reduce to the host") {
+    val got = parse(
+      "https://www.Example.COM/a?b#c",
+      "http://user:pw@sub.example.com:8080/x",
+      "example.com/plain",
+      "ftp://files.example.org")
+    assert(got.map(_._1) == Seq("www.example.com", "sub.example.com",
+      "example.com", "files.example.org"))
+  }
+
+  test("registered domain: last-2 labels, multi-label suffixes, short hosts") {
+    val got = parse(
+      "https://a.b.example.co.uk/x",   // multi-label suffix → 3 labels
+      "https://deep.sub.example.com",  // plain → 2 labels
+      "https://localhost/x",           // 1 label passes through
+      "https://example.com")           // exactly 2 labels
+    assert(got.map(_._2) == Seq("example.co.uk", "example.com",
+      "localhost", "example.com"))
+  }
+
+  test("canonicalize: fragment, default ports, scheme default, empty path") {
+    val got = parse(
+      "HTTPS://u@Host.COM:443/Path?Q=1#frag", // drop user+443+frag, keep case of path
+      "http://host.com:80",                   // default port + empty path
+      "host.com:8080/x",                      // schemeless, exotic port kept
+      "https://host.com:8443/")
+    assert(got.map(_._3) == Seq(
+      "https://host.com/Path?Q=1",
+      "http://host.com/",
+      "http://host.com:8080/x",
+      "https://host.com:8443/"))
+  }
+
+  test("domainCap keeps at most k per domain, score-desc id-asc order") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"https://d${i % 2}.com/${i}", i % 7)).toDF(
+      "doc_id", "url", "quality")
+    val got = Url.domainCap(docs, "url", col("doc_id"),
+      col("quality"), k = 3)
+    val byDomain = got.groupBy("domain").count()
+      .select("count").as[Long].collect()
+    assert(byDomain.length == 2 && byDomain.forall(_ == 3))
+    // top slot per domain is the max-quality, min-id doc
+    val top = got.filter(col("domain") === "d0.com" && col("rank") === 1)
+      .select("doc_id").as[Long].head()
+    assert(top == 6L) // quality 6 is the max of i%7 among even ids; 6 is smallest such id
+  }
+
+  test("domainStats dup fraction counts exact duplicate texts per domain") {
+    val docs = Seq(
+      (0L, "https://a.com/1", "same"),
+      (1L, "https://a.com/2", "same"),
+      (2L, "https://a.com/3", "other"),
+      (3L, "https://b.com/1", "x")).toDF("doc_id", "url", "text")
+    val got = Url.domainStats(docs, "url", "text")
+      .orderBy("domain")
+      .select("domain", "n_docs", "distinct_texts", "dup_frac")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("a.com", 3L, 2L, 1.0 / 3.0), ("b.com", 1L, 1L, 0.0)))
+  }
+}
