@@ -384,6 +384,73 @@ object SparkEntry {
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replica of [[graft.llm.Pca.fit]]: quantized exact integer
+    * moments (HUGEINT sums ≡ Spark's decimal(38,0)), one double
+    * conversion + division per covariance cell, then `iters` unrolled
+    * power-iteration CTE blocks per component with the IDENTICAL IEEE op
+    * sequence (list_prepend(0.0, …) ordered folds = the driver's
+    * left-to-right loops; correctly-rounded sqrt; deflation with the
+    * pinned `c − λ·v_j·v_i` association). `finalSelect` appends the
+    * fit-frame or projection finale. */
+  private def pcaOracleSql(k: Int, iters: Int, finalSelect: String)
+      : String = {
+    require(k >= 1 && k <= 4, s"unrolled oracle supports k<=4, got $k")
+    val compBlocks = (0 until k).map { c =>
+      val iterBlocks = (1 to iters).map { t =>
+        s"""w_c${c}_$t AS (SELECT list(wj ORDER BY j) AS w FROM (
+           |  SELECT cv.j, list_reduce(list_prepend(0.0,
+           |      list(cv.c * vv.v[cv.i + 1] ORDER BY cv.i)),
+           |    (a, b) -> a + b) AS wj
+           |  FROM cov$c cv, v_c${c}_${t - 1} vv GROUP BY cv.j) s_w),
+           |v_c${c}_$t AS (SELECT list_transform(w, x -> x / lam) AS v,
+           |    lam FROM (
+           |  SELECT w, sqrt(list_reduce(list_prepend(0.0,
+           |      list_transform(w, x -> x * x)), (a, b) -> a + b)) AS lam
+           |  FROM w_c${c}_$t) s_n),""".stripMargin
+      }.mkString("\n")
+      val deflate =
+        if (c + 1 < k)
+          s"""cov${c + 1} AS MATERIALIZED (
+             |  SELECT cv.j, cv.i,
+             |    cv.c - f.lam * f.v[cv.j + 1] * f.v[cv.i + 1] AS c
+             |  FROM cov$c cv, v_c${c}_$iters f),""".stripMargin
+        else ""
+      s"""v_c${c}_0 AS (SELECT list(
+         |    1.0 / sqrt(CAST(dd.d AS DOUBLE)) ORDER BY dp.p) AS v
+         |  FROM dpos dp, dd),
+         |$iterBlocks
+         |$deflate""".stripMargin
+    }.mkString("\n").trim.stripSuffix(",")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM q),
+       |dpos AS MATERIALIZED (SELECT unnest(range(0,
+       |  (SELECT max(len(embedding)) FROM embeddings)))::INTEGER AS p),
+       |dd AS (SELECT count(*)::BIGINT AS d FROM dpos),
+       |gram AS MATERIALIZED (
+       |  SELECT a.p AS a, b.p AS b,
+       |    sum(CAST(qv[a.p + 1] * qv[b.p + 1] AS HUGEINT)) AS s
+       |  FROM q, dpos a, dpos b WHERE b.p >= a.p GROUP BY a.p, b.p),
+       |mv AS MATERIALIZED (SELECT i.p AS i,
+       |    sum(CAST(qv[i.p + 1] AS HUGEINT)) AS m
+       |  FROM q, dpos i GROUP BY i.p),
+       |cov0 AS MATERIALIZED (
+       |  SELECT dj.p AS j, di.p AS i,
+       |    CAST(nn.n * g.s - mj.m * mi.m AS DOUBLE) /
+       |      (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) *
+       |       1073741824.0) AS c
+       |  FROM dpos dj CROSS JOIN dpos di
+       |    JOIN gram g ON g.a = least(dj.p, di.p)
+       |      AND g.b = greatest(dj.p, di.p)
+       |    JOIN mv mj ON mj.i = dj.p
+       |    JOIN mv mi ON mi.i = di.p
+       |    CROSS JOIN nn),
+       |$compBlocks
+       |$finalSelect""".stripMargin
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2515,6 +2582,26 @@ object SparkEntry {
       val approx = graft.llm.Ivf.topK(e, qs,
         "vec_id", "embedding", k = 5, model, nProbe = 4)
       SimSearch.recallAtK(exact, approx).orderBy("query_id")
+    }),
+
+    // PCA: exact fixed-point moments (ONE corpus pass, d²-cell map-side
+    // combined aggregate), driver power iteration + deflation with a
+    // pinned IEEE op sequence — the classically-irreproducible fit,
+    // oracled bit-exact (llm/Pca.scala). Output: the k·d model frame.
+    "q_pca_fit" -> ((s, dir) => {
+      val model = graft.llm.Pca.fit(t(s, dir, "embeddings"),
+        "embedding", k = 2, iters = 8)
+      graft.llm.Pca.modelFrame(s, model).orderBy("component", "i")
+    }),
+
+    // map-only projection of the corpus onto the fitted components —
+    // the 2-D corpus map / whitening step; DotProduct against literal
+    // component arrays, no shuffle
+    "q_pca_project" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.llm.Pca.fit(e, "embedding", k = 2, iters = 8)
+      graft.llm.Pca.project(e, "vec_id", "embedding", model)
+        .orderBy("vec_id")
     }),
 
     // ===== SCD2 interval builder (reference-table producer) =============
@@ -5570,6 +5657,27 @@ object SparkEntry {
            |    CAST(kk.k_eff AS DOUBLE) AS recall
            |FROM kk LEFT JOIN h USING (query_id)
            |ORDER BY query_id""".stripMargin,
+
+      // PCA replays: exact integer moments + unrolled power iteration
+      "q_pca_fit" -> pcaOracleSql(k = 2, iters = 8, finalSelect =
+        s"""SELECT 0::INTEGER AS component, dp.p AS i,
+           |  f.v[dp.p + 1] AS loading, f.lam AS eigenvalue
+           |FROM v_c0_8 f, dpos dp
+           |UNION ALL
+           |SELECT 1::INTEGER, dp.p, f.v[dp.p + 1], f.lam
+           |FROM v_c1_8 f, dpos dp
+           |ORDER BY component, i""".stripMargin),
+
+      "q_pca_project" -> pcaOracleSql(k = 2, iters = 8, finalSelect =
+        s"""SELECT e.vec_id,
+           |  list_reduce(list_prepend(0.0, list_transform(
+           |    list_zip(e.embedding, f0.v),
+           |    x -> CAST(x[1] AS DOUBLE) * x[2])), (a, b) -> a + b) AS p0,
+           |  list_reduce(list_prepend(0.0, list_transform(
+           |    list_zip(e.embedding, f1.v),
+           |    x -> CAST(x[1] AS DOUBLE) * x[2])), (a, b) -> a + b) AS p1
+           |FROM embeddings e, v_c0_8 f0, v_c1_8 f1
+           |ORDER BY vec_id""".stripMargin),
 
       // SCD2 replay: null-safe change flags (IS NOT DISTINCT FROM ≡
       // Spark's <=>), keyed cumulative run ids, run collapse, interval
