@@ -2584,6 +2584,27 @@ object SparkEntry {
       SimSearch.recallAtK(exact, approx).orderBy("query_id")
     }),
 
+    // reciprocal-rank companion to q_ann_recall: where the IVF list
+    // first hits a true neighbor, per query (the MRR building block)
+    "q_ann_mrr" -> ((s, dir) => {
+      val e  = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = SimSearch.bruteForceTopK(e, qs,
+        "vec_id", "embedding", k = 5)
+      val model = graft.llm.Ivf.train(e, "vec_id", "embedding", k = 16)
+      val approx = graft.llm.Ivf.topK(e, qs,
+        "vec_id", "embedding", k = 5, model, nProbe = 4)
+      SimSearch.reciprocalRank(exact, approx).orderBy("query_id")
+    }),
+
+    // shuffle-skew diagnosis: top-25 heaviest join-key values with
+    // exact counts + corpus share — the "do I need saltedJoin?" probe,
+    // one map-side-combined aggregate + a bounded global top-N
+    "q_key_skew" -> ((s, dir) =>
+      graft.operators.Profile.keySkew(t(s, dir, "events"),
+        col("user_id"), topN = 25)
+        .orderBy(col("cnt").desc, col("key"))),
+
     // PCA: exact fixed-point moments (ONE corpus pass, d²-cell map-side
     // combined aggregate), driver power iteration + deflation with a
     // pinned IEEE op sequence — the classically-irreproducible fit,
@@ -5657,6 +5678,43 @@ object SparkEntry {
            |    CAST(kk.k_eff AS DOUBLE) AS recall
            |FROM kk LEFT JOIN h USING (query_id)
            |ORDER BY query_id""".stripMargin,
+
+      "q_ann_mrr" ->
+        s"""WITH brute AS MATERIALIZED (
+           |  SELECT query_id, nbr_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+           |                 c.vec_id) AS rank
+           |    FROM embeddings q CROSS JOIN embeddings c
+           |    WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+           |  WHERE rank <= 5),
+           |ivf AS MATERIALIZED (
+           |  SELECT query_id, nbr_id, rank FROM (
+           |    ${ivfOracleSql(k = 16, iters = 5, nProbe = 4, topK = 5)}
+           |  ) ivfq),
+           |f AS (SELECT i.query_id,
+           |    CAST(min(i.rank) AS INTEGER) AS first_hit_rank
+           |  FROM ivf i JOIN brute b ON b.query_id = i.query_id
+           |    AND b.nbr_id = i.nbr_id
+           |  GROUP BY i.query_id),
+           |qq AS (SELECT DISTINCT query_id FROM brute)
+           |SELECT qq.query_id, f.first_hit_rank,
+           |  coalesce(1.0 / CAST(f.first_hit_rank AS DOUBLE), 0.0) AS rr
+           |FROM qq LEFT JOIN f USING (query_id)
+           |ORDER BY query_id""".stripMargin,
+
+      // key-skew replay: exact per-key counts, 1-row totals, top-25
+      "q_key_skew" ->
+        """WITH c AS (SELECT coalesce(CAST(user_id AS VARCHAR), '␀')
+          |    AS key, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+          |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+          |    count(*)::BIGINT AS n_keys FROM c)
+          |SELECT key, cnt,
+          |  CAST(cnt AS DOUBLE) / CAST(total_rows AS DOUBLE) AS share,
+          |  total_rows, n_keys
+          |FROM c CROSS JOIN t
+          |ORDER BY cnt DESC, key LIMIT 25""".stripMargin,
 
       // PCA replays: exact integer moments + unrolled power iteration
       "q_pca_fit" -> pcaOracleSql(k = 2, iters = 8, finalSelect =

@@ -90,6 +90,22 @@ object SimSearch {
     * join here is ≤ |queries|·k rows regardless of corpus scale. The
     * recall division is the only float op (two exact BIGINTs in), so the
     * result replays bit-for-bit in any engine. */
+  /** Reciprocal-rank companion to [[recallAtK]]: per query, the rank at
+    * which the approximate list first hits a true neighbor (`NULL` +
+    * rr=0.0 when it never does) — the MRR building block, exact and
+    * bounded like the recall join. */
+  def reciprocalRank(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val firsts = approx.select(col("query_id"), col("nbr_id"), col("rank"))
+      .join(exact.select(col("query_id"), col("nbr_id")),
+        Seq("query_id", "nbr_id"))
+      .groupBy("query_id").agg(min(col("rank")).as("first_hit_rank"))
+    exact.select("query_id").distinct()
+      .join(firsts, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_hit_rank"),
+        coalesce(lit(1.0) / col("first_hit_rank").cast("double"),
+          lit(0.0)).as("rr"))
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val truth = exact.select(col("query_id"), col("nbr_id"))
     val hits = truth

@@ -124,4 +124,40 @@ object Layout {
       else w0.sortBy(sortCols.head, sortCols.tail: _*)
     w.format("parquet").saveAsTable(table)
   }
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * `ceil(inputBytes / targetFileBytes)` files — the nightly answer to
+    * micro-batch sinks spraying kilobyte files (a day of triggers makes
+    * millions; the NEXT job's planning chokes on the listing before a
+    * single row is read). Sizing reads the actual on-disk byte total
+    * from the file listing, so the target tracks compression. With
+    * `zorderCols` the rewrite also lays rows out by Morton key
+    * ([[layoutBy]]), folding clustering into the same single shuffle —
+    * compaction is the one moment the data is all in flight anyway.
+    * Returns the planned file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetFileBytes: Long = 128L << 20,
+              zorderCols: Seq[String] = Nil, zorderBits: Int = 8): Long = {
+    require(targetFileBytes >= (1L << 20),
+      s"targetFileBytes under 1 MiB recreates the problem: $targetFileBytes")
+    val path = new org.apache.hadoop.fs.Path(inPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var bytes = 0L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        bytes += f.getLen
+    }
+    val nFiles = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes)
+    val df = spark.read.parquet(inPath)
+    val shaped =
+      if (zorderCols.nonEmpty)
+        layoutBy(zorderKey(df, zorderCols, zorderBits), nFiles.toInt)(df)
+      else df.repartition(nFiles.toInt)
+    shaped.write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
 }

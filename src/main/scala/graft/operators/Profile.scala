@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Single-pass column profiler — the data-quality audit face of the
@@ -42,5 +42,32 @@ object Profile {
     one.select(explode(array(rows: _*)).as("r"))
       .select("r.*")
       .orderBy("col_name")
+  }
+
+  /** Shuffle-skew diagnosis for a prospective groupBy/join key: the
+    * top-N heaviest key values with exact counts, corpus share, and the
+    * key-space totals — "will this key Zipf-cliff my exchange, and do I
+    * need [[graft.operators.Ops.saltedJoin]]?" answered BEFORE the
+    * 100 TB job runs. One keyed aggregate (map-side combined) + a 1-row
+    * broadcast of the totals + a bounded global top-N
+    * (TakeOrderedAndProject — ≤ N rows per task cross the exchange).
+    * Keys render as strings so one schema covers any key type; NULL
+    * keys profile as the literal bucket "␀" (a skew cause in their own
+    * right — NULL-heavy joins are the classic accidental hot key). */
+  def keySkew(df: DataFrame, keyCol: Column, topN: Int = 25)
+      : DataFrame = {
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val counts = df
+      .select(coalesce(keyCol.cast("string"), lit("␀")).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).cast("long").as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("cnt"),
+        (col("cnt").cast("double") / col("total_rows").cast("double"))
+          .as("share"),
+        col("total_rows"), col("n_keys"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topN)
   }
 }

@@ -100,6 +100,38 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compact collapses a sprayed directory to size-targeted files " +
+    "with identical content") {
+    val docs = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("lay_frag_")
+    val in = dir.resolve("in").toString
+    val out = dir.resolve("out").toString
+    docs.repartition(50).write.parquet(in) // the micro-batch spray
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parts(in) == 50)
+    val bytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target a third of the input → ~3 files planned
+    val planned = Layout.compact(spark, in, out,
+      targetFileBytes = math.max(1L << 20, bytes / 3))
+    assert(parts(out) == planned && planned <= 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // z-ordered variant: same rows, clustering folded into the rewrite
+    val outZ = dir.resolve("outz").toString
+    Layout.compact(spark, in, outZ,
+      targetFileBytes = math.max(1L << 20, bytes / 3),
+      zorderCols = Seq("doc_id", "n_chars"))
+    assert(spark.read.parquet(outZ).count() == docs.count())
+    // sub-MiB targets refuse (they recreate the small-files problem)
+    assertThrows[IllegalArgumentException] {
+      Layout.compact(spark, in, out, targetFileBytes = 1000L)
+    }
+  }
+
   test("zorderKey is deterministic across partitioning") {
     val ev = graft.core.Tables.table(
       spark, "/root/testdata/sf0.001", "events")
