@@ -322,6 +322,41 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("RUNTIME scaling pin: 8x corpus costs < ~12x wall time for " +
+    "Pca.fit and Scd.scd2 (moment pass is row-linear with bounded " +
+    "d^2 cells; SCD2 windows are keyed, never global)") {
+    def vecs(n: Int) = spark.range(n.toLong)
+      .select(col("id").as("vec_id"),
+        array((0 until 16).map(i =>
+          (pmod(col("id") * (i + 3), lit(97)).cast("double") / 97.0)
+            .cast("float")): _*).as("embedding"))
+    def log(n: Int) = spark.range(n.toLong)
+      .select(pmod(col("id"), lit(50)).as("k"),
+        (col("id") * 1000L).cast("timestamp").as("t"),
+        col("id").as("tie"),
+        concat(lit("s"), pmod(col("id"), lit(3))).as("st"))
+    def best(act: => Unit): Double = {
+      def one = { val t0 = System.nanoTime(); act
+        (System.nanoTime() - t0) / 1e9 }
+      math.min(one, one)
+    }
+    graft.llm.Pca.fit(vecs(200), "embedding", k = 1, iters = 2) // warmup
+    graft.operators.Scd.scd2(log(200), col("k"), col("t"),
+      col("tie"), col("st")).count()
+
+    val f1 = best(graft.llm.Pca.fit(vecs(2000), "embedding",
+      k = 1, iters = 2))
+    val f8 = best(graft.llm.Pca.fit(vecs(16000), "embedding",
+      k = 1, iters = 2))
+    assert(f8 < 12 * f1 + 2.0, f"Pca.fit 8x: $f1%.2fs -> $f8%.2fs")
+
+    val s1 = best(graft.operators.Scd.scd2(log(4000), col("k"),
+      col("t"), col("tie"), col("st")).count())
+    val s8 = best(graft.operators.Scd.scd2(log(32000), col("k"),
+      col("t"), col("tie"), col("st")).count())
+    assert(s8 < 12 * s1 + 2.0, f"scd2 8x: $s1%.2fs -> $s8%.2fs")
+  }
+
+  test("RUNTIME scaling pin: 8x corpus costs < ~12x wall time for " +
     "bigramLikelihood and bm25Queries (model/df tables are bounded " +
     "broadcasts — scoring must stay one linear corpus pass)") {
     // fixed small vocabulary (tokens t0..t12 x 7 forms) so the top-V/
