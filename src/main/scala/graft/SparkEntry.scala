@@ -2638,6 +2638,20 @@ object SparkEntry {
           col("is_current"), col("n_events"))
         .orderBy("user_id", "effective_from", "state")),
 
+    // CDC apply: latest-wins upsert of a change feed (odd event ids)
+    // into a per-user snapshot (latest even row) — one union + one
+    // keyed window, the "current state" table builder
+    "q_upsert" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select("user_id", "event_type", "value", "ts", "event_id")
+      val snap = (ev.filter(pmod(col("event_id"), lit(2)) === 0) >>
+        Ops.lastBy(Seq(col("user_id")), Seq(col("ts"), col("event_id"))))
+      val changes = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      graft.operators.Cdc.upsert(snap, changes, Seq(col("user_id")),
+        Seq(col("ts"), col("event_id")))
+        .orderBy("user_id")
+    }),
+
     // ===== sources: ORC round trip =======================================
 
     // documents → ORC (Spark-native columnar sibling) → read back →
@@ -5759,6 +5773,23 @@ object SparkEntry {
           |SELECT key AS user_id, state, effective_from, effective_to,
           |  effective_to IS NULL AS is_current, n_events
           |FROM iv ORDER BY user_id, effective_from, state""".stripMargin,
+
+      // upsert replay: snapshot = latest even row per user, union the
+      // odd changes, keep the per-user max (ts, event_id) row
+      "q_upsert" ->
+        """WITH snap AS (SELECT user_id, event_type, value, ts, event_id
+          |  FROM (SELECT user_id, event_type, value, ts, event_id,
+          |      row_number() OVER (PARTITION BY user_id
+          |        ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events WHERE event_id % 2 = 0) s WHERE rn = 1),
+          |u AS (SELECT * FROM snap
+          |  UNION ALL
+          |  SELECT user_id, event_type, value, ts, event_id
+          |  FROM events WHERE event_id % 2 = 1)
+          |SELECT user_id, event_type, value, ts, event_id FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY user_id
+          |    ORDER BY ts DESC, event_id DESC) AS rn FROM u) t
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
       // the ORC leg is Spark-side plumbing; the oracle checks the rollup
       // over the same rows from parquet

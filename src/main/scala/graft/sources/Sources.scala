@@ -53,6 +53,20 @@ object Sources {
     spark.read.format("binaryFile")
       .option("pathGlobFilter", globFilter).load(path)
 
+  /** JSONL export — the interchange format downstream training stacks
+    * read; one JSON object per line, quoting/escaping handled by the
+    * writer. `partitions` bounds the file count (0 = leave layout). */
+  def writeJsonLines(df: DataFrame, path: String,
+                     partitions: Int = 0): Unit =
+    (if (partitions > 0) df.repartition(partitions) else df)
+      .write.mode("overwrite").json(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+               partitions: Int = 0): Unit =
+    (if (partitions > 0) df.repartition(partitions) else df)
+      .write.mode("overwrite").option("header", header.toString)
+      .csv(path)
+
   /** Streaming counterparts — same schema contract, unbounded. */
   def csvStream(spark: SparkSession, path: String, schema: StructType,
                 header: Boolean = true): DataFrame =

@@ -56,6 +56,25 @@ class SourcesSpec extends SparkSpec {
     assert(got.head._3.toSeq == Seq[Byte](1, 2, 3, 4))
   }
 
+  test("jsonl and csv export round-trip rows exactly") {
+    val dir = Files.createTempDirectory("graft_export_")
+    val jl = dir.resolve("jl").toString
+    Sources.writeJsonLines(docs, jl, partitions = 2)
+    val backJ = Sources.jsonLines(spark, jl, docs.schema)
+    assert(backJ.count() == docs.count())
+    assert(backJ.exceptAll(docs).isEmpty && docs.exceptAll(backJ).isEmpty)
+    // file-count control held
+    assert(new java.io.File(jl).listFiles()
+      .count(_.getName.endsWith(".json")) == 2)
+    val cs = dir.resolve("cs").toString
+    // csv needs quoting-safe content: text carries commas/quotes in the
+    // corpus — the writer must escape and the reader must round-trip
+    Sources.writeCsv(docs, cs)
+    val backC = Sources.csv(spark, cs, docs.schema)
+    assert(backC.count() == docs.count())
+    assert(backC.exceptAll(docs).isEmpty && docs.exceptAll(backC).isEmpty)
+  }
+
   test("recallAtK: identical lists → 1.0, disjoint lists → 0.0") {
     val exact = Seq((0L, 1L), (0L, 2L), (1L, 3L))
       .toDF("query_id", "nbr_id")

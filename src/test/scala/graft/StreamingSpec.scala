@@ -1555,6 +1555,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DomainCapOp admits first k per registered domain, counting " +
+    "ACROSS micro-batches; batch mode caps identically") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    def u(d: String, i: Long) = s"https://www.$d/p/$i"
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = in.toDF().toDF("doc_id", "ts", "url")
+      .withWatermark("ts", "10 minutes")
+    val out = graft.streaming.ops.DomainCapOp(Map("k" -> 2), Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("domcap_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq(
+        (1L, ts(0), u("a.com", 1)), (2L, ts(1), u("a.com", 2)),
+        (3L, ts(0), u("b.com", 3))))
+      q.processAllAvailable()
+      // a.com budget is SPENT — batch 2 admits only b.com's second doc
+      in.addData(Seq(
+        (4L, ts(5), u("a.com", 4)), (5L, ts(5), u("b.com", 5)),
+        (6L, ts(6), u("b.com", 6))))
+      q.processAllAvailable()
+      val got = spark.table("domcap_stream")
+        .select("domain", "doc_id", "admit_rank")
+        .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._3))
+        .toSeq
+      assert(got == Seq(("a.com", 1L, 1L), ("a.com", 2L, 2L),
+        ("b.com", 3L, 1L), ("b.com", 5L, 2L)), got)
+      // batch mode through the SAME factory: first k by (ts, id)
+      val union = Seq(
+        (1L, ts(0), u("a.com", 1)), (2L, ts(1), u("a.com", 2)),
+        (3L, ts(0), u("b.com", 3)), (4L, ts(5), u("a.com", 4)),
+        (5L, ts(5), u("b.com", 5)), (6L, ts(6), u("b.com", 6)))
+        .toDF("doc_id", "ts", "url")
+      val batch = graft.streaming.ops.DomainCapOp(Map("k" -> 2),
+        Seq(union)).head
+        .select("domain", "doc_id").as[(String, Long)].collect()
+        .sortBy(identity).toSeq
+      assert(batch == Seq(("a.com", 1L), ("a.com", 2L),
+        ("b.com", 3L), ("b.com", 5L)), batch)
+    } finally q.stop()
+  }
+
   test("ScdOp closes runs across micro-batches, flushes current rows on " +
     "idle timeout, and matches the batch twin Scd.scd2") {
     implicit val sqlCtx = spark.sqlContext
