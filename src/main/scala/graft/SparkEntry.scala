@@ -2568,6 +2568,35 @@ object SparkEntry {
         "url", col("doc_id"), col("n_chars"), k = 20)
         .orderBy("domain", "rank")),
 
+    // composed CRAWL-INGEST pipeline — the URL layer end to end:
+    // per-domain volume cap (k=30, long docs preferred) → Gopher gate →
+    // exact content dedup (min-id winner carries its domain) →
+    // per-domain admitted volume. The gate tokenizes only the capped
+    // survivors; every stage is individually oracled elsewhere.
+    "q_pipeline_crawl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("url", synthUrl)
+      val capped = graft.llm.Url.domainCap(docs, "url",
+        col("doc_id"), col("n_chars"), k = 30)
+        .select(col("domain"), col("doc_id"))
+      val withText = capped.join(
+        docs.select(col("doc_id"), col("text")), "doc_id")
+      val good = withText
+        .withColumn("__ts", Text.tokens(col("text")))
+        .filter(graft.llm.TextStats.gopherKeepOf(col("__ts")))
+        .withColumn("__fp",
+          substring(md5(array_join(col("__ts"), " ")), 1, 16))
+      val deduped = good
+        .groupBy("__fp")
+        .agg(min(struct(col("doc_id"), col("domain"),
+          Text.nTokensOf(col("__ts")).as("n_tokens"))).as("r"))
+        .select(col("r.domain").as("domain"),
+          col("r.n_tokens").as("n_tokens"))
+      deduped.groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("domain")
+    }),
+
     // ===== north-star: ANN index evaluation ==============================
 
     // recall@5 of the IVF index against brute-force ground truth — the
@@ -5692,6 +5721,44 @@ object SparkEntry {
            |    CAST(kk.k_eff AS DOUBLE) AS recall
            |FROM kk LEFT JOIN h USING (query_id)
            |ORDER BY query_id""".stripMargin,
+
+      // crawl-ingest replay: cap (row_number ≤ 30 by n_chars desc) →
+      // the q_gopher_rules keep predicate → content-key dedup with
+      // min-id winners → per-domain rollup
+      "q_pipeline_crawl" -> {
+        val keep =
+          """(len(ts) BETWEEN 50 AND 100000)
+            | AND (CAST(list_sum(list_transform(ts, t -> len(t)))
+            |      AS DOUBLE) / len(ts) BETWEEN 3.0 AND 10.0)
+            | AND (CAST(len(list_filter(ts,
+            |      t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+            |      / len(ts) >= 0.8)
+            | AND (CAST(len(list_filter(ts, t -> contains(t, '#')
+            |      OR contains(t, '...'))) AS DOUBLE)
+            |      / len(ts) <= 0.1)
+            | AND (len(list_filter(ts, t -> list_contains(
+            |      ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+            |       'with'], t))) >= 2)""".stripMargin
+        s"""WITH u AS MATERIALIZED (
+           |  SELECT doc_id, n_chars, text, $urlCaseSql AS url
+           |  FROM documents),
+           |d AS (SELECT doc_id, n_chars, text, ${urlDomainSql(
+                  s"regexp_replace(${urlHostSql("url")}, '^www\\.', '')")}
+           |    AS domain FROM u),
+           |capped AS (SELECT domain, doc_id, text FROM (
+           |  SELECT domain, doc_id, text, row_number() OVER (
+           |    PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn
+           |  FROM d) c WHERE rn <= 30),
+           |toks AS (SELECT domain, doc_id, $toksSql AS ts FROM capped),
+           |kept AS (SELECT domain, doc_id, ts FROM toks WHERE $keep),
+           |dd AS (SELECT arg_min(domain, doc_id) AS domain,
+           |    CAST(arg_min(len(ts), doc_id) AS BIGINT) AS n_tokens
+           |  FROM kept
+           |  GROUP BY md5(array_to_string(ts, ' ')))
+           |SELECT domain, count(*)::BIGINT AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           |FROM dd GROUP BY domain ORDER BY domain""".stripMargin
+      },
 
       "q_ann_mrr" ->
         s"""WITH brute AS MATERIALIZED (

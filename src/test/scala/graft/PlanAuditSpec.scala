@@ -66,6 +66,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_key_skew plans a bounded global top-N (TakeOrderedAndProject)" +
+    " and broadcasts the 1-row totals") {
+    val p = planStr("q_key_skew")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_domain_cap plans the bounded TopKCollect aggregate, " +
+    "no WindowExec over the corpus") {
+    val p = planStr("q_domain_cap")
+    assert(!p.contains("Window "), p)
+    assert(p.contains("topk"), p)
+  }
+
   test("q_kn_bigram broadcasts all three bounded model tables and " +
     "plans no sort-merge join or window over the corpus") {
     val p = planStr("q_kn_bigram")
