@@ -1352,6 +1352,23 @@ object SparkEntry {
       Dedup.minhashBandWinners(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("bkey")),
 
+    // incremental index maintenance: merge the even-doc and odd-doc
+    // band indexes — the oracle recomputes the UNION corpus's index
+    // from scratch, so the driver cross-checks the merge⊕recompute
+    // equivalence (the daily warm-start lifecycle: yesterday's index ⊕
+    // today's increment, one index-sized aggregate, no re-shingling)
+    "q_merge_band_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.mergeBandIndex(
+        Dedup.minhashBandWinners(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text"),
+        Dedup.minhashBandWinners(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text"))
+        .orderBy("bkey")
+    }),
+
     // opt-in verify pass on first-occurrence near-dup: suppressed docs
     // join back to their band WINNERS' signatures and are re-admitted
     // unless one verifies at >= threshold (candidate rows are bounded
@@ -4461,6 +4478,10 @@ object SparkEntry {
       "q_minhash_pairs" -> OracleXxh.q_minhash_pairs,
       "q_minhash_novel" -> OracleXxh.q_minhash_novel,
       "q_band_winners" -> OracleXxh.q_band_winners,
+
+      // merge⊕recompute equivalence: the oracle builds the UNION
+      // corpus's index from scratch — the merged halves must match it
+      "q_merge_band_index" -> OracleXxh.q_band_winners,
       "q_minhash_novel_verified" -> OracleXxh.q_minhash_novel_verified,
       "q_short_novel" -> OracleXxh.q_minhash_novel_policy("novel"),
       "q_short_pair" -> OracleXxh.q_minhash_novel_policy("pair"),

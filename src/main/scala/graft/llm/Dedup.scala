@@ -341,6 +341,29 @@ object Dedup {
       .select(col("bkey"), col("winner"), col("sig"))
   }
 
+  /** Merge two band-winner indexes ([[minhashBandWinners]] exports) into
+    * one: per band key the minimum-id winner survives — exactly the
+    * index `minhashBandWinners` would export over the UNION of the two
+    * corpora (same per-band min-id convention), WITHOUT re-shingling
+    * either side. The daily index-maintenance op closing the warm-start
+    * lifecycle: yesterday's index ⊕ today's increment index, one
+    * band-keyed aggregate over index rows (≪ corpus rows). Signature-
+    * carrying indexes merge signature-carrying (the winner's signature
+    * rides the min struct). Contract: doc ids are globally unique
+    * across the merged corpora (the warm-start id contract). */
+  def mergeBandIndex(a: DataFrame, b: DataFrame): DataFrame = {
+    require(a.columns.toSeq == b.columns.toSeq,
+      s"index schemas differ: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    val u = a.unionByName(b)
+    if (u.columns.contains("sig"))
+      u.groupBy("bkey")
+        .agg(min(struct(col("winner"), col("sig"))).as("r"))
+        .select(col("bkey"), col("r.winner").as("winner"),
+          col("r.sig").as("sig"))
+    else
+      u.groupBy("bkey").agg(min(col("winner")).as("winner"))
+  }
+
   /** Shared staging of the first-occurrence novelty family
     * ([[minhashNovel]], [[minhashNovelVerified]]): tokens → shingle
     * hashes (repartition barrier before the minhash fan-out, see

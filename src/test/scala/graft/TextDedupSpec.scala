@@ -23,6 +23,29 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1) == Seq("a b c", "b c d"))
   }
 
+  test("mergeBandIndex(index(A), index(B)) equals index(A ∪ B) — plain " +
+    "and signature-carrying") {
+    val docs = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    def idx(df: org.apache.spark.sql.DataFrame, sigs: Boolean) =
+      Dedup.minhashBandWinners(df, "doc_id", "text",
+        withSignatures = sigs)
+    for (sigs <- Seq(false, true)) {
+      val merged = Dedup.mergeBandIndex(idx(a, sigs), idx(b, sigs))
+      val whole = idx(docs, sigs)
+      assert(merged.exceptAll(whole).isEmpty &&
+        whole.exceptAll(merged).isEmpty,
+        s"sigs=$sigs: merged index != union index")
+      assert(whole.count() > 0)
+    }
+    // schema mismatch refuses
+    assertThrows[IllegalArgumentException] {
+      Dedup.mergeBandIndex(idx(a, false), idx(b, true))
+    }
+  }
+
   test("fingerprint is whitespace/case-insensitive, content-sensitive") {
     val df = Seq(("A  b\tC", 1), ("a b c", 2), ("a b d", 3))
       .toDF("text", "id")
