@@ -2684,6 +2684,17 @@ object SparkEntry {
           col("is_current"), col("n_events"))
         .orderBy("user_id", "effective_from", "state")),
 
+    // ingest-audit drift: per-column null-rate/distinct deltas between
+    // two event snapshots (even vs odd ids) — schema-rot detection in
+    // two single-pass profiles + a |cols|-row join
+    "q_profile_delta" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Profile.delta(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        Seq("event_id", "user_id", "event_type", "value", "props"))
+    }),
+
     // CDC apply: latest-wins upsert of a change feed (odd event ids)
     // into a per-user snapshot (latest even row) — one union + one
     // keyed window, the "current state" table builder
@@ -5861,6 +5872,37 @@ object SparkEntry {
           |SELECT key AS user_id, state, effective_from, effective_to,
           |  effective_to IS NULL AS is_current, n_events
           |FROM iv ORDER BY user_id, effective_from, state""".stripMargin,
+
+      // profile-delta replay: the q_profile aggregate twice (even/odd
+      // halves) joined on col_name, identical IEEE delta arithmetic
+      "q_profile_delta" -> {
+        val cols = Seq("event_id", "user_id", "event_type", "value",
+          "props")
+        def side(tag: String, pred: String) = {
+          val aggs = cols.zipWithIndex.map { case (c, i) =>
+            s"count($c) AS c$i, count(DISTINCT $c) AS d$i"
+          }.mkString(", ")
+          val branches = cols.zipWithIndex.map { case (c, i) =>
+            s"""SELECT '$c' AS col_name, n AS n_$tag,
+               |  n - c$i AS nulls_$tag, d$i AS distinct_$tag
+               |FROM agg_$tag""".stripMargin
+          }.mkString("\nUNION ALL\n")
+          s"""agg_$tag AS (SELECT count(*) AS n, $aggs
+             |  FROM events WHERE $pred),
+             |p_$tag AS (
+             |$branches)""".stripMargin
+        }
+        s"""WITH ${side("a", "event_id % 2 = 0")},
+           |${side("b", "event_id % 2 = 1")}
+           |SELECT col_name, n_a, nulls_a, distinct_a,
+           |  n_b, nulls_b, distinct_b,
+           |  CAST(nulls_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+           |    CAST(nulls_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           |    AS null_rate_delta,
+           |  distinct_b - distinct_a AS distinct_delta
+           |FROM p_a JOIN p_b USING (col_name)
+           |ORDER BY col_name""".stripMargin
+      },
 
       // upsert replay: snapshot = latest even row per user, union the
       // odd changes, keep the per-user max (ts, event_id) row

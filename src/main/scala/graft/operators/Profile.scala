@@ -44,6 +44,28 @@ object Profile {
       .orderBy("col_name")
   }
 
+  /** Ingest-audit drift: per-column deltas between two snapshots'
+    * [[profile]]s — null-rate and distinct-count drift catch schema rot
+    * (a column going silently null, an enum exploding) before the
+    * corpus does. Full-outer on col_name so an added/dropped column
+    * surfaces as a NULL-sided row. Cost: the two single-pass profiles;
+    * the join is |cols| rows. */
+  def delta(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    val pa = profile(a, cols).select(col("col_name"),
+      col("n").as("n_a"), col("nulls").as("nulls_a"),
+      col("n_distinct").as("distinct_a"))
+    val pb = profile(b, cols).select(col("col_name"),
+      col("n").as("n_b"), col("nulls").as("nulls_b"),
+      col("n_distinct").as("distinct_b"))
+    pa.join(pb, Seq("col_name"), "full_outer")
+      .withColumn("null_rate_delta",
+        col("nulls_b").cast("double") / col("n_b").cast("double") -
+          col("nulls_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("distinct_delta",
+        col("distinct_b") - col("distinct_a"))
+      .orderBy("col_name")
+  }
+
   /** Shuffle-skew diagnosis for a prospective groupBy/join key: the
     * top-N heaviest key values with exact counts, corpus share, and the
     * key-space totals — "will this key Zipf-cliff my exchange, and do I

@@ -23,6 +23,22 @@ class ProfileSpec extends SparkSpec {
       ("t", 4L, 1L, 3L, Some(-100.0), Some(2.5))))
   }
 
+  test("delta flags a column going null and an enum exploding") {
+    import spark.implicits._
+    val a = Seq((1L, Some("x"), "t1"), (2L, Some("y"), "t1"))
+      .toDF("id", "v", "e")
+    val b = Seq((3L, Option.empty[String], "t1"),
+      (4L, Option.empty[String], "t2"),
+      (5L, Some("z"), "t3")).toDF("id", "v", "e")
+    val got = Profile.delta(a, b, Seq("v", "e"))
+      .select("col_name", "null_rate_delta", "distinct_delta")
+      .as[(String, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // v: 0/2 null → 2/3 null; e: 1 distinct → 3 distinct
+    assert(math.abs(got("v")._1 - 2.0 / 3.0) < 1e-12)
+    assert(got("e")._2 == 2L)
+  }
+
   test("profile is layout-independent") {
     val ev = graft.core.Tables.table(
       spark, "/root/testdata/sf0.001", "events")
