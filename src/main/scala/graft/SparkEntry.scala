@@ -2630,6 +2630,22 @@ object SparkEntry {
       SimSearch.recallAtK(exact, approx).orderBy("query_id")
     }),
 
+    // dimension-budget ablation: recall@5 of brute-force search over
+    // the FIRST-16-dims truncation vs the full-64-dim ground truth —
+    // "how many dims does retrieval actually need" answered with the
+    // same bounded eval harness (truncation = map-only slice)
+    "q_dim_ablation" -> ((s, dir) => {
+      val e  = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = SimSearch.bruteForceTopK(e, qs,
+        "vec_id", "embedding", k = 5)
+      val cut = e.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val approx = SimSearch.bruteForceTopK(cut,
+        cut.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      SimSearch.recallAtK(exact, approx).orderBy("query_id")
+    }),
+
     // reciprocal-rank companion to q_ann_recall: where the IVF list
     // first hits a true neighbor, per query (the MRR building block)
     "q_ann_mrr" -> ((s, dir) => {
@@ -5791,6 +5807,43 @@ object SparkEntry {
            |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
            |FROM dd GROUP BY domain ORDER BY domain""".stripMargin
       },
+
+      // dim-ablation replay: both top-5 lists brute-force (full vs
+      // list_slice 16-dim), the recall join unchanged
+      "q_dim_ablation" ->
+        s"""WITH brute AS MATERIALIZED (
+           |  SELECT query_id, nbr_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+           |                 c.vec_id) AS rank
+           |    FROM embeddings q CROSS JOIN embeddings c
+           |    WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+           |  WHERE rank <= 5),
+           |cut AS MATERIALIZED (SELECT vec_id,
+           |    list_slice(embedding, 1, 16) AS embedding
+           |  FROM embeddings),
+           |approx AS MATERIALIZED (
+           |  SELECT query_id, nbr_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+           |                 c.vec_id) AS rank
+           |    FROM cut q CROSS JOIN cut c
+           |    WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+           |  WHERE rank <= 5),
+           |h AS (SELECT b.query_id, count(*)::BIGINT AS n_hits
+           |  FROM brute b JOIN approx i ON b.query_id = i.query_id
+           |    AND b.nbr_id = i.nbr_id
+           |  GROUP BY b.query_id),
+           |kk AS (SELECT query_id, count(*)::BIGINT AS k_eff
+           |  FROM brute GROUP BY query_id)
+           |SELECT kk.query_id,
+           |  coalesce(h.n_hits, 0)::BIGINT AS n_hits, kk.k_eff,
+           |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) /
+           |    CAST(kk.k_eff AS DOUBLE) AS recall
+           |FROM kk LEFT JOIN h USING (query_id)
+           |ORDER BY query_id""".stripMargin,
 
       "q_ann_mrr" ->
         s"""WITH brute AS MATERIALIZED (
