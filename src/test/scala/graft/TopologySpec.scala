@@ -588,4 +588,58 @@ class TopologySpec extends SparkSpec {
       .collect().toSet
     assert(band == Set(("a", 1L, "v2"))) // only a@3 ↔ v2@2 within 1 min
   }
+
+  test("round-7 lifecycle factories wire from YAML: DomainCapOp " +
+    "admission + ScdOp intervals in one topology, batch mode") {
+    val tmp = Files.createTempDirectory("r7_ops").toString
+    def ts(m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    Seq(
+      (1L, ts(0), "https://www.a.com/1"),
+      (2L, ts(1), "https://a.com/2"),
+      (3L, ts(2), "https://a.com/3"), // over budget at k=2
+      (4L, ts(0), "https://b.com/4"))
+      .toDF("doc_id", "ts", "url")
+      .write.mode("overwrite").parquet(s"$tmp/docs")
+    Seq(
+      (7L, ts(0), 1L, "A"), (7L, ts(5), 2L, "B"), (7L, ts(9), 3L, "B"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/changes")
+    val yaml =
+      s"""topics:
+         |  - name: docs
+         |    kind: parquet
+         |    path: $tmp/docs
+         |  - name: changes
+         |    kind: parquet
+         |    path: $tmp/changes
+         |  - name: admitted
+         |    kind: parquet
+         |    path: $tmp/admitted
+         |  - name: intervals
+         |    kind: parquet
+         |    path: $tmp/intervals
+         |operators:
+         |  cap:
+         |    factory: graft.streaming.ops.DomainCapOp
+         |    sources: [docs]
+         |    sinks: [admitted]
+         |  scd:
+         |    factory: graft.streaming.ops.ScdOp
+         |    sources: [changes]
+         |    sinks: [intervals]
+         |config:
+         |  k: 2
+         |""".stripMargin
+    Topology.parse(yaml).runBatch(spark, s"$tmp/sinks")
+    val admitted = spark.read.parquet(s"$tmp/sinks/admitted")
+      .select("domain", "doc_id").as[(String, Long)].collect()
+      .sorted.toSeq
+    assert(admitted == Seq(("a.com", 1L), ("a.com", 2L),
+      ("b.com", 4L)), admitted)
+    val iv = spark.read.parquet(s"$tmp/sinks/intervals")
+      .select("state", "is_current", "n_events")
+      .as[(String, Boolean, Long)].collect().sortBy(_._1).toSeq
+    assert(iv == Seq(("A", false, 1L), ("B", true, 2L)), iv)
+  }
 }
