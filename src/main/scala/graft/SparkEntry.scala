@@ -714,6 +714,68 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // TPC-H Q3 shape (shipping priority): segment-filtered customers
+    // broadcast into the orders⋈lineitem fact join (orders/lineitem
+    // shuffle on the order key — the 100 TB-correct side assignment),
+    // revenue decimal-exact, bounded top-10
+    "q_tpch_q3" -> ((s, dir) => {
+      val d = lit("1998-01-01").cast("timestamp")
+      val revenue = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)")))
+      t(s, dir, "lineitem").filter(col("l_shipdate") > d)
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"),
+          col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q10 shape (returned-item revenue): one-quarter order
+    // window, R-flag lineitems, customer + nation broadcast dims,
+    // top-20 accounts by lost revenue
+    "q_tpch_q10" -> ((s, dir) => {
+      val revenue = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)")))
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders").filter(
+          col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q18 shape (large-volume customers): the HAVING-subquery —
+    // per-order quantity rollup feeds an order-key semi-join, then
+    // customer broadcast; top-100 by order value
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(MathOps.exactSum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // left-semi: customers that have orders
     "q_semijoin" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -2687,6 +2749,16 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // whitened projection: unit variance along retained components —
+    // the k-means/SemDeDup preconditioner; one extra IEEE division per
+    // row against the driver-literal sqrt(eigenvalue)
+    "q_pca_whiten" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.llm.Pca.fit(e, "embedding", k = 2, iters = 8)
+      graft.llm.Pca.project(e, "vec_id", "embedding", model,
+        whiten = true).orderBy("vec_id")
+    }),
+
     // ===== SCD2 interval builder (reference-table producer) =============
 
     // per-user event_type change log → validity intervals with
@@ -3267,6 +3339,55 @@ object SparkEntry {
         """SELECT c_mktsegment, count(*) AS n FROM customer
           |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_tpch_q3" ->
+        """SELECT l_orderkey, o_orderdate, o_orderpriority,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (CAST(1 AS DECIMAL(18,2)) -
+          |       CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+          |    AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+          |GROUP BY 1, 2, 3
+          |ORDER BY revenue DESC, o_orderdate, l_orderkey
+          |LIMIT 10""".stripMargin,
+
+      "q_tpch_q10" ->
+        """SELECT c_custkey, c_name, c_acctbal, n_name,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (CAST(1 AS DECIMAL(18,2)) -
+          |       CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+          |    AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE l_returnflag = 'R'
+          |  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+          |GROUP BY 1, 2, 3, 4
+          |ORDER BY revenue DESC, c_custkey
+          |LIMIT 20""".stripMargin,
+
+      "q_tpch_q18" ->
+        """WITH big AS (
+          |  SELECT l_orderkey,
+          |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |      AS total_qty
+          |  FROM lineitem GROUP BY 1
+          |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+          |    AS DOUBLE) > 150.0)
+          |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+          |  o_totalprice, total_qty
+          |FROM orders
+          |JOIN big ON o_orderkey = l_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |LIMIT 100""".stripMargin,
 
       "q_antijoin" ->
         """SELECT c_custkey, c_mktsegment FROM customer
@@ -5900,6 +6021,19 @@ object SparkEntry {
            |  list_reduce(list_prepend(0.0, list_transform(
            |    list_zip(e.embedding, f1.v),
            |    x -> CAST(x[1] AS DOUBLE) * x[2])), (a, b) -> a + b) AS p1
+           |FROM embeddings e, v_c0_8 f0, v_c1_8 f1
+           |ORDER BY vec_id""".stripMargin),
+
+      "q_pca_whiten" -> pcaOracleSql(k = 2, iters = 8, finalSelect =
+        s"""SELECT e.vec_id,
+           |  list_reduce(list_prepend(0.0, list_transform(
+           |    list_zip(e.embedding, f0.v),
+           |    x -> CAST(x[1] AS DOUBLE) * x[2])), (a, b) -> a + b)
+           |    / sqrt(f0.lam) AS p0,
+           |  list_reduce(list_prepend(0.0, list_transform(
+           |    list_zip(e.embedding, f1.v),
+           |    x -> CAST(x[1] AS DOUBLE) * x[2])), (a, b) -> a + b)
+           |    / sqrt(f1.lam) AS p1
            |FROM embeddings e, v_c0_8 f0, v_c1_8 f1
            |ORDER BY vec_id""".stripMargin),
 

@@ -157,11 +157,18 @@ object Pca {
   /** Map-only projection of every vector onto the fitted components
     * (columns `p0..p{k-1}`) — [[Vectors.dot]] against literal component
     * arrays, so the transform rides whole-stage codegen with no shuffle
-    * and no driver round trip at scan time. */
-  def project(df: DataFrame, idCol: String, vecCol: String, model: Model)
-      : DataFrame = {
+    * and no driver round trip at scan time. With `whiten` each
+    * projection divides by √eigenvalue (unit variance along retained
+    * components — the PCA-whitening preconditioner k-means/SemDeDup
+    * want); the divisor is a driver-computed double literal, one IEEE
+    * division per row. */
+  def project(df: DataFrame, idCol: String, vecCol: String, model: Model,
+              whiten: Boolean = false): DataFrame = {
     val projections = model.components.zipWithIndex.map { case (comp, c) =>
-      Vectors.dot(col(vecCol), lit(comp)).as(s"p$c")
+      val p = Vectors.dot(col(vecCol), lit(comp))
+      val out =
+        if (whiten) p / lit(math.sqrt(model.eigenvalues(c))) else p
+      out.as(s"p$c")
     }
     df.select(col(idCol) +: projections.toIndexedSeq: _*)
   }

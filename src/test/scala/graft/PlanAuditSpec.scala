@@ -66,6 +66,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H shapes: dims broadcast, facts shuffle on the join key, " +
+    "top-N bounded (TakeOrderedAndProject)") {
+    for (q <- Seq("q_tpch_q3", "q_tpch_q10", "q_tpch_q18")) {
+      val p = planStr(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+      assert(p.contains("TakeOrderedAndProject"), s"$q: $p")
+    }
+  }
+
   test("q_key_skew plans a bounded global top-N (TakeOrderedAndProject)" +
     " and broadcasts the 1-row totals") {
     val p = planStr("q_key_skew")

@@ -1555,6 +1555,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PcaOp freezes a reference-fitted model at wire time and " +
+    "projects a stream statelessly; exact parity with batch project") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "embeddings")
+    val tmp = Files.createTempDirectory("pca_ref").toString
+    ref.write.mode("overwrite").parquet(tmp)
+    val rows = ref.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().take(20).toSeq
+    val in = MemoryStream[(Long, Array[Float])]
+    val src = in.toDF().toDF("vec_id", "embedding")
+    val out = graft.streaming.ops.PcaOp(
+      Map("ref_path" -> tmp, "whiten" -> true), Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("pca_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("pca_stream")
+        .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+      val model = graft.llm.Pca.fit(ref, "embedding", k = 2, iters = 8)
+      val batch = graft.llm.Pca.project(
+          ref.filter(col("vec_id").isin(rows.map(_._1): _*)),
+          "vec_id", "embedding", model, whiten = true)
+        .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+      assert(streamed == batch && streamed.size == 20)
+    } finally q.stop()
+  }
+
   test("DomainCapOp admits first k per registered domain, counting " +
     "ACROSS micro-batches; batch mode caps identically") {
     implicit val sqlCtx = spark.sqlContext
