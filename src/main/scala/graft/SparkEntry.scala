@@ -714,6 +714,57 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // TPC-H Q1 (pricing summary): the benchmark classic — 8 aggregates
+    // in one map-side-combined pass, every sum decimal-exact (the
+    // triple product stays inside decimal(38,9), no precision
+    // reduction), means as exact-sum / count with ONE IEEE division
+    "q_tpch_q1" -> ((s, dir) => {
+      val d3 = (c: String) => col(c).cast("decimal(12,3)")
+      val one = lit(1).cast("decimal(12,3)")
+      val disc = d3("l_extendedprice") * (one - d3("l_discount"))
+      val charge = disc * (one + d3("l_tax"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          MathOps.exactSum(col("l_quantity")).as("sum_qty"),
+          MathOps.exactSum(col("l_extendedprice")).as("sum_base_price"),
+          sum(disc).cast("double").as("sum_disc_price"),
+          sum(charge).cast("double").as("sum_charge"),
+          MathOps.exactMean(col("l_quantity")).as("avg_qty"),
+          MathOps.exactMean(col("l_extendedprice")).as("avg_price"),
+          MathOps.exactMean(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q5 shape (local-supplier volume): the 6-table join — facts
+    // shuffle on the order key, all four dims broadcast, the local-
+    // supplier condition rides the supplier join
+    "q_tpch_q5" -> ((s, dir) => {
+      val revenue = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region"))
+          .filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // TPC-H Q3 shape (shipping priority): segment-filtered customers
     // broadcast into the orders⋈lineitem fact join (orders/lineitem
     // shuffle on the order key — the 100 TB-correct side assignment),
@@ -3339,6 +3390,58 @@ object SparkEntry {
         """SELECT c_mktsegment, count(*) AS n FROM customer
           |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // decimal→double routes through the exact decimal STRING: Spark's
+      // Decimal.toDouble (BigDecimal.doubleValue) is correctly rounded,
+      // while DuckDB's direct DECIMAL→DOUBLE cast double-rounds
+      // (int128→double, then ÷10^scale) — strtod on the exact digits
+      // restores the correctly-rounded value
+      "q_tpch_q1" -> {
+        def d2d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+        val sumQty = "sum(CAST(l_quantity AS DECIMAL(18,2)))"
+        val sumPrice = "sum(CAST(l_extendedprice AS DECIMAL(18,2)))"
+        val sumDisc = "sum(CAST(l_discount AS DECIMAL(18,2)))"
+        val sumDiscPrice =
+          """sum(CAST(l_extendedprice AS DECIMAL(12,3)) *
+            |      (CAST(1 AS DECIMAL(12,3)) -
+            |       CAST(l_discount AS DECIMAL(12,3))))""".stripMargin
+        val sumCharge =
+          """sum(CAST(l_extendedprice AS DECIMAL(12,3)) *
+            |      (CAST(1 AS DECIMAL(12,3)) -
+            |       CAST(l_discount AS DECIMAL(12,3))) *
+            |      (CAST(1 AS DECIMAL(12,3)) +
+            |       CAST(l_tax AS DECIMAL(12,3))))""".stripMargin
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${d2d(sumQty)} AS sum_qty,
+           |  ${d2d(sumPrice)} AS sum_base_price,
+           |  ${d2d(sumDiscPrice)} AS sum_disc_price,
+           |  ${d2d(sumCharge)} AS sum_charge,
+           |  ${d2d(sumQty)} / count(l_quantity) AS avg_qty,
+           |  ${d2d(sumPrice)} / count(l_extendedprice) AS avg_price,
+           |  ${d2d(sumDisc)} / count(l_discount) AS avg_disc,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      },
+
+      "q_tpch_q5" ->
+        """SELECT n_name,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (CAST(1 AS DECIMAL(18,2)) -
+          |       CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+          |    AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |  AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
 
       "q_tpch_q3" ->
         """SELECT l_orderkey, o_orderdate, o_orderpriority,

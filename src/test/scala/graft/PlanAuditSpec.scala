@@ -73,6 +73,12 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin"), s"$q: $p")
       assert(p.contains("TakeOrderedAndProject"), s"$q: $p")
     }
+    // Q5's four dims all broadcast; Q1 is one hash-agg pass with the
+    // ship-date filter pushed to the scan
+    assert(planStr("q_tpch_q5").contains("BroadcastHashJoin"))
+    val q1 = planStr("q_tpch_q1")
+    assert(q1.contains("PushedFilters: [IsNotNull(l_shipdate)"), q1)
+    assert(!q1.contains("SortMergeJoin"), q1)
   }
 
   test("q_key_skew plans a bounded global top-N (TakeOrderedAndProject)" +
