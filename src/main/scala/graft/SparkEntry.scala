@@ -941,6 +941,35 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // unpivot — wide measure columns to (measure, value) rows, the
+    // inverse of pivot (Spark's native unpivot/melt; map-only)
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
+
+    // explicit GROUPING SETS — the two rollup paths a dashboard needs
+    // without the full cube's blowup: (status, priority) and (status)
+    // and () — SQL surface over the same table registered as a view
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("gs_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |  (o_orderstatus), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST,
+          |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
     // pivot — event counts per user, one column per event type
     "q_pivot" -> ((s, dir) =>
       t(s, dir, "events")
@@ -3769,6 +3798,28 @@ object SparkEntry {
         """SELECT o_orderstatus, o_orderpriority, count(*) AS n
           |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+      "q_unpivot" ->
+        """SELECT l_orderkey, l_linenumber, measure, value FROM (
+          |  SELECT l_orderkey, l_linenumber,
+          |    'l_quantity' AS measure, l_quantity AS value
+          |  FROM lineitem
+          |  UNION ALL SELECT l_orderkey, l_linenumber,
+          |    'l_extendedprice', l_extendedprice FROM lineitem
+          |  UNION ALL SELECT l_orderkey, l_linenumber,
+          |    'l_discount', l_discount FROM lineitem
+          |  UNION ALL SELECT l_orderkey, l_linenumber,
+          |    'l_tax', l_tax FROM lineitem) u
+          |WHERE l_orderkey <= 100
+          |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+      "q_grouping_sets" ->
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |  (o_orderstatus), ())
+          |ORDER BY o_orderstatus NULLS FIRST,
+          |  o_orderpriority NULLS FIRST""".stripMargin,
 
       "q_pivot" ->
         """SELECT user_id,
