@@ -2727,6 +2727,19 @@ object SparkEntry {
         "url", col("doc_id"), col("n_chars"), k = 20)
         .orderBy("domain", "rank")),
 
+    // literal-phrase blocklist gate: the wordlist filter every
+    // production corpus runs — K contains-probes per row against a
+    // plan-riding literal list, map-only (functions/Text.blocklistHits)
+    "q_blocklist" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.blocklistHits(col("text"),
+            Seq("customer", "spam offer", "filter")).as("hits"))
+        .select(col("doc_id"), col("hits"),
+          size(col("hits")).cast("long").as("n_hits"),
+          (size(col("hits")) > 0).as("blocked"))
+        .orderBy("doc_id")),
+
     // composed CRAWL-INGEST pipeline — the URL layer end to end:
     // per-domain volume cap (k=30, long docs preferred) → Gopher gate →
     // exact content dedup (min-id winner carries its domain) →
@@ -6044,6 +6057,16 @@ object SparkEntry {
            |    CAST(kk.k_eff AS DOUBLE) AS recall
            |FROM kk LEFT JOIN h USING (query_id)
            |ORDER BY query_id""".stripMargin,
+
+      "q_blocklist" ->
+        """SELECT doc_id,
+          |  list_filter(['customer', 'spam offer', 'filter'],
+          |    p -> contains(lower(text), p)) AS hits,
+          |  CAST(len(list_filter(['customer', 'spam offer', 'filter'],
+          |    p -> contains(lower(text), p))) AS BIGINT) AS n_hits,
+          |  len(list_filter(['customer', 'spam offer', 'filter'],
+          |    p -> contains(lower(text), p))) > 0 AS blocked
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       // crawl-ingest replay: cap (row_number ≤ 30 by n_chars desc) →
       // the q_gopher_rules keep predicate → content-key dedup with

@@ -184,6 +184,25 @@ object Text {
       "<NUMBER>")
   }
 
+  /** Literal-phrase blocklist hits: how many of `phrases` occur in the
+    * (lower-cased) text, plus the matched phrases themselves — the
+    * wordlist gate every production corpus runs (NSFW/spam/site-
+    * boilerplate lists). Pure codegen built-ins: the phrase table rides
+    * the plan as an array literal and each row does K `contains` probes
+    * — map-only, no join, no shuffle; for lists past a few thousand
+    * entries switch to a broadcast join on extracted tokens (this is
+    * the small-K fast path). Matching is case-insensitive SUBSTRING
+    * containment (phrase lists are normalized lower-case by
+    * convention; word-boundary semantics belong to the list author —
+    * encode them as spaces in the phrase). */
+  def blocklistHits(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "blocklistHits: empty phrase list")
+    require(phrases.forall(p => p.nonEmpty && p == p.toLowerCase),
+      "blocklist phrases must be non-empty and lower-case")
+    val lo = lower(text)
+    filter(lit(phrases.toArray), p => lo.contains(p))
+  }
+
   /** Per-document PII DETECTION counts — the audit face of
     * [[scrubPii]]: (n_email, n_ip, n_number) as a struct, counted as
     * the scrubber's own redaction placeholders in the scrubbed text,
