@@ -827,6 +827,26 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // NULL-safe equi-join (<=>): NULL keys MATCH each other instead of
+    // silently dropping — the semantics a dimension with "unknown"
+    // buckets needs; still hash-joinable (no inequality blowup)
+    "q_nullsafe_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      // a nullable bucket: value quartile, NULL for the error rows
+      def bucketed(alias: String) = ev.select(
+        col("event_id").as(s"${alias}_id"),
+        when(col("event_type") =!= "error",
+          floor(col("value") / 100.0).cast("long"))
+          .otherwise(lit(null)).as(s"${alias}_bucket"))
+      val a = bucketed("a").filter(col("a_id") < 500)
+      val b = bucketed("b").filter(col("b_id") >= 500 &&
+        col("b_id") < 1500)
+      a.join(b, col("a_bucket") <=> col("b_bucket"))
+        .groupBy("a_bucket")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("a_bucket").asc_nulls_first)
+    }),
+
     // left-semi: customers that have orders
     "q_semijoin" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -3438,6 +3458,19 @@ object SparkEntry {
       // while DuckDB's direct DECIMAL→DOUBLE cast double-rounds
       // (int128→double, then ÷10^scale) — strtod on the exact digits
       // restores the correctly-rounded value
+      "q_nullsafe_join" ->
+        """WITH src AS (SELECT event_id,
+          |    CASE WHEN event_type <> 'error'
+          |      THEN CAST(floor(value / 100.0) AS BIGINT) END AS bucket
+          |  FROM events),
+          |a AS (SELECT event_id AS a_id, bucket AS a_bucket FROM src
+          |      WHERE event_id < 500),
+          |b AS (SELECT event_id AS b_id, bucket AS b_bucket FROM src
+          |      WHERE event_id >= 500 AND event_id < 1500)
+          |SELECT a_bucket, count(*)::BIGINT AS n_pairs
+          |FROM a JOIN b ON a_bucket IS NOT DISTINCT FROM b_bucket
+          |GROUP BY a_bucket ORDER BY a_bucket NULLS FIRST""".stripMargin,
+
       "q_tpch_q1" -> {
         def d2d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
         val sumQty = "sum(CAST(l_quantity AS DECIMAL(18,2)))"

@@ -425,6 +425,40 @@ class TextDedupSpec extends SparkSpec {
       (3L, 1L, 952L), (4L, 2L, 404L)))
   }
 
+  test("writeBinShards: deterministic LE-int32 shard files + manifest " +
+    "(rows concatenate in order, crc verifies)") {
+    val dir = java.nio.file.Files.createTempDirectory("bin_shards_")
+      .toString
+    val rows = Seq(
+      (0, 10L, Seq(1, 2, 3)),
+      (0, 20L, Seq(4)),
+      (1, 5L, Seq(7, 8)),
+      (0, 15L, Seq(9))) // arrives out of order; ord sorts it between
+    val df = rows.toDF("shard", "ord", "toks")
+    val manifest = graft.llm.Packing.writeBinShards(df, "toks",
+        "shard", "ord", dir)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def readInts(shard: Int): Seq[Int] = {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f"$dir/shard-$shard%05d.bin"))
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until bytes.length / 4).map(_ => bb.getInt)
+    }
+    // shard 0 in ord order: [1,2,3] ++ [9] ++ [4]; shard 1: [7,8]
+    assert(readInts(0) == Seq(1, 2, 3, 9, 4))
+    assert(readInts(1) == Seq(7, 8))
+    assert(manifest.map(m => (m._1, m._2, m._3)) ==
+      Seq((0, 3L, 5L), (1, 1L, 2L)))
+    // crc in the manifest matches the bytes on disk
+    manifest.foreach { case (shard, _, _, crc) =>
+      val c = new java.util.zip.CRC32()
+      c.update(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f"$dir/shard-$shard%05d.bin")))
+      assert(c.getValue == crc, s"shard $shard crc")
+    }
+  }
+
   test("kafka frame: encode to (key,value,partition), decode back") {
     val df = Seq((1L, "payload")).toDF("id", "body")
     val sc = Codecs.StringCodec()
