@@ -459,6 +459,36 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("trainer export end to end: BPE tokenize → pack → .bin shards " +
+    "conserve every token") {
+    val dir = java.nio.file.Files.createTempDirectory("trainer_export_")
+      .toString
+    val docs = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    // token ids per doc (the real tokenizer), shard assignment from the
+    // packer, then the raw export — the full pre-training data path
+    val toks = docs.select(col("doc_id"),
+      graft.functions.Bpe.encode(
+        Text.tokens(col("text"))).cast("array<int>").as("ids"))
+    val assign = graft.llm.Packing.pack(
+      toks.select(col("doc_id"), size(col("ids")).as("n")),
+      "doc_id", "n", budget = 512, shards = 4)
+      .select("doc_id", "shard")
+    val manifest = graft.llm.Packing.writeBinShards(
+      toks.join(assign, "doc_id"), "ids", "shard", "doc_id", dir)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(manifest.map(_._1).sorted == Seq(0, 1, 2, 3))
+    // conservation: every doc lands once, every token reaches disk
+    val wantDocs = docs.count()
+    val wantToks = toks.agg(sum(size(col("ids"))))
+      .as[Long].head()
+    assert(manifest.map(_._2).sum == wantDocs)
+    assert(manifest.map(_._3).sum == wantToks)
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".bin")).map(_.length).sum
+    assert(onDisk == 4L * wantToks)
+  }
+
   test("kafka frame: encode to (key,value,partition), decode back") {
     val df = Seq((1L, "payload")).toDF("id", "body")
     val sc = Codecs.StringCodec()
