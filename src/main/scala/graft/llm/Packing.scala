@@ -102,4 +102,38 @@ object Packing {
       out.iterator
     }.toDF("shard", "n_rows", "n_tokens", "crc32")
   }
+
+  /** Load `.bin` shards back as `(shard, seq_id, tokens[seqLen])` rows
+    * — the loader-side twin of [[writeBinShards]] for in-engine eval /
+    * debugging of exported data. The trailing partial sequence is
+    * dropped (the trainer convention: every batch row is exactly
+    * seqLen). One file = one shard; the binaryFile source loads whole
+    * files, so keep shards at trainer-conventional sizes (hundreds of
+    * MB), not multi-GB. */
+  def readBinShards(spark: org.apache.spark.sql.SparkSession,
+                    path: String, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1: $seqLen")
+    import spark.implicits._
+    val ShardRe = raw".*shard-(\d+)\.bin".r
+    graft.sources.Sources.binaryFiles(spark, path, "*.bin")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val shard = p match {
+          case ShardRe(n) => n.toInt
+          case _ => sys.error(s"unrecognized shard file name: $p")
+        }
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nSeqs = (bytes.length / 4) / seqLen
+        (0 until nSeqs).iterator.map { s =>
+          val arr = new Array[Int](seqLen)
+          var i = 0
+          while (i < seqLen) {
+            arr(i) = bb.getInt((s * seqLen + i) * 4); i += 1
+          }
+          (shard, s.toLong, arr)
+        }
+      }.toDF("shard", "seq_id", "tokens")
+  }
 }

@@ -457,6 +457,13 @@ class TextDedupSpec extends SparkSpec {
         java.nio.file.Paths.get(f"$dir/shard-$shard%05d.bin")))
       assert(c.getValue == crc, s"shard $shard crc")
     }
+    // loader-side twin: seqLen=2 sequences, trailing partials dropped
+    val back = graft.llm.Packing.readBinShards(spark, dir, seqLen = 2)
+      .as[(Int, Long, Seq[Int])].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(back == Seq(
+      (0, 0L, Seq(1, 2)), (0, 1L, Seq(3, 9)), // shard0 [1,2,3,9,4]: 4 dropped
+      (1, 0L, Seq(7, 8))))
   }
 
   test("trainer export end to end: BPE tokenize → pack → .bin shards " +
