@@ -2747,6 +2747,26 @@ object SparkEntry {
         "url", col("doc_id"), col("n_chars"), k = 20)
         .orderBy("domain", "rank")),
 
+    // feature-hashing doc vectors (the hashing trick): the model-free
+    // embedding baseline — token → xxhash64 bucket, exact counts; one
+    // shuffle-linear aggregate (llm/TextStats.hashEmbedSparse)
+    "q_hash_embed" -> ((s, dir) =>
+      graft.llm.TextStats.hashEmbedSparse(
+        t(s, dir, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", dim = 32)
+        .orderBy("id", "bucket")),
+
+    // similarity search over RAW TEXT, no learned encoder: dense
+    // hash-embedded vectors feed the same bruteForceTopK used on the
+    // embeddings table — the whole ANN family unlocked pre-model
+    "q_doc_simsearch" -> ((s, dir) => {
+      val dense = graft.llm.TextStats.hashEmbedDense(
+        t(s, dir, "documents"), "doc_id", "text", dim = 32)
+      SimSearch.bruteForceTopK(dense, dense.filter(col("id") < 3),
+        "id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // literal-phrase blocklist gate: the wordlist filter every
     // production corpus runs — K contains-probes per row against a
     // plan-riding literal list, map-only (functions/Text.blocklistHits)
@@ -6090,6 +6110,42 @@ object SparkEntry {
            |    CAST(kk.k_eff AS DOUBLE) AS recall
            |FROM kk LEFT JOIN h USING (query_id)
            |ORDER BY query_id""".stripMargin,
+
+      "q_hash_embed" -> (OracleXxh.prologue +
+        s"""
+           |WITH tk AS (SELECT doc_id AS id, unnest($toksSql) AS t
+           |  FROM documents WHERE doc_id < 50)
+           |SELECT id,
+           |  CAST(((g_xxh_str(t) % 32) + 32) % 32 AS BIGINT) AS bucket,
+           |  count(*)::BIGINT AS cnt
+           |FROM tk GROUP BY 1, 2 ORDER BY id, bucket""".stripMargin),
+
+      "q_doc_simsearch" -> (OracleXxh.prologue +
+        s"""
+           |WITH tk AS (SELECT doc_id AS id, unnest($toksSql) AS t
+           |  FROM documents),
+           |sp AS (SELECT id,
+           |    CAST(((g_xxh_str(t) % 32) + 32) % 32 AS INTEGER)
+           |      AS bucket, count(*)::BIGINT AS cnt
+           |  FROM tk GROUP BY 1, 2),
+           |ids AS (SELECT DISTINCT id FROM sp),
+           |grid AS (SELECT ids.id, d.i FROM ids CROSS JOIN
+           |  (SELECT unnest(range(0, 32))::INTEGER AS i) d),
+           |dense AS MATERIALIZED (SELECT g.id,
+           |    list(CAST(coalesce(sp.cnt, 0) AS DOUBLE) ORDER BY g.i)
+           |      AS embedding
+           |  FROM grid g LEFT JOIN sp ON sp.id = g.id
+           |    AND sp.bucket = g.i
+           |  GROUP BY g.id)
+           |SELECT query_id, nbr_id, cosine, rank FROM (
+           |  SELECT q.id AS query_id, c.id AS nbr_id,
+           |    ${cosSql("q.embedding", "c.embedding")} AS cosine,
+           |    row_number() OVER (PARTITION BY q.id
+           |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+           |               c.id) AS rank
+           |  FROM dense q CROSS JOIN dense c
+           |  WHERE q.id < 3 AND q.id <> c.id)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
       "q_blocklist" ->
         """SELECT doc_id,

@@ -561,4 +561,39 @@ object TextStats {
       .limit(k)
       .select("w1", "w2", "c_ab", "c_a", "c_b", "lift")
   }
+
+  /** Feature-hashing document vectors (the hashing trick, Weinberger
+    * et al. ICML'09): token → bucket `pmod(xxhash64(token), dim)`,
+    * value = exact token count — the model-free embedding baseline that
+    * lets the whole SimSearch/KMeans/SemDeDup family run on RAW TEXT
+    * before any learned encoder exists. Sparse form: one
+    * `(id, bucket, cnt)` row per occupied bucket; one shuffle-linear
+    * aggregate, counts exact (oracle-replayable through the XXH64
+    * macros). Docs with no tokens emit nothing (a zero vector has no
+    * cosine direction). */
+  def hashEmbedSparse(df: DataFrame, idCol: String, textCol: String,
+                      dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    df.select(col(idCol).as("id"),
+        explode(Text.tokens(col(textCol))).as("__t"))
+      .groupBy(col("id"),
+        pmod(xxhash64(col("__t")), lit(dim)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Dense twin of [[hashEmbedSparse]]: `(id, embedding[dim])` with
+    * exact counts widened to double — drop-in input for
+    * [[SimSearch.bruteForceTopK]] / [[KMeans]] / [[Pca]]. The
+    * densify is one per-doc map build + an ordered transform (no
+    * second shuffle beyond the count aggregate). */
+  def hashEmbedDense(df: DataFrame, idCol: String, textCol: String,
+                     dim: Int): DataFrame =
+    hashEmbedSparse(df, idCol, textCol, dim)
+      .groupBy("id")
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket").cast("int"), col("cnt")))).as("__m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L))
+            .cast("double")).as("embedding"))
 }
