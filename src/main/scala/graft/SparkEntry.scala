@@ -2767,6 +2767,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // raw-text document clustering: hash-embedded vectors through the
+    // same seeded k-means assignment as the embeddings table — topic-
+    // shaped corpus slices with NO learned encoder; output = cluster
+    // volumes + the min-id exemplar
+    "q_doc_clusters" -> ((s, dir) => {
+      val dense = graft.llm.TextStats.hashEmbedDense(
+        t(s, dir, "documents"), "doc_id", "text", dim = 16)
+      val m = graft.llm.KMeans.seed(dense, "id", "embedding", k = 6)
+      graft.llm.KMeans.assign(dense, "id", "embedding", m)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_docs"), min(col("id")).as("exemplar"))
+        .orderBy("cell")
+    }),
+
     // literal-phrase blocklist gate: the wordlist filter every
     // production corpus runs — K contains-probes per row against a
     // plan-riding literal list, map-only (functions/Text.blocklistHits)
@@ -6146,6 +6160,44 @@ object SparkEntry {
            |  FROM dense q CROSS JOIN dense c
            |  WHERE q.id < 3 AND q.id <> c.id)
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+      // doc clustering replay: the q_doc_simsearch dense build, then
+      // the q_kmeans_assign seeded-argmin chain, then cluster rollup
+      "q_doc_clusters" -> (OracleXxh.prologue +
+        s"""
+           |WITH tk AS (SELECT doc_id AS id, unnest($toksSql) AS t
+           |  FROM documents),
+           |sp AS (SELECT id,
+           |    CAST(((g_xxh_str(t) % 16) + 16) % 16 AS INTEGER)
+           |      AS bucket, count(*)::BIGINT AS cnt
+           |  FROM tk GROUP BY 1, 2),
+           |ids AS (SELECT DISTINCT id FROM sp),
+           |grid AS (SELECT ids.id, d.i FROM ids CROSS JOIN
+           |  (SELECT unnest(range(0, 16))::INTEGER AS i) d),
+           |dense AS MATERIALIZED (SELECT g.id,
+           |    list(CAST(coalesce(sp.cnt, 0) AS DOUBLE) ORDER BY g.i)
+           |      AS embedding
+           |  FROM grid g LEFT JOIN sp ON sp.id = g.id
+           |    AND sp.bucket = g.i
+           |  GROUP BY g.id),
+           |cents AS (
+           |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
+           |         embedding AS cv
+           |  FROM dense ORDER BY id LIMIT 6),
+           |dd AS (SELECT e.id, c.cell,
+           |  list_reduce(list_prepend(0.0,
+           |    list_transform(list_zip(e.embedding, c.cv),
+           |      x -> (x[1]::DOUBLE - x[2]::DOUBLE)
+           |         * (x[1]::DOUBLE - x[2]::DOUBLE))),
+           |    (a, y) -> a + y) AS dist
+           |  FROM dense e CROSS JOIN cents c),
+           |asg AS (SELECT id, cell, row_number() OVER (
+           |          PARTITION BY id ORDER BY dist, cell) AS rn
+           |        FROM dd)
+           |SELECT cell, count(*)::BIGINT AS n_docs,
+           |  min(id) AS exemplar
+           |FROM asg WHERE rn = 1
+           |GROUP BY cell ORDER BY cell""".stripMargin),
 
       "q_blocklist" ->
         """SELECT doc_id,
