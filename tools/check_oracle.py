@@ -25,19 +25,34 @@ def canon(rows, colnames):
     return [colnames[i] for i in order], out
 
 
-def main(sf_dir, out_dir):
-    # version skew between this box's DuckDB and the driver's is a live
-    # suspect whenever local-pass/driver-fail divergence appears (r6 DSIR)
-    print(f"duckdb {duckdb.__version__}")
+def fresh_con(sf_dir):
     con = duckdb.connect()
     for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
                 "lineitem", "events", "documents", "embeddings"]:
         con.execute(
             f"CREATE VIEW {tbl} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{tbl}.parquet')")
+    return con
+
+
+def main(sf_dir, out_dir):
+    # version skew between this box's DuckDB and the driver's is a live
+    # suspect whenever local-pass/driver-fail divergence appears (r6 DSIR)
+    print(f"duckdb {duckdb.__version__}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    con = fresh_con(sf_dir)
+    n_since = 0
     for name, sql in sorted(oracle.items()):
+        # recycle the connection every 25 queries: a single DuckDB 1.0
+        # connection accumulates allocator state across 200+ heavy
+        # MATERIALIZED-CTE queries until tiny allocations fail (observed
+        # round 7: 3 spurious OOM "FAIL"s that all pass standalone)
+        n_since += 1
+        if n_since > 25:
+            con.close()
+            con = fresh_con(sf_dir)
+            n_since = 1
         try:
             got_tbl = pds.dataset(f"{out_dir}/{name}").to_table()
             got_cols = got_tbl.column_names
