@@ -2983,6 +2983,30 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ROBUST anomaly flagging (median/MAD): outliers against the
+    // median absolute deviation instead of mean/stddev — immune to the
+    // outliers themselves polluting the reference moments (the classic
+    // z-score failure q_anomaly inherits by design). Exact type-1
+    // quantiles per key ⇒ bit-replayable; two keyed windows + two
+    // broadcast joins, one IEEE division per row
+    "q_anomaly_robust" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val med = (ev >> MathOps.quantileByKey(col("value"), 0.5,
+        Seq(col("event_type"))))
+        .select(col("event_type"), col("q").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("absdev", abs(col("value") - col("med")))
+      val mad = (dev >> MathOps.quantileByKey(col("absdev"), 0.5,
+        Seq(col("event_type"))))
+        .select(col("event_type"), col("q").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0.0)
+        .withColumn("score", col("absdev") / col("mad"))
+        .filter(col("score") > 3.5)
+        .select("event_id", "event_type", "value", "med", "mad", "score")
+        .orderBy("event_id")
+    }),
+
     // HITS hubs & authorities over the event-type transition graph:
     // exact integer iterations with max rescaling — hubs = states
     // journeys leave from, authorities = states they converge to
@@ -6685,6 +6709,32 @@ object SparkEntry {
           |ORDER BY event_type""".stripMargin,
 
       "q_rolling_actives" -> OracleXxh.q_rolling_actives(windowDays = 7),
+
+      // robust anomaly replay: two type-1 quantile chains (the
+      // q_quantile_by_key rank arithmetic) + the division
+      "q_anomaly_robust" ->
+        """WITH med AS (SELECT event_type, q AS med FROM (
+          |  SELECT event_type, value AS q,
+          |    row_number() OVER (PARTITION BY event_type
+          |      ORDER BY value) AS rn,
+          |    count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM events) t
+          |  WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
+          |dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+          |    abs(e.value - m.med) AS absdev
+          |  FROM events e JOIN med m USING (event_type)),
+          |mad AS (SELECT event_type, q AS mad FROM (
+          |  SELECT event_type, absdev AS q,
+          |    row_number() OVER (PARTITION BY event_type
+          |      ORDER BY absdev) AS rn,
+          |    count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM dev) t
+          |  WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)))
+          |SELECT d.event_id, d.event_type, d.value, d.med, a.mad,
+          |  d.absdev / a.mad AS score
+          |FROM dev d JOIN mad a USING (event_type)
+          |WHERE a.mad > 0.0 AND d.absdev / a.mad > 3.5
+          |ORDER BY event_id""".stripMargin,
 
       // collocations: sliced-list bigram expansion (the bigramLik
       // pattern), HUGEINT cross-products, one IEEE division

@@ -581,6 +581,24 @@ object TextStats {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-ROW dense hash embedding — the stateless Column form of
+    * [[hashEmbedDense]] (bit-identical values: integer counts built by
+    * +1.0 increments): O(tokens·dim) codegen HOF per row, NO shuffle,
+    * so it runs inside a streaming map stage ([[
+    * graft.streaming.ops.DocClusterOp]]) where the groupBy twin would
+    * be a stateful aggregation. Use the twin for batch corpora (one
+    * aggregate beats per-row O(dim) array rebuilds there). */
+  def hashEmbedRow(textCol: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    aggregate(Text.tokens(textCol),
+      array_repeat(lit(0.0), lit(dim)),
+      (acc, t) => {
+        val b = pmod(xxhash64(t), lit(dim)).cast("int")
+        zip_with(acc, sequence(lit(0), lit(dim - 1)),
+          (v, i) => when(i === b, v + 1.0).otherwise(v))
+      })
+  }
+
   /** Dense twin of [[hashEmbedSparse]]: `(id, embedding[dim])` with
     * exact counts widened to double — drop-in input for
     * [[SimSearch.bruteForceTopK]] / [[KMeans]] / [[Pca]]. The

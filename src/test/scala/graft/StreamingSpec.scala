@@ -1555,6 +1555,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DocClusterOp routes a raw-text stream to frozen hash-embed " +
+    "clusters; per-row embed + assignment match the batch twins") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    val tmp = Files.createTempDirectory("doccluster_ref").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val rows = docs.select("doc_id", "text")
+      .as[(Long, String)].collect().take(25).toSeq
+    val in = MemoryStream[(Long, String)]
+    val src = in.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.ops.DocClusterOp(
+      Map("ref_path" -> tmp), Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("doccluster")
+      .outputMode("append").start()
+    try {
+      in.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("doccluster")
+        .as[(Long, Int)].collect().sortBy(_._1).toSeq
+      // batch twin: groupBy-built dense vectors through the same model
+      val dense = graft.llm.TextStats.hashEmbedDense(
+        docs, "doc_id", "text", dim = 16)
+      val model = graft.llm.KMeans.seed(dense, "id", "embedding", k = 6)
+      val batch = graft.llm.KMeans.assign(
+          dense.filter(col("id").isin(rows.map(_._1): _*)),
+          "id", "embedding", model)
+        .select("id", "cell")
+        .as[(Long, Int)].collect().sortBy(_._1).toSeq
+      assert(streamed == batch && streamed.size == 25, streamed.take(5))
+    } finally q.stop()
+  }
+
   test("PcaOp freezes a reference-fitted model at wire time and " +
     "projects a stream statelessly; exact parity with batch project") {
     implicit val sqlCtx = spark.sqlContext
