@@ -1092,6 +1092,24 @@ object SparkEntry {
           "trailing_n" -> col("trailing_n")) >>
         (_.orderBy("user_id", "event_id"))),
 
+    // time-series detrending: trailing-hour mean as the trend line,
+    // residual = value − trend — the de-seasonalized signal anomaly
+    // detectors should score instead of the raw series; one keyed
+    // RANGE window + two IEEE ops per row
+    "q_detrend" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        Ops.filter(col("user_id") < 30) >>
+        (df => df.withColumn("ts_sec", col("ts").cast("long"))) >>
+        MathOps.trailingTimeAgg(col("value"), col("ts_sec"), 3600,
+          Seq(col("user_id"))) >>
+        (df => df.select(col("user_id"), col("event_id"), col("value"),
+          (col("trailing_sum") / col("trailing_n").cast("double"))
+            .as("trend"),
+          (col("value") -
+            col("trailing_sum") / col("trailing_n").cast("double"))
+            .as("residual"))) >>
+        (_.orderBy("user_id", "event_id"))),
+
     // salted two-phase aggregation — identical result to direct groupBy,
     // skew-resistant shuffle shape (oracle proves the equivalence)
     "q_salted_agg" -> ((s, dir) =>
@@ -3805,6 +3823,19 @@ object SparkEntry {
           |WINDOW w AS (PARTITION BY user_id
           |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
           |  RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, event_id""".stripMargin,
+
+      "q_detrend" ->
+        """SELECT user_id, event_id, value,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+          |    / CAST(count(value) OVER w AS DOUBLE) AS trend,
+          |  value -
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+          |    / CAST(count(value) OVER w AS DOUBLE) AS residual
+          |FROM events WHERE user_id < 30
+          |WINDOW w AS (PARTITION BY user_id
+          |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+          |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
           |ORDER BY user_id, event_id""".stripMargin,
 
       "q_pack_sequences" ->
