@@ -25,7 +25,10 @@ object Url {
 
   /** Host of a URL (lower-cased, port stripped): optional scheme,
     * optional userinfo, then everything up to the first `/ : ? #`.
-    * Schemeless inputs ("example.com/x") parse as host-first. */
+    * Schemeless inputs ("example.com/x") parse as host-first.
+    * Bracketed IPv6 hosts (`[::1]`) are OUT of scope (the colon stops
+    * the host group) — negligible in crawl corpora; extend the
+    * character class with a bracket branch if they matter. */
   def host(url: Column): Column =
     regexp_extract(lower(url),
       "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)", 1)

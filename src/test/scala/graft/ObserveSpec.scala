@@ -42,6 +42,23 @@ class ObserveSpec extends SparkSpec {
     }
   }
 
+  test("hashEmbedRow (stateless per-row) is bit-equal to the groupBy " +
+    "dense twin, vector for vector") {
+    val docs = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    val rowForm = docs.select(col("doc_id").as("id"),
+        graft.llm.TextStats.hashEmbedRow(col("text"), 16).as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val twin = graft.llm.TextStats.hashEmbedDense(
+        docs, "doc_id", "text", 16)
+      .as[(Long, Seq[Double])].collect().toMap
+    // every doc the twin emits matches exactly; row form also covers
+    // token-less docs (zero vector) the twin omits by contract
+    assert(twin.nonEmpty && twin.forall { case (id, v) =>
+      rowForm(id) == v
+    })
+  }
+
   test("AQE coalesces small shuffles at runtime (the re-plan the 100 TB " +
     "story leans on)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
