@@ -1617,6 +1617,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ScdOp sorts within a micro-batch by (ts, tie) — arrival order " +
+    "inside one trigger doesn't matter") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 11:$m%02d:00")
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val src = in.toDF().toDF("user_id", "ts", "event_id", "event_type")
+      .withWatermark("ts", "10 minutes")
+    val out = graft.streaming.ops.ScdOp(Map.empty, Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("scd_unsorted")
+      .outputMode("append").start()
+    try {
+      // delivered out of order in ONE batch: B@30, A@0, A@10, B@20
+      in.addData(Seq((5L, ts(30), 4L, "B"), (5L, ts(0), 1L, "A"),
+        (5L, ts(10), 2L, "A"), (5L, ts(20), 3L, "B")))
+      q.processAllAvailable()
+      val closed = spark.table("scd_unsorted")
+        .select("state", "effective_from", "effective_to", "n_events")
+        .as[(String, java.sql.Timestamp, Option[java.sql.Timestamp],
+          Long)].collect().toSeq
+      // time order is A,A,B,B → ONE closed A run [0, 20) with 2 events
+      assert(closed == Seq(("A", ts(0), Some(ts(20)), 2L)), closed)
+    } finally q.stop()
+  }
+
+  test("DomainCapOp idle eviction re-opens a domain's budget " +
+    "(lateness set) — the windowed-cap semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = in.toDF().toDF("doc_id", "ts", "url")
+      .withWatermark("ts", "1 minutes")
+    val out = graft.streaming.ops.DomainCapOp(
+      Map("k" -> 1, "lateness" -> "5 minutes"), Seq(src)).head
+    val q = out.writeStream.format("memory").queryName("domcap_evict")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((1L, ts(10, 0), "https://a.com/1"),
+        (2L, ts(10, 1), "https://a.com/2"))) // 2 over budget at k=1
+      q.processAllAvailable()
+      // far-future other-domain event pushes the watermark past a.com's
+      // idle horizon → its counter evicts
+      in.addData(Seq((3L, ts(12, 0), "https://b.com/3")))
+      q.processAllAvailable()
+      in.addData(Seq((4L, ts(12, 1), "https://b.com/4"))) // fire timeout
+      q.processAllAvailable()
+      // budget re-opened: a fresh a.com doc admits again at rank 1
+      in.addData(Seq((5L, ts(12, 2), "https://a.com/5")))
+      q.processAllAvailable()
+      val got = spark.table("domcap_evict")
+        .select("domain", "doc_id", "admit_rank")
+        .as[(String, Long, Long)].collect().sortBy(_._2).toSeq
+      assert(got == Seq(("a.com", 1L, 1L), ("b.com", 3L, 1L),
+        ("a.com", 5L, 1L)), got)
+    } finally q.stop()
+  }
+
   test("DomainCapOp admits first k per registered domain, counting " +
     "ACROSS micro-batches; batch mode caps identically") {
     implicit val sqlCtx = spark.sqlContext

@@ -48,6 +48,18 @@ class UrlSpec extends SparkSpec {
       "https://host.com:8443/"))
   }
 
+  test("canonicalize is idempotent over every synthesized URL shape") {
+    val shapes = Seq(
+      "https://www.s.com/d/1?x=1#frag", "http://s.com:80/d/2",
+      "s.com/d/3", "HTTPS://user:pw@docs.S.COM:443/d/4?q=a&b=2",
+      "http://s.co.uk:8080/Path/5", "https://sub.cdn.s.com#top")
+    val once = shapes.toDF("url")
+      .select(Url.canonicalize(col("url")).as("c"))
+    val twice = once.select(Url.canonicalize(col("c")).as("c2"))
+    assert(once.as[String].collect().toSeq ==
+      twice.as[String].collect().toSeq)
+  }
+
   test("domainCap keeps at most k per domain, score-desc id-asc order") {
     val docs = (0L until 40L).map(i =>
       (i, s"https://d${i % 2}.com/${i}", i % 7)).toDF(
