@@ -322,6 +322,28 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("RUNTIME scaling pin: 8x corpus costs < ~12x wall time for " +
+    "hashEmbedDense (one count aggregate + per-doc densify — " +
+    "row-linear, never pair-shaped)") {
+    def docs(n: Int) = spark.range(n.toLong)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 30).map(i =>
+          concat(lit(s"h${i % 11}w"),
+            pmod(col("id") + lit(i), lit(23)))): _*).as("text"))
+    def best(act: => Long): Double = {
+      def one = { val t0 = System.nanoTime(); act
+        (System.nanoTime() - t0) / 1e9 }
+      math.min(one, one)
+    }
+    graft.llm.TextStats.hashEmbedDense(docs(100), "doc_id", "text", 16)
+      .count() // warmup
+    val h1 = best(graft.llm.TextStats.hashEmbedDense(
+      docs(1500), "doc_id", "text", 16).count())
+    val h8 = best(graft.llm.TextStats.hashEmbedDense(
+      docs(12000), "doc_id", "text", 16).count())
+    assert(h8 < 12 * h1 + 2.0, f"hashEmbedDense 8x: $h1%.2fs -> $h8%.2fs")
+  }
+
+  test("RUNTIME scaling pin: 8x corpus costs < ~12x wall time for " +
     "Pca.fit and Scd.scd2 (moment pass is row-linear with bounded " +
     "d^2 cells; SCD2 windows are keyed, never global)") {
     def vecs(n: Int) = spark.range(n.toLong)
