@@ -2801,15 +2801,18 @@ object SparkEntry {
 
     // literal-phrase blocklist gate: the wordlist filter every
     // production corpus runs — K contains-probes per row against a
-    // plan-riding literal list, map-only (functions/Text.blocklistHits)
+    // plan-riding literal list, map-only (functions/Text.blocklistHits).
+    // hits is emitted '|'-joined (not array<string>): the driver's
+    // pandas canonicalizer cannot sort list columns (round-7 red row).
     "q_blocklist" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
           Text.blocklistHits(col("text"),
-            Seq("customer", "spam offer", "filter")).as("hits"))
-        .select(col("doc_id"), col("hits"),
-          size(col("hits")).cast("long").as("n_hits"),
-          (size(col("hits")) > 0).as("blocked"))
+            Seq("customer", "spam offer", "filter")).as("__hits"))
+        .select(col("doc_id"),
+          array_join(col("__hits"), "|").as("hits"),
+          size(col("__hits")).cast("long").as("n_hits"),
+          (size(col("__hits")) > 0).as("blocked"))
         .orderBy("doc_id")),
 
     // composed CRAWL-INGEST pipeline — the URL layer end to end:
@@ -6256,8 +6259,9 @@ object SparkEntry {
 
       "q_blocklist" ->
         """SELECT doc_id,
-          |  list_filter(['customer', 'spam offer', 'filter'],
-          |    p -> contains(lower(text), p)) AS hits,
+          |  coalesce(array_to_string(
+          |    list_filter(['customer', 'spam offer', 'filter'],
+          |      p -> contains(lower(text), p)), '|'), '') AS hits,
           |  CAST(len(list_filter(['customer', 'spam offer', 'filter'],
           |    p -> contains(lower(text), p))) AS BIGINT) AS n_hits,
           |  len(list_filter(['customer', 'spam offer', 'filter'],
