@@ -81,21 +81,23 @@ object Dedup {
                      sep: String = "\n\n"): DataFrame = {
     // the packed-key contract fails LOUDLY, not as silent wrong-winner
     // dedup: a doc with >= 2^20 paragraphs or an id outside [0, 2^43)
-    // would alias another (id, position) — one comparison per row,
-    // negligible next to the md5
+    // would alias another (id, position). The raise lives in a separate
+    // FILTER, not inside __ord: a raise_error branch embedded in the
+    // join-key column is re-evaluated by the key's isnotnull filter and
+    // blocks subexpression elimination — measured 0.79s vs 0.50s at
+    // sf0.1 for the embedded form (round-7 bench regression).
     val idL = col(idCol).cast("long")
-    val packed = when(
-      idL.isNull || idL < 0 || idL >= lit(1L << 43) ||
-        col("idx") >= lit(1 << 20),
-      raise_error(concat(
-        lit("paragraphDedup: (id << 20 | position) order key needs " +
-          "0 <= id < 2^43 and < 2^20 paragraphs/doc; got id="),
-        idL.cast("string"), lit(" idx="), col("idx").cast("string")))
-        .cast("long"))
-      .otherwise(shiftleft(idL, 20) + col("idx"))
+    val good = idL.isNotNull && idL >= 0 &&
+      idL < lit(1L << 43) && col("idx") < lit(1 << 20)
     val paras = splitParas(df, idCol, textCol, sep)
+      .filter(when(good, lit(true)).otherwise(
+        raise_error(concat(
+          lit("paragraphDedup: (id << 20 | position) order key needs " +
+            "0 <= id < 2^43 and < 2^20 paragraphs/doc; got id="),
+          idL.cast("string"), lit(" idx="), col("idx").cast("string")))
+          .cast("boolean")))
       .withColumn("__h", substring(md5(col("para")), 1, 16))
-      .withColumn("__ord", packed)
+      .withColumn("__ord", shiftleft(idL, 20) + col("idx"))
     val winners = paras.groupBy("__h").agg(min("__ord").as("__w"))
     reassembleParas(
       paras.join(winners, "__h").where(col("__ord") === col("__w")),
