@@ -1070,4 +1070,47 @@ WHERE cum <= CASE source $cases ELSE 0 END
 ORDER BY doc_id"""
   }
 
+  /** Per-hour-window generalization of [[q_hll_distinct]] — replays
+    * ApproxDistinctOp's batch path (Hll.registers grouped by the
+    * tumbling hour of `ts`, then Hll.estimate per window) bit-exactly:
+    * same xxhash64, same integer bucket/rho split, same fixed-point
+    * harmonic sum in HUGEINT, same floor-millis small-range
+    * correction. Parameterized on p so the constants can never drift
+    * from the Spark side's. */
+  def q_approx_distinct_oracle(p: Int): String = {
+    val w = 64 - p          // remainder bit width
+    val k = w + 1           // fixed-point scale / max rho
+    val m = 1 << p
+    val mask = (1L << w) - 1L
+    val twoK = java.math.BigDecimal.valueOf(2).pow(k).toBigInteger
+    val num = graft.functions.Hll.rawNumerator(p).toString
+    prologue + "\n" +
+s"""WITH h AS MATERIALIZED (SELECT
+    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+    g_xxh_long(user_id, 42::HUGEINT) AS u
+  FROM events),
+br AS MATERIALIZED (SELECT hour_start, (u >> $w)::BIGINT AS bucket,
+    CASE WHEN (u & $mask::HUGEINT) = 0::HUGEINT THEN $k
+         ELSE $k - length(bin((u & $mask::HUGEINT)::BIGINT))
+    END AS rho
+  FROM h),
+regs AS (SELECT hour_start, bucket, max(rho) AS register
+         FROM br GROUP BY 1, 2),
+agg AS (SELECT hour_start, count(*) AS nonempty_buckets,
+               sum(register)::BIGINT AS register_sum,
+               sum(((1::BIGINT << ($k - register)))::HUGEINT) AS s_ne
+        FROM regs GROUP BY 1),
+est0 AS (SELECT hour_start, nonempty_buckets, register_sum,
+    $num / ((s_ne + ($m - nonempty_buckets)::HUGEINT
+             * $twoK::HUGEINT)::DOUBLE) AS est,
+    $m - nonempty_buckets AS v
+  FROM agg)
+SELECT hour_start,
+  CAST(floor(CASE WHEN est <= ${2.5 * m} AND v > 0
+      THEN $m.0 * ln($m.0 / v::DOUBLE) ELSE est END * 1000.0) AS BIGINT)
+    AS est_millis,
+  nonempty_buckets, register_sum
+FROM est0 ORDER BY hour_start"""
+  }
+
 }

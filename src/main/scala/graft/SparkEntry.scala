@@ -1125,6 +1125,24 @@ object SparkEntry {
           Seq(col("l_returnflag"))) >>
         (_.orderBy("l_returnflag"))),
 
+    // the ORACLE-replayable ApproxDistinctOp sibling: the windowed
+    // "unique users per hour" factory run on its batch path (register
+    // table grouped by the tumbling hour, finalized per window), every
+    // integer of the relational HLL hash-matched by the OracleXxh
+    // replay — retires q_approx_distinct's rows-only status the way
+    // q_heavy_hitters_oracle did for Misra-Gries
+    "q_approx_distinct_oracle" -> ((s, dir) => {
+      val regs = graft.streaming.ops.ApproxDistinctOp(
+        Map("window" -> "1 hour", "timestamp_col" -> "ts",
+            "item_col" -> "user_id", "precision" -> 9),
+        Seq(t(s, dir, "events"))).head
+      graft.streaming.ops.ApproxDistinctOp.estimate(regs, 9)
+        .select(col("window_start").cast("long").as("hour_start"),
+          col("est_millis"), col("nonempty_buckets"),
+          col("register_sum"))
+        .orderBy("hour_start")
+    }),
+
     // relational HyperLogLog — same sketch family as q_approx_distinct
     // but expressed as groupBy(bucket).max(rho) + fixed-point harmonic
     // mean, so DuckDB replays it bit-exactly via OracleXxh (the
@@ -4732,6 +4750,8 @@ object SparkEntry {
       // xxhash64-family oracles (round 4): Spark's XXH64 replicated as
       // DuckDB macros — see OracleXxh for the prologue and design notes
       "q_hll_distinct" -> OracleXxh.q_hll_distinct,
+
+      "q_approx_distinct_oracle" -> OracleXxh.q_approx_distinct_oracle(9),
       "q_hll_intersect" -> OracleXxh.q_hll_intersect,
       "q_countmin" -> OracleXxh.q_countmin,
       "q_fingerprint_rolling" -> OracleXxh.q_fingerprint_rolling,
