@@ -2988,8 +2988,12 @@ object SparkEntry {
     // documents → ORC (Spark-native columnar sibling) → read back →
     // rollup; proves the ORC source/sink against the parquet oracle
     "q_orc_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_orc_").toString
+      // fixed per-(jvm, sfDir) path, overwritten each run — a fresh
+      // createTempDirectory per invocation leaked an ORC copy of the
+      // documents table every bench/oracle run (round-7 ADVICE)
+      val out = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_orc_" +
+          Integer.toHexString(dir.hashCode)).toString
       graft.sources.Sources.writeOrc(t(s, dir, "documents"), out)
       graft.sources.Sources.orc(s, out)
         .groupBy("source")

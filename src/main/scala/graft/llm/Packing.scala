@@ -69,8 +69,18 @@ object Packing {
       .as[(Int, Long, Seq[Int])]
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("ord"))
-    typed.mapPartitions { rows =>
+    // Task-commit protocol: each attempt writes shard-NNNNN.bin to a
+    // temp path suffixed with its (cluster-unique) task attempt id and
+    // RENAMES into place only after a clean close. Two racing attempts
+    // (speculation, retry-over-straggler) thus never interleave bytes
+    // in one file — and because the partition content is deterministic
+    // (repartition + sortWithinPartitions above), both attempts produce
+    // byte-identical shards, so whichever rename wins leaves a file
+    // consistent with EITHER attempt's CRC manifest row.
+    val manifest = typed.mapPartitions { rows =>
       val conf = new org.apache.hadoop.conf.Configuration()
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Int, Long, Long, Long)]
       var cur = -1
@@ -79,6 +89,15 @@ object Packing {
       var nRows = 0L; var nToks = 0L
       def close(): Unit = if (stream != null) {
         stream.close()
+        val tmp = new org.apache.hadoop.fs.Path(
+          f"$path/_tmp-shard-$cur%05d.bin.$attempt")
+        val fin = new org.apache.hadoop.fs.Path(
+          f"$path/shard-$cur%05d.bin")
+        val fs = tmp.getFileSystem(conf)
+        // rename is atomic per-FS; if a concurrent attempt already
+        // committed the (byte-identical) final file, drop the temp
+        fs.delete(fin, false)
+        if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
         out += ((cur, nRows, nToks, crc.getValue))
         stream = null
       }
@@ -88,7 +107,7 @@ object Packing {
           cur = shard; nRows = 0L; nToks = 0L
           crc = new java.util.zip.CRC32()
           val p = new org.apache.hadoop.fs.Path(
-            f"$path/shard-$shard%05d.bin")
+            f"$path/_tmp-shard-$shard%05d.bin.$attempt")
           stream = p.getFileSystem(conf).create(p, true)
         }
         val buf = java.nio.ByteBuffer.allocate(4 * toks.length)
@@ -101,6 +120,14 @@ object Packing {
       close()
       out.iterator
     }.toDF("shard", "n_rows", "n_tokens", "crc32")
+    // Eagerly materialize the (n_shards-bounded) manifest so the write
+    // job runs exactly ONCE — a lazily re-evaluated manifest frame
+    // would silently rewrite every shard on each downstream action.
+    val rows = manifest.collect().toIndexedSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq)), 1),
+      manifest.schema)
   }
 
   /** Load `.bin` shards back as `(shard, seq_id, tokens[seqLen])` rows

@@ -62,6 +62,10 @@ object Pca {
     val q = df.select(quantized(col(vecCol)).as("q"))
     val dims = q.agg(min(size(col("q"))).as("mn"),
       max(size(col("q"))).as("mx")).head()
+    // min/max over an empty (or all-null-vector) input aggregate to
+    // NULL — fail with the intended message, not an NPE at getInt
+    require(!dims.isNullAt(0) && !dims.isNullAt(1),
+      "PCA needs at least 2 rows with non-null vectors, got 0")
     val d = dims.getInt(0)
     require(d == dims.getInt(1), s"ragged embedding dims: $d vs ${dims.getInt(1)}")
     require(d >= 1 && d <= 128, s"covariance explode is d^2 per row; d=$d")

@@ -49,7 +49,11 @@ object Url {
   /** Registered domain of a (lower-case, www-stripped) host: the last two
     * labels, or the last three when the last two are a known multi-label
     * public suffix ("a.b.example.co.uk" → "example.co.uk"). Hosts with
-    * ≤ 2 labels (or IPs) pass through unchanged. */
+    * ≤ 2 labels pass through unchanged, as do IP-literal hosts (dotted
+    * IPv4 and bracket-free IPv6): a dotted IPv4 has 4 "labels", so
+    * without the explicit check every IP-hosted URL would collapse into
+    * a handful of fake domains like "0.1" and skew domainStats /
+    * domainCap admission. */
   def registeredDomain(h: Column): Column = {
     val labels = split(h, "\\.")
     val n      = size(labels)
@@ -57,7 +61,8 @@ object Url {
     val last3  = concat_ws(".", slice(labels, -3, 3))
     val isMulti = MultiLabelSuffixes
       .map(s => last2 === lit(s)).reduce(_ || _)
-    when(n <= 2, h).otherwise(when(isMulti && n >= 3, last3)
+    val isIp = h.rlike("^[0-9]+(\\.[0-9]+){3}$") || h.contains(":")
+    when(isIp || n <= 2, h).otherwise(when(isMulti && n >= 3, last3)
       .otherwise(last2))
   }
 

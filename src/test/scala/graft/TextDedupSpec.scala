@@ -464,6 +464,29 @@ class TextDedupSpec extends SparkSpec {
     assert(back == Seq(
       (0, 0L, Seq(1, 2)), (0, 1L, Seq(3, 9)), // shard0 [1,2,3,9,4]: 4 dropped
       (1, 0L, Seq(7, 8))))
+    // task-commit protocol: every temp file renamed away, and the
+    // returned manifest is MATERIALIZED — re-consuming it must not
+    // rewrite the shards (mtimes stable across a second action)
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    // (Hadoop's local ChecksumFileSystem adds .crc sidecars; what must
+    // NOT remain is any _tmp-shard-* attempt file)
+    assert(files.forall(f => f.matches("shard-\\d{5}\\.bin") ||
+      f.matches("\\.shard-\\d{5}\\.bin\\.crc")), files.toString)
+    val mt0 = new java.io.File(dir).listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    Thread.sleep(1100) // FS mtime granularity
+    val again = graft.llm.Packing.writeBinShards(df, "toks",
+        "shard", "ord", dir) // fresh call DOES rewrite (new manifest)…
+    again.count(); again.count() // …but re-counting it must not
+    val mt1 = new java.io.File(dir).listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    val mtAfterWrite = mt1
+    Thread.sleep(1100)
+    again.count()
+    val mt2 = new java.io.File(dir).listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(mt2 == mtAfterWrite,
+      "re-consuming the manifest rewrote shard files")
   }
 
   test("trainer export end to end: BPE tokenize → pack → .bin shards " +

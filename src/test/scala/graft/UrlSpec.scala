@@ -35,6 +35,19 @@ class UrlSpec extends SparkSpec {
       "localhost", "example.com"))
   }
 
+  test("registered domain: IP-literal hosts pass through unchanged " +
+    "(a dotted IPv4 must not collapse to its last two octets)") {
+    val got = parse(
+      "http://192.168.0.1/admin",
+      "http://10.0.0.1:8080/x")
+    assert(got.map(_._2) == Seq("192.168.0.1", "10.0.0.1"))
+    // colon-bearing hosts (IPv6 text from any upstream parser) pass
+    // through too — Url.host itself keeps bracketed IPv6 out of scope
+    val v6 = Seq("2001:db8::1").toDF("h")
+      .select(Url.registeredDomain(col("h"))).as[String].head()
+    assert(v6 == "2001:db8::1")
+  }
+
   test("canonicalize: fragment, default ports, scheme default, empty path") {
     val got = parse(
       "HTTPS://u@Host.COM:443/Path?Q=1#frag", // drop user+443+frag, keep case of path
