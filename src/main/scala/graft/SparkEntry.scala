@@ -60,7 +60,7 @@ object SparkEntry {
     * with exotic port, sub-subdomain with no path. The corpus has no URL
     * column, so the parser's inputs are synthesized to exercise every
     * branch (the oracle applies the identical CASE). */
-  private def synthUrl: Column = {
+  private[graft] def synthUrl: Column = {
     val id = col("doc_id").cast("string")
     val m  = pmod(col("doc_id"), lit(6))
     when(m === 0, concat(lit("https://www."), col("source"),

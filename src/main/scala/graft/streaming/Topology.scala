@@ -72,9 +72,15 @@ case class TopicSpec(name: String, codec: String, startFrom: String,
   * reference makinage/sample/processor.py:9, makinage/serve/serve.py:131,
   * Consul watch makinage/config.py:57-84) at micro-batch granularity
   * (SURVEY.md §7.4.2). */
+/** `config`: the operator's OWN `config:` block (reference operators
+  * each carry a config section, makinage/operator.py:196-229) — merged
+  * OVER the topology-global block at resolution time, so two SqlOps in
+  * one DAG can declare different `sql`, two gates different thresholds.
+  * Precedence: config_topic (dynamic) > operator config > global. */
 case class OperatorSpec(name: String, factory: String,
                         sources: Seq[String], sinks: Seq[String],
-                        configTopic: String = "")
+                        configTopic: String = "",
+                        config: Map[String, Any] = Map.empty)
 
 /** YAML topology runner — the engine's `makinage --config app.yaml`
   * equivalent (reference makinage/makinage.py:66-135 + operator.py:162-279):
@@ -141,7 +147,8 @@ object Topology {
           sinks = m.getOrElse("sinks", new java.util.ArrayList[Object]())
             .asInstanceOf[java.util.List[Object]].asScala
             .map(_.toString).toSeq,
-          configTopic = m.getOrElse("config_topic", "").toString)
+          configTopic = m.getOrElse("config_topic", "").toString,
+          config = asMap(m.getOrElse("config", null)))
     }.toSeq
 
     Topology(topics, operators, asMap(root.getOrElse("config", null)))
@@ -328,23 +335,71 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
 
   /** Effective config for one operator at resolution time. */
   private def configFor(spark: SparkSession, op: OperatorSpec)
-      : Map[String, Any] =
-    if (op.configTopic.isEmpty) config
-    else config ++ latestConfig(spark, op.configTopic)
+      : Map[String, Any] = {
+    val static = config ++ op.config // operator-local wins over global
+    if (op.configTopic.isEmpty) static
+    else static ++ latestConfig(spark, op.configTopic)
+  }
 
+  /** Wire the operator DAG in TOPOLOGICAL order (the reference's selling
+    * point is arbitrary operator chains over shared topics,
+    * makinage/operator.py:162-279). A topic produced by one operator and
+    * consumed by another THIS run is relayed intra-run:
+    *
+    *  - `chainable(t)` decides which produced topics relay in-process.
+    *    Batch runs chain every kind (the composed/materialized plan IS
+    *    the batch semantic of a topology). Stream runs chain `memory`
+    *    topics only — plan-level relay, one composed query per terminal
+    *    sink — while parquet/kafka intermediates keep their decoupled
+    *    per-operator queries (file/broker relay): that decoupling is
+    *    what lets two STATEFUL operators chain in stream mode (Spark
+    *    rejects most stateful-after-stateful compositions inside a
+    *    single query).
+    *  - `relay(t, df)` maps each produced sink frame to what downstream
+    *    consumers see. The batch runner writes the sink parquet and
+    *    relays the READ-BACK — so a deep DAG computes every stage once
+    *    (no re-planned upstream subtree per terminal sink), which is
+    *    the shape that survives 100 TB. Stream relays the plan as-is.
+    *
+    * Non-produced source topics resolve externally as before. A cycle
+    * (or a chain through a non-chainable topic with no external data)
+    * fails loudly at wiring time. */
   private def wire(spark: SparkSession,
                    source: TopicSpec => DataFrame,
-                   ops: Seq[OperatorSpec])
-      : Seq[(TopicSpec, DataFrame)] =
-    ops.flatMap { op =>
-      val factory = Topology.loadFactory(op.factory)
-      val sources = op.sources.map(n => source(topic(n)))
-      val outs = factory(configFor(spark, op), sources)
-      require(outs.size == op.sinks.size,
-        s"operator ${op.name}: ${outs.size} outputs for " +
-          s"${op.sinks.size} declared sinks")
-      op.sinks.map(topic).zip(outs)
+                   ops: Seq[OperatorSpec],
+                   chainable: TopicSpec => Boolean = _ => true,
+                   relay: (TopicSpec, DataFrame) => DataFrame =
+                     (_, df) => df)
+      : Seq[(TopicSpec, DataFrame)] = {
+    val producedNames = ops.flatMap(_.sinks)
+      .filter(n => chainable(topic(n))).toSet
+    val produced = scala.collection.mutable.Map.empty[String, DataFrame]
+    val out = Seq.newBuilder[(TopicSpec, DataFrame)]
+    var pending = ops
+    while (pending.nonEmpty) {
+      val (ready, blocked) = pending.partition(_.sources.forall(n =>
+        !producedNames.contains(n) || produced.contains(n)))
+      require(ready.nonEmpty,
+        s"operator cycle (or self-dependency) among: " +
+          blocked.map(_.name).mkString(", "))
+      ready.foreach { op =>
+        val factory = Topology.loadFactory(op.factory)
+        val sources = op.sources.map(n =>
+          produced.getOrElse(n, source(topic(n))))
+        val outs = factory(configFor(spark, op), sources)
+        require(outs.size == op.sinks.size,
+          s"operator ${op.name}: ${outs.size} outputs for " +
+            s"${op.sinks.size} declared sinks")
+        op.sinks.map(topic).zip(outs).foreach { case (t, df) =>
+          val relayed = relay(t, df)
+          if (chainable(t)) produced(t.name) = relayed
+          out += ((t, df))
+        }
+      }
+      pending = blocked
     }
+    out.result()
+  }
 
   /** Small-files control (`sink_partitions`) + write-time Z-order
     * clustering (`zorder_by`): bound the task count of a parquet
@@ -395,12 +450,19 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     * (file-backed topics) — the unified batch path; config topics are
     * resolved once at run start. Returns sink names. */
   def runBatch(spark: SparkSession, outDir: String): Seq[String] = {
-    wire(spark, batchSource(spark, _), operators).map {
-      case (sinkTopic, df) =>
-        writeParquet(df, sinkTopic, "overwrite",
-          s"$outDir/${sinkTopic.name}")
-        sinkTopic.name
-    }
+    // each sink is written AT WIRING TIME (topological order) and the
+    // read-back relays to downstream operators — every DAG stage is
+    // computed exactly once, whatever the chain depth
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    wire(spark, batchSource(spark, _), operators,
+      chainable = _ => true,
+      relay = (sinkTopic, df) => {
+        val path = s"$outDir/${sinkTopic.name}"
+        writeParquet(df, sinkTopic, "overwrite", path)
+        names += sinkTopic.name
+        spark.read.parquet(path)
+      })
+    names.toSeq
   }
 
   /** Kafka routing + producer-side codec shared by both sink paths:
@@ -459,7 +521,8 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
       : Seq[StreamingQuery] = try {
     val (dynamic, static) = operators.partition(_.configTopic.nonEmpty)
     val staticQueries =
-      wire(spark, streamSource(spark, _), static).map { case (sinkTopic, df) =>
+      wire(spark, streamSource(spark, _), static,
+        chainable = _.kind == "memory").map { case (sinkTopic, df) =>
         val shaped =
           if (sinkTopic.kind == "parquet")
             shapeForParquet(frameForSink(df, sinkTopic), sinkTopic)

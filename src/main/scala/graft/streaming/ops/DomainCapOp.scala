@@ -31,6 +31,10 @@ import graft.streaming.OperatorFactory
   * state forever). Output: (domain, doc_id, ts, admit_rank) in append
   * mode — join back on doc_id for payload columns (the admitted frame
   * is the small side).
+  *
+  * Batch-only `quality_col`: rank each domain's k winners by this
+  * column (desc, ties to low id) instead of arrival — the
+  * [[Url.domainCap]] re-rank; output (domain, doc_id, score, rank).
   */
 object DomainCapOp extends OperatorFactory {
 
@@ -48,6 +52,18 @@ object DomainCapOp extends OperatorFactory {
     val tsCol = config.getOrElse("timestamp_col", "ts").toString
     val lateness = config.getOrElse("lateness", "").toString
     val streaming = df.isStreaming
+    // `quality_col`: BATCH sources rank each domain's k winners by this
+    // column (desc, ties to low id) via [[Url.domainCap]] — the
+    // RefinedWeb re-rank over a bounded corpus (quality needs the whole
+    // day's candidates; a stream can only admit by arrival, so setting
+    // it on a stream source is a config error, rejected at wiring).
+    val qualityCol = config.getOrElse("quality_col", "").toString
+    if (qualityCol.nonEmpty) {
+      require(!streaming, "DomainCapOp: quality_col ranks within the " +
+        "full corpus — batch sources only (streams admit by arrival)")
+      return Seq(Url.domainCap(df, urlCol, col(idCol).cast("long"),
+        col(qualityCol), k))
+    }
     val spark = df.sparkSession
     import spark.implicits._
 

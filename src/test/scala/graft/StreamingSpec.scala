@@ -972,6 +972,67 @@ class StreamingSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  test("topology: streaming DAG depth 3 chained through MEMORY topics " +
+    "(plan-level relay) — gate -> project -> stateful dedup, one YAML") {
+    val tmp = Files.createTempDirectory("topo_stream_dag").toString
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "keep me",  5.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "KEEP  me", 6.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 3L, "drop me",  0.5),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 4L, "other",    7.0))
+      .toDF("ts", "id", "text", "score")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: docs
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: scored
+         |    kind: memory
+         |  - name: shaped
+         |    kind: memory
+         |  - name: uniq
+         |    kind: memory
+         |operators:
+         |  gate:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [docs]
+         |    sinks: [scored]
+         |    config:
+         |      filter_expr: score > 1.0
+         |  shape:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [scored]
+         |    sinks: [shaped]
+         |    config:
+         |      sql: SELECT ts, id, lower(text) AS text FROM scored_v
+         |      views: [scored_v]
+         |  dedup:
+         |    factory: graft.streaming.ops.DedupOp
+         |    sources: [shaped]
+         |    sinks: [uniq]
+         |    config:
+         |      dedup_ts: ts
+         |      dedup_lateness: 1 hour
+         |""".stripMargin
+    val queries = Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    try {
+      queries.foreach(_.processAllAvailable())
+      // terminal sink: score gate dropped id 3, dedup collapsed the
+      // whitespace/case replay pair {1,2} to one representative
+      val got = spark.table("uniq").select("id").as[Long].collect().toSet
+      assert(got.size == 2 && got.contains(4L) &&
+        (got.contains(1L) ^ got.contains(2L)), got)
+      // intermediate memory topics are ALSO live sinks of the same run
+      assert(spark.table("scored").count() == 3)
+      assert(spark.table("shaped").count() == 3)
+      // and the relay is plan-level: DedupOp's own watermark rides the
+      // chained plan (note the docs topic declares NO watermark — a
+      // source-level one would be a disallowed redefinition once the
+      // chain reaches a stateful op that sets its own)
+    } finally queries.foreach(_.stop())
+  }
+
   test("topology: MediaFeaturesOp routes mixed mimes to the REAL " +
     "codecs from YAML (one pass, unified feature rows)") {
     import graft.llm.{Ppm, Wav, Y4m}
@@ -1127,6 +1188,54 @@ class StreamingSpec extends SparkSpec {
         .as[(String, Long, Double)].collect().toSet
       // tumbling pairs per key; trailing partial (9's event 2) dropped
       assert(got == Set(("7", 0L, 2.0), ("7", 1L, 6.0), ("9", 0L, 15.0)))
+    } finally queries.foreach(_.stop())
+  }
+
+  test("topology: YAML sliding count-roll (roll_stride < roll_window) " +
+    "matches batch DataOps.roll window-for-window") {
+    val tmp = Files.createTempDirectory("topo_roll_slide").toString
+    // 2 keys x 9 rows: window=4 stride=2 -> per key windows {0..3},
+    // {2..5}, {4..7} complete; {6..9} partial (dropped), {8..} partial
+    val rows = for (k <- Seq(1L, 2L); i <- 0L until 9L)
+      yield (k, i, (k * 100 + i).toDouble)
+    val df = rows.toDF("user_id", "event_id", "value")
+    df.write.mode("overwrite").parquet(s"$tmp/in")
+    // batch truth: DataOps.roll(4, 2) + mean per (key, window)
+    val batch = (graft.operators.DataOps.roll(4, 2,
+        order = Seq(col("event_id")), partition = Seq(col("user_id")))(df))
+      .groupBy(col("user_id"), col("window_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum"),
+        avg("value").as("mean"))
+      .select(col("user_id").cast("string"), col("window_id"),
+        col("n"), col("sum"), col("mean"))
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(batch.size == 6, s"expected 3 complete windows x 2 keys: $batch")
+    val yaml =
+      s"""topics:
+         |  - name: events
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: roll_sink
+         |    kind: memory
+         |operators:
+         |  roll:
+         |    factory: graft.streaming.ops.Roll
+         |    sources: [events]
+         |    sinks: [roll_sink]
+         |config:
+         |  roll_key: user_id
+         |  roll_seq: event_id
+         |  roll_value: value
+         |  roll_window: 4
+         |  roll_stride: 2
+         |""".stripMargin
+    val queries = Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    try {
+      queries.foreach(_.processAllAvailable())
+      val got = spark.table("roll_sink")
+        .select("key", "window_id", "n", "sum", "mean")
+        .as[(String, Long, Long, Double, Double)].collect().toSet
+      assert(got == batch)
     } finally queries.foreach(_.stop())
   }
 

@@ -642,4 +642,143 @@ class TopologySpec extends SparkSpec {
       .as[(String, Boolean, Long)].collect().sortBy(_._1).toSeq
     assert(iv == Seq(("A", false, 1L), ("B", true, 2L)), iv)
   }
+
+  test("topology DAG depth 5: crawl cap -> join -> gopher gate -> dedup " +
+    "-> rollup chained through intra-run topics matches the oracled " +
+    "q_pipeline_crawl result stage for stage") {
+    val tmp = Files.createTempDirectory("topo_dag").toString
+    val sfDir = "/root/testdata/sf0.001"
+    // the crawl frontier: documents + their (synthetic) URLs — the same
+    // frame q_pipeline_crawl starts from
+    graft.core.Tables.table(spark, sfDir, "documents")
+      .withColumn("url", SparkEntry.synthUrl)
+      .write.mode("overwrite").parquet(s"$tmp/frontier")
+    val yaml =
+      s"""topics:
+         |  - name: frontier
+         |    kind: parquet
+         |    path: $tmp/frontier
+         |  - name: capped
+         |    kind: parquet
+         |  - name: withtext
+         |    kind: parquet
+         |  - name: gated
+         |    kind: parquet
+         |  - name: deduped
+         |    kind: parquet
+         |  - name: domain_rollup
+         |    kind: parquet
+         |operators:
+         |  cap:
+         |    factory: graft.streaming.ops.DomainCapOp
+         |    sources: [frontier]
+         |    sinks: [capped]
+         |    config:
+         |      k: 30
+         |      quality_col: n_chars
+         |  jointext:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [capped, frontier]
+         |    sinks: [withtext]
+         |    config:
+         |      sql: >-
+         |        SELECT c.doc_id, c.domain, d.text
+         |        FROM capped c JOIN frontier d USING (doc_id)
+         |      views: [capped, frontier]
+         |  gate:
+         |    factory: graft.streaming.ops.GopherGateOp
+         |    sources: [withtext]
+         |    sinks: [gated]
+         |    config:
+         |      n_tokens_col: n_tokens
+         |  dedup:
+         |    factory: graft.streaming.ops.DedupOp
+         |    sources: [gated]
+         |    sinks: [deduped]
+         |  rollup:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [deduped]
+         |    sinks: [domain_rollup]
+         |    config:
+         |      sql: >-
+         |        SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |        FROM deduped GROUP BY domain
+         |      views: [deduped]
+         |""".stripMargin
+    val topo = Topology.parse(yaml)
+    topo.runBatch(spark, s"$tmp/sinks")
+    val got = spark.read.parquet(s"$tmp/sinks/domain_rollup")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = SparkEntry.queries("q_pipeline_crawl")(spark, sfDir)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want, s"got=$got want=$want")
+    assert(want.nonEmpty)
+    // every intermediate topic also materialized under the out dir
+    Seq("capped", "withtext", "gated", "deduped").foreach { n =>
+      assert(spark.read.parquet(s"$tmp/sinks/$n").count() > 0, n)
+    }
+  }
+
+  test("topology DAG: operator declaration order does not matter " +
+    "(wire is topological) and cycles fail loudly") {
+    val tmp = Files.createTempDirectory("topo_order").toString
+    Seq(1.0, 2.0, 3.0).toDF("value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    // downstream op declared FIRST: wiring must defer it until its
+    // source topic is produced
+    val yaml =
+      s"""topics:
+         |  - name: raw
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: mid
+         |    kind: parquet
+         |  - name: out
+         |    kind: parquet
+         |operators:
+         |  second:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [mid]
+         |    sinks: [out]
+         |    config:
+         |      sql: SELECT CAST(sum(value) AS DOUBLE) AS total FROM mid
+         |      views: [mid]
+         |  first:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [raw]
+         |    sinks: [mid]
+         |    config:
+         |      filter_expr: value > 1.5
+         |""".stripMargin
+    Topology.parse(yaml).runBatch(spark, s"$tmp/sinks")
+    val total = spark.read.parquet(s"$tmp/sinks/out")
+      .as[Double].head()
+    assert(total == 5.0)
+    // a cycle refuses at wiring time with the offending operators named
+    val cyclic =
+      s"""topics:
+         |  - name: a
+         |    kind: parquet
+         |  - name: b
+         |    kind: parquet
+         |operators:
+         |  o1:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [a]
+         |    sinks: [b]
+         |    config:
+         |      filter_expr: "true"
+         |  o2:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [b]
+         |    sinks: [a]
+         |    config:
+         |      filter_expr: "true"
+         |""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      Topology.parse(cyclic).runBatch(spark, s"$tmp/sinks2")
+    }
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+  }
 }
