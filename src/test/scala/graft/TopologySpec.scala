@@ -720,6 +720,63 @@ class TopologySpec extends SparkSpec {
     }
   }
 
+  test("kafka TopicSpec round-trips every reference topic option " +
+    "(docs/kafka.md contract: name/endpoint/codec/start_from/" +
+    "partition_selector/timestamp_col/watermark/schema)") {
+    // the docs/kafka.md sample, verbatim in structure — if parse drops
+    // or renames an option, this breaks before a broker ever would
+    val yaml =
+      """topics:
+        |  - name: values
+        |    kind: kafka
+        |    endpoint: "broker-1:9092"
+        |    codec: string
+        |    start_from: beginning
+        |  - name: multiplied_values
+        |    kind: kafka
+        |    endpoint: "broker-1:9092"
+        |    codec: json
+        |    schema: "value DOUBLE, user_id BIGINT"
+        |    partition_selector: user_id
+        |    timestamp_col: ts
+        |    watermark: 10 minutes
+        |  - name: model
+        |    kind: kafka
+        |    endpoint: "broker-1:9092"
+        |    codec: none
+        |    start_from: last
+        |operators:
+        |  multiply:
+        |    factory: graft.streaming.ops.Multiply
+        |    sources: [values]
+        |    sinks: [multiplied_values]
+        |    config:
+        |      multiply: 3
+        |""".stripMargin
+    val topo = Topology.parse(yaml)
+    val byName = topo.topics.map(t => t.name -> t).toMap
+    val v = byName("values")
+    assert(v.kind == "kafka" && v.endpoint == "broker-1:9092" &&
+      v.codec == "string" && v.startFrom == "beginning")
+    val m = byName("multiplied_values")
+    assert(m.codec == "json" &&
+      m.schema == "value DOUBLE, user_id BIGINT" &&
+      m.partitionSelector == "user_id" &&
+      m.timestampCol == "ts" && m.watermark == "10 minutes")
+    val mo = byName("model")
+    assert(mo.codec == "none" && mo.startFrom == "last")
+    // defaults (reference operator.py:40-53): codec string, start_from end
+    assert(m.startFrom == "end")
+    // the codec objects themselves resolve for every declared codec
+    Seq("values", "multiplied_values", "model").foreach { n =>
+      assert(Topology.codecOf(byName(n)) != null, n)
+    }
+    // start_from: last is the side-input contract — a kafka STREAM
+    // source must refuse it loudly (docs/kafka.md), not degrade
+    val op = topo.operators.head
+    assert(op.config("multiply") == 3)
+  }
+
   test("topology DAG: operator declaration order does not matter " +
     "(wire is topological) and cycles fail loudly") {
     val tmp = Files.createTempDirectory("topo_order").toString
