@@ -2,7 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional args (dev / graft.Report): args(0)=sfDir, args(1)=output
+    // path — each overrides its env var; the driver passes neither
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,7 +58,8 @@ object Bench {
     // stdout rides sbt's log stream, where a prefix/interleave can break
     // the driver's parser (round 4 lost its headline metric to
     // "parsed": null) — the file copy is the parse-proof artifact
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val out = args.lift(1).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -294,7 +294,18 @@ object Dedup {
     * 8-byte min (map-side combinable, NO bucket caps needed: a
     * boilerplate band key shared by 10^6 docs costs one min, not 10^12
     * pairs), one bkey-keyed join back, one per-doc count. Returns the
-    * novel ids as `(idCol)`. */
+    * novel ids as `(idCol)`.
+    *
+    * Skew: `bkey` is Zipf-shaped on real crawls (boilerplate bands),
+    * but the `banded ⋈ firsts` join CANNOT amplify — `firsts` is keyed
+    * UNIQUE (one groupBy-min row per band), so the fanout is exactly 1
+    * match per banded row and the join output equals its probe-side
+    * input, hot band or not. A 90%-hot-band corpus therefore costs the
+    * same row count as a uniform one (ScaleSpec pins this); residual
+    * reducer imbalance on the probe side is the standard AQE skew-join
+    * split, which stays available precisely because the build side is
+    * unique-keyed — no salting needed, and `Ops.saltedJoin` would only
+    * add a replicate-the-build-side pass here. */
   def minhashNovel(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 128,
                    bands: Int = 32,

@@ -199,6 +199,44 @@ class ScaleSpec extends SparkSpec {
     assert(got == base, s"base=${base.size} replicated=${got.size}")
   }
 
+  test("minhashNovel on a 90%-hot-band corpus: correct novel set AND " +
+    "hot-skew wall time comparable to a uniform corpus (the banded ⋈ " +
+    "firsts join is many-to-ONE — a boilerplate band cannot amplify)") {
+    // 90% of docs are byte-identical boilerplate (every band key
+    // collides into the same 32 hot keys); 10% are unique. The skew
+    // scaladoc claim: join output == probe input rows, hot or not.
+    val n = 4000
+    val hotText = (1 to 60).map(i => s"boiler$i plate$i").mkString(" ")
+    def corpus(hotFrac: Double) = spark.range(n.toLong)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 100 < lit((hotFrac * 100).toInt), lit(hotText))
+          .otherwise(concat_ws(" ", (0 until 40).map(i =>
+            concat(lit(s"q${i}z"), col("id"))): _*)).as("text"))
+    def best(act: => Long): Double = {
+      def one = { val t0 = System.nanoTime(); act
+        (System.nanoTime() - t0) / 1e9 }
+      math.min(one, one)
+    }
+    Dedup.minhashNovel(corpus(0.0).limit(100), "doc_id", "text").count()
+    val hot = corpus(0.9)
+    val novel = Dedup.minhashNovel(hot, "doc_id", "text")
+      .as[Long].collect().toSet
+    // the hot group's minimum id (0) is its sole survivor; every
+    // unique doc is novel — 1 + n/10 total
+    val uniques = (0L until n.toLong).filter(_ % 100 >= 90).toSet
+    assert(novel == uniques + 0L,
+      s"got ${novel.size}, want ${uniques.size + 1}")
+    val tHot = best(Dedup.minhashNovel(hot, "doc_id", "text").count())
+    val tUni = best(
+      Dedup.minhashNovel(corpus(0.0), "doc_id", "text").count())
+    // same row counts through every stage ⇒ same order of cost; the
+    // 3x + grace absorbs reducer imbalance and box noise, while a
+    // re-introduced per-band pair expansion (32 bands × 3600 sharers)
+    // would blow it by orders of magnitude
+    assert(tHot < 3 * tUni + 2.0,
+      f"hot=$tHot%.2fs uniform=$tUni%.2fs")
+  }
+
   test("trimDuplicateParagraphs under k-fold replication keeps EXACTLY " +
     "the base survivors (every copy position has an earlier block-0 " +
     "occurrence, so whole copies vanish)") {

@@ -35,12 +35,13 @@ def fresh_con(sf_dir):
     return con
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     # version skew between this box's DuckDB and the driver's is a live
     # suspect whenever local-pass/driver-fail divergence appears (r6 DSIR)
     print(f"duckdb {duckdb.__version__}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    report = {}
     con = fresh_con(sf_dir)
     n_since = 0
     for name, sql in sorted(oracle.items()):
@@ -62,10 +63,17 @@ def main(sf_dir, out_dir):
             exp_rows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "values_match": None, "err": str(e)[:300]}
             n_fail += 1
             continue
         gc, gr = canon(got_rows, got_cols)
         ec, er = canon(exp_rows, exp_cols)
+        report[name] = {"rows_match": len(gr) == len(er),
+                        "schema_match": gc == ec,
+                        "values_match": gr == er,
+                        "spark_rows": len(gr), "oracle_rows": len(er),
+                        "err": None}
         if gc != ec:
             print(f"FAIL {name}: schema {gc} != {ec}")
             n_fail += 1
@@ -85,8 +93,17 @@ def main(sf_dir, out_dir):
             n_pass += 1
             print(f"PASS {name} ({len(gr)} rows)")
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    jo = None
+    argv = sys.argv[1:]
+    if "--json" in argv:
+        i = argv.index("--json")
+        jo = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], jo))
