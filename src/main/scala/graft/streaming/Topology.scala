@@ -42,6 +42,14 @@ trait OperatorFactory {
   *    job's planning chokes on listing). With it, rows are
   *    repartitioned to N tasks — hashed by the partition_by columns
   *    when set, so each hive directory is written by few tasks.
+  *  - `maxPerTrigger` (YAML `max_per_trigger`): micro-batch size bound
+  *    for STREAM sources — maxOffsetsPerTrigger on kafka topics,
+  *    maxFilesPerTrigger on parquet topics. The pull-based analogue of
+  *    the reference's PID backpressure (makinage/operator.py:216-269):
+  *    instead of a regulator throttling a push source, the micro-batch
+  *    engine drains at most this much per trigger, so a flood-prone
+  *    topic cannot blow executor memory in one batch. 0 (default) =
+  *    unbounded (everything available).
   *  - `zorderBy` (YAML `zorder_by: [value, user_id]`, optional
   *    `zorder_bits`): write-time Z-order clustering for PARQUET sinks
   *    ([[graft.operators.Layout]]) — rows are range-partitioned and
@@ -62,7 +70,8 @@ case class TopicSpec(name: String, codec: String, startFrom: String,
                      partitionBy: Seq[String] = Nil,
                      sinkPartitions: Int = 0,
                      zorderBy: Seq[String] = Nil,
-                     zorderBits: Int = 8)
+                     zorderBits: Int = 8,
+                     maxPerTrigger: Long = 0)
 
 /** `configTopic` (YAML `config_topic`): name of a topic whose NEWEST
   * record is merged over the static `config:` block and handed to this
@@ -132,7 +141,9 @@ object Topology {
             case s => s.toString.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq
           },
-          zorderBits = m.getOrElse("zorder_bits", "8").toString.toInt)
+          zorderBits = m.getOrElse("zorder_bits", "8").toString.toInt,
+          maxPerTrigger =
+            m.getOrElse("max_per_trigger", "0").toString.toLong)
       }.toSeq
 
     val operators = asMap(root.getOrElse("operators", null)).map {
@@ -254,7 +265,15 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     val src = t.kind match {
       case "parquet" =>
         val schema = spark.read.parquet(t.path).schema
-        spark.readStream.schema(schema).parquet(t.path)
+        val r0 = spark.readStream.schema(schema)
+        // max_per_trigger: micro-batch size bound — the pull-based
+        // answer to the reference's PID backpressure regulator
+        // (makinage/operator.py:216-269): a flood-prone topic is
+        // drained at a bounded rate instead of one giant batch. Files
+        // for the file source, offsets for kafka below.
+        val r = if (t.maxPerTrigger > 0)
+          r0.option("maxFilesPerTrigger", t.maxPerTrigger) else r0
+        r.parquet(t.path)
       case "kafka" =>
         val starting = t.startFrom match {
           case "beginning" => "earliest"
@@ -265,12 +284,13 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
                 "Topology.latestRecord (model side-input contract)")
           case _ => "latest" // "end"
         }
-        Topology.decodeFrame(
-          spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", t.endpoint)
-            .option("subscribe", t.name)
-            .option("startingOffsets", starting)
-            .load(), t)
+        val r0 = spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", t.endpoint)
+          .option("subscribe", t.name)
+          .option("startingOffsets", starting)
+        val r = if (t.maxPerTrigger > 0)
+          r0.option("maxOffsetsPerTrigger", t.maxPerTrigger) else r0
+        Topology.decodeFrame(r.load(), t)
       case other =>
         throw new IllegalArgumentException(s"stream source kind: $other")
     }

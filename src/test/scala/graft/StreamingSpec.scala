@@ -972,6 +972,42 @@ class StreamingSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  test("topology: max_per_trigger bounds the micro-batch (PID " +
+    "backpressure analogue) — 3 input files drain as 3 one-file " +
+    "batches, same final rows") {
+    val tmp = Files.createTempDirectory("topo_bp").toString
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, i * 1.0)).toDF("id", "value")
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    }
+    val yaml =
+      s"""topics:
+         |  - name: events
+         |    kind: parquet
+         |    path: $tmp/in
+         |    max_per_trigger: 1
+         |  - name: out
+         |    kind: memory
+         |operators:
+         |  gate:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [events]
+         |    sinks: [out]
+         |    config:
+         |      filter_expr: value > 0
+         |""".stripMargin
+    val queries = Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    try {
+      queries.foreach(_.processAllAvailable())
+      assert(spark.table("out").count() == 3)
+      // one file per trigger: at least 3 micro-batches ran (vs ONE
+      // without the bound)
+      val nBatches = queries.head.recentProgress
+        .count(_.numInputRows > 0)
+      assert(nBatches >= 3, s"expected >=3 bounded batches: $nBatches")
+    } finally queries.foreach(_.stop())
+  }
+
   test("topology: streaming DAG depth 3 chained through MEMORY topics " +
     "(plan-level relay) — gate -> project -> stateful dedup, one YAML") {
     val tmp = Files.createTempDirectory("topo_stream_dag").toString

@@ -745,6 +745,7 @@ class TopologySpec extends SparkSpec {
         |    endpoint: "broker-1:9092"
         |    codec: none
         |    start_from: last
+        |    max_per_trigger: 5000
         |operators:
         |  multiply:
         |    factory: graft.streaming.ops.Multiply
@@ -764,7 +765,8 @@ class TopologySpec extends SparkSpec {
       m.partitionSelector == "user_id" &&
       m.timestampCol == "ts" && m.watermark == "10 minutes")
     val mo = byName("model")
-    assert(mo.codec == "none" && mo.startFrom == "last")
+    assert(mo.codec == "none" && mo.startFrom == "last" &&
+      mo.maxPerTrigger == 5000L)
     // defaults (reference operator.py:40-53): codec string, start_from end
     assert(m.startFrom == "end")
     // the codec objects themselves resolve for every declared codec
