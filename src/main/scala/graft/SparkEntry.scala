@@ -127,6 +127,48 @@ object SparkEntry {
   private val toksSql =
     "list_filter(string_split(lower(trim(text)), ' '), t -> len(t) > 0)"
 
+  /** The crawl-ingest replay shared by q_pipeline_crawl (composed
+    * DataFrame pipeline) and q_pipeline_crawl_dag (the SAME five stages
+    * run as a YAML topology through Topology.runBatch): cap
+    * (row_number ≤ 30 by n_chars desc) → the q_gopher_rules keep
+    * predicate → content-key dedup with min-id winners → per-domain
+    * rollup. One oracle, two execution paths — the DAG runner is
+    * driver-gated, not just ScalaTest-pinned. */
+  private lazy val pipelineCrawlSql: String = {
+    val keep =
+      """(len(ts) BETWEEN 50 AND 100000)
+        | AND (CAST(list_sum(list_transform(ts, t -> len(t)))
+        |      AS DOUBLE) / len(ts) BETWEEN 3.0 AND 10.0)
+        | AND (CAST(len(list_filter(ts,
+        |      t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+        |      / len(ts) >= 0.8)
+        | AND (CAST(len(list_filter(ts, t -> contains(t, '#')
+        |      OR contains(t, '...'))) AS DOUBLE)
+        |      / len(ts) <= 0.1)
+        | AND (len(list_filter(ts, t -> list_contains(
+        |      ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+        |       'with'], t))) >= 2)""".stripMargin
+    s"""WITH u AS MATERIALIZED (
+       |  SELECT doc_id, n_chars, text, $urlCaseSql AS url
+       |  FROM documents),
+       |d AS (SELECT doc_id, n_chars, text, ${urlDomainSql(
+              s"regexp_replace(${urlHostSql("url")}, '^www\\.', '')")}
+       |    AS domain FROM u),
+       |capped AS (SELECT domain, doc_id, text FROM (
+       |  SELECT domain, doc_id, text, row_number() OVER (
+       |    PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM d) c WHERE rn <= 30),
+       |toks AS (SELECT domain, doc_id, $toksSql AS ts FROM capped),
+       |kept AS (SELECT domain, doc_id, ts FROM toks WHERE $keep),
+       |dd AS (SELECT arg_min(domain, doc_id) AS domain,
+       |    CAST(arg_min(len(ts), doc_id) AS BIGINT) AS n_tokens
+       |  FROM kept
+       |  GROUP BY md5(array_to_string(ts, ' ')))
+       |SELECT domain, count(*)::BIGINT AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM dd GROUP BY domain ORDER BY domain""".stripMargin
+  }
+
   /** The synthetic-PII build + scrub chain shared by q_scrub_pii /
     * q_pii_stats — the SQL twin of `piiSynth` through `Text.scrubPii`. */
   private val scrubPiiSql =
@@ -2860,6 +2902,75 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"))
         .orderBy("domain")
+    }),
+
+    // the SAME five crawl stages as q_pipeline_crawl, but executed as a
+    // YAML topology DAG through Topology.runBatch (cap → join → gopher
+    // gate → dedup → rollup chained through intra-run topics) — the
+    // driver's oracle gate covering the topology runner itself, not
+    // just the operators it wires
+    "q_pipeline_crawl_dag" -> ((s, dir) => {
+      val work = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_crawl_dag_" +
+          Integer.toHexString(dir.hashCode)).toString
+      t(s, dir, "documents").withColumn("url", synthUrl)
+        .write.mode("overwrite").parquet(s"$work/frontier")
+      val yaml =
+        s"""topics:
+           |  - name: frontier
+           |    kind: parquet
+           |    path: $work/frontier
+           |  - name: capped
+           |    kind: parquet
+           |  - name: withtext
+           |    kind: parquet
+           |  - name: gated
+           |    kind: parquet
+           |  - name: deduped
+           |    kind: parquet
+           |  - name: domain_rollup
+           |    kind: parquet
+           |operators:
+           |  cap:
+           |    factory: graft.streaming.ops.DomainCapOp
+           |    sources: [frontier]
+           |    sinks: [capped]
+           |    config:
+           |      k: 30
+           |      quality_col: n_chars
+           |  jointext:
+           |    factory: graft.streaming.ops.SqlOp
+           |    sources: [capped, frontier]
+           |    sinks: [withtext]
+           |    config:
+           |      sql: >-
+           |        SELECT c.doc_id, c.domain, d.text
+           |        FROM __crawl_capped c
+           |        JOIN __crawl_frontier d USING (doc_id)
+           |      views: [__crawl_capped, __crawl_frontier]
+           |  gate:
+           |    factory: graft.streaming.ops.GopherGateOp
+           |    sources: [withtext]
+           |    sinks: [gated]
+           |    config:
+           |      n_tokens_col: n_tokens
+           |  dedup:
+           |    factory: graft.streaming.ops.DedupOp
+           |    sources: [gated]
+           |    sinks: [deduped]
+           |  rollup:
+           |    factory: graft.streaming.ops.SqlOp
+           |    sources: [deduped]
+           |    sinks: [domain_rollup]
+           |    config:
+           |      sql: >-
+           |        SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           |        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           |        FROM __crawl_deduped GROUP BY domain
+           |      views: [__crawl_deduped]
+           |""".stripMargin
+      graft.streaming.Topology.parse(yaml).runBatch(s, s"$work/sinks")
+      s.read.parquet(s"$work/sinks/domain_rollup").orderBy("domain")
     }),
 
     // ===== north-star: ANN index evaluation ==============================
@@ -6295,40 +6406,11 @@ object SparkEntry {
       // crawl-ingest replay: cap (row_number ≤ 30 by n_chars desc) →
       // the q_gopher_rules keep predicate → content-key dedup with
       // min-id winners → per-domain rollup
-      "q_pipeline_crawl" -> {
-        val keep =
-          """(len(ts) BETWEEN 50 AND 100000)
-            | AND (CAST(list_sum(list_transform(ts, t -> len(t)))
-            |      AS DOUBLE) / len(ts) BETWEEN 3.0 AND 10.0)
-            | AND (CAST(len(list_filter(ts,
-            |      t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
-            |      / len(ts) >= 0.8)
-            | AND (CAST(len(list_filter(ts, t -> contains(t, '#')
-            |      OR contains(t, '...'))) AS DOUBLE)
-            |      / len(ts) <= 0.1)
-            | AND (len(list_filter(ts, t -> list_contains(
-            |      ['the', 'be', 'to', 'of', 'and', 'that', 'have',
-            |       'with'], t))) >= 2)""".stripMargin
-        s"""WITH u AS MATERIALIZED (
-           |  SELECT doc_id, n_chars, text, $urlCaseSql AS url
-           |  FROM documents),
-           |d AS (SELECT doc_id, n_chars, text, ${urlDomainSql(
-                  s"regexp_replace(${urlHostSql("url")}, '^www\\.', '')")}
-           |    AS domain FROM u),
-           |capped AS (SELECT domain, doc_id, text FROM (
-           |  SELECT domain, doc_id, text, row_number() OVER (
-           |    PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn
-           |  FROM d) c WHERE rn <= 30),
-           |toks AS (SELECT domain, doc_id, $toksSql AS ts FROM capped),
-           |kept AS (SELECT domain, doc_id, ts FROM toks WHERE $keep),
-           |dd AS (SELECT arg_min(domain, doc_id) AS domain,
-           |    CAST(arg_min(len(ts), doc_id) AS BIGINT) AS n_tokens
-           |  FROM kept
-           |  GROUP BY md5(array_to_string(ts, ' ')))
-           |SELECT domain, count(*)::BIGINT AS n_docs,
-           |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-           |FROM dd GROUP BY domain ORDER BY domain""".stripMargin
-      },
+      "q_pipeline_crawl" -> pipelineCrawlSql,
+
+      // the YAML-DAG twin runs the SAME five stages through
+      // Topology.runBatch — one oracle, two execution paths
+      "q_pipeline_crawl_dag" -> pipelineCrawlSql,
 
       // dim-ablation replay: both top-5 lists brute-force (full vs
       // list_slice 16-dim), the recall join unchanged
