@@ -516,6 +516,18 @@ object SparkEntry {
           MathOps.exactSum(col("value")).as("sum_value"))) >>
         (_.orderBy("user_id", DataOps.WindowCol))),
 
+    // SLIDING count windows (stride < window — the reference's
+    // rs.data.roll generalization): each row lands in up to
+    // ⌈window/stride⌉ windows, complete windows only; per-key, so the
+    // explode + aggregate shuffle is keyed and scales linearly
+    "q_roll_sliding" -> ((s, dir) =>
+      t(s, dir, "events") >>
+        DataOps.roll(4, 2, Seq(col("event_id")), Seq(col("user_id"))) >>
+        (df => df.groupBy("user_id", DataOps.WindowCol).agg(
+          count(lit(1)).as("n"),
+          MathOps.exactSum(col("value")).as("sum_value"))) >>
+        (_.orderBy("user_id", DataOps.WindowCol))),
+
     // ops.map — sample `multiply` operator (processor.py:6-14)
     "q_map_multiply" -> ((s, dir) =>
       t(s, dir, "events") >>
@@ -3523,6 +3535,24 @@ object SparkEntry {
           |       count(*) AS n,
           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM numbered GROUP BY 1, 2 HAVING count(*) = 5
+          |ORDER BY user_id, window_id""".stripMargin,
+
+      // sliding w=4 s=2: row i -> windows [ceil((i-3)/2), floor(i/2)]
+      // ∩ [0,∞); a window with exactly 4 rows is precisely a complete
+      // one (trailing partials have < w rows)
+      "q_roll_sliding" ->
+        """WITH numbered AS (
+          |  SELECT user_id, value,
+          |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS i
+          |  FROM events),
+          |expanded AS (
+          |  SELECT user_id, value, unnest(generate_series(
+          |      greatest(CAST(ceil((i - 3) / 2.0) AS BIGINT), 0),
+          |      CAST(floor(i / 2.0) AS BIGINT))) AS window_id
+          |  FROM numbered)
+          |SELECT user_id, window_id, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM expanded GROUP BY 1, 2 HAVING count(*) = 4
           |ORDER BY user_id, window_id""".stripMargin,
 
       "q_map_multiply" ->
