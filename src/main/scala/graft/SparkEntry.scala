@@ -2925,7 +2925,11 @@ object SparkEntry {
       val work = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft_crawl_dag_" +
           Integer.toHexString(dir.hashCode)).toString
+      // only the columns the DAG consumes ride the frontier topic
+      // (cap: url/n_chars/doc_id; jointext: text) — the write is the
+      // dominant cost of the materialized chain
       t(s, dir, "documents").withColumn("url", synthUrl)
+        .select("doc_id", "n_chars", "text", "url")
         .write.mode("overwrite").parquet(s"$work/frontier")
       val yaml =
         s"""topics:

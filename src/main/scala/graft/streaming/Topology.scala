@@ -80,8 +80,9 @@ case class TopicSpec(name: String, codec: String, startFrom: String,
   * per-event config join (`with_latest_from(config)`,
   * reference makinage/sample/processor.py:9, makinage/serve/serve.py:131,
   * Consul watch makinage/config.py:57-84) at micro-batch granularity
-  * (SURVEY.md §7.4.2). */
-/** `config`: the operator's OWN `config:` block (reference operators
+  * (SURVEY.md §7.4.2).
+  *
+  * `config`: the operator's OWN `config:` block (reference operators
   * each carry a config section, makinage/operator.py:196-229) — merged
   * OVER the topology-global block at resolution time, so two SqlOps in
   * one DAG can declare different `sql`, two gates different thresholds.
