@@ -60,24 +60,27 @@ object Pca {
   def fit(df: DataFrame, vecCol: String, k: Int = 2, iters: Int = 8)
       : Model = {
     val q = df.select(quantized(col(vecCol)).as("q"))
-    val dims = q.agg(min(size(col("q"))).as("mn"),
-      max(size(col("q"))).as("mx")).head()
+    // ONE guard pass for dims + magnitude bound + row count (was three
+    // separate corpus scans — a third of the fit's wall time at sf0.1)
+    val guard = q.agg(min(size(col("q"))).as("mn"),
+      max(size(col("q"))).as("mx"),
+      max(aggregate(col("q"), lit(0L),
+        (a, x) => greatest(a, abs(x)))).as("mq"),
+      count(lit(1)).as("n")).head()
     // min/max over an empty (or all-null-vector) input aggregate to
     // NULL — fail with the intended message, not an NPE at getInt
-    require(!dims.isNullAt(0) && !dims.isNullAt(1),
+    require(!guard.isNullAt(0) && !guard.isNullAt(1),
       "PCA needs at least 2 rows with non-null vectors, got 0")
-    val d = dims.getInt(0)
-    require(d == dims.getInt(1), s"ragged embedding dims: $d vs ${dims.getInt(1)}")
+    val d = guard.getInt(0)
+    require(d == guard.getInt(1), s"ragged embedding dims: $d vs ${guard.getInt(1)}")
     require(d >= 1 && d <= 128, s"covariance explode is d^2 per row; d=$d")
     require(k >= 1 && k <= d && iters >= 1, s"bad k=$k iters=$iters")
     // |q| < 2^31 keeps every pairwise product inside a long; the sums
     // themselves accumulate in decimal(38,0) (exact at any n)
-    val maxq = q.agg(max(aggregate(col("q"), lit(0L),
-      (a, x) => greatest(a, abs(x))))).head().getLong(0)
+    val maxq = guard.getLong(2)
     require(maxq < (1L << 31),
       s"|x| must stay under 2^16 (quantized $maxq >= 2^31)")
-
-    val n = q.count()
+    val n = guard.getLong(3)
     require(n >= 2, s"PCA needs at least 2 rows, got $n")
     // adaptive sum type: plain long aggregation when n·maxq² provably
     // fits (the common case — ~3× faster hash agg than decimal);
@@ -91,23 +94,25 @@ object Pca {
       if (longSafe) BigInt(r.getLong(idx))
       else BigInt(r.getDecimal(idx).toBigInteger)
     // upper triangle only (the matrix is symmetric — half the explode):
-    // pos(i, j≥i) = i·d − i(i−1)/2 + (j−i)
-    val tri = q
-      .select(posexplode(flatten(transform(col("q"), (qi, i) =>
-        transform(slice(col("q"), i + lit(1), size(col("q")) - i),
-          qj => qi * qj)))))
+    // pos(i, j≥i) = i·d − i(i−1)/2 + (j−i). The d raw values ride the
+    // SAME exploded array at positions T..T+d−1 (T = d(d+1)/2), so the
+    // Gram sums and the mean sums are ONE corpus pass, not two — the
+    // per-cell sums are identical either way (exact integers).
+    val nTri = d * (d + 1) / 2
+    val cells = q
+      .select(posexplode(concat(
+        flatten(transform(col("q"), (qi, i) =>
+          transform(slice(col("q"), i + lit(1), size(col("q")) - i),
+            qj => qi * qj))),
+        col("q"))))
       .groupBy("pos")
       .agg(exactSum(col("col")).as("s"))
       .collect().map(r => r.getInt(0) -> asBigInt(r, 1)).toMap
     def gram(i: Int, j: Int): BigInt = {
       val (a, b) = if (i <= j) (i, j) else (j, i)
-      tri(a * d - a * (a - 1) / 2 + (b - a))
+      cells(a * d - a * (a - 1) / 2 + (b - a))
     }
-    val means = q
-      .select(posexplode(col("q")))
-      .groupBy("pos")
-      .agg(exactSum(col("col")).as("m"))
-      .collect().map(r => r.getInt(0) -> asBigInt(r, 1)).toMap
+    def means(i: Int): BigInt = cells(nTri + i)
 
     // covariance cell: exact integer numerator, one conversion + one
     // division (the oracle replays this exact expression)
