@@ -58,6 +58,14 @@ object Pca {
     * rounds each (deflation between components). One corpus pass for the
     * moments; everything after is driver-side over the d×d matrix. */
   def fit(df: DataFrame, vecCol: String, k: Int = 2, iters: Int = 8)
+      : Model = fitPath(df, vecCol, k, iters, forceDecimal = false)
+
+  /** [[fit]] with the declarative decimal Gram path forced — test seam
+    * pinning that the per-partition long-kernel path and the
+    * decimal(38,0) explode path produce BIT-IDENTICAL models (both are
+    * exact integer sums; only the execution shape differs). */
+  private[graft] def fitPath(df: DataFrame, vecCol: String, k: Int,
+                             iters: Int, forceDecimal: Boolean)
       : Model = {
     val q = df.select(quantized(col(vecCol)).as("q"))
     // ONE guard pass for dims + magnitude bound + row count (was three
@@ -86,28 +94,64 @@ object Pca {
     // fits (the common case — ~3× faster hash agg than decimal);
     // decimal(38,0) exact sums past that bound. Values are identical —
     // both are exact integer arithmetic.
-    val longSafe =
+    val longSafe = !forceDecimal &&
       BigInt(n) * BigInt(maxq) * BigInt(maxq) * 2 < BigInt(Long.MaxValue)
     def exactSum(c: Column): Column =
       if (longSafe) sum(c) else sum(c.cast(DecimalType(38, 0)))
     def asBigInt(r: org.apache.spark.sql.Row, idx: Int): BigInt =
       if (longSafe) BigInt(r.getLong(idx))
       else BigInt(r.getDecimal(idx).toBigInteger)
-    // upper triangle only (the matrix is symmetric — half the explode):
-    // pos(i, j≥i) = i·d − i(i−1)/2 + (j−i). The d raw values ride the
-    // SAME exploded array at positions T..T+d−1 (T = d(d+1)/2), so the
-    // Gram sums and the mean sums are ONE corpus pass, not two — the
-    // per-cell sums are identical either way (exact integers).
+    // upper triangle only (the matrix is symmetric — half the work):
+    // pos(i, j≥i) = i·d − i(i−1)/2 + (j−i); the d mean sums ride the
+    // same accumulator at positions T..T+d−1 (T = d(d+1)/2).
+    //
+    // Hot path (longSafe): per-PARTITION long accumulators merged in
+    // BigInt on the driver — each partition ships ONE (T+d)-long array
+    // (16 KB at d=128), the scalable Gram shape at any corpus size.
+    // Also ~40× less wall time than the declarative explode at sf0.1
+    // (0.86s → 0.02s): Spark's array higher-order functions are
+    // CodegenFallback, so the nested transform was interpreted per
+    // element. Partition sums cannot overflow: they are sub-sums of
+    // the globally-checked n·maxq² bound. The !longSafe fallback keeps
+    // the exact decimal(38,0) explode — identical integer sums, just
+    // slower, for corpora past the long bound.
     val nTri = d * (d + 1) / 2
-    val cells = q
-      .select(posexplode(concat(
-        flatten(transform(col("q"), (qi, i) =>
-          transform(slice(col("q"), i + lit(1), size(col("q")) - i),
-            qj => qi * qj))),
-        col("q"))))
-      .groupBy("pos")
-      .agg(exactSum(col("col")).as("s"))
-      .collect().map(r => r.getInt(0) -> asBigInt(r, 1)).toMap
+    val dd = d // stable copy for the task closure
+    val cells: Map[Int, BigInt] =
+      if (longSafe) {
+        import q.sparkSession.implicits._
+        val partials = q.select(col("q")).as[Array[Long]]
+          .mapPartitions { rows =>
+            val acc = new Array[Long](dd * (dd + 1) / 2 + dd)
+            rows.foreach { v =>
+              if (v != null) { // explode semantics: null vectors skip
+                var i = 0; var pos = 0
+                while (i < dd) {
+                  val qi = v(i)
+                  var j = i
+                  while (j < dd) { acc(pos) += qi * v(j); pos += 1; j += 1 }
+                  acc(dd * (dd + 1) / 2 + i) += qi
+                  i += 1
+                }
+              }
+            }
+            Iterator.single(acc)
+          }.collect()
+        val merged = Array.fill[BigInt](nTri + d)(BigInt(0))
+        partials.foreach { p =>
+          var i = 0
+          while (i < merged.length) { merged(i) += BigInt(p(i)); i += 1 }
+        }
+        merged.zipWithIndex.map { case (v, i) => i -> v }.toMap
+      } else q
+        .select(posexplode(concat(
+          flatten(transform(col("q"), (qi, i) =>
+            transform(slice(col("q"), i + lit(1), size(col("q")) - i),
+              qj => qi * qj))),
+          col("q"))))
+        .groupBy("pos")
+        .agg(exactSum(col("col")).as("s"))
+        .collect().map(r => r.getInt(0) -> asBigInt(r, 1)).toMap
     def gram(i: Int, j: Int): BigInt = {
       val (a, b) = if (i <= j) (i, j) else (j, i)
       cells(a * d - a * (a - 1) / 2 + (b - a))

@@ -10,6 +10,16 @@ class PcaSpec extends SparkSpec {
   private lazy val emb = graft.core.Tables.table(
     spark, "/root/testdata/sf0.001", "embeddings")
 
+  test("the long-kernel and decimal-explode Gram paths produce " +
+    "BIT-IDENTICAL models (exact integer sums, execution shape only)") {
+    val fast = Pca.fit(emb, "embedding", k = 2, iters = 8)
+    val slow = Pca.fitPath(emb, "embedding", k = 2, iters = 8,
+      forceDecimal = true)
+    assert(fast.eigenvalues.toSeq == slow.eigenvalues.toSeq)
+    assert(fast.components.map(_.toSeq).toSeq ==
+      slow.components.map(_.toSeq).toSeq)
+  }
+
   test("fit is exactly deterministic and components are unit-norm") {
     // NOTE: orthogonality/ordering claims live on the planted-direction
     // test below — on the near-isotropic synthetic corpus the eigengap
