@@ -235,9 +235,17 @@ object TextStats {
           "concat(element_at(__ts, i), chr(1), element_at(__ts, i + 1))" +
           " AS bg))")).as("__p"))
       .select(col(idCol), col("__p.w1").as("__w1"), col("__p.bg").as("__bg"))
-    val firsts = pairs.groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    // ONE count pass feeds both model tables: __bg determines __w1
+    // (its chr(1)-prefix), so c1(w1) = Σ_bg cb exactly equals the
+    // direct per-__w1 pair count. bgCounts is vocab-sized (≪ corpus),
+    // persisted because both top-K branches traverse it — without
+    // this the corpus tokenized THREE times per call (memory rule 3).
+    val bgCounts = pairs.groupBy("__bg", "__w1")
+      .agg(count(lit(1)).as("__cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = bgCounts.groupBy("__w1").agg(sum("__cb").as("__c1"))
       .orderBy(col("__c1").desc, col("__w1").asc).limit(topV)
-    val bigrams = pairs.groupBy("__bg").agg(count(lit(1)).as("__cb"))
+    val bigrams = bgCounts.select(col("__bg"), col("__cb"))
       .orderBy(col("__cb").desc, col("__bg").asc).limit(topB)
     val vocabN = firsts.agg(count(lit(1)).as("__V"))
     val term = (coalesce(col("__cb"), lit(0L)) + 1L).cast("double") /
