@@ -779,6 +779,47 @@ class TopologySpec extends SparkSpec {
     assert(op.config("multiply") == 3)
   }
 
+  test("operator config precedence: op-local config overrides the " +
+    "global block, and a config_topic record overrides both") {
+    val tmp = Files.createTempDirectory("topo_conf").toString
+    Seq(1L, 2L).toDF("value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    // op-local multiply: 5 must beat global multiply: 3
+    val yaml =
+      s"""topics:
+         |  - name: in
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: out
+         |    kind: parquet
+         |operators:
+         |  mul:
+         |    factory: graft.streaming.ops.Multiply
+         |    sources: [in]
+         |    sinks: [out]
+         |    config:
+         |      multiply: 5
+         |config:
+         |  multiply: 3
+         |""".stripMargin
+    Topology.parse(yaml).runBatch(spark, s"$tmp/sinks")
+    val got = spark.read.parquet(s"$tmp/sinks/out")
+      .select("value").as[String].collect().map(_.toLong).sorted.toSeq
+    assert(got == Seq(5L, 10L), got)
+    // dynamic layer: a config-topic record wins over BOTH
+    Seq((1L, 7)).toDF("version", "multiply")
+      .withColumn("published_at", current_timestamp())
+      .write.mode("overwrite").parquet(s"$tmp/conf")
+    val yaml2 = yaml.replace("      multiply: 5",
+      "      multiply: 5\n    config_topic: conf")
+      .replace("topics:",
+        s"topics:\n  - name: conf\n    kind: parquet\n    path: $tmp/conf")
+    Topology.parse(yaml2).runBatch(spark, s"$tmp/sinks2")
+    val got2 = spark.read.parquet(s"$tmp/sinks2/out")
+      .select("value").as[String].collect().map(_.toLong).sorted.toSeq
+    assert(got2 == Seq(7L, 14L), got2)
+  }
+
   test("topology DAG: operator declaration order does not matter " +
     "(wire is topological) and cycles fail loudly") {
     val tmp = Files.createTempDirectory("topo_order").toString
