@@ -548,9 +548,18 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
           if (sinkTopic.kind == "parquet")
             shapeForParquet(frameForSink(df, sinkTopic), sinkTopic)
           else frameForSink(df, sinkTopic)
+        // memory sinks are EPHEMERAL (Spark refuses checkpoint recovery
+        // for them) — give each run a fresh checkpoint dir so a
+        // restarted topology's durable sinks recover from their stable
+        // checkpoints while the inspection/relay memory queries simply
+        // start over; a shared fixed dir would fail the whole restart
+        val ckpt =
+          if (sinkTopic.kind == "memory")
+            s"$checkpointRoot/${sinkTopic.name}_" +
+              java.util.UUID.randomUUID().toString
+          else s"$checkpointRoot/${sinkTopic.name}"
         val w0 = shaped.writeStream
-          .option("checkpointLocation",
-            s"$checkpointRoot/${sinkTopic.name}")
+          .option("checkpointLocation", ckpt)
         val w =
           if (sinkTopic.partitionBy.nonEmpty && sinkTopic.kind == "parquet")
             w0.partitionBy(sinkTopic.partitionBy: _*)
