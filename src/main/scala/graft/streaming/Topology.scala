@@ -292,6 +292,13 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
         val r = if (t.maxPerTrigger > 0)
           r0.option("maxOffsetsPerTrigger", t.maxPerTrigger) else r0
         Topology.decodeFrame(r.load(), t)
+      case "memory" =>
+        throw new IllegalArgumentException(
+          s"topic ${t.name}: a memory topic can feed a stream operator " +
+            "only as an intra-run relay — it must be the SINK of another " +
+            "STATIC operator in the same topology (config_topic operators " +
+            "wire independently and cannot consume memory relays); use a " +
+            "parquet/kafka topic for a durable handoff")
       case other =>
         throw new IllegalArgumentException(s"stream source kind: $other")
     }
