@@ -71,10 +71,41 @@ object Main {
     }
   }
 
+  /** Reference `identity_or_redirect` (makinage/config.py:67-84,
+    * config.sample.redirect.yaml): a config whose top level is only a
+    * `redirect:` block resolves the REAL config from elsewhere. The
+    * zero-egress connector is `file` (path re-read at every start — the
+    * restart-granularity analogue of the Consul watch; live
+    * per-micro-batch reconfig is the `config_topic` contract). A
+    * `consul` connector names the reference behavior but needs a KV
+    * client + egress, so it refuses loudly instead of pretending. */
+  def resolveConfigText(text: String): String = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](text)
+    val redirect = if (root == null) null else root.get("redirect")
+    redirect match {
+      case null => text
+      case m: java.util.Map[_, _] =>
+        val r = m.asInstanceOf[java.util.Map[String, Object]]
+        r.get("connector") match {
+          case "file" =>
+            Files.readString(Paths.get(String.valueOf(r.get("path"))))
+          case "consul" => throw new IllegalArgumentException(
+            "redirect.connector 'consul' needs a Consul client and " +
+              "network egress (reference makinage/config.py:57-84); " +
+              "use connector: file, or a config_topic for live reconfig")
+          case other => throw new IllegalArgumentException(
+            s"unknown redirect.connector: $other (supported: file)")
+        }
+      case other => throw new IllegalArgumentException(
+        s"redirect must be a map, got: $other")
+    }
+  }
+
   def main(argv: Array[String]): Unit = {
     val args = parseArgs(argv)
-    val topo = Topology.parse(
-      Files.readString(Paths.get(args.config)))
+    val topo = Topology.parse(resolveConfigText(
+      Files.readString(Paths.get(args.config))))
     val spark = graft.core.GraftSession.builder(
         master = args.overrides.getOrElse("master",
           sys.env.getOrElse("SPARK_MASTER", "local[*]")))

@@ -779,6 +779,26 @@ class TopologySpec extends SparkSpec {
     assert(op.config("multiply") == 3)
   }
 
+  test("config redirect (identity_or_redirect analogue): a file-connector " +
+    "redirect loads the real config; consul refuses loudly") {
+    val tmp = Files.createTempDirectory("cfg_redirect").toString
+    val real = s"$tmp/real.yaml"
+    Files.writeString(java.nio.file.Paths.get(real),
+      "topics:\n  - name: t\n    kind: memory\n")
+    val redirected = Main.resolveConfigText(
+      s"""redirect:
+         |  connector: file
+         |  path: $real
+         |""".stripMargin)
+    assert(Topology.parse(redirected).topics.head.name == "t")
+    // identity: no redirect block → text unchanged
+    val plain = "topics:\n  - name: u\n    kind: memory\n"
+    assert(Main.resolveConfigText(plain) == plain)
+    val e = intercept[IllegalArgumentException](Main.resolveConfigText(
+      "redirect:\n  connector: consul\n  endpoint: http://x\n  key: k\n"))
+    assert(e.getMessage.contains("consul"), e.getMessage)
+  }
+
   test("operator config precedence: op-local config overrides the " +
     "global block, and a config_topic record overrides both") {
     val tmp = Files.createTempDirectory("topo_conf").toString
