@@ -416,4 +416,38 @@ class PlanAuditSpec extends SparkSpec {
     // TakeOrderedAndProject or a bounded top-k aggregate
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_roll_sliding: the sliding count window is a KEYED WindowExec " +
+    "(per-user numbering) + keyed aggregate — no corpus-wide unkeyed " +
+    "window, no cartesian") {
+    val p = planStr("q_roll_sliding")
+    // the row_number window partitions by user_id — an UNKEYED window
+    // would print 'Window [...], []' (empty partition spec)
+    assert(p.contains("user_id"), p)
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\],.*"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_approx_distinct_oracle: the per-window register table is one " +
+    "hash aggregate over (window, bucket) — no window function, no " +
+    "join, no cartesian on the sketch path") {
+    val p = planStr("q_approx_distinct_oracle")
+    assert(!p.contains("Window "), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("DomainCapOp quality_col (the DAG cap stage) plans the bounded " +
+    "TopKCollect aggregate, never a rank-everything WindowExec") {
+    val df = graft.streaming.ops.DomainCapOp(
+      Map("k" -> 30, "quality_col" -> "n_chars"),
+      Seq(SparkEntry.queries("q_url_parse")(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("url"))
+        .join(graft.core.Tables.table(spark, sfDir, "documents")
+          .select("doc_id", "n_chars"), "doc_id"))).head
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("topk"), p)
+    assert(!p.contains("Window "), p)
+  }
 }
