@@ -237,12 +237,12 @@ object TextStats {
       .select(col(idCol), col("__p.w1").as("__w1"), col("__p.bg").as("__bg"))
     // ONE count pass feeds both model tables: __bg determines __w1
     // (its chr(1)-prefix), so c1(w1) = Σ_bg cb exactly equals the
-    // direct per-__w1 pair count. bgCounts is vocab-sized (≪ corpus),
-    // persisted because both top-K branches traverse it — without
-    // this the corpus tokenized THREE times per call (memory rule 3).
+    // direct per-__w1 pair count — and because both top-K branches now
+    // hang off the IDENTICAL aggregate subtree, ReuseExchange dedupes
+    // its shuffle inside the final plan (no persist needed; before the
+    // restructure the two different groupings re-tokenized the corpus).
     val bgCounts = pairs.groupBy("__bg", "__w1")
       .agg(count(lit(1)).as("__cb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = bgCounts.groupBy("__w1").agg(sum("__cb").as("__c1"))
       .orderBy(col("__c1").desc, col("__w1").asc).limit(topV)
     val bigrams = bgCounts.select(col("__bg"), col("__cb"))
@@ -328,6 +328,10 @@ object TextStats {
           "element_at(__ts, i) AS w1, element_at(__ts, i + 1) AS w2))"))
         .as("__p"))
       .select(col(idCol), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+    // four downstream branches (w1s, w2s, tot, the scoring join) hang
+    // off this topB-row frame; its corpus-side exchange is identical
+    // across branches, so ReuseExchange computes it once (measured: a
+    // persist here changes nothing at sf0.1)
     val bigrams = pairs.groupBy("__w1", "__w2")
       .agg(count(lit(1)).as("__cb"))
       .orderBy(col("__cb").desc, col("__w1").asc, col("__w2").asc)
