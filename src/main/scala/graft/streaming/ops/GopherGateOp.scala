@@ -30,10 +30,17 @@ object GopherGateOp extends OperatorFactory {
       : Seq[DataFrame] = {
     val textCol = config.getOrElse("text_col", "text").toString
     val nTokCol = config.getOrElse("n_tokens_col", "").toString
-    val gated = sources.head.filter(
-      TextStats.gopherKeepOf(Text.tokens(col(textCol))))
-    Seq(if (nTokCol.isEmpty) gated
-        else gated.withColumn(nTokCol,
-          Text.nTokensOf(Text.tokens(col(textCol)))))
+    val df = sources.head
+    if (nTokCol.isEmpty)
+      Seq(df.filter(TextStats.gopherKeepOf(Text.tokens(col(textCol)))))
+    else {
+      // tokenize ONCE through a materialized projection (the
+      // lambda-body discipline: an inline Text.tokens in both the
+      // filter and the count would run the array build twice per row)
+      Seq(df.withColumn("__gg_ts", Text.tokens(col(textCol)))
+        .filter(TextStats.gopherKeepOf(col("__gg_ts")))
+        .withColumn(nTokCol, Text.nTokensOf(col("__gg_ts")))
+        .drop("__gg_ts"))
+    }
   }
 }
