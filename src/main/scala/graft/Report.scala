@@ -12,7 +12,12 @@ package graft
   * override with SPARK_GRAFT_VERIFY_SF / SPARK_GRAFT_SF_DIR. The
   * DuckDB compare shells out to `tools/check_oracle.py` (dev-only —
   * the shipped library has no Python dependency; the driver runs its
-  * own copy of the same gate). Exit code 1 if any query failed. */
+  * own copy of the same gate). Exit code 1 if any query failed.
+  *
+  * Caveat on the bench numbers: running Bench in the same JVM after a
+  * full Verify inflates per-query times ~15% uniformly (code-cache/GC
+  * state; measured 86.6s standalone vs 103.2s post-Verify at sf0.1).
+  * The driver benches standalone — compare trends, not absolutes. */
 object Report {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("report")

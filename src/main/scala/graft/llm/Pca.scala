@@ -74,7 +74,12 @@ object Pca {
       max(size(col("q"))).as("mx"),
       max(aggregate(col("q"), lit(0L),
         (a, x) => greatest(a, abs(x)))).as("mq"),
-      count(lit(1)).as("n")).head()
+      count(lit(1)).as("n"),
+      // null ELEMENTS refuse loudly in both Gram paths: the kernel's
+      // encoder would NPE on them, and the declarative sum would
+      // silently skip them (deflating the moments) — neither is an
+      // acceptable answer for a malformed vector
+      sum(size(filter(col("q"), x => x.isNull))).as("nn")).head()
     // min/max over an empty (or all-null-vector) input aggregate to
     // NULL — fail with the intended message, not an NPE at getInt
     require(!guard.isNullAt(0) && !guard.isNullAt(1),
@@ -90,6 +95,9 @@ object Pca {
       s"|x| must stay under 2^16 (quantized $maxq >= 2^31)")
     val n = guard.getLong(3)
     require(n >= 2, s"PCA needs at least 2 rows, got $n")
+    require(guard.isNullAt(4) || guard.getLong(4) == 0L,
+      s"PCA input has ${guard.getLong(4)} null vector ELEMENTS — " +
+        "impute or drop malformed vectors upstream")
     // adaptive sum type: plain long aggregation when n·maxq² provably
     // fits (the common case — ~3× faster hash agg than decimal);
     // decimal(38,0) exact sums past that bound. Values are identical —

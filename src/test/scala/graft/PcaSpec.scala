@@ -20,6 +20,17 @@ class PcaSpec extends SparkSpec {
       slow.components.map(_.toSeq).toSeq)
   }
 
+  test("null vector elements refuse loudly (kernel would NPE, " +
+    "declarative sum would silently deflate the moments)") {
+    val bad = Seq(
+      (1L, Seq[java.lang.Double](1.0, null, 3.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Pca.fit(bad, "embedding", k = 1, iters = 2))
+    assert(e.getMessage.contains("null vector ELEMENTS"), e.getMessage)
+  }
+
   test("fit is exactly deterministic and components are unit-norm") {
     // NOTE: orthogonality/ordering claims live on the planted-direction
     // test below — on the near-isotropic synthetic corpus the eigengap
