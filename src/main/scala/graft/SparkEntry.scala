@@ -2938,14 +2938,19 @@ object SparkEntry {
            |    path: $work/frontier
            |  - name: capped
            |    kind: parquet
+           |    sink_partitions: 4
            |  - name: withtext
            |    kind: parquet
+           |    sink_partitions: 4
            |  - name: gated
            |    kind: parquet
+           |    sink_partitions: 4
            |  - name: deduped
            |    kind: parquet
+           |    sink_partitions: 4
            |  - name: domain_rollup
            |    kind: parquet
+           |    sink_partitions: 1
            |operators:
            |  cap:
            |    factory: graft.streaming.ops.DomainCapOp
