@@ -33,27 +33,43 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
-    // min of 2 timed iterations per query: a one-off scheduler/GC hiccup
-    // on a shared box reads as a 3-5s regression on a sub-second query;
-    // the min is the reproducible cost of the plan. BOTH iterations are
-    // recorded (queries_minmax) so a loaded box is self-evident in the
-    // artifact: min << max across many queries ==> noisy run, trust min.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> ((times.min, times.max))
+    // min over LOAD-ROBUST iterations. Round-8 lesson: back-to-back
+    // min-of-2 on one query puts both iterations inside the same
+    // transient load window (the driver artifact recorded 8.10s for a
+    // reproducibly-0.84s query), so the two timed passes run as FULL
+    // SUITE SWEEPS — pass 1 over every query, then pass 2 — putting
+    // minutes between a query's two samples; a spike that inflates one
+    // sweep cannot inflate both. Any query whose max/min still exceeds
+    // 2 gets a THIRD sample (a real regression reproduces; a transient
+    // doesn't). System load average is stamped before/after so a noisy
+    // run is self-evident in the artifact.
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBefore = loadAvg
+    val names = SparkEntry.queries.keys.toVector
+    def timeOne(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
+    val sweep1 = names.map(n => n -> timeOne(n)).toMap
+    val sweep2 = names.map(n => n -> timeOne(n)).toMap
+    val results: Map[String, Seq[Double]] = names.map { n =>
+      val two = Seq(sweep1(n), sweep2(n))
+      val all = if (two.max / math.max(two.min, 1e-9) > 2.0)
+        two :+ timeOne(n) else two
+      n -> all
+    }.toMap
+    val loadAfter = loadAvg
+    val qs = names.map(k => s"\"" + k + "\":" + results(k).min)
       .mkString("{", ",", "}")
-    val mm = results.map { case (k, v) =>
-      s"\"" + k + "\":[" + v._1 + "," + v._2 + "]" }
+    val mm = names.map(k =>
+      s"\"" + k + "\":[" + results(k).mkString(",") + "]")
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_minmax":$mm,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","load_before":$loadBefore,"load_after":$loadAfter,"queries":$qs,"queries_minmax":$mm,"sf":"$sfDir"}"""
     println(json)
     // stdout rides sbt's log stream, where a prefix/interleave can break
     // the driver's parser (round 4 lost its headline metric to

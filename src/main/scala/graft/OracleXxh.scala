@@ -1072,11 +1072,17 @@ ORDER BY doc_id"""
 
   /** Per-hour-window generalization of [[q_hll_distinct]] — replays
     * ApproxDistinctOp's batch path (Hll.registers grouped by the
-    * tumbling hour of `ts`, then Hll.estimate per window) bit-exactly:
-    * same xxhash64, same integer bucket/rho split, same fixed-point
-    * harmonic sum in HUGEINT, same floor-millis small-range
-    * correction. Parameterized on p so the constants can never drift
-    * from the Spark side's. */
+    * tumbling hour of `ts`, then Hll.estimateAudit per window)
+    * bit-exactly: same xxhash64, same integer bucket/rho split, same
+    * fixed-point harmonic sum in HUGEINT, same RAW floor-millis
+    * estimate. Deliberately NO `ln` anywhere in the oracled SQL: the
+    * gate data's per-hour cardinalities (measured 4..166 across the
+    * test SFs) sit below the 2.5·m=1280 small-range threshold at p=9,
+    * and the linear-counting correction is libm-divergent across
+    * engines (Hll.scala contract) — so the audit emits the raw IEEE
+    * estimate + the branch selector + V's complement, which together
+    * determine the corrected estimate exactly. Parameterized on p so
+    * the constants can never drift from the Spark side's. */
   def q_approx_distinct_oracle(p: Int): String = {
     val w = 64 - p          // remainder bit width
     val k = w + 1           // fixed-point scale / max rho
@@ -1106,9 +1112,8 @@ est0 AS (SELECT hour_start, nonempty_buckets, register_sum,
     $m - nonempty_buckets AS v
   FROM agg)
 SELECT hour_start,
-  CAST(floor(CASE WHEN est <= ${2.5 * m} AND v > 0
-      THEN $m.0 * ln($m.0 / v::DOUBLE) ELSE est END * 1000.0) AS BIGINT)
-    AS est_millis,
+  CAST(floor(est * 1000.0) AS BIGINT) AS raw_est_millis,
+  (est <= ${2.5 * m} AND v > 0) AS small_range,
   nonempty_buckets, register_sum
 FROM est0 ORDER BY hour_start"""
   }

@@ -54,15 +54,17 @@ object SparkEntry {
         concat(lit("short "), col("doc_id").cast("string")))
         .otherwise(col("text")).as("text"))
 
-  /** Deterministic URL mix for the curation queries: six shapes cycling
-    * on doc_id — www + fragment, explicit default port, schemeless,
-    * upper-case scheme/host + userinfo + :443, multi-label public suffix
-    * with exotic port, sub-subdomain with no path. The corpus has no URL
-    * column, so the parser's inputs are synthesized to exercise every
-    * branch (the oracle applies the identical CASE). */
+  /** Deterministic URL mix for the curation queries: seven shapes
+    * cycling on doc_id — www + fragment, explicit default port,
+    * schemeless, upper-case scheme/host + userinfo + :443, multi-label
+    * public suffix with exotic port, sub-subdomain with no path, and a
+    * dotted-IPv4 host (pins registeredDomain's IP pass-through on BOTH
+    * engines). The corpus has no URL column, so the parser's inputs are
+    * synthesized to exercise every branch (the oracle applies the
+    * identical CASE). */
   private[graft] def synthUrl: Column = {
     val id = col("doc_id").cast("string")
-    val m  = pmod(col("doc_id"), lit(6))
+    val m  = pmod(col("doc_id"), lit(7))
     when(m === 0, concat(lit("https://www."), col("source"),
         lit(".com/d/"), id, lit("?x=1#frag")))
       .when(m === 1, concat(lit("http://"), col("source"),
@@ -72,14 +74,27 @@ object SparkEntry {
         upper(col("source")), lit(".COM:443/d/"), id, lit("?q=a&b=2")))
       .when(m === 4, concat(lit("http://"), col("source"),
         lit(".co.uk:8080/Path/"), id))
-      .otherwise(concat(lit("https://sub.cdn."), col("source"),
+      .when(m === 5, concat(lit("https://sub.cdn."), col("source"),
         lit(".com#top")))
+      .otherwise(concat(lit("http://10.42.7."),
+        pmod(col("doc_id"), lit(200)).cast("string"), lit("/d/"), id))
   }
+
+  /** Fixed per-(JVM, sfDir) scratch path, overwritten each run — a
+    * fresh createTempDirectory per invocation would leak a copy per
+    * run (round-7 ADVICE). Keyed on the FULL sanitized sfDir plus the
+    * JVM pid, not a 32-bit hashCode: two sfDir strings cannot collide,
+    * and two concurrent JVMs on one sfDir never race overwrite-writes
+    * against each other's reads (round-8 ADVICE). */
+  private def scratchDir(prefix: String, dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"${prefix}_pid${ProcessHandle.current().pid()}_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
 
   // ---- URL-curation SQL macros (mirror llm/Url.scala bit-for-bit) ----
 
   private val urlCaseSql: String =
-    """CASE doc_id % 6
+    """CASE doc_id % 7
       | WHEN 0 THEN 'https://www.' || source || '.com/d/' ||
       |   doc_id::VARCHAR || '?x=1#frag'
       | WHEN 1 THEN 'http://' || source || '.com:80/d/' || doc_id::VARCHAR
@@ -88,7 +103,9 @@ object SparkEntry {
       |   '.COM:443/d/' || doc_id::VARCHAR || '?q=a&b=2'
       | WHEN 4 THEN 'http://' || source || '.co.uk:8080/Path/' ||
       |   doc_id::VARCHAR
-      | ELSE 'https://sub.cdn.' || source || '.com#top' END""".stripMargin
+      | WHEN 5 THEN 'https://sub.cdn.' || source || '.com#top'
+      | ELSE 'http://10.42.7.' || (doc_id % 200)::VARCHAR || '/d/' ||
+      |   doc_id::VARCHAR END""".stripMargin
 
   private def urlHostSql(u: String): String =
     s"regexp_extract(lower($u), " +
@@ -97,7 +114,12 @@ object SparkEntry {
   private def urlDomainSql(hw: String): String = {
     val sfx = graft.llm.Url.MultiLabelSuffixes
       .map(s => s"'$s'").mkString(", ")
-    s"""CASE WHEN len(string_split($hw, '.')) <= 2 THEN $hw
+    // IP-literal pass-through FIRST (mirror llm/Url.scala:57-67): a
+    // dotted IPv4 has 4 "labels", so without this branch every IP host
+    // collapses into a fake domain like "7.200"
+    s"""CASE WHEN regexp_matches($hw, '^[0-9]+(\\.[0-9]+){3}$$')
+       |     OR contains($hw, ':') THEN $hw
+       | WHEN len(string_split($hw, '.')) <= 2 THEN $hw
        | WHEN array_to_string(
        |     list_slice(string_split($hw, '.'), -2, -1), '.') IN ($sfx)
        | THEN array_to_string(
@@ -1181,19 +1203,24 @@ object SparkEntry {
 
     // the ORACLE-replayable ApproxDistinctOp sibling: the windowed
     // "unique users per hour" factory run on its batch path (register
-    // table grouped by the tumbling hour, finalized per window), every
-    // integer of the relational HLL hash-matched by the OracleXxh
-    // replay — retires q_approx_distinct's rows-only status the way
-    // q_heavy_hitters_oracle did for Misra-Gries
+    // table grouped by the tumbling hour), audited via Hll.estimateAudit
+    // — the RAW harmonic estimate (pure IEEE divide, bit-identical on
+    // both engines) + the small-range branch selector + the exact
+    // integers that DETERMINE the ln correction (est = m·ln(m/V) is a
+    // pure function of nonempty_buckets). The corrected estimate itself
+    // is deliberately NOT oracled: per-hour distincts at the gate SFs
+    // (measured 4..166) sit below 2.5·m=1280 at p=9, and Math.log vs
+    // libm ln diverge in the last ulp (~7% of inputs — Hll.scala
+    // contract); the ln branch stays ScalaTest-pinned in HllSpec.
     "q_approx_distinct_oracle" -> ((s, dir) => {
       val regs = graft.streaming.ops.ApproxDistinctOp(
         Map("window" -> "1 hour", "timestamp_col" -> "ts",
             "item_col" -> "user_id", "precision" -> 9),
         Seq(t(s, dir, "events"))).head
-      graft.streaming.ops.ApproxDistinctOp.estimate(regs, 9)
+      Hll.estimateAudit(regs, 9, Seq(col("window_start")))
         .select(col("window_start").cast("long").as("hour_start"),
-          col("est_millis"), col("nonempty_buckets"),
-          col("register_sum"))
+          col("raw_est_millis"), col("small_range"),
+          col("nonempty_buckets"), col("register_sum"))
         .orderBy("hour_start")
     }),
 
@@ -2837,6 +2864,20 @@ object SparkEntry {
         "url", col("doc_id"), col("n_chars"), k = 20)
         .orderBy("domain", "rank")),
 
+    // PSL-as-data registered domain: the suffix list is a broadcast
+    // DataFrame (committed fixture subset of the public suffix list),
+    // longest-match via K chained broadcast left joins — map-only, the
+    // full-PSL fidelity path next to q_url_parse's hardcoded fast path
+    "q_url_psl" -> ((s, dir) => {
+      val hosts = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.llm.Url.stripWww(graft.llm.Url.host(synthUrl)).as("host"))
+      graft.llm.Url.registeredDomainPsl(
+          hosts, "host", graft.llm.Url.pslFixtureDf(s))
+        .select(col("doc_id"), col("host"), col("domain"))
+        .orderBy("doc_id")
+    }),
+
     // feature-hashing doc vectors (the hashing trick): the model-free
     // embedding baseline — token → xxhash64 bucket, exact counts; one
     // shuffle-linear aggregate (llm/TextStats.hashEmbedSparse)
@@ -2922,9 +2963,7 @@ object SparkEntry {
     // driver's oracle gate covering the topology runner itself, not
     // just the operators it wires
     "q_pipeline_crawl_dag" -> ((s, dir) => {
-      val work = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_crawl_dag_" +
-          Integer.toHexString(dir.hashCode)).toString
+      val work = scratchDir("graft_crawl_dag", dir)
       // only the columns the DAG consumes ride the frontier topic
       // (cap: url/n_chars/doc_id; jointext: text) — the write is the
       // dominant cost of the materialized chain
@@ -3120,12 +3159,7 @@ object SparkEntry {
     // documents → ORC (Spark-native columnar sibling) → read back →
     // rollup; proves the ORC source/sink against the parquet oracle
     "q_orc_roundtrip" -> ((s, dir) => {
-      // fixed per-(jvm, sfDir) path, overwritten each run — a fresh
-      // createTempDirectory per invocation leaked an ORC copy of the
-      // documents table every bench/oracle run (round-7 ADVICE)
-      val out = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_orc_" +
-          Integer.toHexString(dir.hashCode)).toString
+      val out = scratchDir("graft_orc", dir)
       graft.sources.Sources.writeOrc(t(s, dir, "documents"), out)
       graft.sources.Sources.orc(s, out)
         .groupBy("source")
@@ -6326,6 +6360,41 @@ object SparkEntry {
            |      ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank
            |  FROM d)
            |WHERE rank <= 20 ORDER BY domain, rank""".stripMargin,
+
+      // PSL longest-match replay: the inline VALUES list and the CASE
+      // ladder (longest s first) are generated from the SAME
+      // Url.PslFixture Seq the Spark side broadcasts — one source of
+      // truth, two engines
+      "q_url_psl" -> {
+        val pslVals = graft.llm.Url.PslFixture
+          .map(sfx => s"('$sfx')").mkString(", ")
+        val maxS = graft.llm.Url.PslFixture
+          .map(_.count(_ == '.') + 1).max
+        val ladder = (maxS to 1 by -1).map { s =>
+          s"""WHEN n >= $s AND array_to_string(
+             |    list_slice(ls, -$s, -1), '.') IN (SELECT suffix FROM psl)
+             |  THEN $s""".stripMargin
+        }.mkString("\n", "\n", "\nELSE 0")
+        s"""WITH u AS MATERIALIZED (
+           |  SELECT doc_id, $urlCaseSql AS url FROM documents),
+           |psl(suffix) AS (VALUES $pslVals),
+           |h AS (SELECT doc_id,
+           |  regexp_replace(${urlHostSql("url")}, '^www\\.', '') AS host
+           |  FROM u),
+           |m AS (SELECT doc_id, host, string_split(host, '.') AS ls,
+           |  len(string_split(host, '.')) AS n FROM h),
+           |mm AS (SELECT doc_id, host, ls, n,
+           |  CASE $ladder END AS s FROM m)
+           |SELECT doc_id, host,
+           |  CASE WHEN regexp_matches(host, '^[0-9]+(\\.[0-9]+){3}$$')
+           |         OR contains(host, ':') OR n <= 1 THEN host
+           |    WHEN s = 0 THEN CASE WHEN n <= 2 THEN host
+           |      ELSE array_to_string(list_slice(ls, -2, -1), '.') END
+           |    WHEN s = n THEN host
+           |    ELSE array_to_string(list_slice(ls, -(s+1), -1), '.')
+           |  END AS domain
+           |FROM mm ORDER BY doc_id""".stripMargin
+      },
 
       // recall@5: brute-force ground truth vs the full IVF replay (the
       // same ivfOracleSql the q_simsearch_ivf oracle runs), joined on

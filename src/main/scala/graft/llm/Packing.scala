@@ -95,9 +95,18 @@ object Packing {
           f"$path/shard-$cur%05d.bin")
         val fs = tmp.getFileSystem(conf)
         // rename is atomic per-FS; if a concurrent attempt already
-        // committed the (byte-identical) final file, drop the temp
+        // committed the (byte-identical) final file, drop the temp.
+        // A failed rename with NO committed final file must fail the
+        // task — deleting the temp there would emit a manifest row for
+        // a shard that does not exist on disk.
         fs.delete(fin, false)
-        if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+        if (!fs.rename(tmp, fin)) {
+          if (fs.exists(fin)) fs.delete(tmp, false)
+          else throw new java.io.IOException(
+            s"writeBinShards: rename $tmp -> $fin failed and no " +
+            "concurrent attempt committed the shard; failing the task " +
+            "so Spark retries instead of manifesting a missing file")
+        }
         out += ((cur, nRows, nToks, crc.getValue))
         stream = null
       }

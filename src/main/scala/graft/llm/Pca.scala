@@ -74,7 +74,12 @@ object Pca {
       max(size(col("q"))).as("mx"),
       max(aggregate(col("q"), lit(0L),
         (a, x) => greatest(a, abs(x)))).as("mq"),
-      count(lit(1)).as("n"),
+      // count NON-NULL vectors only: both Gram paths skip whole-null
+      // vectors (explode semantics / the kernel's null check), so a
+      // count(lit(1)) that included them would divide the moments by
+      // an inflated n — the same silent deflation the null-ELEMENT
+      // check below refuses
+      count(col("q")).as("n"),
       // null ELEMENTS refuse loudly in both Gram paths: the kernel's
       // encoder would NPE on them, and the declarative sum would
       // silently skip them (deflating the moments) — neither is an

@@ -66,6 +66,82 @@ object Url {
       .otherwise(last2))
   }
 
+  /** Committed fixture SUBSET of the Public Suffix List
+    * (publicsuffix.org — the real list is ~9k rules and lives as DATA,
+    * refreshed out-of-band; this subset covers the shapes the tests and
+    * synthesized corpus exercise: plain TLDs, 2-label and 3-label
+    * suffixes). Single source of truth for BOTH engines: the default
+    * Spark-side suffix frame and the DuckDB oracle's inline VALUES list
+    * are generated from this one Seq. */
+  val PslFixture: Seq[String] = Seq(
+    // plain TLDs
+    "com", "org", "net", "edu", "gov", "io", "uk", "au", "jp", "br",
+    "cn", "in", "kr", "mx", "nz", "sg", "tr", "za", "us", "de", "fr",
+    // 2-label public suffixes
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "co.in", "co.kr",
+    "com.mx", "co.nz", "com.sg", "com.tr", "co.za",
+    // 3-label public suffixes (PSL has many of these; e.g. the
+    // US K-12 and Japanese geographic blocks)
+    "k12.ma.us", "cc.ca.us", "lib.tx.us", "city.kobe.jp", "pref.kyoto.jp")
+
+  /** [[PslFixture]] as the one-column `suffix` DataFrame
+    * [[registeredDomainPsl]] takes — swap in the full list (a ~9k-row
+    * frame read from wherever the refreshed PSL lands) at this seam. */
+  def pslFixtureDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    PslFixture.toDF("suffix")
+  }
+
+  /** PSL-faithful registered domain with the suffix list AS DATA
+    * (round-8 verdict task #4 — [[MultiLabelSuffixes]] is the
+    * hardcoded-subset fast path; this is the fidelity path): longest
+    * suffix match via K chained BROADCAST left joins (K = max labels in
+    * the suffix list — map-only, no explode, no shuffle, the shape that
+    * survives a 100 TB corpus), registered domain = matched suffix plus
+    * one label.
+    *
+    * Rule semantics (plain-rule subset — PSL wildcard `*.foo` and
+    * exception `!bar.foo` rules are out of scope for the fixture):
+    *  - IP-literal hosts and dot-free hosts pass through;
+    *  - no suffix matches → the PSL implicit `*` default: the last
+    *    label is the suffix, so the registered domain is the last TWO
+    *    labels (hosts with ≤ 2 labels pass through);
+    *  - the whole host IS a public suffix → pass through (no
+    *    registrable domain to roll up to);
+    *  - else the last `s+1` labels, `s` = longest match. */
+  def registeredDomainPsl(df: DataFrame, hostCol: String,
+                          suffixes: DataFrame, out: String = "domain")
+      : DataFrame = {
+    val maxS = suffixes
+      .agg(max(size(split(col("suffix"), "\\.")))).head().getInt(0)
+    require(maxS >= 1 && maxS <= 8, s"suspicious suffix list: maxS=$maxS")
+    val labels = split(col(hostCol), "\\.")
+    val n      = size(labels)
+    val isIp = col(hostCol).rlike("^[0-9]+(\\.[0-9]+){3}$") ||
+      col(hostCol).contains(":")
+    var cur = df
+    for (s <- 1 to maxS) {
+      val cand = when(n >= s, concat_ws(".", slice(labels, -s, s)))
+      cur = cur.join(
+        broadcast(suffixes.select(col("suffix").as(s"__psl_$s"))),
+        cand === col(s"__psl_$s"), "left")
+    }
+    // longest match wins: the fold wraps so s = maxS is checked first
+    val matched = (1 to maxS).foldLeft(lit(0)) { (acc, s) =>
+      when(col(s"__psl_$s").isNotNull, lit(s)).otherwise(acc)
+    }
+    val dom = when(isIp || n <= 1, col(hostCol))
+      .when(matched === 0,
+        when(n <= 2, col(hostCol))
+          .otherwise(concat_ws(".", slice(labels, -2, 2))))
+      .when(matched === n, col(hostCol))
+      .otherwise(concat_ws(".",
+        slice(labels, -(matched + lit(1)), matched + lit(1))))
+    cur.withColumn(out, dom)
+      .drop((1 to maxS).map(s => s"__psl_$s"): _*)
+  }
+
   /** Canonical URL: fragment stripped, scheme + host lower-cased (scheme
     * defaults to `http` when absent), userinfo dropped, default ports
     * (http:80 / https:443) removed, empty path normalized to `/`. Path +

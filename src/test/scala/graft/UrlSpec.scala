@@ -48,6 +48,53 @@ class UrlSpec extends SparkSpec {
     assert(v6 == "2001:db8::1")
   }
 
+  test("registeredDomainPsl: longest suffix wins, default * rule for " +
+    "unknown TLDs, whole-host-is-suffix and IPs pass through") {
+    val hosts = Seq(
+      "a.b.example.co.uk",     // 2-label suffix → example.co.uk
+      "school.k12.ma.us",      // 3-label suffix → school.k12.ma.us? no:
+                               // suffix k12.ma.us + 1 label = itself? it
+                               // IS suffix+1 → school.k12.ma.us
+      "deep.school.k12.ma.us", // → school.k12.ma.us
+      "deep.sub.example.com",  // 1-label suffix com → example.com
+      "example.zz",            // unmatched TLD → default * → example.zz
+      "a.b.example.zz",        // default * rule → example.zz
+      "co.uk",                 // the host IS a suffix → pass through
+      "localhost",             // dot-free → pass through
+      "192.168.0.1")           // IPv4 → pass through
+      .toDF("host")
+    val got = Url.registeredDomainPsl(hosts, "host",
+        Url.pslFixtureDf(spark))
+      .select("host", "domain").as[(String, String)].collect().toMap
+    assert(got("a.b.example.co.uk") == "example.co.uk")
+    assert(got("school.k12.ma.us") == "school.k12.ma.us")
+    assert(got("deep.school.k12.ma.us") == "school.k12.ma.us")
+    assert(got("deep.sub.example.com") == "example.com")
+    assert(got("example.zz") == "example.zz")
+    assert(got("a.b.example.zz") == "example.zz")
+    assert(got("co.uk") == "co.uk")
+    assert(got("localhost") == "localhost")
+    assert(got("192.168.0.1") == "192.168.0.1")
+  }
+
+  test("registeredDomainPsl agrees with the hardcoded registeredDomain " +
+    "on every synthesized corpus host (the fixture supersets " +
+    "MultiLabelSuffixes plus their TLDs)") {
+    val docs = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    val hosts = SparkEntry.queries("q_url_parse")(spark,
+      "/root/testdata/sf0.001")
+      .select(Url.stripWww(col("host")).as("host"), col("domain"))
+    val got = Url.registeredDomainPsl(
+        hosts.select("host"), "host", Url.pslFixtureDf(spark))
+      .select("host", "domain").distinct()
+      .as[(String, String)].collect().toMap
+    val expected = hosts.distinct().as[(String, String)].collect().toMap
+    assert(got.nonEmpty && docs.count() > 0)
+    assert(got == expected,
+      (got.toSet -- expected.toSet).take(5).toString)
+  }
+
   test("canonicalize: fragment, default ports, scheme default, empty path") {
     val got = parse(
       "HTTPS://u@Host.COM:443/Path?Q=1#frag", // drop user+443+frag, keep case of path
