@@ -2694,18 +2694,21 @@ object SparkEntry {
       // unpersisted, each read would re-run cleaning + decontamination
       // (measured 15s -> 2s at sf0.001; at 100 TB this materialization
       // is the difference between 1 pass and ~6 over the corpus).
-      // Verify/Bench queries leak this cache by design: the frame is
-      // survivor-sized and the session is short-lived.
-      val survivors = nonBench
+      // SCOPED cache (Ops.withPersisted): dropped when the result is
+      // materialized, so long-lived sessions reusing this operator
+      // don't accumulate survivor-sized caches; the result detaches
+      // via eager localCheckpoint per the helper's contract.
+      Ops.withPersisted(nonBench
         .join(contaminated, Seq("doc_id"), "left_anti")
-        .join(d.select("doc_id", "lang"), Seq("doc_id"))
-        .persist()
-      val scored = graft.llm.TextStats.nbQualityScore(survivors,
-        survivors.filter(col("lang") === "en"), "doc_id", "text",
-        "text", topV = 64)
-      survivors.select("doc_id", "n_lines_kept")
-        .join(scored, Seq("doc_id"))
-        .orderBy("doc_id")
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))) { survivors =>
+        val scored = graft.llm.TextStats.nbQualityScore(survivors,
+          survivors.filter(col("lang") === "en"), "doc_id", "text",
+          "text", topV = 64)
+        survivors.select("doc_id", "n_lines_kept")
+          .join(scored, Seq("doc_id"))
+          .orderBy("doc_id")
+          .localCheckpoint()
+      }
     }),
 
     // SQ8 scalar quantization: per-dim affine int8 codes against the

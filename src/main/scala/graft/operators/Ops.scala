@@ -401,6 +401,26 @@ object Ops {
       .drop("__assert")
   }
 
+  /** Scoped persist for multi-read stage boundaries: persist `df`, run
+    * `body` against the cached frame, ALWAYS unpersist on the way out —
+    * so a long-lived session (topology runner, notebook) reusing a
+    * pipeline operator does not accumulate cached frames with each
+    * invocation (the q_pipeline_ingest survivor cache used to leak by
+    * design; round-8 verdict task #8).
+    *
+    * Contract: whatever `body` returns must be DETACHED from the cached
+    * frame before returning — run the terminal action inside `body`, or
+    * return `result.localCheckpoint()` (eager) when the caller needs a
+    * DataFrame — because the cache is dropped the moment `body` returns
+    * and a still-lazy dependent plan would silently recompute the whole
+    * upstream per downstream action (the exact cost the persist paid
+    * for). */
+  def withPersisted[T](df: DataFrame)(body: DataFrame => T): T = {
+    val p = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(p) finally p.unpersist(blocking = false)
+  }
+
   /** rxsci `tee_map`: run several branch pipelines over the same stream and
     * merge their (schema-aligned) outputs — multiplex/demultiplex. The
     * shared scan is planned once per branch by Catalyst; wrap the input in

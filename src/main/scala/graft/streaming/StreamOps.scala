@@ -9,6 +9,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * key/value in and join results back by key+window.) */
 case class KeyedEvent(key: String, seq: Long, value: Double)
 
+/** [[KeyedEvent]] with an event-time ordering key: `ts` orders rows
+  * WITHIN a micro-batch (ties to `seq`) when the transport does not
+  * deliver in sequence order — the `roll_order: event_time` contract. */
+case class KeyedTsEvent(key: String, ts: Long, seq: Long, value: Double)
+
 /** Emitted when a count window closes. */
 case class WindowAgg(key: String, window_id: Long, n: Long,
                      sum: Double, mean: Double)
@@ -30,7 +35,34 @@ case class RollState(nextIdx: Long, open: List[(Long, Long, Double)])
   * gives this per partition; with event-time ordering needed, sort within
   * micro-batch upstream). State is O(window/stride) per key — bounded.
   */
-object StreamOps {
+object StreamOps extends Serializable {
+
+  /** The count-window fold shared by both ordering modes: consume this
+    * micro-batch's values for one key IN ORDER, open a window at every
+    * stride boundary, close (emit) each window on its `window`-th row.
+    * State stays the O(window/stride) open-window ring. */
+  private def foldWindows(key: String, values: Iterator[Double],
+                          st0: RollState, window: Int, stride: Int)
+      : (RollState, List[WindowAgg]) = {
+    var st = st0
+    val out = scala.collection.mutable.ListBuffer[WindowAgg]()
+    values.foreach { v =>
+      val i = st.nextIdx
+      // open a new window when i is a stride boundary
+      val opened =
+        if (i % stride == 0) st.open :+ ((i / stride, 0L, 0.0))
+        else st.open
+      // add this row to every open window it belongs to, close full ones
+      val (closed, stillOpen) = opened.map { case (k, n, s) =>
+        (k, n + 1, s + v)
+      }.partition(_._2 == window)
+      closed.foreach { case (k, n, s) =>
+        out += WindowAgg(key, k, n, s, s / n)
+      }
+      st = RollState(i + 1, stillOpen)
+    }
+    (st, out.toList)
+  }
 
   def rollStream(events: Dataset[KeyedEvent], window: Int, stride: Int)
       : Dataset[WindowAgg] = {
@@ -39,23 +71,38 @@ object StreamOps {
 
     def step(key: String, rows: Iterator[KeyedEvent],
              state: GroupState[RollState]): Iterator[WindowAgg] = {
-      var st = state.getOption.getOrElse(RollState(0L, Nil))
-      val out = scala.collection.mutable.ListBuffer[WindowAgg]()
-      rows.toSeq.sortBy(_.seq).foreach { ev =>
-        val i = st.nextIdx
-        // open a new window when i is a stride boundary
-        val opened =
-          if (i % stride == 0) st.open :+ ((i / stride, 0L, 0.0))
-          else st.open
-        // add this row to every open window it belongs to, close full ones
-        val (closed, stillOpen) = opened.map { case (k, n, s) =>
-          (k, n + 1, s + ev.value)
-        }.partition(_._2 == window)
-        closed.foreach { case (k, n, s) =>
-          out += WindowAgg(key, k, n, s, s / n)
-        }
-        st = RollState(i + 1, stillOpen)
-      }
+      val (st, out) = foldWindows(key,
+        rows.toSeq.sortBy(_.seq).iterator.map(_.value),
+        state.getOption.getOrElse(RollState(0L, Nil)), window, stride)
+      state.update(st)
+      out.iterator
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(step)
+  }
+
+  /** [[rollStream]] with EVENT-TIME ordering inside each micro-batch:
+    * rows are consumed by `(ts, seq)` per key instead of `seq` — the
+    * `roll_order: event_time` contract for transports that deliver
+    * within-batch out of order (a multi-partition Kafka topic keyed
+    * differently than the roll key, a file source picking up files
+    * non-chronologically). CROSS-batch reordering is out of scope by
+    * design: an event whose ts sorts before an ALREADY-CONSUMED batch
+    * still lands after it (count windows consume rows exactly once;
+    * buffering across batches would need watermark-style state — use
+    * event-time windows, [[windowedAgg]], when that is the need). */
+  def rollStreamEventTime(events: Dataset[KeyedTsEvent], window: Int,
+                          stride: Int): Dataset[WindowAgg] = {
+    import events.sparkSession.implicits._
+    require(window > 0 && stride > 0)
+
+    def step(key: String, rows: Iterator[KeyedTsEvent],
+             state: GroupState[RollState]): Iterator[WindowAgg] = {
+      val (st, out) = foldWindows(key,
+        rows.toSeq.sortBy(e => (e.ts, e.seq)).iterator.map(_.value),
+        state.getOption.getOrElse(RollState(0L, Nil)), window, stride)
       state.update(st)
       out.iterator
     }
@@ -75,14 +122,30 @@ object StreamOps {
     * not carried — project-in is lossless for the operator's semantics.
     * Key is coerced to string, sequence to long, value to double. */
   def rollStreamRows(df: DataFrame, keyCol: String, seqCol: String,
-                     valueCol: String, window: Int, stride: Int)
-      : DataFrame = {
+                     valueCol: String, window: Int, stride: Int,
+                     orderByTsCol: String = ""): DataFrame = {
     import df.sparkSession.implicits._
-    val typed = df.select(
-      col(keyCol).cast("string").as("key"),
-      col(seqCol).cast("long").as("seq"),
-      col(valueCol).cast("double").as("value")).as[KeyedEvent]
-    rollStream(typed, window, stride).toDF()
+    if (orderByTsCol.isEmpty) {
+      val typed = df.select(
+        col(keyCol).cast("string").as("key"),
+        col(seqCol).cast("long").as("seq"),
+        col(valueCol).cast("double").as("value")).as[KeyedEvent]
+      rollStream(typed, window, stride).toDF()
+    } else {
+      // event-time ordering key: micros for timestamps (sub-second
+      // order preserved), plain long cast for numeric columns
+      val ts = df.schema(orderByTsCol).dataType match {
+        case _: org.apache.spark.sql.types.TimestampType =>
+          unix_micros(col(orderByTsCol))
+        case _ => col(orderByTsCol).cast("long")
+      }
+      val typed = df.select(
+        col(keyCol).cast("string").as("key"),
+        ts.as("ts"),
+        col(seqCol).cast("long").as("seq"),
+        col(valueCol).cast("double").as("value")).as[KeyedTsEvent]
+      rollStreamEventTime(typed, window, stride).toDF()
+    }
   }
 
   /** Event-time tumbling/sliding window aggregate with watermark — the

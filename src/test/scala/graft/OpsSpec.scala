@@ -470,4 +470,22 @@ class OpsSpec extends SparkSpec {
       assert(msgs(e).exists(m => m.contains("prioritySample")), e)
     }
   }
+
+  test("withPersisted: caches for the body's reads, ALWAYS unpersists " +
+    "on exit (normal return and exception), result stays correct") {
+    import org.apache.spark.storage.StorageLevel
+    val df = spark.range(100).toDF("id")
+    val got = Ops.withPersisted(df) { p =>
+      assert(p.storageLevel != StorageLevel.NONE, "not cached in body")
+      // two reads of the cached frame, detached result per the contract
+      p.count() + p.filter(col("id") < 10).count()
+    }
+    assert(got == 110L)
+    assert(df.storageLevel == StorageLevel.NONE, "cache leaked")
+    val df2 = spark.range(10).toDF("id")
+    intercept[RuntimeException] {
+      Ops.withPersisted(df2) { _ => throw new RuntimeException("boom") }
+    }
+    assert(df2.storageLevel == StorageLevel.NONE, "cache leaked on throw")
+  }
 }

@@ -95,6 +95,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollStreamEventTime: a micro-batch delivered OUT of event-time " +
+    "order consumes by (ts, seq) — same windows as in-order delivery; " +
+    "the factory wires it via roll_order: event_time") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.KeyedTsEvent
+    val in = MemoryStream[KeyedTsEvent]
+    val q = StreamOps.rollStreamEventTime(in.toDS(), window = 3,
+        stride = 3)
+      .writeStream.format("memory").queryName("roll_et")
+      .outputMode("append").start()
+    try {
+      // ONE batch, shuffled arrival order: ts 30,10,20 / 60,40,50.
+      // seq-order consumption would produce means over arrival order
+      // ((3+1+2)/3 = 2.0 either way for the sum, but window MEMBERSHIP
+      // differs when a window boundary splits the batch) — drive values
+      // where the distinction shows: value = ts/10
+      in.addData(
+        KeyedTsEvent("k", 30L, 1L, 3.0), KeyedTsEvent("k", 10L, 2L, 1.0),
+        KeyedTsEvent("k", 20L, 3L, 2.0), KeyedTsEvent("k", 60L, 4L, 6.0),
+        KeyedTsEvent("k", 40L, 5L, 4.0))
+      q.processAllAvailable()
+      // event-time order: 10,20,30 | 40,60(open) → first window closes
+      // with mean 2.0; second stays open (2 of 3 rows)
+      val got1 = spark.table("roll_et")
+        .orderBy("window_id").select("mean").as[Double].collect().toSeq
+      assert(got1 == Seq(2.0))
+      // the open window's NEXT row arrives in a later batch with an
+      // EARLIER ts (50 < 60): within-batch ordering cannot reorder
+      // against already-consumed rows — it closes the window as-is
+      in.addData(KeyedTsEvent("k", 50L, 6L, 5.0))
+      q.processAllAvailable()
+      val got2 = spark.table("roll_et")
+        .orderBy("window_id").select("mean").as[Double].collect().toSeq
+      assert(got2 == Seq(2.0, 5.0)) // (4+6+5)/3
+    } finally q.stop()
+    // the YAML face: ties of equal ts break by seq
+    val in2 = MemoryStream[(String, Long, Long, Double)]
+    val df = in2.toDF().toDF("k", "t", "s", "v")
+    val q2 = graft.streaming.ops.Roll(
+      Map("roll_key" -> "k", "roll_seq" -> "s", "roll_value" -> "v",
+        "roll_window" -> "2", "roll_order" -> "event_time",
+        "roll_ts" -> "t"), Seq(df)).head
+      .writeStream.format("memory").queryName("roll_et2")
+      .outputMode("append").start()
+    try {
+      in2.addData(("k", 5L, 2L, 20.0), ("k", 5L, 1L, 10.0),
+        ("k", 9L, 3L, 30.0), ("k", 7L, 4L, 40.0))
+      q2.processAllAvailable()
+      // order: (5,1)=10, (5,2)=20 | (7,4)=40, (9,3)=30
+      val got = spark.table("roll_et2")
+        .orderBy("window_id").select("mean").as[Double].collect().toSeq
+      assert(got == Seq(15.0, 35.0))
+    } finally q2.stop()
+    // refusals: event_time without roll_ts; unknown roll_order
+    val e1 = intercept[IllegalArgumentException](graft.streaming.ops.Roll(
+      Map("roll_order" -> "event_time"), Seq(spark.range(1).toDF())))
+    assert(e1.getMessage.contains("roll_ts"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](graft.streaming.ops.Roll(
+      Map("roll_order" -> "bogus"), Seq(spark.range(1).toDF())))
+    assert(e2.getMessage.contains("roll_order"), e2.getMessage)
+  }
+
   test("rollStream: sliding windows (stride < window) overlap correctly") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedEvent]
