@@ -2080,9 +2080,10 @@ object SparkEntry {
     // end to end (shard assignment, positions and all)
     "q_pipeline_export" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+      // gate via the fused GopherAdmit kernel — one scalar pass, no
+      // tokens array, no optimizer re-inlining (round-9 plan scan)
       val gated = d
-        .withColumn("__ts", Text.tokens(col("text")))
-        .filter(graft.llm.TextStats.gopherKeepOf(col("__ts")))
+        .filter(graft.functions.GopherAdmit(col("text")) >= 0L)
         .select(col("doc_id"), col("source"), col("n_chars"))
       gated >>
         Ops.sampleToBudget(col("doc_id"), col("source"), col("n_chars"),
@@ -2102,18 +2103,18 @@ object SparkEntry {
       val ref = d.filter(col("doc_id") % 7 === 0)
         .select(col("text").as("rtext"))
       val fresh = Dedup.dedupAgainst(norm, ref, "doc_id", "text", "rtext")
-      // inline quality gate over one materialized token array — no
+      // inline quality gate via the fused GopherAdmit kernel — no
       // metrics frame joined back on doc_id (that self-join would be a
-      // corpus-sized shuffle at scale); the same tokens then feed the
-      // final count, so the doc is tokenized exactly once
+      // corpus-sized shuffle at scale); the kernel's admit value IS the
+      // token count the final rollup sums, so the doc is scanned once
       val good = fresh
-        .withColumn("__ts", Text.tokens(col("text")))
-        .filter(graft.llm.TextStats.gopherKeepOf(col("__ts")))
+        .withColumn("__nt", graft.functions.GopherAdmit(col("text")))
+        .filter(col("__nt") >= 0L)
       val mixed = Ops.mixSample(col("doc_id"), col("source"),
         Map("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.75)(good)
       mixed.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(size(col("__ts")).cast("long")).as("total_tokens"))
+          sum(col("__nt")).as("total_tokens"))
         .orderBy("lang")
     }),
 
@@ -2943,15 +2944,19 @@ object SparkEntry {
         .select(col("domain"), col("doc_id"))
       val withText = capped.join(
         docs.select(col("doc_id"), col("text")), "doc_id")
+      // gate + count in ONE fused kernel scalar (GopherAdmit): the
+      // projected-tokens + HOF-predicate formulation re-inlined the
+      // interpreted tokenize into the pushed filter 12x per row and 35x
+      // across this plan (round-9 plan scan); the fingerprint is the
+      // native regexp form of md5(join(tokens)) — same bytes, no array
       val good = withText
-        .withColumn("__ts", Text.tokens(col("text")))
-        .filter(graft.llm.TextStats.gopherKeepOf(col("__ts")))
-        .withColumn("__fp",
-          substring(md5(array_join(col("__ts"), " ")), 1, 16))
+        .withColumn("n_tokens", graft.functions.GopherAdmit(col("text")))
+        .filter(col("n_tokens") >= 0L)
+        .withColumn("__fp", Text.fingerprint(col("text")))
       val deduped = good
         .groupBy("__fp")
         .agg(min(struct(col("doc_id"), col("domain"),
-          Text.nTokensOf(col("__ts")).as("n_tokens"))).as("r"))
+          col("n_tokens"))).as("r"))
         .select(col("r.domain").as("domain"),
           col("r.n_tokens").as("n_tokens"))
       deduped.groupBy("domain")
@@ -3379,10 +3384,11 @@ object SparkEntry {
         .driftByStratum(snap, "source", "text", ref, "text")
         .withColumnRenamed("stratum", "source")
       val card = snap
-        .select(col("source"), Text.tokens(col("text")).as("__ts"))
+        .select(col("source"),
+          graft.functions.GopherAdmit(col("text")).as("__ga"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          sum(when(graft.llm.TextStats.gopherKeepOf(col("__ts")), 1L)
+          sum(when(col("__ga") >= 0L, 1L)
             .otherwise(0L)).as("n_gopher_pass"))
       card.join(drift, "source")
         .select("source", "n_docs", "n_gopher_pass", "n_a", "n_b",

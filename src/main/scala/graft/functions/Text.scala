@@ -13,8 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace tokenization after lowercasing + trim. */
-  def tokens(text: Column): Column =
+  /** Whitespace tokenization after lowercasing + trim — executes as the
+    * native single-pass [[Tokens]] kernel (the declarative
+    * `filter(split(lower(trim(text)), "\\s+"), len > 0)` form is two
+    * CodegenFallback HOF passes that Catalyst re-inlines into every
+    * referencing predicate; [[tokensHof]] keeps it as the semantic spec
+    * the equivalence test pins against). */
+  def tokens(text: Column): Column = Tokens(text)
+
+  /** The declarative formulation [[tokens]] is bit-equivalent to —
+    * kept as the executable spec for TextKernelSpec's corpus-wide pin
+    * (and the shape the DuckDB oracles replay). */
+  private[graft] def tokensHof(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
   /** BPE-ish sub-word token count: runs of alphanumerics count as one token,
@@ -224,7 +234,13 @@ object Text {
     * hex chars of md5 (engine-portable, oracle-checkable). Collision odds at
     * 64 bits are fine for dedup bucketing; use full sha256 for addressing. */
   def fingerprint(text: Column): Column =
-    substring(md5(array_join(tokens(text), " ")), 1, 16)
+    // `trim(regexp_replace(lower(text), "\\s+", " "))` is byte-equal to
+    // `array_join(tokens(text), " ")` (whitespace runs → one space,
+    // ends stripped — after the replace, ends are 0x20 runs, exactly
+    // what trim removes) but runs as THREE native codegen string ops
+    // with no array materialization; equality pinned corpus-wide in
+    // TextKernelSpec
+    substring(md5(trim(regexp_replace(lower(text), "\\s+", " "))), 1, 16)
 
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",

@@ -226,15 +226,17 @@ object TextStats {
   def bigramLikelihood(df: DataFrame, idCol: String, textCol: String,
       topV: Int = 10000, topB: Int = 30000): DataFrame = {
     require(topV > 0 && topB > 0, "topV and topB must be positive")
+    // tokenize + pair in ONE native pass (graft.functions.TokenPairs):
+    // the HOF transform-over-projected-tokens form re-inlined the
+    // interpreted tokenize into every downstream branch (24
+    // instantiations in q_lm_buckets' optimized plan, round-9 scan);
+    // docs with < 2 tokens yield an empty array — explode drops them,
+    // exactly the rows the old size>=2 prefilter kept
     val pairs = df
-      .select(col(idCol), Text.tokens(col(textCol)).as("__ts"))
-      .filter(size(col("__ts")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(__ts) - 1), i -> struct(" +
-          "element_at(__ts, i) AS w1, " +
-          "concat(element_at(__ts, i), chr(1), element_at(__ts, i + 1))" +
-          " AS bg))")).as("__p"))
-      .select(col(idCol), col("__p.w1").as("__w1"), col("__p.bg").as("__bg"))
+      .select(col(idCol),
+        explode(graft.functions.TokenPairs(col(textCol))).as("__p"))
+      .select(col(idCol), col("__p.w1").as("__w1"),
+        concat(col("__p.w1"), lit("\u0001"), col("__p.w2")).as("__bg"))
     // ONE count pass feeds both model tables: __bg determines __w1
     // (its chr(1)-prefix), so c1(w1) = Σ_bg cb exactly equals the
     // direct per-__w1 pair count — and because both top-K branches now
@@ -320,13 +322,10 @@ object TextStats {
       discountNum < discountDen,
       s"discount must satisfy 0 <= num < den: $discountNum/$discountDen")
     val dec = "decimal(38,0)"
+    // one native tokenize+pair pass per scan (see bigramLikelihood)
     val pairs = df
-      .select(col(idCol), Text.tokens(col(textCol)).as("__ts"))
-      .filter(size(col("__ts")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(__ts) - 1), i -> struct(" +
-          "element_at(__ts, i) AS w1, element_at(__ts, i + 1) AS w2))"))
-        .as("__p"))
+      .select(col(idCol),
+        explode(graft.functions.TokenPairs(col(textCol))).as("__p"))
       .select(col(idCol), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
     // four downstream branches (w1s, w2s, tot, the scoring join) hang
     // off this topB-row frame; its corpus-side exchange is identical
@@ -555,10 +554,8 @@ object TextStats {
     val uni = toks.select(explode(col("__ts")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val nTok = uni.agg(sum(col("c")).as("__n"))
-    val pairs = toks.filter(size(col("__ts")) >= 2)
-      .select(explode(expr(
-        "transform(slice(__ts, 1, size(__ts) - 1), " +
-          "(x, i) -> struct(x AS w1, __ts[i + 1] AS w2))")).as("p"))
+    val pairs = df
+      .select(explode(graft.functions.TokenPairs(col(textCol))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)

@@ -41,7 +41,11 @@ object CardOp extends OperatorFactory {
     val df = sources.head
     val staged0 = df.select(Seq(col(tsCol).as("__ts")) ++
       dims.map(col) ++ Seq(
-        Text.tokens(col(textCol)).as("__toks"),
+        Text.nTokensOf(Text.tokens(col(textCol))).cast("long")
+          .as("__ntok"),
+        // fused gate kernel (n_tokens-or-−1) replaces the HOF
+        // gopherKeepOf pass — same decision, one byte scan
+        graft.functions.GopherAdmit(col(textCol)).as("__ga"),
         Text.fingerprint(col(textCol)).as("__fp"),
         length(col(textCol)).cast("long").as("__nc")): _*)
     val staged = if (df.isStreaming)
@@ -49,9 +53,9 @@ object CardOp extends OperatorFactory {
     val out = staged
       .groupBy(window(col("__ts"), win).as("__win") +: dims.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("__toks")).cast("long")).as("n_tokens"),
+        sum(col("__ntok")).as("n_tokens"),
         sum(col("__nc")).as("n_chars"),
-        sum(when(graft.llm.TextStats.gopherKeepOf(col("__toks")), 1L)
+        sum(when(col("__ga") >= 0L, 1L)
           .otherwise(0L)).as("n_gopher_pass"),
         approx_count_distinct(col("__fp")).as("approx_distinct"))
       .select(Seq(col("__win.start").as("window_start")) ++

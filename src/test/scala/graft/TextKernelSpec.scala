@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Pins the native text kernels to the declarative formulations they
+  * replaced — corpus-wide on the documents table and on adversarial
+  * edge strings. The declarative forms are the semantic spec (they are
+  * what the DuckDB oracles replay); the kernels are the execution
+  * shape. */
+class TextKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edges: Seq[(Long, String)] = Seq(
+    1L -> "plain words here",
+    2L -> "  leading and trailing   ",
+    3L -> "tabs\tand\nnewlines\rall six",
+    4L -> "MIXED Case LOWERS",
+    5L -> "café über straße 東京", // multibyte
+    6L -> "", // empty
+    7L -> " \t\n ", // whitespace only
+    8L -> "one", // single token
+    9L -> "a  b   c", // space runs
+    10L -> null)
+
+  test("Tokens kernel == filter(split(lower(trim))) corpus-wide: same " +
+    "arrays, same schema") {
+    val docs = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    val both = docs.select(col("doc_id"),
+      Text.tokens(col("text")).as("k"),
+      Text.tokensHof(col("text")).as("h"))
+    assert(both.schema("k").dataType == both.schema("h").dataType)
+    val bad = both.filter(not(col("k") <=> col("h"))).count()
+    assert(bad == 0L, s"$bad documents tokenize differently")
+  }
+
+  test("Tokens kernel == HOF on edge strings (whitespace variety, " +
+    "multibyte, empty, null)") {
+    val df = edges.toDF("id", "text")
+    val rows = df.select(
+        Text.tokens(col("text")).as("k"),
+        Text.tokensHof(col("text")).as("h"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (k, h) => assert(k == h, s"k=$k h=$h") }
+    // null text → null array on both
+    val nulls = df.filter(col("text").isNull)
+      .select(Text.tokens(col("text")).isNull,
+        Text.tokensHof(col("text")).isNull)
+      .as[(Boolean, Boolean)].head()
+    assert(nulls == ((true, true)))
+  }
+
+  test("TokenPairs kernel == transform(sequence)-over-tokens corpus-" +
+    "wide: same pair stream, docs with < 2 tokens vanish on both") {
+    val docs = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+      .unionByName(edges.toDF("doc_id", "text"))
+    def hofPairs(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), Text.tokensHof(col("text")).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(__ts) - 1), i -> struct(" +
+          "element_at(__ts, i) AS w1, element_at(__ts, i + 1) AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    def kernelPairs(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"),
+        explode(graft.functions.TokenPairs(col("text"))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val h = hofPairs(docs).groupBy("doc_id", "w1", "w2")
+      .count().as[(Long, String, String, Long)].collect().toSet
+    val k = kernelPairs(docs).groupBy("doc_id", "w1", "w2")
+      .count().as[(Long, String, String, Long)].collect().toSet
+    assert(h.nonEmpty && h == k,
+      s"only-hof=${(h -- k).take(3)} only-kernel=${(k -- h).take(3)}")
+  }
+
+  test("fingerprint (regexp form) == md5(array_join(tokens)) corpus-" +
+    "wide and on edges") {
+    def hofFp(c: org.apache.spark.sql.Column) =
+      substring(md5(array_join(Text.tokensHof(c), " ")), 1, 16)
+    val docs = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    val bad = docs.select(Text.fingerprint(col("text")).as("f"),
+        hofFp(col("text")).as("g"))
+      .filter(not(col("f") <=> col("g"))).count()
+    assert(bad == 0L)
+    val badE = edges.toDF("id", "text")
+      .select(Text.fingerprint(col("text")).as("f"),
+        hofFp(col("text")).as("g"))
+      .filter(not(col("f") <=> col("g"))).count()
+    assert(badE == 0L)
+  }
+}
