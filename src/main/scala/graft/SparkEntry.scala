@@ -80,16 +80,34 @@ object SparkEntry {
         pmod(col("doc_id"), lit(200)).cast("string"), lit("/d/"), id))
   }
 
-  /** Fixed per-(JVM, sfDir) scratch path, overwritten each run — a
-    * fresh createTempDirectory per invocation would leak a copy per
-    * run (round-7 ADVICE). Keyed on the FULL sanitized sfDir plus the
-    * JVM pid, not a 32-bit hashCode: two sfDir strings cannot collide,
-    * and two concurrent JVMs on one sfDir never race overwrite-writes
-    * against each other's reads (round-8 ADVICE). */
-  private def scratchDir(prefix: String, dir: String): String =
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+  /** Fixed per-(JVM, sfDir) scratch path, overwritten each run within
+    * the JVM and DELETED at JVM exit (shutdown hook) — a fresh
+    * createTempDirectory per invocation leaked a copy per RUN (round-7
+    * ADVICE), and a pid-keyed path without the hook would leak a copy
+    * per JVM. Keyed on the sanitized sfDir plus its hash (sanitizing
+    * alone can collide: "/a/b" vs "_a_b") plus the JVM pid, so two
+    * concurrent JVMs on one sfDir never race overwrite-writes against
+    * each other's reads (round-8 ADVICE). */
+  private val scratchRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def scratchDir(prefix: String, dir: String): String = {
+    val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"${prefix}_pid${ProcessHandle.current().pid()}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    if (scratchRegistered.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          val root = java.nio.file.Paths.get(path)
+          if (java.nio.file.Files.exists(root)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        } catch { case _: Throwable => () })) // exit must never fail
+    path
+  }
 
   // ---- URL-curation SQL macros (mirror llm/Url.scala bit-for-bit) ----
 

@@ -133,11 +133,22 @@ object StreamOps extends Serializable {
       rollStream(typed, window, stride).toDF()
     } else {
       // event-time ordering key: micros for timestamps (sub-second
-      // order preserved), plain long cast for numeric columns
+      // order preserved; NTZ via a session-tz cast — monotone under a
+      // fixed-offset session tz, which this engine pins to UTC), plain
+      // long cast for integrals. Anything else refuses loudly — a
+      // silent cast("long") on an unexpected type would truncate to
+      // whole seconds and discard exactly the sub-second order this
+      // mode exists to honor.
+      import org.apache.spark.sql.types._
       val ts = df.schema(orderByTsCol).dataType match {
-        case _: org.apache.spark.sql.types.TimestampType =>
-          unix_micros(col(orderByTsCol))
-        case _ => col(orderByTsCol).cast("long")
+        case _: TimestampType => unix_micros(col(orderByTsCol))
+        case _: TimestampNTZType =>
+          unix_micros(col(orderByTsCol).cast("timestamp"))
+        case _: LongType | _: IntegerType | _: ShortType | _: ByteType =>
+          col(orderByTsCol).cast("long")
+        case other => throw new IllegalArgumentException(
+          s"roll event-time column '$orderByTsCol' must be a timestamp " +
+            s"or integral type, got ${other.catalogString}")
       }
       val typed = df.select(
         col(keyCol).cast("string").as("key"),

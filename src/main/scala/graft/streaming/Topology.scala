@@ -379,6 +379,30 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     else static ++ latestConfig(spark, op.configTopic)
   }
 
+  /** ONE producer per topic, validated before anything runs: the relay
+    * map is single-valued, so a second producer would silently
+    * overwrite the first and downstream consumers would see only one of
+    * them (round-8 verdict #2) — and two foreachBatch writers appending
+    * one parquet topic would interleave files. The reference's Kafka
+    * substrate would interleave producers into the topic; that semantic
+    * needs an explicit merge stage, not a last-writer-wins race. Called
+    * over the FULL operator list in runStream (static + dynamic — the
+    * wire() call there only sees the static subset) and via wire() for
+    * batch. */
+  private def requireSingleProducers(ops: Seq[OperatorSpec]): Unit = {
+    val dupProducers = ops.flatMap(op => op.sinks.map(_ -> op.name))
+      .groupBy(_._1).filter(_._2.sizeIs > 1)
+    require(dupProducers.isEmpty,
+      "duplicate producers for sink topic(s): " +
+        dupProducers.toSeq.sortBy(_._1).map { case (t, prods) =>
+          s"'$t' <- [${prods.map(_._2).mkString(", ")}]"
+        }.mkString("; ") +
+        " — each topic takes exactly ONE producing operator; to " +
+        "interleave several producers, union them through an explicit " +
+        "merge operator (e.g. ops.JoinOp/SqlOp UNION ALL) into the " +
+        "shared topic")
+  }
+
   /** Wire the operator DAG in TOPOLOGICAL order (the reference's selling
     * point is arbitrary operator chains over shared topics,
     * makinage/operator.py:162-279). A topic produced by one operator and
@@ -409,23 +433,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
                    relay: (TopicSpec, DataFrame) => DataFrame =
                      (_, df) => df)
       : Seq[(TopicSpec, DataFrame)] = {
-    // ONE producer per topic, validated before anything runs: the relay
-    // map is single-valued, so a second producer would silently
-    // overwrite the first and downstream consumers would see only one
-    // of them (round-8 verdict #2). The reference's Kafka substrate
-    // would interleave both producers into the topic — that semantic
-    // needs an explicit merge stage here, not a last-writer-wins race.
-    val dupProducers = ops.flatMap(op => op.sinks.map(_ -> op.name))
-      .groupBy(_._1).filter(_._2.sizeIs > 1)
-    require(dupProducers.isEmpty,
-      "duplicate producers for sink topic(s): " +
-        dupProducers.toSeq.sortBy(_._1).map { case (t, prods) =>
-          s"'$t' <- [${prods.map(_._2).mkString(", ")}]"
-        }.mkString("; ") +
-        " — each topic takes exactly ONE producing operator; to " +
-        "interleave several producers, union them through an explicit " +
-        "merge operator (e.g. ops.JoinOp/SqlOp UNION ALL) into the " +
-        "shared topic")
+    requireSingleProducers(ops)
     val producedNames = ops.flatMap(_.sinks)
       .filter(n => chainable(topic(n))).toSet
     val produced = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -575,6 +583,10 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
   def runStream(spark: SparkSession, checkpointRoot: String)
       : Seq[StreamingQuery] = try {
     val (dynamic, static) = operators.partition(_.configTopic.nonEmpty)
+    // over ALL operators: the wire() call below only sees the static
+    // subset, which would let two dynamic operators (or a static plus
+    // a dynamic) race on one sink topic unchecked
+    requireSingleProducers(operators)
     // Validate EVERY dynamic operator's wiring up front, before any
     // query (static or dynamic) starts: these used to throw from
     // streamSource / the per-op requires only when the dynamic query
