@@ -3582,7 +3582,39 @@ object SparkEntry {
           |      UNION ALL SELECT * FROM vid)
           |ORDER BY doc_id""".stripMargin
 
-  def oracleSql: Map[String, String] = {
+  /** Oracles whose CTE chains need 256MB–>1GB in DuckDB 1.0 because the
+    * engine INLINES multi-referenced CTEs — every reference
+    * re-instantiates the entire upstream subtree, so a chain like
+    * res→asgc→cd each referenced twice multiplies the whole plan (the
+    * round-9 driver OOM: q_pq_ivf_residual failed to allocate 260KB on
+    * a 500-row input because its inlined plan needed a 256MB floor).
+    * These get every CTE rewritten `AS MATERIALIZED` at emission
+    * time: compute once, store the (tiny at oracle scale)
+    * intermediate. Row-sorted results verified identical for all 22 at
+    * sf0.01; memory floors drop to 32–128MB. Applied ONLY to this
+    * allowlist — materializing a single-reference CTE can cost more
+    * than streaming it, so the cheap default stays inlining. */
+  private val MaterializedCteOracles: Set[String] = Set(
+    "q_adjacent_drift", "q_ann_mrr", "q_ann_recall", "q_dup_coverage",
+    "q_embed_against", "q_embed_neardup_lsh", "q_hits", "q_kmeans_fit",
+    "q_minhash_dedup", "q_pagerank", "q_pagerank_docs",
+    "q_pagerank_seeded", "q_pipeline_dedup", "q_pipeline_ingest",
+    "q_pq_ivf_residual", "q_pq_search", "q_resample", "q_scd2",
+    "q_semantic_dedup_far", "q_simsearch_ivf", "q_simsearch_lsh",
+    "q_trim_spans")
+
+  // a CTE definition is the only place `<ident> AS (` appears in these
+  // oracles (derived-table aliases are `AS t(cols)` — ident AFTER the
+  // AS — and window/aggregate parens never follow a bare ident + AS)
+  private val CteDef = """\b([A-Za-z_][A-Za-z0-9_]*) AS \(""".r
+  private def materializeCtes(sql: String): String =
+    CteDef.replaceAllIn(sql, m => m.group(1) + " AS MATERIALIZED (")
+
+  def oracleSql: Map[String, String] = rawOracleSql.map { case (k, v) =>
+    if (MaterializedCteOracles(k)) k -> materializeCtes(v) else k -> v
+  }
+
+  private def rawOracleSql: Map[String, String] = {
     val allStops = sqlList(
       Text.stopwords.values.flatten.toSeq.distinct.sorted)
     val langs = Text.stopwords.keys.toSeq.sorted // de, en, es, fr

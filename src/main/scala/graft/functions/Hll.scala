@@ -94,6 +94,51 @@ object Hll {
   def estimate(regs: DataFrame, p: Int,
                groupCols: Seq[Column] = Nil): DataFrame = {
     val m = 1 << p
+    val (agged, est, vZero) = rawAgg(regs, p, groupCols)
+    val corrected = when(est <= lit(2.5 * m) && vZero > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / vZero.cast("double")))
+      .otherwise(est)
+    agged.select(
+      groupCols ++: Seq(
+        floor(corrected * lit(1000.0)).cast("bigint").as("est_millis"),
+        col("nonempty_buckets"),
+        col("register_sum")): _*)
+  }
+
+  /** Oracle-audit variant of [[estimate]] with ZERO libm exposure: emits
+    * the RAW harmonic estimate (`raw_est_millis` — one double literal,
+    * one integer→double cast, one divide, one multiply, one floor: all
+    * correctly-rounded IEEE ops, bit-identical on any engine) plus the
+    * branch selector `small_range` (exact comparison on those same
+    * doubles), instead of the corrected estimate. In the small-range
+    * regime the linear-counting correction `m·ln(m/V)` is a pure
+    * function of `nonempty_buckets` (V = m − nonempty), so hash-matching
+    * `nonempty_buckets` + `small_range` pins the corrected estimate
+    * exactly as strongly as emitting it — without betting the gate on
+    * JVM `Math.log` and libm `ln` agreeing in the last ulp (they
+    * measurably do not; see the class scaladoc). Use THIS shape for
+    * DuckDB-oracled queries whose cardinalities can dip below `2.5·m`;
+    * [[estimate]] remains the in-engine user-facing finisher. */
+  def estimateAudit(regs: DataFrame, p: Int,
+                    groupCols: Seq[Column] = Nil): DataFrame = {
+    val m = 1 << p
+    val (agged, est, vZero) = rawAgg(regs, p, groupCols)
+    agged.select(
+      groupCols ++: Seq(
+        floor(est * lit(1000.0)).cast("bigint").as("raw_est_millis"),
+        (est <= lit(2.5 * m) && vZero > 0).as("small_range"),
+        col("nonempty_buckets"),
+        col("register_sum")): _*)
+  }
+
+  /** Shared register-table aggregation + raw-estimate math for
+    * [[estimate]] and [[estimateAudit]]: the determinism-critical body
+    * lives ONCE so the two finishers cannot drift (round-9 advice).
+    * Returns the aggregated frame plus the raw-estimate and
+    * empty-bucket-count columns the finishers project differently. */
+  private def rawAgg(regs: DataFrame, p: Int, groupCols: Seq[Column])
+      : (DataFrame, Column, Column) = {
+    val m = 1 << p
     val k = 64 - p + 1 // max possible rho; fixed-point scale
     // Σ 2^(K-reg) over non-empty buckets, exactly, in DECIMAL(38,0).
     // (expr(): the DataFrame-API shiftleft only takes a literal shift;
@@ -122,56 +167,7 @@ object Hll {
     // alpha * m^2 * 2^K as one Scala-side double literal so the oracle
     // SQL can embed the identical constant (see oracle builder)
     val est = lit(rawNumerator(p)) / s
-    val corrected = when(est <= lit(2.5 * m) && vZero > 0,
-      lit(m.toDouble) * log(lit(m.toDouble) / vZero.cast("double")))
-      .otherwise(est)
-    agged.select(
-      groupCols ++: Seq(
-        floor(corrected * lit(1000.0)).cast("bigint").as("est_millis"),
-        col("nonempty_buckets"),
-        col("register_sum")): _*)
-  }
-
-  /** Oracle-audit variant of [[estimate]] with ZERO libm exposure: emits
-    * the RAW harmonic estimate (`raw_est_millis` — one double literal,
-    * one integer→double cast, one divide, one multiply, one floor: all
-    * correctly-rounded IEEE ops, bit-identical on any engine) plus the
-    * branch selector `small_range` (exact comparison on those same
-    * doubles), instead of the corrected estimate. In the small-range
-    * regime the linear-counting correction `m·ln(m/V)` is a pure
-    * function of `nonempty_buckets` (V = m − nonempty), so hash-matching
-    * `nonempty_buckets` + `small_range` pins the corrected estimate
-    * exactly as strongly as emitting it — without betting the gate on
-    * JVM `Math.log` and libm `ln` agreeing in the last ulp (they
-    * measurably do not; see the class scaladoc). Use THIS shape for
-    * DuckDB-oracled queries whose cardinalities can dip below `2.5·m`;
-    * [[estimate]] remains the in-engine user-facing finisher. */
-  def estimateAudit(regs: DataFrame, p: Int,
-                    groupCols: Seq[Column] = Nil): DataFrame = {
-    val m = 1 << p
-    val k = 64 - p + 1
-    val sNonEmpty = sum(
-      expr(s"shiftleft(CAST(1 AS BIGINT), $k - register)")
-        .cast("decimal(38,0)"))
-    val agged = regs
-      .groupBy(groupCols: _*)
-      .agg(count(lit(1)).as("nonempty_buckets"),
-        coalesce(sum(col("register")).cast("bigint"), lit(0L))
-          .as("register_sum"),
-        coalesce(sNonEmpty, lit(java.math.BigDecimal.ZERO)
-          .cast("decimal(38,0)")).as("__s_ne"))
-    val twoK = java.math.BigDecimal.valueOf(2).pow(k)
-    val s = (col("__s_ne") +
-      (lit(m).cast("decimal(38,0)") - col("nonempty_buckets"))
-        * lit(twoK)).cast("double")
-    val vZero = lit(m) - col("nonempty_buckets")
-    val est = lit(rawNumerator(p)) / s
-    agged.select(
-      groupCols ++: Seq(
-        floor(est * lit(1000.0)).cast("bigint").as("raw_est_millis"),
-        (est <= lit(2.5 * m) && vZero > 0).as("small_range"),
-        col("nonempty_buckets"),
-        col("register_sum")): _*)
+    (agged, est, vZero)
   }
 
   /** `alpha * m^2 * 2^K` — the numerator of the raw estimate over the

@@ -37,8 +37,9 @@ object TokenPairsKernel {
   def pairs(text: UTF8String): ArrayData = {
     val bytes = text.toLowerCase.getBytes
     val n = bytes.length
+    // size estimate floored at 16, not capped (see TokensKernel note)
     val out = new scala.collection.mutable.ArrayBuffer[AnyRef](
-      math.min(16, n / 5 + 1))
+      math.max(16, n / 5 + 1))
     var prev: UTF8String = null
     var i = 0
     while (i < n) {

@@ -37,8 +37,11 @@ object TokensKernel {
   def tokens(text: UTF8String): ArrayData = {
     val bytes = text.toLowerCase.getBytes
     val n = bytes.length
+    // pre-size to the ~5-bytes-per-token estimate (floored at 16 so
+    // tiny docs don't allocate a zero-capacity buffer); min() here
+    // would CAP the capacity at 16 and regrow ~10x on a 10k-token doc
     val out = new scala.collection.mutable.ArrayBuffer[AnyRef](
-      math.min(16, n / 5 + 1))
+      math.max(16, n / 5 + 1))
     var i = 0
     while (i < n) {
       while (i < n && isWs(bytes(i))) i += 1

@@ -113,7 +113,13 @@ object Url {
   def registeredDomainPsl(df: DataFrame, hostCol: String,
                           suffixes: DataFrame, out: String = "domain")
       : DataFrame = {
-    val maxS = suffixes
+    // dedupe up front: each per-length broadcast join below is only
+    // row-PRESERVING when the per-length suffix sets are distinct — a
+    // duplicated suffix value would silently duplicate matching input
+    // rows (round-9 advice). A suffix has exactly one label count, so
+    // one global distinct makes every per-length set distinct too.
+    val sfx = suffixes.select(col("suffix")).distinct()
+    val maxS = sfx
       .agg(max(size(split(col("suffix"), "\\.")))).head().getInt(0)
     require(maxS >= 1 && maxS <= 8, s"suspicious suffix list: maxS=$maxS")
     val labels = split(col(hostCol), "\\.")
@@ -124,7 +130,7 @@ object Url {
     for (s <- 1 to maxS) {
       val cand = when(n >= s, concat_ws(".", slice(labels, -s, s)))
       cur = cur.join(
-        broadcast(suffixes.select(col("suffix").as(s"__psl_$s"))),
+        broadcast(sfx.select(col("suffix").as(s"__psl_$s"))),
         cand === col(s"__psl_$s"), "left")
     }
     // longest match wins: the fold wraps so s = maxS is checked first

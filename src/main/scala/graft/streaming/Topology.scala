@@ -611,9 +611,26 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
             s"kafka/parquet, got '${st.kind}' for topic ${st.name}")
       }
     }
-    val staticQueries =
-      wire(spark, streamSource(spark, _), static,
-        chainable = _.kind == "memory").map { case (sinkTopic, df) =>
+    // Resolve every dynamic factory (Class.forName) BEFORE any query
+    // starts: it used to load only when the dynamic query itself
+    // wired — after the static queries had started — so a typo'd FQCN
+    // left a half-running topology (round-9 advice). The dynamic
+    // SOURCE frame cannot be resolved this early: a dynamic operator
+    // legitimately consumes a static producer's parquet sink topic
+    // whose directory only exists once that static query has started
+    // (the parquet-relay composition test) — a source failure is
+    // instead cleaned up by the catch-and-stop below.
+    val resolvedDynamic = dynamic.map { op =>
+      (op, Topology.loadFactory(op.factory))
+    }
+    // wire() is strict: it fully composes every static plan (throwing
+    // on any wiring error) before the first start() below
+    val wired = wire(spark, streamSource(spark, _), static,
+      chainable = _.kind == "memory")
+    val started =
+      scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
+    try {
+    wired.foreach { case (sinkTopic, df) =>
         val shaped =
           if (sinkTopic.kind == "parquet")
             shapeForParquet(frameForSink(df, sinkTopic), sinkTopic)
@@ -634,7 +651,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
           if (sinkTopic.partitionBy.nonEmpty && sinkTopic.kind == "parquet")
             w0.partitionBy(sinkTopic.partitionBy: _*)
           else w0
-        (sinkTopic.kind match {
+        started += (sinkTopic.kind match {
           case "kafka" => w.format("kafka")
             .option("kafka.bootstrap.servers", sinkTopic.endpoint)
             .option("topic", sinkTopic.name)
@@ -645,10 +662,9 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
             throw new IllegalArgumentException(s"sink kind: $other")
         }).start()
       }
-    val dynamicQueries = dynamic.map { op =>
-      val factory = Topology.loadFactory(op.factory)
+    resolvedDynamic.foreach { case (op, factory) =>
       val sinkTopics = op.sinks.map(topic)
-      streamSource(spark, topic(op.sources.head)).writeStream
+      started += streamSource(spark, topic(op.sources.head)).writeStream
         .option("checkpointLocation", s"$checkpointRoot/op_${op.name}")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val outs = factory(configFor(spark, op), Seq(batch))
@@ -661,7 +677,14 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
         }
         .start()
     }
-    staticQueries ++ dynamicQueries
+    started.toSeq
+    } catch { case t: Throwable =>
+      // a start() threw mid-way: stop whatever already started, so
+      // even an unanticipated startup failure cannot leave a
+      // half-running topology behind the thrown error
+      started.foreach(q => try q.stop() catch { case _: Throwable => () })
+      throw t
+    }
   } finally {
     // factories may have relaxed analysis-time-only session confs for
     // their query's start(); restore the user's values before handing

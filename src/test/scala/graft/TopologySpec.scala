@@ -1037,4 +1037,102 @@ class TopologySpec extends SparkSpec {
       assert(got == Set(4L, 8L, 12L), got)
     } finally queries.foreach(_.stop())
   }
+
+  test("a typo'd dynamic-operator factory FQCN refuses BEFORE any " +
+    "static query starts — factory resolution happens in the up-front " +
+    "validation pass, not at dynamic-query wiring (round-9 advice)") {
+    val tmp = Files.createTempDirectory("topo_dynfqcn").toString
+    Seq(1L, 2L).toDF("value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    Seq((1L, 7)).toDF("version", "multiply")
+      .withColumn("published_at", current_timestamp())
+      .write.mode("overwrite").parquet(s"$tmp/conf")
+    val yaml =
+      s"""topics:
+         |  - name: in
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: conf
+         |    kind: parquet
+         |    path: $tmp/conf
+         |  - name: mid
+         |    kind: parquet
+         |    path: $tmp/mid
+         |  - name: out
+         |    kind: parquet
+         |    path: $tmp/out
+         |operators:
+         |  stage1:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [in]
+         |    sinks: [mid]
+         |    config:
+         |      filter_expr: "true"
+         |  stage2:
+         |    factory: graft.streaming.ops.NoSuchOpAnywhere
+         |    sources: [in]
+         |    sinks: [out]
+         |    config_topic: conf
+         |""".stripMargin
+    val activeBefore = spark.streams.active.length
+    intercept[ClassNotFoundException] {
+      Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    }
+    // the FQCN resolved (and threw) before ANY start(): the static
+    // stage1 query must not be left running behind the error
+    assert(spark.streams.active.length == activeBefore,
+      "static queries were left running after the dynamic factory " +
+        "failed to resolve")
+  }
+
+  test("a dynamic source that fails to resolve AFTER the static " +
+    "queries start is cleaned up — startup stops every " +
+    "already-started query before rethrowing (round-9 advice)") {
+    val tmp = Files.createTempDirectory("topo_dynsrc").toString
+    Seq(1L, 2L).toDF("value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    Seq((1L, 7)).toDF("version", "multiply")
+      .withColumn("published_at", current_timestamp())
+      .write.mode("overwrite").parquet(s"$tmp/conf")
+    // `nowhere` has no path on disk and no declared schema: the
+    // dynamic streamSource throws at schema inference, necessarily
+    // after stage1's static query has already started
+    val yaml =
+      s"""topics:
+         |  - name: in
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: conf
+         |    kind: parquet
+         |    path: $tmp/conf
+         |  - name: mid
+         |    kind: parquet
+         |    path: $tmp/mid
+         |  - name: nowhere
+         |    kind: parquet
+         |    path: $tmp/does_not_exist
+         |  - name: out
+         |    kind: parquet
+         |    path: $tmp/out
+         |operators:
+         |  stage1:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [in]
+         |    sinks: [mid]
+         |    config:
+         |      filter_expr: "true"
+         |  stage2:
+         |    factory: graft.streaming.ops.Multiply
+         |    sources: [nowhere]
+         |    sinks: [out]
+         |    config_topic: conf
+         |""".stripMargin
+    val activeBefore = spark.streams.active.length
+    intercept[Exception] {
+      Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    }
+    assert(spark.streams.active.length == activeBefore,
+      "the started static query was left running after the dynamic " +
+        "source failed to resolve")
+  }
 }

@@ -77,6 +77,21 @@ class UrlSpec extends SparkSpec {
     assert(got("192.168.0.1") == "192.168.0.1")
   }
 
+  test("registeredDomainPsl is row-PRESERVING even when the suffix " +
+    "list carries duplicate values (deduped before the per-length " +
+    "broadcast joins — round-9 advice)") {
+    val hosts = Seq("a.example.com", "b.example.co.uk", "x.example.zz")
+      .toDF("host")
+    // triple every suffix row: without the up-front distinct each
+    // matching host would come back 3x
+    val dupSfx = Url.pslFixtureDf(spark)
+    val tripled = dupSfx.union(dupSfx).union(dupSfx)
+    val got = Url.registeredDomainPsl(hosts, "host", tripled)
+    assert(got.count() == 3L, got.collect().mkString(", "))
+    assert(got.where(col("host") === "a.example.com")
+      .select("domain").as[String].head() == "example.com")
+  }
+
   test("registeredDomainPsl agrees with the hardcoded registeredDomain " +
     "on every synthesized corpus host (the fixture supersets " +
     "MultiLabelSuffixes plus their TLDs)") {
