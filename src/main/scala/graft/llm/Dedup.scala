@@ -174,11 +174,19 @@ object Dedup {
     MinHashSignature(hs, numHashes)
 
   /** LSH band keys from a materialized SIGNATURE column: band b's key
-    * hashes its r-value slice. Cheap array reads — the expensive min-hash
-    * pass happens once in the signature. The `size` guard doubles as a
-    * multi-reference so Catalyst won't inline a signature expression into
-    * the per-band lambda. */
-  def bandKeysFromSig(sig: Column, numHashes: Int, bands: Int): Column = {
+    * hashes its r-value slice — the native codegen'd
+    * [[graft.functions.BandKeys]] expression (one primitive loop; the
+    * HOF formulation dispatched `bands` interpreted lambdas per row,
+    * each slicing a copy of the signature). Short signatures yield an
+    * empty array, exactly like the old `size` guard. */
+  def bandKeysFromSig(sig: Column, numHashes: Int, bands: Int): Column =
+    graft.functions.BandKeys(sig, numHashes, bands)
+
+  /** The original HOF formulation of [[bandKeysFromSig]] — kept as the
+    * differential-test oracle for the native kernel (bit-parity pinned
+    * corpus-wide in DedupSpec). */
+  private[graft] def bandKeysFromSigHof(sig: Column, numHashes: Int,
+                                        bands: Int): Column = {
     val r = numHashes / bands
     when(size(sig) >= lit(numHashes),
       transform(sequence(lit(0), lit(bands - 1)),
