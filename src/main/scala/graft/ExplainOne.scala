@@ -1,0 +1,21 @@
+// dev scratch: dump the formatted physical plan of one query at a
+// given SF — the .explain feedback loop the scale review runs on
+package graft
+import org.apache.spark.sql.SparkSession
+object ExplainOne {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, names) = args.take(2)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val mode = args.lift(2).getOrElse("formatted")
+    names.split(",").foreach { n =>
+      println(s"===== $n =====")
+      SparkEntry.queries(n)(spark, sfDir).explain(mode)
+    }
+    spark.stop()
+  }
+}

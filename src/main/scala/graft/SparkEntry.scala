@@ -2160,12 +2160,21 @@ object SparkEntry {
     // face of decontamination review. tfidf → bm25Queries →
     // takeOrderedByKey, every stage individually oracled.
     "q_retrieval_audit" -> ((s, dir) => {
+      import s.implicits._
       val docs = t(s, dir, "documents")
+      // the query table is BOUNDED by contract (the eval slice ×
+      // topN terms — ≤10 rows here); materialize it to the driver
+      // once, as a local relation: left as a plan, every broadcast
+      // consumer inside bm25Queries (termSet, qterms) re-ran the
+      // whole tfidf window subtree — 3 full recomputes and 9 extra
+      // scans in the optimized plan
       val qs = graft.llm.TextStats
         .tfidfTop(docs.filter(col("doc_id") < 10), "doc_id", "text",
           topN = 3)
         .groupBy(col("doc_id").as("query_id"))
         .agg(sort_array(collect_list(col("term"))).as("terms"))
+        .as[(Long, Seq[String])].collect().toSeq
+        .toDF("query_id", "terms")
       val scored = graft.llm.Search
         .bm25Queries(docs, "doc_id", "text", qs)
         .filter(col("query_id") =!= col("doc_id"))

@@ -127,7 +127,11 @@ object Text {
 
   // --- quality scoring -----------------------------------------------------
 
-  def nTokens(text: Column): Column = size(tokens(text))
+  /** Token count straight from the raw bytes — the native
+    * [[TokenCount]] kernel, == `size(tokens(text))` (parity pinned in
+    * TextKernelSpec) without paying the lowercase copy + token-array
+    * build the count immediately discards. */
+  def nTokens(text: Column): Column = TokenCount(text)
 
   def nTokensOf(ts: Column): Column = size(ts)
 

@@ -539,7 +539,7 @@ object Dedup {
     * Weighted variant would weight by tf; unweighted matches the classic
     * Charikar construction for near-dup detection. */
   def simhash64(textCol: Column): Column =
-    simhashFromHashes(transform(Text.tokens(textCol), t => xxhash64(t)))
+    simhashFromHashes(graft.functions.HashedTokens(textCol))
 
   /** SimHash from a token-hash array — the native codegen'd
     * [[graft.functions.SimHash64]] expression (one primitive pass; the
@@ -561,7 +561,7 @@ object Dedup {
     // (same staging rationale as minhashPairs)
     val sh = df
       .select(col(idCol).as("id"),
-        transform(Text.tokens(col(textCol)), t => xxhash64(t)).as("__h"))
+        graft.functions.HashedTokens(col(textCol)).as("__h"))
       .repartition(p, col("id"))
       .select(col("id"), simhashFromHashes(col("__h")).as("sh"))
     val banded = sh.withColumn("band",

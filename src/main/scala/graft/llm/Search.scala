@@ -78,8 +78,13 @@ object Search {
                     fanOut: DataFrame => DataFrame): DataFrame = {
     val toks = corpus.select(col(idCol),
       graft.functions.Text.tokens(col(textCol)).as("__ts"))
-    val tots = toks.agg(count(lit(1)).as("__n"),
-      sum(size(col("__ts")).cast("long").cast("decimal(38,0)"))
+    // the totals pass only needs lengths, never the tokens themselves —
+    // the native count kernel scans raw bytes with zero allocation,
+    // where size(tokens(text)) would tokenize the whole corpus a
+    // second time just to discard the arrays (same decimal-exact sum)
+    val tots = corpus.agg(count(lit(1)).as("__n"),
+      sum(graft.functions.TokenCount(col(textCol))
+        .cast("long").cast("decimal(38,0)"))
         .cast("long").as("__c"))
     val tf = restrict(toks
       .select(col(idCol), size(col("__ts")).cast("long").as("__dl"),

@@ -583,10 +583,13 @@ object TextStats {
   def hashEmbedSparse(df: DataFrame, idCol: String, textCol: String,
                       dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1: $dim")
+    // explode the token HASHES, not the tokens: the fused kernel hashes
+    // each token in place, so no per-token UTF8String ever exists and
+    // the exploded rows carry an 8-byte long instead of the token text
     df.select(col(idCol).as("id"),
-        explode(Text.tokens(col(textCol))).as("__t"))
+        explode(graft.functions.HashedTokens(col(textCol))).as("__h"))
       .groupBy(col("id"),
-        pmod(xxhash64(col("__t")), lit(dim)).as("bucket"))
+        pmod(col("__h"), lit(dim)).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
 

@@ -94,4 +94,43 @@ class TextKernelSpec extends SparkSpec {
       .filter(not(col("f") <=> col("g"))).count()
     assert(badE == 0L)
   }
+
+  test("TokenCount kernel == size(tokens(text)) corpus-wide and on " +
+    "edge strings (the count is whitespace-boundary-invariant under " +
+    "the lowering the token kernel applies)") {
+    val docs = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    val bad = docs.select(
+      Text.nTokens(col("text")).as("k"),
+      size(Text.tokens(col("text"))).as("s"))
+      .filter(not(col("k") <=> col("s"))).count()
+    assert(bad == 0L, s"$bad documents count differently")
+    // İ (U+0130) lowercases to TWO codepoints — byte layout shifts,
+    // the token boundaries must not
+    val badE = (edges ++ Seq(11L -> "İstanbul İ İJK", 12L -> "Σ ΣΣ σς"))
+      .toDF("id", "text")
+      .select(Text.nTokens(col("text")).as("k"),
+        size(Text.tokens(col("text"))).as("s"))
+      .filter(not(col("k") <=> col("s"))).count()
+    assert(badE == 0L)
+  }
+
+  test("HashedTokens kernel == transform(tokens(text), xxhash64) " +
+    "corpus-wide and on edge strings") {
+    def composed(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(Text.tokens(c), t => xxhash64(t))
+    val docs = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    val bad = docs.select(
+      graft.functions.HashedTokens(col("text")).as("k"),
+      composed(col("text")).as("h"))
+      .filter(not(col("k") <=> col("h"))).count()
+    assert(bad == 0L, s"$bad documents hash differently")
+    val badE = (edges ++ Seq(11L -> "İstanbul İ İJK", 12L -> "Σ ΣΣ σς"))
+      .toDF("id", "text")
+      .select(graft.functions.HashedTokens(col("text")).as("k"),
+        composed(col("text")).as("h"))
+      .filter(not(col("k") <=> col("h"))).count()
+    assert(badE == 0L)
+  }
 }
