@@ -9,6 +9,7 @@ object ExplainOne {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val mode = args.lift(2).getOrElse("formatted")

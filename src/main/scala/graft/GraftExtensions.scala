@@ -19,6 +19,10 @@ import org.apache.spark.sql.catalyst.expressions.Literal
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // predicate simplification over the native text kernels — undoes
+    // the cost-blind kernel inlining of InferFiltersFromGenerate +
+    // PushPredicateThroughNonJoin (see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.SimplifyKernelPredicates)
     def intArg(e: Expression, what: String): Int = e match {
       case Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(

@@ -158,6 +158,16 @@ object Dedup {
   def shingleHashes(tokensCol: Column, shingleSize: Int): Column =
     graft.functions.ShingleHashes(tokensCol, shingleSize)
 
+  /** Fused text → distinct shingle hashes — tokenize + shingle + hash
+    * in one compiled pass over the lowered bytes (the
+    * [[graft.functions.TextShingleHashes]] kernel, bit-parity with the
+    * staged `shingleHashes(Text.tokens(text), n)` pinned in
+    * TextKernelSpec). The root projection of every shingle-based
+    * operator: the intermediate token array was pure allocation
+    * between two kernels that only need byte offsets. */
+  def textShingleHashes(textCol: Column, shingleSize: Int): Column =
+    graft.functions.TextShingleHashes(textCol, shingleSize)
+
   /** The original HOF formulation of [[shingleHashes]] — kept as the
     * executable specification the native kernel is tested against. */
   private[graft] def shingleHashesHof(tokensCol: Column,
@@ -198,7 +208,7 @@ object Dedup {
   def minhashSignature(textCol: Column, shingleSize: Int, numHashes: Int)
       : Column =
     minhashSigFromHashes(
-      shingleHashes(Text.tokens(textCol), shingleSize), numHashes)
+      textShingleHashes(textCol, shingleSize), numHashes)
 
   /** MinHash + LSH banded near-dup candidate pairs.
     *
@@ -244,14 +254,18 @@ object Dedup {
     // even when the input is a handful of parquet files, and is a hard
     // barrier Catalyst cannot collapse projections across.
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val hs0 = df
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__t"))
-      .select(col("id"), shingleHashes(col("__t"), shingleSize).as("hs"))
-      .repartition(p, col("id"))
     // "pair": sentinel signatures band together (empty ≡ empty);
-    // "novel"/"drop": shingle-less docs never enter banding
-    val hs = if (shortDocs == "pair") hs0
-             else hs0.filter(size(col("hs")) > 0)
+    // "novel"/"drop": shingle-less docs never enter banding — gated on
+    // the zero-alloc TokenCount BEFORE the kernel projection (a
+    // size(hs) > 0 filter would push down with the kernel inlined and
+    // re-evaluate it twice per row at the scan)
+    val base = if (shortDocs == "pair") df
+      else df.filter(
+        graft.functions.TokenCount(col(textCol)) >= shingleSize)
+    val hs = base
+      .select(col(idCol).as("id"),
+        textShingleHashes(col(textCol), shingleSize).as("hs"))
+      .repartition(p, col("id"))
     val sig = hs.select(col("id"),
       minhashSigFromHashes(col("hs"), numHashes).as("sig"))
     // One row per (doc, band) carrying ONLY (id, bkey) — the signature
@@ -403,15 +417,20 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     requireShortDocPolicy(shortDocs)
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val hs = df
-      .select(col(idCol).cast("long").as("id"),
-        Text.tokens(col(textCol)).as("__t"))
-      .select(col("id"), shingleHashes(col("__t"), shingleSize).as("hs"))
-      .repartition(p, col("id"))
+    // split on the zero-alloc TokenCount, not size(hs): has ≥1 shingle
+    // iff ≥ shingleSize tokens, and a size(hs) filter would push down
+    // with the shingle kernel inlined (two extra kernel evaluations per
+    // row at each branch's scan)
+    val nTok = graft.functions.TokenCount(col(textCol))
     val contentless = shortDocFate(
-      hs.filter(size(col("hs")) === 0), idCol, shortDocs)
-    val sig = hs.filter(size(col("hs")) > 0).select(col("id"),
-      minhashSigFromHashes(col("hs"), numHashes).as("sig"))
+      df.filter(nTok < shingleSize)
+        .select(col(idCol).cast("long").as("id")), idCol, shortDocs)
+    val sig = df.filter(nTok >= shingleSize)
+      .select(col(idCol).cast("long").as("id"),
+        textShingleHashes(col(textCol), shingleSize).as("hs"))
+      .repartition(p, col("id"))
+      .select(col("id"),
+        minhashSigFromHashes(col("hs"), numHashes).as("sig"))
     val banded = sig.select(col("id"),
       explode(bandKeysFromSig(col("sig"), numHashes, bands)).as("bkey"))
     val firsts = banded.groupBy("bkey").agg(min("id").as("__w"))
@@ -610,14 +629,18 @@ object Dedup {
     // The repartition spreads the CPU-heavy tokenize/shingle work across
     // the cluster even when the input is a handful of parquet files.
     val p = df.sparkSession.sparkContext.defaultParallelism
+    // the has-shingles gate runs on the zero-alloc TokenCount BEFORE the
+    // kernel projection: a doc has ≥1 shingle iff it has ≥ shingleSize
+    // tokens, and pushdown inlines filter aliases cost-blind — a
+    // size(sh) > 0 filter re-evaluates the whole shingle kernel twice
+    // per row at the scan (measured in the optimized plan)
     val sets = df
+      .filter(graft.functions.TokenCount(col(textCol)) >= shingleSize)
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(p, col("id"))
-      .select(col("id"), Text.tokens(col("__text")).as("__t"))
       .select(col("id"),
-        shingleHashes(col("__t"), shingleSize).as("sh"))
+        textShingleHashes(col("__text"), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
-      .filter(col("n") > 0)
     val exploded = sets.select(col("id"), col("n"),
       explode(col("sh")).as("s"))
     // posting list per shingle, collected in ONE shuffle keyed by the
@@ -858,15 +881,12 @@ object Dedup {
                     textCol: String, shingleSize: Int = 3,
                     minShared: Long = 1): DataFrame = {
     require(minShared > 0, s"minShared must be positive: $minShared")
-    // staged projections: tokens materialized before the shingle kernel
-    // (the lambda-inlining rule, see Text.shinglesFromTokens)
     val d = docs
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__t"))
-      .select(col("id"),
-        explode(shingleHashes(col("__t"), shingleSize)).as("s"))
+      .select(col(idCol).as("id"),
+        explode(textShingleHashes(col(textCol), shingleSize)).as("s"))
     val b = broadcast(bench
-      .select(Text.tokens(col(textCol)).as("__t"))
-      .select(explode(shingleHashes(col("__t"), shingleSize)).as("s"))
+      .select(explode(
+        textShingleHashes(col(textCol), shingleSize)).as("s"))
       .distinct())
     d.join(b, "s")
       // shingleHashes is distinct per doc, so this counts DISTINCT
@@ -900,9 +920,8 @@ object Dedup {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     val bytes = benchBloomBytes(bench, textCol, shingleSize, fpp)
     docs
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__t"))
-      .select(col("id"),
-        explode(shingleHashes(col("__t"), shingleSize)).as("s"))
+      .select(col(idCol).as("id"),
+        explode(textShingleHashes(col(textCol), shingleSize)).as("s"))
       .filter(bloomMightContain(bytes, col("s")))
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -919,8 +938,8 @@ object Dedup {
                                      shingleSize: Int,
                                      fpp: Double): Array[Byte] = {
     val b = bench
-      .select(Text.tokens(col(textCol)).as("__t"))
-      .select(explode(shingleHashes(col("__t"), shingleSize)).as("s"))
+      .select(explode(
+        textShingleHashes(col(textCol), shingleSize)).as("s"))
       .distinct()
     val nBench = b.count()
     val bf = b.stat.bloomFilter("s", math.max(nBench, 1L), fpp)
@@ -969,14 +988,14 @@ object Dedup {
     require(minFrac > 0 && minFrac <= 1,
       s"minFrac must be in (0,1]: $minFrac")
     val d = docs
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__t"))
-      .select(col("id"), shingleHashes(col("__t"), shingleSize).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+      .filter(graft.functions.TokenCount(col(textCol)) >= shingleSize)
+      .select(col(idCol).as("id"),
+        textShingleHashes(col(textCol), shingleSize).as("__sh"))
       .select(col("id"), size(col("__sh")).cast("long").as("n_shingles"),
         explode(col("__sh")).as("s"))
     val b = broadcast(bench
-      .select(Text.tokens(col(textCol)).as("__t"))
-      .select(explode(shingleHashes(col("__t"), shingleSize)).as("s"))
+      .select(explode(
+        textShingleHashes(col(textCol), shingleSize)).as("s"))
       .distinct()
       .withColumn("__hit", lit(1)))
     d.join(b, Seq("s"), "left")
@@ -1142,9 +1161,8 @@ object Dedup {
     // a doc's text/token arrays never ride any shuffle
     val grams = df
       .select(col(idCol).cast("long").as("id"),
-        Text.tokens(col(textCol)).as("__t"))
-      .select(col("id"),
-        posexplode(graft.functions.PosShingleHashes(col("__t"), minRun)))
+        posexplode(
+          graft.functions.TextPosShingleHashes(col(textCol), minRun)))
       .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("g"))
     val postings = grams.groupBy("g")
       .agg(graft.functions.BoundedCollect.pairs(maxGramFreq)(
@@ -1261,9 +1279,8 @@ object Dedup {
     require(minRun >= 1, s"minRun must be >= 1: $minRun")
     val grams = df
       .select(col(idCol).cast("long").as("__gid"),
-        Text.tokens(col(textCol)).as("__t"))
-      .select(col("__gid"),
-        posexplode(graft.functions.PosShingleHashes(col("__t"), minRun)))
+        posexplode(
+          graft.functions.TextPosShingleHashes(col(textCol), minRun)))
       .select(col("__gid"), col("pos").cast("long").as("__pos"),
         col("col").as("__g"))
     val wG = org.apache.spark.sql.expressions.Window

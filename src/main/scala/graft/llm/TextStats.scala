@@ -602,10 +602,10 @@ object TextStats {
     * aggregate beats per-row O(dim) array rebuilds there). */
   def hashEmbedRow(textCol: Column, dim: Int): Column = {
     require(dim >= 1, s"dim must be >= 1: $dim")
-    aggregate(Text.tokens(textCol),
+    aggregate(graft.functions.HashedTokens(textCol),
       array_repeat(lit(0.0), lit(dim)),
-      (acc, t) => {
-        val b = pmod(xxhash64(t), lit(dim)).cast("int")
+      (acc, h) => {
+        val b = pmod(h, lit(dim)).cast("int")
         zip_with(acc, sequence(lit(0), lit(dim - 1)),
           (v, i) => when(i === b, v + 1.0).otherwise(v))
       })

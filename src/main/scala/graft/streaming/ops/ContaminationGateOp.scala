@@ -71,9 +71,9 @@ object ContaminationGateOp extends OperatorFactory {
     val bytes = Dedup.benchBloomBytes(
       spark.read.parquet(benchPath), benchTextCol, shingleSize, fpp)
 
-    val hs = Dedup.shingleHashes(
-      coalesce(Text.tokens(col(textCol)), array().cast("array<string>")),
-      shingleSize)
+    val hs = coalesce(
+      Dedup.textShingleHashes(col(textCol), shingleSize),
+      array().cast("array<bigint>"))
     val annotated = sources.head
       .withColumn("__hs", hs)
       .withColumn("n_shingles", size(col("__hs")).cast("long"))

@@ -146,15 +146,20 @@ object NearDupOp extends OperatorFactory {
 
     val spark = df.sparkSession
     import spark.implicits._
-    val hs = df.select(col(idCol).cast("long").as("id"),
+    // "drop" gates on the zero-alloc TokenCount BEFORE the kernel
+    // projection (has ≥1 shingle iff ≥ shingleSize tokens) — a
+    // size(hs) filter would push down with the shingle kernel inlined
+    val src = if (shortDocs == "drop")
+      df.filter(
+        graft.functions.TokenCount(col(textCol)) >= shingleSize)
+    else df
+    val hs = src.select(col(idCol).cast("long").as("id"),
       col(tsCol).as("ts"),
-      graft.llm.Dedup.shingleHashes(
-        graft.functions.Text.tokens(col(textCol)), shingleSize).as("hs"))
-    val sig0 = hs.select(col("id"), col("ts"), col("hs"),
+      graft.llm.Dedup.textShingleHashes(col(textCol), shingleSize)
+        .as("hs"))
+    val sig = hs.select(col("id"), col("ts"), col("hs"),
       graft.llm.Dedup.minhashSigFromHashes(col("hs"), numHashes)
         .as("sig"))
-    val sig = if (shortDocs == "drop") sig0.filter(size(col("hs")) > 0)
-              else sig0
     // shingle-less docs must NOT band on their signature: the MinHash of
     // an empty shingle set is the all-sentinel vector — identical for
     // EVERY short doc — which would band unrelated short docs together

@@ -469,4 +469,67 @@ class PlanAuditSpec extends SparkSpec {
       .head.queryExecution.optimizedPlan.toString
     assert("gopher_admit".r.findAllIn(fOnly).length == 1, fOnly)
   }
+
+  test("SimplifyKernelPredicates keeps the shingle kernel out of " +
+    "pushed/inferred filters: explode-over-kernel plans carry the " +
+    "zero-alloc token_count gate and exactly ONE kernel instantiation " +
+    "per branch (InferFiltersFromGenerate + pushdown otherwise inline " +
+    "it twice more at the scan)") {
+    // no kernel may appear inside ANY Filter condition (the rule's
+    // whole point); single-consumer plans get exactly one logical
+    // instantiation, multi-consumer plans (minhash_pairs' sig feeds
+    // banding + both verify joins) may carry logical copies but must
+    // dedupe them physically via ReusedExchange
+    // (the minhash_pairs copies sit under three IDENTICAL
+    // repartition(id) exchanges, which AQE's stage cache dedupes at
+    // runtime — static executedPlan strings don't show AQE reuse, so
+    // only the logical copy count is pinned here)
+    def audit(q: String, maxLogical: Int): Unit = {
+      val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
+      val opt = qe.optimizedPlan.toString
+      val badFilter = opt.linesIterator.exists(l =>
+        l.trim.stripPrefix(":").stripPrefix("- ").trim
+          .startsWith("Filter") &&
+          (l.contains("graft_text_shingle_hashes") ||
+            l.contains("graft_hashed_tokens")))
+      assert(!badFilter, s"$q: kernel inside a Filter condition\n$opt")
+      val kernels = "graft_text_shingle_hashes\\(\\w".r
+        .findAllIn(opt).length + "graft_hashed_tokens\\(\\w".r
+        .findAllIn(opt).length
+      assert(kernels <= maxLogical,
+        s"$q: $kernels kernel instantiations\n$opt")
+    }
+    audit("q_ngram_jaccard", 1)
+    audit("q_hash_embed", 1)
+    audit("q_minhash_pairs", 3)
+  }
+
+  test("SimplifyKernelPredicates is row-equivalent: rule-on and " +
+    "rule-off (excludedRules) agree on a corpus with null, empty, " +
+    "short and normal docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq[(Long, String)](
+      (1L, null), (2L, ""), (3L, "   "), (4L, "one"), (5L, "one two"),
+      (6L, "one two three"), (7L, "a b c d e f g"),
+      (8L, "x x x x x x x x"))
+      .toDF("doc_id", "text")
+    def run(): Array[String] = {
+      val pairs = graft.llm.Dedup
+        .ngramJaccardPairs(docs, "doc_id", "text", shingleSize = 3,
+          threshold = 0.0)
+        .orderBy("id_a", "id_b").collect().map(_.toString)
+      val novel = graft.llm.Dedup
+        .minhashNovel(docs, "doc_id", "text", shortDocs = "novel")
+        .orderBy("doc_id").collect().map(_.toString)
+      pairs ++ Array("--") ++ novel
+    }
+    val withRule = run()
+    val ruleName = graft.plans.SimplifyKernelPredicates.ruleName
+    spark.conf.set("spark.sql.optimizer.excludedRules", ruleName)
+    try {
+      val withoutRule = run()
+      assert(withRule.toSeq == withoutRule.toSeq)
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
 }

@@ -115,6 +115,38 @@ class TextKernelSpec extends SparkSpec {
     assert(badE == 0L)
   }
 
+  test("TextShingleHashes / TextPosShingleHashes == the staged " +
+    "tokens->ShingleHashes/PosShingleHashes kernels corpus-wide and " +
+    "on edge strings (incl. non-space 1-byte gaps that defeat the " +
+    "zero-copy fast path)") {
+    import graft.functions.{ShingleHashes, PosShingleHashes, Tokens,
+      TextShingleHashes, TextPosShingleHashes}
+    val docs = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    for (n <- Seq(1, 3)) {
+      val bad = docs.select(
+        TextShingleHashes(col("text"), n).as("f"),
+        ShingleHashes(Tokens(col("text")), n).as("g"),
+        TextPosShingleHashes(col("text"), n).as("pf"),
+        PosShingleHashes(Tokens(col("text")), n).as("pg"))
+        .filter(not(col("f") <=> col("g")) ||
+          not(col("pf") <=> col("pg"))).count()
+      assert(bad == 0L, s"$bad documents differ at n=$n")
+    }
+    val hard = (edges ++ Seq(
+      11L -> "a\tb\nc d", // 1-byte non-space gaps: must join as ' '
+      12L -> "xy y\tz  w", 13L -> "İstanbul İ İJK a b"))
+      .toDF("id", "text")
+    val badE = hard.select(
+      TextShingleHashes(col("text"), 2).as("f"),
+      ShingleHashes(Tokens(col("text")), 2).as("g"),
+      TextPosShingleHashes(col("text"), 2).as("pf"),
+      PosShingleHashes(Tokens(col("text")), 2).as("pg"))
+      .filter(not(col("f") <=> col("g")) ||
+        not(col("pf") <=> col("pg"))).count()
+    assert(badE == 0L)
+  }
+
   test("HashedTokens kernel == transform(tokens(text), xxhash64) " +
     "corpus-wide and on edge strings") {
     def composed(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
