@@ -296,8 +296,7 @@ object Dedup {
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), b => b))
+        (graft.functions.SigAgreement(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
@@ -501,9 +500,8 @@ object Dedup {
       .join(st.sig.select(col("id"), col("sig")), "id")
       .join(st.sig.select(col("id").as("wid"), col("sig").as("wsig")),
         "wid")
-      .filter(size(filter(zip_with(col("sig"), col("wsig"),
-        (x, y) => x === y), b => b)).cast("double") / numHashes
-        >= threshold)
+      .filter(graft.functions.SigAgreement(col("sig"), col("wsig"))
+        .cast("double") / numHashes >= threshold)
       .select(col("id"))
       .distinct()
     st.sig.select(col("id"))

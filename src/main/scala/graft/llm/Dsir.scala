@@ -76,13 +76,21 @@ object Dsir {
     * staged frame is distinct (doc, bucket) pairs, far smaller than
     * the text it came from. */
   def stageCounts(df: DataFrame, idCol: String, textCol: String,
-                  targetPred: Column, buckets: Int = 4096): DataFrame =
+                  targetPred: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    // fused unigram+bigram gram hashes straight off the text (no token
+    // array), bucketed AFTER the explode: pmod on an exploded long is
+    // one codegen scalar, where the [[featureBuckets]] HOF form
+    // dispatched an interpreted transform() lambda per gram corpus-wide
     df.select(col(idCol), targetPred.as("__tgt"),
-        graft.functions.Text.tokens(col(textCol)).as("__ts"))
-      .select(col(idCol), col("__tgt"),
-        explode(featureBuckets(col("__ts"), buckets)).as("__b"))
-      .groupBy(col(idCol), col("__tgt"), col("__b"))
+        explode(concat(
+          graft.functions.TextPosShingleHashes(col(textCol), 1),
+          graft.functions.TextPosShingleHashes(col(textCol), 2)))
+          .as("__h"))
+      .groupBy(col(idCol), col("__tgt"),
+        pmod(col("__h"), lit(buckets.toLong)).as("__b"))
       .agg(count(lit(1)).as("__c"))
+  }
 
   /** Stage 2 of [[importanceScores]]: bucket model (≤ `buckets` rows,
     * broadcast) + scoring join over a [[stageCounts]] frame. `buckets`

@@ -48,4 +48,32 @@ class BandKeysSpec extends SparkSpec {
       .select(size(col("ks"))).as[Int].head()
     assert(got == 0)
   }
+
+  test("SigAgreement kernel == size(filter(zip_with(a, b, =), id)) on " +
+    "full, sentinel, mismatched-length and null signatures") {
+    val hs = corpus
+      .select(col("id"), Text.tokens(col("text")).as("ts"))
+      .select(col("id"), Dedup.shingleHashes(col("ts"), 3).as("hs"))
+      .select(col("id"), Dedup.minhashSigFromHashes(col("hs"), 32)
+        .as("sig"))
+    val pairs = hs.select(col("id").as("ia"), col("sig").as("sa"))
+      .crossJoin(hs.select(col("id").as("ib"), col("sig").as("sb")))
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+    val bad = pairs.filter(not(
+      graft.functions.SigAgreement(col("sa"), col("sb")) <=>
+        hof(col("sa"), col("sb")))).count()
+    assert(bad == 0L)
+    // mismatched lengths + nulls
+    val edge = Seq(
+      (Array(1L, 2L, 3L), Array(1L, 9L)),
+      (Array.empty[Long], Array(1L)),
+      (null, Array(1L, 2L)),
+      (Array(5L), null)
+    ).toDF("sa", "sb")
+    val badE = edge.filter(not(
+      graft.functions.SigAgreement(col("sa"), col("sb")) <=>
+        hof(col("sa"), col("sb")))).count()
+    assert(badE == 0L)
+  }
 }
