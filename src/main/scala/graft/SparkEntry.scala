@@ -2072,13 +2072,17 @@ object SparkEntry {
     // every stage is itself an oracled operator
     "q_pipeline_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val rules = graft.llm.TextStats.gopherRules(docs, "doc_id", "text")
-        .select(col("doc_id"), col("gopher_keep"))
+      // gate via the fused GopherAdmit kernel, NOT a gopherRules join:
+      // only the keep decision is consumed here, and pushdown inlines a
+      // gopher_keep filter's five interpreted metric HOFs into the scan
+      // condition (~8 tokens() builds per row, observed in the
+      // optimized plan); the kernel is the same decision in one pass
       val cov = Dedup.duplicateCoverage(docs, "doc_id", "text",
         minRun = 8, maxGramFreq = 1000)
         .select(col("id").as("doc_id"), col("dup_fraction"))
-      docs.join(rules, "doc_id").join(cov, "doc_id")
-        .filter(col("gopher_keep") && col("dup_fraction") <= 0.3)
+      docs.filter(graft.functions.GopherAdmit(col("text")) >= 0L)
+        .join(cov, "doc_id")
+        .filter(col("dup_fraction") <= 0.3)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("total_chars"))

@@ -101,9 +101,10 @@ object Pq {
     * left-to-right over the subspaces (fixed IEEE op order — the SQL
     * oracle replays the identical fold). */
   private def adcColumn(dtab: Column, code: Column, m: Int): Column =
-    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, s) => acc + element_at(element_at(dtab, s + 1),
-        element_at(code, s + 1) + 1))
+    // native left-to-right lookup fold (graft.functions.AdcSum) — same
+    // IEEE add chain as the HOF aggregate() formulation it replaces,
+    // which dispatched m interpreted lambdas per (query, candidate)
+    graft.functions.AdcSum(dtab, code)
 
   /** (query_id, dtab) frame of per-query subspace distance tables,
     * built driver-side (m × ksub doubles per query — the whole point

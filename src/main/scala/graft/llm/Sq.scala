@@ -69,19 +69,15 @@ object Sq {
     * The clamp only matters for out-of-corpus vectors (encoding a new
     * crawl against yesterday's ranges); in-corpus values land in
     * [0, L−1] by construction. */
-  def codeColumn(vec: Column, st: Stats): Column = {
-    val mnL = typedLit(st.mins.toSeq)
-    val mxL = typedLit(st.maxs.toSeq)
-    val top = lit((st.levels - 1).toDouble)
-    transform(sequence(lit(0), lit(st.dim - 1)), i => {
-      val mn = element_at(mnL, i + 1)
-      val mx = element_at(mxL, i + 1)
-      val x = element_at(vec.cast("array<double>"), i + 1)
-      when(mx === mn, lit(0)).otherwise(
-        least(lit(st.levels - 1), greatest(lit(0),
-          floor(((x - mn) * top) / (mx - mn)).cast("int"))))
-    })
-  }
+  def codeColumn(vec: Column, st: Stats): Column =
+    // native one-pass encoder (graft.functions.SqEncode) — the HOF
+    // transform() dispatched an interpreted lambda per dimension per
+    // corpus row; bit-parity (incl. NaN→0, short-vector→0 edges)
+    // pinned in PqSqSpec. One intentional divergence: a whole-NULL
+    // vector now yields a NULL code (dropped by adcTopK's null-score
+    // rule) where the HOF built an all-zero phantom code.
+    graft.functions.SqEncode(vec.cast("array<double>"),
+      st.mins, st.maxs, st.levels)
 
   /** (id, code: array<int> of D entries in [0, levels)) — the stored
     * representation; 1 byte per dimension once packed to binary. */
@@ -131,9 +127,9 @@ object Sq {
       .crossJoin(broadcast(qdf))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"),
-        aggregate(sequence(lit(0), lit(st.dim - 1)), lit(0.0),
-          (acc, i) => acc + element_at(element_at(col("dtab"), i + 1),
-            element_at(col("code"), i + 1) + 1)).as("adc"))
+        // native left-to-right lookup fold — same IEEE add chain as
+        // the HOF aggregate() it replaces (graft.functions.AdcSum)
+        graft.functions.AdcSum(col("dtab"), col("code")).as("adc"))
     graft.operators.Ops.takeOrderedByKey(k, col("id"), -col("adc"),
       Seq(col("query_id")), as = ("nbr_id", "__neg"))(scored)
       .select(col("query_id"), col("nbr_id"),

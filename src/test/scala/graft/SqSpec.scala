@@ -91,4 +91,69 @@ class SqSpec extends SparkSpec {
     assert(got._1 == 7L, s"nearest to own codes should be itself: $got")
     assert(got._2 < 0.01, s"self ADC distance should be ~0: ${got._2}")
   }
+
+  test("SqEncode kernel == the HOF executable spec (incl. NaN, " +
+    "out-of-range clamps, degenerate dims) and AdcSum == the HOF " +
+    "fold, corpus-wide") {
+    val emb = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "embeddings")
+    val st = Sq.stats(emb, "embedding")
+    def hofCode(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val mnL = typedLit(st.mins.toSeq)
+      val mxL = typedLit(st.maxs.toSeq)
+      val top = lit((st.levels - 1).toDouble)
+      transform(sequence(lit(0), lit(st.dim - 1)), i => {
+        val mn = element_at(mnL, i + 1)
+        val mx = element_at(mxL, i + 1)
+        val x = element_at(vec.cast("array<double>"), i + 1)
+        when(mx === mn, lit(0)).otherwise(
+          least(lit(st.levels - 1), greatest(lit(0),
+            floor(((x - mn) * top) / (mx - mn)).cast("int"))))
+      })
+    }
+    val badC = emb.select(
+      Sq.codeColumn(col("embedding"), st).as("k"),
+      hofCode(col("embedding")).as("h"))
+      .filter(not(col("k") <=> col("h"))).count()
+    assert(badC == 0L, s"$badC vectors encode differently")
+    // out-of-corpus values exercise the clamps; NaN floors to 0. The
+    // kernel SATURATES here where the HOF spec is unrunnable: its
+    // clamp sat OUTSIDE the long->int cast, so a far-out-of-range
+    // value overflowed the cast (ANSI CAST_OVERFLOW) before greatest/
+    // least ever saw it — encoding yesterday's stats against a wild
+    // new crawl vector crashed instead of clamping
+    val wild = Seq(
+      Seq(1e12, -1e12, Double.NaN) ++ Seq.fill(st.dim - 3)(0.5))
+      .toDF("embedding")
+      .select(col("embedding").cast("array<double>").as("embedding"))
+    val w = wild.select(Sq.codeColumn(col("embedding"), st).as("k"))
+      .as[Seq[Int]].head()
+    assert(w(0) == st.levels - 1 && w(1) == 0 && w(2) == 0,
+      s"wild-value clamps: ${w.take(3)}")
+    assert(w.forall(c => c >= 0 && c < st.levels))
+    // AdcSum vs the HOF fold over a real dtab/code pair set
+    val codes = Sq.encode(emb, "vec_id", "embedding", st)
+    val q = emb.limit(3)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val top = (st.levels - 1).toDouble
+    val qdf = q.toSeq.map { case (qid, qv) =>
+      val dtab = (0 until st.dim).map { i =>
+        val step = (st.maxs(i) - st.mins(i)) / top
+        (0 until st.levels).map { c =>
+          val diff = qv(i) - (st.mins(i) + c * step); diff * diff
+        }
+      }
+      (qid, dtab)
+    }.toDF("query_id", "dtab")
+    val badA = codes.crossJoin(broadcast(qdf)).select(
+      graft.functions.AdcSum(col("dtab"), col("code")).as("k"),
+      aggregate(sequence(lit(0), lit(st.dim - 1)), lit(0.0),
+        (acc, i) => acc + element_at(element_at(col("dtab"), i + 1),
+          element_at(col("code"), i + 1) + 1)).as("h"))
+      .filter(not(col("k") <=> col("h"))).count()
+    assert(badA == 0L, s"$badA ADC sums differ")
+  }
 }
