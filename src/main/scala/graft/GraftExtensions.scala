@@ -75,6 +75,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHashes(children.head, intArg(children(1), "n"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[graft.functions.Tokens].getName,
+        "graft_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_tokens(text)")
+        graft.functions.Tokens(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_count"),
+      new ExpressionInfo(classOf[graft.functions.TokenCount].getName,
+        "token_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "token_count(text)")
+        graft.functions.TokenCount(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hashed_tokens"),
+      new ExpressionInfo(classOf[graft.functions.HashedTokens].getName,
+        "hashed_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "hashed_tokens(text)")
+        graft.functions.HashedTokens(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("text_shingle_hashes"),
+      new ExpressionInfo(
+        classOf[graft.functions.TextShingleHashes].getName,
+        "text_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "text_shingle_hashes(text, n)")
+        graft.functions.TextShingleHashes(children.head,
+          intArg(children(1), "n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sig_agreement"),
+      new ExpressionInfo(classOf[graft.functions.SigAgreement].getName,
+        "sig_agreement"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "sig_agreement(sigA, sigB)")
+        graft.functions.SigAgreement(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("adc_sum"),
+      new ExpressionInfo(classOf[graft.functions.AdcSum].getName,
+        "adc_sum"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "adc_sum(dtab, code)")
+        graft.functions.AdcSum(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => {

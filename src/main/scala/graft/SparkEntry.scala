@@ -1885,12 +1885,14 @@ object SparkEntry {
     // — the composed Pipe showcase of the north-star ops
     "q_pipeline_clean" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .withColumn("__ts", Text.tokens(col("text"))) // tokenize ONCE
-        .withColumn("n_tokens", Text.nTokensOf(col("__ts")))
-        .withColumn("sw_ratio", Text.stopwordRatioOf(col("__ts")))
+        // gate columns from the zero-alloc TEXT kernels — the pushed
+        // filter predicate re-inlines whatever the gate columns alias,
+        // and the old materialized-__ts forms put an interpreted
+        // stopword lambda + a token-array build into the scan condition
+        .withColumn("n_tokens", Text.nTokens(col("text")))
+        .withColumn("sw_ratio", Text.stopwordRatio(col("text")))
         .filter(col("n_tokens") >= 8 && col("sw_ratio") >= 0.05)
-        .withColumn("__fp",
-          substring(md5(array_join(col("__ts"), " ")), 1, 16))
+        .withColumn("__fp", Text.fingerprint(col("text")))
       val deduped = docs
         .groupBy("__fp")
         .agg(min(struct(col("doc_id"), col("lang"),

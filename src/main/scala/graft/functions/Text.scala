@@ -90,11 +90,11 @@ object Text {
       "du", "est", "que", "pour", "dans", "par", "sur"))
 
   /** Count of tokens (with multiplicity) belonging to `lang`'s stopword
-    * set — the per-language evidence score. Prefer [[stopwordHitsOf]] over
-    * a MATERIALIZED tokens column when scoring several languages: this
-    * text-input form re-tokenizes per call. */
+    * set — the per-language evidence score. The native [[TokenSetHits]]
+    * kernel: one zero-copy pass over the lowered bytes, exact string
+    * membership (parity with the HOF spec pinned in TextKernelSpec). */
   def stopwordHits(text: Column, lang: String): Column =
-    stopwordHitsOf(tokens(text), lang)
+    TokenSetHits(text, stopwords(lang))
 
   /** [[stopwordHits]] over an already-materialized tokens column. */
   def stopwordHitsOf(ts: Column, lang: String): Column = {
@@ -104,10 +104,12 @@ object Text {
 
   /** Heuristic language ID: argmax of stopword hits across known languages;
     * ties broken by language code order; all-zero evidence → "und"
-    * (undetermined, BCP-47 style). Tokenizes once per language scored —
-    * stage tokens in their own projection and use [[langIdOf]] in hot
-    * paths. */
-  def langId(text: Column): Column = langIdOf(tokens(text))
+    * (undetermined, BCP-47 style). The native [[graft.functions.LangId]]
+    * kernel — every language scored in ONE pass (one map probe per
+    * token), so it stays cheap even when pushdown inlines it into a
+    * scan predicate; [[langIdOf]] remains the executable spec. */
+  def langId(text: Column): Column =
+    LangId(text, stopwords.toSeq.sortBy(_._1))
 
   /** [[langId]] over an already-materialized tokens column (the 100 TB
     * form: one tokenization feeding every per-language evidence score). */
@@ -148,8 +150,14 @@ object Text {
     punct.cast("double") / length(text)
   }
 
-  /** Fraction of tokens that are (any-language) stopwords. */
-  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
+  /** Fraction of tokens that are (any-language) stopwords — both the
+    * hit count and the token count off the raw bytes (zero-alloc
+    * kernels). A 0-token doc is NULL via the nullif'd divisor — the
+    * HOF spec THREW ANSI DIVIDE_BY_ZERO there, so a single empty doc
+    * could kill a corpus-wide quality pass. */
+  def stopwordRatio(text: Column): Column =
+    TokenSetHits(text, stopwords.values.flatten.toSeq.distinct)
+      .cast("double") / nullif(TokenCount(text), lit(0))
 
   /** [[stopwordRatio]] over an already-materialized tokens column. */
   def stopwordRatioOf(ts: Column): Column = {

@@ -387,16 +387,21 @@ object TextStats {
   def corpusCard(df: DataFrame, textCol: String,
                  dims: Seq[String]): DataFrame = {
     require(dims.nonEmpty, "corpusCard needs at least one dimension")
+    // per-doc stats straight from the fused text kernels — the staged
+    // token array fed five interpreted metric HOFs per row (the
+    // GopherAdmit scalar is the same keep decision in one pass, and
+    // token counts never need the array)
     val staged = df.select(dims.map(col) ++ Seq(
-      Text.tokens(col(textCol)).as("__ts"),
+      graft.functions.TokenCount(col(textCol)).cast("long").as("__nt"),
+      graft.functions.GopherAdmit(col(textCol)).as("__ga"),
       Text.fingerprint(col(textCol)).as("__fp"),
       length(col(textCol)).cast("long").as("__nc")): _*)
     staged.rollup(dims.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("__ts")).cast("long")).as("n_tokens"),
+        sum(col("__nt")).as("n_tokens"),
         sum(col("__nc")).as("n_chars"),
         countDistinct(col("__fp")).as("n_distinct"),
-        sum(when(gopherKeepOf(col("__ts")), 1L).otherwise(0L))
+        sum(when(col("__ga") >= 0L, 1L).otherwise(0L))
           .as("n_gopher_pass"))
       .withColumn("dup_frac",
         (col("n_docs") - col("n_distinct")).cast("double") /

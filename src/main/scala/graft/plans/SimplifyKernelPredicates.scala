@@ -60,6 +60,9 @@ object SimplifyKernelPredicates extends Rule[LogicalPlan] {
     case PosShingleHashes(x, _)     => nullRoot(x)
     case MinHashSignature(x, _)     => nullRoot(x)
     case BandKeys(x, _, _)          => nullRoot(x)
+    // size(x, legacy=false) is null iff x is null — traverse it so an
+    // inferred isnotnull(size(kernel(x))) collapses to isnotnull(x)
+    case Size(x, false)             => nullRoot(x)
     case other => other
   }
 
@@ -81,9 +84,22 @@ object SimplifyKernelPredicates extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** Identity substitutions valid at ANY depth and position:
+    * `size(tokens(x), legacy=false)` IS the token count on every input
+    * (both null iff x null) — never build the token array for a
+    * length; and `isnotnull` over any null-intolerant kernel chain is
+    * `isnotnull` of its root input — never build anything for a null
+    * probe. Applied inside Filter conditions, where the array forms
+    * only ever arrive via cost-blind predicate pushdown/inference. */
+  private def sizeToCount(e: Expression): Expression = e.transformUp {
+    case Size(Tokens(x), false)       => TokenCount(x)
+    case Size(HashedTokens(x), false) => TokenCount(x)
+    case IsNotNull(k) if nullRoot(k) ne k => IsNotNull(nullRoot(k))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f: Filter =>
-      val rewritten = rewriteConjunct(f.condition)
+      val rewritten = sizeToCount(rewriteConjunct(f.condition))
       if (rewritten fastEquals f.condition) f
       else Filter(rewritten, f.child)
   }

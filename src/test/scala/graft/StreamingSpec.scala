@@ -398,6 +398,33 @@ class StreamingSpec extends SparkSpec {
       .as[String].collect().head == "e")
   }
 
+  test("GraftExtensions text kernels resolve through the REAL " +
+    "injection path (the shared test session loads the extension): " +
+    "token_count / graft_tokens / hashed_tokens / text_shingle_hashes " +
+    "/ sig_agreement / adc_sum") {
+    assert(spark.sql("SELECT token_count('  a b\tc ') AS n")
+      .as[Int].collect().head == 3)
+    assert(spark.sql("SELECT size(graft_tokens('A b C')) AS n")
+      .as[Int].collect().head == 3)
+    val ht = spark.sql(
+      "SELECT hashed_tokens('a b') AS h, " +
+        "transform(graft_tokens('a b'), t -> xxhash64(t)) AS e")
+      .select(col("h") === col("e")).as[Boolean].collect().head
+    assert(ht)
+    val tsh = spark.sql(
+      "SELECT text_shingle_hashes('a b c d', 2) AS f, " +
+        "shingle_hashes(graft_tokens('a b c d'), 2) AS g")
+      .select(col("f") === col("g")).as[Boolean].collect().head
+    assert(tsh)
+    assert(spark.sql(
+      "SELECT sig_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS a")
+      .as[Int].collect().head == 2)
+    assert(spark.sql(
+      "SELECT adc_sum(array(array(1.0D, 2.0D), array(10.0D, 20.0D)), " +
+        "array(1, 0)) AS s")
+      .as[Double].collect().head == 12.0)
+  }
+
   test("topology runs the README flagship RollMean factory from YAML") {
     val tmp = Files.createTempDirectory("topo_roll").toString
     Seq.tabulate(7)(i => (i.toLong, (i + 1).toDouble))

@@ -165,4 +165,53 @@ class TextKernelSpec extends SparkSpec {
       .filter(not(col("k") <=> col("h"))).count()
     assert(badE == 0L)
   }
+
+  test("TokenSetHits / LangId kernels == their HOF executable specs " +
+    "(exact string membership, argmax ties to smallest code, " +
+    "zero evidence -> und) corpus-wide and on edge strings") {
+    val docs = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    val hard = (edges ++ Seq(
+      11L -> "el la DE de THE the und und und",   // multi-lang words
+      12L -> "zzz qqq xxx",                       // zero evidence
+      13L -> "le le thе la"))                // Cyrillic е decoy
+      .toDF("doc_id", "text").select(col("doc_id"), col("text"))
+    for (frame <- Seq(docs.select("doc_id", "text"), hard)) {
+      // per-language hit counts (exact membership, multiplicity kept)
+      for (lang <- Text.stopwords.keys) {
+        val bad = frame.select(
+          Text.stopwordHits(col("text"), lang).as("k"),
+          Text.stopwordHitsOf(Text.tokens(col("text")), lang).as("h"))
+          .filter(not(col("k") <=> col("h"))).count()
+        assert(bad == 0L, s"stopwordHits($lang): $bad rows differ")
+      }
+      // any-language ratio — compared on docs with tokens; on a
+      // 0-token doc the HOF spec THROWS (ANSI divide-by-zero) where
+      // the kernel form is NULL (pinned below)
+      val badR = frame
+        .filter(graft.functions.TokenCount(col("text")) > 0)
+        .select(
+          Text.stopwordRatio(col("text")).as("k"),
+          Text.stopwordRatioOf(Text.tokens(col("text"))).as("h"))
+        .filter(not(col("k") <=> col("h"))).count()
+      assert(badR == 0L, s"stopwordRatio: $badR rows differ")
+      val nullEmpties = frame
+        .filter(graft.functions.TokenCount(col("text")) <=> 0)
+        .select(Text.stopwordRatio(col("text")).as("k"))
+        .filter(col("k").isNotNull).count()
+      assert(nullEmpties == 0L, "0-token docs must yield NULL ratio")
+      // fused language ID vs the struct-argmax spec — NULL text
+      // compared separately: the spec's struct-max labels a null token
+      // array with an arbitrary language, the kernel says NULL
+      val badL = frame.filter(col("text").isNotNull).select(
+        Text.langId(col("text")).as("k"),
+        Text.langIdOf(Text.tokens(col("text"))).as("h"))
+        .filter(not(col("k") <=> col("h"))).count()
+      assert(badL == 0L, s"langId: $badL rows differ")
+      val badN = frame.filter(col("text").isNull)
+        .select(Text.langId(col("text")).as("k"))
+        .filter(col("k").isNotNull).count()
+      assert(badN == 0L, "NULL text must yield NULL langId")
+    }
+  }
 }
