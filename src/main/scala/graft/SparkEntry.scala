@@ -1358,21 +1358,26 @@ object SparkEntry {
     }),
 
     "q_text_quality" -> ((s, dir) =>
+      // n_tokens and stopword_ratio off the zero-alloc kernels; the
+      // token array is staged only for the one metric that still
+      // walks it (mean token length)
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"),
           Text.tokens(col("text")).as("__ts"))
         .select(
           col("doc_id"),
-          Text.nTokensOf(col("__ts")).as("n_tokens"),
+          Text.nTokens(col("text")).as("n_tokens"),
           Text.meanTokenLenOf(col("__ts")).as("mean_token_len"),
           Text.punctRatio(col("text")).as("punct_ratio"),
-          Text.stopwordRatioOf(col("__ts")).as("stopword_ratio"))
+          Text.stopwordRatio(col("text")).as("stopword_ratio"))
         .orderBy("doc_id")),
 
     "q_langid" -> ((s, dir) =>
+      // the fused LangId kernel — one pass, one map probe per token
+      // (the staged langIdOf form ran one interpreted filter lambda
+      // per token per language; parity pinned in TextKernelSpec)
       t(s, dir, "documents")
-        .select(col("doc_id"), Text.tokens(col("text")).as("__ts"))
-        .select(col("doc_id"), Text.langIdOf(col("__ts")).as("lang_pred"))
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
     "q_token_bpeish" -> ((s, dir) =>
