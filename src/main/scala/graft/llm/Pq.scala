@@ -252,9 +252,14 @@ object Pq {
     val c = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
       .withColumn("cell", KMeans.cellOf(col("__v"), coarse))
+      // fused residual+encode kernel: the composed
+      // codeColumn(residualColumn(...)) form inlined the INTERPRETED
+      // zip_with residual into every subspace slice — m copies per row
       .select(col("id"), col("cell"),
-        codeColumn(residualColumn(col("__v"), coarse, col("cell")), cb)
-          .as("code"))
+        graft.functions.PqResidualCodes(col("__v"), col("cell"),
+          coarse.centroids.map(_.toSeq).toSeq,
+          cb.books.map(_.centroids.map(_.toSeq).toSeq).toSeq,
+          cb.subDim).as("code"))
     val scored = c.join(broadcast(qdf), "cell")
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"),

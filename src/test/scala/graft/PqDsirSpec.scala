@@ -254,4 +254,27 @@ class PqDsirSpec extends SparkSpec {
     // 5 unigrams + 4 bigrams, duplicates kept
     assert(n == 9L)
   }
+
+  test("PqResidualCodes kernel == the composed " +
+    "codeColumn(residualColumn(...)) spec corpus-wide") {
+    val emb = graft.core.Tables.table(
+      spark, "/root/testdata/sf0.001", "embeddings")
+    val coarse = graft.llm.KMeans.fit(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val cb = Pq.trainResidual(emb, "vec_id", "embedding", coarse,
+      m = 8, ksub = 16)
+    val staged = emb
+      .select(col("vec_id"), col("embedding").as("__v"))
+      .withColumn("cell", graft.llm.KMeans.cellOf(col("__v"), coarse))
+    val bad = staged.select(
+      graft.functions.PqResidualCodes(col("__v"), col("cell"),
+        coarse.centroids.map(_.toSeq).toSeq,
+        cb.books.map(_.centroids.map(_.toSeq).toSeq).toSeq,
+        cb.subDim).as("k"),
+      Pq.codeColumn(
+        Pq.residualColumn(col("__v"), coarse, col("cell")), cb)
+        .as("h"))
+      .filter(not(col("k") <=> col("h"))).count()
+    assert(bad == 0L, s"$bad vectors encode differently")
+  }
 }
