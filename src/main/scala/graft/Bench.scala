@@ -29,7 +29,9 @@ object Bench {
         "q_ngram_jaccard", "q_minhash_pairs", "q_simhash_pairs",
         "q_embed_neardup_lsh", "q_simsearch_lsh", "q_simsearch_ivf",
         "q_json_codec", "q_roll_mean", "q_ewma", "q_asof",
-        "q_dedup_clusters").foreach { n =>
+        "q_dedup_clusters",
+        // round-10 kernel families: SQ encode/ADC, fused language ID
+        "q_sq_search", "q_langid").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
