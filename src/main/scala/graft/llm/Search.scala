@@ -46,9 +46,20 @@ object Search {
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
       : DataFrame = {
     val norm = normTerms(terms, "bm25")
+    val hashed = norm.map(termHash)
     score(df, idCol, textCol, k1, b, Seq(col(idCol)),
-      _.filter(col("__t").isin(norm: _*)), identity)
+      _.filter(col("__h").isin(hashed: _*)), identity)
       .select(col(idCol), col("n_terms"), col("score"))
+  }
+
+  /** Driver-side twin of Spark's `xxhash64(string)` (XXH64 over the
+    * UTF-8 bytes, seed 42) — literal query terms prehash to the same
+    * longs the [[graft.functions.HashedTokens]] kernel emits. */
+  private def termHash(t: String): Long = {
+    val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      b.length, 42L)
   }
 
   /** Query terms are matched against [[Text.tokens]] output, which is
@@ -76,23 +87,27 @@ object Search {
                     k1: Double, b: Double, keys: Seq[Column],
                     restrict: DataFrame => DataFrame,
                     fanOut: DataFrame => DataFrame): DataFrame = {
+    // terms ride as their 8-byte xxhash64 (the HashedTokens kernel —
+    // tokenize + hash in one pass, no token array, no per-token
+    // UTF8String): the explode, tf groupBy, df table and every term
+    // join move longs, never strings. Two DISTINCT terms colliding at
+    // 2^-64 odds would merge — the ShingleHashes trade, irrelevant to
+    // every downstream count/score. Doc length comes from the
+    // zero-alloc count kernel (== size(tokens(text)), pinned).
     val toks = corpus.select(col(idCol),
-      graft.functions.Text.tokens(col(textCol)).as("__ts"))
-    // the totals pass only needs lengths, never the tokens themselves —
-    // the native count kernel scans raw bytes with zero allocation,
-    // where size(tokens(text)) would tokenize the whole corpus a
-    // second time just to discard the arrays (same decimal-exact sum)
+      graft.functions.TokenCount(col(textCol)).cast("long").as("__dl"),
+      explode(graft.functions.HashedTokens(col(textCol))).as("__h"))
+    // the totals pass only needs lengths, never the tokens themselves
+    // (same decimal-exact sum)
     val tots = corpus.agg(count(lit(1)).as("__n"),
       sum(graft.functions.TokenCount(col(textCol))
         .cast("long").cast("decimal(38,0)"))
         .cast("long").as("__c"))
-    val tf = restrict(toks
-      .select(col(idCol), size(col("__ts")).cast("long").as("__dl"),
-        explode(col("__ts")).as("__t")))
-      .groupBy(col(idCol), col("__dl"), col("__t"))
+    val tf = restrict(toks)
+      .groupBy(col(idCol), col("__dl"), col("__h"))
       .agg(count(lit(1)).as("__tf"))
-    val dfq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
-    fanOut(tf.join(broadcast(dfq), "__t"))
+    val dfq = tf.groupBy("__h").agg(count(lit(1)).as("__df"))
+    fanOut(tf.join(broadcast(dfq), "__h"))
       .crossJoin(broadcast(tots))
       .groupBy(keys: _*).agg(
         count(lit(1)).as("n_terms"),
@@ -106,7 +121,8 @@ object Search {
     * spelled as the SAME IEEE expression shape as the oracle SQL
     * ((k1+1), k1(1−b), k1·b over double-cast literals); guarded at the
     * 1e9-fixed-point Long-saturation bound like [[KMeans.fit]]. */
-  private[graft] def termScore(k1: Double, b: Double): Column = {
+  private[graft] def termScore(k1: Double, b: Double,
+                               termCol: Column = col("__h")): Column = {
     val c1 = lit(k1) + lit(1.0)
     val c2 = lit(k1) * (lit(1.0) - lit(b))
     val c3 = lit(k1) * lit(b)
@@ -120,7 +136,8 @@ object Search {
     val term = idf * tfPart
     when(term >= lit(9.2e9), raise_error(concat(
       lit("bm25: term score >= 9.2e9 overflows the 1e9 fixed-point " +
-        "quantization for term "), col("__t")))).otherwise(term)
+        "quantization for term "), termCol.cast("string"))))
+      .otherwise(term)
   }
 
   /** Batch retrieval: BM25 of every document against EVERY query in a
@@ -145,11 +162,14 @@ object Search {
     val qterms = queries.select(col(queryIdCol),
       explode(array_distinct(transform(col(termsCol),
         t => lower(trim(t))))).as("__t"))
-    val termSet = qterms.select("__t").distinct()
+      // prehash on the (tiny) query side so every corpus-side join
+      // and shuffle key is the 8-byte term hash, never the string
+      .select(col(queryIdCol), xxhash64(col("__t")).as("__h"))
+    val termSet = qterms.select("__h").distinct()
     score(corpus, idCol, textCol, k1, b,
       Seq(col(queryIdCol), col(idCol)),
-      _.join(broadcast(termSet), "__t"),
-      _.join(broadcast(qterms), "__t"))
+      _.join(broadcast(termSet), "__h"),
+      _.join(broadcast(qterms), "__h"))
       .select(col(queryIdCol), col(idCol), col("n_terms"), col("score"))
   }
 

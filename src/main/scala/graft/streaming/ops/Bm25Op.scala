@@ -95,7 +95,8 @@ object Bm25Op extends OperatorFactory {
           .withColumn("__tf", tfOf(t))
           .withColumn("__df", lit(dfMap.getOrElse(t, 0L)))
           .withColumn(s"__fx$i",
-            floor(Search.termScore(k1, b) * lit(1e9)).cast("long"))
+            floor(Search.termScore(k1, b, col("__t")) * lit(1e9))
+              .cast("long"))
           .withColumn(s"__hit$i", (col("__tf") > 0L).cast("long"))
     }
     // decimal sum like the batch aggregate — per-term longs can reach
