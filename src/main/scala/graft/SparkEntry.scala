@@ -3614,14 +3614,14 @@ object SparkEntry {
     * sf0.01; memory floors drop to 32–128MB. Applied ONLY to this
     * allowlist — materializing a single-reference CTE can cost more
     * than streaming it, so the cheap default stays inlining. */
-  private val MaterializedCteOracles: Set[String] = Set(
+  private[graft] val MaterializedCteOracles: Set[String] = Set(
     "q_adjacent_drift", "q_ann_mrr", "q_ann_recall", "q_dup_coverage",
     "q_embed_against", "q_embed_neardup_lsh", "q_hits", "q_kmeans_fit",
     "q_minhash_dedup", "q_pagerank", "q_pagerank_docs",
     "q_pagerank_seeded", "q_pipeline_dedup", "q_pipeline_ingest",
-    "q_pq_ivf_residual", "q_pq_search", "q_resample", "q_scd2",
-    "q_semantic_dedup_far", "q_simsearch_ivf", "q_simsearch_lsh",
-    "q_trim_spans")
+    "q_pq_ivf_residual", "q_pq_search", "q_quality_nb", "q_resample",
+    "q_scd2", "q_semantic_dedup_far", "q_simsearch_ivf",
+    "q_simsearch_lsh", "q_trim_spans")
 
   // a CTE definition is the only place `<ident> AS (` appears in these
   // oracles (derived-table aliases are `AS t(cols)` — ident AFTER the
@@ -5967,35 +5967,48 @@ object SparkEntry {
       // Naive-Bayes quality score: top-64 vocab by combined count (ties
       // to token asc), totals over the FULL class token streams, exact
       // HUGEINT products -> one division per term -> the fixed-point
-      // mean recipe at 1e12
+      // mean recipe at 1e12. Identical tokens in a doc share one term
+      // value, so every token-instance stream is pre-aggregated to
+      // (doc_id, w, c) / (w, cp) counts BEFORE any join — the round-10
+      // driver replay OOM'd because the two raw unnest CTEs (referenced
+      // 2-3x each, and DuckDB 1.0 inlines every reference) materialized
+      // corpus x tokens rows repeatedly; counts bound peak memory at
+      // doc x distinct-token size instead. Weighted fold (sum(c * ...)
+      // / sum(c)) is arithmetically exact vs the per-instance original.
       "q_quality_nb" ->
-        s"""WITH dt AS (SELECT doc_id, unnest($toksSql) AS w
-           |            FROM documents),
-           |rt AS (SELECT unnest($toksSql) AS w
-           |       FROM documents WHERE lang = 'en'),
-           |cpos AS (SELECT w, count(*)::BIGINT AS cp FROM rt GROUP BY w),
-           |cneg AS (SELECT w, count(*)::BIGINT AS cn FROM dt GROUP BY w),
+        s"""WITH dt AS (
+           |  SELECT doc_id, w, count(*)::BIGINT AS c
+           |  FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+           |  GROUP BY doc_id, w),
+           |cpos AS (
+           |  SELECT w, count(*)::BIGINT AS cp
+           |  FROM (SELECT unnest($toksSql) AS w
+           |        FROM documents WHERE lang = 'en')
+           |  GROUP BY w),
+           |cneg AS (SELECT w, sum(c)::BIGINT AS cn FROM dt GROUP BY w),
            |vocab AS (
            |  SELECT w, coalesce(cp, 0)::BIGINT AS cp,
            |         coalesce(cn, 0)::BIGINT AS cn
            |  FROM cpos FULL OUTER JOIN cneg USING (w)
            |  ORDER BY (coalesce(cp, 0) + coalesce(cn, 0)) DESC, w ASC
            |  LIMIT 64),
-           |tot AS (SELECT (SELECT count(*) FROM rt)::BIGINT AS np,
-           |               (SELECT count(*) FROM dt)::BIGINT AS nn,
+           |tot AS (SELECT coalesce((SELECT sum(cp) FROM cpos),
+           |                        0)::BIGINT AS np,
+           |               coalesce((SELECT sum(c) FROM dt),
+           |                        0)::BIGINT AS nn,
            |               (SELECT count(*) FROM vocab)::BIGINT AS v),
            |terms AS (
-           |  SELECT dt.doc_id, vo.cp, vo.cn,
+           |  SELECT dt.doc_id, dt.c, vo.cp, vo.cn,
            |    ((coalesce(vo.cp, 0) + 1)::HUGEINT
            |       * (tot.nn + tot.v)::HUGEINT)::DOUBLE /
            |    ((coalesce(vo.cn, 0) + 1)::HUGEINT
            |       * (tot.np + tot.v)::HUGEINT)::DOUBLE AS term
            |  FROM dt LEFT JOIN vocab vo USING (w) CROSS JOIN tot)
-           |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-           |  sum(CASE WHEN cp IS NULL AND cn IS NULL THEN 1 ELSE 0
+           |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+           |  sum(CASE WHEN cp IS NULL AND cn IS NULL THEN c ELSE 0
            |      END)::BIGINT AS n_oov,
-           |  (sum(floor(term * 1e12)::HUGEINT)::DOUBLE
-           |     / count(*) / 1e12) AS score
+           |  (sum(c::HUGEINT * floor(term * 1e12)::HUGEINT)::DOUBLE
+           |     / sum(c) / 1e12) AS score
            |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // dataset card: ROLLUP over (lang, source); fingerprint = md5 of
@@ -6099,38 +6112,43 @@ object SparkEntry {
           |  FROM cleaned c JOIN documents d USING (doc_id)
           |  WHERE c.doc_id % 17 <> 0
           |    AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)),
-          |dt AS (SELECT doc_id, unnest(list_filter(string_split(
-          |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
-          |    t -> len(t) > 0)) AS w
-          |  FROM surv),
-          |rt AS (SELECT doc_id, unnest(list_filter(string_split(
-          |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
-          |    t -> len(t) > 0)) AS w
-          |  FROM surv WHERE lang = 'en'),
-          |cpos AS (SELECT w, count(*)::BIGINT AS cp FROM rt GROUP BY w),
-          |cneg AS (SELECT w, count(*)::BIGINT AS cn FROM dt GROUP BY w),
+          |dt AS (SELECT doc_id, w, count(*)::BIGINT AS c
+          |  FROM (SELECT doc_id, unnest(list_filter(string_split(
+          |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+          |      t -> len(t) > 0)) AS w
+          |    FROM surv)
+          |  GROUP BY doc_id, w),
+          |cpos AS (SELECT w, count(*)::BIGINT AS cp
+          |  FROM (SELECT unnest(list_filter(string_split(
+          |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+          |      t -> len(t) > 0)) AS w
+          |    FROM surv WHERE lang = 'en')
+          |  GROUP BY w),
+          |cneg AS (SELECT w, sum(c)::BIGINT AS cn FROM dt GROUP BY w),
           |vocab AS (
           |  SELECT w, coalesce(cp, 0)::BIGINT AS cp,
           |         coalesce(cn, 0)::BIGINT AS cn
           |  FROM cpos FULL OUTER JOIN cneg USING (w)
           |  ORDER BY (coalesce(cp, 0) + coalesce(cn, 0)) DESC, w ASC
           |  LIMIT 64),
-          |tot AS (SELECT (SELECT count(*) FROM rt)::BIGINT AS np,
-          |               (SELECT count(*) FROM dt)::BIGINT AS nn,
+          |tot AS (SELECT coalesce((SELECT sum(cp) FROM cpos),
+          |                        0)::BIGINT AS np,
+          |               coalesce((SELECT sum(c) FROM dt),
+          |                        0)::BIGINT AS nn,
           |               (SELECT count(*) FROM vocab)::BIGINT AS v),
           |terms AS (
-          |  SELECT dt.doc_id, vo.cp, vo.cn,
+          |  SELECT dt.doc_id, dt.c, vo.cp, vo.cn,
           |    ((coalesce(vo.cp, 0) + 1)::HUGEINT
           |       * (tot.nn + tot.v)::HUGEINT)::DOUBLE /
           |    ((coalesce(vo.cn, 0) + 1)::HUGEINT
           |       * (tot.np + tot.v)::HUGEINT)::DOUBLE AS term
           |  FROM dt LEFT JOIN vocab vo USING (w) CROSS JOIN tot),
           |scored AS (
-          |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
-          |    sum(CASE WHEN cp IS NULL AND cn IS NULL THEN 1 ELSE 0
+          |  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+          |    sum(CASE WHEN cp IS NULL AND cn IS NULL THEN c ELSE 0
           |        END)::BIGINT AS n_oov,
-          |    (sum(floor(term * 1e12)::HUGEINT)::DOUBLE
-          |       / count(*) / 1e12) AS score
+          |    (sum(c::HUGEINT * floor(term * 1e12)::HUGEINT)::DOUBLE
+          |       / sum(c) / 1e12) AS score
           |  FROM terms GROUP BY doc_id)
           |SELECT s.doc_id, s.n_lines_kept, sc.n_tokens, sc.n_oov,
           |       sc.score

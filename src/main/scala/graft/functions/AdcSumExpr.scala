@@ -13,9 +13,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * Bit-identical to the HOF fold
   * `aggregate(sequence(0, m-1), 0.0, (acc, j) ->
   *   acc + element_at(element_at(dtab, j+1), element_at(code, j+1) + 1))`
-  * including null semantics (any out-of-range lookup or null element
-  * nulls the whole sum, exactly like element_at) and IEEE order (one
-  * left-to-right add chain — the SQL oracle replays the same fold).
+  * where m is the distance-table length, including null semantics (a
+  * code/dtab LENGTH MISMATCH in either direction nulls the sum — the
+  * HOF's fixed-m fold hit an out-of-range element_at on a short code —
+  * as does any out-of-range lookup or null element, exactly like
+  * element_at) and IEEE order (one left-to-right add chain — the SQL
+  * oracle replays the same fold).
   *
   * Why a kernel (tier (b)): the fold runs once per (query, candidate)
   * pair with m interpreted lambda dispatches each; this is the entire
@@ -25,11 +28,13 @@ object AdcSumKernel {
   // eval wrapper maps NaN-from-null to SQL NULL via the boxed path
   def sum(dtab: ArrayData, code: ArrayData): Any = {
     val m = code.numElements()
+    // the HOF folds over the CODEBOOK's m: a code shorter than dtab
+    // must null the sum (element_at out-of-range), not partial-sum
+    if (m != dtab.numElements()) return null
     var acc = 0.0
     var j = 0
     while (j < m) {
-      if (code.isNullAt(j) || j >= dtab.numElements() ||
-        dtab.isNullAt(j)) return null
+      if (code.isNullAt(j) || dtab.isNullAt(j)) return null
       val row = dtab.getArray(j)
       val idx = code.getInt(j)
       if (idx < 0 || idx >= row.numElements() || row.isNullAt(idx))

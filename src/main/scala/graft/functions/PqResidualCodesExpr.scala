@@ -30,10 +30,23 @@ final class PqResidualCodesKernel(coarse: Seq[Seq[Double]],
     books.map(_.map(_.toArray).toArray).toArray
 
   def codes(vec: ArrayData, cell: Int, isFloat: Boolean): ArrayData = {
+    // malformed inputs (a cell that is not a KMeans.cellOf output, or a
+    // vector narrower than the codebook span) fail LOUDLY with the
+    // offending values — a clamp here would silently truncate the
+    // distance fold and return plausible-but-wrong codes
+    if (cell < 0 || cell >= cents.length)
+      throw new IllegalArgumentException(
+        s"graft_pq_residual_codes: cell $cell out of range " +
+          s"[0, ${cents.length})")
     val cent = cents(cell)
     val m = bk.length
     val out = new Array[Int](m)
     val n = vec.numElements()
+    if (n < m * subDim || cent.length < m * subDim)
+      throw new IllegalArgumentException(
+        s"graft_pq_residual_codes: need >= ${m * subDim} dims " +
+          s"(m=$m x subDim=$subDim), got vector=$n, " +
+          s"centroid=${cent.length}")
     var s = 0
     while (s < m) {
       val base = s * subDim
@@ -45,8 +58,7 @@ final class PqResidualCodesKernel(coarse: Seq[Seq[Double]],
         val w = cwords(c)
         var d = 0.0
         var i = 0
-        val lim = math.min(subDim, math.min(w.length,
-          math.max(0, math.min(n, cent.length) - base)))
+        val lim = math.min(subDim, w.length)
         while (i < lim) {
           val x = if (isFloat) vec.getFloat(base + i).toDouble
                   else vec.getDouble(base + i)

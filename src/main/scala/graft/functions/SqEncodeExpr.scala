@@ -22,8 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * against yesterday's stats crashed with ANSI CAST_OVERFLOW instead
   * of clamping), and a whole-NULL vector yields a NULL code (the HOF
   * built an all-zero phantom code no consumer should score). */
-class SqEncodeKernel(mins: Array[Double], maxs: Array[Double],
+class SqEncodeKernel(minsSeq: Seq[Double], maxsSeq: Seq[Double],
                      levels: Int) extends Serializable {
+  // Seq at the expression layer (value equality -> canonicalization /
+  // CSE / exchange reuse work); arrays only inside the hot loop
+  @transient private lazy val mins: Array[Double] = minsSeq.toArray
+  @transient private lazy val maxs: Array[Double] = maxsSeq.toArray
   def encode(vec: ArrayData): ArrayData = {
     val d = mins.length
     val top = (levels - 1).toDouble
@@ -46,8 +50,12 @@ class SqEncodeKernel(mins: Array[Double], maxs: Array[Double],
   }
 }
 
-case class SqEncode(child: Expression, mins: Array[Double],
-                    maxs: Array[Double], levels: Int)
+// mins/maxs are Seq (not Array) so two SqEncode nodes over equal stats
+// are `equals`/semanticEquals — arrays compare by reference, which
+// broke canonicalization and common-subexpression elimination when
+// codeColumn was invoked twice with the same corpus stats
+case class SqEncode(child: Expression, mins: Seq[Double],
+                    maxs: Seq[Double], levels: Int)
     extends UnaryExpression {
 
   require(mins.length == maxs.length,
@@ -83,7 +91,7 @@ case class SqEncode(child: Expression, mins: Array[Double],
 }
 
 object SqEncode {
-  def apply(vec: Column, mins: Array[Double], maxs: Array[Double],
+  def apply(vec: Column, mins: Seq[Double], maxs: Seq[Double],
             levels: Int): Column =
     ColumnBridge.column(SqEncode(
       ColumnBridge.expression(vec), mins, maxs, levels))

@@ -47,8 +47,12 @@ object Search {
       : DataFrame = {
     val norm = normTerms(terms, "bm25")
     val hashed = norm.map(termHash)
+    // driver-side hash -> term text (bounded by the query size) so the
+    // overflow diagnostic names the offending TERM, not its 8-byte hash
+    val lookup = typedLit(norm.map(t => termHash(t) -> t).toMap)
     score(df, idCol, textCol, k1, b, Seq(col(idCol)),
-      _.filter(col("__h").isin(hashed: _*)), identity)
+      _.filter(col("__h").isin(hashed: _*)), identity,
+      element_at(lookup, col("__h")))
       .select(col(idCol), col("n_terms"), col("score"))
   }
 
@@ -86,7 +90,8 @@ object Search {
   private def score(corpus: DataFrame, idCol: String, textCol: String,
                     k1: Double, b: Double, keys: Seq[Column],
                     restrict: DataFrame => DataFrame,
-                    fanOut: DataFrame => DataFrame): DataFrame = {
+                    fanOut: DataFrame => DataFrame,
+                    termText: Column): DataFrame = {
     // terms ride as their 8-byte xxhash64 (the HashedTokens kernel —
     // tokenize + hash in one pass, no token array, no per-token
     // UTF8String): the explode, tf groupBy, df table and every term
@@ -111,7 +116,11 @@ object Search {
       .crossJoin(broadcast(tots))
       .groupBy(keys: _*).agg(
         count(lit(1)).as("n_terms"),
-        sum(floor(termScore(k1, b) * lit(1e9)).cast("decimal(38,0)"))
+        // the text rides ONLY inside the raise_error diagnostic — it is
+        // consumed in the partial aggregate, so no string ever shuffles
+        sum(floor(termScore(k1, b,
+            coalesce(termText, col("__h").cast("string"))) * lit(1e9))
+          .cast("decimal(38,0)"))
           .as("__s"))
       .withColumn("score", col("__s").cast("double") / lit(1e9))
   }
@@ -163,13 +172,17 @@ object Search {
       explode(array_distinct(transform(col(termsCol),
         t => lower(trim(t))))).as("__t"))
       // prehash on the (tiny) query side so every corpus-side join
-      // and shuffle key is the 8-byte term hash, never the string
-      .select(col(queryIdCol), xxhash64(col("__t")).as("__h"))
+      // and shuffle key is the 8-byte term hash, never the string —
+      // __t rides the broadcast fan-out only to name the term in the
+      // overflow diagnostic (consumed in the partial agg, no string
+      // ever enters an exchange)
+      .select(col(queryIdCol), xxhash64(col("__t")).as("__h"),
+        col("__t"))
     val termSet = qterms.select("__h").distinct()
     score(corpus, idCol, textCol, k1, b,
       Seq(col(queryIdCol), col(idCol)),
       _.join(broadcast(termSet), "__h"),
-      _.join(broadcast(qterms), "__h"))
+      _.join(broadcast(qterms), "__h"), col("__t"))
       .select(col(queryIdCol), col(idCol), col("n_terms"), col("score"))
   }
 
