@@ -80,6 +80,49 @@ object SparkEntry {
         pmod(col("doc_id"), lit(200)).cast("string"), lit("/d/"), id))
   }
 
+  /** Host synth for the FULL-PSL query (q_url_psl), cycling on doc_id
+    * to hit every publicsuffix.org rule class: plain 1/2/3-label
+    * suffixes (com, co.uk, k12.va.us), wildcard `*.ck` at and below the
+    * suffix boundary, exceptions `!www.ck` / `!city.kobe.jp` at and
+    * below the name, IP-literal and single-label pass-throughs, and a
+    * no-match TLD (the implicit `*` fallback). The oracle applies the
+    * identical CASE ([[synthPslHostSql]]). */
+  private[graft] def synthPslHost: Column = {
+    val m = pmod(col("doc_id"), lit(14))
+    when(m === 0, concat(col("source"), lit(".com")))
+      .when(m === 1, concat(lit("www."), col("source"), lit(".co.uk")))
+      .when(m === 2, concat(lit("a.b."), col("source"), lit(".com")))
+      .when(m === 3, concat(col("source"), lit(".k12.va.us")))
+      .when(m === 4, concat(lit("x."), col("source"), lit(".k12.va.us")))
+      .when(m === 5, concat(col("source"), lit(".ck")))
+      .when(m === 6, concat(lit("x.shop."), col("source"), lit(".ck")))
+      .when(m === 7, lit("www.ck"))
+      .when(m === 8, lit("deep.www.ck"))
+      .when(m === 9, lit("city.kobe.jp"))
+      .when(m === 10, lit("ward.city.kobe.jp"))
+      .when(m === 11, concat(lit("10.42.7."),
+        pmod(col("doc_id"), lit(200)).cast("string")))
+      .when(m === 12, lit("localhost"))
+      .otherwise(concat(lit("a."), col("source"), lit(".notatld")))
+  }
+
+  private[graft] val synthPslHostSql: String =
+    """CASE doc_id % 14
+      | WHEN 0 THEN source || '.com'
+      | WHEN 1 THEN 'www.' || source || '.co.uk'
+      | WHEN 2 THEN 'a.b.' || source || '.com'
+      | WHEN 3 THEN source || '.k12.va.us'
+      | WHEN 4 THEN 'x.' || source || '.k12.va.us'
+      | WHEN 5 THEN source || '.ck'
+      | WHEN 6 THEN 'x.shop.' || source || '.ck'
+      | WHEN 7 THEN 'www.ck'
+      | WHEN 8 THEN 'deep.www.ck'
+      | WHEN 9 THEN 'city.kobe.jp'
+      | WHEN 10 THEN 'ward.city.kobe.jp'
+      | WHEN 11 THEN '10.42.7.' || (doc_id % 200)::VARCHAR
+      | WHEN 12 THEN 'localhost'
+      | ELSE 'a.' || source || '.notatld' END""".stripMargin
+
   /** Fixed per-(JVM, sfDir) scratch path, overwritten each run within
     * the JVM and DELETED at JVM exit (shutdown hook) — a fresh
     * createTempDirectory per invocation leaked a copy per RUN (round-7
@@ -2913,9 +2956,9 @@ object SparkEntry {
     "q_url_psl" -> ((s, dir) => {
       val hosts = t(s, dir, "documents")
         .select(col("doc_id"),
-          graft.llm.Url.stripWww(graft.llm.Url.host(synthUrl)).as("host"))
-      graft.llm.Url.registeredDomainPsl(
-          hosts, "host", graft.llm.Url.pslFixtureDf(s))
+          graft.llm.Url.stripWww(synthPslHost).as("host"))
+      graft.llm.Url.registeredDomainPslFull(
+          hosts, "host", graft.llm.Url.pslFullRules)
         .select(col("doc_id"), col("host"), col("domain"))
         .orderBy("doc_id")
     }),
@@ -6462,26 +6505,45 @@ object SparkEntry {
       // ladder (longest s first) are generated from the SAME
       // Url.PslFixture Seq the Spark side broadcasts — one source of
       // truth, two engines
+      // FULL publicsuffix.org semantics, over the SAME committed
+      // fixture the engine parses (graft/public_suffix_list.dat):
+      // exception rules prevail (s = rule labels - 1), else the longest
+      // match among plain rules and wildcard matches (s = base + 1,
+      // needs n >= base + 1), else the implicit `*`. Three VALUES
+      // tables generated from the one parsed PslRules value.
       "q_url_psl" -> {
-        val pslVals = graft.llm.Url.PslFixture
-          .map(sfx => s"('$sfx')").mkString(", ")
-        val maxS = graft.llm.Url.PslFixture
-          .map(_.count(_ == '.') + 1).max
-        val ladder = (maxS to 1 by -1).map { s =>
-          s"""WHEN n >= $s AND array_to_string(
-             |    list_slice(ls, -$s, -1), '.') IN (SELECT suffix FROM psl)
-             |  THEN $s""".stripMargin
+        val rules = graft.llm.Url.pslFullRules
+        def vals(rs: Seq[String]) =
+          rs.map(r => s"('$r')").mkString(", ")
+        def lens(rs: Seq[String]): Seq[Int] =
+          rs.map(_.count(_ == '.') + 1).distinct.sorted.reverse
+        def last(s: Int) = s"array_to_string(list_slice(ls, -$s, -1), '.')"
+        val pLadder = lens(rules.plain).map { s =>
+          s"WHEN n >= $s AND ${last(s)} IN (SELECT s FROM pslp) THEN $s"
         }.mkString("\n", "\n", "\nELSE 0")
-        s"""WITH u AS MATERIALIZED (
-           |  SELECT doc_id, $urlCaseSql AS url FROM documents),
-           |psl(suffix) AS (VALUES $pslVals),
+        val wLadder = lens(rules.wildcardBases).map { s =>
+          s"WHEN n >= ${s + 1} AND ${last(s)} IN (SELECT b FROM pslw)" +
+            s" THEN ${s + 1}"
+        }.mkString("\n", "\n", "\nELSE 0")
+        val eLadder = lens(rules.exceptions).map { s =>
+          s"WHEN n >= $s AND ${last(s)} IN (SELECT e FROM psle)" +
+            s" THEN ${s - 1}"
+        }.mkString("\n", "\n", "\nELSE -1")
+        s"""WITH pslp(s) AS (VALUES ${vals(rules.plain)}),
+           |pslw(b) AS (VALUES ${vals(rules.wildcardBases)}),
+           |psle(e) AS (VALUES ${vals(rules.exceptions)}),
            |h AS (SELECT doc_id,
-           |  regexp_replace(${urlHostSql("url")}, '^www\\.', '') AS host
-           |  FROM u),
+           |  regexp_replace($synthPslHostSql, '^www\\.', '') AS host
+           |  FROM documents),
            |m AS (SELECT doc_id, host, string_split(host, '.') AS ls,
            |  len(string_split(host, '.')) AS n FROM h),
            |mm AS (SELECT doc_id, host, ls, n,
-           |  CASE $ladder END AS s FROM m)
+           |  CASE $pLadder END AS sp,
+           |  CASE $wLadder END AS sw,
+           |  CASE $eLadder END AS se FROM m),
+           |ms AS (SELECT doc_id, host, ls, n,
+           |  CASE WHEN se >= 0 THEN se ELSE greatest(sp, sw) END AS s
+           |  FROM mm)
            |SELECT doc_id, host,
            |  CASE WHEN regexp_matches(host, '^[0-9]+(\\.[0-9]+){3}$$')
            |         OR contains(host, ':') OR n <= 1 THEN host
@@ -6490,7 +6552,7 @@ object SparkEntry {
            |    WHEN s = n THEN host
            |    ELSE array_to_string(list_slice(ls, -(s+1), -1), '.')
            |  END AS domain
-           |FROM mm ORDER BY doc_id""".stripMargin
+           |FROM ms ORDER BY doc_id""".stripMargin
       },
 
       // recall@5: brute-force ground truth vs the full IVF replay (the

@@ -86,11 +86,43 @@ object Url {
     "k12.ma.us", "cc.ca.us", "lib.tx.us", "city.kobe.jp", "pref.kyoto.jp")
 
   /** [[PslFixture]] as the one-column `suffix` DataFrame
-    * [[registeredDomainPsl]] takes — swap in the full list (a ~9k-row
-    * frame read from wherever the refreshed PSL lands) at this seam. */
+    * [[registeredDomainPsl]] takes — swap in the full list
+    * ([[pslFullRules]]) at this seam. */
   def pslFixtureDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     PslFixture.toDF("suffix")
+  }
+
+  /** The three rule classes of the Public Suffix List
+    * (publicsuffix.org/list/): plain suffixes; wildcard BASES (the rule
+    * `*.ck` is stored as base `ck` — any single label under a base is a
+    * public suffix); exception NAMES (`!www.ck` stored as `www.ck` — the
+    * name is registrable even though a wildcard covers it). */
+  final case class PslRules(plain: Seq[String], wildcardBases: Seq[String],
+                            exceptions: Seq[String])
+
+  /** The FULL Public Suffix List, parsed from the committed fixture
+    * `graft/public_suffix_list.dat` (publicsuffix.org, public data —
+    * the copy shipped in every Debian/OpenJDK; refresh by overwriting
+    * the resource). 9,506 rules at commit time: 9,391 plain, 107
+    * wildcard, 8 exception; ≤ 5 labels. Parse per the PSL spec: a line
+    * is everything up to the first whitespace; `//` comments and blank
+    * lines are skipped; ICANN and PRIVATE sections both apply (eTLD+1
+    * convention). Single source of truth for BOTH engines: the Spark
+    * join tables and the DuckDB oracle's VALUES lists are generated
+    * from this one value. */
+  lazy val pslFullRules: PslRules = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "resource graft/public_suffix_list.dat missing")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    val rules = lines.map(_.takeWhile(!_.isWhitespace))
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+    val (exc, rest) = rules.partition(_.startsWith("!"))
+    val (wild, plain) = rest.partition(_.startsWith("*."))
+    PslRules(plain.distinct, wild.map(_.stripPrefix("*.")).distinct,
+      exc.map(_.stripPrefix("!")).distinct)
   }
 
   /** PSL-faithful registered domain with the suffix list AS DATA
@@ -146,6 +178,65 @@ object Url {
         slice(labels, -(matched + lit(1)), matched + lit(1))))
     cur.withColumn(out, dom)
       .drop((1 to maxS).map(s => s"__psl_$s"): _*)
+  }
+
+  /** FULL-PSL registered domain — [[registeredDomainPsl]] extended to
+    * all three rule classes per the publicsuffix.org algorithm: an
+    * exception rule always prevails (its public suffix is the rule
+    * minus the leftmost label, so `!www.ck` makes `www.ck` itself
+    * registrable); otherwise the LONGEST match among plain rules and
+    * wildcard matches (`*.ck` ⇒ any `<label>.ck` is a public suffix)
+    * wins; no match falls back to the implicit `*` rule (last label is
+    * the suffix, registered domain = last two). Same engine shape: one
+    * chained MAP-ONLY broadcast join per (rule class, label count) —
+    * ~11 joins for the full list, each against a ≤10k-row broadcast —
+    * so the crawl-scale corpus never shuffles. */
+  def registeredDomainPslFull(df: DataFrame, hostCol: String,
+                              rules: PslRules, out: String = "domain")
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val labels = split(col(hostCol), "\\.")
+    val n      = size(labels)
+    val isIp = col(hostCol).rlike("^[0-9]+(\\.[0-9]+){3}$") ||
+      col(hostCol).contains(":")
+    def byLen(rs: Seq[String]): Seq[(Int, Seq[String])] =
+      rs.distinct.groupBy(_.count(_ == '.') + 1).toSeq.sortBy(_._1)
+    // (kind, rule label count) -> join column; distinct-per-class rules
+    // keep every broadcast join row-preserving (round-9 invariant)
+    var cur = df
+    def addJoins(kind: String, groups: Seq[(Int, Seq[String])])
+        : Seq[(Int, String)] = groups.map { case (len, vs) =>
+      val cn = s"__pslf_${kind}_$len"
+      val cand = when(n >= len, concat_ws(".", slice(labels, -len, len)))
+      cur = cur.join(broadcast(vs.toDF(cn)), cand === col(cn), "left")
+      (len, cn)
+    }
+    val pJoins = addJoins("p", byLen(rules.plain))
+    val wJoins = addJoins("w", byLen(rules.wildcardBases))
+    val eJoins = addJoins("e", byLen(rules.exceptions))
+    // longest-wins folds (ascending wrap = largest checked first)
+    val sPlain = pJoins.foldLeft(lit(0)) { case (acc, (len, cn)) =>
+      when(col(cn).isNotNull, lit(len)).otherwise(acc)
+    }
+    // a wildcard rule has base+1 labels, so it only matches hosts with
+    // at least base+1 labels; its public suffix spans base+1
+    val sWild = wJoins.foldLeft(lit(0)) { case (acc, (len, cn)) =>
+      when(col(cn).isNotNull && n >= len + 1, lit(len + 1)).otherwise(acc)
+    }
+    val sExc = eJoins.foldLeft(lit(-1)) { case (acc, (len, cn)) =>
+      when(col(cn).isNotNull, lit(len - 1)).otherwise(acc)
+    }
+    val matched = when(sExc >= 0, sExc).otherwise(greatest(sPlain, sWild))
+    val dom = when(isIp || n <= 1, col(hostCol))
+      .when(matched === 0,
+        when(n <= 2, col(hostCol))
+          .otherwise(concat_ws(".", slice(labels, -2, 2))))
+      .when(matched === n, col(hostCol))
+      .otherwise(concat_ws(".",
+        slice(labels, -(matched + lit(1)), matched + lit(1))))
+    cur.withColumn(out, dom)
+      .drop((pJoins ++ wJoins ++ eJoins).map(_._2): _*)
   }
 
   /** Canonical URL: fragment stripped, scheme + host lower-cased (scheme

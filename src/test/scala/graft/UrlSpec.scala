@@ -150,6 +150,58 @@ class UrlSpec extends SparkSpec {
     assert(top == 6L) // quality 6 is the max of i%7 among even ids; 6 is smallest such id
   }
 
+  test("pslFullRules parses the committed PSL fixture into the three " +
+    "rule classes") {
+    val r = Url.pslFullRules
+    assert(r.plain.size > 9000 && r.wildcardBases.size > 50 &&
+      r.exceptions.size >= 8)
+    // pinned public rules (publicsuffix.org): multi-label plain,
+    // wildcard, exception
+    assert(r.plain.contains("co.uk") && r.plain.contains("k12.va.us"))
+    assert(r.wildcardBases.contains("ck") &&
+      r.wildcardBases.contains("kobe.jp"))
+    assert(r.exceptions.contains("www.ck") &&
+      r.exceptions.contains("city.kobe.jp"))
+    // rule classes keep their markers stripped
+    assert(!r.wildcardBases.exists(_.contains("*")) &&
+      !r.exceptions.exists(_.startsWith("!")))
+  }
+
+  test("registeredDomainPslFull applies the publicsuffix.org algorithm: " +
+    "exceptions prevail, wildcards match one label down, longest plain " +
+    "wins, implicit * fallback") {
+    val hosts = Seq(
+      "s.com",              // plain 1-label suffix -> host
+      "a.b.s.com",          // -> s.com
+      "www.s.co.uk",        // 2-label suffix -> s.co.uk... www NOT stripped here
+      "x.s.k12.va.us",      // 3-label plain -> s.k12.va.us
+      "s.ck",               // wildcard *.ck: host IS a public suffix -> host
+      "x.shop.s.ck",        // wildcard: suffix = s.ck -> shop.s.ck
+      "www.ck",             // exception !www.ck -> registrable itself
+      "deep.www.ck",        // exception -> www.ck
+      "ward.city.kobe.jp",  // exception !city.kobe.jp -> city.kobe.jp
+      "a.s.notatld",        // no rule -> implicit *: last two
+      "10.42.7.9",          // IP pass-through
+      "localhost")          // single label pass-through
+      .zipWithIndex.map(_.swap).toDF("id", "host")
+    val got = Url.registeredDomainPslFull(hosts, "host",
+        Url.pslFullRules)
+      .orderBy("id").select("domain").as[String].collect().toSeq
+    assert(got == Seq(
+      "s.com", "s.com", "s.co.uk", "s.k12.va.us", "s.ck", "shop.s.ck",
+      "www.ck", "www.ck", "city.kobe.jp", "s.notatld", "10.42.7.9",
+      "localhost"))
+  }
+
+  test("registeredDomainPslFull is row-preserving (no duplicate-suffix " +
+    "fan-out) over the synthesized corpus shapes") {
+    val hosts = (0L until 280L).map(i =>
+      (i, s"x.shop.s$i.ck")).toDF("id", "host")
+    val got = Url.registeredDomainPslFull(hosts, "host", Url.pslFullRules)
+    assert(got.count() == 280L)
+    assert(got.select("id").distinct().count() == 280L)
+  }
+
   test("domainStats dup fraction counts exact duplicate texts per domain") {
     val docs = Seq(
       (0L, "https://a.com/1", "same"),
