@@ -60,39 +60,37 @@ object Bench {
     // ramp that inflates BOTH sweeps consistently (q_retention_hll
     // reported 2.16s for a reproducibly-0.41s query; min/max agreed, so
     // no retry fired). Second trigger: the previous round's committed
-    // artifact (BENCH_r*.json, highest round in the working dir) is
-    // the per-query history — a min that exceeds 2x last round's min
-    // (+0.15s absolute slack so millisecond queries don't flap) earns
-    // up to TWO more samples at the very end of the run, maximally far
-    // from whatever load window inflated the sweeps. A real regression
-    // survives all samples; r10's artifact trio would have recovered.
+    // bench_out.json (the ONLY full committed artifact — the driver's
+    // BENCH_r*.json wrappers keep a 2KB stdout tail that truncates the
+    // queries map) is the per-query history — a min that exceeds 2x
+    // last round's min (+0.15s absolute slack so millisecond queries
+    // don't flap) earns up to TWO more samples at the very end of the
+    // run, maximally far from whatever load window inflated the
+    // sweeps. A real regression survives all samples; r10's artifact
+    // trio would have recovered. History only applies at the same sf
+    // (a dev sf0.001 run against sf0.1 history would never fire, and
+    // an sf0.1 run against dev history would retry everything).
     def prevRoundMins: Map[String, Double] = try {
-      val benchRe = """BENCH_r(\d+)\.json""".r
-      val files = Seq(".", "/root/repo").flatMap { d =>
-        Option(new java.io.File(d).listFiles()).toSeq.flatten.flatMap {
-          f => f.getName match {
-            case benchRe(n) => Some((n.toInt, f))
-            case _ => None
+      val cand = Seq("bench_out.json", "/root/repo/bench_out.json")
+        .map(new java.io.File(_)).filter(_.isFile)
+      cand.headOption.map { f =>
+        val text = java.nio.file.Files.readString(f.toPath)
+        if (!text.contains("\"sf\":\"" + sfDir + "\"")) Map.empty[String, Double]
+        else {
+          // the "queries" object is flat name->number pairs; it ends
+          // at the first '}' (queries_minmax, with its nested arrays,
+          // comes later and is never entered)
+          val start = text.indexOf("\"queries\":{")
+          if (start < 0) Map.empty[String, Double]
+          else {
+            val body = text.substring(start + 11,
+              text.indexOf('}', start + 11))
+            val pair = """"([^"]+)":([-0-9.eE]+)""".r
+            pair.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
           }
         }
-      }
-      if (files.isEmpty) Map.empty
-      else {
-        val latest = files.maxBy(_._1)._2
-        val text = java.nio.file.Files.readString(latest.toPath)
-        // the "queries" object is flat name->number pairs; it ends at
-        // the first '}' (queries_minmax, with its nested arrays, comes
-        // later and is never entered)
-        val start = text.indexOf("\"queries\":{")
-        if (start < 0) Map.empty
-        else {
-          val body = text.substring(start + 11,
-            text.indexOf('}', start + 11))
-          val pair = """"([^"]+)":([-0-9.eE]+)""".r
-          pair.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
-      }
+      }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
     val history = prevRoundMins
     def regressedVsHistory(n: String, min: Double): Boolean =

@@ -3122,6 +3122,28 @@ object SparkEntry {
       s.read.parquet(s"$work/sinks/domain_rollup").orderBy("domain")
     }),
 
+    // the nightly layout job end-to-end: a micro-batch-sprayed
+    // directory (64 kilobyte-files) compacted to size-targeted files
+    // WITH Z-clustering folded into the same shuffle
+    // (Layout.compact -> layoutBy), then a both-dims predicate over
+    // the compacted output — losslessness and filter correctness are
+    // driver-oracled here; the file-stat PRUNING of the z-layout is
+    // pinned in LayoutSpec (span assertions need multi-file outputs,
+    // which need more bytes than oracle scale provides)
+    "q_compact_zorder" -> ((s, dir) => {
+      val work = scratchDir("graft_compact_z", dir)
+      t(s, dir, "events").select("event_id", "user_id", "value")
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$work/spray")
+      graft.operators.Layout.compact(s, s"$work/spray",
+        s"$work/compacted", targetFileBytes = 1L << 20,
+        zorderCols = Seq("user_id", "value"))
+      s.read.parquet(s"$work/compacted")
+        .filter(col("user_id").between(10, 30) &&
+          col("value").between(10.0, 60.0))
+        .orderBy("event_id")
+    }),
+
     // ===== north-star: ANN index evaluation ==============================
 
     // recall@5 of the IVF index against brute-force ground truth — the
@@ -3405,6 +3427,124 @@ object SparkEntry {
       graft.operators.Retention.rollingActives(t(s, dir, "events"),
         "user_id", "ts", windowDays = 7, p = 6)),
 
+    // ===== streaming-twin factories, driver-gated in batch mode ========
+    // The streaming ops (FunnelOp / TransitionOp / RollingActivesOp)
+    // were parity-pinned in ScalaTest only — invisible to the driver's
+    // oracle gate. These three run the SAME YAML factories through
+    // Topology.runBatch against the SAME oracles as their batch twins
+    // (identical SQL by construction), so a factory or runner
+    // divergence turns a correctness row red.
+
+    // FunnelOp advance rows -> SqlOp conversion curve == q_funnel_counts
+    "q_funnel_counts_dag" -> ((s, dir) => {
+      val work = scratchDir("graft_funnel_dag", dir)
+      t(s, dir, "events").select("user_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(s"$work/ev")
+      val yaml =
+        s"""topics:
+           |  - name: ev
+           |    kind: parquet
+           |    path: $work/ev
+           |  - name: advances
+           |    kind: parquet
+           |    sink_partitions: 4
+           |  - name: curve
+           |    kind: parquet
+           |    sink_partitions: 1
+           |operators:
+           |  funnel:
+           |    factory: graft.streaming.ops.FunnelOp
+           |    sources: [ev]
+           |    sinks: [advances]
+           |    config:
+           |      steps: [view, click, purchase]
+           |  curve:
+           |    factory: graft.streaming.ops.SqlOp
+           |    sources: [advances]
+           |    sinks: [curve]
+           |    config:
+           |      sql: >-
+           |        SELECT CAST(s.step AS INT) AS step,
+           |        CAST(count(a.depth) AS BIGINT) AS users
+           |        FROM (SELECT explode(sequence(1, 3)) AS step) s
+           |        LEFT JOIN __funnel_adv a ON a.depth = s.step
+           |        GROUP BY s.step
+           |      views: [__funnel_adv]
+           |""".stripMargin
+      graft.streaming.Topology.parse(yaml).runBatch(s, s"$work/sinks")
+      s.read.parquet(s"$work/sinks/curve").orderBy("step")
+    }),
+
+    // TransitionOp edge rows -> SqlOp count/probability rollup ==
+    // q_transitions (per-user ts are unique in the corpus, so the op's
+    // (ts, type) in-group sort equals the twin's (ts, event_id))
+    "q_transitions_dag" -> ((s, dir) => {
+      val work = scratchDir("graft_trans_dag", dir)
+      t(s, dir, "events").select("user_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(s"$work/ev")
+      val yaml =
+        s"""topics:
+           |  - name: ev
+           |    kind: parquet
+           |    path: $work/ev
+           |  - name: edges
+           |    kind: parquet
+           |    sink_partitions: 4
+           |  - name: trans
+           |    kind: parquet
+           |    sink_partitions: 1
+           |operators:
+           |  extract:
+           |    factory: graft.streaming.ops.TransitionOp
+           |    sources: [ev]
+           |    sinks: [edges]
+           |  rollup:
+           |    factory: graft.streaming.ops.SqlOp
+           |    sources: [edges]
+           |    sinks: [trans]
+           |    config:
+           |      sql: >-
+           |        WITH e0 AS (SELECT src, dst,
+           |        CAST(count(*) AS BIGINT) AS w
+           |        FROM __trans_edges GROUP BY src, dst),
+           |        t AS (SELECT src, CAST(sum(w) AS BIGINT) AS tot
+           |        FROM e0 GROUP BY src)
+           |        SELECT e0.src, e0.dst, e0.w,
+           |        CAST(e0.w AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+           |        FROM e0 JOIN t USING (src)
+           |      views: [__trans_edges]
+           |""".stripMargin
+      graft.streaming.Topology.parse(yaml).runBatch(s, s"$work/sinks")
+      s.read.parquet(s"$work/sinks/trans").orderBy("src", "dst")
+    }),
+
+    // RollingActivesOp daily register cells through the DAG runner +
+    // the shared batch finisher == q_rolling_actives
+    "q_rolling_actives_dag" -> ((s, dir) => {
+      val work = scratchDir("graft_actives_dag", dir)
+      t(s, dir, "events").select("user_id", "ts")
+        .write.mode("overwrite").parquet(s"$work/ev")
+      val yaml =
+        s"""topics:
+           |  - name: ev
+           |    kind: parquet
+           |    path: $work/ev
+           |  - name: cells
+           |    kind: parquet
+           |    sink_partitions: 4
+           |operators:
+           |  actives:
+           |    factory: graft.streaming.ops.RollingActivesOp
+           |    sources: [ev]
+           |    sinks: [cells]
+           |    config:
+           |      precision: 6
+           |""".stripMargin
+      graft.streaming.Topology.parse(yaml).runBatch(s, s"$work/sinks")
+      graft.streaming.ops.RollingActivesOp.finish(
+        s.read.parquet(s"$work/sinks/cells"), windowDays = 7, p = 6)
+    }),
+
     // EMBEDDING-distribution drift (semantic drift monitoring): both
     // snapshot halves assigned against the SAME frozen quantizer (the
     // seeded k=8 centroids), then exact TVD over the cell histograms —
@@ -3685,7 +3825,7 @@ object SparkEntry {
       s"len(list_filter(ts, t -> list_contains(${sqlList(Text.stopwords(l))}, t))) AS h_$l"
     }.mkString(",\n        ")
 
-    Map(
+    val base = Map(
       "q_roll_mean" ->
         """SELECT CAST(floor(event_id / 3) AS BIGINT) AS window_id,
           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean
@@ -7350,6 +7490,14 @@ object SparkEntry {
           |         AS tvd
           |FROM tot""".stripMargin,
 
+      // compaction + z-order is pure layout: the rows that survive a
+      // both-dims predicate are exactly the source table's
+      "q_compact_zorder" ->
+        """SELECT event_id, user_id, value FROM events
+          |WHERE user_id BETWEEN 10 AND 30
+          |  AND value BETWEEN 10.0 AND 60.0
+          |ORDER BY event_id""".stripMargin,
+
       // interval join: purchases × same-user views within ±30 minutes —
       // exact integer-micros timestamp arithmetic in both engines
       "q_interval_join" ->
@@ -7361,5 +7509,13 @@ object SparkEntry {
           | AND r.ts <= l.ts + INTERVAL 30 MINUTE
           |ORDER BY 1, 2, 3""".stripMargin
     )
+    // the _dag twins run the SAME computation through Topology.runBatch
+    // (YAML streaming-op factories in batch mode) — identical oracles
+    // by construction, so a factory/runner divergence shows up as a
+    // red driver row, not just a ScalaTest parity failure
+    base ++ Map(
+      "q_funnel_counts_dag" -> base("q_funnel_counts"),
+      "q_rolling_actives_dag" -> base("q_rolling_actives"),
+      "q_transitions_dag" -> base("q_transitions"))
   }
 }

@@ -412,7 +412,8 @@ object Dedup {
 
   private def novelStage(df: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int, numHashes: Int, bands: Int,
-                         shortDocs: String): NovelStage = {
+                         shortDocs: String,
+                         persistSig: Boolean = false): NovelStage = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     requireShortDocPolicy(shortDocs)
     val p = df.sparkSession.sparkContext.defaultParallelism
@@ -424,12 +425,23 @@ object Dedup {
     val contentless = shortDocFate(
       df.filter(nTok < shingleSize)
         .select(col(idCol).cast("long").as("id")), idCol, shortDocs)
-    val sig = df.filter(nTok >= shingleSize)
+    val sigRaw = df.filter(nTok >= shingleSize)
       .select(col(idCol).cast("long").as("id"),
         textShingleHashes(col(textCol), shingleSize).as("hs"))
       .repartition(p, col("id"))
       .select(col("id"),
         minhashSigFromHashes(col("hs"), numHashes).as("sig"))
+    // the verified path traverses sig FOUR times (banding, both sides
+    // of the verify join, the final novelty ids) — without the persist
+    // each consumer re-scans the corpus and re-runs the shingle +
+    // numHashes-way MinHash, the single most expensive compute of the
+    // family (the Graph.scala round-6 rule: persist the shared frame
+    // before multiple consumers traverse it). Stays cached until the
+    // returned frame drops (ContextCleaner reclaims); ~(8B + 8B x
+    // numHashes)/doc, spills to disk at corpus scale.
+    val sig = if (persistSig)
+      sigRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sigRaw
     val banded = sig.select(col("id"),
       explode(bandKeysFromSig(col("sig"), numHashes, bands)).as("bkey"))
     val firsts = banded.groupBy("bkey").agg(min("id").as("__w"))
@@ -490,7 +502,7 @@ object Dedup {
                            bands: Int = 32, threshold: Double = 0.5,
                            shortDocs: String = "novel"): DataFrame = {
     val st = novelStage(df, idCol, textCol, shingleSize, numHashes,
-      bands, shortDocs)
+      bands, shortDocs, persistSig = true)
     // suppression evidence, deduped BEFORE signatures ride any join
     val cand = st.banded.join(st.firsts, "bkey")
       .filter(col("__w") =!= col("id"))

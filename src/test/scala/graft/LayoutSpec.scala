@@ -132,6 +132,48 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compacted z-ordered output prunes by file min/max stats on " +
+    "BOTH dimensions; the sprayed input prunes on neither") {
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin,
+      max => fmax}
+    // deterministic uniform dims + an incompressible payload so the
+    // 1 MiB-target compaction actually yields MULTIPLE files (the
+    // span assertion is vacuous over one file)
+    val df = spark.range(300000L).select(
+      col("id"),
+      pmod(col("id") * 2654435761L, lit(256L)).as("a"),
+      pmod(col("id") * 40503L, lit(256L)).as("b"),
+      sha2(col("id").cast("string"), 256).as("payload"))
+    val dir = java.nio.file.Files.createTempDirectory("lay_span_")
+    val in = dir.resolve("in").toString
+    val out = dir.resolve("out").toString
+    df.repartition(40).write.parquet(in) // the micro-batch spray
+    val planned = Layout.compact(spark, in, out,
+      targetFileBytes = 1L << 20, zorderCols = Seq("a", "b"))
+    assert(planned >= 4, s"need a multi-file output, got $planned")
+    // per-file spans = exactly what a stats-pruning reader consults
+    def spans(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(fmin("a").as("a_mn"), fmax("a").as("a_mx"),
+        fmin("b").as("b_mn"), fmax("b").as("b_mx"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    def touched(ss: Seq[(String, Long, Long, Long, Long)],
+                dim: String, lo: Long, hi: Long): Int = ss.count {
+      case (_, amn, amx, bmn, bmx) =>
+        if (dim == "a") amx >= lo && amn <= hi else bmx >= lo && bmn <= hi
+    }
+    val z = spans(out)
+    // a 1/16-range predicate on EITHER interleaved dim skips files
+    assert(touched(z, "a", 0, 15) < z.size,
+      s"a-predicate touched all ${z.size} z-files")
+    assert(touched(z, "b", 0, 15) < z.size,
+      s"b-predicate touched all ${z.size} z-files")
+    // the spray has no layout: every file spans the full range of both
+    val sprayed = spans(in)
+    assert(touched(sprayed, "a", 0, 15) == sprayed.size)
+    assert(touched(sprayed, "b", 0, 15) == sprayed.size)
+  }
+
   test("zorderKey is deterministic across partitioning") {
     val ev = graft.core.Tables.table(
       spark, "/root/testdata/sf0.001", "events")
