@@ -198,6 +198,59 @@ object Topology {
     df.withColumn("value", codecOf(t).encode(col("value")))
   }
 
+  /** The EXACT option map every Kafka consumer site hands to
+    * `format("kafka")` — factored out of the read sites so the broker
+    * contract is pinnable WITHOUT a broker (none can exist in this
+    * container: /opt/spark/jars ships neither spark-sql-kafka nor
+    * kafka-clients and there is no egress to fetch them — docs/kafka.md
+    * records the proof and the live-cluster runbook; KafkaContractSpec
+    * pins this map). start_from maps per the reference
+    * (makinage/operator.py:50-53): `beginning` → earliest, `end` →
+    * latest; `last` is NOT a stream source (see [[Topology]] streamSource
+    * scaladoc — resolved per micro-batch via [[Topology.latestRecord]])
+    * and refuses here; batch pulls are bounded earliest→latest
+    * regardless (reference data/pull.py). `max_per_trigger` becomes
+    * maxOffsetsPerTrigger, the pull-based stand-in for the reference's
+    * PID backpressure regulator (makinage/operator.py:216-269). */
+  def kafkaSourceOptions(t: TopicSpec, streaming: Boolean)
+      : Map[String, String] = {
+    require(t.kind == "kafka",
+      s"not a kafka topic: ${t.name} (kind ${t.kind})")
+    require(t.endpoint.nonEmpty,
+      s"kafka topic ${t.name}: endpoint (bootstrap servers) is required")
+    val base = Map(
+      "kafka.bootstrap.servers" -> t.endpoint,
+      "subscribe" -> t.name)
+    if (!streaming)
+      base ++ Map("startingOffsets" -> "earliest",
+        "endingOffsets" -> "latest")
+    else {
+      val starting = t.startFrom match {
+        case "beginning" => "earliest"
+        case "last" =>
+          throw new IllegalArgumentException(
+            s"topic ${t.name}: start_from 'last' is not a kafka stream " +
+              "source; resolve it per micro-batch via " +
+              "Topology.latestRecord (model side-input contract)")
+        case _ => "latest" // "end"
+      }
+      base + ("startingOffsets" -> starting) ++
+        (if (t.maxPerTrigger > 0)
+          Map("maxOffsetsPerTrigger" -> t.maxPerTrigger.toString)
+        else Map.empty)
+    }
+  }
+
+  /** Producer-side twin of [[kafkaSourceOptions]] — shared by the
+    * streaming kafka sink and the foreachBatch bounded write. */
+  def kafkaSinkOptions(t: TopicSpec): Map[String, String] = {
+    require(t.kind == "kafka",
+      s"not a kafka topic: ${t.name} (kind ${t.kind})")
+    require(t.endpoint.nonEmpty,
+      s"kafka topic ${t.name}: endpoint (bootstrap servers) is required")
+    Map("kafka.bootstrap.servers" -> t.endpoint, "topic" -> t.name)
+  }
+
   /** Flatten one latest-record row to a config map — the shape operator
     * factories receive. A kafka frame row contributes ONLY its decoded
     * `value` (struct fields flattened, scalar under "value") — transport
@@ -238,10 +291,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
         // value decoded per the topic codec before factories see it
         Topology.decodeFrame(
           spark.read.format("kafka")
-            .option("kafka.bootstrap.servers", t.endpoint)
-            .option("subscribe", t.name)
-            .option("startingOffsets", "earliest")
-            .option("endingOffsets", "latest")
+            .options(Topology.kafkaSourceOptions(t, streaming = false))
             .load(), t)
       case other =>
         throw new IllegalArgumentException(s"batch source kind: $other")
@@ -286,22 +336,13 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
           r0.option("maxFilesPerTrigger", t.maxPerTrigger) else r0
         r.parquet(t.path)
       case "kafka" =>
-        val starting = t.startFrom match {
-          case "beginning" => "earliest"
-          case "last" =>
-            throw new IllegalArgumentException(
-              s"topic ${t.name}: start_from 'last' is not a kafka stream " +
-                "source; resolve it per micro-batch via " +
-                "Topology.latestRecord (model side-input contract)")
-          case _ => "latest" // "end"
-        }
-        val r0 = spark.readStream.format("kafka")
-          .option("kafka.bootstrap.servers", t.endpoint)
-          .option("subscribe", t.name)
-          .option("startingOffsets", starting)
-        val r = if (t.maxPerTrigger > 0)
-          r0.option("maxOffsetsPerTrigger", t.maxPerTrigger) else r0
-        Topology.decodeFrame(r.load(), t)
+        // option map (start_from/backpressure mapping incl. the loud
+        // start_from:last refusal) factored into kafkaSourceOptions —
+        // the KafkaContractSpec-pinned seam
+        Topology.decodeFrame(
+          spark.readStream.format("kafka")
+            .options(Topology.kafkaSourceOptions(t, streaming = true))
+            .load(), t)
       case "memory" =>
         throw new IllegalArgumentException(
           s"topic ${t.name}: a memory topic can feed a stream operator " +
@@ -331,10 +372,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
       case "kafka" =>
         latestFromKafkaFrame(
           spark.read.format("kafka")
-            .option("kafka.bootstrap.servers", t.endpoint)
-            .option("subscribe", t.name)
-            .option("startingOffsets", "earliest")
-            .option("endingOffsets", "latest")
+            .options(Topology.kafkaSourceOptions(t, streaming = false))
             .load(), t)
       case other =>
         throw new IllegalArgumentException(s"latest-record kind: $other")
@@ -553,8 +591,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     val framed = frameForSink(df, sinkTopic)
     sinkTopic.kind match {
       case "kafka" => framed.write.format("kafka")
-        .option("kafka.bootstrap.servers", sinkTopic.endpoint)
-        .option("topic", sinkTopic.name)
+        .options(Topology.kafkaSinkOptions(sinkTopic))
         .save()
       case "parquet" =>
         writeParquet(framed, sinkTopic, "append", sinkTopic.path)
@@ -653,8 +690,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
           else w0
         started += (sinkTopic.kind match {
           case "kafka" => w.format("kafka")
-            .option("kafka.bootstrap.servers", sinkTopic.endpoint)
-            .option("topic", sinkTopic.name)
+            .options(Topology.kafkaSinkOptions(sinkTopic))
           case "parquet" => w.format("parquet")
             .option("path", sinkTopic.path)
           case "memory" => w.format("memory").queryName(sinkTopic.name)
