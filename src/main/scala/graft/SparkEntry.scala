@@ -3656,6 +3656,68 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // the SAME as-of enrichment, but wired as a TWO-SOURCE YAML
+    // topology: SqlOp stages shape the purchase/view streams into the
+    // op's (k, ts, id) / (k, ts, v, tie) contracts, TemporalJoinOp
+    // consumes both through Topology.runBatch — the only multi-source
+    // STATEFUL factory in the DAG-gated family
+    "q_temporal_join_dag" -> ((s, dir) => {
+      val work = scratchDir("graft_tj_dag", dir)
+      t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .write.mode("overwrite").parquet(s"$work/ev")
+      val yaml =
+        s"""topics:
+           |  - name: ev
+           |    kind: parquet
+           |    path: $work/ev
+           |  - name: lefts
+           |    kind: parquet
+           |    sink_partitions: 4
+           |  - name: rights
+           |    kind: parquet
+           |    sink_partitions: 4
+           |  - name: joined
+           |    kind: parquet
+           |    sink_partitions: 4
+           |operators:
+           |  mklefts:
+           |    factory: graft.streaming.ops.SqlOp
+           |    sources: [ev]
+           |    sinks: [lefts]
+           |    config:
+           |      sql: >-
+           |        SELECT user_id AS k, ts, event_id AS id
+           |        FROM __tj_ev_l WHERE event_type = 'purchase'
+           |      views: [__tj_ev_l]
+           |  mkrights:
+           |    factory: graft.streaming.ops.SqlOp
+           |    sources: [ev]
+           |    sinks: [rights]
+           |    config:
+           |      sql: >-
+           |        SELECT user_id AS k, ts,
+           |        CAST(value AS STRING) AS v, event_id AS tie
+           |        FROM __tj_ev_r WHERE event_type = 'view'
+           |      views: [__tj_ev_r]
+           |  asof:
+           |    factory: graft.streaming.ops.TemporalJoinOp
+           |    sources: [lefts, rights]
+           |    sinks: [joined]
+           |    config:
+           |      key_col: k
+           |      timestamp_col: ts
+           |      id_col: id
+           |      value_col: v
+           |      tie_col: tie
+           |""".stripMargin
+      graft.streaming.Topology.parse(yaml).runBatch(s, s"$work/sinks")
+      s.read.parquet(s"$work/sinks/joined")
+        .select(col("id"), col("k").cast("long").as("user_id"),
+          col("r_ts"), col("r_value").cast("double").as("r_value"))
+        .orderBy("id")
+    }),
+
     // skew-resistant salted join: orders ⋈ customer keyed on
     // (custkey, salt-of-orderkey) with the customer side replicated 8
     // ways — result EQUALS the plain join (the per-row salt meets
@@ -7516,6 +7578,7 @@ object SparkEntry {
     base ++ Map(
       "q_funnel_counts_dag" -> base("q_funnel_counts"),
       "q_rolling_actives_dag" -> base("q_rolling_actives"),
-      "q_transitions_dag" -> base("q_transitions"))
+      "q_transitions_dag" -> base("q_transitions"),
+      "q_temporal_join_dag" -> base("q_temporal_join"))
   }
 }
