@@ -3518,6 +3518,39 @@ object SparkEntry {
       s.read.parquet(s"$work/sinks/trans").orderBy("src", "dst")
     }),
 
+    // NearDupOp in VERIFY mode through the DAG runner == the batch
+    // minhashNovelVerified (the op's one-factory-both-modes contract,
+    // StreamingSpec-pinned; now driver-oracled too). Documents carry no
+    // event time, so a constant ts rides the frontier write — batch
+    // mode runs one window and the count==bands novelty rule reduces
+    // to the batch twin's
+    "q_neardup_dag" -> ((s, dir) => {
+      val work = scratchDir("graft_neardup_dag", dir)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+        .write.mode("overwrite").parquet(s"$work/docs")
+      val yaml =
+        s"""topics:
+           |  - name: docs
+           |    kind: parquet
+           |    path: $work/docs
+           |  - name: novel
+           |    kind: parquet
+           |    sink_partitions: 4
+           |operators:
+           |  neardup:
+           |    factory: graft.streaming.ops.NearDupOp
+           |    sources: [docs]
+           |    sinks: [novel]
+           |    config:
+           |      verify: true
+           |""".stripMargin
+      graft.streaming.Topology.parse(yaml).runBatch(s, s"$work/sinks")
+      s.read.parquet(s"$work/sinks/novel")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // RollingActivesOp daily register cells through the DAG runner +
     // the shared batch finisher == q_rolling_actives
     "q_rolling_actives_dag" -> ((s, dir) => {
@@ -7579,6 +7612,7 @@ object SparkEntry {
       "q_funnel_counts_dag" -> base("q_funnel_counts"),
       "q_rolling_actives_dag" -> base("q_rolling_actives"),
       "q_transitions_dag" -> base("q_transitions"),
-      "q_temporal_join_dag" -> base("q_temporal_join"))
+      "q_temporal_join_dag" -> base("q_temporal_join"),
+      "q_neardup_dag" -> base("q_minhash_novel_verified"))
   }
 }

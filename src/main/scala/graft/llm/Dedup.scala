@@ -664,6 +664,12 @@ object Dedup {
       .agg(graft.functions.BoundedCollect.pairs(maxShingleFreq.toInt)(
         col("id").cast("long"), col("n").cast("long")).as("docs"))
       .filter(size(col("docs")) > 1)
+    // pair generation: nested explode + a<b filter, NOT a posexplode +
+    // per-position tail slice() — measured same-box at sf0.1: the slice
+    // variant halves generated rows but allocates a fresh array copy
+    // per list position (O(n²/2) element copies), a net loss on the
+    // capped posting lists this operator guarantees; the nested
+    // explode references one array object per codegen row
     postings
       .select(col("docs"), explode(col("docs")).as("a"))
       .select(col("a"), explode(col("docs")).as("b"))
