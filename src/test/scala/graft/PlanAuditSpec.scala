@@ -532,4 +532,23 @@ class PlanAuditSpec extends SparkSpec {
       assert(withRule.toSeq == withoutRule.toSeq)
     } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
+
+  test("full-PSL registered domain is MAP-ONLY: every rule-class join " +
+    "broadcasts, nothing corpus-sized shuffles") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val hosts = graft.core.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        concat(lit("www."), col("source"), lit(".example.co.uk"))
+          .as("host"))
+    val df = graft.llm.Url.registeredDomainPslFull(hosts, "host",
+      graft.llm.Url.pslFullRules)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the corpus side must never hit an exchange: no shuffle join, no
+    // repartition — the 9.5k-rule tables ride broadcast only
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+  }
 }
