@@ -119,10 +119,23 @@ object Url {
       finally in.close()
     val rules = lines.map(_.takeWhile(!_.isWhitespace))
       .filter(l => l.nonEmpty && !l.startsWith("//"))
+    // the list ships IDN rules in UNICODE form but crawl hosts arrive
+    // in punycode (`a.b.xn--55qx5d.cn`), so every non-ASCII rule also
+    // indexes its IDN/punycode twin — 305 multi-label unicode rules
+    // would otherwise silently fall back to the implicit `*` and roll
+    // up one label short. Label counts are dot-preserved by IDN, so
+    // the per-length join ladders are unaffected.
+    def withPunycode(rs: Seq[String]): Seq[String] =
+      (rs ++ rs.flatMap { r =>
+        if (r.forall(_ < 0x80)) None
+        else scala.util.Try(java.net.IDN.toASCII(r)).toOption
+          .filter(p => p != r && p.nonEmpty)
+      }).distinct
     val (exc, rest) = rules.partition(_.startsWith("!"))
     val (wild, plain) = rest.partition(_.startsWith("*."))
-    PslRules(plain.distinct, wild.map(_.stripPrefix("*.")).distinct,
-      exc.map(_.stripPrefix("!")).distinct)
+    PslRules(withPunycode(plain.distinct),
+      withPunycode(wild.map(_.stripPrefix("*.")).distinct),
+      withPunycode(exc.map(_.stripPrefix("!")).distinct))
   }
 
   /** PSL-faithful registered domain with the suffix list AS DATA

@@ -165,6 +165,23 @@ class UrlSpec extends SparkSpec {
     // rule classes keep their markers stripped
     assert(!r.wildcardBases.exists(_.contains("*")) &&
       !r.exceptions.exists(_.startsWith("!")))
+    // IDN rules index BOTH forms: the list's unicode and the punycode
+    // a crawl host actually carries (公司.cn and its IDN twin)
+    assert(r.plain.contains("公司.cn") &&
+      r.plain.contains("xn--55qx5d.cn"))
+  }
+
+  test("punycode hosts match the IDN twins of unicode PSL rules") {
+    val hosts = Seq(
+      (0L, "a.b.xn--55qx5d.cn"),   // 公司.cn in punycode -> 2-label suffix
+      (1L, "b.xn--55qx5d.cn"))
+      .toDF("id", "host")
+    val got = Url.registeredDomainPslFull(hosts, "host", Url.pslFullRules)
+      .orderBy("id").select("domain").as[String].collect().toSeq
+    // with the twin indexed, suffix = xn--55qx5d.cn (2 labels): the
+    // registered domain keeps THREE labels; without it the implicit *
+    // would have rolled up one label short (xn--55qx5d.cn itself)
+    assert(got == Seq("b.xn--55qx5d.cn", "b.xn--55qx5d.cn"))
   }
 
   test("registeredDomainPslFull applies the publicsuffix.org algorithm: " +
