@@ -47,6 +47,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: registeredDomainPslFull equals an INDEPENDENT " +
+    "sequential PSL matcher over generated hosts (all rule classes)") {
+    val rules = graft.llm.Url.pslFullRules
+    // the oracle-side reference: a direct transcription of the
+    // publicsuffix.org algorithm over hash sets — shares NOTHING with
+    // the join-ladder implementation under test
+    val plain = rules.plain.toSet
+    val wild = rules.wildcardBases.toSet
+    val exc = rules.exceptions.toSet
+    def refDomain(host: String): String = {
+      val ls = host.split("\\.", -1)
+      val n = ls.length
+      val isIp = host.matches("^[0-9]+(\\.[0-9]+){3}$") ||
+        host.contains(":")
+      if (isIp || n <= 1) return host
+      def last(k: Int) = ls.takeRight(k).mkString(".")
+      val sExc = (1 to n).filter(k => exc(last(k))).sorted.lastOption
+        .map(_ - 1)
+      val s = sExc.getOrElse {
+        val sp = (1 to n).filter(k => plain(last(k))).sorted
+          .lastOption.getOrElse(0)
+        val sw = (1 until n).filter(k => wild(last(k))).sorted
+          .lastOption.map(_ + 1).getOrElse(0)
+        math.max(sp, sw)
+      }
+      if (s == 0) { if (n <= 2) host else last(2) }
+      else if (s == n) host
+      else last(s + 1)
+    }
+    // generated hosts biased toward every interesting shape: real
+    // multi-label suffixes, wildcard bases, exception names, unknown
+    // TLDs, IPs, single labels, deep subdomains
+    val tail = Gen.oneOf("com", "co.uk", "k12.va.us", "ck", "s.ck",
+      "www.ck", "city.kobe.jp", "kobe.jp", "notatld", "github.io",
+      "xn--55qx5d.cn", "公司.cn")
+    val label = Gen.oneOf("a", "b0", "x-y", "sub")
+    val hostGen = for {
+      depth <- Gen.chooseNum(0, 3)
+      labs <- Gen.listOfN(depth, label)
+      t <- tail
+      ip <- Gen.chooseNum(0, 9)
+      pick <- Gen.chooseNum(0, 11)
+    } yield pick match {
+      case 0 => s"10.2.3.$ip"
+      case 1 => "localhost"
+      case _ => (labs :+ t).mkString(".")
+    }
+    val hosts = samples(hostGen, 120).distinct
+    val df = hosts.zipWithIndex.map(_.swap).toDF("id", "host")
+    val got = graft.llm.Url
+      .registeredDomainPslFull(df, "host", rules)
+      .orderBy("id").select("host", "domain")
+      .as[(String, String)].collect().toSeq
+    got.foreach { case (h, d) =>
+      assert(d == refDomain(h), s"host=$h got=$d want=${refDomain(h)}")
+    }
+  }
+
   test("property: exact dedup is idempotent and keeps one row per key") {
     samples(Gen.listOfN(30, Gen.chooseNum(0, 5)).suchThat(_.nonEmpty))
       .foreach { keys =>
