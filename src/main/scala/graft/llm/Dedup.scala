@@ -266,8 +266,14 @@ object Dedup {
       .select(col(idCol).as("id"),
         textShingleHashes(col(textCol), shingleSize).as("hs"))
       .repartition(p, col("id"))
+    // THREE consumers traverse sig (banding + both sides of the verify
+    // join) — persisted so the numHashes-way MinHash runs once, not
+    // once per consumer (the novelStage/Graph.scala persist rule;
+    // exchange reuse alone still re-ran the post-exchange minhash
+    // compute per consumer). Cached until the returned frame drops.
     val sig = hs.select(col("id"),
       minhashSigFromHashes(col("hs"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // One row per (doc, band) carrying ONLY (id, bkey) — the signature
     // array never rides the banding shuffle (at 100 TB the sig is the
     // payload; shuffling it per band would 32× the exchange).
