@@ -108,9 +108,16 @@ object Search {
       sum(graft.functions.TokenCount(col(textCol))
         .cast("long").cast("decimal(38,0)"))
         .cast("long").as("__c"))
+    // TWO consumers traverse tf (the corpus-global df table and the
+    // scoring join) — persisted so the corpus tokenize + explode +
+    // term-restricted groupBy runs once, not once per consumer (the
+    // minhashPairs/Graph persist rule). tf is the term-matching set
+    // (O(matching docs x query terms) rows of longs), spill-safe at
+    // any corpus size; cached until the returned frame drops.
     val tf = restrict(toks)
       .groupBy(col(idCol), col("__dl"), col("__h"))
       .agg(count(lit(1)).as("__tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfq = tf.groupBy("__h").agg(count(lit(1)).as("__df"))
     fanOut(tf.join(broadcast(dfq), "__h"))
       .crossJoin(broadcast(tots))
