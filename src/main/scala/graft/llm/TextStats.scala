@@ -452,12 +452,25 @@ object TextStats {
       textCol: String, refTextCol: String,
       topV: Int = 10000): DataFrame = {
     require(topV > 0, s"topV must be positive: $topV")
-    val docToks = docs
+    // identical tokens in a doc share one likelihood term, so every
+    // token-instance stream pre-aggregates to counts BEFORE any reuse —
+    // the same restructure that fixed the oracle's memory blowup
+    // (round 11): the raw exploded docToks was traversed THREE times
+    // (class counts, totals, scoring) and refToks twice, each a full
+    // corpus scan + tokenize. Now each side is tokenized ONCE:
+    // `dtc` (doc x distinct-token counts — the scoring granularity) is
+    // persisted for its three consumers; `cPos` (ref vocabulary counts)
+    // for its two. The weighted fold below is arithmetically identical
+    // to the per-instance original (exact integer counts throughout).
+    val dtc = docs
       .select(col(idCol), explode(Text.tokens(col(textCol))).as("__w"))
-    val refToks = ref
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cPos = ref
       .select(explode(Text.tokens(col(refTextCol))).as("__w"))
-    val cPos = refToks.groupBy("__w").agg(count(lit(1)).as("__cp"))
-    val cNeg = docToks.groupBy("__w").agg(count(lit(1)).as("__cn"))
+      .groupBy("__w").agg(count(lit(1)).as("__cp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cNeg = dtc.groupBy("__w").agg(sum("__c").as("__cn"))
     val vocab = cPos.join(cNeg, Seq("__w"), "full_outer")
       .select(col("__w"),
         coalesce(col("__cp"), lit(0L)).as("__cp"),
@@ -466,9 +479,10 @@ object TextStats {
       .limit(topV)
     // totals over the FULL class token streams (not the retained
     // vocab): three 1-row side frames riding the plan as broadcasts —
-    // no driver action
-    val totals = refToks.agg(count(lit(1)).as("__np"))
-      .crossJoin(docToks.agg(count(lit(1)).as("__nn")))
+    // no driver action; sums over the count frames equal the old
+    // token-instance counts exactly
+    val totals = cPos.agg(coalesce(sum("__cp"), lit(0L)).as("__np"))
+      .crossJoin(dtc.agg(coalesce(sum("__c"), lit(0L)).as("__nn")))
       .crossJoin(vocab.agg(count(lit(1)).as("__V")))
     val num = ((coalesce(col("__cp"), lit(0L)) + 1L).cast("decimal(38,0)") *
       (col("__nn") + col("__V")).cast("decimal(38,0)")).cast("double")
@@ -479,14 +493,17 @@ object TextStats {
       lit("nbQualityScore: likelihood ratio >= 9.2e6 overflows the 1e12 " +
         "fixed-point quantization for token "), col("__w"))))
       .otherwise(term)
-    docToks
+    // weighted fold: sum(c * floor(term * 1e12)) / sum(c) — per-token
+    // products bounded by 9.2e18 x doc length, well inside decimal(38)
+    dtc
       .join(broadcast(vocab), Seq("__w"), "left")
       .crossJoin(broadcast(totals))
       .groupBy(idCol).agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("__cp").isNull && col("__cn").isNull, 1L)
+        sum(col("__c")).as("n_tokens"),
+        sum(when(col("__cp").isNull && col("__cn").isNull, col("__c"))
           .otherwise(0L)).as("n_oov"),
-        sum(floor(guarded * lit(1e12)).cast("decimal(38,0)")).as("__s"))
+        sum(col("__c").cast("decimal(18,0)") *
+          floor(guarded * lit(1e12)).cast("decimal(38,0)")).as("__s"))
       .select(col(idCol), col("n_tokens"), col("n_oov"),
         (col("__s").cast("double") / col("n_tokens") / lit(1e12))
           .as("score"))
