@@ -63,7 +63,13 @@ object Dsir {
   def importanceScores(df: DataFrame, idCol: String, textCol: String,
                        targetPred: Column, buckets: Int = 4096)
       : DataFrame =
-    scoreStaged(stageCounts(df, idCol, textCol, targetPred, buckets),
+    // DSIR is inherently two-pass (model build + scoring both traverse
+    // the staged counts) — persist here so the tokenize+hash+explode
+    // corpus pass runs once (the minhashPairs/BM25 persist rule); the
+    // staged frame is distinct (doc, bucket) count rows, far smaller
+    // than the text it came from, spill-safe at corpus scale
+    scoreStaged(stageCounts(df, idCol, textCol, targetPred, buckets)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       idCol, buckets)
 
   /** Stage 1 of [[importanceScores]]: per-(doc, target-flag, bucket)

@@ -477,25 +477,33 @@ class PlanAuditSpec extends SparkSpec {
     "it twice more at the scan)") {
     // no kernel may appear inside ANY Filter condition (the rule's
     // whole point); single-consumer plans get exactly one logical
-    // instantiation, multi-consumer plans (minhash_pairs' sig feeds
-    // banding + both verify joins) may carry logical copies but must
-    // dedupe them physically via ReusedExchange
-    // (the minhash_pairs copies sit under three IDENTICAL
-    // repartition(id) exchanges, which AQE's stage cache dedupes at
-    // runtime — static executedPlan strings don't show AQE reuse, so
-    // only the logical copy count is pinned here)
+    // instantiation. Multi-consumer plans dedupe their copies either
+    // physically (ReusedExchange) or — since round 11 — via an
+    // explicit persist (minhash_pairs' sig frame): an InMemoryRelation
+    // COMPUTES its cached plan once however many references print it,
+    // so each distinct cached plan counts ONCE here, not per mention.
+    def kernelCount(s: String): Int =
+      "graft_text_shingle_hashes\\(\\w".r.findAllIn(s).length +
+        "graft_hashed_tokens\\(\\w".r.findAllIn(s).length
     def audit(q: String, maxLogical: Int): Unit = {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
-      val opt = qe.optimizedPlan.toString
+      val lp = qe.optimizedPlan
+      val opt = lp.toString
       val badFilter = opt.linesIterator.exists(l =>
         l.trim.stripPrefix(":").stripPrefix("- ").trim
           .startsWith("Filter") &&
           (l.contains("graft_text_shingle_hashes") ||
             l.contains("graft_hashed_tokens")))
       assert(!badFilter, s"$q: kernel inside a Filter condition\n$opt")
-      val kernels = "graft_text_shingle_hashes\\(\\w".r
-        .findAllIn(opt).length + "graft_hashed_tokens\\(\\w".r
-        .findAllIn(opt).length
+      val imrs = lp.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
+          => r
+      }
+      val perMention = imrs
+        .map(r => kernelCount(r.cacheBuilder.cachedPlan.toString)).sum
+      val perDistinct = imrs.map(_.cacheBuilder.cachedPlan.toString)
+        .distinct.map(kernelCount).sum
+      val kernels = kernelCount(opt) - perMention + perDistinct
       assert(kernels <= maxLogical,
         s"$q: $kernels kernel instantiations\n$opt")
     }
