@@ -170,9 +170,14 @@ object TextStats {
   def tfidfTop(df: DataFrame, idCol: String, textCol: String,
                topN: Int = 3): DataFrame = {
     require(topN >= 1, s"topN must be >= 1: $topN")
+    // tf feeds BOTH the document-frequency aggregate and the scoring
+    // join — persisted so the corpus tokenize+explode runs once (the
+    // minhashPairs/BM25 persist rule); (doc, term, count) rows, far
+    // smaller than the text, spill-safe
     val tf = df
       .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
