@@ -186,11 +186,17 @@ object Retention {
   def rollingFromRegisters(regs: DataFrame, windowDays: Int,
                            p: Int): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
-    val contrib = regs.select(
+    // regs feeds BOTH the window fan-out and the present-days probe —
+    // persisted (days x 2^p rows, bounded regardless of user
+    // cardinality) so the events scan + register aggregate runs once
+    // (the multi-consumer persist rule)
+    val cells = regs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contrib = cells.select(
       explode(expr(s"sequence(day, date_add(day, ${windowDays - 1}))"))
         .as("day"),
       col("bucket"), col("register"))
-    val present = regs.select("day").distinct()
+    val present = cells.select("day").distinct()
     val merged = contrib.join(broadcast(present), "day")
       .groupBy("day", "bucket").agg(max(col("register")).as("register"))
     graft.functions.Hll.estimate(merged, p, Seq(col("day")))
