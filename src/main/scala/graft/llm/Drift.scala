@@ -155,13 +155,18 @@ object Drift {
   def driftByStratum(df: DataFrame, stratumCol: String, textCol: String,
                      ref: DataFrame, refTextCol: String): DataFrame = {
     val dec = "decimal(18,0)"
+    // both count frames feed a totals aggregate AND the vocab join —
+    // persisted so each corpus side tokenizes once (the multi-consumer
+    // persist rule); vocab-sized count rows, spill-safe
     val sc = df.select(
         when(col(stratumCol).isNull,
           raise_error(lit("driftByStratum: NULL stratum")))
           .otherwise(col(stratumCol)).as("stratum"),
         explode(Text.tokens(col(textCol))).as("token"))
       .groupBy("stratum", "token").agg(count(lit(1)).as("cnt_a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rc = tokenCounts(ref, refTextCol).withColumnRenamed("cnt", "cnt_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val refTot = rc.agg(coalesce(sum(col("cnt_b")),
       raise_error(lit("driftByStratum: empty reference"))).as("n_b"))
     val sTot = sc.groupBy("stratum").agg(sum(col("cnt_a")).as("n_a"))
@@ -203,8 +208,13 @@ object Drift {
     * (window_start, prev_start, n_a = window tokens, n_b = previous
     * window's, tvd_num, tvd) — the [[driftFromCounts]] arithmetic per
     * pair (DriftSpec pin). */
-  def adjacentDrift(cells: DataFrame): DataFrame = {
+  def adjacentDrift(cellsIn: DataFrame): DataFrame = {
     val dec = "decimal(18,0)"
+    // THREE consumers traverse the cell table (window totals + both
+    // pair sides) and the caller's cells plan can be an expensive
+    // windowed aggregate — persist (bounded at windows x buckets rows)
+    val cells = cellsIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a NULL window would rank first and silently pair with the real
     // first window — refuse it (the Ops NULL-key contract)
     val wTot = cells
