@@ -146,7 +146,12 @@ object KMeans {
   def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
                     model: Model, eps: Double,
                     maxCellSize: Int = 10000): DataFrame = {
+    // THREE consumers traverse the assignment (bucketing + both sides
+    // of the vector join-back), and assign computes k distances per
+    // vector — persisted so that runs once (the multi-consumer persist
+    // rule); rows carry the vectors they'd otherwise re-read anyway
     val a = assign(df, idCol, vecCol, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = a.groupBy("cell")
       .agg(graft.functions.BoundedCollect.pairs(maxCellSize)(
         col("id"), lit(0L)).as("ms"))
