@@ -1071,9 +1071,13 @@ object Dedup {
                      seeds: Seq[Int] = Seq(1, 2),
                      maxBucketSize: Int = 2000): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
+    // THREE consumers traverse vecs (banding + both verify joins) —
+    // persisted so the corpus scan + norm compute runs once (the
+    // multi-consumer persist rule)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       Vectors.norm(col(vecCol)).as("nm"))
       .repartition(p, col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ALL seed tables in one projection + one explode — one pass over the
     // vectors computes every signature (a per-seed union re-scanned and
     // re-signed the corpus |seeds| times). Banding rows carry only
