@@ -208,13 +208,15 @@ object Drift {
     * (window_start, prev_start, n_a = window tokens, n_b = previous
     * window's, tvd_num, tvd) — the [[driftFromCounts]] arithmetic per
     * pair (DriftSpec pin). */
-  def adjacentDrift(cellsIn: DataFrame): DataFrame = {
+  def adjacentDrift(cells: DataFrame): DataFrame = {
     val dec = "decimal(18,0)"
-    // THREE consumers traverse the cell table (window totals + both
-    // pair sides) and the caller's cells plan can be an expensive
-    // windowed aggregate — persist (bounded at windows x buckets rows)
-    val cells = cellsIn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // three consumers traverse the cell table, but NO persist here —
+    // measured at sf0.1 (q_adjacent_drift 1.0 -> 1.7s): the upstream
+    // cells plan is one cheap windowed aggregate whose exchange the
+    // consumers already reuse, so the cache write costs more than the
+    // re-aggregation; a caller whose cells ARE expensive persists them
+    // before calling (the DriftOp.finish streaming product arrives
+    // materialized from parquet anyway)
     // a NULL window would rank first and silently pair with the real
     // first window — refuse it (the Ops NULL-key contract)
     val wTot = cells
