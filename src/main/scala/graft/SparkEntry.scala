@@ -161,7 +161,13 @@ object SparkEntry {
   private val scaffolded =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def writeOnce(path: String)(write: => Unit): Unit =
-    if (scaffolded.add(path)) write
+    if (scaffolded.add(path)) {
+      // mark the path only once the write SUCCEEDS: Bench's timeOne
+      // swallows Throwable, so a failed/partial first write must leave
+      // the path un-scaffolded for the next invocation to retry
+      try write
+      catch { case t: Throwable => scaffolded.remove(path); throw t }
+    }
 
   // ---- URL-curation SQL macros (mirror llm/Url.scala bit-for-bit) ----
 
@@ -2966,8 +2972,7 @@ object SparkEntry {
     // full-PSL fidelity path next to q_url_parse's hardcoded fast path
     "q_url_psl" -> ((s, dir) => {
       val hosts = t(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.llm.Url.stripWww(synthPslHost).as("host"))
+        .select(col("doc_id"), synthPslHost.as("host"))
       graft.llm.Url.registeredDomainPslFull(
           hosts, "host", graft.llm.Url.pslFullRules)
         .select(col("doc_id"), col("host"), col("domain"))
@@ -3922,7 +3927,9 @@ object SparkEntry {
     "q_embed_against", "q_embed_neardup_lsh", "q_hits", "q_kmeans_fit",
     "q_minhash_dedup", "q_pagerank", "q_pagerank_docs",
     "q_pagerank_seeded", "q_pipeline_dedup", "q_pipeline_ingest",
-    "q_pq_ivf_residual", "q_pq_search", "q_quality_nb", "q_resample",
+    "q_pq_ivf_residual", "q_pq_search", "q_profile_delta",
+    "q_quality_checks", "q_quality_nb", "q_quantile_by_key",
+    "q_resample",
     "q_scd2", "q_semantic_dedup_far", "q_simsearch_ivf",
     "q_simsearch_lsh", "q_trim_spans")
 
@@ -6300,19 +6307,30 @@ object SparkEntry {
            |               coalesce((SELECT sum(c) FROM dt),
            |                        0)::BIGINT AS nn,
            |               (SELECT count(*) FROM vocab)::BIGINT AS v),
-           |terms AS (
-           |  SELECT dt.doc_id, dt.c, vo.cp, vo.cn,
-           |    ((coalesce(vo.cp, 0) + 1)::HUGEINT
-           |       * (tot.nn + tot.v)::HUGEINT)::DOUBLE /
-           |    ((coalesce(vo.cn, 0) + 1)::HUGEINT
-           |       * (tot.np + tot.v)::HUGEINT)::DOUBLE AS term
-           |  FROM dt LEFT JOIN vocab vo USING (w) CROSS JOIN tot)
-           |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
-           |  sum(CASE WHEN cp IS NULL AND cn IS NULL THEN c ELSE 0
-           |      END)::BIGINT AS n_oov,
-           |  (sum(c::HUGEINT * floor(term * 1e12)::HUGEINT)::DOUBLE
-           |     / sum(c) / 1e12) AS score
-           |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+           |docs AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens
+           |  FROM dt GROUP BY doc_id),
+           |dv AS (
+           |  SELECT dt.doc_id, sum(dt.c)::BIGINT AS n_v,
+           |    sum(dt.c::HUGEINT * floor(
+           |      ((vo.cp + 1)::HUGEINT
+           |         * (tot.nn + tot.v)::HUGEINT)::DOUBLE /
+           |      ((vo.cn + 1)::HUGEINT
+           |         * (tot.np + tot.v)::HUGEINT)::DOUBLE
+           |      * 1e12)::HUGEINT) AS s_v
+           |  FROM dt JOIN vocab vo USING (w) CROSS JOIN tot
+           |  GROUP BY dt.doc_id)
+           |SELECT d.doc_id, d.n_tokens,
+           |  (d.n_tokens - coalesce(dv.n_v, 0))::BIGINT AS n_oov,
+           |  ((coalesce(dv.s_v, 0::HUGEINT)
+           |    + (d.n_tokens - coalesce(dv.n_v, 0))::HUGEINT
+           |      * floor((1::HUGEINT
+           |          * (tot.nn + tot.v)::HUGEINT)::DOUBLE /
+           |        (1::HUGEINT
+           |          * (tot.np + tot.v)::HUGEINT)::DOUBLE
+           |        * 1e12)::HUGEINT)::DOUBLE
+           |   / d.n_tokens / 1e12) AS score
+           |FROM docs d LEFT JOIN dv USING (doc_id) CROSS JOIN tot
+           |ORDER BY d.doc_id""".stripMargin,
 
       // dataset card: ROLLUP over (lang, source); fingerprint = md5 of
       // the space-joined token list (the Text.fingerprint replay);
@@ -6792,8 +6810,7 @@ object SparkEntry {
         s"""WITH pslp(s) AS (VALUES ${vals(rules.plain)}),
            |pslw(b) AS (VALUES ${vals(rules.wildcardBases)}),
            |psle(e) AS (VALUES ${vals(rules.exceptions)}),
-           |h AS (SELECT doc_id,
-           |  regexp_replace($synthPslHostSql, '^www\\.', '') AS host
+           |h AS (SELECT doc_id, $synthPslHostSql AS host
            |  FROM documents),
            |m AS (SELECT doc_id, host, string_split(host, '.') AS ls,
            |  len(string_split(host, '.')) AS n FROM h),
@@ -7366,14 +7383,36 @@ object SparkEntry {
 
       // type-1 quantile: identical rank arithmetic (ceil of one IEEE
       // multiply), value picked by ascending row_number
+      // two-level bucket rank (mirrors the engine's own tercile
+      // trick): per-(key, floor(value)) counts + a running sum locate
+      // the bucket holding rank r; only THAT bucket's rows get a
+      // row_number. Replaces the corpus-wide per-key window the r11
+      // driver OOM'd on — floor(value) is monotone in value, so
+      // local rank + rows-below = the global rank bit-for-bit
       "q_quantile_by_key" ->
-        """SELECT event_type, n, q FROM (
-          |  SELECT event_type, value AS q,
-          |         row_number() OVER (PARTITION BY event_type
-          |           ORDER BY value) AS rn,
-          |         count(*) OVER (PARTITION BY event_type) AS n
-          |  FROM events)
-          |WHERE rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+        """WITH n AS (SELECT event_type, count(*)::BIGINT AS n
+          |  FROM events GROUP BY 1),
+          |tgt AS (SELECT event_type, n,
+          |  greatest(1, CAST(ceil(0.95 * n) AS BIGINT)) AS r FROM n),
+          |b AS (SELECT event_type, floor(value) AS bkt,
+          |  count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+          |cum AS (SELECT event_type, bkt, c,
+          |  sum(c) OVER (PARTITION BY event_type ORDER BY bkt
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS upto
+          |  FROM b),
+          |pick AS (SELECT c.event_type, c.bkt, c.upto - c.c AS below,
+          |  t.n, t.r
+          |  FROM cum c JOIN tgt t USING (event_type)
+          |  WHERE t.r > c.upto - c.c AND t.r <= c.upto),
+          |loc AS (SELECT e.event_type, e.value, p.n, p.r, p.below,
+          |  row_number() OVER (PARTITION BY e.event_type
+          |    ORDER BY e.value) AS rl
+          |  FROM events e JOIN pick p
+          |    ON e.event_type = p.event_type
+          |   AND floor(e.value) = p.bkt)
+          |SELECT event_type, n, value AS q FROM loc
+          |WHERE rl + below = r
           |ORDER BY event_type""".stripMargin,
 
       "q_rolling_actives" -> OracleXxh.q_rolling_actives(windowDays = 7),

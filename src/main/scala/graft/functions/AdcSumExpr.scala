@@ -14,11 +14,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * `aggregate(sequence(0, m-1), 0.0, (acc, j) ->
   *   acc + element_at(element_at(dtab, j+1), element_at(code, j+1) + 1))`
   * where m is the distance-table length, including null semantics (a
-  * code/dtab LENGTH MISMATCH in either direction nulls the sum — the
-  * HOF's fixed-m fold hit an out-of-range element_at on a short code —
-  * as does any out-of-range lookup or null element, exactly like
-  * element_at) and IEEE order (one left-to-right add chain — the SQL
-  * oracle replays the same fold).
+  * code SHORTER than dtab nulls the sum — the HOF's fixed-m fold hit
+  * an out-of-range element_at there — as does any out-of-range lookup
+  * or null element, exactly like element_at) and IEEE order (one
+  * left-to-right add chain — the SQL oracle replays the same fold).
+  * One intentional strictness divergence: a code LONGER than dtab also
+  * nulls the sum, where the fixed-m HOF fold would silently ignore the
+  * trailing code entries — a longer code is always a caller bug
+  * (unreachable in the shipped PQ/SQ pipelines, which build both
+  * arrays from the same m), so failing loud beats a partial answer.
   *
   * Why a kernel (tier (b)): the fold runs once per (query, candidate)
   * pair with m interpreted lambda dispatches each; this is the entire

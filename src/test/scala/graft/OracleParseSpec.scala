@@ -112,4 +112,69 @@ class OracleParseSpec extends AnyFunSuite {
     assert(code == 0,
       s"${oracles.size} oracles checked; DuckDB rejected:\n$out")
   }
+
+  /** Tier 3 (round 12): EXECUTE the memory-heavy oracles at the
+    * driver's own scale (sf0.01) under a HARD 200MB DuckDB memory cap
+    * with a spill directory. The round-11 board went red on four
+    * oracle-side OOMs that the parse/bind tiers cannot see — peak
+    * memory is a property of execution, not of the plan. Every
+    * MaterializedCteOracles member (which includes all four r11 reds)
+    * must complete under the cap; a regression that re-inflates an
+    * oracle's working set now fails `sbt test` instead of a driver
+    * round later. */
+  test("materialize-allowlisted oracles EXECUTE at sf0.01 under a " +
+    "200MB DuckDB memory cap") {
+    assume(haveDuckDb, "python3+duckdb not present in this environment")
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sf/documents.parquet").exists(),
+      s"$sf testdata not present")
+
+    val oracles = SparkEntry.oracleSql
+    val names = SparkEntry.MaterializedCteOracles.toSeq.sorted
+    val json = names.map(n => s"${jq(n)}: ${jq(oracles(n))}")
+      .mkString("{", ",", "}")
+    val dir = java.nio.file.Files.createTempDirectory("oracle-exec")
+    java.nio.file.Files.writeString(dir.resolve("oracle_sql.json"), json)
+    val script = dir.resolve("exec_capped.py")
+    java.nio.file.Files.writeString(script,
+      s"""import duckdb, json, sys, os, time
+         |d = sys.argv[1]
+         |sqls = json.load(open(os.path.join(d, "oracle_sql.json")))
+         |bad = []
+         |for name in sorted(sqls):
+         |    con = duckdb.connect()  # fresh cap + spill per oracle
+         |    con.execute("SET memory_limit='200MB'")
+         |    con.execute("SET temp_directory='%s'"
+         |                % os.path.join(d, "spill"))
+         |    for t in ["region", "nation", "customer", "supplier",
+         |              "part", "orders", "lineitem", "events",
+         |              "documents", "embeddings"]:
+         |        con.execute("CREATE VIEW %s AS SELECT * FROM "
+         |                    "read_parquet('$sf/%s.parquet')" % (t, t))
+         |    t0 = time.time()
+         |    try:
+         |        stmts = duckdb.extract_statements(sqls[name])
+         |        for s in stmts[:-1]:
+         |            con.execute(s.query)
+         |        rows = con.execute(stmts[-1].query).fetchall()
+         |        print("ok %s: %d rows %.1fs"
+         |              % (name, len(rows), time.time() - t0))
+         |        if not rows:
+         |            bad.append("exec %s: zero rows" % name)
+         |    except Exception as e:
+         |        bad.append("exec %s: %s"
+         |                   % (name, str(e).splitlines()[0]))
+         |    con.close()
+         |for b in bad:
+         |    print(b)
+         |sys.exit(1 if bad else 0)
+         |""".stripMargin)
+    val p = new ProcessBuilder("python3", script.toString, dir.toString)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val code = p.waitFor()
+    assert(code == 0,
+      s"${names.size} oracles executed under 200MB cap:\n$out")
+  }
 }
