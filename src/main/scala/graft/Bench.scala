@@ -48,7 +48,6 @@ object Bench {
     // run is self-evident in the artifact.
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val loadBefore = loadAvg
     val names = SparkEntry.queries.keys.toVector
     def timeOne(name: String): Double = {
       val fn = SparkEntry.queries(name)
@@ -95,7 +94,28 @@ object Bench {
     val history = prevRoundMins
     def regressedVsHistory(n: String, min: Double): Boolean =
       history.get(n).exists(prev => prev > 0 && min > 2.0 * prev + 0.15)
+    // Round-11 lesson: the committed artifact was taken on a box whose
+    // load ramped 4->8 during the run, soft-flooring every number (three
+    // queries landed 1.4-5x their same-round quiet-box measurements).
+    // LOAD GATE: before each timed sweep, wait (bounded) for the 1-min
+    // load average to drop below 2.0, polling every 15s, with a 300s
+    // TOTAL wait budget across the run so a permanently-busy box still
+    // produces an artifact (the stamps expose it). Waited time is
+    // stamped into the JSON so a gated run is self-documenting.
+    val loadGate = 2.0
+    var waitBudgetMs = 300000L
+    var waitedTotalMs = 0L
+    def awaitQuietBox(): Unit =
+      while (loadAvg > loadGate && waitBudgetMs > 0) {
+        val step = math.min(15000L, waitBudgetMs)
+        Thread.sleep(step)
+        waitBudgetMs -= step
+        waitedTotalMs += step
+      }
+    awaitQuietBox()
+    val loadBefore = loadAvg // stamped AFTER the gate: the sweep's load
     val sweep1 = names.map(n => n -> timeOne(n)).toMap
+    awaitQuietBox()
     val sweep2 = names.map(n => n -> timeOne(n)).toMap
     val afterVariance: Map[String, Seq[Double]] = names.map { n =>
       val two = Seq(sweep1(n), sweep2(n))
@@ -110,6 +130,7 @@ object Bench {
         s"bench: history-retry for ${flagged.mkString(", ")}")
       // one quiet pass over all flagged queries, then a second only for
       // those STILL above the threshold
+      if (flagged.nonEmpty) awaitQuietBox()
       val third = flagged.map(n => n -> timeOne(n)).toMap
       val fourth = flagged.filter(n =>
           regressedVsHistory(n, math.min(afterVariance(n).min, third(n))))
@@ -126,7 +147,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","load_before":$loadBefore,"load_after":$loadAfter,"queries":$qs,"queries_minmax":$mm,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","load_before":$loadBefore,"load_after":$loadAfter,"load_wait_sec":${waitedTotalMs / 1000},"queries":$qs,"queries_minmax":$mm,"sf":"$sfDir"}"""
     println(json)
     // stdout rides sbt's log stream, where a prefix/interleave can break
     // the driver's parser (round 4 lost its headline metric to
