@@ -107,6 +107,57 @@ list_transform([len(bl)], n ->
 CREATE OR REPLACE MACRO g_bytes(s) AS list_transform(range(1, length(s)+1), x -> ord(s[x]));
 CREATE OR REPLACE MACRO g_xxh_str(s) AS g_sgn(g_xxh_bytes(g_bytes(s), 42::HUGEINT));"""
 
+  /** Windowed hashed-bucket TVD vs a frozen reference — the q_drift_dag
+    * replay (graft.streaming.ops.DriftOp cells through Topology.runBatch
+    * + DriftOp.finish). Even doc_ids < 480 are the monitored stream with
+    * 4 synthetic hourly windows (win_off = 3600·((doc_id//2) % 4)); odd
+    * doc_ids < 480 are the frozen reference. bucket replays Spark's
+    * seed-chained `pmod(xxhash64(lit(seed), token), buckets)`: the int
+    * literal hashes first (g_xxh_int at Spark's default seed 42), the
+    * token's bytes hash with THAT as seed, then signed pmod. The TVD
+    * grid mirrors DriftOp.finishBy: every (window, reference-bucket)
+    * cell participates (buckets absent from a window still carry drift
+    * mass), integer cross-multiplied numerators, one double cast. */
+  def q_drift_dag(buckets: Int, seed: Int, epoch0: Long): String = {
+    val bkt = s"((g_sgn(g_xxh_bytes(g_bytes(t), " +
+      s"g_xxh_int($seed, 42::HUGEINT))) % $buckets) + $buckets) " +
+      s"% $buckets"
+    prologue + "\n" +
+      s"""WITH wdoc AS MATERIALIZED (
+         |  SELECT 3600 * ((doc_id // 2) % 4) AS win_off,
+         |    unnest(list_filter(string_split(lower(trim(text)), ' '),
+         |      t -> len(t) > 0)) AS t
+         |  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 480),
+         |ca AS MATERIALIZED (
+         |  SELECT win_off, $bkt AS bucket, count(*)::HUGEINT AS cnt_a
+         |  FROM wdoc GROUP BY 1, 2),
+         |cb AS MATERIALIZED (
+         |  SELECT $bkt AS bucket, count(*)::HUGEINT AS cnt_b
+         |  FROM (SELECT unnest(list_filter(string_split(
+         |      lower(trim(text)), ' '), t -> len(t) > 0)) AS t
+         |    FROM documents WHERE doc_id % 2 = 1 AND doc_id < 480)
+         |  GROUP BY 1),
+         |wt AS (SELECT win_off, sum(cnt_a) AS n_a FROM ca GROUP BY 1),
+         |rt AS (SELECT sum(cnt_b) AS n_b FROM cb),
+         |grid AS (SELECT w.win_off, b.bucket, b.cnt_b
+         |  FROM wt w CROSS JOIN cb b),
+         |j AS (SELECT coalesce(c.win_off, g.win_off) AS win_off,
+         |    coalesce(c.cnt_a, 0::HUGEINT) AS cnt_a,
+         |    coalesce(g.cnt_b, 0::HUGEINT) AS cnt_b
+         |  FROM ca c FULL OUTER JOIN grid g
+         |    ON c.win_off = g.win_off AND c.bucket = g.bucket)
+         |SELECT CAST($epoch0 + j.win_off AS BIGINT) AS window_start,
+         |  CAST(w.n_a AS BIGINT) AS n_a, CAST(r.n_b AS BIGINT) AS n_b,
+         |  CAST(sum(abs(j.cnt_a * r.n_b - j.cnt_b * w.n_a))
+         |    AS DOUBLE) AS tvd_num,
+         |  CAST(sum(abs(j.cnt_a * r.n_b - j.cnt_b * w.n_a)) AS DOUBLE)
+         |    / (2.0 * CAST(w.n_a AS DOUBLE) * CAST(r.n_b AS DOUBLE))
+         |    AS tvd
+         |FROM j JOIN wt w USING (win_off) CROSS JOIN rt r
+         |GROUP BY j.win_off, w.n_a, r.n_b
+         |ORDER BY window_start""".stripMargin
+  }
+
   /** Rolling Rabin-Karp fingerprint: same mod-prime fold over token xxhash64s as Text.rollingFingerprint. */
   val q_fingerprint_rolling: String =
     prologue + "\n" +

@@ -3781,6 +3781,98 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // DriftOp through the DAG runner: the streaming corpus-drift
+    // monitor's windowed bucket cells (per-window hashed-token counts,
+    // state bounded at `buckets` rows) written by Topology.runBatch,
+    // then the documented batch finisher (DriftOp.finish = TVD of each
+    // finalized window vs a frozen reference corpus at the same
+    // (buckets, seed)). Input capped (480 docs, 4 synthetic hourly
+    // windows from doc_id) so the row stays ≤~0.3s at any sf;
+    // window_start ships as epoch seconds (the q_tumbling_hour
+    // convention — no cross-engine timestamp canonicalization risk)
+    "q_drift_dag" -> ((s, dir) => {
+      val work = scratchDir("graft_drift_dag", dir)
+      writeOnce(s"$work/docs") {
+        t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === 0 &&
+            col("doc_id") < 480)
+          .select(col("doc_id"), col("text"),
+            (lit(1704067200L) +
+              pmod(floor(col("doc_id") / 2).cast("long"), lit(4)) *
+                lit(3600L)).cast("timestamp").as("ts"))
+          .write.mode("overwrite").parquet(s"$work/docs")
+      }
+      val yaml =
+        s"""topics:
+           |  - name: docs
+           |    kind: parquet
+           |    path: $work/docs
+           |  - name: cells
+           |    kind: parquet
+           |    sink_partitions: 1
+           |operators:
+           |  drift:
+           |    factory: graft.streaming.ops.DriftOp
+           |    sources: [docs]
+           |    sinks: [cells]
+           |    config:
+           |      window: 1 hour
+           |      buckets: 64
+           |      seed: 0
+           |""".stripMargin
+      graft.streaming.Topology.parse(yaml).runBatch(s, s"$work/sinks")
+      val cells = s.read.parquet(s"$work/sinks/cells")
+      val ref = graft.llm.Drift.bucketCounts(
+        t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === 1 &&
+            col("doc_id") < 480),
+        "text", buckets = 64, seed = 0)
+      graft.streaming.ops.DriftOp.finish(cells, ref)
+        .select(col("window_start").cast("long").as("window_start"),
+          col("n_a"), col("n_b"), col("tvd_num"), col("tvd"))
+        .orderBy("window_start")
+    }),
+
+    // ScdOp through the DAG runner: the streaming SCD2 interval
+    // builder in batch mode (open runs finalize as is_current rows) ==
+    // the batch twin Scd.scd2 on the same slice — the q_scd2 oracle
+    // parameterized to the capped input (user_id % 5 = 0 keeps the
+    // materialize+rescan twin ≤~0.3s at sf0.1)
+    "q_scd_dag" -> ((s, dir) => {
+      val work = scratchDir("graft_scd_dag", dir)
+      writeOnce(s"$work/ev") {
+        t(s, dir, "events")
+          .filter(pmod(col("user_id"), lit(5)) === 0)
+          .select("user_id", "event_type", "ts", "event_id")
+          .write.mode("overwrite").parquet(s"$work/ev")
+      }
+      val yaml =
+        s"""topics:
+           |  - name: ev
+           |    kind: parquet
+           |    path: $work/ev
+           |  - name: intervals
+           |    kind: parquet
+           |    sink_partitions: 4
+           |operators:
+           |  scd:
+           |    factory: graft.streaming.ops.ScdOp
+           |    sources: [ev]
+           |    sinks: [intervals]
+           |    config:
+           |      key_col: user_id
+           |      state_col: event_type
+           |      timestamp_col: ts
+           |      tie_col: event_id
+           |""".stripMargin
+      graft.streaming.Topology.parse(yaml).runBatch(s, s"$work/sinks")
+      s.read.parquet(s"$work/sinks/intervals")
+        .select(col("key").as("user_id"), col("state"),
+          col("effective_from"), col("effective_to"),
+          col("is_current"), col("n_events"))
+        .orderBy("user_id", "effective_from", "state")
+    }),
+
     // skew-resistant salted join: orders ⋈ customer keyed on
     // (custkey, salt-of-orderkey) with the customer side replicated 8
     // ways — result EQUALS the plain join (the per-row salt meets
@@ -3943,6 +4035,31 @@ object SparkEntry {
   def oracleSql: Map[String, String] = rawOracleSql.map { case (k, v) =>
     if (MaterializedCteOracles(k)) k -> materializeCtes(v) else k -> v
   }
+
+  /** SCD2 interval replay (lag-change flags → run ids → per-run
+    * min/count → lead() closes each interval), parameterized over an
+    * events filter so q_scd2 (full table) and q_scd_dag (the capped
+    * ScdOp-through-the-runner twin) share one SQL body. */
+  private def scd2Sql(whereSql: String): String =
+    s"""WITH b AS (SELECT user_id AS key, ts AS ord,
+       |    event_id AS tie, event_type AS state FROM events
+       |  WHERE $whereSql),
+       |c AS (SELECT *, CASE WHEN lag(state) OVER
+       |    (PARTITION BY key ORDER BY ord, tie)
+       |    IS NOT DISTINCT FROM state THEN 0 ELSE 1 END AS chg
+       |  FROM b),
+       |r AS (SELECT *, sum(chg) OVER (PARTITION BY key
+       |    ORDER BY ord, tie) AS run FROM c),
+       |g AS (SELECT key, run, state, min(ord) AS effective_from,
+       |    count(*)::BIGINT AS n_events
+       |  FROM r GROUP BY key, run, state),
+       |iv AS (SELECT key, state, effective_from, n_events,
+       |    lead(effective_from) OVER (PARTITION BY key
+       |      ORDER BY run) AS effective_to
+       |  FROM g)
+       |SELECT key AS user_id, state, effective_from, effective_to,
+       |  effective_to IS NULL AS is_current, n_events
+       |FROM iv ORDER BY user_id, effective_from, state""".stripMargin
 
   private def rawOracleSql: Map[String, String] = {
     val allStops = sqlList(
@@ -7067,25 +7184,7 @@ object SparkEntry {
       // SCD2 replay: null-safe change flags (IS NOT DISTINCT FROM ≡
       // Spark's <=>), keyed cumulative run ids, run collapse, interval
       // close via lead over runs
-      "q_scd2" ->
-        """WITH b AS (SELECT user_id AS key, ts AS ord,
-          |    event_id AS tie, event_type AS state FROM events),
-          |c AS (SELECT *, CASE WHEN lag(state) OVER
-          |    (PARTITION BY key ORDER BY ord, tie)
-          |    IS NOT DISTINCT FROM state THEN 0 ELSE 1 END AS chg
-          |  FROM b),
-          |r AS (SELECT *, sum(chg) OVER (PARTITION BY key
-          |    ORDER BY ord, tie) AS run FROM c),
-          |g AS (SELECT key, run, state, min(ord) AS effective_from,
-          |    count(*)::BIGINT AS n_events
-          |  FROM r GROUP BY key, run, state),
-          |iv AS (SELECT key, state, effective_from, n_events,
-          |    lead(effective_from) OVER (PARTITION BY key
-          |      ORDER BY run) AS effective_to
-          |  FROM g)
-          |SELECT key AS user_id, state, effective_from, effective_to,
-          |  effective_to IS NULL AS is_current, n_events
-          |FROM iv ORDER BY user_id, effective_from, state""".stripMargin,
+      "q_scd2" -> scd2Sql("TRUE"),
 
       // profile-delta replay: the q_profile aggregate twice (even/odd
       // halves) joined on col_name, identical IEEE delta arithmetic
@@ -7677,6 +7776,9 @@ object SparkEntry {
       "q_rolling_actives_dag" -> base("q_rolling_actives"),
       "q_transitions_dag" -> base("q_transitions"),
       "q_temporal_join_dag" -> base("q_temporal_join"),
-      "q_neardup_dag" -> base("q_minhash_novel_verified"))
+      "q_neardup_dag" -> base("q_minhash_novel_verified"),
+      "q_drift_dag" -> OracleXxh.q_drift_dag(buckets = 64, seed = 0,
+        epoch0 = 1704067200L),
+      "q_scd_dag" -> scd2Sql("user_id % 5 = 0"))
   }
 }

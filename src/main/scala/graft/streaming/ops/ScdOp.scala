@@ -32,13 +32,23 @@ object ScdOp extends OperatorFactory {
 
   case class Ev(k: Long, ts: java.sql.Timestamp, tie: Long,
                 st: Option[String])
-  case class Run(st: Option[String], fromMs: Long, n: Long)
+  case class Run(st: Option[String], fromUs: Long, n: Long)
   case class Interval(key: Long, state: Option[String],
                       effective_from: java.sql.Timestamp,
                       effective_to: Option[java.sql.Timestamp],
                       is_current: Boolean, n_events: Long)
 
-  private def tsOf(ms: Long) = new java.sql.Timestamp(ms)
+  // state carries epoch MICROS, not Timestamp.getTime millis: Spark
+  // timestamps are microsecond-precision, and a millis round-trip
+  // truncates effective_from/the in-group sort key (q_scd_dag went red
+  // on exactly this — .325073 became .325000)
+  private def usOf(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+  private def tsOf(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   def apply(config: Map[String, Any], sources: Seq[DataFrame])
       : Seq[DataFrame] = {
@@ -64,10 +74,10 @@ object ScdOp extends OperatorFactory {
         // idle key: flush the open run as the current row
         val r = state.get
         state.remove()
-        Iterator.single(Interval(key, r.st, tsOf(r.fromMs), None,
+        Iterator.single(Interval(key, r.st, tsOf(r.fromUs), None,
           is_current = true, r.n))
       } else {
-        val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.tie))
+        val sorted = rows.toArray.sortBy(e => (usOf(e.ts), e.tie))
         if (sorted.isEmpty) Iterator.empty
         else {
           val out = Array.newBuilder[Interval]
@@ -77,11 +87,11 @@ object ScdOp extends OperatorFactory {
               case Some(r) if r.st == e.st =>
                 run = Some(r.copy(n = r.n + 1))
               case Some(r) =>
-                out += Interval(key, r.st, tsOf(r.fromMs),
+                out += Interval(key, r.st, tsOf(r.fromUs),
                   Some(e.ts), is_current = false, r.n)
-                run = Some(Run(e.st, e.ts.getTime, 1L))
+                run = Some(Run(e.st, usOf(e.ts), 1L))
               case None =>
-                run = Some(Run(e.st, e.ts.getTime, 1L))
+                run = Some(Run(e.st, usOf(e.ts), 1L))
             }
           }
           state.update(run.get)
@@ -91,7 +101,7 @@ object ScdOp extends OperatorFactory {
                 state.getCurrentWatermarkMs()) + latenessMs)
           } else {
             // batch mode: no timeout will fire — the open run IS final
-            out += Interval(key, run.get.st, tsOf(run.get.fromMs), None,
+            out += Interval(key, run.get.st, tsOf(run.get.fromUs), None,
               is_current = true, run.get.n)
             state.remove()
           }
