@@ -3873,6 +3873,58 @@ object SparkEntry {
         .orderBy("user_id", "effective_from", "state")
     }),
 
+    // ServeOp through the DAG runner — the reference serve.yml shape in
+    // batch mode: a committed linear-model artifact (version 3,
+    // yhat = 0.25·x + 2, both constants exactly double-representable)
+    // published to a model topic, delivered to the factory via
+    // config_topic resolution, scoring a documents feature column.
+    // SQL-expressible, so the serve family gains its first oracled
+    // CORRECTNESS row (batching is executor-local: batch_size only
+    // groups predict() calls, never changes values)
+    "q_serve_batch" -> ((s, dir) => {
+      import s.implicits._
+      val work = scratchDir("graft_serve_dag", dir)
+      writeOnce(s"$work/features") {
+        t(s, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("n_chars").cast("double").as("x"))
+          .write.mode("overwrite").parquet(s"$work/features")
+      }
+      writeOnce(s"$work/model") {
+        Seq(("lin", 3L,
+          graft.streaming.Serve.encodeLinearModel(3L, 2.0, 0.25)))
+          .toDF("name", "version", "content")
+          .withColumn("published_at",
+            lit("2024-01-01 00:00:00").cast("timestamp"))
+          .write.mode("overwrite").parquet(s"$work/model")
+      }
+      val yaml =
+        s"""topics:
+           |  - name: features
+           |    kind: parquet
+           |    path: $work/features
+           |  - name: model
+           |    kind: parquet
+           |    path: $work/model
+           |  - name: scored
+           |    kind: parquet
+           |    sink_partitions: 4
+           |operators:
+           |  serve:
+           |    factory: graft.streaming.ops.ServeOp
+           |    sources: [features]
+           |    sinks: [scored]
+           |    config_topic: model
+           |config:
+           |  serve_input_field: x
+           |  serve_output_field: yhat
+           |  serve_batch_size: 16
+           |""".stripMargin
+      graft.streaming.Topology.parse(yaml).runBatch(s, s"$work/sinks")
+      s.read.parquet(s"$work/sinks/scored")
+        .select(col("doc_id"), col("x"), col("yhat"))
+        .orderBy("doc_id")
+    }),
+
     // skew-resistant salted join: orders ⋈ customer keyed on
     // (custkey, salt-of-orderkey) with the customer side replicated 8
     // ways — result EQUALS the plain join (the per-row salt meets
@@ -7779,6 +7831,12 @@ object SparkEntry {
       "q_neardup_dag" -> base("q_minhash_novel_verified"),
       "q_drift_dag" -> OracleXxh.q_drift_dag(buckets = 64, seed = 0,
         epoch0 = 1704067200L),
-      "q_scd_dag" -> scd2Sql("user_id % 5 = 0"))
+      "q_scd_dag" -> scd2Sql("user_id % 5 = 0"),
+      // the committed model artifact is yhat = 0.25*x + 2.0 (exactly
+      // representable doubles — one multiply + one add on both engines)
+      "q_serve_batch" ->
+        """SELECT doc_id, CAST(n_chars AS DOUBLE) AS x,
+          |  0.25 * CAST(n_chars AS DOUBLE) + 2.0 AS yhat
+          |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)
   }
 }
