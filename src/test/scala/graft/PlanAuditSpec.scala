@@ -559,4 +559,71 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
     assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
   }
+
+  test("every unpartitioned Window in the battery sits above a " +
+    "provably bounded frame (round-12 verdict pin)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Filter, GlobalLimit, LocalRelation, LogicalPlan,
+      Project, Sort, SubqueryAlias, Window}
+    // A Window with an empty partition spec sorts its whole input into
+    // ONE task — a scale-killer over anything corpus-sized. Every
+    // occurrence must either (a) sit directly above a GlobalLimit /
+    // LocalRelation (top-k or VALUES-sized frame, checked
+    // mechanically), or (b) belong to a query on this allowlist, each
+    // entry carrying the size argument that bounds the frame. A NEW
+    // unpartitioned window anywhere else fails here, not on a cluster.
+    val bounded: Map[String, String] = Map(
+      "q_adjacent_drift" -> ("lag series over the (hour x 8-bin) cell " +
+        "aggregate - cardinality = hours x bins, corpus-independent"),
+      "q_lm_buckets" -> ("two-level global rank: the unpartitioned " +
+        "cumsum runs over the k x bucket CELL table (Ops." +
+        "globalRankBuckets), never the scored corpus"),
+      "q_negative_sample" -> ("bucket-offset cumsum over the `coarse`" +
+        "-cell count table (negativeSample's two-level draw)"),
+      "q_vocab_stats" -> ("rank + cumulative coverage over the " +
+        "top-V (<= 100) vocab join - both join sides GlobalLimit'd"))
+    // descend through non-expanding unary nodes to the first
+    // size-determining producer
+    @scala.annotation.tailrec
+    def producer(lp: LogicalPlan): LogicalPlan = lp match {
+      case Project(_, c)       => producer(c)
+      case Filter(_, c)        => producer(c)
+      case Sort(_, _, c, _)    => producer(c)
+      case SubqueryAlias(_, c) => producer(c)
+      case other               => other
+    }
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val usedAllowlist = scala.collection.mutable.Set.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val p = try SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan
+      catch {
+        case e: Throwable => fail(s"$q failed to plan: ${e.getMessage}")
+      }
+      def sweep(lp: LogicalPlan): Unit = {
+        lp.foreach {
+          case w: Window if w.partitionSpec.isEmpty =>
+            val ok = producer(w.child) match {
+              case _: GlobalLimit | _: LocalRelation => true
+              case _ =>
+                if (bounded.contains(q)) usedAllowlist += q
+                bounded.contains(q)
+            }
+            if (!ok) offenders +=
+              s"$q: unpartitioned Window over ${producer(w.child).nodeName}"
+          case _ => ()
+        }
+        lp.subqueries.foreach(sweep)
+      }
+      sweep(p)
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned Window over an unbounded frame (add a partition " +
+        "key, a top-k cut, or an allowlist entry WITH a size " +
+        s"argument):\n${offenders.mkString("\n")}")
+    // allowlist hygiene: an entry whose query no longer plans an
+    // unpartitioned non-limit window is stale ledger — retire it
+    assert(bounded.keySet == usedAllowlist.toSet,
+      s"stale allowlist entries: ${bounded.keySet -- usedAllowlist}")
+  }
 }
