@@ -3369,6 +3369,11 @@ object SparkEntry {
     "q_pagerank_docs" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         "doc_id", "text", shingleSize = 3, threshold = 0.3)
+      // NO persist on `pairs`: pageRank's own e0 persist already makes
+      // the pair subtree single-traversal (explode is its one
+      // consumer); adding one was a measured net loss (quiet-box
+      // min-of-2 at sf0.1: 2.28s -> 2.82s, round 12) — the extra
+      // materialization buys no avoided re-run
       // symmetrize via explode, not union: a union traverses the pair
       // subtree twice, and pair GENERATION is the expensive stage here
       // (measured 2× ngram-Jaccard per run → once; 3.4s → 2.3s at sf0.1)
@@ -3871,6 +3876,63 @@ object SparkEntry {
           col("effective_from"), col("effective_to"),
           col("is_current"), col("n_events"))
         .orderBy("user_id", "effective_from", "state")
+    }),
+
+    // CountMinOp through the DAG runner: SqlOp explodes graft_tokens
+    // into an item stream (constant ts -> one window, the q_neardup_dag
+    // convention), CountMinOp emits the bounded (window_start, r,
+    // bucket, cnt) cell table, and the documented batch finisher
+    // (CountMinOp.estimate) answers the exact top-20 lookup == the
+    // q_countmin oracle verbatim
+    "q_countmin_dag" -> ((s, dir) => {
+      val work = scratchDir("graft_cm_dag", dir)
+      writeOnce(s"$work/docs") {
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+          .write.mode("overwrite").parquet(s"$work/docs")
+      }
+      val yaml =
+        s"""topics:
+           |  - name: docs
+           |    kind: parquet
+           |    path: $work/docs
+           |  - name: items
+           |    kind: parquet
+           |    sink_partitions: 4
+           |  - name: cells
+           |    kind: parquet
+           |    sink_partitions: 1
+           |operators:
+           |  tokenize:
+           |    factory: graft.streaming.ops.SqlOp
+           |    sources: [docs]
+           |    sinks: [items]
+           |    config:
+           |      sql: >-
+           |        SELECT explode(graft_tokens(text)) AS item, ts
+           |        FROM __cm_docs
+           |      views: [__cm_docs]
+           |  sketch:
+           |    factory: graft.streaming.ops.CountMinOp
+           |    sources: [items]
+           |    sinks: [cells]
+           |    config:
+           |      window: 1 hour
+           |      item_col: item
+           |      depth: 4
+           |      width: 1024
+           |""".stripMargin
+      graft.streaming.Topology.parse(yaml).runBatch(s, s"$work/sinks")
+      val cells = s.read.parquet(s"$work/sinks/cells")
+      val toks = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+      val top = toks.groupBy("token")
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(desc("true_cnt"), asc("token")).limit(20)
+      graft.streaming.ops.CountMinOp.estimate(cells, top, col("token"),
+        depth = 4, width = 1024)
+        .orderBy(desc("true_cnt"), asc("token"))
     }),
 
     // ServeOp through the DAG runner — the reference serve.yml shape in
@@ -7832,6 +7894,7 @@ object SparkEntry {
       "q_drift_dag" -> OracleXxh.q_drift_dag(buckets = 64, seed = 0,
         epoch0 = 1704067200L),
       "q_scd_dag" -> scd2Sql("user_id % 5 = 0"),
+      "q_countmin_dag" -> base("q_countmin"),
       // the committed model artifact is yhat = 0.25*x + 2.0 (exactly
       // representable doubles — one multiply + one add on both engines)
       "q_serve_batch" ->

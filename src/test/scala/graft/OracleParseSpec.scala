@@ -57,12 +57,14 @@ class OracleParseSpec extends AnyFunSuite {
 
     val json = oracles.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
       .mkString("{", ",", "}")
-    // bind set = the regex-rewritten oracles plus q_url_psl, the most
-    // complex GENERATED oracle (9.8k-rule VALUES tables + three
-    // rule-class CASE ladders built from the parsed PSL — a generator
-    // bug should fail binding here, ~0.3s)
-    val allowJson = (SparkEntry.MaterializedCteOracles.toSeq :+
-      "q_url_psl").sorted.map(jq).mkString("[", ",", "]")
+    // bind set = the regex-rewritten oracles plus the GENERATED ones:
+    // q_url_psl (9.8k-rule VALUES tables + three rule-class CASE
+    // ladders from the parsed PSL) and q_drift_dag (seed-chained XXH64
+    // bucket macro + TVD grid) — a generator bug should fail binding
+    // here, not a driver round later
+    val allowJson = (SparkEntry.MaterializedCteOracles.toSeq ++
+      Seq("q_url_psl", "q_drift_dag")).sorted.map(jq)
+      .mkString("[", ",", "]")
     val dir = java.nio.file.Files.createTempDirectory("oracle-parse")
     java.nio.file.Files.writeString(dir.resolve("oracle_sql.json"), json)
     java.nio.file.Files.writeString(dir.resolve("allow.json"), allowJson)
