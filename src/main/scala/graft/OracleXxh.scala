@@ -689,10 +689,10 @@ FROM s ORDER BY doc_id"""
     * g_xxh_int(r, h0) bucket -> cell sums -> min-over-rows estimates
     * for the exact top-20 tokens. Matches FreqItems.countMinTable +
     * countMinLookup bit-exactly (all-integer pipeline). */
-  val q_countmin: String =
+  def q_countmin(whereSql: String = "TRUE"): String =
     prologue + "\n" +
-"""WITH toks AS (SELECT list_filter(string_split(lower(trim(text)), ' '),
-    t -> len(t) > 0) AS ts FROM documents),
+s"""WITH toks AS (SELECT list_filter(string_split(lower(trim(text)), ' '),
+    t -> len(t) > 0) AS ts FROM documents WHERE $whereSql),
 tc AS MATERIALIZED (SELECT t, count(*)::BIGINT AS c
   FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t),
 th AS MATERIALIZED (SELECT t, c, g_xxh_bytes(g_bytes(t), 42::HUGEINT) AS h0
