@@ -1966,6 +1966,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ScdOp preserves MICROSECOND timestamps in effective_from and " +
+    "the in-group sort (round-12 regression: getTime millis truncated " +
+    "them)") {
+    // two state changes 73us apart within one millisecond: a millis
+    // round-trip would collapse the sort order AND emit truncated
+    // effective_from values
+    def tsUs(us: Int): java.sql.Timestamp = {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 11:00:00")
+      t.setNanos(us * 1000)
+      t
+    }
+    val src = Seq(
+      (9L, tsUs(325073), 1L, "A"),
+      (9L, tsUs(325146), 2L, "B"),
+      (9L, tsUs(999000), 3L, "B")).toDF(
+      "user_id", "ts", "event_id", "event_type")
+    val out = graft.streaming.ops.ScdOp(Map.empty, Seq(src)).head
+    val got = out
+      .select("state", "effective_from", "effective_to", "is_current",
+        "n_events")
+      .as[(String, java.sql.Timestamp, Option[java.sql.Timestamp],
+        Boolean, Long)].collect().toSeq.sortBy(_._2.getNanos)
+    assert(got == Seq(
+      ("A", tsUs(325073), Some(tsUs(325146)), false, 1L),
+      ("B", tsUs(325146), None, true, 2L)), got)
+    // batch-twin parity at micros precision
+    val twin = graft.operators.Scd.scd2(src, col("user_id"), col("ts"),
+      col("event_id"), col("event_type"))
+      .select("state", "effective_from", "effective_to", "is_current",
+        "n_events")
+      .as[(String, java.sql.Timestamp, Option[java.sql.Timestamp],
+        Boolean, Long)].collect().toSeq.sortBy(_._2.getNanos)
+    assert(got == twin, s"op $got != batch twin $twin")
+  }
+
   test("DomainCapOp idle eviction re-opens a domain's budget " +
     "(lateness set) — the windowed-cap semantics") {
     implicit val sqlCtx = spark.sqlContext
