@@ -168,6 +168,25 @@ SELECT doc_id,
     (acc, h) -> (acc * 1000003 + h) % 1000000007) AS rfp
 FROM toks ORDER BY doc_id"""
 
+  /** [[graft.streaming.ops.HeavyHittersOp]] DAG-twin replay: the
+    * fixture keeps Misra-Gries in its exact regime (5 distinct event
+    * types per hour window, far below m), so est_count is the exact
+    * per-(window, item) count and the sketch's (-count, key) finish
+    * order is a plain row_number — no fold replay needed (the
+    * decrementing regime is covered by [[q_heavy_hitters_oracle]]). */
+  def q_heavyhitters_dag(topJ: Int): String =
+    prologue + "\n" +
+      s"""WITH c AS (SELECT date_trunc('hour', ts) AS w,
+         |    g_xxh_str(event_type) AS item, count(*)::BIGINT AS cnt
+         |  FROM events
+         |  WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1, 2),
+         |rk AS (SELECT w, item, cnt, row_number() OVER (
+         |    PARTITION BY w ORDER BY cnt DESC, item) AS rank FROM c)
+         |SELECT CAST(epoch(w) AS BIGINT) AS window_start,
+         |  rank::BIGINT AS rank, item, cnt AS est_count
+         |FROM rk WHERE rank <= $topJ
+         |ORDER BY window_start, rank""".stripMargin
+
   /** [[graft.functions.FreqItems.orderedFold]] replay: the bounded
     * ordered per-lang token-hash sample folded through the classic
     * Misra-Gries step as a `list_reduce` whose accumulator is the MG

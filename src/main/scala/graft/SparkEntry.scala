@@ -4020,6 +4020,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HeavyHittersOp through the DAG runner — the windowed Misra-Gries
+    // top-j over the events stream. The fixture keeps the sketch in its
+    // EXACT regime by construction (5 distinct event types per hour
+    // window, far below m=64, so the MG map never decrements and every
+    // partial-aggregate merge keeps all keys): est_count equals the
+    // exact per-(window, item) count and the sketch's (-count, key)
+    // finish order is a plain SQL row_number — the q_card_dag precedent
+    // of oracling a sketch op's deterministic regime bit-exact (the
+    // decrementing regime stays pinned by q_heavy_hitters_oracle's
+    // sequential fold replay + FreqItemsSpec)
+    "q_heavyhitters_dag" -> ((s, dir) => {
+      val work = scratchDir("graft_hh_dag", dir)
+      writeOnce(s"$work/items") {
+        // first-week cap: 168 hour-windows is full multi-window
+        // coverage at a quarter of the rows (the q_countmin_dag
+        // bench-weight budget for _dag twins)
+        t(s, dir, "events")
+          .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+          .select(xxhash64(col("event_type")).as("item"), col("ts"))
+          .write.mode("overwrite").parquet(s"$work/items")
+      }
+      val yaml =
+        s"""topics:
+           |  - name: items
+           |    kind: parquet
+           |    path: $work/items
+           |  - name: hh
+           |    kind: parquet
+           |    sink_partitions: 1
+           |operators:
+           |  hh:
+           |    factory: graft.streaming.ops.HeavyHittersOp
+           |    sources: [items]
+           |    sinks: [hh]
+           |    config:
+           |      window: 1 hour
+           |      item_col: item
+           |      m: 64
+           |      top_j: 3
+           |""".stripMargin
+      graft.streaming.Topology.parse(yaml).runBatch(s, s"$work/sinks")
+      s.read.parquet(s"$work/sinks/hh")
+        .select(col("window_start").cast("long").as("window_start"),
+          col("rank").cast("long").as("rank"), col("item"),
+          col("est_count"))
+        .orderBy("window_start", "rank")
+    }),
+
     // skew-resistant salted join: orders ⋈ customer keyed on
     // (custkey, salt-of-orderkey) with the customer side replicated 8
     // ways — result EQUALS the plain join (the per-row salt meets
@@ -7961,6 +8009,10 @@ object SparkEntry {
       "q_serve_batch" ->
         """SELECT doc_id, CAST(n_chars AS DOUBLE) AS x,
           |  0.25 * CAST(n_chars AS DOUBLE) + 2.0 AS yhat
-          |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)
+          |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+      // HeavyHittersOp's exact regime (≤5 distinct items/window ≪ m):
+      // the MG estimates are exact counts, the finish order a plain
+      // deterministic rank — every shipped column oracles bit-exact
+      "q_heavyhitters_dag" -> OracleXxh.q_heavyhitters_dag(topJ = 3))
   }
 }
