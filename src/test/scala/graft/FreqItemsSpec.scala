@@ -38,6 +38,20 @@ class FreqItemsSpec extends SparkSpec {
     }
   }
 
+  test("property: EXACT regime — with <= m distinct keys the sketch " +
+    "equals exact counts at any parallelism (the q_heavyhitters_dag " +
+    "oracle contract: no decrement ever fires, merges keep all keys)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5; parts <- Seq(1, 3, 16)) {
+      val keys = (0 until 5 + rnd.nextInt(8)).map(_ => rnd.nextLong())
+      val items = (0 until 400).map(_ => keys(rnd.nextInt(keys.size)))
+      val exact = items.groupBy(identity).map { case (k, v) =>
+        (k, v.size.toLong) }
+      val got = sketchOf(items, m = 16, parts)
+      assert(got === exact, s"trial=$trial parts=$parts")
+    }
+  }
+
   test("estimates never exceed true counts (all-distinct input)") {
     val got = sketchOf((1L to 100L).toSeq, m = 8, parts = 4)
     assert(got.size <= 8)
