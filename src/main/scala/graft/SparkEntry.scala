@@ -3299,6 +3299,87 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // JSONL round-trip — the interchange format downstream training
+    // stacks read (one JSON object per line): export the corpus via the
+    // Sources JSONL sink, re-ingest with an explicit schema, aggregate.
+    // The text-derived sum catches any quoting/escaping corruption in
+    // flight (docs carry newlines/quotes); identity round-trip makes the
+    // oracle plain SQL over the original table, the q_orc_roundtrip
+    // precedent
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val out = scratchDir("graft_jsonl", dir)
+      val docs = t(s, dir, "documents")
+      graft.sources.Sources.writeJsonLines(docs, out)
+      graft.sources.Sources.jsonLines(s, out, docs.schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(length(col("text"))).as("total_text_chars"))
+        .orderBy("lang")
+    }),
+
+    // JSONL topics through the DAG runner — the raw-crawl ingest and
+    // training-export shape: a JSONL source topic (declared DDL schema,
+    // the json-topic contract) flows through a YAML SqlOp gate into a
+    // JSONL sink topic, and the read-back aggregates. Gates BOTH json
+    // legs of the runner (source + durable-handoff sink) plus the
+    // schema-carrying relay; quoting fidelity is pinned by the n_chars
+    // sum surviving the two JSON hops
+    "q_jsonl_dag" -> ((s, dir) => {
+      val work = scratchDir("graft_jsonl_dag", dir)
+      writeOnce(s"$work/docs") {
+        graft.sources.Sources.writeJsonLines(
+          t(s, dir, "documents").filter(col("doc_id") < 5000)
+            .select(col("doc_id"), col("text"), col("lang"),
+              col("n_chars")),
+          s"$work/docs")
+      }
+      val yaml =
+        s"""topics:
+           |  - name: docs
+           |    kind: json
+           |    path: $work/docs
+           |    schema: "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT"
+           |  - name: export
+           |    kind: json
+           |    sink_partitions: 1
+           |operators:
+           |  gate:
+           |    factory: graft.streaming.ops.SqlOp
+           |    sources: [docs]
+           |    sinks: [export]
+           |    config:
+           |      views: [d]
+           |      sql: SELECT doc_id, lang, n_chars FROM d WHERE n_chars >= 100
+           |""".stripMargin
+      graft.streaming.Topology.parse(yaml).runBatch(s, s"$work/sinks")
+      s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, n_chars BIGINT"))
+        .json(s"$work/sinks/export")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    }),
+
+    // CSV round-trip — the remaining interchange leg (parquet and ORC
+    // columnar, JSONL and CSV text): header + quoting exercised on a
+    // corpus whose text carries commas/quotes (newline-free by fixture
+    // contract — Sources.csv reads line-framed records; multiLine CSV
+    // is out of the sink's scope by design, JSONL is the escape-safe
+    // export for free-text)
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val out = scratchDir("graft_csv", dir)
+      val docs = t(s, dir, "documents")
+      graft.sources.Sources.writeCsv(docs, out)
+      graft.sources.Sources.csv(s, out, docs.schema)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(length(col("text"))).as("total_text_chars"))
+        .orderBy("source")
+    }),
+
     // time-series regularization: per-user hourly grid with GAP rows
     // materialized, decimal-exact sums, forward-filled last observation
     "q_resample" -> ((s, dir) =>
@@ -7435,6 +7516,28 @@ object SparkEntry {
         """SELECT source, count(*)::BIGINT AS n_docs,
           |  sum(n_chars)::BIGINT AS total_chars
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      // JSONL round-trip is identity, so the oracle reads the original
+      // table; the text-length sum pins escaping fidelity
+      "q_jsonl_roundtrip" ->
+        """SELECT lang, count(*)::BIGINT AS n_docs,
+          |  sum(n_chars)::BIGINT AS total_chars,
+          |  sum(len(text))::BIGINT AS total_text_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q_csv_roundtrip" ->
+        """SELECT source, count(*)::BIGINT AS n_docs,
+          |  sum(n_chars)::BIGINT AS total_chars,
+          |  sum(len(text))::BIGINT AS total_text_chars
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      // json topics through the DAG runner are identity hops, so the
+      // oracle replays the gate over the original table
+      "q_jsonl_dag" ->
+        """SELECT lang, count(*)::BIGINT AS n_docs,
+          |  sum(n_chars)::BIGINT AS total_chars
+          |FROM documents WHERE doc_id < 5000 AND n_chars >= 100
+          |GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q_profile" -> {
         val cols = Seq("event_id", "user_id", "event_type", "value",

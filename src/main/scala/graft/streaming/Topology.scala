@@ -20,6 +20,13 @@ trait OperatorFactory {
 /** Topic declaration (reference makinage/operator.py:26-73): name + codec +
   * replay policy, generalized with a source `kind` so the same topology
   * runs Kafka-backed (production) or file-backed (tests/batch).
+  * File-backed kinds: `parquet` (columnar, the default durable handoff)
+  * and `json` (JSONL — one object per line, the raw-crawl ingest and
+  * training-export interchange format; requires a declared DDL
+  * `schema:` on reads, refuses `zorder_by` — JSON scans carry no
+  * min/max stats to prune with). `compression:` names a file-sink
+  * codec (gzip/zstd for jsonl.gz exports, snappy/zstd for parquet);
+  * readers decompress transparently.
   *
   * Event-time fields mirror the reference `Topic`'s timestamp_mapper /
   * map_partition (makinage/operator.py:26-73):
@@ -71,7 +78,8 @@ case class TopicSpec(name: String, codec: String, startFrom: String,
                      sinkPartitions: Int = 0,
                      zorderBy: Seq[String] = Nil,
                      zorderBits: Int = 8,
-                     maxPerTrigger: Long = 0)
+                     maxPerTrigger: Long = 0,
+                     compression: String = "")
 
 /** `configTopic` (YAML `config_topic`): name of a topic whose NEWEST
   * record is merged over the static `config:` block and handed to this
@@ -144,7 +152,8 @@ object Topology {
           },
           zorderBits = m.getOrElse("zorder_bits", "8").toString.toInt,
           maxPerTrigger =
-            m.getOrElse("max_per_trigger", "0").toString.toLong)
+            m.getOrElse("max_per_trigger", "0").toString.toLong,
+          compression = m.getOrElse("compression", "").toString)
       }.toSeq
 
     val operators = asMap(root.getOrElse("operators", null)).map {
@@ -283,9 +292,25 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
       throw new IllegalArgumentException(s"undeclared topic: $name"))
 
   /** Build a bounded source for a topic (batch mode). */
+  /** JSONL topics require a declared DDL `schema:` on every read path:
+    * unlike parquet (schema in the footer, one cheap metadata read),
+    * JSON schema inference is a FULL extra pass over the data — at
+    * corpus scale that silently doubles the ingest cost, and inferred
+    * types drift with the sample (a numeric-looking id column flips
+    * type between days). Loud refusal beats either. */
+  private def jsonSchema(t: TopicSpec)
+      : org.apache.spark.sql.types.StructType = {
+    require(t.schema.nonEmpty,
+      s"topic ${t.name}: a json topic needs a declared DDL 'schema:' — " +
+        "JSON schema inference is a full extra data pass (and " +
+        "sample-dependent); declare the schema in the topology")
+    org.apache.spark.sql.types.StructType.fromDDL(t.schema)
+  }
+
   private def batchSource(spark: SparkSession, t: TopicSpec): DataFrame =
     t.kind match {
       case "parquet" => spark.read.parquet(t.path)
+      case "json" => spark.read.schema(jsonSchema(t)).json(t.path)
       case "kafka" =>
         // bounded Kafka read — reference's data/pull.py batch consumer;
         // value decoded per the topic codec before factories see it
@@ -335,6 +360,15 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
         val r = if (t.maxPerTrigger > 0)
           r0.option("maxFilesPerTrigger", t.maxPerTrigger) else r0
         r.parquet(t.path)
+      case "json" =>
+        // JSONL directory as an unbounded source (the raw-crawl ingest
+        // shape: dumps land as jsonl shards); declared schema required
+        // (see jsonSchema), maxFilesPerTrigger bounds the drain rate
+        // like the parquet path
+        val r0 = spark.readStream.schema(jsonSchema(t))
+        val r = if (t.maxPerTrigger > 0)
+          r0.option("maxFilesPerTrigger", t.maxPerTrigger) else r0
+        r.json(t.path)
       case "kafka" =>
         // option map (start_from/backpressure mapping incl. the loud
         // start_from:last refusal) factored into kafkaSourceOptions —
@@ -511,6 +545,13 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
   private def shapeForParquet(df: DataFrame, t: TopicSpec): DataFrame =
     if (t.zorderBy.nonEmpty) {
       import org.apache.spark.sql.functions.col
+      // Z-order pays off through columnar file min/max stats; JSON
+      // scans carry none — an accepted-but-useless layout knob would
+      // lie about pruning
+      require(t.kind != "json",
+        s"sink '${t.name}': zorder_by needs columnar min/max stats to " +
+          "prune scans — JSON files carry none; use a parquet topic " +
+          "for z-ordered layout")
       require(!df.isStreaming,
         s"sink '${t.name}': zorder_by needs corpus min/max — bounded " +
           "frames only (batch runs or a config_topic foreachBatch sink)")
@@ -537,15 +578,39 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
         org.apache.spark.sql.functions.col): _*)
     else df.repartition(t.sinkPartitions)
 
-  /** The one parquet sink write: small-files shaping + hive
-    * partitioning + write, shared by the batch run and the
-    * foreachBatch append path so the two can never diverge. */
-  private def writeParquet(df: DataFrame, t: TopicSpec, mode: String,
-                           path: String): Unit = {
-    val w = shapeForParquet(df, t).write.mode(mode)
-    (if (t.partitionBy.nonEmpty) w.partitionBy(t.partitionBy: _*)
-    else w).parquet(path)
+  /** The one file-sink write (parquet or JSONL): small-files shaping +
+    * hive partitioning + write, shared by the batch run and the
+    * foreachBatch append path so the two can never diverge. zorder_by
+    * on a json sink refuses loudly — Z-order pays off through columnar
+    * file min/max stats, which JSON scans don't carry; an accepted-but-
+    * useless layout knob would lie about pruning. */
+  private def writeFileSink(df: DataFrame, t: TopicSpec, mode: String,
+                            path: String): Unit = {
+    val w0 = shapeForParquet(df, t).write.mode(mode)
+    // `compression:` names a Spark file-sink codec (gzip/zstd/… for
+    // json — jsonl.gz is the crawl-dump/export interchange shape;
+    // snappy/zstd/… for parquet). Readers need no knob: both sources
+    // decompress by extension/footer transparently
+    val w = if (t.compression.nonEmpty)
+      w0.option("compression", t.compression) else w0
+    val pw = if (t.partitionBy.nonEmpty) w.partitionBy(t.partitionBy: _*)
+      else w
+    t.kind match {
+      case "json" => pw.json(path)
+      case _ => pw.parquet(path)
+    }
   }
+
+  /** Read a file-backed sink topic back in its own format (the
+    * durable-handoff relay of [[runBatch]]). The read-back carries the
+    * frame's own schema, so a JSONL hop never re-infers. */
+  private def readFileSink(spark: SparkSession, t: TopicSpec,
+                           schema: org.apache.spark.sql.types.StructType,
+                           path: String): DataFrame =
+    t.kind match {
+      case "json" => spark.read.schema(schema).json(path)
+      case _ => spark.read.parquet(path)
+    }
 
   /** Batch run: every sink topic is written as parquet under `outDir`
     * (file-backed topics) — the unified batch path; config topics are
@@ -559,9 +624,9 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
       chainable = _ => true,
       relay = (sinkTopic, df) => {
         val path = s"$outDir/${sinkTopic.name}"
-        writeParquet(df, sinkTopic, "overwrite", path)
+        writeFileSink(df, sinkTopic, "overwrite", path)
         names += sinkTopic.name
-        spark.read.parquet(path)
+        readFileSink(spark, sinkTopic, df.schema, path)
       })
     names.toSeq
   }
@@ -593,8 +658,8 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
       case "kafka" => framed.write.format("kafka")
         .options(Topology.kafkaSinkOptions(sinkTopic))
         .save()
-      case "parquet" =>
-        writeParquet(framed, sinkTopic, "append", sinkTopic.path)
+      case "parquet" | "json" =>
+        writeFileSink(framed, sinkTopic, "append", sinkTopic.path)
       case other =>
         throw new IllegalArgumentException(s"dynamic-op sink kind: $other")
     }
@@ -643,9 +708,10 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
           s"topic '${src.name}' is kind memory; chain through a " +
           "parquet/kafka topic for a durable handoff")
       op.sinks.map(topic).foreach { st =>
-        require(st.kind == "kafka" || st.kind == "parquet",
+        require(st.kind == "kafka" || st.kind == "parquet" ||
+            st.kind == "json",
           s"operator ${op.name}: config_topic sinks must be " +
-            s"kafka/parquet, got '${st.kind}' for topic ${st.name}")
+            s"kafka/parquet/json, got '${st.kind}' for topic ${st.name}")
       }
     }
     // Resolve every dynamic factory (Class.forName) BEFORE any query
@@ -669,7 +735,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     try {
     wired.foreach { case (sinkTopic, df) =>
         val shaped =
-          if (sinkTopic.kind == "parquet")
+          if (sinkTopic.kind == "parquet" || sinkTopic.kind == "json")
             shapeForParquet(frameForSink(df, sinkTopic), sinkTopic)
           else frameForSink(df, sinkTopic)
         // memory sinks are EPHEMERAL (Spark refuses checkpoint recovery
@@ -682,16 +748,23 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
             s"$checkpointRoot/${sinkTopic.name}_" +
               java.util.UUID.randomUUID().toString
           else s"$checkpointRoot/${sinkTopic.name}"
-        val w0 = shaped.writeStream
+        val w00 = shaped.writeStream
           .option("checkpointLocation", ckpt)
+        // file-sink compression codec, same knob as the batch path
+        val w0 = if (sinkTopic.compression.nonEmpty &&
+            (sinkTopic.kind == "parquet" || sinkTopic.kind == "json"))
+          w00.option("compression", sinkTopic.compression) else w00
         val w =
-          if (sinkTopic.partitionBy.nonEmpty && sinkTopic.kind == "parquet")
+          if (sinkTopic.partitionBy.nonEmpty &&
+              (sinkTopic.kind == "parquet" || sinkTopic.kind == "json"))
             w0.partitionBy(sinkTopic.partitionBy: _*)
           else w0
         started += (sinkTopic.kind match {
           case "kafka" => w.format("kafka")
             .options(Topology.kafkaSinkOptions(sinkTopic))
           case "parquet" => w.format("parquet")
+            .option("path", sinkTopic.path)
+          case "json" => w.format("json")
             .option("path", sinkTopic.path)
           case "memory" => w.format("memory").queryName(sinkTopic.name)
           case other =>

@@ -515,6 +515,154 @@ class TopologySpec extends SparkSpec {
     }
   }
 
+  test("json topics: a JSONL source chains through an operator into a " +
+    "JSONL sink in batch mode; quoting/escaping survives the hop; " +
+    "schemaless json reads and zorder_by on json sinks refuse loudly") {
+    val tmp = Files.createTempDirectory("topo_json").toString
+    // text carries quotes, commas, backslashes — the JSONL escape surface
+    val rows = Seq((1L, """he said "hi", then \left"""),
+      (2L, "plain"), (3L, """tab\there, "q" and, commas"""))
+    rows.toDF("id", "text").write.mode("overwrite").json(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: docs
+         |    kind: json
+         |    path: $tmp/in
+         |    schema: "id BIGINT, text STRING"
+         |  - name: kept
+         |    kind: json
+         |    sink_partitions: 1
+         |operators:
+         |  keep:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [docs]
+         |    sinks: [kept]
+         |    config:
+         |      views: [d]
+         |      sql: SELECT id, text FROM d WHERE id <= 2
+         |""".stripMargin
+    Topology.parse(yaml).runBatch(spark, s"$tmp/sinks")
+    val got = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, text STRING"))
+      .json(s"$tmp/sinks/kept").as[(Long, String)].collect().toSet
+    assert(got == rows.filter(_._1 <= 2).toSet)
+    // a json topic without a declared schema refuses at read time
+    // (inference is a full extra data pass, sample-dependent)
+    val noSchema = Topology.parse(
+      s"""topics:
+         |  - name: docs
+         |    kind: json
+         |    path: $tmp/in
+         |  - name: out
+         |    kind: parquet
+         |operators:
+         |  keep:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [docs]
+         |    sinks: [out]
+         |    config: {views: [d], sql: SELECT * FROM d}
+         |""".stripMargin)
+    val e1 = intercept[IllegalArgumentException] {
+      noSchema.runBatch(spark, s"$tmp/sinks_noschema")
+    }
+    assert(e1.getMessage.contains("schema"))
+    // zorder_by on a json sink refuses: JSON scans carry no min/max
+    // stats, the layout could never prune
+    val zj = Topology.parse(
+      s"""topics:
+         |  - name: docs
+         |    kind: json
+         |    path: $tmp/in
+         |    schema: "id BIGINT, text STRING"
+         |  - name: out
+         |    kind: json
+         |    zorder_by: [id]
+         |operators:
+         |  keep:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [docs]
+         |    sinks: [out]
+         |    config: {views: [d], sql: SELECT * FROM d}
+         |""".stripMargin)
+    val e2 = intercept[IllegalArgumentException] {
+      zj.runBatch(spark, s"$tmp/sinks_zj")
+    }
+    assert(e2.getMessage.contains("min/max"))
+  }
+
+  test("compression: a gzip json sink lands .gz JSONL shards the json " +
+    "source reads back transparently (jsonl.gz, the crawl-dump shape)") {
+    val tmp = Files.createTempDirectory("topo_gz").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .write.mode("overwrite").json(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: rows
+         |    kind: json
+         |    path: $tmp/in
+         |    schema: "id BIGINT, k STRING"
+         |  - name: out
+         |    kind: json
+         |    sink_partitions: 1
+         |    compression: gzip
+         |operators:
+         |  pass:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [rows]
+         |    sinks: [out]
+         |    config:
+         |      views: [r]
+         |      sql: SELECT id, k FROM r
+         |""".stripMargin
+    Topology.parse(yaml).runBatch(spark, s"$tmp/sinks")
+    val shards = new java.io.File(s"$tmp/sinks/out").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(shards.nonEmpty && shards.forall(_.getName.endsWith(".gz")))
+    val got = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, k STRING"))
+      .json(s"$tmp/sinks/out").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("json topics STREAM: an unbounded JSONL source (declared schema, " +
+    "max_per_trigger) drives an operator into a streaming JSONL sink") {
+    val tmp = Files.createTempDirectory("topo_json_stream").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "k").repartition(2)
+      .write.mode("overwrite").json(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: evs
+         |    kind: json
+         |    path: $tmp/in
+         |    schema: "id BIGINT, k STRING"
+         |    max_per_trigger: 1
+         |  - name: odd
+         |    kind: json
+         |    path: $tmp/out
+         |    sink_partitions: 1
+         |operators:
+         |  keep:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [evs]
+         |    sinks: [odd]
+         |    config:
+         |      views: [e]
+         |      sql: SELECT id, k FROM e WHERE id % 2 = 1
+         |""".stripMargin
+    val qs = Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    try {
+      qs.foreach(_.processAllAvailable())
+      val got = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, k STRING"))
+        .json(s"$tmp/out").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a"), (3L, "c")))
+    } finally qs.foreach(_.stop())
+  }
+
   test("SqlOp composes with a STREAMING source: the SQL view is a " +
     "streaming frame and the result streams") {
     implicit val sqlCtx = spark.sqlContext
