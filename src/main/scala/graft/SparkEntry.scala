@@ -3302,13 +3302,16 @@ object SparkEntry {
     // JSONL round-trip — the interchange format downstream training
     // stacks read (one JSON object per line): export the corpus via the
     // Sources JSONL sink, re-ingest with an explicit schema, aggregate.
-    // The text-derived sum catches any quoting/escaping corruption in
-    // flight (docs carry newlines/quotes); identity round-trip makes the
-    // oracle plain SQL over the original table, the q_orc_roundtrip
-    // precedent
+    // The corpus text is plain space-separated words, so the escape
+    // surface is INJECTED — every doc gets a quote/comma/backslash
+    // suffix before export; the text-length sum then genuinely pins
+    // writer escaping + reader unescaping (a corruption shifts the
+    // sum), and the identity round-trip keeps the oracle plain SQL
+    // over the original table (q_orc_roundtrip precedent)
     "q_jsonl_roundtrip" -> ((s, dir) => {
       val out = scratchDir("graft_jsonl", dir)
       val docs = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" \"q\", \\end")))
       graft.sources.Sources.writeJsonLines(docs, out)
       graft.sources.Sources.jsonLines(s, out, docs.schema)
         .groupBy("lang")
@@ -3353,9 +3356,9 @@ object SparkEntry {
            |      sql: SELECT doc_id, lang, n_chars FROM d WHERE n_chars >= 100
            |""".stripMargin
       graft.streaming.Topology.parse(yaml).runBatch(s, s"$work/sinks")
-      s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
-          "doc_id BIGINT, lang STRING, n_chars BIGINT"))
-        .json(s"$work/sinks/export")
+      graft.sources.Sources.jsonLines(s, s"$work/sinks/export",
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, lang STRING, n_chars BIGINT"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))
@@ -3363,14 +3366,17 @@ object SparkEntry {
     }),
 
     // CSV round-trip — the remaining interchange leg (parquet and ORC
-    // columnar, JSONL and CSV text): header + quoting exercised on a
-    // corpus whose text carries commas/quotes (newline-free by fixture
-    // contract — Sources.csv reads line-framed records; multiLine CSV
-    // is out of the sink's scope by design, JSONL is the escape-safe
-    // export for free-text)
+    // columnar, JSONL and CSV text): header + quoting exercised with
+    // the same INJECTED quote/comma/backslash suffix as
+    // q_jsonl_roundtrip (the raw corpus is plain words), so the writer
+    // must quote-frame and double the quotes and the reader must undo
+    // both. Newline-free by fixture contract — Sources.csv reads
+    // line-framed records; multiLine CSV is out of the sink's scope by
+    // design, JSONL is the escape-safe export for free-text
     "q_csv_roundtrip" -> ((s, dir) => {
       val out = scratchDir("graft_csv", dir)
       val docs = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" \"q\", \\end")))
       graft.sources.Sources.writeCsv(docs, out)
       graft.sources.Sources.csv(s, out, docs.schema)
         .groupBy("source")
@@ -7517,18 +7523,19 @@ object SparkEntry {
           |  sum(n_chars)::BIGINT AS total_chars
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
-      // JSONL round-trip is identity, so the oracle reads the original
-      // table; the text-length sum pins escaping fidelity
+      // round-trip is identity, so the oracles read the original table,
+      // replaying the injected quote/comma/backslash suffix (DuckDB
+      // single-quoted literals keep backslash literal, like Spark's lit)
       "q_jsonl_roundtrip" ->
         """SELECT lang, count(*)::BIGINT AS n_docs,
           |  sum(n_chars)::BIGINT AS total_chars,
-          |  sum(len(text))::BIGINT AS total_text_chars
+          |  sum(len(text || ' "q", \end'))::BIGINT AS total_text_chars
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q_csv_roundtrip" ->
         """SELECT source, count(*)::BIGINT AS n_docs,
           |  sum(n_chars)::BIGINT AS total_chars,
-          |  sum(len(text))::BIGINT AS total_text_chars
+          |  sum(len(text || ' "q", \end'))::BIGINT AS total_text_chars
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       // json topics through the DAG runner are identity hops, so the

@@ -55,16 +55,24 @@ object Sources {
 
   /** JSONL export — the interchange format downstream training stacks
     * read; one JSON object per line, quoting/escaping handled by the
-    * writer. `partitions` bounds the file count (0 = leave layout). */
+    * writer. `partitions` bounds the file count (0 = leave layout).
+    * Timestamps are written with MICROSECOND fractions — Spark's
+    * default json timestampFormat (.SSSXXX) silently truncates
+    * event-time micros; readers stay on the default lenient ISO
+    * parser, which accepts any fraction width. */
   def writeJsonLines(df: DataFrame, path: String,
                      partitions: Int = 0): Unit =
     (if (partitions > 0) df.repartition(partitions) else df)
-      .write.mode("overwrite").json(path)
+      .write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(path)
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
                partitions: Int = 0): Unit =
     (if (partitions > 0) df.repartition(partitions) else df)
       .write.mode("overwrite").option("header", header.toString)
+      // micros-precision timestamps, same rationale as writeJsonLines
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .csv(path)
 
   /** Streaming counterparts — same schema contract, unbounded. */

@@ -383,7 +383,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
             "only as an intra-run relay — it must be the SINK of another " +
             "STATIC operator in the same topology (config_topic operators " +
             "wire independently and cannot consume memory relays); use a " +
-            "parquet/kafka topic for a durable handoff")
+            "parquet/json/kafka topic for a durable handoff")
       case other =>
         throw new IllegalArgumentException(s"stream source kind: $other")
     }
@@ -584,6 +584,23 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     * on a json sink refuses loudly — Z-order pays off through columnar
     * file min/max stats, which JSON scans don't carry; an accepted-but-
     * useless layout knob would lie about pruning. */
+  /** Path-backed file kinds (vs kafka/memory) — the topics that take
+    * the file-sink shaping, hive partitioning and compression knobs.
+    * One predicate so a future file kind (csv/orc topics) can't miss
+    * one of the dispatch sites. */
+  private def isFileKind(t: TopicSpec): Boolean =
+    t.kind == "parquet" || t.kind == "json"
+
+  /** Spark's JSON writer default timestampFormat carries MILLISECOND
+    * fractions (.SSSXXX) — a json sink would silently truncate
+    * event-time micros through the durable-handoff relay while the
+    * same DAG over parquet preserves them. Every engine json WRITE
+    * carries the micros format instead; readers stay on Spark's
+    * default LENIENT ISO parser (accepts 1-9 fraction digits), so
+    * both our own exports and foreign 3-digit jsonl parse back. */
+  private[streaming] val JsonTimestampFormat =
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   private def writeFileSink(df: DataFrame, t: TopicSpec, mode: String,
                             path: String): Unit = {
     val w0 = shapeForParquet(df, t).write.mode(mode)
@@ -596,7 +613,8 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     val pw = if (t.partitionBy.nonEmpty) w.partitionBy(t.partitionBy: _*)
       else w
     t.kind match {
-      case "json" => pw.json(path)
+      case "json" =>
+        pw.option("timestampFormat", JsonTimestampFormat).json(path)
       case _ => pw.parquet(path)
     }
   }
@@ -612,9 +630,9 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
       case _ => spark.read.parquet(path)
     }
 
-  /** Batch run: every sink topic is written as parquet under `outDir`
-    * (file-backed topics) — the unified batch path; config topics are
-    * resolved once at run start. Returns sink names. */
+  /** Batch run: every sink topic is written under `outDir` in its own
+    * file format (parquet or JSONL) — the unified batch path; config
+    * topics are resolved once at run start. Returns sink names. */
   def runBatch(spark: SparkSession, outDir: String): Seq[String] = {
     // each sink is written AT WIRING TIME (topological order) and the
     // read-back relays to downstream operators — every DAG stage is
@@ -706,7 +724,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
         s"operator ${op.name}: a config_topic operator wires " +
           "independently and cannot consume memory relays — source " +
           s"topic '${src.name}' is kind memory; chain through a " +
-          "parquet/kafka topic for a durable handoff")
+          "parquet/json/kafka topic for a durable handoff")
       op.sinks.map(topic).foreach { st =>
         require(st.kind == "kafka" || st.kind == "parquet" ||
             st.kind == "json",
@@ -735,7 +753,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     try {
     wired.foreach { case (sinkTopic, df) =>
         val shaped =
-          if (sinkTopic.kind == "parquet" || sinkTopic.kind == "json")
+          if (isFileKind(sinkTopic))
             shapeForParquet(frameForSink(df, sinkTopic), sinkTopic)
           else frameForSink(df, sinkTopic)
         // memory sinks are EPHEMERAL (Spark refuses checkpoint recovery
@@ -751,12 +769,10 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
         val w00 = shaped.writeStream
           .option("checkpointLocation", ckpt)
         // file-sink compression codec, same knob as the batch path
-        val w0 = if (sinkTopic.compression.nonEmpty &&
-            (sinkTopic.kind == "parquet" || sinkTopic.kind == "json"))
+        val w0 = if (sinkTopic.compression.nonEmpty && isFileKind(sinkTopic))
           w00.option("compression", sinkTopic.compression) else w00
         val w =
-          if (sinkTopic.partitionBy.nonEmpty &&
-              (sinkTopic.kind == "parquet" || sinkTopic.kind == "json"))
+          if (sinkTopic.partitionBy.nonEmpty && isFileKind(sinkTopic))
             w0.partitionBy(sinkTopic.partitionBy: _*)
           else w0
         started += (sinkTopic.kind match {
@@ -765,6 +781,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
           case "parquet" => w.format("parquet")
             .option("path", sinkTopic.path)
           case "json" => w.format("json")
+            .option("timestampFormat", JsonTimestampFormat)
             .option("path", sinkTopic.path)
           case "memory" => w.format("memory").queryName(sinkTopic.name)
           case other =>

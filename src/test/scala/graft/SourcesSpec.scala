@@ -75,6 +75,26 @@ class SourcesSpec extends SparkSpec {
     assert(backC.exceptAll(docs).isEmpty && docs.exceptAll(backC).isEmpty)
   }
 
+  test("jsonl and csv exports preserve MICROSECOND timestamps exactly " +
+    "(Spark's default timestampFormat truncates to millis; the writers " +
+    "carry the micros format, readers parse leniently)") {
+    val dir = Files.createTempDirectory("graft_ts_export_")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:07.179575")
+    val ts2 = java.sql.Timestamp.valueOf("2024-06-15 23:59:59.000001")
+    val ts3 = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    val rows = Seq((1L, ts1), (2L, ts2), (3L, ts3)).toDF("id", "ts")
+    val jl = dir.resolve("jl").toString
+    Sources.writeJsonLines(rows, jl)
+    val backJ = Sources.jsonLines(spark, jl, rows.schema)
+      .as[(Long, java.sql.Timestamp)].collect().sortBy(_._1).toSeq
+    assert(backJ == Seq((1L, ts1), (2L, ts2), (3L, ts3)))
+    val cs = dir.resolve("cs").toString
+    Sources.writeCsv(rows, cs)
+    val backC = Sources.csv(spark, cs, rows.schema)
+      .as[(Long, java.sql.Timestamp)].collect().sortBy(_._1).toSeq
+    assert(backC == Seq((1L, ts1), (2L, ts2), (3L, ts3)))
+  }
+
   test("recallAtK: identical lists → 1.0, disjoint lists → 0.0") {
     val exact = Seq((0L, 1L), (0L, 2L), (1L, 3L))
       .toDF("query_id", "nbr_id")

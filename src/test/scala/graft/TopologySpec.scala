@@ -591,6 +591,40 @@ class TopologySpec extends SparkSpec {
     assert(e2.getMessage.contains("min/max"))
   }
 
+  test("json sink relay preserves MICROSECOND event time through the " +
+    "durable handoff (parquet parity — the default json timestampFormat " +
+    "would truncate to millis)") {
+    val tmp = Files.createTempDirectory("topo_json_ts").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:07.179575")
+    graft.sources.Sources.writeJsonLines(
+      Seq((1L, ts)).toDF("id", "ts"), s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: evs
+         |    kind: json
+         |    path: $tmp/in
+         |    schema: "id BIGINT, ts TIMESTAMP"
+         |  - name: out
+         |    kind: json
+         |    sink_partitions: 1
+         |operators:
+         |  pass:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [evs]
+         |    sinks: [out]
+         |    config:
+         |      views: [e]
+         |      sql: SELECT id, ts FROM e
+         |""".stripMargin
+    Topology.parse(yaml).runBatch(spark, s"$tmp/sinks")
+    val got = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, ts TIMESTAMP"))
+      .json(s"$tmp/sinks/out")
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+    assert(got == Seq((1L, ts)))
+  }
+
   test("compression: a gzip json sink lands .gz JSONL shards the json " +
     "source reads back transparently (jsonl.gz, the crawl-dump shape)") {
     val tmp = Files.createTempDirectory("topo_gz").toString
