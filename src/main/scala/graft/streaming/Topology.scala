@@ -26,7 +26,12 @@ trait OperatorFactory {
   * `schema:` on reads, refuses `zorder_by` — JSON scans carry no
   * min/max stats to prune with). `compression:` names a file-sink
   * codec (gzip/zstd for jsonl.gz exports, snappy/zstd for parquet);
-  * readers decompress transparently.
+  * readers decompress transparently. Scale note: compressed TEXT
+  * files are non-splittable — a reader gets ONE task per .gz/.zst
+  * jsonl shard (parquet stays splittable at any codec: compression
+  * is per-column-chunk there), so size compressed exports via
+  * `sink_partitions` to keep shards in the 100 MB–1 GB band a
+  * downstream scan parallelizes over.
   *
   * Event-time fields mirror the reference `Topic`'s timestamp_mapper /
   * map_partition (makinage/operator.py:26-73):
