@@ -18,6 +18,14 @@ object Sources {
     spark.read
       .option("header", header.toString)
       .option("delimiter", delimiter)
+      // match writeCsv: whitespace is DATA (the reader defaults already
+      // preserve it; pinned explicitly so the pair can't drift).
+      // Documented limitation: EMPTY strings read back as null — the
+      // reader cannot distinguish a quoted from a bare empty field
+      // (SourcesSpec pins the normalization); JSONL is the faithful
+      // export for free text
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .schema(schema)
       .csv(path)
 
@@ -73,6 +81,14 @@ object Sources {
       .write.mode("overwrite").option("header", header.toString)
       // micros-precision timestamps, same rationale as writeJsonLines
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      // Spark's CSV WRITER trims leading/trailing whitespace by
+      // default (the reader does not) — silent text corruption for a
+      // training-data exporter; whitespace is DATA. Empty-vs-null is
+      // CSV's inherent ambiguity: both land as an empty field and read
+      // back as null (documented at [[csv]]; JSONL keeps the
+      // distinction)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 
   /** Streaming counterparts — same schema contract, unbounded. */

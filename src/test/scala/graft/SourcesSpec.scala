@@ -95,6 +95,41 @@ class SourcesSpec extends SparkSpec {
     assert(backC == Seq((1L, ts1), (2L, ts2), (3L, ts3)))
   }
 
+  test("property: JSONL round-trips ARBITRARY strings (quotes, commas, " +
+    "backslashes, newlines, tabs, unicode) — the writer escapes inside " +
+    "the line frame; CSV round-trips the same surface minus line breaks") {
+    val rnd = new scala.util.Random(11)
+    val alphabet: IndexedSeq[Char] =
+      "abc \"\\,\t\u00e9\u4e16\u00df'`|;{}[]" + "\n\r"
+    def randStr(allowNl: Boolean): String =
+      (0 until rnd.nextInt(40)).map { _ =>
+        val c = alphabet(rnd.nextInt(alphabet.length))
+        if (!allowNl && (c == '\n' || c == '\r')) ' ' else c
+      }.mkString
+    val dir = Files.createTempDirectory("graft_esc_prop_")
+    // JSONL: newlines included — they must be escaped INSIDE the frame
+    val jRows = (1L to 60L).map(i => (i, randStr(allowNl = true)))
+    val jDf = jRows.toDF("id", "s")
+    val jl = dir.resolve("jl").toString
+    Sources.writeJsonLines(jDf, jl)
+    val backJ = Sources.jsonLines(spark, jl, jDf.schema)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(backJ == jRows)
+    // CSV: line-framed records — same surface minus literal line
+    // breaks; empty-vs-null is CSV's inherent ambiguity (both land as
+    // an empty field), so the expected value normalizes "" -> null —
+    // the documented Sources.csv contract. Everything ELSE (leading/
+    // trailing whitespace included) must survive byte-exact
+    val cRows = (1L to 60L).map(i => (i, randStr(allowNl = false)))
+    val cDf = cRows.toDF("id", "s")
+    val cs = dir.resolve("cs").toString
+    Sources.writeCsv(cDf, cs)
+    val backC = Sources.csv(spark, cs, cDf.schema)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val expC = cRows.map { case (i, s) => (i, if (s.isEmpty) null else s) }
+    assert(backC == expC)
+  }
+
   test("recallAtK: identical lists → 1.0, disjoint lists → 0.0") {
     val exact = Seq((0L, 1L), (0L, 2L), (1L, 3L))
       .toDF("query_id", "nbr_id")
