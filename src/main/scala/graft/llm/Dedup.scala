@@ -728,13 +728,24 @@ object Dedup {
     val withB = withA.join(texts, col("id_b") === col("__tid"))
       .withColumnRenamed("__txt", "__tb").drop("__tid")
     val maxLen = greatest(length(col("__ta")), length(col("__tb")))
+    // banded DP: a pair can only survive with distance <= (1-thr)·len,
+    // and len <= maxChars, so distances past k = (1-thr)·maxChars can
+    // never pass the filter AT ANY length (d > k ≥ (1-thr)·maxLen ⇒
+    // sim < thr — strict, since the d = (1-thr)·maxLen equality case
+    // sits under k and still computes exactly). Spark's thresholded
+    // levenshtein computes only a 2k+1 band of the DP table and
+    // returns -1 past it — O(n·k) vs O(n·m) per pair, and the far
+    // pairs (where the full DP wastes the most work) are exactly the
+    // ones that short-circuit. Survivors carry exact distances, so
+    // results (and the DuckDB oracle replay) are unchanged.
+    val band = math.floor((1.0 - editSimThreshold) * maxChars).toInt
+    val dist = levenshtein(col("__ta"), col("__tb"), band)
     withB
       .withColumn("edit_sim",
         when(maxLen === 0, lit(1.0)) // both empty ⇒ identical
-          .otherwise(lit(1.0) -
-            levenshtein(col("__ta"), col("__tb")).cast("double") /
+          .otherwise(lit(1.0) - dist.cast("double") /
               maxLen.cast("double")))
-      .filter(col("edit_sim") >= editSimThreshold)
+      .filter(dist =!= -1 && col("edit_sim") >= editSimThreshold)
       .select("id_a", "id_b", "jaccard", "edit_sim")
   }
 
