@@ -729,16 +729,19 @@ object Dedup {
       .withColumnRenamed("__txt", "__tb").drop("__tid")
     val maxLen = greatest(length(col("__ta")), length(col("__tb")))
     // banded DP: a pair can only survive with distance <= (1-thr)·len,
-    // and len <= maxChars, so distances past k = (1-thr)·maxChars can
-    // never pass the filter AT ANY length (d > k ≥ (1-thr)·maxLen ⇒
-    // sim < thr — strict, since the d = (1-thr)·maxLen equality case
-    // sits under k and still computes exactly). Spark's thresholded
-    // levenshtein computes only a 2k+1 band of the DP table and
-    // returns -1 past it — O(n·k) vs O(n·m) per pair, and the far
-    // pairs (where the full DP wastes the most work) are exactly the
-    // ones that short-circuit. Survivors carry exact distances, so
-    // results (and the DuckDB oracle replay) are unchanged.
-    val band = math.floor((1.0 - editSimThreshold) * maxChars).toInt
+    // and len <= maxChars, so any k ≥ (1-thr)·maxChars is a sound
+    // band: d > k ⇒ d > (1-thr)·maxLen ⇒ sim < thr strictly, and every
+    // surviving distance (d ≤ (1-thr)·maxLen ≤ k, equality included)
+    // computes exactly. ceil+1 guards the fp product rounding DOWN —
+    // floor((1.0-0.8)*1000) is 199, which would drop a d=200/len=1000
+    // pair whose sim is exactly 0.8 (an oversized band only costs
+    // work, never correctness). Spark's thresholded levenshtein
+    // computes only the 2k+1 DP diagonal band and returns -1 past
+    // it — O(n·k) vs O(n·m) per pair, and the far pairs (where the
+    // full DP wastes the most work) are exactly the ones that
+    // short-circuit. Survivors carry exact distances, so results (and
+    // the DuckDB oracle replay) are unchanged.
+    val band = math.ceil((1.0 - editSimThreshold) * maxChars).toInt + 1
     val dist = levenshtein(col("__ta"), col("__tb"), band)
     withB
       .withColumn("edit_sim",

@@ -95,6 +95,10 @@ object Sources {
   def csvStream(spark: SparkSession, path: String, schema: StructType,
                 header: Boolean = true): DataFrame =
     spark.readStream.option("header", header.toString)
+      // same whitespace pins as the batch [[csv]] reader — the
+      // batch/stream pair must not drift
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .schema(schema).csv(path)
 
   def jsonStream(spark: SparkSession, path: String, schema: StructType)

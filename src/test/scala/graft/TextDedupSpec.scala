@@ -8,6 +8,21 @@ import graft.llm.{Dedup, Multimodal, SimSearch}
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("editNearDupPairs banded threshold keeps the exact-boundary " +
+    "pair — sim lands EXACTLY on editSimThreshold; a floor'd fp band " +
+    "((1-0.9)*10 = 0.999…97 → 0) would -1 it out") {
+    val df = Seq((1L, "aaa bb c d"), (2L, "aaa bb c e"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editNearDupPairs(df, "doc_id", "text",
+      shingleSize = 3, candidateThreshold = 0.3,
+      editSimThreshold = 0.9, maxChars = 10)
+      .select("id_a", "id_b", "edit_sim")
+      .as[(Long, Long, Double)].collect().toSeq
+    // both texts are 10 chars, edit distance 1 ⇒ sim = 1 - 1/10 = 0.9,
+    // equal to the threshold — must survive with the exact distance
+    assert(got == Seq((1L, 2L, 0.9)))
+  }
+
   test("tokens lowercases, trims, drops empties") {
     val df = Seq("  The  QUICK brown  ").toDF("text")
     val got = df.select(Text.tokens(col("text"))).as[Seq[String]]

@@ -18,22 +18,16 @@ import json
 import sys
 import time
 
-import duckdb
-
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+from check_oracle import fresh_con  # shared table list + view setup
 
 
 def main(sf, outdir, cap="200MB"):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     fails, slow = [], []
     for name, sql in sorted(oracle.items()):
-        con = duckdb.connect()
+        con = fresh_con(sf)
         con.execute(f"SET memory_limit='{cap}'")
         con.execute("SET temp_directory='/tmp/duck_spill'")
-        for tbl in TABLES:
-            con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
-                        f"read_parquet('{sf}/{tbl}.parquet')")
         t0 = time.time()
         try:
             con.execute(sql).fetchall()
