@@ -487,8 +487,8 @@ object TextStats {
     // no driver action; sums over the count frames equal the old
     // token-instance counts exactly
     val totals = cPos.agg(coalesce(sum("__cp"), lit(0L)).as("__np"))
-      .crossJoin(dtc.agg(coalesce(sum("__c"), lit(0L)).as("__nn")))
-      .crossJoin(vocab.agg(count(lit(1)).as("__V")))
+      .crossJoin(broadcast(dtc.agg(coalesce(sum("__c"), lit(0L)).as("__nn"))))
+      .crossJoin(broadcast(vocab.agg(count(lit(1)).as("__V"))))
     val num = ((coalesce(col("__cp"), lit(0L)) + 1L).cast("decimal(38,0)") *
       (col("__nn") + col("__V")).cast("decimal(38,0)")).cast("double")
     val den = ((coalesce(col("__cn"), lit(0L)) + 1L).cast("decimal(38,0)") *

@@ -177,6 +177,16 @@ object Topology {
           config = asMap(m.getOrElse("config", null)))
     }.toSeq
 
+    // `compression:` is a file-sink codec knob — on a kafka/memory topic
+    // it would be accepted and silently ignored, the exact accepted-but-
+    // useless shape the zorder_by-on-json refusal exists to prevent.
+    // Refuse at parse so the config is honest before anything runs.
+    topics.foreach { t =>
+      require(t.compression.isEmpty || isFileKind(t),
+        s"topic '${t.name}': compression names a file-sink codec " +
+          s"(parquet/json topics only); kind '${t.kind}' would silently " +
+          "ignore it")
+    }
     Topology(topics, operators, asMap(root.getOrElse("config", null)))
   }
 

@@ -45,4 +45,7 @@ def main(sf, outdir, cap="200MB"):
 
 
 if __name__ == "__main__":
+    if not 3 <= len(sys.argv) <= 4:
+        print(__doc__)
+        sys.exit(2)
     sys.exit(main(*sys.argv[1:]))
