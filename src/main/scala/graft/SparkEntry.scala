@@ -461,7 +461,8 @@ object SparkEntry {
   }
 
   private def ivfOracleSql(k: Int, iters: Int, nProbe: Int,
-                           topK: Int, sampleCap: Int = 10000): String = {
+                           topK: Int, sampleCap: Int = 10000,
+                           selectPrefix: String = ""): String = {
     val l2 = (v: String, c: String) =>
       s"""list_reduce(list_prepend(0.0,
          |    list_transform(list_zip($v, $c),
@@ -522,7 +523,7 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY cosine DESC, nbr_id) AS rank
        |  FROM scored)
-       |SELECT query_id, nbr_id, cosine, rank FROM ranked
+       |SELECT ${selectPrefix}query_id, nbr_id, cosine, rank FROM ranked
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
@@ -3965,6 +3966,53 @@ object SparkEntry {
         .orderBy("user_id", "effective_from", "state")
     }),
 
+    // SimSearchOp through the DAG runner: streaming similarity search
+    // against the FROZEN IVF corpus index, in batch mode — the last
+    // headline streaming factory without a driver-gated row. Fixture
+    // matches q_simsearch_ivf exactly (full embeddings corpus, queries
+    // vec_id < 5, ivf_k=16 / nprobe=4 / k=5), single constant-ts
+    // window (the q_neardup_dag convention), so the oracle is the
+    // SAME ivfOracleSql with the constant window_start prepended — a
+    // factory/runner/config-plumbing divergence from the directly
+    // oracled batch path shows up as a red driver row
+    "q_simsearch_dag" -> ((s, dir) => {
+      val work = scratchDir("graft_simsearch_dag", dir)
+      // the frozen corpus is read DIRECTLY from the sf table ("last
+      // night's batch artifact" — SimSearchOp scaladoc); only the
+      // query stream goes through a scratch fixture (it needs a ts)
+      writeOnce(s"$work/queries") {
+        t(s, dir, "embeddings").filter(col("vec_id") < 5)
+          .withColumn("ts",
+            lit("2024-01-01 00:00:00").cast("timestamp"))
+          .write.mode("overwrite").parquet(s"$work/queries")
+      }
+      val yaml =
+        s"""topics:
+           |  - name: queries
+           |    kind: parquet
+           |    path: $work/queries
+           |  - name: hits
+           |    kind: parquet
+           |    sink_partitions: 1
+           |operators:
+           |  simsearch:
+           |    factory: graft.streaming.ops.SimSearchOp
+           |    sources: [queries]
+           |    sinks: [hits]
+           |    config:
+           |      corpus_dir: $dir/embeddings.parquet
+           |      window: 1 hour
+           |      k: 5
+           |      ivf_k: 16
+           |      nprobe: 4
+           |""".stripMargin
+      graft.streaming.Topology.parse(yaml).runBatch(s, s"$work/sinks")
+      s.read.parquet(s"$work/sinks/hits")
+        .select(col("window_start").cast("long").as("window_start"),
+          col("query_id"), col("nbr_id"), col("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // CountMinOp through the DAG runner: a pre-tokenized item stream
     // (constant ts -> one window, the q_neardup_dag convention) flows
     // through CountMinOp into the bounded (window_start, r, bucket,
@@ -4304,8 +4352,8 @@ object SparkEntry {
     "q_pq_ivf_residual", "q_pq_search", "q_profile_delta",
     "q_quality_checks", "q_quality_nb", "q_quantile_by_key",
     "q_resample",
-    "q_scd2", "q_semantic_dedup_far", "q_simsearch_ivf",
-    "q_simsearch_lsh", "q_trim_spans")
+    "q_scd2", "q_semantic_dedup_far", "q_simsearch_dag",
+    "q_simsearch_ivf", "q_simsearch_lsh", "q_trim_spans")
 
   // a CTE definition is the only place `<ident> AS (` appears in these
   // oracles (derived-table aliases are `AS t(cols)` — ident AFTER the
@@ -8085,6 +8133,11 @@ object SparkEntry {
       "q_drift_dag" -> OracleXxh.q_drift_dag(buckets = 64, seed = 0,
         epoch0 = 1704067200L),
       "q_scd_dag" -> scd2Sql("user_id % 5 = 0"),
+      // same quantizer replay as q_simsearch_ivf; the single-ts
+      // fixture's window floors to the constant 2024-01-01 epoch
+      "q_simsearch_dag" -> ivfOracleSql(k = 16, iters = 5, nProbe = 4,
+        topK = 5,
+        selectPrefix = "CAST(1704067200 AS BIGINT) AS window_start, "),
       // the dag twin caps its corpus (bench-weight budget: the DAG
       // materializes the exploded item stream as a sink parquet)
       "q_countmin_dag" -> OracleXxh.q_countmin("doc_id < 500"),

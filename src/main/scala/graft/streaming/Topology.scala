@@ -190,6 +190,14 @@ object Topology {
     Topology(topics, operators, asMap(root.getOrElse("config", null)))
   }
 
+  /** Path-backed file kinds (vs kafka/memory) — the topics that take
+    * the file-sink shaping, hive partitioning and compression knobs.
+    * One predicate (shared by parse-time validation and the case
+    * class's sink dispatch) so a future file kind (csv/orc topics)
+    * can't miss one of the sites. */
+  private[streaming] def isFileKind(t: TopicSpec): Boolean =
+    t.kind == "parquet" || t.kind == "json"
+
   /** Reflection loader for factory objects (import_function analogue). */
   def loadFactory(fqcn: String): OperatorFactory = {
     val clazz = Class.forName(fqcn + "$")
@@ -599,12 +607,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     * on a json sink refuses loudly — Z-order pays off through columnar
     * file min/max stats, which JSON scans don't carry; an accepted-but-
     * useless layout knob would lie about pruning. */
-  /** Path-backed file kinds (vs kafka/memory) — the topics that take
-    * the file-sink shaping, hive partitioning and compression knobs.
-    * One predicate so a future file kind (csv/orc topics) can't miss
-    * one of the dispatch sites. */
-  private def isFileKind(t: TopicSpec): Boolean =
-    t.kind == "parquet" || t.kind == "json"
+  private def isFileKind(t: TopicSpec): Boolean = Topology.isFileKind(t)
 
   /** Spark's JSON writer default timestampFormat carries MILLISECOND
     * fractions (.SSSXXX) — a json sink would silently truncate
