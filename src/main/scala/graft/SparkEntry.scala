@@ -4013,6 +4013,54 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // NbGateOp through the DAG runner: the frozen-classifier admission
+    // gate (the GPT-3/LLaMA "reference-like" data filter) with the
+    // batch input itself as the frozen negative background — the
+    // configuration under which the stream scores BIT-IDENTICALLY to
+    // TextStats.nbQualityScore (NbGateOp scaladoc). min_score: 1.0
+    // exercises the gate itself (keep docs more reference-like than
+    // background); zero-token rows score 0.0 and drop at the gate.
+    // Corpus capped doc_id < 500 (the whole sf0.01 oracle corpus, the
+    // q_countmin_dag convention) for bench weight
+    "q_nbgate_dag" -> ((s, dir) => {
+      val work = scratchDir("graft_nbgate_dag", dir)
+      writeOnce(s"$work/docs") {
+        t(s, dir, "documents").filter(col("doc_id") < 500)
+          .select("doc_id", "lang", "text")
+          .write.mode("overwrite").parquet(s"$work/docs")
+      }
+      writeOnce(s"$work/ref") {
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 500 && col("lang") === "en")
+          .select("text")
+          .write.mode("overwrite").parquet(s"$work/ref")
+      }
+      val yaml =
+        s"""topics:
+           |  - name: docs
+           |    kind: parquet
+           |    path: $work/docs
+           |  - name: admitted
+           |    kind: parquet
+           |    sink_partitions: 1
+           |operators:
+           |  nbgate:
+           |    factory: graft.streaming.ops.NbGateOp
+           |    sources: [docs]
+           |    sinks: [admitted]
+           |    config:
+           |      ref_path: $work/ref
+           |      corpus_path: $work/docs
+           |      top_v: 64
+           |      min_score: 1.0
+           |""".stripMargin
+      graft.streaming.Topology.parse(yaml).runBatch(s, s"$work/sinks")
+      s.read.parquet(s"$work/sinks/admitted")
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          col("nb_score"))
+        .orderBy("doc_id")
+    }),
+
     // CountMinOp through the DAG runner: a pre-tokenized item stream
     // (constant ts -> one window, the q_neardup_dag convention) flows
     // through CountMinOp into the bounded (window_start, r, bucket,
@@ -4350,6 +4398,7 @@ object SparkEntry {
     "q_minhash_dedup", "q_pagerank", "q_pagerank_docs",
     "q_pagerank_seeded", "q_pipeline_dedup", "q_pipeline_ingest",
     "q_pq_ivf_residual", "q_pq_search", "q_profile_delta",
+    "q_nbgate_dag",
     "q_quality_checks", "q_quality_nb", "q_quantile_by_key",
     "q_resample",
     "q_scd2", "q_semantic_dedup_far", "q_simsearch_dag",
@@ -8138,6 +8187,66 @@ object SparkEntry {
       "q_simsearch_dag" -> ivfOracleSql(k = 16, iters = 5, nProbe = 4,
         topK = 5,
         selectPrefix = "CAST(1704067200 AS BIGINT) AS window_start, "),
+      // the q_quality_nb replay on the capped corpus, with the gate's
+      // two documented divergences: zero-token rows are KEPT with
+      // score 0.0 until min_score drops them, and the admitted set is
+      // the score >= 1.0 slice (the fixed-point quantized score is
+      // bit-identical on both sides, so the threshold boundary cannot
+      // flap between engines)
+      "q_nbgate_dag" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, lang, text FROM documents WHERE doc_id < 500),
+           |dt AS (
+           |  SELECT doc_id, w, count(*)::BIGINT AS c
+           |  FROM (SELECT doc_id, unnest($toksSql) AS w FROM corpus)
+           |  GROUP BY doc_id, w),
+           |cpos AS (
+           |  SELECT w, count(*)::BIGINT AS cp
+           |  FROM (SELECT unnest($toksSql) AS w
+           |        FROM corpus WHERE lang = 'en')
+           |  GROUP BY w),
+           |cneg AS (SELECT w, sum(c)::BIGINT AS cn FROM dt GROUP BY w),
+           |vocab AS (
+           |  SELECT w, coalesce(cp, 0)::BIGINT AS cp,
+           |         coalesce(cn, 0)::BIGINT AS cn
+           |  FROM cpos FULL OUTER JOIN cneg USING (w)
+           |  ORDER BY (coalesce(cp, 0) + coalesce(cn, 0)) DESC, w ASC
+           |  LIMIT 64),
+           |tot AS (SELECT coalesce((SELECT sum(cp) FROM cpos),
+           |                        0)::BIGINT AS np,
+           |               coalesce((SELECT sum(c) FROM dt),
+           |                        0)::BIGINT AS nn,
+           |               (SELECT count(*) FROM vocab)::BIGINT AS v),
+           |dn AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens
+           |  FROM dt GROUP BY doc_id),
+           |dv AS (
+           |  SELECT dt.doc_id, sum(dt.c)::BIGINT AS n_v,
+           |    sum(dt.c::HUGEINT * floor(
+           |      ((vo.cp + 1)::HUGEINT
+           |         * (tot.nn + tot.v)::HUGEINT)::DOUBLE /
+           |      ((vo.cn + 1)::HUGEINT
+           |         * (tot.np + tot.v)::HUGEINT)::DOUBLE
+           |      * 1e12)::HUGEINT) AS s_v
+           |  FROM dt JOIN vocab vo USING (w) CROSS JOIN tot
+           |  GROUP BY dt.doc_id),
+           |scored AS (
+           |  SELECT d.doc_id,
+           |    coalesce(dn.n_tokens, 0)::BIGINT AS n_tokens,
+           |    (coalesce(dn.n_tokens, 0)
+           |       - coalesce(dv.n_v, 0))::BIGINT AS n_oov,
+           |    CASE WHEN coalesce(dn.n_tokens, 0) = 0 THEN 0.0 ELSE
+           |      ((coalesce(dv.s_v, 0::HUGEINT)
+           |        + (dn.n_tokens - coalesce(dv.n_v, 0))::HUGEINT
+           |          * floor((1::HUGEINT
+           |              * (tot.nn + tot.v)::HUGEINT)::DOUBLE /
+           |            (1::HUGEINT
+           |              * (tot.np + tot.v)::HUGEINT)::DOUBLE
+           |            * 1e12)::HUGEINT)::DOUBLE
+           |       / dn.n_tokens / 1e12) END AS nb_score
+           |  FROM corpus d LEFT JOIN dn USING (doc_id)
+           |       LEFT JOIN dv USING (doc_id) CROSS JOIN tot)
+           |SELECT doc_id, n_tokens, n_oov, nb_score FROM scored
+           |WHERE nb_score >= 1.0 ORDER BY doc_id""".stripMargin,
       // the dag twin caps its corpus (bench-weight budget: the DAG
       // materializes the exploded item stream as a sink parquet)
       "q_countmin_dag" -> OracleXxh.q_countmin("doc_id < 500"),
