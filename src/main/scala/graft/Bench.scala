@@ -140,6 +140,55 @@ object Bench {
       }.toMap
     }
     val loadAfter = loadAvg
+    // Round-13: the "no query past 2x" judgment, in-repo. bench_floor
+    // .json (tools/bench_floor.py — per-query min over every committed
+    // sf0.1 bench_out.json revision) is the floor ledger; any fresh min
+    // over 2x floor + 0.15s is stamped into the artifact and printed,
+    // so a regression is self-evident in the run, not only in judge-
+    // side analysis. Floors are MINIMA across rounds (stricter than
+    // the last-round history used for retries): over_floor rows that
+    // survived the end-of-run quiet retries deserve a plan read.
+    val floorFile = Seq("bench_floor.json", "/root/repo/bench_floor.json")
+      .map(new java.io.File(_)).find(_.isFile)
+    val floors: Map[String, Double] = floorFile.map { f =>
+      try {
+        val text = java.nio.file.Files.readString(f.toPath)
+        if (!text.contains("\"sf\": \"" + sfDir + "\"")) Map.empty[String, Double]
+        else {
+          val start = text.indexOf("\"floors\":")
+          val body = text.substring(start, text.indexOf('}', start))
+          val pair = """"(q_[^"]+)":\s*([-0-9.eE]+)""".r
+          pair.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }.getOrElse(Map.empty)
+    // Floors span BOXES of different uniform speed (the round-11 VM
+    // change doubled every row), so the raw 2x-floor test over-fires on
+    // a slower box. Normalize by the suite's MEDIAN ratio-to-floor: a
+    // uniformly-1.7x-slower box moves the median, not the flag; a
+    // single query at 4x while the median sits at 1.7x is a real
+    // plan-read candidate. The median is stamped so the artifact shows
+    // the box-speed factor it was judged under.
+    val ratios = names.flatMap(n => floors.get(n)
+      .filter(fl => fl > 0 && results(n).min > 0)
+      .map(fl => n -> results(n).min / fl)).toMap
+    val medRatio = if (ratios.isEmpty) 1.0 else {
+      val sorted = ratios.values.toVector.sorted
+      sorted(sorted.size / 2)
+    }
+    val overFloor = names.filter { n =>
+      ratios.get(n).exists(r => r > 2.0 * medRatio &&
+        results(n).min > 2.0 * floors(n) + 0.15)
+    }.sortBy(n => -ratios(n))
+    overFloor.foreach { n =>
+      System.err.println(f"bench: OVER-FLOOR $n min=${results(n).min}%.2fs " +
+        f"floor=${floors(n)}%.2fs (${ratios(n)}%.1fx vs median " +
+        f"$medRatio%.1fx)")
+    }
+    val overFloorJson = overFloor.map(n =>
+      s"\"" + n + "\":[" + results(n).min + "," + floors(n) + "]")
+      .mkString("{", ",", "}")
     val qs = names.map(k => s"\"" + k + "\":" + results(k).min)
       .mkString("{", ",", "}")
     val mm = names.map(k =>
@@ -147,7 +196,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","load_before":$loadBefore,"load_after":$loadAfter,"load_wait_sec":${waitedTotalMs / 1000},"queries":$qs,"queries_minmax":$mm,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","load_before":$loadBefore,"load_after":$loadAfter,"load_wait_sec":${waitedTotalMs / 1000},"floor_median_ratio":$medRatio,"over_floor":$overFloorJson,"queries":$qs,"queries_minmax":$mm,"sf":"$sfDir"}"""
     println(json)
     // stdout rides sbt's log stream, where a prefix/interleave can break
     // the driver's parser (round 4 lost its headline metric to

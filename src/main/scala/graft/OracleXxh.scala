@@ -35,13 +35,17 @@ package graft
   *  - Lambdas capturing an outer list copy it per element (O(n^2));
   *    sequential folds iterate over pre-zipped lists
   *    (`list_zip`/`list_prepend`) so nothing is captured.
-  *  - ASCII contract: `g_bytes` reads per-CHARACTER codepoints while
-  *    Spark hashes UTF-8 BYTES — identical only while the corpus is
-  *    pure ASCII. The assumption is pinned by a corpus test
-  *    (TextDedupSpec "corpus is ASCII"), so a generator change that
-  *    introduces non-ASCII text fails CI instead of silently flipping
-  *    every hash oracle. Byte-exact non-ASCII support would swap
-  *    g_bytes for a BLOB-based byte reader.
+  *  - UTF-8 bytes (contract closed round 13): Spark hashes UTF-8
+  *    BYTES; `g_bytes` emits them via per-codepoint 1/2/3/4-byte
+  *    expansion (`g_utf8` — DuckDB has no BLOB byte reader, but its
+  *    string indexing is codepoint-wise, verified for astral planes
+  *    and combining sequences). ASCII keeps the old single-`ord` fast
+  *    path behind a `strlen = length` test, so the 26 heavy oracles
+  *    pay nothing on today's corpus. Non-ASCII bit-exactness vs Spark
+  *    is pinned by tools/xxh_selftest.py (accents/CJK/emoji/combining
+  *    across tail-length classes). The corpus-is-ASCII pin
+  *    (TextDedupSpec) stays: OTHER oracle families (md5-prefix keys,
+  *    char-slice frame sampling) still slice per-character.
   *
   * Every SQL string here is `prologue + query`; `CREATE OR REPLACE`
   * keeps the macros idempotent when the driver runs many oracles on one
@@ -103,8 +107,23 @@ list_transform([len(bl)], n ->
       list_prepend(h2,
         list_transform(range((n//8)*8 + CASE WHEN n%8>=4 THEN 4 ELSE 0 END + 1, n + 1), p -> bl[p]::HUGEINT)),
       (a, b) -> g_tb(a, b))))[1])[1])[1])[1])[1];
--- Spark xxhash64 over an ASCII string (seed 42), signed BIGINT out
-CREATE OR REPLACE MACRO g_bytes(s) AS list_transform(range(1, length(s)+1), x -> ord(s[x]));
+-- Spark xxhash64 over a string (seed 42), signed BIGINT out. Spark
+-- hashes UTF-8 BYTES; g_bytes emits them from DuckDB's per-CODEPOINT
+-- string indexing (verified: s[x]/length() are codepoint-wise, incl.
+-- astral planes and combining sequences). ASCII fast path: when byte
+-- length == char length the old single-ord transform runs unchanged
+-- (zero hot-path cost on ASCII corpora); otherwise each codepoint
+-- expands to its 1/2/3/4-byte UTF-8 form (RFC 3629 arithmetic) and
+-- the per-char lists flatten. Bit-exact vs Spark for non-ASCII pinned
+-- by tools/xxh_selftest.py (accents/CJK/emoji/combining strings).
+CREATE OR REPLACE MACRO g_utf8(c) AS CASE
+  WHEN c < 128 THEN [c]
+  WHEN c < 2048 THEN [192 + (c >> 6), 128 + (c & 63)]
+  WHEN c < 65536 THEN [224 + (c >> 12), 128 + ((c >> 6) & 63), 128 + (c & 63)]
+  ELSE [240 + (c >> 18), 128 + ((c >> 12) & 63), 128 + ((c >> 6) & 63), 128 + (c & 63)] END;
+CREATE OR REPLACE MACRO g_bytes(s) AS CASE
+  WHEN strlen(s) = length(s) THEN list_transform(range(1, length(s)+1), x -> ord(s[x]))
+  ELSE flatten(list_transform(range(1, length(s)+1), x -> g_utf8(unicode(s[x])))) END;
 CREATE OR REPLACE MACRO g_xxh_str(s) AS g_sgn(g_xxh_bytes(g_bytes(s), 42::HUGEINT));"""
 
   /** Windowed hashed-bucket TVD vs a frozen reference — the q_drift_dag

@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scale tier (round 13): time the most expensive bench
+  * queries at sf0.1 AND at a derived 10x corpus ("sf1"), and pin each
+  * query's scaling ratio in a committed artifact (scale_out.json).
+  * The 100 TB design arguments elsewhere in this repo are structural
+  * (banded LSH, bounded collects, broadcast frames) and plan-pinned;
+  * this main is the MEASUREMENT: a query whose time(sf1)/time(sf0.1)
+  * exceeds ~15 (shuffle-linear with headroom — 10x data over constant
+  * cores costs 10x compute plus log-factor sort/shuffle growth) is
+  * super-linear in data and gets a plan read or a fix, recorded in
+  * docs/BENCH.md. ScaleSpec asserts the committed artifact stays
+  * under the bar.
+  *
+  * The 10x corpus is DERIVED deterministically from the driver's
+  * sf0.1 tables (never synthesized from scratch — the distributions
+  * under test are the driver's): each row is replicated with replica
+  * index k = 0..9, keys shifted by k*(max+1), and document text
+  * rewritten per-replica by a k-indexed letter permutation
+  * (`translate` over vowels + 'rstln') so replicas are DISTINCT in
+  * shingle space — replicating text verbatim would add a 10x-deep
+  * exact-duplicate class that inflates every near-dup bucket
+  * quadratically, which is a different corpus, not a bigger one.
+  * Duplicate/near-dup structure WITHIN each replica is preserved
+  * exactly, so corpus-wide duplicate density matches sf0.1.
+  * Embedding vectors get a per-replica deterministic jitter (k/1000
+  * on each component) so ANN cells keep their geometry while replica
+  * vectors stay distinct. Only the three tables the swept queries
+  * read (documents, events, embeddings) are generated.
+  *
+  * Usage: runMain graft.ScaleSweep [sfBaseDir] [outJson] — defaults
+  * /root/testdata/sf0.1 and scale_out.json. The derived corpus is
+  * cached under java.io.tmpdir and rebuilt only when absent.
+  */
+object ScaleSweep {
+
+  /** The sweep set: the top-10 most expensive non-`_dag` bench rows
+    * (bench_out.json r12; `_dag` rows time the runner's fixed
+    * materialize+rescan over CAPPED fixtures, so they cannot scale
+    * with input by construction). Includes every row the round-12
+    * verdict named: pagerank_docs, dedup_clusters, ngram_jaccard,
+    * short_drop, pipeline_dedup. */
+  val SweepQueries: Seq[String] = Seq(
+    "q_pagerank_docs", "q_dedup_clusters", "q_pipeline_dedup",
+    "q_short_drop", "q_ngram_jaccard", "q_hits", "q_pipeline_ingest",
+    "q_split_leakage", "q_retrieval_audit", "q_short_novel")
+
+  /** Shuffle-linear-with-headroom bar for time(10x)/time(1x). */
+  val RatioBar: Double = 15.0
+
+  private def rot(s: String, n: Int): String = {
+    val m = ((n % s.length) + s.length) % s.length
+    s.substring(m) + s.substring(0, m)
+  }
+
+  /** Per-replica letter permutation: vowels rotated k%5, 'rstln'
+    * rotated 0/2 for k<5 / k>=5 — all 10 (k) pairs distinct, k=0 is
+    * the identity (replica 0 IS the base corpus). */
+  private[graft] def permFor(k: Int): (String, String) =
+    ("aeiourstln", rot("aeiou", k % 5) + rot("rstln", 2 * (k / 5)))
+
+  private def withReplicas(df: DataFrame): DataFrame =
+    df.withColumn("__k", explode(sequence(lit(0), lit(9))))
+
+  private def shifted(c: String, base: Long) =
+    col(c) + col("__k").cast("long") * lit(base)
+
+  private def translated(c: String): org.apache.spark.sql.Column =
+    (1 to 9).foldLeft(when(col("__k") === 0, col(c))) { (acc, k) =>
+      val (src, dst) = permFor(k)
+      acc.when(col("__k") === k, translate(col(c), src, dst))
+    }
+
+  /** Derive the 10x corpus (idempotent: skipped when the directory
+    * already holds a _SUCCESS-complete table). */
+  def generate(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    def done(name: String) =
+      new java.io.File(s"$outDir/$name.parquet/_SUCCESS").isFile
+    def base(name: String) = core.Tables.table(spark, baseDir, name)
+
+    if (!done("documents")) {
+      val d = base("documents")
+      val maxId = d.agg(max("doc_id")).head.getLong(0) + 1
+      withReplicas(d)
+        .select(shifted("doc_id", maxId).as("doc_id"),
+          translated("text").as("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+    if (!done("events")) {
+      val e = base("events")
+      val r = e.agg(max("event_id"), max("user_id")).head
+      val (maxEv, maxUs) = (r.getLong(0) + 1, r.getLong(1) + 1)
+      withReplicas(e)
+        .select(shifted("event_id", maxEv).as("event_id"), col("ts"),
+          shifted("user_id", maxUs).as("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
+    if (!done("embeddings")) {
+      val v = base("embeddings")
+      val maxId = v.agg(max("vec_id")).head.getLong(0) + 1
+      withReplicas(v)
+        .select(shifted("vec_id", maxId).as("vec_id"),
+          transform(col("embedding"),
+            x => x + col("__k").cast("float") / lit(1000.0f))
+            .as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outJson = args.lift(1).getOrElse("scale_out.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaleDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_scale10_" + Integer.toHexString(baseDir.hashCode)).toString
+    generate(spark, baseDir, scaleDir)
+
+    // one untimed warmup per codegen family in the sweep set (JIT —
+    // the Bench protocol), then two full sweeps per tier with the
+    // min taken, small tier first
+    def timeOne(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    SweepQueries.foreach(n =>
+      try SparkEntry.queries(n)(spark, baseDir).count()
+      catch { case e: Throwable => System.err.println(s"warmup $n: $e") })
+    def sweep(dir: String): Map[String, Double] = {
+      val s1 = SweepQueries.map(n => n -> timeOne(n, dir)).toMap
+      val s2 = SweepQueries.map(n => n -> timeOne(n, dir)).toMap
+      SweepQueries.map(n => n -> math.min(s1(n), s2(n))).toMap
+    }
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBefore = loadAvg
+    val small = sweep(baseDir)
+    val big = sweep(scaleDir)
+    val loadAfter = loadAvg
+
+    val rows = SweepQueries.map { n =>
+      val r = big(n) / small(n)
+      val note = if (r > RatioBar) "SUPER-LINEAR" else "ok"
+      if (r > RatioBar)
+        System.err.println(f"scale: SUPER-LINEAR $n ${small(n)}%.2fs -> " +
+          f"${big(n)}%.2fs (${r}%.1fx)")
+      f""""$n":{"sf01_sec":${small(n)}%.3f,"sf1_sec":${big(n)}%.3f,"ratio":$r%.2f,"exponent":${math.log(r) / math.log(10)}%.3f,"verdict":"$note"}"""
+    }
+    val worst = SweepQueries.map(n => big(n) / small(n)).max
+    val json = s"""{"metric":"scale_ratio_worst","value":$worst,""" +
+      s""""unit":"x per 10x data","ratio_bar":$RatioBar,""" +
+      s""""load_before":$loadBefore,"load_after":$loadAfter,""" +
+      s""""queries":{${rows.mkString(",")}},""" +
+      s""""base":"$baseDir","scaled":"$scaleDir"}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

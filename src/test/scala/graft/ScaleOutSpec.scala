@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Artifact gate for the measured scale tier (graft.ScaleSweep): the
+  * committed scale_out.json must show every swept query within the
+  * shuffle-linear-with-headroom bar (time at 10x data <= ~15x time at
+  * 1x on constant cores). The MEASUREMENT lives in the ScaleSweep
+  * main (minutes — run per round, commit the artifact); this spec is
+  * the cheap always-on assertion that the committed claim holds and
+  * the sweep set hasn't silently shrunk. */
+class ScaleOutSpec extends AnyFunSuite {
+
+  test("committed scale_out.json: every query within the ratio bar") {
+    val f = new java.io.File("scale_out.json")
+    if (!f.isFile)
+      cancel("scale_out.json absent — run `runMain graft.ScaleSweep`")
+    val text = java.nio.file.Files.readString(f.toPath)
+    val row =
+      """"(q_[^"]+)":\{"sf01_sec":([0-9.]+),"sf1_sec":([0-9.]+),"ratio":([0-9.]+)""".r
+    val rows = row.findAllMatchIn(text)
+      .map(m => (m.group(1), m.group(2).toDouble, m.group(3).toDouble,
+        m.group(4).toDouble)).toVector
+    assert(rows.size == ScaleSweep.SweepQueries.size,
+      s"sweep set shrank: ${rows.map(_._1)}")
+    val over = rows.filter(_._4 > ScaleSweep.RatioBar)
+    assert(over.isEmpty, "SUPER-LINEAR rows (plan read required): " +
+      over.map(r => f"${r._1} ${r._4}%.1fx").mkString(", "))
+    rows.foreach { case (n, s, b, r) =>
+      info(f"$n%-20s ${s}%6.2fs -> ${b}%6.2fs  ${r}%5.1fx") }
+  }
+}

@@ -109,6 +109,21 @@ def main():
         ''.join(random.choice(string.ascii_lowercase + ' 0123456789')
                 for _ in range(L))
         for L in list(range(1, 40)) + [63, 64, 65, 100, 200, 256]]
+    # non-ASCII (round 13: g_bytes emits real UTF-8 bytes, not
+    # codepoints): 2/3/4-byte chars, combining sequences, mixed text —
+    # padded with ASCII so the BYTE lengths sweep every tail-length
+    # class (L%32, L%8, L%4) the stream hash branches on
+    non_ascii_alpha = ('é' 'ü' 'ß' 'ñ'            # 2-byte
+                       '中' '日' '語' '€' '→'      # 3-byte
+                       '\U0001F389' '\U0001F600'  # 4-byte (astral)
+                       'é'                  # combining sequence
+                       'ab ')
+    strs += ['é', '中', '\U0001F389', 'é',
+             'héllo wörld', '日本語テキスト', 'mixed 中文 and ascii',
+             '🎉🎉🎉🎉', 'café ☕ наука δ']
+    strs += [
+        ''.join(random.choice(non_ascii_alpha) for _ in range(L))
+        for L in list(range(1, 24)) + [40, 64, 100]]
     truth = {r.s: r.h for r in spark.createDataFrame(
         [(s,) for s in strs], ['s'])
         .select('s', F.xxhash64('s').alias('h')).collect()}
