@@ -11,11 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * the sweep set hasn't silently shrunk. */
 class ScaleOutSpec extends AnyFunSuite {
 
-  test("committed scale_out.json: every query within the ratio bar") {
-    val f = new java.io.File("scale_out.json")
+  private def checkArtifact(path: String): Unit = {
+    val f = new java.io.File(path)
     if (!f.isFile)
-      cancel("scale_out.json absent — run `runMain graft.ScaleSweep`")
+      cancel(s"$path absent — run `runMain graft.ScaleSweep`")
     val text = java.nio.file.Files.readString(f.toPath)
+    val bar = """"ratio_bar":([0-9.]+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toDouble).getOrElse(ScaleSweep.RatioBar)
     val row =
       """"(q_[^"]+)":\{"sf01_sec":([0-9.]+),"sf1_sec":([0-9.]+),"ratio":([0-9.]+)""".r
     val rows = row.findAllMatchIn(text)
@@ -23,10 +25,18 @@ class ScaleOutSpec extends AnyFunSuite {
         m.group(4).toDouble)).toVector
     assert(rows.size == ScaleSweep.SweepQueries.size,
       s"sweep set shrank: ${rows.map(_._1)}")
-    val over = rows.filter(_._4 > ScaleSweep.RatioBar)
+    val over = rows.filter(_._4 > bar)
     assert(over.isEmpty, "SUPER-LINEAR rows (plan read required): " +
       over.map(r => f"${r._1} ${r._4}%.1fx").mkString(", "))
     rows.foreach { case (n, s, b, r) =>
-      info(f"$n%-20s ${s}%6.2fs -> ${b}%6.2fs  ${r}%5.1fx") }
+      info(f"$n%-20s ${s}%6.2fs -> ${b}%6.2fs  ${r}%5.1fx (bar $bar)") }
+  }
+
+  test("committed scale_out.json (10x): every query within the ratio bar") {
+    checkArtifact("scale_out.json")
+  }
+
+  test("committed scale_out_100.json (100x): every query within the bar") {
+    checkArtifact("scale_out_100.json")
   }
 }
