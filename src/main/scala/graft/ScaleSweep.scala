@@ -49,7 +49,14 @@ object ScaleSweep {
   val SweepQueries: Seq[String] = Seq(
     "q_pagerank_docs", "q_dedup_clusters", "q_pipeline_dedup",
     "q_short_drop", "q_ngram_jaccard", "q_hits", "q_pipeline_ingest",
-    "q_split_leakage", "q_retrieval_audit", "q_short_novel")
+    "q_split_leakage", "q_retrieval_audit", "q_short_novel",
+    // the RELATIONAL family (round 13, second pass): the shuffle-heavy
+    // join/agg/window/as-of rows — sub-second at sf0.1, so the 10x tier
+    // says little about them; the 100x tier (60M lineitem rows) is
+    // where their exchange behavior is actually measured
+    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_tpch_q18",
+    "q_join_revenue", "q_window_rank", "q_asof", "q_scd2",
+    "q_quantile_by_key")
 
   /** Shuffle-linear-with-headroom bar for time(Nx)/time(1x): 1.5x the
     * data factor (10x data may cost 15x, 100x may cost 150x — log-
@@ -124,6 +131,58 @@ object ScaleSweep {
           col("label"))
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
+
+    // relational family: fact/dim keys shift TOGETHER by the same
+    // per-table base so every foreign key still joins within its
+    // replica (a TPC-H-style scale-up: k replicas of the business,
+    // disjoint key ranges, shared nation/region reference data)
+    if (!done("nation"))
+      base("nation").write.mode("overwrite")
+        .parquet(s"$outDir/nation.parquet")
+    if (!done("region"))
+      base("region").write.mode("overwrite")
+        .parquet(s"$outDir/region.parquet")
+    lazy val maxOrd = base("orders")
+      .agg(max("o_orderkey")).head.getLong(0) + 1
+    lazy val maxCust = base("customer")
+      .agg(max("c_custkey")).head.getLong(0) + 1
+    lazy val maxSupp = base("supplier")
+      .agg(max("s_suppkey")).head.getLong(0) + 1
+    lazy val maxPart = base("part")
+      .agg(max("p_partkey")).head.getLong(0) + 1
+    if (!done("customer"))
+      withReplicas(base("customer"), factor)
+        .select(shifted("c_custkey", maxCust).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    if (!done("supplier"))
+      withReplicas(base("supplier"), factor)
+        .select(shifted("s_suppkey", maxSupp).as("s_suppkey"),
+          col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    if (!done("part"))
+      withReplicas(base("part"), factor)
+        .select(shifted("p_partkey", maxPart).as("p_partkey"),
+          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          col("p_retailprice"))
+        .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    if (!done("orders"))
+      withReplicas(base("orders"), factor)
+        .select(shifted("o_orderkey", maxOrd).as("o_orderkey"),
+          shifted("o_custkey", maxCust).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    if (!done("lineitem"))
+      withReplicas(base("lineitem"), factor)
+        .select(shifted("l_orderkey", maxOrd).as("l_orderkey"),
+          shifted("l_partkey", maxPart).as("l_partkey"),
+          shifted("l_suppkey", maxSupp).as("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate"))
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 
   def main(args: Array[String]): Unit = {
