@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured SKEW tier (round 13 companion to [[ScaleSweep]]): the
+  * repo's skew toolkit claims — "skewed keys → salting or AQE's
+  * skew-join split" — demonstrated by measurement on a big-join
+  * workload instead of asserted from the plan.
+  *
+  * Workload: the [[ScaleSweep]] 100x corpus (60M lineitem / 15M
+  * orders — orders at ~134 MB is past any broadcast threshold, so the
+  * join is a genuine two-big-sides shuffle join), with lineitem's
+  * join key REMAPPED so one hot orderkey owns ~30% of all rows (the
+  * CDN-mirror/template-fingerprint shape ScaleSpec pins at unit
+  * scale). Three strategies compute the identical aggregate:
+  *
+  *  1. `aqe_skew_split` — plain join, AQE skew-join ON (the engine
+  *     default): the hot sort-merge partition splits adaptively.
+  *  2. `no_mitigation`  — plain join, AQE skew-join OFF: one task
+  *     owns the hot partition; the straggler IS the measurement.
+  *  3. `salted`         — [[graft.operators.Ops.saltedJoin]]
+  *     (salts=16, AQE skew-join off): the static mitigation that
+  *     also works under AQE-hostile shapes; the right side pays x16
+  *     replication, which on a 15M-row right is the cost model's
+  *     documented warning — expected to lose to AQE here and win
+  *     only when the right is dimension-sized. Honest numbers over
+  *     flattering ones.
+  *
+  * All three must return the SAME aggregate row count (asserted); the
+  * artifact (skew_out.json) records seconds per strategy and the
+  * straggler ratio no_mitigation/aqe_skew_split. Run on a quiet box
+  * after ScaleSweep has materialized the 100x corpus.
+  *
+  * Usage: runMain graft.SkewSweep [scaledDir] [outJson]
+  */
+object SkewSweep {
+
+  val Salts = 16
+  val HotFraction = 10 // pmod(key, 10) < 3 → ~30% of rows on one key
+
+  def main(args: Array[String]): Unit = {
+    val scaledDir = args.headOption.getOrElse(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_scale100x_" +
+          Integer.toHexString("/root/testdata/sf0.1".hashCode)).toString)
+    val outJson = args.lift(1).getOrElse("skew_out.json")
+    require(new java.io.File(s"$scaledDir/lineitem.parquet").exists,
+      s"no scaled corpus at $scaledDir — run graft.ScaleSweep first " +
+        "(factor 100)")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val orders = spark.read.parquet(s"$scaledDir/orders.parquet")
+    val hotKey = 1L
+    // ~30% of 60M lineitem rows collapse onto orderkey 1 — the skew is
+    // in the FACT side's join key, the orders side stays unique-keyed
+    val li = spark.read.parquet(s"$scaledDir/lineitem.parquet")
+      .withColumn("l_orderkey",
+        when(pmod(col("l_orderkey"), lit(HotFraction.toLong)) < 3,
+          lit(hotKey)).otherwise(col("l_orderkey")))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+
+    def agg(joined: DataFrame): DataFrame = joined
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+
+    def plain: DataFrame = agg(li.join(orders,
+      col("l_orderkey") === col("o_orderkey")))
+    def salted: DataFrame = agg(graft.operators.Ops.saltedJoin(
+      li, orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), saltFrom = col("l_extendedprice"), Salts))
+
+    def setSkewJoin(on: Boolean): Unit =
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", on.toString)
+
+    def time(df: => DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    var waitBudgetMs = 300000L
+    def awaitQuietBox(): Unit =
+      while (loadAvg > 2.0 && waitBudgetMs > 0) {
+        Thread.sleep(15000L); waitBudgetMs -= 15000L
+      }
+
+    // warmup (scan caches, JIT) once with the cheap mitigated shape
+    setSkewJoin(true); plain.count()
+    val results = Seq(
+      "aqe_skew_split" -> (() => { setSkewJoin(true); plain }),
+      "no_mitigation" -> (() => { setSkewJoin(false); plain }),
+      "salted" -> (() => { setSkewJoin(false); salted })
+    ).map { case (name, mk) =>
+      awaitQuietBox()
+      val (t1, n1) = time(mk())
+      val (t2, n2) = time(mk())
+      require(n1 == n2, s"$name: nondeterministic row count")
+      (name, math.min(t1, t2), n1)
+    }
+    setSkewJoin(true)
+    val ns = results.map(_._3).distinct
+    require(ns.size == 1,
+      s"strategies disagree on the aggregate row count: $results")
+    val t = results.map(r => r._1 -> r._2).toMap
+    val straggler = t("no_mitigation") / t("aqe_skew_split")
+    val json =
+      s"""{"metric":"skew_straggler_ratio","value":$straggler,""" +
+        s""""unit":"x (no_mitigation / aqe_skew_split)",""" +
+        s""""hot_fraction":0.3,"salts":$Salts,""" +
+        results.map(r => s""""${r._1}":${r._2}""").mkString(",") +
+        s""","rows":${ns.head},"scaled":"$scaledDir"}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}
