@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measured STREAMING throughput (round 13): the reference is a
+  * streaming framework, so "matches-or-beats its single-node
+  * throughput" deserves a streaming NUMBER, not only the batch bench.
+  * This main drives three representative YAML topologies through the
+  * REAL [[graft.streaming.Topology.runStream]] path (file-stream
+  * micro-batches -> operator -> durable parquet sink, checkpointed —
+  * the production shape, nothing mocked) over the [[ScaleSweep]] 10x
+  * corpus and records end-to-end rows/second:
+  *
+  *  - `map_stateless`  — Multiply over 1M events: the micro-batch
+  *    pipeline floor (source listing + codegen map + sink commit).
+  *  - `windowed_sketch` — CountMinOp over 1M events: watermarked
+  *    windowed aggregation with mergeable sketch state.
+  *  - `stateful_neardup` — NearDupOp (verify mode) over 50k docs:
+  *    the flagship stateful op (banded MinHash keyed state).
+  *
+  * Wall time spans runStream() through processAllAvailable() — wiring,
+  * every micro-batch, and sink commits included (honest end-to-end
+  * cost, not steady-state flattery). `max_per_trigger` forces multiple
+  * micro-batches so per-batch overhead is in the measurement. Artifact
+  * (stream_out.json): rows, seconds, rows_per_sec per topology.
+  *
+  * Usage: runMain graft.StreamSweep [scaled10xDir] [outJson] — run
+  * after ScaleSweep has materialized the 10x corpus.
+  */
+object StreamSweep {
+
+  def main(args: Array[String]): Unit = {
+    val scaledDir = args.headOption.getOrElse(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_scale10x_" +
+          Integer.toHexString("/root/testdata/sf0.1".hashCode)).toString)
+    val outJson = args.lift(1).getOrElse("stream_out.json")
+    require(new java.io.File(s"$scaledDir/events.parquet").exists,
+      s"no scaled corpus at $scaledDir — run graft.ScaleSweep first")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_stream_sweep").toString
+    // events re-sprayed into 16 files so max_per_trigger: 2 yields 8
+    // micro-batches (the scaled table's file count is a write-config
+    // accident; the sweep's batch cadence shouldn't be)
+    val ev = spark.read.parquet(s"$scaledDir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.repartition(16).write.mode("overwrite").parquet(s"$work/events")
+    val evRows = spark.read.parquet(s"$work/events").count()
+    // docs need an event-time column for the stateful window ops
+    val docs = spark.read.parquet(s"$scaledDir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+    docs.repartition(16).write.mode("overwrite").parquet(s"$work/docs")
+    val docRows = spark.read.parquet(s"$work/docs").count()
+
+    def run(name: String, rows: Long, yaml: String): (String, Double) = {
+      val t0 = System.nanoTime()
+      val queries = graft.streaming.Topology.parse(yaml)
+        .runStream(spark, s"$work/ckpt_$name")
+      try queries.foreach(_.processAllAvailable())
+      finally queries.foreach(_.stop())
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"stream $name: $rows rows in $sec%.1fs = " +
+        f"${rows / sec}%.0f rows/s")
+      (f""""$name":{"rows":$rows,"sec":$sec%.2f,""" +
+        f""""rows_per_sec":${rows / sec}%.0f}""", sec)
+    }
+
+    val results = Seq(
+      run("map_stateless", evRows,
+        s"""topics:
+           |  - name: ev
+           |    kind: parquet
+           |    path: $work/events
+           |    max_per_trigger: 2
+           |  - name: out_map
+           |    kind: parquet
+           |    path: $work/out_map
+           |    sink_partitions: 4
+           |operators:
+           |  multiply:
+           |    factory: graft.streaming.ops.Multiply
+           |    sources: [ev]
+           |    sinks: [out_map]
+           |config:
+           |  multiply: 2
+           |""".stripMargin),
+      run("windowed_sketch", evRows,
+        s"""topics:
+           |  - name: ev
+           |    kind: parquet
+           |    path: $work/events
+           |    max_per_trigger: 2
+           |    timestamp_col: ts
+           |    watermark: 1 hour
+           |  - name: out_cells
+           |    kind: parquet
+           |    path: $work/out_cells
+           |    sink_partitions: 4
+           |operators:
+           |  sketch:
+           |    factory: graft.streaming.ops.CountMinOp
+           |    sources: [ev]
+           |    sinks: [out_cells]
+           |    config:
+           |      window: 1 hour
+           |      item_col: event_type
+           |      depth: 4
+           |      width: 1024
+           |""".stripMargin),
+      run("stateful_neardup", docRows,
+        s"""topics:
+           |  - name: docs
+           |    kind: parquet
+           |    path: $work/docs
+           |    max_per_trigger: 2
+           |    timestamp_col: ts
+           |    watermark: 1 hour
+           |  - name: out_novel
+           |    kind: parquet
+           |    path: $work/out_novel
+           |    sink_partitions: 4
+           |operators:
+           |  neardup:
+           |    factory: graft.streaming.ops.NearDupOp
+           |    sources: [docs]
+           |    sinks: [out_novel]
+           |    config:
+           |      verify: true
+           |""".stripMargin))
+
+    val json = s"""{"metric":"stream_total_sec","value":${
+      results.map(_._2).sum},"unit":"sec",""" +
+      results.map(_._1).mkString(",") + s""","scaled":"$scaledDir"}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}
