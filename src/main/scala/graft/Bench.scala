@@ -7,17 +7,10 @@ object Bench {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // test tables are single parquet files; default 128 MB split size
-      // would scan each on ONE task — 8 MB keeps scans parallel at sf0.1
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared measurement session (8 MB splits keep single-file test
+    // tables parallel) — graft.core.Measure, one definition for every
+    // timed main
+    val spark = core.Measure.session(cpus)
     // Untimed warmup: one representative per codegen family, so timed
     // queries measure steady-state throughput rather than one-time
     // whole-stage-codegen/JIT compilation (measured round 1: ~50s of the
@@ -46,8 +39,7 @@ object Bench {
     // 2 gets a THIRD sample (a real regression reproduces; a transient
     // doesn't). System load average is stamped before/after so a noisy
     // run is self-evident in the artifact.
-    def loadAvg: Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    def loadAvg: Double = core.Measure.loadAvg
     val names = SparkEntry.queries.keys.toVector
     def timeOne(name: String): Double = {
       val fn = SparkEntry.queries(name)
@@ -102,16 +94,10 @@ object Bench {
     // TOTAL wait budget across the run so a permanently-busy box still
     // produces an artifact (the stamps expose it). Waited time is
     // stamped into the JSON so a gated run is self-documenting.
-    val loadGate = 2.0
-    var waitBudgetMs = 300000L
+    val waitBudget = new core.Measure.WaitBudget(300000L)
     var waitedTotalMs = 0L
     def awaitQuietBox(): Unit =
-      while (loadAvg > loadGate && waitBudgetMs > 0) {
-        val step = math.min(15000L, waitBudgetMs)
-        Thread.sleep(step)
-        waitBudgetMs -= step
-        waitedTotalMs += step
-      }
+      waitedTotalMs += core.Measure.awaitQuietBox(waitBudget)
     awaitQuietBox()
     val loadBefore = loadAvg // stamped AFTER the gate: the sweep's load
     val sweep1 = names.map(n => n -> timeOne(n)).toMap
@@ -142,52 +128,28 @@ object Bench {
     val loadAfter = loadAvg
     // Round-13: the "no query past 2x" judgment, in-repo. bench_floor
     // .json (tools/bench_floor.py — per-query min over every committed
-    // sf0.1 bench_out.json revision) is the floor ledger; any fresh min
-    // over 2x floor + 0.15s is stamped into the artifact and printed,
-    // so a regression is self-evident in the run, not only in judge-
-    // side analysis. Floors are MINIMA across rounds (stricter than
-    // the last-round history used for retries): over_floor rows that
-    // survived the end-of-run quiet retries deserve a plan read.
+    // sf0.1 bench_out.json revision) is the floor ledger; the gate
+    // logic itself lives in [[BenchFloor]] (shared with BenchFloorSpec
+    // so the in-run stamp and the sbt-test assertion cannot diverge).
+    // over_floor rows that survived the end-of-run quiet retries
+    // deserve a plan read.
     val floorFile = Seq("bench_floor.json", "/root/repo/bench_floor.json")
       .map(new java.io.File(_)).find(_.isFile)
     val floors: Map[String, Double] = floorFile.map { f =>
-      try {
-        val text = java.nio.file.Files.readString(f.toPath)
-        if (!text.contains("\"sf\": \"" + sfDir + "\"")) Map.empty[String, Double]
-        else {
-          val start = text.indexOf("\"floors\":")
-          val body = text.substring(start, text.indexOf('}', start))
-          val pair = """"(q_[^"]+)":\s*([-0-9.eE]+)""".r
-          pair.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
-      } catch { case _: Throwable => Map.empty[String, Double] }
+      try BenchFloor.floorsFor(
+        java.nio.file.Files.readString(f.toPath), sfDir)
+      catch { case _: Throwable => Map.empty[String, Double] }
     }.getOrElse(Map.empty)
-    // Floors span BOXES of different uniform speed (the round-11 VM
-    // change doubled every row), so the raw 2x-floor test over-fires on
-    // a slower box. Normalize by the suite's MEDIAN ratio-to-floor: a
-    // uniformly-1.7x-slower box moves the median, not the flag; a
-    // single query at 4x while the median sits at 1.7x is a real
-    // plan-read candidate. The median is stamped so the artifact shows
-    // the box-speed factor it was judged under.
-    val ratios = names.flatMap(n => floors.get(n)
-      .filter(fl => fl > 0 && results(n).min > 0)
-      .map(fl => n -> results(n).min / fl)).toMap
-    val medRatio = if (ratios.isEmpty) 1.0 else {
-      val sorted = ratios.values.toVector.sorted
-      sorted(sorted.size / 2)
+    val floorGate = BenchFloor.gate(
+      names.map(n => n -> results(n).min).toMap, floors)
+    val medRatio = floorGate.medianRatio
+    floorGate.overFloor.foreach { fl =>
+      System.err.println(f"bench: OVER-FLOOR ${fl.name} " +
+        f"min=${fl.min}%.2fs floor=${fl.floor}%.2fs (${fl.ratio}%.1fx " +
+        f"vs median $medRatio%.1fx)")
     }
-    val overFloor = names.filter { n =>
-      ratios.get(n).exists(r => r > 2.0 * medRatio &&
-        results(n).min > 2.0 * floors(n) + 0.15)
-    }.sortBy(n => -ratios(n))
-    overFloor.foreach { n =>
-      System.err.println(f"bench: OVER-FLOOR $n min=${results(n).min}%.2fs " +
-        f"floor=${floors(n)}%.2fs (${ratios(n)}%.1fx vs median " +
-        f"$medRatio%.1fx)")
-    }
-    val overFloorJson = overFloor.map(n =>
-      s"\"" + n + "\":[" + results(n).min + "," + floors(n) + "]")
+    val overFloorJson = floorGate.overFloor.map(fl =>
+      s"\"" + fl.name + "\":[" + fl.min + "," + fl.floor + "]")
       .mkString("{", ",", "}")
     val qs = names.map(k => s"\"" + k + "\":" + results(k).min)
       .mkString("{", ",", "}")

@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * exceeds ~15 (shuffle-linear with headroom — 10x data over constant
   * cores costs 10x compute plus log-factor sort/shuffle growth) is
   * super-linear in data and gets a plan read or a fix, recorded in
-  * docs/BENCH.md. ScaleSpec asserts the committed artifact stays
-  * under the bar.
+  * docs/BENCH.md. ScaleOutSpec asserts the committed artifacts stay
+  * under their bars.
   *
   * The Nx corpus is DERIVED deterministically from the driver's
   * sf0.1 tables (never synthesized from scratch — the distributions
@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   * exactly, so corpus-wide duplicate density matches sf0.1.
   * Embedding vectors get a per-replica deterministic jitter (k/1000
   * on each component) so ANN cells keep their geometry while replica
-  * vectors stay distinct. Only the three tables the swept queries
-  * read (documents, events, embeddings) are generated.
+  * vectors stay distinct. Tables generated: documents/events/
+  * embeddings (the text/LLM rows) plus the TPC-H fact/dim family with
+  * consistently-shifted foreign keys (the relational rows); nation/
+  * region are copied verbatim as shared reference data.
   *
   * Usage: runMain graft.ScaleSweep [sfBaseDir] [outJson] [factor] —
   * defaults /root/testdata/sf0.1, scale_out.json, 10. The round-13
@@ -192,15 +194,7 @@ object ScaleSweep {
     require(factor >= 2 && factor <= 125,
       s"replication factor 2..125 (permFor distinctness), got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = core.Measure.session(cpus)
 
     val scaleDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
@@ -211,9 +205,17 @@ object ScaleSweep {
     // one untimed warmup per codegen family in the sweep set (JIT —
     // the Bench protocol), then two full sweeps per tier with the
     // min taken, small tier first
+    // Bench's error contract: a failing query records -1 instead of
+    // killing the run — a query that only breaks at the big tier must
+    // not throw away the corpus generation plus the finished small
+    // tier (the artifact shows the -1, loudly)
     def timeOne(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
+      try { SparkEntry.queries(name)(spark, dir).count() }
+      catch { case e: Throwable =>
+        System.err.println(s"scale: $name FAILED at $dir: $e")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     SweepQueries.foreach(n =>
@@ -224,18 +226,15 @@ object ScaleSweep {
       val s2 = SweepQueries.map(n => n -> timeOne(n, dir)).toMap
       SweepQueries.map(n => n -> math.min(s1(n), s2(n))).toMap
     }
-    // the Bench quiet-box gate: corpus generation itself ramps the
-    // 1-min load average, and an inflated sf0.1 tier COMPRESSES every
-    // ratio (the first committed run measured q_hits at 0.86x — the
-    // small tier was timed in the generator's load shadow). Bounded
-    // wait before each tier; stamps expose a run that never got quiet.
-    def loadAvg: Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    var waitBudgetMs = 300000L
+    // the Bench quiet-box gate (shared core.Measure): corpus
+    // generation itself ramps the 1-min load average, and an inflated
+    // sf0.1 tier COMPRESSES every ratio (the first committed run
+    // measured q_hits at 0.86x — the small tier was timed in the
+    // generator's load shadow). Bounded wait before each tier.
+    def loadAvg: Double = core.Measure.loadAvg
+    val waitBudget = new core.Measure.WaitBudget(300000L)
     def awaitQuietBox(): Unit =
-      while (loadAvg > 2.0 && waitBudgetMs > 0) {
-        Thread.sleep(15000L); waitBudgetMs -= 15000L
-      }
+      { core.Measure.awaitQuietBox(waitBudget); () }
     awaitQuietBox()
     val loadBefore = loadAvg
     val small = sweep(baseDir)
@@ -245,14 +244,19 @@ object ScaleSweep {
 
     val bar = ratioBar(factor)
     val rows = SweepQueries.map { n =>
-      val r = big(n) / small(n)
-      val note = if (r > bar) "SUPER-LINEAR" else "ok"
-      if (r > bar)
-        System.err.println(f"scale: SUPER-LINEAR $n ${small(n)}%.2fs -> " +
+      val failed = small(n) <= 0 || big(n) <= 0
+      val r = if (failed) -1.0 else big(n) / small(n)
+      val note =
+        if (failed) "FAILED" else if (r > bar) "SUPER-LINEAR" else "ok"
+      if (note != "ok")
+        System.err.println(f"scale: $note $n ${small(n)}%.2fs -> " +
           f"${big(n)}%.2fs (${r}%.1fx)")
-      f""""$n":{"sf01_sec":${small(n)}%.3f,"sf1_sec":${big(n)}%.3f,"ratio":$r%.2f,"exponent":${math.log(r) / math.log(factor)}%.3f,"verdict":"$note"}"""
+      val exp = if (failed) -1.0 else math.log(r) / math.log(factor)
+      f""""$n":{"sf01_sec":${small(n)}%.3f,"sf1_sec":${big(n)}%.3f,"ratio":$r%.2f,"exponent":$exp%.3f,"verdict":"$note"}"""
     }
-    val worst = SweepQueries.map(n => big(n) / small(n)).max
+    val worst = SweepQueries
+      .filter(n => small(n) > 0 && big(n) > 0)
+      .map(n => big(n) / small(n)).max
     val json = s"""{"metric":"scale_ratio_worst","value":$worst,""" +
       s""""unit":"x per ${factor}x data","factor":$factor,""" +
       s""""ratio_bar":$bar,""" +

@@ -49,15 +49,7 @@ object SkewSweep {
       s"no scaled corpus at $scaledDir — run graft.ScaleSweep first " +
         "(factor 100)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.Measure.session(cpus)
 
     val orders = spark.read.parquet(s"$scaledDir/orders.parquet")
     val hotKey = 1L
@@ -84,18 +76,26 @@ object SkewSweep {
     def setSkewJoin(on: Boolean): Unit =
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", on.toString)
 
-    def time(df: => DataFrame): (Double, Long) = {
+    // timed action = collect the (few-row) aggregate and CANONICALIZE
+    // it, so the cross-strategy equality below compares the actual
+    // per-group counts and revenues — a row-count compare (~5 priority
+    // groups exist under any join bug) would be vacuous. Counts are
+    // exact; revenue is floor-quantized to $100 buckets because the
+    // strategies sum doubles in different partial orders (~1e-2
+    // absolute wobble at this magnitude) and the check is
+    // join-correctness, not IEEE summation order — a join bug moves
+    // revenue by whole order rows, far past the quantum
+    def time(df: => DataFrame): (Double, String) = {
       val t0 = System.nanoTime()
-      val n = df.count()
-      ((System.nanoTime() - t0) / 1e9, n)
+      val canon = df.collect()
+        .map(r => s"${r.getString(0)}|${r.getLong(1)}|" +
+          f"${math.floor(r.getDouble(2) / 100)}%.0f")
+        .sorted.mkString(";")
+      ((System.nanoTime() - t0) / 1e9, canon)
     }
-    def loadAvg: Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    var waitBudgetMs = 300000L
+    val waitBudget = new graft.core.Measure.WaitBudget(300000L)
     def awaitQuietBox(): Unit =
-      while (loadAvg > 2.0 && waitBudgetMs > 0) {
-        Thread.sleep(15000L); waitBudgetMs -= 15000L
-      }
+      { graft.core.Measure.awaitQuietBox(waitBudget); () }
 
     // warmup (scan caches, JIT) once with the cheap mitigated shape
     setSkewJoin(true); plain.count()
@@ -105,15 +105,16 @@ object SkewSweep {
       "salted" -> (() => { setSkewJoin(false); salted })
     ).map { case (name, mk) =>
       awaitQuietBox()
-      val (t1, n1) = time(mk())
-      val (t2, n2) = time(mk())
-      require(n1 == n2, s"$name: nondeterministic row count")
-      (name, math.min(t1, t2), n1)
+      val (t1, c1) = time(mk())
+      val (t2, c2) = time(mk())
+      require(c1 == c2, s"$name: nondeterministic aggregate")
+      (name, math.min(t1, t2), c1)
     }
     setSkewJoin(true)
     val ns = results.map(_._3).distinct
     require(ns.size == 1,
-      s"strategies disagree on the aggregate row count: $results")
+      "strategies disagree on the aggregate CONTENT (join bug): " +
+        results.map(r => s"${r._1} -> ${r._3.take(120)}").mkString(" | "))
     val t = results.map(r => r._1 -> r._2).toMap
     val straggler = t("no_mitigation") / t("aqe_skew_split")
     val json =
@@ -121,7 +122,8 @@ object SkewSweep {
         s""""unit":"x (no_mitigation / aqe_skew_split)",""" +
         s""""hot_fraction":0.3,"salts":$Salts,""" +
         results.map(r => s""""${r._1}":${r._2}""").mkString(",") +
-        s""","rows":${ns.head},"scaled":"$scaledDir"}"""
+        s""","agg_groups":${ns.head.split(';').length},""" +
+        s""""scaled":"$scaledDir"}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -39,15 +39,7 @@ object StreamSweep {
     require(new java.io.File(s"$scaledDir/events.parquet").exists,
       s"no scaled corpus at $scaledDir — run graft.ScaleSweep first")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.Measure.session(cpus)
 
     val work = java.nio.file.Files
       .createTempDirectory("graft_stream_sweep").toString
@@ -65,19 +57,52 @@ object StreamSweep {
     docs.repartition(16).write.mode("overwrite").parquet(s"$work/docs")
     val docRows = spark.read.parquet(s"$work/docs").count()
 
-    def run(name: String, rows: Long, yaml: String): (String, Double) = {
+    // quiet-box gate before every timed topology (shared core.Measure
+    // protocol): the fixture writes above ramp the 1-min load average —
+    // the exact generator's-load-shadow failure ScaleSweep documents
+    val waitBudget = new graft.core.Measure.WaitBudget(300000L)
+    def run(name: String, rows: Long, yaml: String,
+            timed: Boolean = true): (String, Double) = {
+      if (timed) graft.core.Measure.awaitQuietBox(waitBudget)
       val t0 = System.nanoTime()
       val queries = graft.streaming.Topology.parse(yaml)
         .runStream(spark, s"$work/ckpt_$name")
       try queries.foreach(_.processAllAvailable())
       finally queries.foreach(_.stop())
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"stream $name: $rows rows in $sec%.1fs = " +
-        f"${rows / sec}%.0f rows/s")
+      if (timed)
+        System.err.println(f"stream $name: $rows rows in $sec%.1fs = " +
+          f"${rows / sec}%.0f rows/s")
       (f""""$name":{"rows":$rows,"sec":$sec%.2f,""" +
         f""""rows_per_sec":${rows / sec}%.0f}""", sec)
     }
 
+    // untimed warmup: one full streaming pass absorbs first-touch
+    // JIT/codegen of the micro-batch machinery (source listing, commit
+    // log, parquet sink), which would otherwise land entirely on the
+    // FIRST timed topology and break cross-row comparability; each
+    // op's own codegen still compiles inside its timed run (an honest
+    // per-topology end-to-end number)
+    run("warmup", evRows,
+      s"""topics:
+         |  - name: ev
+         |    kind: parquet
+         |    path: $work/events
+         |    max_per_trigger: 2
+         |  - name: out_warmup
+         |    kind: parquet
+         |    path: $work/out_warmup
+         |    sink_partitions: 4
+         |operators:
+         |  multiply:
+         |    factory: graft.streaming.ops.Multiply
+         |    sources: [ev]
+         |    sinks: [out_warmup]
+         |config:
+         |  multiply: 2
+         |""".stripMargin, timed = false)
+
+    val loadBefore = graft.core.Measure.loadAvg
     val results = Seq(
       run("map_stateless", evRows,
         s"""topics:
@@ -141,8 +166,10 @@ object StreamSweep {
            |      verify: true
            |""".stripMargin))
 
+    val loadAfter = graft.core.Measure.loadAvg
     val json = s"""{"metric":"stream_total_sec","value":${
       results.map(_._2).sum},"unit":"sec",""" +
+      s""""load_before":$loadBefore,"load_after":$loadAfter,""" +
       results.map(_._1).mkString(",") + s""","scaled":"$scaledDir"}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),

@@ -18,56 +18,46 @@ class BenchFloorSpec extends AnyFunSuite {
     if (f.isFile) Some(java.nio.file.Files.readString(f.toPath)) else None
   }
 
-  private def numMap(body: String): Map[String, Double] = {
-    val pair = """"(q_[^"]+)":\s*([-0-9.eE]+)""".r
-    pair.findAllMatchIn(body)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
-  }
-
-  private def section(text: String, key: String): Option[String] = {
-    val start = text.indexOf("\"" + key + "\":")
-    if (start < 0) None
-    else Some(text.substring(start, text.indexOf('}', start) max start))
-  }
-
   test("bench_floor.json parses and covers the committed artifact") {
     val floorText = readJson("bench_floor.json")
       .getOrElse(fail("bench_floor.json missing — run tools/bench_floor.py"))
-    val floors = numMap(section(floorText, "floors").getOrElse(""))
+    val floors = BenchFloor.numSection(floorText, "floors")
     assert(floors.nonEmpty, "floor ledger is empty")
     assert(floors.values.forall(_ > 0), "non-positive floor")
     val artText = readJson("bench_out.json").getOrElse(
       cancel("no committed bench_out.json on this checkout"))
     if (!artText.contains("/sf0.1"))
       cancel("committed artifact is not an sf0.1 run")
-    val cur = numMap(section(artText, "queries").getOrElse(""))
+    val cur = BenchFloor.numSection(artText, "queries")
+    // missing = artifact queries with no floor — stale ledger. Counted
+    // DIRECTLY (not via ledger size, which stale entries for deleted
+    // queries would inflate): a small allowance covers the one-round
+    // window where brand-new queries have a single uncommitted sample
     val missing = cur.keySet -- floors.keySet
-    assert(missing.isEmpty || floors.size >= cur.size - 10,
-      s"floor ledger stale: ${missing.take(5).mkString(", ")}… absent — " +
-        "re-run tools/bench_floor.py after committing the artifact")
+    assert(missing.size <= 10,
+      s"floor ledger stale (${missing.size} unfloored queries: " +
+        s"${missing.take(5).mkString(", ")}…) — re-run " +
+        "tools/bench_floor.py after committing the artifact")
   }
 
   test("no query past 2x its floor (median-normalized; opt-in gate)") {
     val strict = sys.env.get("SPARK_GRAFT_FLOOR_GATE").contains("1")
     val floors = readJson("bench_floor.json")
-      .map(t => numMap(section(t, "floors").getOrElse("")))
-      .getOrElse(Map.empty)
+      .map(BenchFloor.numSection(_, "floors")).getOrElse(Map.empty)
     val cur = readJson("bench_out.json")
       .filter(_.contains("/sf0.1"))
-      .map(t => numMap(section(t, "queries").getOrElse("")))
-      .getOrElse(Map.empty)
+      .map(BenchFloor.numSection(_, "queries")).getOrElse(Map.empty)
     if (floors.isEmpty || cur.isEmpty) cancel("artifacts not present")
-    val ratios = cur.flatMap { case (n, v) =>
-      floors.get(n).filter(f => f > 0 && v > 0).map(f => n -> v / f) }
-    val sorted = ratios.values.toVector.sorted
-    val med = if (sorted.isEmpty) 1.0 else sorted(sorted.size / 2)
-    val over = ratios.filter { case (n, r) =>
-      r > 2.0 * med && cur(n) > 2.0 * floors(n) + 0.15 }
-    info(f"median ratio-to-floor ${med}%.2fx; over-floor rows: " +
-      s"${over.keys.mkString(", ")}")
+    // the EXACT gate graft.Bench stamps into the artifact — one
+    // implementation (BenchFloor.gate), so the in-run report and this
+    // assertion cannot diverge
+    val g = BenchFloor.gate(cur, floors)
+    info(f"median ratio-to-floor ${g.medianRatio}%.2fx; over-floor " +
+      s"rows: ${g.overFloor.map(_.name).mkString(", ")}")
     if (strict)
-      assert(over.isEmpty, s"over-floor rows (regression or plan " +
-        s"change — read the plan or refresh the artifact): " +
-        over.map { case (n, r) => f"$n (${r}%.1fx)" }.mkString(", "))
+      assert(g.overFloor.isEmpty, s"over-floor rows (regression or " +
+        s"plan change — read the plan or refresh the artifact): " +
+        g.overFloor.map(fl => f"${fl.name} (${fl.ratio}%.1fx)")
+          .mkString(", "))
   }
 }

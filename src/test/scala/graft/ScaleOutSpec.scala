@@ -28,6 +28,14 @@ class ScaleOutSpec extends AnyFunSuite {
     val over = rows.filter(_._4 > bar)
     assert(over.isEmpty, "SUPER-LINEAR rows (plan read required): " +
       over.map(r => f"${r._1} ${r._4}%.1fx").mkString(", "))
+    // a FAILED row writes ratio -1 (ScaleSweep's error contract) —
+    // it must fail this gate, not slide under the bar
+    val failed = rows.filter(r => r._2 <= 0 || r._3 <= 0 || r._4 <= 0)
+    assert(failed.isEmpty,
+      s"FAILED sweep rows in the committed artifact: " +
+        failed.map(_._1).mkString(", "))
+    assert(!text.contains("\"verdict\":\"FAILED\""),
+      "artifact carries a FAILED verdict")
     rows.foreach { case (n, s, b, r) =>
       info(f"$n%-20s ${s}%6.2fs -> ${b}%6.2fs  ${r}%5.1fx (bar $bar)") }
   }
