@@ -61,6 +61,13 @@ object SkewSweep {
           lit(hotKey)).otherwise(col("l_orderkey")))
       .select("l_orderkey", "l_extendedprice", "l_discount")
 
+    // the pre-flight probe the docs tell users to run BEFORE choosing a
+    // mitigation: Profile.keySkew's top-1 share on the join key is the
+    // detected skew, stamped into the artifact so the measurement and
+    // the detection tool appear side by side
+    val probed = graft.operators.Profile.keySkew(li, col("l_orderkey"),
+      topN = 1).select("share").head.getDouble(0)
+
     def agg(joined: DataFrame): DataFrame = joined
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
@@ -115,14 +122,49 @@ object SkewSweep {
     require(ns.size == 1,
       "strategies disagree on the aggregate CONTENT (join bug): " +
         results.map(r => s"${r._1} -> ${r._3.take(120)}").mkString(" | "))
-    val t = results.map(r => r._1 -> r._2).toMap
+
+    // Scenario 2 — join EXPANSION on the hot key: the base scenario
+    // measured that a unique-keyed right side self-absorbs (the hot
+    // task's extra sort overlaps the suite's scan); THIS is the shape
+    // where the hot task's work explodes instead — the hot orderkey
+    // matches 5 right rows, so one task materializes 18M x 5 = 90M
+    // join rows through the partial aggregate while the other 31
+    // handle ~1.3M each. The measured case FOR AQE's skew split.
+    // (salted is omitted: scenario 1 already measured its big-right
+    // cost-model violation at 6.5x; nothing new to learn for x16 more
+    // replication.)
+    val hotRight = orders.filter(col("o_orderkey") === hotKey)
+      .crossJoin(broadcast(spark.range(5).select(lit(1).as("__d"))))
+      .drop("__d")
+    val ordersExp = orders.filter(col("o_orderkey") =!= hotKey)
+      .unionByName(hotRight)
+    def plainExp: DataFrame = agg(li.join(ordersExp,
+      col("l_orderkey") === col("o_orderkey")))
+    val expResults = Seq(
+      "exp_aqe_skew_split" -> (() => { setSkewJoin(true); plainExp }),
+      "exp_no_mitigation" -> (() => { setSkewJoin(false); plainExp })
+    ).map { case (name, mk) =>
+      awaitQuietBox()
+      val (t1, c1) = time(mk())
+      val (t2, c2) = time(mk())
+      require(c1 == c2, s"$name: nondeterministic aggregate")
+      (name, math.min(t1, t2), c1)
+    }
+    setSkewJoin(true)
+    require(expResults.map(_._3).distinct.size == 1,
+      "expansion strategies disagree on the aggregate CONTENT")
+    val t = (results ++ expResults).map(r => r._1 -> r._2).toMap
     val straggler = t("no_mitigation") / t("aqe_skew_split")
+    val expStraggler = t("exp_no_mitigation") / t("exp_aqe_skew_split")
     val json =
       s"""{"metric":"skew_straggler_ratio","value":$straggler,""" +
         s""""unit":"x (no_mitigation / aqe_skew_split)",""" +
-        s""""hot_fraction":0.3,"salts":$Salts,""" +
-        results.map(r => s""""${r._1}":${r._2}""").mkString(",") +
-        s""","agg_groups":${ns.head.split(';').length},""" +
+        f""""hot_fraction":0.3,"probed_top1_share":$probed%.3f,""" +
+        s""""salts":$Salts,""" +
+        (results ++ expResults)
+          .map(r => s""""${r._1}":${r._2}""").mkString(",") +
+        f""","exp_straggler_ratio":$expStraggler%.2f,""" +
+        s""""agg_groups":${ns.head.split(';').length},""" +
         s""""scaled":"$scaledDir"}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
