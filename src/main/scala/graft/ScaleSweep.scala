@@ -254,9 +254,8 @@ object ScaleSweep {
       val exp = if (failed) -1.0 else math.log(r) / math.log(factor)
       f""""$n":{"sf01_sec":${small(n)}%.3f,"sf1_sec":${big(n)}%.3f,"ratio":$r%.2f,"exponent":$exp%.3f,"verdict":"$note"}"""
     }
-    val worst = SweepQueries
-      .filter(n => small(n) > 0 && big(n) > 0)
-      .map(n => big(n) / small(n)).max
+    val ok = SweepQueries.filter(n => small(n) > 0 && big(n) > 0)
+    val worst = if (ok.isEmpty) -1.0 else ok.map(n => big(n) / small(n)).max
     val json = s"""{"metric":"scale_ratio_worst","value":$worst,""" +
       s""""unit":"x per ${factor}x data","factor":$factor,""" +
       s""""ratio_bar":$bar,""" +
