@@ -62,26 +62,11 @@ object Bench {
     // (a dev sf0.001 run against sf0.1 history would never fire, and
     // an sf0.1 run against dev history would retry everything).
     def prevRoundMins: Map[String, Double] = try {
-      val cand = Seq("bench_out.json", "/root/repo/bench_out.json")
-        .map(new java.io.File(_)).filter(_.isFile)
-      cand.headOption.map { f =>
-        val text = java.nio.file.Files.readString(f.toPath)
-        if (!text.contains("\"sf\":\"" + sfDir + "\"")) Map.empty[String, Double]
-        else {
-          // the "queries" object is flat name->number pairs; it ends
-          // at the first '}' (queries_minmax, with its nested arrays,
-          // comes later and is never entered)
-          val start = text.indexOf("\"queries\":{")
-          if (start < 0) Map.empty[String, Double]
-          else {
-            val body = text.substring(start + 11,
-              text.indexOf('}', start + 11))
-            val pair = """"([^"]+)":([-0-9.eE]+)""".r
-            pair.findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          }
-        }
-      }.getOrElse(Map.empty)
+      Seq("bench_out.json", "/root/repo/bench_out.json")
+        .map(new java.io.File(_)).find(_.isFile)
+        .map(f => BenchFloor.queriesFor(
+          java.nio.file.Files.readString(f.toPath), sfDir))
+        .getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
     val history = prevRoundMins
     def regressedVsHistory(n: String, min: Double): Boolean =
@@ -135,11 +120,27 @@ object Bench {
     // deserve a plan read.
     val floorFile = Seq("bench_floor.json", "/root/repo/bench_floor.json")
       .map(new java.io.File(_)).find(_.isFile)
-    val floors: Map[String, Double] = floorFile.map { f =>
-      try BenchFloor.floorsFor(
-        java.nio.file.Files.readString(f.toPath), sfDir)
-      catch { case _: Throwable => Map.empty[String, Double] }
-    }.getOrElse(Map.empty)
+    val ledgerText: Option[String] = floorFile.flatMap { f =>
+      try Some(java.nio.file.Files.readString(f.toPath))
+      catch { case e: Throwable =>
+        System.err.println(s"bench: floor ledger unreadable ($f): $e")
+        None
+      }
+    }
+    val floors: Map[String, Double] =
+      ledgerText.map(BenchFloor.floorsFor(_, sfDir)).getOrElse(Map.empty)
+    // a disabled gate must be distinguishable from a clean pass in the
+    // artifact (advice r13): stamp WHY no floors applied
+    val floorStatus =
+      if (floors.nonEmpty) s"active:${floors.size}"
+      else if (floorFile.isEmpty) "disabled:no-ledger-file"
+      else if (ledgerText.isEmpty) "disabled:unreadable"
+      else if (ledgerText.exists(t =>
+          BenchFloor.numSection(t, "floors").nonEmpty))
+        "disabled:sf-mismatch" // a dev-sf run against the sf0.1 ledger
+      else "disabled:unparseable-or-empty"
+    if (floors.isEmpty)
+      System.err.println(s"bench: floor gate $floorStatus")
     val floorGate = BenchFloor.gate(
       names.map(n => n -> results(n).min).toMap, floors)
     val medRatio = floorGate.medianRatio
@@ -158,7 +159,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","load_before":$loadBefore,"load_after":$loadAfter,"load_wait_sec":${waitedTotalMs / 1000},"floor_median_ratio":$medRatio,"over_floor":$overFloorJson,"queries":$qs,"queries_minmax":$mm,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","load_before":$loadBefore,"load_after":$loadAfter,"load_wait_sec":${waitedTotalMs / 1000},"floor_gate":"$floorStatus","floor_median_ratio":$medRatio,"over_floor":$overFloorJson,"queries":$qs,"queries_minmax":$mm,"sf":"$sfDir"}"""
     println(json)
     // stdout rides sbt's log stream, where a prefix/interleave can break
     // the driver's parser (round 4 lost its headline metric to

@@ -19,34 +19,57 @@ object BenchFloor {
   val AbsFactor = 2.0
   val AbsSlackSec = 0.15
 
-  /** Flat `"q_name": <number>` pairs inside the top-level `key` object
+  /** Flat `"name": <number>` pairs inside the top-level `key` object
     * of an artifact (both bench_out.json's "queries" and
-    * bench_floor.json's "floors" are flat query→number maps; the
-    * object ends at its first '}' because no nested braces occur
-    * before it). */
-  def numSection(text: String, key: String): Map[String, Double] = {
-    val start = text.indexOf("\"" + key + "\":")
-    if (start < 0) Map.empty
-    else {
-      val end = text.indexOf('}', start)
-      if (end < 0) Map.empty
+    * bench_floor.json's "floors" are flat query→number maps). A real
+    * JSON parse (jackson-databind, already on Spark's classpath) —
+    * the previous first-'}' substring scan was one field reorder away
+    * from silently emptying the gate once bench_out.json grew the
+    * nested `queries_minmax` object (r13 verdict task 3). Non-numeric
+    * members are skipped; a missing/non-object key or unparseable
+    * text yields an EMPTY map, which callers must treat as
+    * gate-disabled, not gate-green. */
+  def numSection(text: String, key: String): Map[String, Double] =
+    jsonRoot(text).map { root =>
+      val node = root.get(key)
+      if (node == null || !node.isObject) Map.empty[String, Double]
       else {
-        val body = text.substring(start, end)
-        val pair = """"(q_[^"]+)":\s*([-0-9.eE]+)""".r
-        pair.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val b = Map.newBuilder[String, Double]
+        val it = node.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+        }
+        b.result()
       }
-    }
-  }
+    }.getOrElse(Map.empty)
+
+  private def jsonRoot(text: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] =
+    try Option(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(text))
+    catch { case _: Exception => None }
 
   /** Floors from a bench_floor.json text, empty unless its `sf` stamp
-    * matches `sfDir` (tools/bench_floor.py writes json.dump(indent=1),
-    * i.e. `"sf": "<dir>"` with one space — both spellings accepted so
-    * a formatter change cannot silently disable the gate). */
+    * matches `sfDir` (so a dev-scale ledger can never gate an sf0.1
+    * run or vice versa). */
   def floorsFor(text: String, sfDir: String): Map[String, Double] =
-    if (!text.contains("\"sf\": \"" + sfDir + "\"") &&
-        !text.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
-    else numSection(text, "floors")
+    jsonRoot(text) match {
+      case Some(root) if root.path("sf").asText("") == sfDir =>
+        numSection(text, "floors")
+      case _ => Map.empty
+    }
+
+  /** The flat `queries` map of a committed bench_out.json, empty
+    * unless its `sf` stamp matches `sfDir` (graft.Bench's history
+    * retry trigger — a dev-scale artifact must never arm retries
+    * against sf0.1 history or vice versa). */
+  def queriesFor(text: String, sfDir: String): Map[String, Double] =
+    jsonRoot(text) match {
+      case Some(root) if root.path("sf").asText("") == sfDir =>
+        numSection(text, "queries")
+      case _ => Map.empty
+    }
 
   final case class Flag(name: String, min: Double, floor: Double,
                         ratio: Double)

@@ -44,8 +44,17 @@ package graft
   *    pay nothing on today's corpus. Non-ASCII bit-exactness vs Spark
   *    is pinned by tools/xxh_selftest.py (accents/CJK/emoji/combining
   *    across tail-length classes). The corpus-is-ASCII pin
-  *    (TextDedupSpec) stays: OTHER oracle families (md5-prefix keys,
-  *    char-slice frame sampling) still slice per-character.
+  *    (TextDedupSpec) stays for the OTHER oracle families — and since
+  *    round 14 their contract is ENFORCED, not assumed: md5 itself is
+  *    byte-exact in both engines (DuckDB md5(VARCHAR) hashes UTF-8
+  *    bytes, verified against the JVM), but DuckDB can neither slice
+  *    nor md5 BLOBs and its `lower` is per-codepoint (no final-sigma
+  *    context), so the md5-prefix-key and frame-slice gate queries
+  *    (q_normalize, q_fingerprint, q_dedup_against, q_paragraph_dedup,
+  *    q_pipeline_corpus, q_pipeline_incremental, q_corpus_card,
+  *    q_frame_sample) wrap their text input in `Text.asciiOracleGuard`
+  *    — plan-side length==octet_length, a loud raise_error naming the
+  *    query on any non-ASCII row.
   *
   * Every SQL string here is `prologue + query`; `CREATE OR REPLACE`
   * keeps the macros idempotent when the driver runs many oracles on one

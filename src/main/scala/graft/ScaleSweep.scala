@@ -68,6 +68,31 @@ object ScaleSweep {
   /** The committed 10x bar (ScaleOutSpec). */
   val RatioBar: Double = ratioBar(10)
 
+  /** Fingerprint of the base corpus folded into the derived-corpus
+    * cache key: total bytes and max mtime over every file under
+    * `baseDir`, so a regenerated/changed base can never silently
+    * reuse a stale scaled corpus (advice r13 — the old key was
+    * factor + baseDir.hashCode + _SUCCESS, blind to content). */
+  private[graft] def baseFingerprint(baseDir: String): String = {
+    def walk(f: java.io.File): (Long, Long) = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      kids.foldLeft((f.length, f.lastModified)) { case ((sz, mt), c) =>
+        val (s2, m2) = walk(c); (sz + s2, math.max(mt, m2))
+      }
+    }
+    val (sz, mt) = walk(new java.io.File(baseDir))
+    java.lang.Long.toHexString(sz * 31L + mt)
+  }
+
+  /** Canonical cache directory of the `factor`x corpus derived from
+    * `baseDir` — the ONE naming shared by this main and SkewSweep's
+    * default, keyed by (factor, path, base-corpus fingerprint). */
+  def scaledDirFor(baseDir: String, factor: Int): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_scale${factor}x_" +
+        Integer.toHexString(baseDir.hashCode) + "_" +
+        baseFingerprint(baseDir)).toString
+
   private def rot(s: String, n: Int): String = {
     val m = ((n % s.length) + s.length) % s.length
     s.substring(m) + s.substring(0, m)
@@ -196,10 +221,7 @@ object ScaleSweep {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = core.Measure.session(cpus)
 
-    val scaleDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"graft_scale${factor}x_" +
-        Integer.toHexString(baseDir.hashCode)).toString
+    val scaleDir = scaledDirFor(baseDir, factor)
     generate(spark, baseDir, scaleDir, factor)
 
     // one untimed warmup per codegen family in the sweep set (JIT —
@@ -221,10 +243,17 @@ object ScaleSweep {
     SweepQueries.foreach(n =>
       try SparkEntry.queries(n)(spark, baseDir).count()
       catch { case e: Throwable => System.err.println(s"warmup $n: $e") })
+    // min over POSITIVE samples only: a transient failure (-1) in one
+    // sweep must not poison a row whose other sample succeeded — the
+    // retry is exactly what distinguishes real breakage from a
+    // transient (advice r13); FAILED only when both samples failed
     def sweep(dir: String): Map[String, Double] = {
       val s1 = SweepQueries.map(n => n -> timeOne(n, dir)).toMap
       val s2 = SweepQueries.map(n => n -> timeOne(n, dir)).toMap
-      SweepQueries.map(n => n -> math.min(s1(n), s2(n))).toMap
+      SweepQueries.map { n =>
+        val pos = Seq(s1(n), s2(n)).filter(_ > 0)
+        n -> (if (pos.isEmpty) -1.0 else pos.min)
+      }.toMap
     }
     // the Bench quiet-box gate (shared core.Measure): corpus
     // generation itself ramps the 1-min load average, and an inflated

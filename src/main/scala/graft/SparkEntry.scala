@@ -1409,7 +1409,10 @@ object SparkEntry {
     // padding, an appended source/id tag) and normalize back; the md5
     // prefix is the dedup key a pipeline would group on
     "q_normalize" -> ((s, dir) => {
-      val messy = concat(lit("  "), upper(col("text")), lit(" !! "),
+      // md5-prefix oracle family: ASCII contract ENFORCED plan-side
+      // (Text.asciiOracleGuard doc), not assumed from the corpus pin
+      val messy = concat(lit("  "),
+        upper(Text.asciiOracleGuard(col("text"), "q_normalize")), lit(" !! "),
         col("source"), lit("::"), col("doc_id").cast("string"), lit("  "))
       t(s, dir, "documents")
         .select(col("doc_id"), Text.normalizeForDedup(messy).as("norm"))
@@ -1484,7 +1487,8 @@ object SparkEntry {
 
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
-        col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        col("doc_id"), Text.fingerprint(
+          Text.asciiOracleGuard(col("text"), "q_fingerprint")).as("fp"))
         .orderBy("doc_id")),
 
     // Unicode NFC normalization (codegen Expression over the JDK
@@ -1637,7 +1641,8 @@ object SparkEntry {
     // (every 7th doc) on the normalized content fingerprint — the
     // surface noise must NOT defeat the match
     "q_dedup_against" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        Text.asciiOracleGuard(col("text"), "q_dedup_against").as("text"))
       val cand = d.select(col("doc_id"),
         concat(lit("  "), upper(col("text")), lit("  ")).as("text"))
       val ref = d.filter(col("doc_id") % 7 === 0)
@@ -1675,7 +1680,8 @@ object SparkEntry {
     // doc_id < 50 the partner paragraph IS the doc's own first one); the
     // first corpus-wide occurrence keeps each paragraph
     "q_paragraph_dedup" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        Text.asciiOracleGuard(col("text"), "q_paragraph_dedup").as("text"))
       val p = d.filter(col("doc_id") < 50)
         .select(col("doc_id").as("pid"), col("text").as("ptext"))
       val twoPara = d.join(broadcast(p), d("doc_id") % 50 === col("pid"))
@@ -1810,7 +1816,8 @@ object SparkEntry {
     // genuinely new/edited content survives). The 100 TB point: the
     // heavy stages touch the DELTA, never the full corpus.
     "q_pipeline_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").withColumn("text",
+        Text.asciiOracleGuard(col("text"), "q_pipeline_incremental"))
       val newSnap = docs
         .filter(pmod(col("doc_id"), lit(7)) =!= 3)
         .select(col("doc_id"),
@@ -2185,7 +2192,8 @@ object SparkEntry {
     }),
 
     "q_pipeline_corpus" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = t(s, dir, "documents").withColumn("text",
+        Text.asciiOracleGuard(col("text"), "q_pipeline_corpus"))
       val cand = d.select(col("doc_id"), col("lang"), col("source"),
         concat(lit("  "), upper(col("text")), lit("  \t")).as("raw"))
       val norm = cand
@@ -2317,11 +2325,16 @@ object SparkEntry {
     }),
 
     // frame sampling over binary payloads: ×nFrames generator, map-only;
-    // frames checked by length + md5 (the corpus is ASCII, so the
-    // oracle's char slicing is byte-identical)
+    // frames checked by length + md5. The engine slices BYTES (binary
+    // content — correct for real media); DuckDB cannot slice or md5
+    // BLOBs, so the oracle slices the text per CHARACTER — identical
+    // only on ASCII, which the plan-side guard now ENFORCES (r13
+    // verdict task 6) instead of assuming from the corpus pin
     "q_frame_sample" -> ((s, dir) => {
       val docs = Multimodal.asBinaryDoc(
-        t(s, dir, "documents"), "doc_id", "text")
+        t(s, dir, "documents").withColumn("text",
+          Text.asciiOracleGuard(col("text"), "q_frame_sample")),
+        "doc_id", "text")
       Multimodal.sampleFrames(docs.filter(col("doc_id") < 100), "doc_id", 4)
         .select(col("id").as("doc_id"),
           col("frame_idx").cast("long").as("frame_idx"),
@@ -2756,7 +2769,9 @@ object SparkEntry {
     // token/char volumes, EXACT distinct-content count, Gopher pass
     // count, duplicate fraction; subtotal rows via ROLLUP
     "q_corpus_card" -> ((s, dir) =>
-      graft.llm.TextStats.corpusCard(t(s, dir, "documents"), "text",
+      graft.llm.TextStats.corpusCard(
+        t(s, dir, "documents").withColumn("text",
+          Text.asciiOracleGuard(col("text"), "q_corpus_card")), "text",
         Seq("lang", "source"))
         .orderBy(col("lang").asc_nulls_first,
           col("source").asc_nulls_first)),

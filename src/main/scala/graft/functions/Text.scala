@@ -46,6 +46,28 @@ object Text {
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
       "\\s+", " "))
 
+  /** ASCII-contract guard for the md5-prefix-key and char-slice ORACLE
+    * families (OracleXxh object doc; r13 verdict task 6). Those DuckDB
+    * oracles compare per-CHARACTER — DuckDB cannot slice or md5 BLOBs,
+    * and its `lower` is per-codepoint (not final-sigma context-aware
+    * like the JVM's) — so gate equivalence is exact ONLY on ASCII
+    * text. The engine operators themselves are byte-correct for any
+    * input; this guard enforces the ORACLE's precondition at the gate
+    * query, turning a silent hash divergence on a future non-ASCII
+    * corpus into a loud analysis-time failure naming the query.
+    *
+    * Plan-side and cheap: `length == octet_length` (⇔ pure ASCII for
+    * valid UTF-8 — every non-ASCII codepoint is ≥2 bytes) rides the
+    * existing scan as two codegen'd intrinsics; no regex, no extra
+    * action, and because the guard REPLACES the column it can never
+    * be pruned away from a query that reads it. */
+  def asciiOracleGuard(text: Column, who: String): Column =
+    when(length(text) === octet_length(text), text)
+      .otherwise(raise_error(concat(
+        lit(s"$who: non-ASCII input — the md5-prefix/char-slice oracle " +
+          "contract (OracleXxh doc) admits ASCII only; offending text: "),
+        substring(text, 1, 40))))
+
   /** Word n-gram shingles from a MATERIALIZED tokens column.
     *
     * `ts` must be a column attribute (produced by a separate projection),

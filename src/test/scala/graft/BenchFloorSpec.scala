@@ -18,6 +18,29 @@ class BenchFloorSpec extends AnyFunSuite {
     if (f.isFile) Some(java.nio.file.Files.readString(f.toPath)) else None
   }
 
+  test("numSection is a real JSON parse: field reorder, nested " +
+    "siblings, and non-numeric members cannot empty or pollute the gate") {
+    // queries_minmax FIRST and nested — the exact shape that was one
+    // field reorder away from silently emptying the old first-'}'
+    // substring scan (r13 verdict task 3)
+    val art = """{"queries_minmax":{"q_a":[1.5,2.0],"q_b":[0.1,0.2]},""" +
+      """"metric":"total","queries":{"q_a":1.5,"q_b":0.1,"note":"x"},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    val m = BenchFloor.numSection(art, "queries")
+    assert(m == Map("q_a" -> 1.5, "q_b" -> 0.1))
+    assert(BenchFloor.queriesFor(art, "/root/testdata/sf0.1") == m)
+    assert(BenchFloor.queriesFor(art, "/root/testdata/sf0.01").isEmpty,
+      "sf mismatch must disable, not pass through")
+    // the ledger's python json.dump(indent=1) spacing, sf stamped LAST
+    val ledger =
+      """{"floors": {"q_a": 1.0}, "revisions_used": 3, "sf": "/x"}"""
+    assert(BenchFloor.floorsFor(ledger, "/x") == Map("q_a" -> 1.0))
+    assert(BenchFloor.floorsFor(ledger, "/y").isEmpty)
+    assert(BenchFloor.numSection("not json at all", "queries").isEmpty)
+    assert(BenchFloor.numSection("""{"queries":[1,2]}""", "queries").isEmpty,
+      "non-object key must read as gate-disabled")
+  }
+
   test("bench_floor.json parses and covers the committed artifact") {
     val floorText = readJson("bench_floor.json")
       .getOrElse(fail("bench_floor.json missing — run tools/bench_floor.py"))

@@ -18,8 +18,12 @@ class ScaleOutSpec extends AnyFunSuite {
     val text = java.nio.file.Files.readString(f.toPath)
     val bar = """"ratio_bar":([0-9.]+)""".r.findFirstMatchIn(text)
       .map(_.group(1).toDouble).getOrElse(ScaleSweep.RatioBar)
+    // -? so a FAILED row's -1.000 sentinels still PARSE and reach the
+    // dedicated failed-row assert below, instead of vanishing from the
+    // match set and firing the misleading "sweep set shrank" message
+    // (advice r13)
     val row =
-      """"(q_[^"]+)":\{"sf01_sec":([0-9.]+),"sf1_sec":([0-9.]+),"ratio":([0-9.]+)""".r
+      """"(q_[^"]+)":\{"sf01_sec":(-?[0-9.]+),"sf1_sec":(-?[0-9.]+),"ratio":(-?[0-9.]+)""".r
     val rows = row.findAllMatchIn(text)
       .map(m => (m.group(1), m.group(2).toDouble, m.group(3).toDouble,
         m.group(4).toDouble)).toVector

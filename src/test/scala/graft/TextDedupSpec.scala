@@ -663,6 +663,28 @@ class TextDedupSpec extends SparkSpec {
     assert(exact.contains(1L) && exact.contains(2L) && !exact.contains(3L))
   }
 
+  test("asciiOracleGuard: transparent on ASCII, loud on non-ASCII — " +
+    "the md5-prefix/char-slice oracle contract is ENFORCED at the gate " +
+    "queries (r13 verdict task 6), not assumed from the corpus pin") {
+    val ok = Seq((1L, "plain ascii text!"), (2L, ""))
+      .toDF("doc_id", "text")
+      .select(graft.functions.Text
+        .asciiOracleGuard(col("text"), "q_t").as("g"))
+      .orderBy("g").collect().map(_.getString(0))
+    assert(ok.toSeq == Seq("", "plain ascii text!"))
+    val bad = Seq((1L, "ascii"), (2L, "héllo café"))
+      .toDF("doc_id", "text")
+      .select(graft.functions.Text
+        .asciiOracleGuard(col("text"), "q_guarded").as("g"))
+    val e = intercept[Throwable] { bad.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("q_guarded") && m.contains("non-ASCII")),
+      s"guard must name the query and the contract: ${messages(e)}")
+  }
+
   test("corpus is ASCII — the contract the OracleXxh char-based byte " +
     "reader and frame-slicing oracles depend on") {
     for (sf <- Seq("sf0.001", "sf0.01")) {
