@@ -20,7 +20,35 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    val outFile = new java.io.File(outDir)
+    outFile.mkdirs()
+    require(outFile.isDirectory && outFile.canWrite,
+      s"[verify] cannot create/write outDir $outDir — aborting loudly " +
+        "(an unwritable outDir must never read as an empty-but-clean run)")
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // oracle_sql.json is written FIRST (it depends on nothing but the
+    // static maps): if the query loop dies mid-run, the driver's
+    // compare still sees every oracle and the partial artifacts —
+    // partial-and-loud beats empty (r13: CORRECTNESS_r13.json came
+    // back `{}` with no in-artifact way to tell harness failure from
+    // engine failure)
+    val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    var okCount = 0
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -39,26 +67,27 @@ object Verify {
           if (orderable.isEmpty) out else out.orderBy(orderable: _*)
         stable.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        okCount += 1
       } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // self-arbitrating summary: one machine-readable line in the out
+    // dir AND on stdout, so an empty downstream correctness artifact
+    // always has an in-band counter-signal with counts and names
+    val summary =
+      s"""{"wrote":$okCount,"failed":${failed.size},""" +
+        s""""failed_names":${failed.map(q).mkString("[", ",", "]")},""" +
+        s""""oracle_entries":${SparkEntry.oracleSql.count { case (k, _) =>
+          only.forall(_.contains(k)) }},"out_dir":${q(outDir)}}"""
+    Files.writeString(Paths.get(s"$outDir/_verify_summary.json"),
+      summary + "\n")
+    println(s"[verify] $summary")
+    // exit stays 0 even with per-query failures: a harness that gates
+    // its compare on the return code must still compare the partial
+    // (236 green rows + 4 loud failures beats an empty artifact);
+    // the summary above is the loud part
     spark.stop()
   }
 }
