@@ -861,8 +861,16 @@ object SparkEntry {
       val revenue = (col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1).cast("decimal(18,2)") -
           col("l_discount").cast("decimal(18,2)")))
-      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // NO broadcast hints (r14 plan read): at sf0.1 both orders
+      // (2.6 MB) and customer (0.3 MB) sit under the 10 MB
+      // auto-broadcast threshold, so the planner broadcasts them
+      // anyway — same plan, same speed. At 100x orders is 134 MB and
+      // the old forced hint made the 100x row build a 15M-row
+      // broadcast hash table (the dominant cost in its 18.6x ratio);
+      // size-based planning + AQE switch it to a shuffle join, which
+      // is the plan a 100 TB cluster needs
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(sum(revenue).cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))

@@ -32,9 +32,7 @@ object StreamSweep {
 
   def main(args: Array[String]): Unit = {
     val scaledDir = args.headOption.getOrElse(
-      java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_scale10x_" +
-          Integer.toHexString("/root/testdata/sf0.1".hashCode)).toString)
+      ScaleSweep.scaledDirFor("/root/testdata/sf0.1", 10))
     val outJson = args.lift(1).getOrElse("stream_out.json")
     require(new java.io.File(s"$scaledDir/events.parquet").exists,
       s"no scaled corpus at $scaledDir — run graft.ScaleSweep first")
