@@ -77,10 +77,18 @@ object NearDupProfile {
          |      verify: $verify
          |""".stripMargin
 
+    val defaultSp = spark.conf.get("spark.sql.shuffle.partitions")
     def runCell(name: String, provider: String, mpt: Int,
-                verify: Boolean, timed: Boolean = true)
+                verify: Boolean, timed: Boolean = true,
+                shufflePartitions: Option[Int] = None)
         : (String, Double, Long) = {
       spark.conf.set(Provider, provider)
+      // stateful partition count is pinned by the query's FIRST
+      // micro-batch (recorded in the checkpoint offset log) — each
+      // cell starts a fresh checkpoint, so setting the session conf
+      // here is exactly the per-query knob
+      spark.conf.set("spark.sql.shuffle.partitions",
+        shufflePartitions.map(_.toString).getOrElse(defaultSp))
       if (timed) graft.core.Measure.awaitQuietBox(waitBudget)
       val t0 = System.nanoTime()
       val queries = graft.streaming.Topology.parse(topo(name, mpt, verify))
@@ -101,13 +109,21 @@ object NearDupProfile {
 
     val loadBefore = graft.core.Measure.loadAvg
     val cells = Seq(
-      ("hdfs_mpt2_verify", hdfsProvider, 2, true),
-      ("hdfs_mpt16_verify", hdfsProvider, 16, true),
-      ("rocksdb_mpt2_verify", RocksDb, 2, true),
-      ("rocksdb_mpt16_verify", RocksDb, 16, true),
-      ("hdfs_mpt2_claims", hdfsProvider, 2, false)
-    ).map { case (n, p, m, v) => (runCell(n, p, m, v), v) }
+      ("hdfs_mpt2_verify", hdfsProvider, 2, true, None),
+      ("hdfs_mpt16_verify", hdfsProvider, 16, true, None),
+      ("rocksdb_mpt2_verify", RocksDb, 2, true, None),
+      ("rocksdb_mpt16_verify", RocksDb, 16, true, None),
+      ("hdfs_mpt2_claims", hdfsProvider, 2, false, None),
+      // the untested lever from the round-14 profile writeup: fewer
+      // state partitions for a low-rate stream — per-batch cost is
+      // (partitions x state-store commit), so 8 instead of 32 should
+      // cut the machinery component if commits dominate
+      ("hdfs_mpt2_verify_sp8", hdfsProvider, 2, true, Some(8)),
+      ("hdfs_mpt16_verify_sp8", hdfsProvider, 16, true, Some(8))
+    ).map { case (n, p, m, v, sp) => (runCell(n, p, m, v,
+      shufflePartitions = sp), v) }
     spark.conf.set(Provider, hdfsProvider)
+    spark.conf.set("spark.sql.shuffle.partitions", defaultSp)
 
     // answer invariance: every verify cell must emit the same novel set
     // size; claim-only differs by design (no re-admission)

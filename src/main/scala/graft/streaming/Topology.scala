@@ -187,7 +187,12 @@ object Topology {
           s"(parquet/json topics only); kind '${t.kind}' would silently " +
           "ignore it")
     }
-    Topology(topics, operators, asMap(root.getOrElse("config", null)))
+    val shufflePartitions = root.get("shuffle_partitions")
+      .map(_.toString.toInt)
+    shufflePartitions.foreach(n => require(n > 0,
+      s"shuffle_partitions must be positive: $n"))
+    Topology(topics, operators, asMap(root.getOrElse("config", null)),
+      shufflePartitions)
   }
 
   /** Path-backed file kinds (vs kafka/memory) — the topics that take
@@ -308,7 +313,24 @@ object Topology {
 }
 
 case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
-                    config: Map[String, Any]) {
+                    config: Map[String, Any],
+                    shufflePartitions: Option[Int] = None) {
+
+  /** Apply the topology-level `shuffle_partitions:` knob (measured
+    * r14, neardup_profile.json: a low-rate stateful stream pays
+    * (partitions x state-store commit) PER MICRO-BATCH — 8 instead of
+    * 32 partitions ran the near-dup topology 1.6x faster, and 2.9x
+    * combined with a larger max_per_trigger). Session-scoped by
+    * design and NOT restored: a stateful query pins its state
+    * partition count at the first micro-batch, but stateless
+    * exchanges re-read the conf every batch, so restoring after
+    * start() would flip them mid-stream. The CLI process model (one
+    * topology per process, reference makinage.main) owns its session;
+    * programmatic callers embedding a topology in a shared session
+    * should set/restore the conf themselves and omit the knob. */
+  private def applyShufflePartitions(spark: SparkSession): Unit =
+    shufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
 
   private def topic(name: String): TopicSpec =
     topics.find(_.name == name).getOrElse(
@@ -652,6 +674,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     * file format (parquet or JSONL) — the unified batch path; config
     * topics are resolved once at run start. Returns sink names. */
   def runBatch(spark: SparkSession, outDir: String): Seq[String] = {
+    applyShufflePartitions(spark)
     // each sink is written AT WIRING TIME (topological order) and the
     // read-back relays to downstream operators — every DAG stage is
     // computed exactly once, whatever the chain depth
@@ -720,6 +743,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     * on the static path. */
   def runStream(spark: SparkSession, checkpointRoot: String)
       : Seq[StreamingQuery] = try {
+    applyShufflePartitions(spark)
     val (dynamic, static) = operators.partition(_.configTopic.nonEmpty)
     // over ALL operators: the wire() call below only sees the static
     // subset, which would let two dynamic operators (or a static plus

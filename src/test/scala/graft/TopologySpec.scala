@@ -1317,4 +1317,46 @@ class TopologySpec extends SparkSpec {
       "the started static query was left running after the dynamic " +
         "source failed to resolve")
   }
+
+  test("shuffle_partitions topology knob: parsed, applied at run " +
+    "(session-scoped by documented design), refused when non-positive") {
+    val tmp = Files.createTempDirectory("topo_sp").toString
+    Seq("1", "2", "3").toDF("value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    def yaml(knob: String) =
+      s"""${knob}topics:
+         |  - name: values
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: out
+         |    kind: parquet
+         |    path: $tmp/out
+         |operators:
+         |  multiply:
+         |    factory: graft.streaming.ops.Multiply
+         |    sources: [values]
+         |    sinks: [out]
+         |config:
+         |  multiply: 2
+         |""".stripMargin
+    assert(Topology.parse(yaml("")).shufflePartitions.isEmpty)
+    val topo = Topology.parse(yaml("shuffle_partitions: 8\n"))
+    assert(topo.shufflePartitions.contains(8))
+    intercept[IllegalArgumentException] {
+      Topology.parse(yaml("shuffle_partitions: 0\n"))
+    }
+    // the knob is session-scoped for the topology's lifetime (see the
+    // applyShufflePartitions scaladoc) — save/restore around the run
+    // because the suite shares its session
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    try {
+      topo.runBatch(spark, s"$tmp/sinks")
+      assert(spark.conf.get(key) == "8",
+        "runBatch must apply the topology's shuffle_partitions")
+      val got = spark.read.parquet(s"$tmp/sinks/out")
+        .select("value").as[String].collect().map(_.toLong).sorted.toSeq
+      assert(got == Seq(2L, 4L, 6L))
+    } finally spark.conf.set(key, prior)
+  }
 }
