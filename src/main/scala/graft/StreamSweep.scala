@@ -101,26 +101,34 @@ object StreamSweep {
          |""".stripMargin, timed = false)
 
     val loadBefore = graft.core.Measure.loadAvg
-    val results = Seq(
-      run("map_stateless", evRows,
+    // min over TWO full sweeps (the Bench/ScaleSweep protocol):
+    // streaming rows swing ~1.5x run-to-run with state-store/page-
+    // cache I/O, so a single sample can under- or over-state a
+    // topology by more than the effects being measured; two passes
+    // put minutes between a row's samples, and the artifact carries
+    // both samples beside the min. Sink/checkpoint paths carry the
+    // attempt suffix — a streaming query must never resume another
+    // attempt's checkpoint.
+    val topologies: Seq[(String, Long, String => String)] = Seq(
+      ("map_stateless", evRows, (sfx: String) =>
         s"""topics:
            |  - name: ev
            |    kind: parquet
            |    path: $work/events
            |    max_per_trigger: 2
-           |  - name: out_map
+           |  - name: out_map$sfx
            |    kind: parquet
-           |    path: $work/out_map
+           |    path: $work/out_map$sfx
            |    sink_partitions: 4
            |operators:
            |  multiply:
            |    factory: graft.streaming.ops.Multiply
            |    sources: [ev]
-           |    sinks: [out_map]
+           |    sinks: [out_map$sfx]
            |config:
            |  multiply: 2
            |""".stripMargin),
-      run("windowed_sketch", evRows,
+      ("windowed_sketch", evRows, (sfx: String) =>
         s"""topics:
            |  - name: ev
            |    kind: parquet
@@ -128,22 +136,22 @@ object StreamSweep {
            |    max_per_trigger: 2
            |    timestamp_col: ts
            |    watermark: 1 hour
-           |  - name: out_cells
+           |  - name: out_cells$sfx
            |    kind: parquet
-           |    path: $work/out_cells
+           |    path: $work/out_cells$sfx
            |    sink_partitions: 4
            |operators:
            |  sketch:
            |    factory: graft.streaming.ops.CountMinOp
            |    sources: [ev]
-           |    sinks: [out_cells]
+           |    sinks: [out_cells$sfx]
            |    config:
            |      window: 1 hour
            |      item_col: event_type
            |      depth: 4
            |      width: 1024
            |""".stripMargin),
-      run("stateful_neardup", docRows,
+      ("stateful_neardup", docRows, (sfx: String) =>
         s"""topics:
            |  - name: docs
            |    kind: parquet
@@ -151,18 +159,67 @@ object StreamSweep {
            |    max_per_trigger: 2
            |    timestamp_col: ts
            |    watermark: 1 hour
-           |  - name: out_novel
+           |  - name: out_novel$sfx
            |    kind: parquet
-           |    path: $work/out_novel
+           |    path: $work/out_novel$sfx
            |    sink_partitions: 4
            |operators:
            |  neardup:
            |    factory: graft.streaming.ops.NearDupOp
            |    sources: [docs]
-           |    sinks: [out_novel]
+           |    sinks: [out_novel$sfx]
+           |    config:
+           |      verify: true
+           |""".stripMargin),
+      // the same flagship op with the r14 measured levers applied
+      // through the REAL YAML surface (neardup_profile.json attributed
+      // ~90% of the default row to per-batch state commits): 8 state
+      // partitions via the topology-level shuffle_partitions knob +
+      // one-batch cadence. Committed side by side with the default row
+      // so the artifact shows both the conservative config and what
+      // the documented tuning buys end-to-end.
+      ("stateful_neardup_tuned", docRows, (sfx: String) =>
+        s"""shuffle_partitions: 8
+           |topics:
+           |  - name: docs
+           |    kind: parquet
+           |    path: $work/docs
+           |    max_per_trigger: 16
+           |    timestamp_col: ts
+           |    watermark: 1 hour
+           |  - name: out_novel_tuned$sfx
+           |    kind: parquet
+           |    path: $work/out_novel_tuned$sfx
+           |    sink_partitions: 4
+           |operators:
+           |  neardup:
+           |    factory: graft.streaming.ops.NearDupOp
+           |    sources: [docs]
+           |    sinks: [out_novel_tuned$sfx]
            |    config:
            |      verify: true
            |""".stripMargin))
+    val sweeps: Seq[Map[String, Double]] = (0 to 1).map { attempt =>
+      topologies.map { case (name, rows, yamlFor) =>
+        // the shuffle_partitions knob is session-scoped by design:
+        // reset to the measurement default before EVERY topology so a
+        // tuned row can never leak its partitioning into the next row
+        // (or the next sweep's) measurement
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        val (_, sec) = run(s"${name}_a$attempt", rows, yamlFor(s"_a$attempt"))
+        name -> sec
+      }.toMap
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    val results = topologies.map { case (name, rows, _) =>
+      val (s1, s2) = (sweeps(0)(name), sweeps(1)(name))
+      val best = math.min(s1, s2)
+      System.err.println(f"stream $name: min $best%.1fs of " +
+        f"[$s1%.1f, $s2%.1f] = ${rows / best}%.0f rows/s")
+      (f""""$name":{"rows":$rows,"sec":$best%.2f,""" +
+        f""""rows_per_sec":${rows / best}%.0f,""" +
+        f""""samples_sec":[$s1%.2f,$s2%.2f]}""", best)
+    }
 
     val loadAfter = graft.core.Measure.loadAvg
     val json = s"""{"metric":"stream_total_sec","value":${
