@@ -12,6 +12,7 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
     // ad-hoc conf overrides: SPARK_GRAFT_CONF="k1=v1,k2=v2"
     // (comma-free values only; malformed entries are skipped)
