@@ -13,30 +13,36 @@ import org.scalatest.funsuite.AnyFunSuite
   * artifact is absent (a fresh checkout mid-iteration). */
 class MeasuredTierSpec extends AnyFunSuite {
 
-  private def read(path: String): Option[String] = {
+  // a real JSON parse, not a regex scan — the exact first-'}'-style
+  // fragility BenchFloor shed this round must not re-enter via its
+  // own gate's sibling
+  private def read(path: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
     val f = new java.io.File(path)
-    if (f.isFile) Some(java.nio.file.Files.readString(f.toPath)) else None
+    if (!f.isFile) None
+    else Some(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(f.toPath)))
   }
 
-  private def sec(text: String, row: String, field: String = "sec")
-      : Double =
-    (s""""$row":\\{[^}]*"$field":(-?[0-9.]+)""").r
-      .findFirstMatchIn(text)
-      .map(_.group(1).toDouble)
-      .getOrElse(fail(s"row '$row' with '$field' missing"))
+  private def sec(root: com.fasterxml.jackson.databind.JsonNode,
+                  row: String, field: String = "sec"): Double = {
+    val node = root.path(row).path(field)
+    if (!node.isNumber) fail(s"row '$row' with '$field' missing")
+    node.asDouble()
+  }
 
   test("stream_out.json: all four topologies present, positive, and " +
     "the tuned near-dup row beats the default (the docs/BENCH.md claim)") {
-    val text = read("stream_out.json")
+    val root = read("stream_out.json")
       .getOrElse(cancel("stream_out.json absent — run graft.StreamSweep"))
     val rows = Seq("map_stateless", "windowed_sketch",
       "stateful_neardup", "stateful_neardup_tuned")
     rows.foreach { r =>
-      assert(sec(text, r) > 0, s"$r: non-positive time")
-      assert(sec(text, r, "rows_per_sec") > 0, s"$r: non-positive rate")
+      assert(sec(root, r) > 0, s"$r: non-positive time")
+      assert(sec(root, r, "rows_per_sec") > 0, s"$r: non-positive rate")
     }
-    val default = sec(text, "stateful_neardup")
-    val tuned = sec(text, "stateful_neardup_tuned")
+    val default = sec(root, "stateful_neardup")
+    val tuned = sec(root, "stateful_neardup_tuned")
     assert(tuned <= default,
       f"tuned near-dup ($tuned%.1fs) no faster than default " +
         f"($default%.1fs) — the shuffle_partitions+trigger claim is " +
@@ -48,15 +54,15 @@ class MeasuredTierSpec extends AnyFunSuite {
   test("neardup_profile.json: every matrix cell positive; the kernel " +
     "floor is the fastest number in the artifact (it measures strictly " +
     "less work than any streaming cell)") {
-    val text = read("neardup_profile.json")
+    val root = read("neardup_profile.json")
       .getOrElse(cancel("neardup_profile.json absent — run " +
         "graft.NearDupProfile"))
     val cells = Seq("hdfs_mpt2_verify", "hdfs_mpt16_verify",
       "rocksdb_mpt2_verify", "rocksdb_mpt16_verify", "hdfs_mpt2_claims",
       "hdfs_mpt2_verify_sp8", "hdfs_mpt16_verify_sp8")
-    val rates = cells.map(c => c -> sec(text, c, "docs_per_sec")).toMap
+    val rates = cells.map(c => c -> sec(root, c, "docs_per_sec")).toMap
     rates.foreach { case (c, r) => assert(r > 0, s"$c: non-positive") }
-    val floor = sec(text, "kernel_floor", "docs_per_sec")
+    val floor = sec(root, "kernel_floor", "docs_per_sec")
     assert(rates.values.forall(_ < floor),
       "a streaming cell outran the no-streaming kernel floor — the " +
         "attribution in docs/BENCH.md no longer holds")
@@ -64,17 +70,17 @@ class MeasuredTierSpec extends AnyFunSuite {
 
   test("skew_out.json: all five strategy timings positive and the " +
     "cross-strategy agg group count sane") {
-    val text = read("skew_out.json")
+    val root = read("skew_out.json")
       .getOrElse(cancel("skew_out.json absent — run graft.SkewSweep"))
     Seq("aqe_skew_split", "no_mitigation", "salted",
       "exp_aqe_skew_split", "exp_no_mitigation").foreach { k =>
-      val v = (s""""$k":(-?[0-9.]+)""").r.findFirstMatchIn(text)
-        .map(_.group(1).toDouble)
-        .getOrElse(fail(s"strategy '$k' missing"))
-      assert(v > 0, s"$k: non-positive time")
+      val node = root.path(k)
+      assert(node.isNumber, s"strategy '$k' missing")
+      assert(node.asDouble() > 0, s"$k: non-positive time")
     }
-    val groups = """"agg_groups":(\d+)""".r.findFirstMatchIn(text)
-      .map(_.group(1).toInt).getOrElse(fail("agg_groups missing"))
-    assert(groups >= 1 && groups <= 100, s"agg_groups implausible: $groups")
+    val groups = root.path("agg_groups")
+    assert(groups.isNumber, "agg_groups missing")
+    assert(groups.asInt() >= 1 && groups.asInt() <= 100,
+      s"agg_groups implausible: ${groups.asInt()}")
   }
 }
