@@ -49,12 +49,16 @@ package graft
   *    byte-exact in both engines (DuckDB md5(VARCHAR) hashes UTF-8
   *    bytes, verified against the JVM), but DuckDB can neither slice
   *    nor md5 BLOBs and its `lower` is per-codepoint (no final-sigma
-  *    context), so the md5-prefix-key and frame-slice gate queries
-  *    (q_normalize, q_fingerprint, q_dedup_against, q_paragraph_dedup,
-  *    q_pipeline_corpus, q_pipeline_incremental, q_corpus_card,
-  *    q_frame_sample) wrap their text input in `Text.asciiOracleGuard`
-  *    — plan-side length==octet_length, a loud raise_error naming the
-  *    query on any non-ASCII row.
+  *    context), so the gate queries whose text path CROSSES a casing
+  *    transform or a byte-slice (q_normalize, q_fingerprint,
+  *    q_dedup_against, q_pipeline_corpus, q_pipeline_incremental,
+  *    q_corpus_card, q_frame_sample) wrap their text input in
+  *    `Text.asciiOracleGuard` — plan-side length==octet_length, a loud
+  *    raise_error naming the query on any non-ASCII row. Queries whose
+  *    only hash is md5 of a RAW string with a hex-prefix slice are
+  *    byte-exact over ALL UTF-8 and carry no guard: q_paragraph_dedup
+  *    dropped its guard in r15 and deliberately injects multi-byte
+  *    paragraphs in both engines to keep that closure exercised.
   *
   * Every SQL string here is `prologue + query`; `CREATE OR REPLACE`
   * keeps the macros idempotent when the driver runs many oracles on one

@@ -1685,13 +1685,22 @@ object SparkEntry {
     // paragraph-level structural dedup: the corpus has no multi-paragraph
     // docs, so construct them — every doc gains a second paragraph shared
     // with the 9 other docs having the same doc_id % 50 partner (and for
-    // doc_id < 50 the partner paragraph IS the doc's own first one); the
-    // first corpus-wide occurrence keeps each paragraph
+    // doc_id < 50 with pid % 5 != 0 the partner paragraph IS the doc's
+    // own first one); the first corpus-wide occurrence keeps each
+    // paragraph. NO ascii guard (r14 verdict task 6): the dedup key is
+    // md5 of the RAW paragraph — DuckDB md5(VARCHAR) hashes the UTF-8
+    // bytes exactly like Spark's md5(cast binary), the 16-char prefix
+    // slices hex (pure ASCII), and the "\n\n" split is byte-exact on
+    // any UTF-8 (ASCII bytes never occur inside multi-byte sequences).
+    // Non-ASCII coverage is EXERCISED, not just permitted: every 5th
+    // partner paragraph gains a multi-byte suffix in both engines.
     "q_paragraph_dedup" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
-        Text.asciiOracleGuard(col("text"), "q_paragraph_dedup").as("text"))
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val p = d.filter(col("doc_id") < 50)
-        .select(col("doc_id").as("pid"), col("text").as("ptext"))
+        .select(col("doc_id").as("pid"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0, lit(" ¶ naïve café 東京"))
+              .otherwise(lit(""))).as("ptext"))
       val twoPara = d.join(broadcast(p), d("doc_id") % 50 === col("pid"))
         .select(col("doc_id"),
           concat(col("text"), lit("\n\n"), col("ptext")).as("text"))
@@ -6353,7 +6362,9 @@ object SparkEntry {
 
       "q_paragraph_dedup" ->
         """WITH d2 AS (
-          |  SELECT d.doc_id, d.text || chr(10) || chr(10) || p.text AS text
+          |  SELECT d.doc_id, d.text || chr(10) || chr(10) || p.text ||
+          |      CASE WHEN p.doc_id % 5 = 0
+          |           THEN ' ¶ naïve café 東京' ELSE '' END AS text
           |  FROM documents d JOIN documents p ON p.doc_id = d.doc_id % 50),
           |paras AS (
           |  SELECT doc_id,

@@ -20,11 +20,6 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val outFile = new java.io.File(outDir)
-    outFile.mkdirs()
-    require(outFile.isDirectory && outFile.canWrite,
-      s"[verify] cannot create/write outDir $outDir — aborting loudly " +
-        "(an unwritable outDir must never read as an empty-but-clean run)")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -37,6 +32,23 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val outFile = new java.io.File(outDir)
+    outFile.mkdirs()
+    require(outFile.isDirectory && outFile.canWrite,
+      s"[verify] cannot create/write outDir $outDir — aborting loudly " +
+        "(an unwritable outDir must never read as an empty-but-clean run)")
+    // startup forensic stamp, written BEFORE any query runs (r14 verdict
+    // task 1): if a downstream correctness artifact ever comes back
+    // empty again, the presence/absence of this file in the out dir
+    // tells a judge whether Verify even started — and if it did, under
+    // what JVM, cwd, disk headroom, and args.
+    val t0 = System.nanoTime()
+    val free = outFile.getUsableSpace / (1024L * 1024L)
+    Files.writeString(Paths.get(s"$outDir/_verify_env.json"),
+      s"""{"cwd":${q(new java.io.File(".").getCanonicalPath)},""" +
+        s""""java":${q(System.getProperty("java.version"))},""" +
+        s""""free_disk_mb":$free,"cpus":${q(cpus)},""" +
+        s""""args":${args.map(q).mkString("[", ",", "]")}}""" + "\n")
     // oracle_sql.json is written FIRST (it depends on nothing but the
     // static maps): if the query loop dies mid-run, the driver's
     // compare still sees every oracle and the partial artifacts —
@@ -80,7 +92,11 @@ object Verify {
       s"""{"wrote":$okCount,"failed":${failed.size},""" +
         s""""failed_names":${failed.map(q).mkString("[", ",", "]")},""" +
         s""""oracle_entries":${SparkEntry.oracleSql.count { case (k, _) =>
-          only.forall(_.contains(k)) }},"out_dir":${q(outDir)}}"""
+          only.forall(_.contains(k)) }},"out_dir":${q(outDir)},""" +
+        // in-JVM wall time (post-sbt): the timing series the selfcheck
+        // verdict records each round so Verify growth toward any driver
+        // timeout is visible before it manifests as an empty artifact
+        s""""wall_sec":${(System.nanoTime() - t0) / 1e9}}"""
     Files.writeString(Paths.get(s"$outDir/_verify_summary.json"),
       summary + "\n")
     println(s"[verify] $summary")

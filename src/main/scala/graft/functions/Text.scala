@@ -62,7 +62,10 @@ object Text {
     * action, and because the guard REPLACES the column it can never
     * be pruned away from a query that reads it. */
   def asciiOracleGuard(text: Column, who: String): Column =
-    when(length(text) === octet_length(text), text)
+    // NULL passes through: length(NULL)===octet_length(NULL) is NULL —
+    // without the isNull arm the when() would fall to raise_error on a
+    // NULL row, though NULL is oracle-safe (md5(NULL)=NULL both engines).
+    when(text.isNull || length(text) === octet_length(text), text)
       .otherwise(raise_error(concat(
         lit(s"$who: non-ASCII input — the md5-prefix/char-slice oracle " +
           "contract (OracleXxh doc) admits ASCII only; offending text: "),

@@ -672,6 +672,15 @@ class TextDedupSpec extends SparkSpec {
         .asciiOracleGuard(col("text"), "q_t").as("g"))
       .orderBy("g").collect().map(_.getString(0))
     assert(ok.toSeq == Seq("", "plain ascii text!"))
+    // NULL passes through (r14 ADVICE): length(NULL)===octet_length(NULL)
+    // is NULL, so without the isNull arm the guard would raise on a NULL
+    // row though md5(NULL)=NULL in both engines — oracle-safe
+    val nulls = Seq((1L, Option("ascii")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+      .select(graft.functions.Text
+        .asciiOracleGuard(col("text"), "q_t").as("g"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(nulls.toSet == Set(Some("ascii"), None))
     val bad = Seq((1L, "ascii"), (2L, "héllo café"))
       .toDF("doc_id", "text")
       .select(graft.functions.Text
