@@ -3104,7 +3104,12 @@ object SparkEntry {
       val work = scratchDir("graft_crawl_dag", dir)
       // only the columns the DAG consumes ride the frontier topic
       // (cap: url/n_chars/doc_id; jointext: text) — the write is the
-      // dominant cost of the materialized chain
+      // dominant cost of the materialized chain. r15: the single-
+      // consumer early stages (capped/withtext/gated) chain as MEMORY
+      // relays — plan-level, no durable round-trip, the same semantics
+      // stream mode gives them — while deduped + domain_rollup stay on
+      // the durable write-through path, so the driver's hash gate
+      // covers BOTH relay kinds in one DAG (budget: docs/BENCH.md)
       writeOnce(s"$work/frontier") {
         t(s, dir, "documents").withColumn("url", synthUrl)
           .select("doc_id", "n_chars", "text", "url")
@@ -3116,14 +3121,11 @@ object SparkEntry {
            |    kind: parquet
            |    path: $work/frontier
            |  - name: capped
-           |    kind: parquet
-           |    sink_partitions: 4
+           |    kind: memory
            |  - name: withtext
-           |    kind: parquet
-           |    sink_partitions: 4
+           |    kind: memory
            |  - name: gated
-           |    kind: parquet
-           |    sink_partitions: 4
+           |    kind: memory
            |  - name: deduped
            |    kind: parquet
            |    sink_partitions: 4
@@ -3593,8 +3595,7 @@ object SparkEntry {
            |    kind: parquet
            |    path: $work/ev
            |  - name: advances
-           |    kind: parquet
-           |    sink_partitions: 4
+           |    kind: memory
            |  - name: curve
            |    kind: parquet
            |    sink_partitions: 1
@@ -3637,8 +3638,7 @@ object SparkEntry {
            |    kind: parquet
            |    path: $work/ev
            |  - name: edges
-           |    kind: parquet
-           |    sink_partitions: 4
+           |    kind: memory
            |  - name: trans
            |    kind: parquet
            |    sink_partitions: 1
@@ -3860,11 +3860,9 @@ object SparkEntry {
            |    kind: parquet
            |    path: $work/ev
            |  - name: lefts
-           |    kind: parquet
-           |    sink_partitions: 4
+           |    kind: memory
            |  - name: rights
-           |    kind: parquet
-           |    sink_partitions: 4
+           |    kind: memory
            |  - name: joined
            |    kind: parquet
            |    sink_partitions: 4

@@ -151,12 +151,19 @@ object StreamSweep {
            |      depth: 4
            |      width: 1024
            |""".stripMargin),
+      // the SHIPPED sample config (examples/neardup_topology.yaml):
+      // shuffle_partitions: 8 + max_per_trigger: 16, the r14 measured
+      // levers promoted to the default in r15 (neardup_profile.json
+      // attributed ~94% of the conservative row to per-batch state
+      // commits; novel-set parity across every measured cell). This row
+      // is what a user actually gets.
       ("stateful_neardup", docRows, (sfx: String) =>
-        s"""topics:
+        s"""shuffle_partitions: 8
+           |topics:
            |  - name: docs
            |    kind: parquet
            |    path: $work/docs
-           |    max_per_trigger: 2
+           |    max_per_trigger: 16
            |    timestamp_col: ts
            |    watermark: 1 hour
            |  - name: out_novel$sfx
@@ -171,31 +178,28 @@ object StreamSweep {
            |    config:
            |      verify: true
            |""".stripMargin),
-      // the same flagship op with the r14 measured levers applied
-      // through the REAL YAML surface (neardup_profile.json attributed
-      // ~90% of the default row to per-batch state commits): 8 state
-      // partitions via the topology-level shuffle_partitions knob +
-      // one-batch cadence. Committed side by side with the default row
-      // so the artifact shows both the conservative config and what
-      // the documented tuning buys end-to-end.
-      ("stateful_neardup_tuned", docRows, (sfx: String) =>
-        s"""shuffle_partitions: 8
-           |topics:
+      // the pre-r15 conservative config (many small batches, core-count
+      // state partitions) kept as the attribution baseline: the gap
+      // between this row and the default IS the per-batch state-commit
+      // overhead the profile measured — a regenerated artifact where
+      // the gap vanishes means the attribution story is stale.
+      ("stateful_neardup_conservative", docRows, (sfx: String) =>
+        s"""topics:
            |  - name: docs
            |    kind: parquet
            |    path: $work/docs
-           |    max_per_trigger: 16
+           |    max_per_trigger: 2
            |    timestamp_col: ts
            |    watermark: 1 hour
-           |  - name: out_novel_tuned$sfx
+           |  - name: out_novel_cons$sfx
            |    kind: parquet
-           |    path: $work/out_novel_tuned$sfx
+           |    path: $work/out_novel_cons$sfx
            |    sink_partitions: 4
            |operators:
            |  neardup:
            |    factory: graft.streaming.ops.NearDupOp
            |    sources: [docs]
-           |    sinks: [out_novel_tuned$sfx]
+           |    sinks: [out_novel_cons$sfx]
            |    config:
            |      verify: true
            |""".stripMargin))

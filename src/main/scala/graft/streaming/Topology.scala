@@ -363,6 +363,11 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
           spark.read.format("kafka")
             .options(Topology.kafkaSourceOptions(t, streaming = false))
             .load(), t)
+      case "memory" =>
+        throw new IllegalArgumentException(
+          s"topic ${t.name}: a memory topic has no external data — it " +
+            "can feed a batch operator only as an intra-run relay (the " +
+            "sink of another operator in the same topology)")
       case other =>
         throw new IllegalArgumentException(s"batch source kind: $other")
     }
@@ -670,23 +675,42 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
       case _ => spark.read.parquet(path)
     }
 
-  /** Batch run: every sink topic is written under `outDir` in its own
-    * file format (parquet or JSONL) — the unified batch path; config
-    * topics are resolved once at run start. Returns sink names. */
+  /** Batch run: every file-kind sink topic is written under `outDir`
+    * in its own format (parquet or JSONL) — the unified batch path;
+    * config topics are resolved once at run start. Returns the names
+    * of the sinks WRITTEN under outDir.
+    *
+    * `kind: memory` sinks are the EPHEMERAL relay in batch exactly as
+    * in stream mode (where they are the only chainable kind): the
+    * produced PLAN relays to downstream operators — no write, no
+    * read-back — and registers as a temp view so a terminal memory
+    * sink stays inspectable (`spark.table(name)`, the batch analogue
+    * of the stream memory sink). The durable-sink recovery contract is
+    * untouched: it only ever covered file/kafka topics, and a memory
+    * topic is non-durable by definition in both modes. Trade-off the
+    * topology author opts into: a plan relay consumed by TWO
+    * downstream operators re-computes the upstream subtree per
+    * consumer (the write-through relay computes each stage exactly
+    * once) — single-consumer chains, e.g. gate-only verification DAGs,
+    * skip the durable round-trip for free. */
   def runBatch(spark: SparkSession, outDir: String): Seq[String] = {
     applyShufflePartitions(spark)
-    // each sink is written AT WIRING TIME (topological order) and the
-    // read-back relays to downstream operators — every DAG stage is
+    // each file sink is written AT WIRING TIME (topological order) and
+    // the read-back relays to downstream operators — every DAG stage is
     // computed exactly once, whatever the chain depth
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     wire(spark, batchSource(spark, _), operators,
       chainable = _ => true,
-      relay = (sinkTopic, df) => {
-        val path = s"$outDir/${sinkTopic.name}"
-        writeFileSink(df, sinkTopic, "overwrite", path)
-        names += sinkTopic.name
-        readFileSink(spark, sinkTopic, df.schema, path)
-      })
+      relay = (sinkTopic, df) =>
+        if (sinkTopic.kind == "memory") {
+          df.createOrReplaceTempView(sinkTopic.name)
+          df
+        } else {
+          val path = s"$outDir/${sinkTopic.name}"
+          writeFileSink(df, sinkTopic, "overwrite", path)
+          names += sinkTopic.name
+          readFileSink(spark, sinkTopic, df.schema, path)
+        })
     names.toSeq
   }
 

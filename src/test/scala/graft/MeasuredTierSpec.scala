@@ -32,23 +32,29 @@ class MeasuredTierSpec extends AnyFunSuite {
   }
 
   test("stream_out.json: all four topologies present, positive, and " +
-    "the tuned near-dup row beats the default (the docs/BENCH.md claim)") {
+    "the shipped near-dup default beats the conservative baseline " +
+    "(the docs/BENCH.md + examples/neardup_topology.yaml claim)") {
     val root = read("stream_out.json")
       .getOrElse(cancel("stream_out.json absent — run graft.StreamSweep"))
     val rows = Seq("map_stateless", "windowed_sketch",
-      "stateful_neardup", "stateful_neardup_tuned")
+      "stateful_neardup", "stateful_neardup_conservative")
     rows.foreach { r =>
       assert(sec(root, r) > 0, s"$r: non-positive time")
       assert(sec(root, r, "rows_per_sec") > 0, s"$r: non-positive rate")
     }
     val default = sec(root, "stateful_neardup")
-    val tuned = sec(root, "stateful_neardup_tuned")
-    assert(tuned <= default,
-      f"tuned near-dup ($tuned%.1fs) no faster than default " +
-        f"($default%.1fs) — the shuffle_partitions+trigger claim is " +
-        "stale; re-measure and update docs/BENCH.md")
-    info(f"neardup default $default%.1fs -> tuned $tuned%.1fs " +
-      f"(${default / tuned}%.1fx)")
+    val cons = sec(root, "stateful_neardup_conservative")
+    // 1.15x tolerance (r14 ADVICE): streaming rows swing ~1.5-2.5x
+    // run-to-run, and a min-of-2 artifact can legitimately land the two
+    // configs close; the gate catches a stale CLAIM (default slower by
+    // a real margin), not measurement noise.
+    assert(default <= cons * 1.15,
+      f"shipped near-dup default ($default%.1fs) no faster than the " +
+        f"conservative baseline ($cons%.1fs) beyond noise — the " +
+        "shuffle_partitions+trigger promotion (r15) is stale; " +
+        "re-measure and update docs/BENCH.md + the example YAML")
+    info(f"neardup conservative $cons%.1fs -> shipped default " +
+      f"$default%.1fs (${cons / default}%.1fx)")
   }
 
   test("neardup_profile.json: every matrix cell positive; the kernel " +

@@ -1022,6 +1022,71 @@ class TopologySpec extends SparkSpec {
     assert(got2 == Seq(7L, 14L), got2)
   }
 
+  test("batch memory relay: a kind-memory intermediate chains the PLAN " +
+    "(no write, no read-back), equals the durable-relay result, and a " +
+    "memory sink registers as an inspectable temp view") {
+    val tmp = Files.createTempDirectory("topo_memrelay").toString
+    Seq(1.0, 2.0, 3.0).toDF("value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    def yaml(midKind: String, sfx: String) =
+      s"""topics:
+         |  - name: raw
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: mid$sfx
+         |    kind: $midKind
+         |  - name: out$sfx
+         |    kind: parquet
+         |operators:
+         |  gate:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [raw]
+         |    sinks: [mid$sfx]
+         |    config:
+         |      filter_expr: value > 1.5
+         |  total:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [mid$sfx]
+         |    sinks: [out$sfx]
+         |    config:
+         |      sql: SELECT CAST(sum(value) AS DOUBLE) AS total FROM mid$sfx
+         |      views: [mid$sfx]
+         |""".stripMargin
+    val namesMem = Topology.parse(yaml("memory", "_m"))
+      .runBatch(spark, s"$tmp/sinks_m")
+    val namesDur = Topology.parse(yaml("parquet", "_d"))
+      .runBatch(spark, s"$tmp/sinks_d")
+    val gotMem = spark.read.parquet(s"$tmp/sinks_m/out_m").as[Double].head()
+    val gotDur = spark.read.parquet(s"$tmp/sinks_d/out_d").as[Double].head()
+    assert(gotMem == 5.0 && gotDur == 5.0)
+    // the memory intermediate is NOT written (no durable round-trip) and
+    // is excluded from the returned written-sink names; the durable
+    // variant writes it
+    assert(!new java.io.File(s"$tmp/sinks_m/mid_m").exists())
+    assert(new java.io.File(s"$tmp/sinks_d/mid_d").exists())
+    assert(namesMem == Seq("out_m"), namesMem)
+    assert(namesDur.toSet == Set("mid_d", "out_d"), namesDur)
+    // the batch analogue of the stream memory sink: inspectable by name
+    assert(spark.table("mid_m").as[Double].collect().sorted.toSeq ==
+      Seq(2.0, 3.0))
+    // an unproduced memory topic as a batch SOURCE refuses loudly
+    val orphan =
+      s"""topics:
+         |  - name: ghost
+         |    kind: memory
+         |  - name: out2
+         |    kind: parquet
+         |operators:
+         |  m:
+         |    factory: graft.streaming.ops.Multiply
+         |    sources: [ghost]
+         |    sinks: [out2]
+         |""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      Topology.parse(orphan).runBatch(spark, s"$tmp/sinks_g"))
+    assert(e.getMessage.contains("intra-run relay"), e.getMessage)
+  }
+
   test("topology DAG: operator declaration order does not matter " +
     "(wire is topological) and cycles fail loudly") {
     val tmp = Files.createTempDirectory("topo_order").toString
