@@ -10,6 +10,7 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    val fastMode = sys.env.get("SPARK_GRAFT_FAST").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,7 +48,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/_verify_env.json"),
       s"""{"cwd":${q(new java.io.File(".").getCanonicalPath)},""" +
         s""""java":${q(System.getProperty("java.version"))},""" +
-        s""""free_disk_mb":$free,"cpus":${q(cpus)},""" +
+        s""""free_disk_mb":$free,"cpus":${q(cpus)},"fast":$fastMode,""" +
         s""""args":${args.map(q).mkString("[", ",", "]")}}""" + "\n")
     // oracle_sql.json is written FIRST (it depends on nothing but the
     // static maps): if the query loop dies mid-run, the driver's
@@ -71,12 +72,27 @@ object Verify {
         // row order is provably stable run-to-run regardless of partition
         // layout (a row-order-sensitive hash on the driver side otherwise
         // sees whatever order the final exchange produced).
+        //
+        // SPARK_GRAFT_FAST=1 (r14 verdict task 2, opt-in, default OFF):
+        // skip the defensive sort where the query's own analyzed plan
+        // already ends in a GLOBAL Sort — there EliminateSorts removes
+        // the query's sort under ours anyway (one sort runs either
+        // way), so the fork trades the all-columns total order for the
+        // query's own declared order. Safe for a driver that canon-
+        // sorts rows before hashing (ours does — check_oracle.py
+        // replicates it); measured + hash-verified in docs/BENCH.md.
         import org.apache.spark.sql.functions.col
+        val querySorted = out.queryExecution.analyzed match {
+          case s: org.apache.spark.sql.catalyst.plans.logical.Sort =>
+            s.global
+          case _ => false
+        }
         val orderable = out.schema.fields.filter(f =>
           org.apache.spark.sql.catalyst.expressions.RowOrdering
             .isOrderable(f.dataType)).map(f => col(f.name)).toIndexedSeq
         val stable =
-          if (orderable.isEmpty) out else out.orderBy(orderable: _*)
+          if (orderable.isEmpty || (fastMode && querySorted)) out
+          else out.orderBy(orderable: _*)
         stable.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         okCount += 1
