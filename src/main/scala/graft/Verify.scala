@@ -80,7 +80,12 @@ object Verify {
         // way), so the fork trades the all-columns total order for the
         // query's own declared order. Safe for a driver that canon-
         // sorts rows before hashing (ours does — check_oracle.py
-        // replicates it); measured + hash-verified in docs/BENCH.md.
+        // replicates it). MEASURED r15 at sf0.01: 199s vs 201s
+        // sbt-to-exit, all 240 outputs canon-identical — the sort is
+        // NOT where Verify's wall time lives (planning + tiny
+        // coalesce(1) writes are), so the default stays the provably
+        // order-stable artifact; the flag remains for a driver whose
+        // patience is ever within 1% of Verify's runtime.
         import org.apache.spark.sql.functions.col
         val querySorted = out.queryExecution.analyzed match {
           case s: org.apache.spark.sql.catalyst.plans.logical.Sort =>
