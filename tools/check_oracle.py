@@ -2,17 +2,26 @@
 """Local replica of the driver's t2 correctness gate (dev tool only — the
 shipped library has no Python dependency).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> \
+           [--json out.json] [--workers N]
 
 Reads each <name>/ parquet written by graft.Verify, runs the matching
 oracle_sql.json query in DuckDB over the same parquet tables, sorts columns
 by name and rows by value, and compares exactly.
+
+Parallel by default (r15): the per-query cost is dominated by DuckDB
+planning/executing the macro-expanded oracle SQL (~4s fixed each at any
+SF), embarrassingly parallel across queries — 8 workers cut the 240-query
+arbitration from ~25 min to ~4 min. --workers 1 gives the legacy serial
+path; results, output lines, and the --json report are identical and
+deterministically ordered either way.
 """
 import json
+import multiprocessing as mp
+import os
 import sys
 
 import duckdb
-import pyarrow.parquet as pq
 import pyarrow.dataset as pds
 
 
@@ -35,63 +44,105 @@ def fresh_con(sf_dir):
     return con
 
 
-def main(sf_dir, out_dir, json_out=None):
+# per-worker-process state (fresh after fork: parent never connects)
+_SF = _OUT = None
+_CON = None
+_N_SINCE = 0
+
+
+def _init(sf_dir, out_dir):
+    global _SF, _OUT
+    _SF, _OUT = sf_dir, out_dir
+
+
+def _check_one(item):
+    """Full compare for one query; returns (name, report_entry, lines,
+    passed). Runs inside a worker: each process keeps its own DuckDB
+    connection, recycled every 25 queries — a single DuckDB 1.0
+    connection accumulates allocator state across 200+ heavy
+    MATERIALIZED-CTE queries until tiny allocations fail (observed
+    round 7: 3 spurious OOM "FAIL"s that all pass standalone)."""
+    global _CON, _N_SINCE
+    name, sql = item
+    if _CON is None or _N_SINCE >= 25:
+        if _CON is not None:
+            _CON.close()
+        _CON = fresh_con(_SF)
+        _N_SINCE = 0
+    _N_SINCE += 1
+    lines = []
+    try:
+        got_tbl = pds.dataset(f"{_OUT}/{name}").to_table()
+        got_cols = got_tbl.column_names
+        got_rows = [tuple(r.values()) for r in got_tbl.to_pylist()]
+        exp = _CON.execute(sql)
+        exp_cols = [d[0] for d in exp.description]
+        exp_rows = exp.fetchall()
+    except Exception as e:
+        return (name,
+                {"rows_match": None, "schema_match": None,
+                 "values_match": None, "err": str(e)[:300]},
+                [f"FAIL {name}: exception {e}"], False)
+    gc, gr = canon(got_rows, got_cols)
+    ec, er = canon(exp_rows, exp_cols)
+    entry = {"rows_match": len(gr) == len(er),
+             "schema_match": gc == ec,
+             "values_match": gr == er,
+             "spark_rows": len(gr), "oracle_rows": len(er),
+             "err": None}
+    if gc != ec:
+        lines.append(f"FAIL {name}: schema {gc} != {ec}")
+        return name, entry, lines, False
+    if gr != er:
+        lines.append(f"FAIL {name}: {len(gr)} vs {len(er)} rows")
+        for a, b in list(zip(gr, er))[:200]:
+            if a != b:
+                lines.append(f"   got {a}\n   exp {b}")
+                break
+        if len(gr) != len(er):
+            only_g = set(map(str, gr)) - set(map(str, er))
+            only_e = set(map(str, er)) - set(map(str, gr))
+            lines.append(f"   only-got {list(only_g)[:3]}")
+            lines.append(f"   only-exp {list(only_e)[:3]}")
+        return name, entry, lines, False
+    lines.append(f"PASS {name} ({len(gr)} rows)")
+    return name, entry, lines, True
+
+
+def main(sf_dir, out_dir, json_out=None, workers=None):
     # version skew between this box's DuckDB and the driver's is a live
     # suspect whenever local-pass/driver-fail divergence appears (r6 DSIR)
     print(f"duckdb {duckdb.__version__}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    items = sorted(oracle.items())
+    if workers is None:
+        workers = min(8, os.cpu_count() or 1)
     n_pass = n_fail = 0
     report = {}
-    con = fresh_con(sf_dir)
-    n_since = 0
-    for name, sql in sorted(oracle.items()):
-        # recycle the connection every 25 queries: a single DuckDB 1.0
-        # connection accumulates allocator state across 200+ heavy
-        # MATERIALIZED-CTE queries until tiny allocations fail (observed
-        # round 7: 3 spurious OOM "FAIL"s that all pass standalone)
-        n_since += 1
-        if n_since > 25:
-            con.close()
-            con = fresh_con(sf_dir)
-            n_since = 1
-        try:
-            got_tbl = pds.dataset(f"{out_dir}/{name}").to_table()
-            got_cols = got_tbl.column_names
-            got_rows = [tuple(r.values()) for r in got_tbl.to_pylist()]
-            exp = con.execute(sql)
-            exp_cols = [d[0] for d in exp.description]
-            exp_rows = exp.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: exception {e}")
-            report[name] = {"rows_match": None, "schema_match": None,
-                            "values_match": None, "err": str(e)[:300]}
-            n_fail += 1
-            continue
-        gc, gr = canon(got_rows, got_cols)
-        ec, er = canon(exp_rows, exp_cols)
-        report[name] = {"rows_match": len(gr) == len(er),
-                        "schema_match": gc == ec,
-                        "values_match": gr == er,
-                        "spark_rows": len(gr), "oracle_rows": len(er),
-                        "err": None}
-        if gc != ec:
-            print(f"FAIL {name}: schema {gc} != {ec}")
-            n_fail += 1
-        elif gr != er:
-            n_fail += 1
-            print(f"FAIL {name}: {len(gr)} vs {len(er)} rows")
-            for a, b in list(zip(gr, er))[:200]:
-                if a != b:
-                    print(f"   got {a}\n   exp {b}")
-                    break
-            if len(gr) != len(er):
-                only_g = set(map(str, gr)) - set(map(str, er))
-                only_e = set(map(str, er)) - set(map(str, gr))
-                print(f"   only-got {list(only_g)[:3]}")
-                print(f"   only-exp {list(only_e)[:3]}")
-        else:
+
+    def consume(result):
+        nonlocal n_pass, n_fail
+        name, entry, lines, passed = result
+        report[name] = entry
+        for ln in lines:
+            print(ln)
+        if passed:
             n_pass += 1
-            print(f"PASS {name} ({len(gr)} rows)")
+        else:
+            n_fail += 1
+
+    if workers <= 1:
+        _init(sf_dir, out_dir)
+        for it in items:
+            consume(_check_one(it))
+    else:
+        # fork + per-process lazy connections; imap preserves the sorted
+        # deterministic output order of the serial path
+        with mp.get_context("fork").Pool(
+                workers, initializer=_init,
+                initargs=(sf_dir, out_dir)) as pool:
+            for result in pool.imap(_check_one, items):
+                consume(result)
     print(f"== {n_pass} pass / {n_fail} fail ==")
     if json_out:
         with open(json_out, "w") as f:
@@ -101,9 +152,14 @@ def main(sf_dir, out_dir, json_out=None):
 
 if __name__ == "__main__":
     jo = None
+    nw = None
     argv = sys.argv[1:]
     if "--json" in argv:
         i = argv.index("--json")
         jo = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    sys.exit(main(argv[0], argv[1], jo))
+    if "--workers" in argv:
+        i = argv.index("--workers")
+        nw = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], jo, nw))
