@@ -1326,7 +1326,11 @@ class StreamingSpec extends SparkSpec {
          |  key_col: user
          |""".stripMargin
     Topology.parse(yaml).runBatch(spark, s"$tmp/sinks")
-    val got = spark.read.parquet(s"$tmp/sinks/sessions")
+    // r15: a terminal memory sink in batch registers as a temp view
+    // (the stream memory-sink analogue) instead of the pre-r15
+    // accidental parquet write — TopologySpec "batch memory relay"
+    // pins the full contract
+    val got = spark.table("sessions")
       .select("user", "n", "sum_value")
       .as[(String, Long, Double)].collect().toSet
     assert(got == Set(("u1", 2L, 3.0), ("u1", 1L, 4.0), ("u2", 1L, 8.0)))
