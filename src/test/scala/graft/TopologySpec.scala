@@ -1069,6 +1069,46 @@ class TopologySpec extends SparkSpec {
     // the batch analogue of the stream memory sink: inspectable by name
     assert(spark.table("mid_m").as[Double].collect().sorted.toSeq ==
       Seq(2.0, 3.0))
+    // a memory relay consumed by TWO downstream operators: correct
+    // results (the documented trade is recompute, never wrongness)
+    val fanout =
+      s"""topics:
+         |  - name: raw
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: mid_f
+         |    kind: memory
+         |  - name: total_f
+         |    kind: parquet
+         |  - name: count_f
+         |    kind: parquet
+         |operators:
+         |  gate:
+         |    factory: graft.streaming.ops.FilterOp
+         |    sources: [raw]
+         |    sinks: [mid_f]
+         |    config:
+         |      filter_expr: value > 1.5
+         |  total:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [mid_f]
+         |    sinks: [total_f]
+         |    config:
+         |      sql: SELECT CAST(sum(value) AS DOUBLE) AS total FROM mid_f
+         |      views: [mid_f]
+         |  cnt:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [mid_f]
+         |    sinks: [count_f]
+         |    config:
+         |      sql: SELECT CAST(count(*) AS BIGINT) AS n FROM mid_fc
+         |      views: [mid_fc]
+         |""".stripMargin
+    Topology.parse(fanout).runBatch(spark, s"$tmp/sinks_f")
+    assert(spark.read.parquet(s"$tmp/sinks_f/total_f")
+      .as[Double].head() == 5.0)
+    assert(spark.read.parquet(s"$tmp/sinks_f/count_f")
+      .as[Long].head() == 2L)
     // an unproduced memory topic as a batch SOURCE refuses loudly
     val orphan =
       s"""topics:

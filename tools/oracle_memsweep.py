@@ -9,43 +9,90 @@ four alphabetically-consecutive oracles under ambient memory pressure;
 a query that passes this sweep has a bounded peak and survives that
 class of window. OracleParseSpec tier 3 runs the MATERIALIZED-CTE
 members under the same cap inside `sbt test`; this sweep is the
-full-battery version (minutes, run per round before committing).
+full-battery version (run per round before committing).
 
-Usage: python3 tools/oracle_memsweep.py <sfDir> <verifyOutDir> [cap]
+Parallel by default (r15, the check_oracle.py treatment): the cap is
+PER CONNECTION and each query gets a fresh one, so workers don't share
+a budget and the per-query verdict is identical to the serial sweep —
+8 workers cut the full battery ~20min -> ~3min. --workers 1 is the
+legacy serial path. SLOW timings are stamped with the worker count:
+under concurrency they measure contention too, so compare slow-lists
+only at equal worker counts.
+
+Usage: python3 tools/oracle_memsweep.py <sfDir> <verifyOutDir> \
+           [cap] [--workers N]
 Expect: "FAILS: 0".
 """
 import json
+import multiprocessing as mp
+import os
 import sys
 import time
 
 from check_oracle import fresh_con  # shared table list + view setup
 
+_SF = _CAP = None
 
-def main(sf, outdir, cap="200MB"):
-    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    fails, slow = [], []
-    for name, sql in sorted(oracle.items()):
-        con = fresh_con(sf)
-        con.execute(f"SET memory_limit='{cap}'")
-        con.execute("SET temp_directory='/tmp/duck_spill'")
-        t0 = time.time()
-        try:
-            con.execute(sql).fetchall()
-            dt = time.time() - t0
-            if dt > 5:
-                slow.append((name, round(dt, 1)))
-        except Exception as e:
-            fails.append((name, str(e)[:160]))
+
+def _init(sf, cap):
+    global _SF, _CAP
+    _SF, _CAP = sf, cap
+
+
+def _sweep_one(item):
+    name, sql = item
+    con = fresh_con(_SF)
+    con.execute(f"SET memory_limit='{_CAP}'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    t0 = time.time()
+    try:
+        con.execute(sql).fetchall()
+        return name, None, time.time() - t0
+    except Exception as e:
+        return name, str(e)[:160], time.time() - t0
+    finally:
         con.close()
+
+
+def main(sf, outdir, cap="200MB", workers=None):
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    items = sorted(oracle.items())
+    if workers is None:
+        workers = min(8, os.cpu_count() or 1)
+    fails, slow = [], []
+
+    def consume(res):
+        name, err, dt = res
+        if err is not None:
+            fails.append((name, err))
+        elif dt > 5:
+            slow.append((name, round(dt, 1)))
+
+    if workers <= 1:
+        _init(sf, cap)
+        for it in items:
+            consume(_sweep_one(it))
+    else:
+        with mp.get_context("fork").Pool(
+                workers, initializer=_init, initargs=(sf, cap)) as pool:
+            for res in pool.imap(_sweep_one, items):
+                consume(res)
     print("FAILS:", len(fails))
     for n, e in fails:
         print(" ", n, "--", e)
-    print("SLOW(>5s under cap, spill-bound — informational):", slow)
+    print(f"SLOW(>5s under cap at workers={workers}, spill/contention-"
+          f"bound — informational):", slow)
     return 1 if fails else 0
 
 
 if __name__ == "__main__":
-    if not 3 <= len(sys.argv) <= 4:
+    argv = sys.argv[1:]
+    nw = None
+    if "--workers" in argv:
+        i = argv.index("--workers")
+        nw = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if not 2 <= len(argv) <= 3:
         print(__doc__)
         sys.exit(2)
-    sys.exit(main(*sys.argv[1:]))
+    sys.exit(main(*argv, workers=nw))
