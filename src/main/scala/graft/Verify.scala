@@ -12,15 +12,6 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val fastMode = sys.env.get("SPARK_GRAFT_FAST").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -38,11 +29,13 @@ object Verify {
     require(outFile.isDirectory && outFile.canWrite,
       s"[verify] cannot create/write outDir $outDir — aborting loudly " +
         "(an unwritable outDir must never read as an empty-but-clean run)")
-    // startup forensic stamp, written BEFORE any query runs (r14 verdict
-    // task 1): if a downstream correctness artifact ever comes back
-    // empty again, the presence/absence of this file in the out dir
-    // tells a judge whether Verify even started — and if it did, under
-    // what JVM, cwd, disk headroom, and args.
+    // startup forensic stamp, written BEFORE the SparkSession even
+    // builds (r14 verdict task 1): if a downstream correctness artifact
+    // ever comes back empty again, the presence/absence of this file in
+    // the out dir tells a judge whether Verify launched at all — and a
+    // present stamp with no _verify_summary says it died between
+    // session startup and the query loop (port binding, JVM memory),
+    // the exact ambiguity the r13/r14 `{}` artifacts left unanswered.
     val t0 = System.nanoTime()
     val free = outFile.getUsableSpace / (1024L * 1024L)
     Files.writeString(Paths.get(s"$outDir/_verify_env.json"),
@@ -50,6 +43,15 @@ object Verify {
         s""""java":${q(System.getProperty("java.version"))},""" +
         s""""free_disk_mb":$free,"cpus":${q(cpus)},"fast":$fastMode,""" +
         s""""args":${args.map(q).mkString("[", ",", "]")}}""" + "\n")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     // oracle_sql.json is written FIRST (it depends on nothing but the
     // static maps): if the query loop dies mid-run, the driver's
     // compare still sees every oracle and the partial artifacts —

@@ -699,10 +699,29 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     // the read-back relays to downstream operators — every DAG stage is
     // computed exactly once, whatever the chain depth
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    val consumed = operators.flatMap(_.sources).toSet
     wire(spark, batchSource(spark, _), operators,
       chainable = _ => true,
       relay = (sinkTopic, df) =>
         if (sinkTopic.kind == "memory") {
+          val log = org.slf4j.LoggerFactory.getLogger(getClass)
+          // the view is session-global and ephemeral: shadowing an
+          // existing registration (a base-table view, a previous run's
+          // relay) is legal but worth a loud trace — a memory topic
+          // named like a catalog table silently rebinds every later
+          // spark.table() in the session
+          if (df.sparkSession.catalog.tableExists(sinkTopic.name))
+            log.warn(s"memory sink '${sinkTopic.name}' replaces an " +
+              "existing temp view of the same name for this session")
+          // a terminal memory sink in batch computes NOTHING by itself
+          // (the view is lazy); pre-r15 it was accidentally written as
+          // parquet, so make the semantics change loud instead of a
+          // silent no-op
+          if (!consumed.contains(sinkTopic.name))
+            log.warn(s"memory sink '${sinkTopic.name}' has no consumer " +
+              "in this topology: batch mode registers it as a LAZY temp " +
+              "view only — nothing is computed or written; use a " +
+              "parquet/json sink for durable batch output")
           df.createOrReplaceTempView(sinkTopic.name)
           df
         } else {

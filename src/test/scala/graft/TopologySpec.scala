@@ -1101,8 +1101,8 @@ class TopologySpec extends SparkSpec {
          |    sources: [mid_f]
          |    sinks: [count_f]
          |    config:
-         |      sql: SELECT CAST(count(*) AS BIGINT) AS n FROM mid_fc
-         |      views: [mid_fc]
+         |      sql: SELECT CAST(count(*) AS BIGINT) AS n FROM mid_f
+         |      views: [mid_f]
          |""".stripMargin
     Topology.parse(fanout).runBatch(spark, s"$tmp/sinks_f")
     assert(spark.read.parquet(s"$tmp/sinks_f/total_f")

@@ -34,8 +34,26 @@ def canon(rows, colnames):
     return [colnames[i] for i in order], out
 
 
-def fresh_con(sf_dir):
+def _ram_gb():
+    try:
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                if ln.startswith("MemTotal:"):
+                    return int(ln.split()[1]) / (1024 * 1024)
+    except Exception:
+        pass
+    return 16.0  # conservative guess when /proc is unavailable
+
+
+def fresh_con(sf_dir, mem_limit=None):
     con = duckdb.connect()
+    if mem_limit:
+        # parallel workers must not each claim DuckDB's default 80% of
+        # RAM — N concurrent heavy MATERIALIZED-CTE oracles would
+        # oversubscribe physical memory and flip correctness rows to
+        # spurious OOM FAILs (the serial r7 incident, multiplied)
+        con.execute(f"SET memory_limit='{mem_limit}'")
+        con.execute(f"SET temp_directory='/tmp/duck_spill_{os.getpid()}'")
     for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
                 "lineitem", "events", "documents", "embeddings"]:
         con.execute(
@@ -45,14 +63,14 @@ def fresh_con(sf_dir):
 
 
 # per-worker-process state (fresh after fork: parent never connects)
-_SF = _OUT = None
+_SF = _OUT = _MEM = None
 _CON = None
 _N_SINCE = 0
 
 
-def _init(sf_dir, out_dir):
-    global _SF, _OUT
-    _SF, _OUT = sf_dir, out_dir
+def _init(sf_dir, out_dir, mem_limit=None):
+    global _SF, _OUT, _MEM
+    _SF, _OUT, _MEM = sf_dir, out_dir, mem_limit
 
 
 def _check_one(item):
@@ -67,7 +85,7 @@ def _check_one(item):
     if _CON is None or _N_SINCE >= 25:
         if _CON is not None:
             _CON.close()
-        _CON = fresh_con(_SF)
+        _CON = fresh_con(_SF, _MEM)
         _N_SINCE = 0
     _N_SINCE += 1
     lines = []
@@ -137,10 +155,13 @@ def main(sf_dir, out_dir, json_out=None, workers=None):
             consume(_check_one(it))
     else:
         # fork + per-process lazy connections; imap preserves the sorted
-        # deterministic output order of the serial path
+        # deterministic output order of the serial path. Half of RAM
+        # split across workers (min 2GB each) so N connections can never
+        # oversubscribe physical memory.
+        mem = f"{max(2.0, _ram_gb() * 0.5 / workers):.1f}GB"
         with mp.get_context("fork").Pool(
                 workers, initializer=_init,
-                initargs=(sf_dir, out_dir)) as pool:
+                initargs=(sf_dir, out_dir, mem)) as pool:
             for result in pool.imap(_check_one, items):
                 consume(result)
     print(f"== {n_pass} pass / {n_fail} fail ==")

