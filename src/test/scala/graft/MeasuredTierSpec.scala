@@ -74,6 +74,34 @@ class MeasuredTierSpec extends AnyFunSuite {
         "attribution in docs/BENCH.md no longer holds")
   }
 
+  test("committed selfcheck verdict: the newest report/correctness_local" +
+    "_r*.json parses, says PASS with zero failures, and carries commit " +
+    "provenance — a failing or empty arbitration artifact cannot sit " +
+    "committed while the suite reads green") {
+    val dir = new java.io.File("report")
+    val newest = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("correctness_local_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+      .lastOption
+      .getOrElse(cancel("no committed selfcheck verdict yet — run " +
+        "tools/selfcheck.sh"))
+    val root = read(newest.getPath).getOrElse(
+      fail(s"${newest.getName}: unparseable JSON"))
+    // r14's artifact predates the selfcheck schema (hand-assembled
+    // provenance notes); the gate binds from the schema'd era on
+    if (!root.path("verdict").isTextual)
+      cancel(s"${newest.getName} predates the selfcheck schema")
+    assert(root.path("verdict").asText() == "PASS",
+      s"${newest.getName}: committed verdict is not PASS")
+    assert(root.path("oracle_fail").asInt(-1) == 0 &&
+      root.path("oracle_pass").asInt(0) > 200,
+      s"${newest.getName}: oracle counts implausible " +
+        s"(${root.path("oracle_pass")}/${root.path("oracle_fail")})")
+    assert(root.path("provenance").path("commit").asText("")
+      .matches("[0-9a-f]{40}"),
+      s"${newest.getName}: missing commit provenance")
+  }
+
   test("skew_out.json: all five strategy timings positive and the " +
     "cross-strategy agg group count sane") {
     val root = read("skew_out.json")
