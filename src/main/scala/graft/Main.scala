@@ -60,8 +60,17 @@ object Main {
         topo.config.get(key).map(_.toString).getOrElse(default))
     setting("mode", "stream") match {
       case "batch" =>
-        topo.runBatch(spark, setting("output",
+        val written = topo.runBatch(spark, setting("output",
           sys.error("batch mode needs --output (or config: output)")))
+        // kind:memory sinks are ephemeral temp views that die with this
+        // JVM — a CLI batch run whose sinks are ALL memory would compute
+        // nothing, write nothing and still exit 0 (pre-r15 such sinks
+        // were accidentally written as parquet, so this is also the
+        // loud face of that semantics change)
+        require(written.nonEmpty,
+          "batch run wrote no durable sink: every sink topic is " +
+            "kind:memory (ephemeral temp views that vanish when this " +
+            "JVM exits) — point at least one sink at parquet/json")
         Nil
       case "stream" =>
         topo.runStream(spark, setting("checkpoint",

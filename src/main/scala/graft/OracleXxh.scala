@@ -48,13 +48,22 @@ package graft
   *    round 14 their contract is ENFORCED, not assumed: md5 itself is
   *    byte-exact in both engines (DuckDB md5(VARCHAR) hashes UTF-8
   *    bytes, verified against the JVM), but DuckDB can neither slice
-  *    nor md5 BLOBs and its `lower` is per-codepoint (no final-sigma
-  *    context), so the gate queries whose text path CROSSES a casing
-  *    transform or a byte-slice (q_normalize, q_fingerprint,
-  *    q_dedup_against, q_pipeline_corpus, q_pipeline_incremental,
-  *    q_corpus_card, q_frame_sample) wrap their text input in
-  *    `Text.asciiOracleGuard` — plan-side length==octet_length, a loud
-  *    raise_error naming the query on any non-ASCII row. Queries whose
+  *    nor md5 BLOBs and its `lower`/`upper` are per-codepoint (no
+  *    final-sigma/ß→SS context). Two tiers cover that exposure. The
+  *    GATE tier: queries that MANUFACTURE their compare key through a
+  *    casing transform or a byte/char slice (q_normalize,
+  *    q_fingerprint, q_dedup_against, q_pipeline_corpus,
+  *    q_pipeline_incremental, q_corpus_card, q_frame_sample,
+  *    q_scalar_funcs) wrap their text input in `Text.asciiOracleGuard`
+  *    — plan-side length==octet_length, a loud raise_error naming the
+  *    query on any non-ASCII row; the guard survives a corpus swap, so
+  *    these queries can never silently diverge on user data. The
+  *    CORPUS-PIN tier: every tokenizing oracle also replays `lower`
+  *    (Text.tokensHof) — guarding dozens of queries per-row would tax
+  *    the hot family for the same invariant, so that tier rests on the
+  *    corpus-is-ASCII pin instead, which is CHECKED, not assumed
+  *    (TextDedupSpec asserts zero non-ASCII bytes across documents
+  *    text+lang+source at both oracle scale factors). Queries whose
   *    only hash is md5 of a RAW string with a hex-prefix slice are
   *    byte-exact over ALL UTF-8 and carry no guard: q_paragraph_dedup
   *    dropped its guard in r15 and deliberately injects multi-byte

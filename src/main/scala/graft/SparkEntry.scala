@@ -1175,10 +1175,16 @@ object SparkEntry {
     }),
 
     // scalar-function battery: string/date/null-handling expressions
+    // upper() + char-slice manufacture the compare key, so this row is
+    // in the plan-side guard tier (OracleXxh doc): DuckDB's upper is
+    // per-codepoint (ß would not become SS) and the oracle's substr
+    // must slice the same codepoints
     "q_scalar_funcs" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
-        upper(substring(col("text"), 1, 10)).as("head_up"),
+        upper(substring(
+          Text.asciiOracleGuard(col("text"), "q_scalar_funcs"),
+          1, 10)).as("head_up"),
         length(col("text")).as("len"),
         concat_ws("|", col("lang"), col("source")).as("tag"),
         regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
@@ -1708,10 +1714,13 @@ object SparkEntry {
     }),
 
     // paragraph-granularity span TRIM (Lee et al.: remove the duplicated
-    // text, keep the document): same synthesized two-paragraph corpus as
-    // q_paragraph_dedup — partner paragraphs duplicate the first corpus
-    // occurrence, so they trim everywhere but there (intra-doc self-
-    // partner repeats included) while paragraph 1 survives
+    // text, keep the document): same two-paragraph CONSTRUCTION as
+    // q_paragraph_dedup but WITHOUT its multi-byte partner suffix — this
+    // oracle tokenizes through lower(), so it stays on the corpus-pin
+    // (ASCII) tier while the dedup query exercises the non-ASCII md5
+    // closure. Partner paragraphs duplicate the first corpus occurrence,
+    // so they trim everywhere but there (intra-doc self-partner repeats
+    // included) while paragraph 1 survives
     "q_trim_spans" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val p = d.filter(col("doc_id") < 50)

@@ -687,19 +687,26 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
     * sink stays inspectable (`spark.table(name)`, the batch analogue
     * of the stream memory sink). The durable-sink recovery contract is
     * untouched: it only ever covered file/kafka topics, and a memory
-    * topic is non-durable by definition in both modes. Trade-off the
-    * topology author opts into: a plan relay consumed by TWO
-    * downstream operators re-computes the upstream subtree per
-    * consumer (the write-through relay computes each stage exactly
-    * once) — single-consumer chains, e.g. gate-only verification DAGs,
-    * skip the durable round-trip for free. */
+    * topic is non-durable by definition in both modes. Consumer-count
+    * contract: a relay consumed by ONE operator chains plan-level (the
+    * optimizer fuses across the hop — pushdown, codegen; recompute is
+    * unobservable with one consumer); a relay consumed by TWO OR MORE
+    * is persisted (MEMORY_AND_DISK) so every consumer reads the SAME
+    * materialization — without the persist, a nondeterministic
+    * upstream (unseeded sample, unordered tie-break) could hand each
+    * consumer a different row set, which the write-through relay could
+    * never do. Residual caveat, same as any Spark persist: lost
+    * partitions recompute on executor failure. */
   def runBatch(spark: SparkSession, outDir: String): Seq[String] = {
     applyShufflePartitions(spark)
     // each file sink is written AT WIRING TIME (topological order) and
     // the read-back relays to downstream operators — every DAG stage is
     // computed exactly once, whatever the chain depth
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
-    val consumed = operators.flatMap(_.sources).toSet
+    // consumer COUNT per topic (not a set): >= 2 consumers of a memory
+    // relay switch it from plan-level chaining to a shared persist
+    val consumerCount = operators.flatMap(_.sources)
+      .groupBy(identity).view.mapValues(_.size).toMap
     wire(spark, batchSource(spark, _), operators,
       chainable = _ => true,
       relay = (sinkTopic, df) =>
@@ -716,14 +723,24 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
           // a terminal memory sink in batch computes NOTHING by itself
           // (the view is lazy); pre-r15 it was accidentally written as
           // parquet, so make the semantics change loud instead of a
-          // silent no-op
-          if (!consumed.contains(sinkTopic.name))
+          // silent no-op (Main refuses outright when NO sink of the
+          // whole run is durable)
+          val nConsumers = consumerCount.getOrElse(sinkTopic.name, 0)
+          if (nConsumers == 0)
             log.warn(s"memory sink '${sinkTopic.name}' has no consumer " +
               "in this topology: batch mode registers it as a LAZY temp " +
               "view only — nothing is computed or written; use a " +
               "parquet/json sink for durable batch output")
-          df.createOrReplaceTempView(sinkTopic.name)
-          df
+          // >= 2 consumers: share ONE materialization (see scaladoc) —
+          // a lazy plan handed to two sinks recomputes per action and a
+          // nondeterministic upstream would let the sinks disagree
+          val shared =
+            if (nConsumers >= 2)
+              df.persist(org.apache.spark.storage.StorageLevel
+                .MEMORY_AND_DISK)
+            else df
+          shared.createOrReplaceTempView(sinkTopic.name)
+          shared
         } else {
           val path = s"$outDir/${sinkTopic.name}"
           writeFileSink(df, sinkTopic, "overwrite", path)

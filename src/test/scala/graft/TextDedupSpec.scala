@@ -695,13 +695,20 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("corpus is ASCII — the contract the OracleXxh char-based byte " +
-    "reader and frame-slicing oracles depend on") {
+    "reader, the tokenizing (lower-crossing) oracle family, and the " +
+    "frame-slicing oracles depend on") {
     for (sf <- Seq("sf0.001", "sf0.01")) {
+      // text for the hash/slice family; lang + source because they are
+      // concatenated into text paths (q_normalize, q_c4_clean) and
+      // upper()'d in synthUrl — a non-ASCII value there would cross
+      // DuckDB's per-codepoint casing just like document text
       val bad = graft.core.Tables.table(spark, s"/root/testdata/$sf",
         "documents")
-        .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+        .filter(concat_ws("", col("text"), col("lang"),
+          col("source")).rlike("[^\\x00-\\x7F]")).count()
       assert(bad == 0L, s"$sf has $bad non-ASCII documents — the xxhash " +
-        "oracle family (char==byte) would silently diverge")
+        "and casing oracle families (char==byte, per-codepoint lower) " +
+        "would silently diverge")
     }
   }
 

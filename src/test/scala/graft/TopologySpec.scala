@@ -1070,7 +1070,8 @@ class TopologySpec extends SparkSpec {
     assert(spark.table("mid_m").as[Double].collect().sorted.toSeq ==
       Seq(2.0, 3.0))
     // a memory relay consumed by TWO downstream operators: correct
-    // results (the documented trade is recompute, never wrongness)
+    // results off ONE shared materialization (the >=2-consumer persist
+    // contract — see the runBatch scaladoc)
     val fanout =
       s"""topics:
          |  - name: raw
@@ -1125,6 +1126,83 @@ class TopologySpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Topology.parse(orphan).runBatch(spark, s"$tmp/sinks_g"))
     assert(e.getMessage.contains("intra-run relay"), e.getMessage)
+  }
+
+  test("multi-consumer memory relay shares ONE materialization: a " +
+    "nondeterministic upstream hands both consumers the same rows " +
+    "(without the persist each sink action would redraw rand())") {
+    val tmp = Files.createTempDirectory("topo_nondet").toString
+    spark.range(0, 64).selectExpr("CAST(id AS DOUBLE) AS value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: raw
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: drawn
+         |    kind: memory
+         |  - name: left
+         |    kind: parquet
+         |  - name: right
+         |    kind: parquet
+         |operators:
+         |  draw:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [raw]
+         |    sinks: [drawn]
+         |    config:
+         |      sql: SELECT value, rand() AS r FROM raw
+         |      views: [raw]
+         |  a:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [drawn]
+         |    sinks: [left]
+         |    config:
+         |      sql: SELECT value, r FROM drawn
+         |      views: [drawn]
+         |  b:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [drawn]
+         |    sinks: [right]
+         |    config:
+         |      sql: SELECT value, r FROM drawn
+         |      views: [drawn]
+         |""".stripMargin
+    Topology.parse(yaml).runBatch(spark, s"$tmp/sinks")
+    val l = spark.read.parquet(s"$tmp/sinks/left")
+      .as[(Double, Double)].collect().sortBy(_._1).toSeq
+    val r = spark.read.parquet(s"$tmp/sinks/right")
+      .as[(Double, Double)].collect().sortBy(_._1).toSeq
+    assert(l == r, "the two consumers of the memory relay observed " +
+      "different draws — the >=2-consumer persist contract is broken")
+    // the relay's temp view reports the shared cache level
+    assert(spark.table("drawn").storageLevel.useMemory,
+      "multi-consumer memory relay is not persisted")
+  }
+
+  test("Main batch mode refuses a topology whose sinks are ALL " +
+    "kind:memory — nothing durable would be written yet the JVM " +
+    "would exit 0") {
+    val tmp = Files.createTempDirectory("topo_allmem").toString
+    Seq(1.0, 2.0).toDF("value")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: raw
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: only_view
+         |    kind: memory
+         |operators:
+         |  m:
+         |    factory: graft.streaming.ops.Multiply
+         |    sources: [raw]
+         |    sinks: [only_view]
+         |""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      Main.run(spark, Topology.parse(yaml),
+        Map("mode" -> "batch", "output" -> s"$tmp/out")))
+    assert(e.getMessage.contains("no durable sink"), e.getMessage)
   }
 
   test("topology DAG: operator declaration order does not matter " +

@@ -135,6 +135,17 @@ def main(sf_dir, out_dir, json_out=None, workers=None):
     items = sorted(oracle.items())
     if workers is None:
         workers = min(8, os.cpu_count() or 1)
+    # Half of RAM is the aggregate DuckDB budget. Never FLOOR the
+    # per-worker cap upward (N floored connections would oversubscribe a
+    # small box — the r7 spurious-OOM class, plus mp.Pool can hang
+    # forever if the kernel OOM-kills a worker mid-imap); instead SHED
+    # workers until 2GB each fits inside the budget.
+    mem_budget_gb = _ram_gb() * 0.5
+    fit = max(1, int(mem_budget_gb / 2.0))
+    if workers > fit:
+        print(f"[check_oracle] reducing workers {workers} -> {fit} "
+              f"(RAM budget {mem_budget_gb:.1f}GB / 2GB floor)")
+        workers = fit
     n_pass = n_fail = 0
     report = {}
 
@@ -155,10 +166,10 @@ def main(sf_dir, out_dir, json_out=None, workers=None):
             consume(_check_one(it))
     else:
         # fork + per-process lazy connections; imap preserves the sorted
-        # deterministic output order of the serial path. Half of RAM
-        # split across workers (min 2GB each) so N connections can never
-        # oversubscribe physical memory.
-        mem = f"{max(2.0, _ram_gb() * 0.5 / workers):.1f}GB"
+        # deterministic output order of the serial path. The budget
+        # split is exact because the worker count was shed above to keep
+        # every connection >= 2GB without oversubscription.
+        mem = f"{mem_budget_gb / workers:.1f}GB"
         with mp.get_context("fork").Pool(
                 workers, initializer=_init,
                 initargs=(sf_dir, out_dir, mem)) as pool:
