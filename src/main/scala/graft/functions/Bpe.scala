@@ -140,8 +140,18 @@ object Bpe {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     }
-    val merges = res("merges.txt")
-      .filterNot(l => l.startsWith("#") || l.isEmpty)
+    // GPT-2 merges format: ONLY the first line is a header
+    // ("#version: ..."). Dropping every '#'-prefixed line would
+    // silently discard real merges whose left constituent starts with
+    // '#' ('#' is in the base alphabet and common in code corpora),
+    // leaving encode() diverged from the vocab it was trained with.
+    val rawMerges = res("merges.txt")
+    val body = rawMerges match {
+      case h +: t if h.startsWith("#version") => t
+      case other => other
+    }
+    val merges = body
+      .filterNot(_.isEmpty)
       .map { l =>
         val sp = l.split(" ", 2)
         require(sp.length == 2, s"bad merges line: '$l'")
@@ -172,8 +182,15 @@ object Bpe {
     * vocab covers every token and the merge loop loses nothing. */
   def decode(ids: Column, table: Table = default): Column = {
     import org.apache.spark.sql.functions._
+    // total over any id stream: encode() is documented to emit -1 for
+    // out-of-vocab tokens, and element_at(vocab, -1 + 1) = index 0
+    // would kill the whole query under ANSI (while ids <= -2 would
+    // silently read from the END of the vocab via negative indexing) —
+    // map anything outside [0, |vocab|) to U+FFFD instead
+    val n = table.vocab.size
     array_join(transform(ids,
-      i => element_at(typedlit(table.vocab), i + 1)), "")
+      i => when(i >= 0 && i < n, element_at(typedlit(table.vocab), i + 1))
+        .otherwise(lit("�"))), "")
   }
 
   // --- training ---------------------------------------------------------

@@ -66,20 +66,34 @@ object Codecs {
   def roundTrip(codec: Codec, v: Column): Column =
     codec.decode(codec.encode(v))
 
-  /** Build a Kafka-frame projection: (key, value, partition) binary columns
+  /** Build a Kafka-frame projection: (key, value [, partition]) columns
     * ready for the kafka sink — the producer side of a topic
     * (encode + map_partition, reference makinage/operator.py:244-251).
-    * `partitionExpr` defaults to a deterministic spread by key hash (the
-    * reference defaults to a random 0..999 spread, operator.py:44-48 —
-    * deterministic hashing is the reproducible upgrade). */
+    *
+    * By default NO `partition` column is emitted: Spark's Kafka sink
+    * treats one as the PHYSICAL partition index, and the reference's
+    * 0..999 spread (operator.py:44-48) was a key-spread convention, not
+    * a topic layout — a literal id >= the topic's partition count makes
+    * the producer throw. Default = the topic's own partitioner hashes
+    * `key` (safe on any partition count). Pass `numPartitions` only
+    * when the topic is KNOWN to have at least that many partitions;
+    * the spread is then a deterministic key hash (the reproducible
+    * upgrade over the reference's random spread). */
   def toKafkaFrame(df: DataFrame, codec: Codec, valueCol: Column,
-                   keyCol: Column, numPartitions: Int = 1000): DataFrame =
-    df.select(
+                   keyCol: Column, numPartitions: Option[Int] = None)
+      : DataFrame = {
+    val base = Seq(
       org.apache.spark.sql.functions.encode(keyCol.cast("string"), "UTF-8")
         .as("key"),
-      codec.encode(valueCol).as("value"),
-      pmod(xxhash64(keyCol), lit(numPartitions)).cast("int")
-        .as("partition"))
+      codec.encode(valueCol).as("value"))
+    val cols = numPartitions match {
+      case Some(n) =>
+        require(n > 0, s"numPartitions must be positive: $n")
+        base :+ pmod(xxhash64(keyCol), lit(n)).cast("int").as("partition")
+      case None => base
+    }
+    df.select(cols: _*)
+  }
 
   /** Decode the consumer side of a Kafka frame: value → typed column. */
   def fromKafkaFrame(df: DataFrame, codec: Codec,

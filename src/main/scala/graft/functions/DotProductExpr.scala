@@ -51,6 +51,7 @@ case class DotProduct(left: Expression, right: Expression)
   private def toD(v: Any): Double = v match {
     case f: java.lang.Float => f.toDouble
     case d: java.lang.Double => d
+    case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
     case n: java.lang.Number => n.doubleValue()
   }
 
@@ -71,10 +72,26 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
       : ExprCode = {
+    // every accepted NumericType needs its own TYPED getter: the
+    // erased-arm `arr.get(i, null)` compiles but crashes at runtime
+    // (SpecializedGettersReader cannot dispatch on a null DataType), so
+    // an int/long embedding array would pass analysis and then die only
+    // when whole-stage codegen kicked in
     def getter(arr: String, i: String, t: DataType): String = t match {
       case FloatType => s"(double) $arr.getFloat($i)"
       case DoubleType => s"$arr.getDouble($i)"
-      case _ => s"((Number) $arr.get($i, null)).doubleValue()"
+      case org.apache.spark.sql.types.IntegerType =>
+        s"(double) $arr.getInt($i)"
+      case org.apache.spark.sql.types.LongType =>
+        s"(double) $arr.getLong($i)"
+      case org.apache.spark.sql.types.ShortType =>
+        s"(double) $arr.getShort($i)"
+      case org.apache.spark.sql.types.ByteType =>
+        s"(double) $arr.getByte($i)"
+      case d: org.apache.spark.sql.types.DecimalType =>
+        s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+      case other => throw new IllegalStateException(
+        s"dot_product codegen: unhandled numeric element type $other")
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")

@@ -166,6 +166,15 @@ object FreqItems {
     import org.apache.spark.sql.functions._
     require(depth > 0 && width > 0 && (width & (width - 1)) == 0,
       s"need depth>0 and power-of-two width: depth=$depth width=$width")
+    // exact-shape contract, enforced: a GROUPED cell table (extra
+    // window/group columns) would union fine and then silently SUM
+    // ACROSS GROUPS in the groupBy below — a plausible-looking sketch
+    // of the wrong multiset (the same rule the parameter guard states)
+    for (df <- Seq(a, b))
+      require(df.columns.sorted.toSeq == Seq("bucket", "cnt", "r"),
+        s"mergeCells needs exactly (r, bucket, cnt) — got " +
+          s"(${df.columns.mkString(", ")}); select the one group/window " +
+          "to merge first")
     val guarded = when(
       col("r") < 0 || col("r") >= depth ||
         col("bucket") < 0 || col("bucket") >= width || col("cnt") < 0,
@@ -185,7 +194,11 @@ object FreqItems {
   /** Point estimates for the items in `items` (a small query-side frame):
     * est = min over the depth rows of the matching cell counts. Keeps
     * every `items` column and appends `est_cnt`. The sketch side is
-    * `depth*width` rows at most — broadcast, no shuffle of `items`. */
+    * `depth*width` rows at most after the internal (r, bucket) collapse
+    * — broadcast, no shuffle of `items`. A cell table with multiple
+    * rows per (r, bucket) (per-window tables, concatenated days) is
+    * summed first, so the estimate is over the UNION of its parts; to
+    * estimate one window, filter the table to it before calling. */
   def countMinLookup(sketch: org.apache.spark.sql.DataFrame,
                      items: org.apache.spark.sql.DataFrame,
                      item: org.apache.spark.sql.Column,
@@ -197,13 +210,23 @@ object FreqItems {
     // est >= true guarantee silently breaks (under-counts possible)
     require(depth > 0 && width > 0 && (width & (width - 1)) == 0,
       s"need depth>0 and power-of-two width: depth=$depth width=$width")
+    // collapse the sketch to ONE row per (r, bucket) first — CM counts
+    // are additive (linearity), so a multi-row cell table (e.g. the
+    // per-window table CountMinOp emits, unfiltered) looks up as the
+    // sketch of the UNION of its windows, keeping est >= true. Without
+    // this, min() ranged over per-window rows and returned the minimum
+    // single-window count: neither a per-window nor a total estimate,
+    // and an UNDER-count of the total. A single-window input is
+    // unchanged (sum over one row).
+    val cells = sketch.select(col("r"), col("bucket"), col("cnt"))
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
     val others = items.columns.toIndexedSeq
     val probes = (0 until depth).map(r =>
       struct(lit(r).as("r"), cmCell(item, r, width).as("bucket")))
     items
       .select(others.map(col) :+ explode(array(probes: _*)).as("rb"): _*)
-      .join(broadcast(sketch),
-        col("rb.r") === sketch("r") && col("rb.bucket") === sketch("bucket"),
+      .join(broadcast(cells),
+        col("rb.r") === cells("r") && col("rb.bucket") === cells("bucket"),
         "left")
       .groupBy(others.map(col): _*)
       // a row whose cell is absent from the table was never incremented

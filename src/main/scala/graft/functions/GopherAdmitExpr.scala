@@ -40,9 +40,8 @@ object GopherKernel {
     Array("the", "be", "to", "of", "and", "that", "have", "with")
       .map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
 
-  private def isWs(b: Byte): Boolean =
-    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C ||
-      b == 0x0D
+  // the shared whitespace contract — see TextBytes.isWs
+  private def isWs(b: Byte): Boolean = TextBytes.isWs(b)
 
   private def isStop(bytes: Array[Byte], start: Int, len: Int): Boolean = {
     var s = 0

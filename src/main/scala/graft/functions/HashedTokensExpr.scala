@@ -24,9 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * materialization the lambda immediately reduces away. Parity pinned
   * corpus-wide in TextKernelSpec. */
 object HashedTokensKernel {
-  private def isWs(b: Byte): Boolean =
-    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C ||
-      b == 0x0D
+  // the shared whitespace contract — see TextBytes.isWs
+  private def isWs(b: Byte): Boolean = TextBytes.isWs(b)
 
   def hashes(text: UTF8String): ArrayData = {
     val bytes = text.toLowerCase.getBytes

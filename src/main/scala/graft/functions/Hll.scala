@@ -80,7 +80,13 @@ object Hll {
   def registers(df: DataFrame, item: Column, p: Int,
                 groupCols: Seq[Column] = Nil): DataFrame = {
     val (bucket, rho) = bucketAndRho(item, p)
-    df.groupBy(groupCols :+ bucket.as("bucket"): _*)
+    // NULL items must not count: Spark's xxhash64 SKIPS null children
+    // and returns the seed, so a NULL row would set one fixed
+    // (bucket, rho) register — a phantom distinct element that
+    // count(DISTINCT)/approx_count_distinct (both null-ignoring, the
+    // aggregates this sketch stands in for) would never see
+    df.filter(item.isNotNull)
+      .groupBy(groupCols :+ bucket.as("bucket"): _*)
       .agg(max(rho).as("register"))
   }
 

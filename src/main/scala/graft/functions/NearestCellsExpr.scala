@@ -19,6 +19,13 @@ final class CentroidTable(val centroids: Seq[Seq[Double]])
 
   def nearest(vec: ArrayData, nProbe: Int, isFloat: Boolean): ArrayData = {
     val k = m.length
+    // dimension mismatch must be LOUD: a min()-truncated distance fold
+    // would return confidently wrong cell assignments (stale centroid
+    // fixture vs re-projected vectors) — the PqResidualCodes rule
+    if (k > 0 && vec.numElements() != m(0).length)
+      throw new IllegalArgumentException(
+        s"nearest_cells: vector dim ${vec.numElements()} != centroid " +
+          s"dim ${m(0).length} — quantizer trained on different vectors?")
     val dists = new Array[Double](k)
     var c = 0
     while (c < k) {

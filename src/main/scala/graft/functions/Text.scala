@@ -83,11 +83,17 @@ object Text {
     *
     * slice() is 1-based. Guarded for docs shorter than n tokens —
     * `sequence(1, 0)` would generate a DESCENDING range, not an empty one. */
-  def shinglesFromTokens(ts: Column, n: Int): Column =
+  def shinglesFromTokens(ts: Column, n: Int): Column = {
+    // the kernel siblings (ShingleHashes, PosShingleHashes, WinnowPrints)
+    // all require n >= 1; without it n=0 silently yields one empty-string
+    // shingle per position (every doc MinHash-matches every other) and a
+    // negative n dies deep inside slice() with an opaque error
+    require(n >= 1, s"shingle size must be >= 1: $n")
     when(size(ts) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(ts) - (n - 1)),
         i => array_join(slice(ts, i, lit(n)), " ")))
+  }
 
   /** Convenience single-expression form — fine for one-shot use, but for
     * plans that reuse the shingles (MinHash, Jaccard) go through
@@ -198,7 +204,14 @@ object Text {
     val lenScore = least(nTokens(text).cast("double") / 16.0, lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
     val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
-    round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 6)
+    // a 0-token doc has a NULL stopword ratio (nullif'd divisor) and an
+    // empty doc a NaN punct ratio; Spark's least() SKIPS NULLs and
+    // sorts NaN greatest, which silently awarded blank docs their full
+    // stop+punct sub-scores ("   " scored 0.6) — a quality score must
+    // send the emptiest possible document to the floor instead
+    when(nTokens(text) === 0, lit(0.0))
+      .otherwise(round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3,
+        6))
   }
 
   // --- PII scrubbing -------------------------------------------------------

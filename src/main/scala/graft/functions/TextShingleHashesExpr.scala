@@ -24,9 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * array was pure allocation overhead between two kernels that only
   * ever needed byte offsets. */
 object TextShingleHashesKernel extends Serializable {
-  private def isWs(b: Byte): Boolean =
-    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0D ||
-      b == 0x0C
+  // the shared whitespace contract — see TextBytes.isWs
+  private def isWs(b: Byte): Boolean = TextBytes.isWs(b)
 
   /** Distinct gram hashes, first-occurrence order (dedup consumers). */
   def compute(text: UTF8String, n: Int): ArrayData = {

@@ -25,9 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokenize (lowercase copy + one UTF8String per token) just to throw
   * the array away. */
 object TokenCountKernel {
-  private def isWs(b: Byte): Boolean =
-    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C ||
-      b == 0x0D
+  // the shared whitespace contract — see TextBytes.isWs
+  private def isWs(b: Byte): Boolean = TextBytes.isWs(b)
 
   def count(text: UTF8String): Int = {
     val bytes = text.getBytes

@@ -30,9 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * rows the old `filter(size >= 2)` prefilter kept). Equivalence pinned
   * corpus-wide in TextKernelSpec. */
 object TokenPairsKernel {
-  private def isWs(b: Byte): Boolean =
-    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C ||
-      b == 0x0D
+  // the shared whitespace contract — see TextBytes.isWs
+  private def isWs(b: Byte): Boolean = TextBytes.isWs(b)
 
   def pairs(text: UTF8String): ArrayData = {
     val bytes = text.toLowerCase.getBytes

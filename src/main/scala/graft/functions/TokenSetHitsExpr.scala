@@ -27,9 +27,8 @@ class TokenSetHitsKernel(words: Seq[String]) extends Serializable {
     s
   }
 
-  private def isWs(b: Byte): Boolean =
-    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C ||
-      b == 0x0D
+  // the shared whitespace contract — see TextBytes.isWs
+  private def isWs(b: Byte): Boolean = TextBytes.isWs(b)
 
   def hits(text: UTF8String): Int = {
     val bytes = text.toLowerCase.getBytes
@@ -112,9 +111,8 @@ class LangIdKernel(profiles: Seq[(String, Seq[String])])
     m
   }
 
-  private def isWs(b: Byte): Boolean =
-    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C ||
-      b == 0x0D
+  // the shared whitespace contract — see TextBytes.isWs
+  private def isWs(b: Byte): Boolean = TextBytes.isWs(b)
 
   def langId(text: UTF8String): UTF8String = {
     val bytes = text.toLowerCase.getBytes

@@ -30,9 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * 0x20 runs the split discards anyway. Output element type matches
   * the declarative form: array<string> containsNull=false. */
 object TokensKernel {
-  private def isWs(b: Byte): Boolean =
-    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C ||
-      b == 0x0D
+  // the shared whitespace contract — see TextBytes.isWs
+  private def isWs(b: Byte): Boolean = TextBytes.isWs(b)
 
   def tokens(text: UTF8String): ArrayData = {
     val bytes = text.toLowerCase.getBytes

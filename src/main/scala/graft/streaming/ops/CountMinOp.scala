@@ -37,8 +37,11 @@ object CountMinOp extends OperatorFactory {
       col("r"), col("bucket"), col("cnt")))
   }
 
-  /** Batch finisher: estimates for `items` within ONE window's cell
-    * table (filter `window_start` first, or group upstream). */
+  /** Batch finisher: estimates for `items`. Over the full multi-window
+    * cell table this is the estimate for the UNION of the windows
+    * (counts are additive — countMinLookup collapses the cells first,
+    * keeping est >= true); filter `window_start` to estimate within
+    * ONE window. */
   def estimate(cells: DataFrame, items: DataFrame,
                item: org.apache.spark.sql.Column,
                depth: Int, width: Int): DataFrame =

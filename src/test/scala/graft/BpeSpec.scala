@@ -110,4 +110,15 @@ class BpeSpec extends SparkSpec {
     assert(rows(2)._2 == enc("value"))
     assert(rows.forall(r => r._2.size == r._3))
   }
+
+  test("decode is total over any id stream: the -1 encode() emits for " +
+    "out-of-vocab tokens maps to U+FFFD instead of killing the query " +
+    "(ANSI element_at index 0), ids <= -2 do not read from the vocab " +
+    "TAIL (negative indexing), and ids past the end do not error") {
+    val n = Bpe.default.vocab.size
+    val first = Bpe.default.vocab.head
+    val got = Seq(Seq(0, -1, -2, n)).toDF("ids")
+      .select(Bpe.decode(col("ids")).as("s")).as[String].head()
+    assert(got == first + "���", got)
+  }
 }

@@ -167,4 +167,30 @@ class FreqItemsSpec extends SparkSpec {
       FreqItems.countMinLookup(sketch, df, col("token"), 0, 1024)
     }
   }
+
+  test("countMinLookup over a stacked (multi-window) cell table " +
+    "estimates the UNION of its parts — est >= true for the total, " +
+    "never the minimum single-window count") {
+    val w1 = FreqItems.countMinTable(
+      Seq.fill(3)("x").toDF("token"), col("token"), 4, 256)
+    val w2 = FreqItems.countMinTable(
+      Seq.fill(5)("x").toDF("token"), col("token"), 4, 256)
+    // the unfiltered per-window shape CountMinOp emits (two rows per
+    // cell); before the internal collapse min() returned 3 here
+    val est = FreqItems.countMinLookup(w1.unionByName(w2),
+      Seq("x").toDF("token"), col("token"), 4, 256)
+      .select("est_cnt").as[Long].head()
+    assert(est == 8L, s"union estimate $est != 8")
+  }
+
+  test("mergeCells refuses a grouped/windowed cell table instead of " +
+    "silently summing sketches across groups") {
+    val cells = FreqItems.countMinTable(
+      Seq("x").toDF("token"), col("token"), 4, 256)
+      .withColumn("window_start", lit(0L))
+    val ex = intercept[IllegalArgumentException](
+      FreqItems.mergeCells(cells, cells, 4, 256))
+    assert(ex.getMessage.contains("exactly (r, bucket, cnt)"),
+      ex.getMessage)
+  }
 }

@@ -125,4 +125,23 @@ class HllSpec extends SparkSpec {
         s"unexpected: ${ex.getMessage}")
     }
   }
+
+  test("NULL items do not count: xxhash64 skips null children and " +
+    "returns the seed, so a null row would otherwise set one phantom " +
+    "register — count(DISTINCT) and approx_count_distinct both ignore " +
+    "NULLs") {
+    val p = 12
+    val clean = (0L until 500L).map(Option(_))
+    val withNulls = clean ++ Seq.fill(7)(Option.empty[Long])
+    val a = Hll.estimate(
+      Hll.registers(withNulls.toDF("id"), col("id"), p), p)
+      .select("est_millis").as[Long].head()
+    val b = Hll.estimate(
+      Hll.registers(clean.toDF("id"), col("id"), p), p)
+      .select("est_millis").as[Long].head()
+    assert(a == b, s"nulls changed the estimate: $a != $b")
+    // an all-NULL column yields an EMPTY register table (nothing seen)
+    assert(Hll.registers(Seq(Option.empty[Long]).toDF("id"),
+      col("id"), p).isEmpty)
+  }
 }

@@ -39,4 +39,20 @@ class IvfSpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.3, s"recall $recall") // half the cells probed
   }
+
+  test("nearest-cell kernel is LOUD on a vector/centroid dimension " +
+    "mismatch — a truncated distance fold would return plausible but " +
+    "wrong cell assignments (stale quantizer vs re-projected vectors)") {
+    val tbl = new graft.functions.CentroidTable(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
+    val threeDim = new org.apache.spark.sql.catalyst.util
+      .GenericArrayData(Array(1.0, 2.0, 3.0))
+    val ex = intercept[IllegalArgumentException](
+      tbl.nearest(threeDim, 1, isFloat = false))
+    assert(ex.getMessage.contains("dim"), ex.getMessage)
+    // matched dims still work
+    val two = new org.apache.spark.sql.catalyst.util
+      .GenericArrayData(Array(0.9, 1.1))
+    assert(tbl.nearest(two, 1, isFloat = false).getInt(0) == 1)
+  }
 }

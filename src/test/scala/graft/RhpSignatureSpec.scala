@@ -74,4 +74,13 @@ class RhpSignatureSpec extends SparkSpec {
     val sf = f.select(Vectors.rhpSignature(col("v"), 8, 5)).head().getLong(0)
     assert(sd == sf)
   }
+
+  test("dot_product accepts integer/long element arrays (typed codegen " +
+    "getters — the erased getter arm passed analysis then crashed at " +
+    "runtime under whole-stage codegen)") {
+    val got = Seq((Array(1, 2, 3), Array(4L, 5L, 6L))).toDF("a", "b")
+      .select(graft.functions.DotProduct(col("a"), col("b")).as("d"))
+      .as[Double].head()
+    assert(got == 32.0, got)
+  }
 }

@@ -537,13 +537,19 @@ class TextDedupSpec extends SparkSpec {
   test("kafka frame: encode to (key,value,partition), decode back") {
     val df = Seq((1L, "payload")).toDF("id", "body")
     val sc = Codecs.StringCodec()
-    val frame = Codecs.toKafkaFrame(df, sc, col("body"), col("id"), 100)
+    val frame = Codecs.toKafkaFrame(df, sc, col("body"), col("id"),
+      Some(100))
     assert(frame.columns.toSeq == Seq("key", "value", "partition"))
     val part = frame.select("partition").as[Int].collect().head
     assert(part >= 0 && part < 100)
     val back = Codecs.fromKafkaFrame(frame, sc)
       .select("decoded").as[String].collect().head
     assert(back == "payload")
+    // DEFAULT omits the partition column: Spark's Kafka sink reads it
+    // as a PHYSICAL partition index, so a spread wider than the topic
+    // would make the producer throw — default routing is by key hash
+    val safe = Codecs.toKafkaFrame(df, sc, col("body"), col("id"))
+    assert(safe.columns.toSeq == Seq("key", "value"))
   }
 
   test("csv/json sources load with explicit schemas") {
@@ -1237,5 +1243,26 @@ class TextDedupSpec extends SparkSpec {
     // grand total: 4 docs, 3 distinct
     assert(got((None, None)) == ((4L, 3L, 0.25)))
     assert(got.size == 6) // 3 leaves + 2 lang subtotals + grand total
+  }
+
+  test("qualityScore floors empty and whitespace-only docs at 0.0 — " +
+    "least() SKIPS the NULL stopword ratio and sorts the NaN punct " +
+    "ratio greatest, which previously scored '   ' at 0.6") {
+    val got = Seq((1L, ""), (2L, "   "), (3L,
+      "the quick brown fox jumps over the lazy dog and that have " +
+        "with more words here")).toDF("id", "text")
+      .select(col("id"),
+        graft.functions.Text.qualityScore(col("text")).as("q"))
+      .orderBy("id").as[(Long, Double)].collect()
+    assert(got(0)._2 == 0.0 && got(1)._2 == 0.0,
+      s"blank docs scored ${got(0)._2}/${got(1)._2}")
+    assert(got(2)._2 > 0.5, s"real doc scored ${got(2)._2}")
+  }
+
+  test("shingle size must be >= 1: n=0 would emit one empty-string " +
+    "shingle per position, making every doc MinHash-match every other") {
+    val ex = intercept[IllegalArgumentException](
+      graft.functions.Text.shinglesFromTokens(col("x"), 0))
+    assert(ex.getMessage.contains("shingle size"), ex.getMessage)
   }
 }
