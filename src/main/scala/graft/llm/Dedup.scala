@@ -232,9 +232,15 @@ object Dedup {
     * policy ([[Dedup.ShortDocPolicies]], one knob across
     * minhashPairs / [[minhashNovel]] / [[minhashNovelVerified]] / the
     * streaming NearDupOp): "pair" (the default HERE — the empty-set
-    * Jaccard convention: all sentinel-signature docs pair with each
-    * other at est_jaccard 1.0, right for pair ANALYSIS where
-    * empty ≡ empty), or "novel"/"drop" (exclude them from banding —
+    * Jaccard convention: sentinel-signature docs pair with each other
+    * at est_jaccard 1.0, right for pair ANALYSIS where empty ≡ empty;
+    * all sentinel docs share the same `bands` buckets, so the pairing
+    * rides the SAME `maxBucketSize` trade as every content bucket —
+    * past the cap those buckets drop and shingle-less docs stop
+    * pairing. A corpus with more than `maxBucketSize` shingle-less
+    * docs should dedup them exactly instead: they are all
+    * identical-empty, which is [[exactByContent]]'s job, not
+    * pair analysis), or "novel"/"drop" (exclude them from banding —
     * indistinguishable for pair OUTPUT since unpaired docs aren't
     * listed; the two differ in the novelty operators, whose default is
     * "novel" because unrelated short docs must not suppress each
@@ -372,8 +378,13 @@ object Dedup {
                          shingleSize: Int = 3, numHashes: Int = 128,
                          bands: Int = 32,
                          withSignatures: Boolean = false): DataFrame = {
+    // persist the signature stage iff the export carries signatures:
+    // the winner join traverses st.sig on a DIFFERENT key than the
+    // banding pipeline (ReuseExchange cannot dedupe it), so without the
+    // persist the corpus-wide tokenize→shingle→minhash — the most
+    // expensive compute of the family — would run twice
     val st = novelStage(df, idCol, textCol, shingleSize, numHashes,
-      bands, shortDocs = "novel")
+      bands, shortDocs = "novel", persistSig = withSignatures)
     val winners = st.firsts.select(col("bkey"), col("__w").as("winner"))
     if (!withSignatures) winners
     else winners.join(st.sig.select(col("id").as("winner"),

@@ -96,23 +96,31 @@ object Dsir {
       .groupBy(col(idCol), col("__tgt"),
         pmod(col("__h"), lit(buckets.toLong)).as("__b"))
       .agg(count(lit(1)).as("__c"))
+      // the bucket count rides the staged frame so stage 2 can verify
+      // the pairing in BOTH directions (bucket ids alone only betray a
+      // SMALLER staging value — every id in [0,1024) also fits [0,4096))
+      .withColumn("__nb", lit(buckets))
   }
 
   /** Stage 2 of [[importanceScores]]: bucket model (≤ `buckets` rows,
     * broadcast) + scoring join over a [[stageCounts]] frame. `buckets`
     * MUST be the value the staged frame was hashed with — the Laplace
     * smoothing depends on it — so an in-plan guard on the (tiny) model
-    * aggregate raises if a bucket id falls outside [0, buckets) rather
-    * than silently mis-smoothing every score. */
+    * aggregate compares the staged frame's own recorded bucket count
+    * (`__nb`, stamped by [[stageCounts]]) against the scoring value and
+    * raises on any mismatch in either direction, rather than silently
+    * mis-smoothing every score. */
   def scoreStaged(staged: DataFrame, idCol: String, buckets: Int)
       : DataFrame = {
     val dec = "decimal(38,0)"
     val model = staged.groupBy(
-      when(col("__b") >= lit(buckets.toLong) || col("__b") < 0L,
-        raise_error(concat(lit("Dsir.scoreStaged: bucket id "),
-          col("__b"),
-          lit(s" outside [0, $buckets) — staged frame was built " +
-            "with a different buckets value"))))
+      when(col("__b") >= lit(buckets.toLong) || col("__b") < 0L ||
+        col("__nb") =!= lit(buckets),
+        raise_error(concat(lit("Dsir.scoreStaged: staged frame was " +
+            s"built with a different buckets value than $buckets " +
+            "(staged __nb="),
+          col("__nb").cast("string"), lit(", bucket id "),
+          col("__b").cast("string"), lit(")"))))
         .otherwise(col("__b")).as("__b")).agg(
       sum(col("__c")).cast(dec).as("__cq"),
       sum(when(col("__tgt"), col("__c")).otherwise(0L)).cast(dec)

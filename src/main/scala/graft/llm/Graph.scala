@@ -39,6 +39,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Edge-weight ingestion shared by the three weighted walks: the
+    * fixed-point integer arithmetic needs LONG weights, and a silent
+    * cast("long") truncated fractional weights to 0 — a similarity-
+    * weighted graph (jaccard/cosine in (0,1), the natural output of
+    * the pair generators) then divides by a zero out-weight (ANSI
+    * DIVIDE_BY_ZERO deep in iteration 1) or yields NaN probabilities.
+    * Refuse loudly instead; callers pre-scale fractional weights to
+    * fixed-point (e.g. floor(jaccard * 1e6)). */
+  private def integralWeight(c: Column, who: String): Column =
+    when(c.isNull || c.cast("double") <= 0.0 ||
+      c.cast("double") =!= floor(c.cast("double")),
+      raise_error(concat(
+        lit(s"Graph.$who: edge weight must be a positive integer " +
+          "(pre-scale fractional similarity weights to fixed-point, " +
+          "e.g. floor(w * 1e6)); got "), c.cast("string"))).cast("long"))
+      .otherwise(c.cast("long"))
+
   /** Weighted PageRank over an edge DataFrame. Multi-edges collapse by
     * summed weight first (weight defaults to 1 per edge row when
     * `weightCol` is None). Returns (node, rank) covering every node
@@ -77,7 +94,8 @@ object Graph {
       s"damping must satisfy 0 <= dampNum <= dampDen: $dampNum/$dampDen")
     require(scale > 0, s"scale must be positive: $scale")
 
-    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val w = weightCol.map(c => integralWeight(col(c), "pageRank"))
+      .getOrElse(lit(1L))
     // persist the collapsed edge frame FIRST: outw, ej and the (src ∪
     // dst) node scan each traverse it, and the caller's `edges` plan can
     // be expensive (q_pagerank_docs feeds a full ngram-Jaccard pair
@@ -180,7 +198,8 @@ object Graph {
     require(scale > 0, s"scale must be positive: $scale")
     require(checkpointEvery >= 0,
       s"checkpointEvery must be >= 0: $checkpointEvery")
-    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val w = weightCol.map(c => integralWeight(col(c), "hits"))
+      .getOrElse(lit(1L))
     val e0 = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
@@ -249,7 +268,8 @@ object Graph {
     * (src, dst, w, p). One groupBy + one src-keyed aggregate. */
   def transitionCounts(edges: DataFrame, srcCol: String, dstCol: String,
                        weightCol: Option[String] = None): DataFrame = {
-    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val w = weightCol.map(c => integralWeight(col(c), "transitionCounts"))
+      .getOrElse(lit(1L))
     val e0 = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("__w"))

@@ -83,11 +83,16 @@ object Ivf {
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
            vecCol: String, k: Int, model: Model, nProbe: Int = 2)
       : DataFrame = {
-    val p = corpus.sparkSession.sparkContext.defaultParallelism
+    // NO repartition before the probe join: `q` is broadcast, so the
+    // join is map-side and needs no co-partitioning — hashing the whole
+    // corpus (vectors riding) on the k-valued cell column was a wasted
+    // corpus-wide exchange that also concentrated every hot cell's
+    // candidates on a single task (k cells << partitions). Candidate
+    // generation is map-only on the scan layout; the one shuffle of
+    // this plan is rankTopK's bounded partial top-k on query_id.
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"),
         Vectors.norm(col(vecCol)).as("cn"),
         cellOf(col(vecCol), model).as("cell"))
-      .repartition(p, col("cell"))
     // each query → its nProbe nearest cells (same native kernel, ordered
     // ascending by (distance, index) like the sorted-struct form it
     // replaced)

@@ -114,16 +114,37 @@ object KMeans {
           count(lit(1)).as("n"))
         .collect()
       val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Long](k)
+      val counts = Array.fill(k)(-1L) // -1 = empty cell (keep centroid)
+      val posSeen = new Array[Int](k)
       stats.foreach { r =>
         val c = r.getInt(0); val d = r.getInt(1)
+        // dimension guards, LOUD: a vector longer than the seed dim
+        // would AIOOBE bare on the driver after a full job; a shorter
+        // one makes per-(cell,pos) counts differ, so the single
+        // counts(c) slot would keep whichever collected row arrived
+        // last — order-dependent, silently wrong centroids
+        if (d >= dim) throw new IllegalArgumentException(
+          s"KMeans.fit: vector dimension ${d + 1} exceeds the seed " +
+            s"dimension $dim — mixed-dimension corpus?")
         // exact integer -> correctly-rounded double, then the fixed
         // division sequence (/ 1e15 / n) the oracle replays verbatim
         sums(c)(d) = r.getDecimal(2).toBigInteger.doubleValue
-        counts(c) = r.getLong(3)
+        if (counts(c) == -1L) counts(c) = r.getLong(3)
+        else if (counts(c) != r.getLong(3))
+          throw new IllegalArgumentException(
+            s"KMeans.fit: ragged vectors in cell $c (per-dimension " +
+              s"member counts differ) — all vectors must have the seed " +
+              s"dimension $dim")
+        posSeen(c) += 1
+      }
+      (0 until k).foreach { c =>
+        if (counts(c) >= 0L && posSeen(c) != dim)
+          throw new IllegalArgumentException(
+            s"KMeans.fit: cell $c covers ${posSeen(c)} of $dim " +
+              "dimensions — vectors shorter than the seed dimension?")
       }
       model = Model(Array.tabulate(k) { c =>
-        if (counts(c) == 0L) model.centroids(c)
+        if (counts(c) <= 0L) model.centroids(c)
         else sums(c).map(_ / 1e15 / counts(c))
       })
     }

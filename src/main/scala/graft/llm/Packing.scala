@@ -40,9 +40,15 @@ object Packing {
     val w = Window.partitionBy("shard").orderBy(idCol)
     // running total INCLUDING this doc; the doc starts at cum - cost
     val start = sum(col("cost")).over(w) - col("cost")
+    // integral DIV, not floor(/): Spark's `/` is IEEE double division,
+    // which silently rounds past 2^53 cumulative tokens — seq_id could
+    // then disagree with the exact pmod seq_offset on the SAME row
+    // (the Dedup.scala packed-id rule, generalized to any divisor)
     sharded
-      .withColumn("seq_id", floor(start / budget))
-      .withColumn("seq_offset", pmod(start, lit(budget)))
+      .withColumn("__start", start)
+      .withColumn("seq_id", expr(s"__start DIV $budget"))
+      .withColumn("seq_offset", pmod(col("__start"), lit(budget)))
+      .drop("__start")
   }
 
   /** Export token rows as raw little-endian int32 `.bin` shards — the
@@ -94,15 +100,44 @@ object Packing {
         val fin = new org.apache.hadoop.fs.Path(
           f"$path/shard-$cur%05d.bin")
         val fs = tmp.getFileSystem(conf)
-        // rename is atomic per-FS; if a concurrent attempt already
-        // committed the (byte-identical) final file, drop the temp.
-        // A failed rename with NO committed final file must fail the
-        // task — deleting the temp there would emit a manifest row for
-        // a shard that does not exist on disk.
-        fs.delete(fin, false)
+        // rename is atomic per-FS — and the final file is NEVER
+        // pre-deleted: a delete-then-rename pair is not atomic, so a
+        // killed speculative attempt could remove the winning attempt's
+        // committed shard without replacing it (manifest row for a
+        // missing file). Rename-first instead: on failure, an existing
+        // final whose CRC matches this attempt's is a concurrent
+        // byte-identical commit (partition content is deterministic) —
+        // drop the temp; a different CRC is a stale artifact of an
+        // earlier run over other data — replace it; no final at all is
+        // a real failure — fail the task so Spark retries instead of
+        // manifesting a missing file. The read-back CRC costs one shard
+        // scan, paid only on the rename-collision path.
         if (!fs.rename(tmp, fin)) {
-          if (fs.exists(fin)) fs.delete(tmp, false)
-          else throw new java.io.IOException(
+          val finCrc: Long =
+            try {
+              val in = fs.open(fin)
+              try {
+                val c2 = new java.util.zip.CRC32()
+                val buf = new Array[Byte](1 << 16)
+                var n = in.read(buf)
+                while (n >= 0) {
+                  if (n > 0) c2.update(buf, 0, n)
+                  n = in.read(buf)
+                }
+                c2.getValue
+              } finally in.close()
+            } catch { case _: java.io.FileNotFoundException => -1L }
+          if (finCrc == crc.getValue) fs.delete(tmp, false)
+          else if (finCrc >= 0L) {
+            fs.delete(fin, false)
+            if (!fs.rename(tmp, fin)) {
+              if (fs.exists(fin)) fs.delete(tmp, false) // concurrent win
+              else throw new java.io.IOException(
+                s"writeBinShards: rename $tmp -> $fin failed after " +
+                "replacing a stale shard; failing the task so Spark " +
+                "retries instead of manifesting a missing file")
+            }
+          } else throw new java.io.IOException(
             s"writeBinShards: rename $tmp -> $fin failed and no " +
             "concurrent attempt committed the shard; failing the task " +
             "so Spark retries instead of manifesting a missing file")

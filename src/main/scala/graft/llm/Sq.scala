@@ -53,13 +53,21 @@ object Sq {
       .select(posexplode(col(vecCol).cast("array<double>"))
         .as(Seq("__pos", "__x")))
       .groupBy("__pos")
-      .agg(min("__x").as("mn"), max("__x").as("mx"))
+      .agg(min("__x").as("mn"), max("__x").as("mx"),
+        count(lit(1)).as("n"))
       .orderBy("__pos")
       .collect()
     require(rows.nonEmpty, "stats: corpus has no non-null vectors")
-    require(rows.head.getInt(0) == 0 &&
-      rows.last.getInt(0) == rows.length - 1,
-      "stats: ragged vectors — dimensions must be dense")
+    // ragged detection must use per-dimension COUNTS: posexplode
+    // positions are always a dense [0, max_len) set (a position-range
+    // check is a tautology), but a corpus mixing 3- and 5-dim vectors
+    // shows fewer rows at positions 3-4 — and its upper dims' ranges
+    // would come from the long vectors only, making SqEncode's short-
+    // vector pad decode to phantom minimum coordinates in adcTopK
+    require(rows.map(_.getLong(3)).distinct.length == 1,
+      s"stats: ragged vectors — per-dimension counts " +
+        s"${rows.map(_.getLong(3)).mkString(",")} differ; all vectors " +
+        "must share one dimension")
     Stats(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)), levels)
   }
 

@@ -161,6 +161,10 @@ object Wav extends Serializable {
   def decimate(a: Audio, newFrames: Int): Audio = {
     require(newFrames > 0, s"bad target frame count: $newFrames")
     val frames = a.samples.length / a.channels
+    // a zero-frame clip (valid header-only WAV, empty data chunk) has
+    // nothing to sample — return it unchanged rather than AIOOBE on
+    // samples(0) mid-task (clip() and features() both guard this case)
+    if (frames == 0) return a
     val out = new Array[Short](newFrames * a.channels)
     var i = 0
     while (i < newFrames) {

@@ -166,4 +166,22 @@ class GraphSpec extends SparkSpec {
       .as[(String, String)].collect().sorted.toSeq
     assert(got == Seq("x" -> "y", "y" -> "x"))
   }
+
+  test("fractional edge weights refuse LOUDLY: cast('long') would " +
+    "truncate a jaccard-weighted graph to all-zero weights and divide " +
+    "by a zero out-weight deep in iteration 1") {
+    val frac = Seq(("a", "b", 0.7), ("b", "a", 0.3))
+      .toDF("src", "dst", "w")
+    val ex = intercept[Exception](
+      Graph.pageRank(frac, "src", "dst", weightCol = Some("w"),
+        iters = 1).collect())
+    def all(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ all(t.getCause)
+    assert(all(ex).exists(_.contains("positive integer")), ex.getMessage)
+    // integral doubles pass (pre-scaled fixed-point weights)
+    val ok = Seq(("a", "b", 700000.0), ("b", "a", 300000.0))
+      .toDF("src", "dst", "w")
+    assert(Graph.pageRank(ok, "src", "dst", weightCol = Some("w"),
+      iters = 1).count() == 2L)
+  }
 }

@@ -97,4 +97,17 @@ class KMeansSpec extends SparkSpec {
         keeper = "nearest")
     }
   }
+
+  test("fit is LOUD on a mixed-dimension corpus instead of a bare " +
+    "AIOOBE / order-dependent centroids") {
+    val mixed = Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(1.0, 1.0)),
+      (3L, Array(0.5, 0.5, 0.5))).toDF("id", "v")
+    val ex = intercept[Exception](
+      graft.llm.KMeans.fit(mixed, "id", "v", k = 2, iters = 1))
+    def all(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ all(t.getCause)
+    assert(all(ex).exists(m => m.contains("dim")),
+      s"unexpected: ${ex.getMessage}")
+  }
 }

@@ -277,4 +277,26 @@ class PqDsirSpec extends SparkSpec {
       .filter(not(col("k") <=> col("h"))).count()
     assert(bad == 0L, s"$bad vectors encode differently")
   }
+
+  test("scoreStaged refuses a buckets mismatch in BOTH directions — " +
+    "bucket ids alone only betray a SMALLER staging value, so the " +
+    "staged frame carries its own bucket count") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta beta"))
+      .toDF("id", "text")
+    val staged = graft.llm.Dsir.stageCounts(docs, "id", "text",
+      col("id") === 1L, buckets = 64)
+    def fails(buckets: Int): Unit = {
+      val ex = intercept[Exception](
+        graft.llm.Dsir.scoreStaged(staged, "id", buckets).collect())
+      def all(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ all(t.getCause)
+      assert(all(ex).exists(_.contains("different buckets value")),
+        s"buckets=$buckets: ${ex.getMessage}")
+    }
+    fails(32)   // staged ids can exceed the scoring range
+    fails(128)  // LARGER scoring value: ids all fit — only __nb betrays
+    // the matched pairing still scores
+    assert(graft.llm.Dsir.scoreStaged(staged, "id", 64).count() == 2L)
+  }
 }

@@ -156,4 +156,16 @@ class SqSpec extends SparkSpec {
       .filter(not(col("k") <=> col("h"))).count()
     assert(badA == 0L, s"$badA ADC sums differ")
   }
+
+  test("stats refuses a mixed-dimension corpus (per-dimension counts " +
+    "differ) — posexplode positions are always dense, so the old " +
+    "position-range check was a tautology and short vectors' pad codes " +
+    "would rank by phantom minimum coordinates") {
+    val mixed = Seq(
+      (1L, Array(0.0, 1.0, 2.0)),
+      (2L, Array(0.0, 1.0, 2.0, 3.0, 4.0))).toDF("id", "v")
+    val ex = intercept[IllegalArgumentException](
+      graft.llm.Sq.stats(mixed, "v"))
+    assert(ex.getMessage.contains("ragged"), ex.getMessage)
+  }
 }

@@ -440,6 +440,23 @@ class TextDedupSpec extends SparkSpec {
       (3L, 1L, 952L), (4L, 2L, 404L)))
   }
 
+  test("sequence packing stays exact past 2^53 cumulative tokens: " +
+    "seq_id uses integral DIV (IEEE floor(/) would round the start " +
+    "and disagree with the exact pmod seq_offset on the same row)") {
+    val big = (1L << 53) + 1L
+    val docs = Seq((1L, big), (2L, big)).toDF("doc_id", "n")
+    val got = graft.llm.Packing.pack(docs, "doc_id", "n",
+      budget = 3, shards = 1)
+      .select("doc_id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 2 starts at 2^53+1: seq_id/offset must satisfy the exact
+    // identity start = seq_id * budget + seq_offset
+    got.zip(Seq(0L, big)).foreach { case ((id, sid, off), start) =>
+      assert(sid == start / 3 && off == start % 3,
+        s"doc $id: seq_id=$sid seq_offset=$off for start=$start")
+    }
+  }
+
   test("writeBinShards: deterministic LE-int32 shard files + manifest " +
     "(rows concatenate in order, crc verifies)") {
     val dir = java.nio.file.Files.createTempDirectory("bin_shards_")

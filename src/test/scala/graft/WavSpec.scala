@@ -104,4 +104,12 @@ class WavSpec extends SparkSpec {
       Seq((1L, 16000, 64), (2L, 16000, 64)))
     assert(a(0)._4 == Wav.features(Wav.synthetic(1L, 64)).toSeq)
   }
+
+  test("decimate on a zero-frame clip (valid header-only WAV) returns " +
+    "it unchanged instead of AIOOBE") {
+    val empty = Wav.Audio(16000, 2, Array.empty[Short])
+    val got = Wav.decimate(empty, 4)
+    assert(got.samples.isEmpty && got.sampleRate == 16000 &&
+      got.channels == 2)
+  }
 }
