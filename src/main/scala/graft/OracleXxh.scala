@@ -979,7 +979,8 @@ c AS (SELECT doc_id, source,
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM h0),
 mixed AS (SELECT doc_id FROM c
-  WHERE cum <= CASE source $cases ELSE 0 END),
+  WHERE CASE source $cases ELSE 0 END > 0
+    AND cum <= CASE source $cases ELSE 0 END),
 h1 AS MATERIALIZED (SELECT doc_id,
   g_sgn(g_xxh_long(doc_id, ${chainedIntSeed(shuffleSeed)}::HUGEINT)) AS h
   FROM mixed)
@@ -1152,7 +1153,8 @@ c AS (SELECT doc_id, source, h,
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM h0)
 SELECT doc_id, source FROM c
-WHERE cum <= CASE source $cases ELSE 0 END
+WHERE CASE source $cases ELSE 0 END > 0
+  AND cum <= CASE source $cases ELSE 0 END
 ORDER BY doc_id"""
   }
 
@@ -1177,7 +1179,8 @@ c AS (SELECT doc_id, source, h,
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM h0)
 SELECT doc_id, source FROM c
-WHERE cum <= CASE source $cases ELSE 0 END
+WHERE CASE source $cases ELSE 0 END > 0
+  AND cum <= CASE source $cases ELSE 0 END
 ORDER BY doc_id"""
   }
 

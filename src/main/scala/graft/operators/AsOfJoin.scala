@@ -40,11 +40,23 @@ object AsOfJoin {
       .withColumn("__side", lit(1))
       .withColumn("__tie", lit(null).cast("long"))
       .withColumn("__rv", lit(null).cast(rvType))
+    // the tiebreak must survive the long cast losslessly: a NULL (or a
+    // fractional value truncating to a tie) would make `last()` pick
+    // whichever row the partition layout ordered last — run-dependent
+    // results against the documented deterministic-ties contract
+    val tieGuarded = when(rightTiebreak.isNull ||
+      rightTiebreak.cast("long").cast("double") =!=
+        rightTiebreak.cast("double"),
+      raise_error(concat(lit("asOf: rightTiebreak must be a non-NULL " +
+          "integral value (ties would resolve nondeterministically); " +
+          "got "), coalesce(rightTiebreak.cast("string"), lit("NULL"))))
+        .cast("long"))
+      .otherwise(rightTiebreak.cast("long"))
     val r = right
       .withColumn("__ts", rightTs)
       .withColumn("__key", rightKey)
       .withColumn("__side", lit(0))
-      .withColumn("__tie", rightTiebreak.cast("long"))
+      .withColumn("__tie", tieGuarded)
       .withColumn("__rv", struct(rightValueCols.map(col): _*))
       .select(left.columns.map(c => lit(null).cast(
         left.schema(c).dataType).as(c)).toIndexedSeq ++

@@ -34,13 +34,13 @@ object Distogram {
       var cum = 0.0
       var i = 0
       while (i < bins.length) {
-        val half = bins(i)._2 / 2.0
-        if (cum + half >= target && i == 0) return bins.head._1
         if (cum + bins(i)._2 >= target) {
-          // interpolate between centroid i-1 and i
+          // interpolate between centroid i-1 and i; at i == 0 every
+          // target within the first bin maps to the head centroid (the
+          // simplified-trapezoid convention the oracles replay)
           if (i == 0) return bins.head._1
-          val (v0, c0) = bins(i - 1)
-          val (v1, _) = bins(i)
+          val v0 = bins(i - 1)._1
+          val v1 = bins(i)._1
           val inside = target - cum
           return v0 + (v1 - v0) * (inside / bins(i)._2.toDouble)
         }

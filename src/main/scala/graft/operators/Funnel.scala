@@ -192,14 +192,22 @@ object Retention {
     // (the multi-consumer persist rule)
     val cells = regs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val contrib = cells.select(
-      explode(expr(s"sequence(day, date_add(day, ${windowDays - 1}))"))
-        .as("day"),
-      col("bucket"), col("register"))
-    val present = cells.select("day").distinct()
-    val merged = contrib.join(broadcast(present), "day")
-      .groupBy("day", "bucket").agg(max(col("register")).as("register"))
-    graft.functions.Hll.estimate(merged, p, Seq(col("day")))
-      .orderBy("day")
+    // SCOPED persist (the withPersisted rule): the merged register
+    // table is bounded (≤ days x 2^p rows), so materialize it eagerly
+    // via localCheckpoint and release the cached input before
+    // returning — a buried never-unpersisted frame leaked one cache
+    // entry per finisher call in long-lived sessions
+    try {
+      val contrib = cells.select(
+        explode(expr(s"sequence(day, date_add(day, ${windowDays - 1}))"))
+          .as("day"),
+        col("bucket"), col("register"))
+      val present = cells.select("day").distinct()
+      val merged = contrib.join(broadcast(present), "day")
+        .groupBy("day", "bucket").agg(max(col("register")).as("register"))
+        .localCheckpoint()
+      graft.functions.Hll.estimate(merged, p, Seq(col("day")))
+        .orderBy("day")
+    } finally cells.unpersist(blocking = false)
   }
 }

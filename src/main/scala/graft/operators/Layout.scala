@@ -48,7 +48,16 @@ object Layout {
       Seq(min(col(c).cast("double")).as(s"__mn_$c"),
         max(col(c).cast("double")).as(s"__mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+    cols.indices.map { i =>
+      // min/max of an all-NULL column (or an empty frame) is NULL —
+      // name the column in the refusal instead of a bare NPE from
+      // getDouble mid-compaction
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"Layout.ranges: column '${cols(i)}' has no non-NULL values " +
+          "(empty input or all-NULL column) — cannot derive a z-order " +
+          "range")
+      (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+    }
   }
 
   /** Morton interleave of bucket columns (each already in

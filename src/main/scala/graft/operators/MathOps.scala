@@ -246,12 +246,17 @@ object MathOps {
     * partials. Result is IDENTICAL to a direct groupBy (sums are
     * decimal-exact and order-independent) — only the shuffle shape changes.
     * With AQE's skew handling off or insufficient, this is the manual
-    * escape hatch. Salt is derived deterministically from the whole row. */
+    * escape hatch. The salt is positional (monotonically_increasing_id
+    * mod buckets), NOT a row-content hash: the classic skew source is a
+    * hot key of byte-identical duplicate events, and a content hash
+    * sends every duplicate to the SAME salt bucket — no spread exactly
+    * when it's needed. The salt never reaches the result (phase 2
+    * re-aggregates it away), so positional assignment costs nothing in
+    * determinism of the OUTPUT. */
   def saltedSumCount(valueCol: Column, keys: Seq[Column],
                      buckets: Int = 16): Op = { df =>
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
-        lit(buckets)))
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val partial = salted
       .groupBy(keys :+ col("__salt"): _*)
       .agg(count(lit(1)).as("__pn"),

@@ -373,7 +373,11 @@ object Ops {
       .join(broadcast(prefixes),
         col("__s") === col("__ps") && col("__b") === col("__pb"))
       .withColumn("__cum", col("__prev") + sum(col("__sz")).over(wIn))
-      .filter(col("__cum") <= budgetExpr)
+      // budget > 0 FIRST: an unlisted stratum (budget 0, the allowlist
+      // drop) must yield NOTHING — a zero-size doc landing before any
+      // positive-size doc otherwise passes cum <= 0 and leaks through;
+      // the oracle replays the same two-term filter
+      .filter(budgetExpr > 0 && col("__cum") <= budgetExpr)
       .drop("__h", "__b", "__s", "__sz", "__ps", "__pb", "__prev", "__cum")
   }
 
@@ -426,8 +430,13 @@ object Ops {
     * shared scan is planned once per branch by Catalyst; wrap the input in
     * `.persist()` upstream if branches are expensive and the source isn't
     * a cheap columnar scan. */
-  def teeMap(branches: Op*): Op = { df =>
-    branches.map(_(df)).reduce(_.unionByName(_))
+  def teeMap(branches: Op*): Op = {
+    // construction-time, not apply-time: a config-driven branch list
+    // filtered to empty should fail where it was built
+    require(branches.nonEmpty,
+      "teeMap: need at least one branch (a config-driven branch list " +
+        "filtered to empty?)")
+    df => branches.map(_(df)).reduce(_.unionByName(_))
   }
 
   /** rxsci `group_by`: run a sub-pipeline per key group. In Spark the
@@ -617,8 +626,12 @@ object Ops {
                           seed: Int = 0): Op = { df =>
     require(kPerStratum >= 1,
       s"prioritySampleByKey: kPerStratum must be >= 1: $kPerStratum")
-    val w = when(weightCol.isNull || weightCol <= 0.0, raise_error(
-      concat(lit("prioritySampleByKey: weight must be > 0 for id="),
+    // isnan: NaN passes both null and <= 0 predicates (NaN comparisons
+    // are false) yet sorts ABOVE every real priority — corrupt weight
+    // rows would silently fill the sample instead of failing the run
+    val w = when(weightCol.isNull || weightCol <= 0.0 ||
+      isnan(weightCol.cast("double")), raise_error(
+      concat(lit("prioritySampleByKey: weight must be > 0 (and not NaN) for id="),
         idCol.cast("string")))).otherwise(weightCol.cast("double"))
     val h = xxhash64(lit(seed),
       refuseNull(idCol, lit("prioritySampleByKey: NULL id")))
@@ -664,8 +677,12 @@ object Ops {
   def prioritySample(idCol: Column, weightCol: Column, k: Int,
                      seed: Int = 0): Op = { df =>
     require(k >= 1, s"prioritySample: k must be >= 1: $k")
-    val w = when(weightCol.isNull || weightCol <= 0.0, raise_error(
-      concat(lit("prioritySample: weight must be > 0 for id="),
+    // isnan: NaN passes both null and <= 0 predicates (NaN comparisons
+    // are false) yet sorts ABOVE every real priority — corrupt weight
+    // rows would silently fill the sample instead of failing the run
+    val w = when(weightCol.isNull || weightCol <= 0.0 ||
+      isnan(weightCol.cast("double")), raise_error(
+      concat(lit("prioritySample: weight must be > 0 (and not NaN) for id="),
         idCol.cast("string")))).otherwise(weightCol.cast("double"))
     val h = xxhash64(lit(seed),
       refuseNull(idCol, lit("prioritySample: NULL id")))

@@ -51,12 +51,34 @@ object Profile {
     * surfaces as a NULL-sided row. Cost: the two single-pass profiles;
     * the join is |cols| rows. */
   def delta(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
-    val pa = profile(a, cols).select(col("col_name"),
-      col("n").as("n_a"), col("nulls").as("nulls_a"),
-      col("n_distinct").as("distinct_a"))
-    val pb = profile(b, cols).select(col("col_name"),
-      col("n").as("n_b"), col("nulls").as("nulls_b"),
-      col("n_distinct").as("distinct_b"))
+    // profile each snapshot over the columns IT HAS: profiling both
+    // over the shared list made the advertised added/dropped-column
+    // detection unreachable (an AnalysisException on the missing
+    // column, not a NULL-sided row — and schema rot is exactly what
+    // this operator exists to catch)
+    val ca = cols.filter(a.columns.contains)
+    val cb = cols.filter(b.columns.contains)
+    require(ca.nonEmpty || cb.nonEmpty,
+      s"Profile.delta: none of [${cols.mkString(", ")}] exists in " +
+        "either snapshot")
+    def one(df: DataFrame, cs: Seq[String], sfx: String): DataFrame =
+      if (cs.nonEmpty)
+        profile(df, cs).select(col("col_name"),
+          col("n").as(s"n_$sfx"), col("nulls").as(s"nulls_$sfx"),
+          col("n_distinct").as(s"distinct_$sfx"))
+      else {
+        // every listed column is on the other side: an empty profile
+        // so the full-outer join still emits its NULL-sided rows
+        import org.apache.spark.sql.types._
+        df.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("col_name", StringType),
+            StructField(s"n_$sfx", LongType),
+            StructField(s"nulls_$sfx", LongType),
+            StructField(s"distinct_$sfx", LongType))))
+      }
+    val pa = one(a, ca, "a")
+    val pb = one(b, cb, "b")
     pa.join(pb, Seq("col_name"), "full_outer")
       .withColumn("null_rate_delta",
         col("nulls_b").cast("double") / col("n_b").cast("double") -

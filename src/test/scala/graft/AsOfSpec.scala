@@ -56,4 +56,24 @@ class AsOfSpec extends SparkSpec {
     assert(got == Seq(
       (100L, None), (101L, Some(3L)), (102L, Some(3L)), (103L, Some(4L))))
   }
+
+  test("asOf refuses a NULL or non-integral rightTiebreak — a silent " +
+    "NULL/truncating cast would make ties resolve by partition layout") {
+    val quotes = Seq(("A", 10L, Option.empty[Long], 1.0),
+      ("A", 10L, Option(2L), 2.0)).toDF("sym", "qts", "qid", "px")
+    val trades = Seq(("A", 20L, 100L)).toDF("sym", "tts", "tid")
+    def run(tie: org.apache.spark.sql.Column) = AsOfJoin.asOf(
+      trades, quotes, col("tts"), col("qts"), col("sym"), col("sym"),
+      Seq("px"), rightTiebreak = tie).collect()
+    def all(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ all(t.getCause)
+    val e1 = intercept[Exception](run(col("qid"))) // NULL tiebreak row
+    assert(all(e1).exists(_.contains("rightTiebreak")), e1.getMessage)
+    // integral doubles pass; a fractional one truncates to a tie
+    val quotes2 = Seq(("A", 10L, 1.5)).toDF("sym", "qts", "px")
+    val e3 = intercept[Exception](AsOfJoin.asOf(
+      trades, quotes2, col("tts"), col("qts"), col("sym"), col("sym"),
+      Seq("px"), rightTiebreak = col("px")).collect())
+    assert(all(e3).exists(_.contains("rightTiebreak")), e3.getMessage)
+  }
 }

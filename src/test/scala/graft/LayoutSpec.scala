@@ -186,4 +186,14 @@ class LayoutSpec extends SparkSpec {
       .orderBy("event_id").as[(Long, Long)].collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("ranges names the offending column on an all-NULL input " +
+    "instead of a bare NPE mid-compaction") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("id", "score")
+    val ex = intercept[IllegalArgumentException](
+      Layout.ranges(df, Seq("score")))
+    assert(ex.getMessage.contains("score"), ex.getMessage)
+  }
 }

@@ -488,4 +488,39 @@ class OpsSpec extends SparkSpec {
     }
     assert(df2.storageLevel == StorageLevel.NONE, "cache leaked on throw")
   }
+
+  test("prioritySample/prioritySampleByKey refuse NaN weights — NaN " +
+    "passes both the null and <= 0 predicates yet sorts ABOVE every " +
+    "real priority, so corrupt rows would fill the sample silently") {
+    val df = Seq((1L, 2.0), (2L, Double.NaN), (3L, 1.0)).toDF("id", "w")
+    def all(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ all(t.getCause)
+    val e1 = intercept[Exception](
+      (df >> Ops.prioritySample(col("id"), col("w"), 2)).collect())
+    assert(all(e1).exists(_.contains("not NaN")), e1.getMessage)
+    val e2 = intercept[Exception](
+      (df.withColumn("s", lit("x")) >> Ops.prioritySampleByKey(
+        col("id"), col("w"), col("s"), 2)).collect())
+    assert(all(e2).exists(_.contains("not NaN")), e2.getMessage)
+  }
+
+  test("teeMap with zero branches refuses with a contract error " +
+    "instead of empty.reduce") {
+    val ex = intercept[IllegalArgumentException](Ops.teeMap())
+    assert(ex.getMessage.contains("at least one branch"), ex.getMessage)
+  }
+
+  test("sampleToBudget: an UNLISTED stratum (budget 0) yields NOTHING " +
+    "— zero-size docs in its earliest bucket previously leaked " +
+    "through cum <= 0") {
+    val docs = Seq(
+      (1L, "listed", 5L), (2L, "listed", 5L),
+      (3L, "ghost", 0L), (4L, "ghost", 0L), (5L, "ghost", 3L))
+      .toDF("id", "s", "sz")
+    val kept = (docs >> Ops.sampleToBudget(col("id"), col("s"),
+      col("sz"), Map("listed" -> 100L), seed = 3))
+      .select("id", "s").as[(Long, String)].collect().toSeq
+    assert(kept.forall(_._2 == "listed"), kept.toString)
+    assert(kept.map(_._1).toSet == Set(1L, 2L))
+  }
 }

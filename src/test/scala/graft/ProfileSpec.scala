@@ -47,4 +47,18 @@ class ProfileSpec extends SparkSpec {
     val b = Profile.profile(ev.repartition(13), cols).collect().toSeq
     assert(a == b && a.size == 4)
   }
+
+  test("delta surfaces an added/dropped column as a NULL-sided row " +
+    "(schema rot is the operator's job, not an AnalysisException)") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "old_col")
+    val b = Seq((2L, "y")).toDF("id", "new_col")
+    val got = Profile.delta(a, b, Seq("id", "old_col", "new_col"))
+      .select("col_name", "n_a", "n_b")
+      .as[(String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("old_col") == ((Some(1L), None)), got.toString) // dropped
+    assert(got("new_col") == ((None, Some(1L))), got.toString) // added
+    assert(got("id") == ((Some(1L), Some(1L))))
+  }
 }
