@@ -94,20 +94,29 @@ object Serve {
 
   /** Score a bounded batch: the shared kernel for batch + streaming. */
   def inferBatch(df0: DataFrame, model: Model, cfg: ServeConfig)
-      : DataFrame = {
+      : DataFrame =
+    inferVia(df0, () => model, cfg)
+
+  /** The shared inference plan over a serializable model ACCESSOR: the
+    * mapPartitions closure captures only `modelRef`, so the streaming
+    * path can pass `() => bc.value` (a broadcast handle — the model
+    * ships once per executor per swap) while the direct batch path
+    * passes `() => model` (task-serialized, fine for one-shot scoring). */
+  private def inferVia(df0: DataFrame, modelRef: () => Model,
+                       cfg: ServeConfig): DataFrame = {
     val df = cfg.pre(df0)
     // project the (possibly nested) input to a trailing column so the
     // partition kernel reads by position — supports dict-shaped events
     val withIn = df.withColumn("__in", col(cfg.inputField).cast("double"))
     val inIdx = withIn.schema.length - 1
     val bSize = cfg.batchSize
-    val predict = model.predict
     val outSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(
         cfg.outputField, org.apache.spark.sql.types.DoubleType))
     // typed Dataset.mapPartitions (not an RDD hop): stays in the encoder
     // pipeline, so the scored frame composes with downstream codegen
     val scored = withIn.mapPartitions { rows =>
+      val predict = modelRef().predict // resolved executor-side
       rows.grouped(bSize).flatMap { group =>
         // infer (serve.py:46-57): errors drop the batch, not the query
         try {
@@ -126,19 +135,30 @@ object Serve {
   }
 
   /** Streaming serve: wire a streaming DataFrame through per-micro-batch
-    * model resolution + batched inference into `sink`. */
+    * model resolution + batched inference into `sink`. The model is
+    * BROADCAST once per version swap (the object-doc contract): each
+    * micro-batch's inference plan captures only the broadcast handle,
+    * so executors fetch the artifact once per swap instead of receiving
+    * it in every task's closure; the superseded broadcast is released
+    * on swap. */
   def serveStream(data: DataFrame, provider: ModelProvider,
                   cfg: ServeConfig)(sink: DataFrame => Unit)
       : DataStreamWriter[Row] = {
-    val current = new AtomicReference[Model]()
+    val current = new AtomicReference[
+      (Long, org.apache.spark.broadcast.Broadcast[Model])]()
     data.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val m = provider() // latest model wins, per micro-batch
         val prev = current.get()
-        if (prev == null || prev.version != m.version) current.set(m)
-        sink(inferBatch(batch, current.get(), cfg))
+        if (prev == null || prev._1 != m.version) {
+          val bc = batch.sparkSession.sparkContext.broadcast(m)
+          if (prev != null) prev._2.unpersist(blocking = false)
+          current.set((m.version, bc))
+        }
+        val bc = current.get()._2
+        sink(inferVia(batch, () => bc.value, cfg))
       }
   }
 }

@@ -84,7 +84,8 @@ case class TopicSpec(name: String, codec: String, startFrom: String,
                      zorderBy: Seq[String] = Nil,
                      zorderBits: Int = 8,
                      maxPerTrigger: Long = 0,
-                     compression: String = "")
+                     compression: String = "",
+                     inspect: Boolean = false)
 
 /** `configTopic` (YAML `config_topic`): name of a topic whose NEWEST
   * record is merged over the static `config:` block and handed to this
@@ -158,7 +159,9 @@ object Topology {
           zorderBits = m.getOrElse("zorder_bits", "8").toString.toInt,
           maxPerTrigger =
             m.getOrElse("max_per_trigger", "0").toString.toLong,
-          compression = m.getOrElse("compression", "").toString)
+          compression = m.getOrElse("compression", "").toString,
+          inspect =
+            m.getOrElse("inspect", "false").toString.toBoolean)
       }.toSeq
 
     val operators = asMap(root.getOrElse("operators", null)).map {
@@ -186,7 +189,19 @@ object Topology {
         s"topic '${t.name}': compression names a file-sink codec " +
           s"(parquet/json topics only); kind '${t.kind}' would silently " +
           "ignore it")
+      require(!t.inspect || t.kind == "memory",
+        s"topic '${t.name}': inspect applies only to memory relay " +
+          s"topics (it opts an intermediate relay into its own " +
+          s"in-memory query); kind '${t.kind}' would silently ignore it")
     }
+    // duplicate topic NAMES shadow silently: topic() resolves by find,
+    // so a copy-pasted block's second declaration — possibly the edited
+    // one — would never be read (requireSingleProducers covers duplicate
+    // producers, not duplicate specs)
+    val dupNames = topics.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupNames.isEmpty,
+      s"duplicate topic declaration(s): ${dupNames.mkString(", ")} — " +
+        "each topic may be declared once")
     val shufflePartitions = root.get("shuffle_partitions")
       .map(_.toString.toInt)
     shufflePartitions.foreach(n => require(n > 0,
@@ -305,10 +320,21 @@ object Topology {
         s.fields.indices.map(j => s.fields(j).name -> sub.get(j))
       case _ => Seq(f.name -> r.get(i))
     }
-    fields.find(_._1.name == "value") match {
-      case Some((f, i)) => flat(f, i).toMap // kafka frame shape
-      case None => fields.flatMap { case (f, i) => flat(f, i) }.toMap
-    }
+    // kafka-frame detection keys on the TRANSPORT schema (value plus
+    // topic/partition/offset, the columns every kafka read carries) —
+    // the mere presence of a column named "value" must not reclassify
+    // a file-backed config row and silently drop its other columns
+    // (a parquet topic with (value, threshold) would otherwise deliver
+    // only "value" and the operator would run on the static default)
+    val names = r.schema.fields.map(_.name).toSet
+    val kafkaShape = Seq("value", "topic", "partition", "offset")
+      .forall(names.contains)
+    if (kafkaShape)
+      fields.find(_._1.name == "value") match {
+        case Some((f, i)) => flat(f, i).toMap
+        case None => Map.empty // unreachable: kafkaShape requires value
+      }
+    else fields.flatMap { case (f, i) => flat(f, i) }.toMap
   }
 }
 
@@ -742,6 +768,16 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
           shared.createOrReplaceTempView(sinkTopic.name)
           shared
         } else {
+          // kafka sinks have no batch path here: writeFileSink's
+          // format match would silently write $outDir/<topic> as
+          // PARQUET — no broker produce, no key/codec framing — while
+          // the topic got reported as a written durable sink and
+          // downstream kafka consumers saw nothing
+          require(sinkTopic.kind != "kafka",
+            s"sink topic '${sinkTopic.name}': kafka sinks are not " +
+              "supported in batch mode (runBatch writes file sinks " +
+              "under outDir) — run the topology in stream mode, or " +
+              "point the sink at a parquet/json topic")
           val path = s"$outDir/${sinkTopic.name}"
           writeFileSink(df, sinkTopic, "overwrite", path)
           names += sinkTopic.name
@@ -827,6 +863,15 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
           "independently and cannot consume memory relays — source " +
           s"topic '${src.name}' is kind memory; chain through a " +
           "parquet/json/kafka topic for a durable handoff")
+      // the config topic itself must resolve NOW: an undeclared name
+      // or a kind latestRecord cannot read would otherwise throw only
+      // inside the foreachBatch closure at the first micro-batch —
+      // after every static query had started (the half-running-topology
+      // failure this whole block exists to prevent)
+      val ct = topic(op.configTopic)
+      require(ct.kind == "parquet" || ct.kind == "kafka",
+        s"operator ${op.name}: config_topic '${ct.name}' must be " +
+          s"parquet or kafka (latest-record read), got '${ct.kind}'")
       op.sinks.map(topic).foreach { st =>
         require(st.kind == "kafka" || st.kind == "parquet" ||
             st.kind == "json",
@@ -852,8 +897,22 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
       chainable = _.kind == "memory")
     val started =
       scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
+    // a CONSUMED memory relay is already plan-composed into every
+    // downstream query; starting its own format("memory") query too
+    // would (a) run the upstream sub-plan in a second concurrent query
+    // per trigger and (b) buffer every relay row in driver memory for
+    // the stream's life — double compute plus an eventual driver OOM on
+    // a high-volume relay. Terminal memory sinks keep their query (it
+    // is their only materialization, the inspectable-by-name contract);
+    // `inspect: true` on the topic opts an intermediate relay back in
+    // for debugging.
+    val consumedNames = operators.flatMap(_.sources).toSet
     try {
     wired.foreach { case (sinkTopic, df) =>
+      if (sinkTopic.kind == "memory" &&
+          consumedNames.contains(sinkTopic.name) && !sinkTopic.inspect) {
+        // relay-only: downstream queries own the plan
+      } else {
         val shaped =
           if (isFileKind(sinkTopic))
             shapeForParquet(frameForSink(df, sinkTopic), sinkTopic)
@@ -889,6 +948,7 @@ case class Topology(topics: Seq[TopicSpec], operators: Seq[OperatorSpec],
           case other =>
             throw new IllegalArgumentException(s"sink kind: $other")
         }).start()
+      }
       }
     resolvedDynamic.foreach { case (op, factory) =>
       val sinkTopics = op.sinks.map(topic)

@@ -70,7 +70,8 @@ object DomainCapOp extends OperatorFactory {
     val typed = df.select(
       Url.registeredDomain(Url.stripWww(Url.host(col(urlCol))))
         .as("dom"),
-      col(idCol).cast("long").as("id"),
+      graft.operators.Ops.refuseNull(col(idCol),
+        lit(s"DomainCapOp: NULL $idCol")).cast("long").as("id"),
       col(tsCol).as("ts")).as[In]
 
     val func = (dom: String, rows: Iterator[In],

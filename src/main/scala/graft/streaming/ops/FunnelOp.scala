@@ -72,7 +72,8 @@ object FunnelOp extends OperatorFactory {
     import spark.implicits._
 
     // ts passes through UNCAST — the TransitionOp watermark-tag rule
-    val typed = df.select(col(userCol).cast("long").as("u"),
+    val typed = df.select(graft.operators.Ops.refuseNull(col(userCol),
+      lit(s"FunnelOp: NULL $userCol")).cast("long").as("u"),
       col(tsCol).as("ts"),
       col(typeCol).cast("string").as("tp")).as[Ev]
 

@@ -42,16 +42,21 @@ object LmGateOp extends OperatorFactory {
     val minScore = config.get("min_score").map(_.toString.toDouble)
 
     val spark = sources.head.sparkSession
+    // ONE bigram-expansion expression for model build AND scoring: the
+    // exact-batch-parity guarantee depends on the two sites staying
+    // character-identical (same chr(1) separator, same struct fields) —
+    // a drift between private copies would shift lm_score with no error
+    val bigramSql =
+      "transform(sequence(1, size(__ts) - 1), i -> struct(" +
+        "element_at(__ts, i) AS w1, " +
+        "concat(element_at(__ts, i), chr(1), element_at(__ts, i + 1))" +
+        " AS bg))"
     // one read + bigram expansion for both bounded model collects
     // (≤ topV + topB rows total)
     val pairs = spark.read.parquet(refPath)
       .select(Text.tokens(col(textCol)).as("__ts"))
       .filter(size(col("__ts")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(__ts) - 1), i -> struct(" +
-          "element_at(__ts, i) AS w1, " +
-          "concat(element_at(__ts, i), chr(1), element_at(__ts, i + 1))" +
-          " AS bg))")).as("__p"))
+      .select(explode(expr(bigramSql)).as("__p"))
       .select(col("__p.w1").as("__w1"), col("__p.bg").as("__bg"))
       .cache()
     val (c1Map, cbMap) = try {
@@ -85,11 +90,7 @@ object LmGateOp extends OperatorFactory {
       array().cast("array<string>"))
     val bgArr = when(size(col("__ts")) < 2,
       expr("CAST(array() AS array<struct<w1:string,bg:string>>)"))
-      .otherwise(expr(
-        "transform(sequence(1, size(__ts) - 1), i -> struct(" +
-          "element_at(__ts, i) AS w1, " +
-          "concat(element_at(__ts, i), chr(1), element_at(__ts, i + 1))" +
-          " AS bg))"))
+      .otherwise(expr(bigramSql))
     val scored = sources.head
       .withColumn("__ts", ts)
       .withColumn("__bgs", bgArr)

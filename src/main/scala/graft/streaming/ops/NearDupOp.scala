@@ -153,7 +153,8 @@ object NearDupOp extends OperatorFactory {
       df.filter(
         graft.functions.TokenCount(col(textCol)) >= shingleSize)
     else df
-    val hs = src.select(col(idCol).cast("long").as("id"),
+    val hs = src.select(graft.operators.Ops.refuseNull(col(idCol),
+      lit(s"NearDupOp: NULL $idCol")).cast("long").as("id"),
       col(tsCol).as("ts"),
       graft.llm.Dedup.textShingleHashes(col(textCol), shingleSize)
         .as("hs"))

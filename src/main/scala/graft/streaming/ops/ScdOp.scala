@@ -38,17 +38,11 @@ object ScdOp extends OperatorFactory {
                       effective_to: Option[java.sql.Timestamp],
                       is_current: Boolean, n_events: Long)
 
-  // state carries epoch MICROS, not Timestamp.getTime millis: Spark
-  // timestamps are microsecond-precision, and a millis round-trip
-  // truncates effective_from/the in-group sort key (q_scd_dag went red
-  // on exactly this — .325073 became .325000)
-  private def usOf(ts: java.sql.Timestamp): Long =
-    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-  private def tsOf(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
+  // state carries epoch MICROS, not Timestamp.getTime millis — the
+  // shared precision-exact pair (see TimeCodec scaladoc for the
+  // q_scd_dag incident this encodes)
+  private def usOf(ts: java.sql.Timestamp): Long = TimeCodec.usOf(ts)
+  private def tsOf(us: Long): java.sql.Timestamp = TimeCodec.tsOf(us)
 
   def apply(config: Map[String, Any], sources: Seq[DataFrame])
       : Seq[DataFrame] = {
@@ -65,7 +59,8 @@ object ScdOp extends OperatorFactory {
 
     // ts passes through UNCAST (watermark tag survival — the
     // TransitionOp rule)
-    val typed = df.select(col(keyCol).cast("long").as("k"),
+    val typed = df.select(graft.operators.Ops.refuseNull(col(keyCol),
+      lit(s"ScdOp: NULL $keyCol")).cast("long").as("k"),
       col(tsCol).as("ts"), col(tieCol).cast("long").as("tie"),
       col(stCol).cast("string").as("st")).as[Ev]
 

@@ -23,12 +23,18 @@ import graft.streaming.{OperatorFactory, Serve}
 object ServeOp extends OperatorFactory {
   def apply(config: Map[String, Any], sources: Seq[DataFrame])
       : Seq[DataFrame] = {
-    val model = config.get("content") match {
+    // file-backed model topics deliver the artifact under the literal
+    // 'content' column; a KAFKA model topic's record reaches the
+    // factory as its decoded value under 'value' (Topology.configMap's
+    // kafka contract) — accept both, or the reference-flagship kafka
+    // hot-swap path can never load a model
+    val model = config.get("content").orElse(config.get("value")) match {
       case Some(bytes: Array[Byte]) => Serve.loadModel(bytes)
       case _ => throw new IllegalArgumentException(
         "serve: no model artifact in config — declare the model topic " +
           "as this operator's config_topic so its newest record's " +
-          "content bytes reach the factory")
+          "content bytes (file topics) or raw value bytes (kafka " +
+          "topics, codec none) reach the factory")
     }
     val cfg = Serve.ServeConfig(
       batchSize = config.getOrElse("serve_batch_size", 1).toString.toInt,

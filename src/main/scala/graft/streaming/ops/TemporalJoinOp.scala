@@ -97,13 +97,9 @@ object TemporalJoinOp extends OperatorFactory {
       coalesce(col(tieCol).cast("long"), lit(0L)).as("tie"))
     val unioned = l.unionByName(r).as[In]
 
-    // micros → Timestamp without precision loss (the constructor takes
-    // millis; setNanos replaces the FULL fractional second)
-    def tsOf(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
+    // micros → Timestamp without precision loss — the shared pair
+    // (TimeCodec scaladoc records the truncation incident)
+    def tsOf(us: Long): java.sql.Timestamp = TimeCodec.tsOf(us)
 
     val func = (key: String, rows: Iterator[In],
                 state: GroupState[TJState]) => {

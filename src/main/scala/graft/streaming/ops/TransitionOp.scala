@@ -51,7 +51,8 @@ object TransitionOp extends OperatorFactory {
     // the timestamp column must pass through UNCAST: a cast would mint
     // a fresh attribute without the watermark tag and fail the
     // event-time-timeout analysis check
-    val typed = df.select(col(userCol).cast("long").as("u"),
+    val typed = df.select(graft.operators.Ops.refuseNull(col(userCol),
+      lit(s"TransitionOp: NULL $userCol")).cast("long").as("u"),
       col(tsCol).as("ts"),
       col(typeCol).cast("string").as("tp")).as[Ev]
 

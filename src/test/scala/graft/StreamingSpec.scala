@@ -1147,8 +1147,10 @@ class StreamingSpec extends SparkSpec {
          |    path: $tmp/in
          |  - name: scored
          |    kind: memory
+         |    inspect: true
          |  - name: shaped
          |    kind: memory
+         |    inspect: true
          |  - name: uniq
          |    kind: memory
          |operators:
@@ -1181,7 +1183,10 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table("uniq").select("id").as[Long].collect().toSet
       assert(got.size == 2 && got.contains(4L) &&
         (got.contains(1L) ^ got.contains(2L)), got)
-      // intermediate memory topics are ALSO live sinks of the same run
+      // intermediate memory topics are live sinks ONLY when opted in
+      // via inspect: true (a consumed relay is otherwise plan-composed
+      // into downstream queries alone — no second query, no driver
+      // buffering)
       assert(spark.table("scored").count() == 3)
       assert(spark.table("shaped").count() == 3)
       // and the relay is plan-level: DedupOp's own watermark rides the
@@ -2507,6 +2512,59 @@ class StreamingSpec extends SparkSpec {
         .as[(java.sql.Date, Int, Int)].collect().toSeq
       assert(sc == bc, s"stream=$sc batch=$bc")
     } finally q.stop()
+  }
+
+  test("ServeOp loads a model delivered under 'value' (the kafka " +
+    "config-topic contract) as well as 'content' (file topics)") {
+    val bytes = Serve.encodeLinearModel(1L, 2.0, 3.0) // yhat = 3x + 2
+    val data = Seq(1.0).toDF("x")
+    for (key <- Seq("content", "value")) {
+      val out = graft.streaming.ops.ServeOp(
+        Map(key -> bytes, "serve_input_field" -> "x"), Seq(data)).head
+      assert(out.select("prediction").as[Double].head() == 5.0,
+        s"model under '$key'")
+    }
+  }
+
+  test("a consumed memory relay WITHOUT inspect gets no in-memory " +
+    "query of its own — the relay is plan-composed into downstream " +
+    "queries only (no second execution, no driver buffering)") {
+    val tmp = Files.createTempDirectory("topo_relayonly").toString
+    Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L))
+      .toDF("ts", "id").write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: src_ro
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: relay_ro
+         |    kind: memory
+         |  - name: term_ro
+         |    kind: memory
+         |operators:
+         |  a:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [src_ro]
+         |    sinks: [relay_ro]
+         |    config:
+         |      sql: SELECT ts, id FROM v1
+         |      views: [v1]
+         |  b:
+         |    factory: graft.streaming.ops.SqlOp
+         |    sources: [relay_ro]
+         |    sinks: [term_ro]
+         |    config:
+         |      sql: SELECT id * 2 AS id2 FROM v2
+         |      views: [v2]
+         |""".stripMargin
+    val queries = Topology.parse(yaml).runStream(spark, s"$tmp/ckpt")
+    try {
+      // ONE started query: the terminal sink; the relay starts none
+      assert(queries.length == 1, s"started ${queries.length} queries")
+      queries.foreach(_.processAllAvailable())
+      assert(spark.table("term_ro").select("id2").as[Long].head() == 2L)
+      intercept[Exception](spark.table("relay_ro").collect())
+    } finally queries.foreach(_.stop())
   }
 }
 

@@ -1542,4 +1542,93 @@ class TopologySpec extends SparkSpec {
       assert(got == Seq(2L, 4L, 6L))
     } finally spark.conf.set(key, prior)
   }
+
+  test("parse refuses duplicate topic declarations — topic() resolves " +
+    "by find, so a copy-pasted second block would shadow silently") {
+    val yaml =
+      """topics:
+        |  - name: t
+        |    kind: memory
+        |  - name: t
+        |    kind: parquet
+        |    path: /tmp/x
+        |""".stripMargin
+    val ex = intercept[IllegalArgumentException](Topology.parse(yaml))
+    assert(ex.getMessage.contains("duplicate topic"), ex.getMessage)
+  }
+
+  test("parse refuses inspect on non-memory topics (accepted-but-" +
+    "ignored knobs are config lies)") {
+    val yaml =
+      """topics:
+        |  - name: t
+        |    kind: parquet
+        |    path: /tmp/x
+        |    inspect: true
+        |""".stripMargin
+    val ex = intercept[IllegalArgumentException](Topology.parse(yaml))
+    assert(ex.getMessage.contains("inspect"), ex.getMessage)
+  }
+
+  test("runBatch refuses kafka sinks loudly — writeFileSink would " +
+    "silently write them as parquet under outDir with no broker " +
+    "produce") {
+    val tmp = Files.createTempDirectory("topo_kbatch").toString
+    Seq(1.0).toDF("value").write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: raw
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: out_k
+         |    kind: kafka
+         |    endpoint: b:9092
+         |operators:
+         |  m:
+         |    factory: graft.streaming.ops.Multiply
+         |    sources: [raw]
+         |    sinks: [out_k]
+         |""".stripMargin
+    val ex = intercept[IllegalArgumentException](
+      Topology.parse(yaml).runBatch(spark, s"$tmp/sinks"))
+    assert(ex.getMessage.contains("not supported in batch mode"),
+      ex.getMessage)
+  }
+
+  test("configMap keeps EVERY column of a file-backed row that " +
+    "happens to have a column named 'value' — kafka-frame detection " +
+    "keys on the transport schema, not one column name") {
+    val row = Seq((2.5, 0.7)).toDF("value", "threshold").collect().head
+    val m = Topology.configMap(row)
+    assert(m == Map("value" -> 2.5, "threshold" -> 0.7), m.toString)
+  }
+
+  test("a dynamic operator's config_topic is validated UP FRONT: an " +
+    "unreadable kind (memory) refuses before any static query starts") {
+    val tmp = Files.createTempDirectory("topo_dynct").toString
+    Seq(1L).toDF("value").write.mode("overwrite").parquet(s"$tmp/in")
+    val yaml =
+      s"""topics:
+         |  - name: in
+         |    kind: parquet
+         |    path: $tmp/in
+         |  - name: conf
+         |    kind: memory
+         |  - name: out
+         |    kind: parquet
+         |    path: $tmp/out
+         |operators:
+         |  m:
+         |    factory: graft.streaming.ops.Multiply
+         |    sources: [in]
+         |    sinks: [out]
+         |    config_topic: conf
+         |""".stripMargin
+    val activeBefore = spark.streams.active.length
+    val ex = intercept[IllegalArgumentException](
+      Topology.parse(yaml).runStream(spark, s"$tmp/ckpt"))
+    assert(ex.getMessage.contains("config_topic"), ex.getMessage)
+    assert(spark.streams.active.length == activeBefore,
+      "static queries started before the config-topic validation fired")
+  }
 }
