@@ -41,10 +41,21 @@ object Bench {
     // run is self-evident in the artifact.
     def loadAvg: Double = core.Measure.loadAvg
     val names = SparkEntry.queries.keys.toVector
+    // a throwing query must NOT read as a fast green number: its
+    // time-to-failure would land in the artifact, the suite total would
+    // IMPROVE, and tools/bench_floor.py's per-query min would adopt the
+    // failure time as the query's floor FOREVER (min over committed
+    // history never ages out). Failures are recorded by name, stamped
+    // into the artifact, excluded by the floor tool, and fail the run.
+    val failures =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timeOne(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable => failures(name) =
+          Option(t.getMessage).getOrElse(t.getClass.getName).take(160)
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Round-10 lesson: the variance trigger above is blind to a load
@@ -69,8 +80,12 @@ object Bench {
         .getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
     val history = prevRoundMins
+    // the SAME constants as the floor gate (BenchFloor's stated
+    // purpose: one definition so the retry trigger and the gate cannot
+    // disagree about what counts as a regression)
     def regressedVsHistory(n: String, min: Double): Boolean =
-      history.get(n).exists(prev => prev > 0 && min > 2.0 * prev + 0.15)
+      history.get(n).exists(prev => prev > 0 &&
+        min > BenchFloor.AbsFactor * prev + BenchFloor.AbsSlackSec)
     // Round-11 lesson: the committed artifact was taken on a box whose
     // load ramped 4->8 during the run, soft-flooring every number (three
     // queries landed 1.4-5x their same-round quiet-box measurements).
@@ -157,9 +172,21 @@ object Bench {
     val mm = names.map(k =>
       s"\"" + k + "\":[" + results(k).mkString(",") + "]")
       .mkString("{", ",", "}")
+    // JSON string escaping (the Verify q() rule): a quote/backslash in
+    // a path or an exception message must not make the artifact
+    // unparseable — "parsed": null is the round-4 failure this file
+    // exists to prevent
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+    val failedJson = failures.map { case (n, m) => jq(n) + ":" + jq(m) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","load_before":$loadBefore,"load_after":$loadAfter,"load_wait_sec":${waitedTotalMs / 1000},"floor_gate":"$floorStatus","floor_median_ratio":$medRatio,"over_floor":$overFloorJson,"queries":$qs,"queries_minmax":$mm,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","load_before":$loadBefore,"load_after":$loadAfter,"load_wait_sec":${waitedTotalMs / 1000},"floor_gate":"$floorStatus","floor_median_ratio":$medRatio,"over_floor":$overFloorJson,"failed":$failedJson,"queries":$qs,"queries_minmax":$mm,"sf":${jq(sfDir)}}"""
     println(json)
     // stdout rides sbt's log stream, where a prefix/interleave can break
     // the driver's parser (round 4 lost its headline metric to
@@ -177,7 +204,12 @@ object Bench {
     // LAST line is a short headline-only duplicate that a tail of any
     // size keeps intact.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":${jq(sfDir)}}""")
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"bench: ${failures.size} QUERY FAILURE(S): " +
+        failures.keys.mkString(", ") + " — artifact stamped, run FAILED")
+      sys.exit(1)
+    }
   }
 }

@@ -30,19 +30,23 @@ object BenchFloor {
     * text yields an EMPTY map, which callers must treat as
     * gate-disabled, not gate-green. */
   def numSection(text: String, key: String): Map[String, Double] =
-    jsonRoot(text).map { root =>
-      val node = root.get(key)
-      if (node == null || !node.isObject) Map.empty[String, Double]
-      else {
-        val b = Map.newBuilder[String, Double]
-        val it = node.fields()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
-        }
-        b.result()
+    jsonRoot(text).map(numSectionOf(_, key)).getOrElse(Map.empty)
+
+  private def numSectionOf(
+      root: com.fasterxml.jackson.databind.JsonNode, key: String)
+      : Map[String, Double] = {
+    val node = root.get(key)
+    if (node == null || !node.isObject) Map.empty[String, Double]
+    else {
+      val b = Map.newBuilder[String, Double]
+      val it = node.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
       }
-    }.getOrElse(Map.empty)
+      b.result()
+    }
+  }
 
   private def jsonRoot(text: String)
       : Option[com.fasterxml.jackson.databind.JsonNode] =
@@ -56,7 +60,7 @@ object BenchFloor {
   def floorsFor(text: String, sfDir: String): Map[String, Double] =
     jsonRoot(text) match {
       case Some(root) if root.path("sf").asText("") == sfDir =>
-        numSection(text, "floors")
+        numSectionOf(root, "floors")
       case _ => Map.empty
     }
 
@@ -67,7 +71,7 @@ object BenchFloor {
   def queriesFor(text: String, sfDir: String): Map[String, Double] =
     jsonRoot(text) match {
       case Some(root) if root.path("sf").asText("") == sfDir =>
-        numSection(text, "queries")
+        numSectionOf(root, "queries")
       case _ => Map.empty
     }
 

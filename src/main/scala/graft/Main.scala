@@ -95,10 +95,28 @@ object Main {
     redirect match {
       case null => text
       case m: java.util.Map[_, _] =>
+        // the reference contract (config.sample.redirect.yaml): a
+        // redirecting config's top level is ONLY the redirect block —
+        // real topics/operators beside it would be silently discarded
+        // (a half-migrated config masquerading as valid)
+        require(root.size() == 1,
+          "a redirect config must have no other top-level keys; found: " +
+            root.keySet().toArray.mkString(", "))
         val r = m.asInstanceOf[java.util.Map[String, Object]]
         r.get("connector") match {
           case "file" =>
-            Files.readString(Paths.get(String.valueOf(r.get("path"))))
+            val resolved =
+              Files.readString(Paths.get(String.valueOf(r.get("path"))))
+            // one level only: a redirect target that itself redirects
+            // would otherwise reach Topology.parse as a config with no
+            // topics and fail with an unrelated message
+            val resolvedRoot = new org.yaml.snakeyaml.Yaml()
+              .load[java.util.Map[String, Object]](resolved)
+            require(resolvedRoot == null ||
+              resolvedRoot.get("redirect") == null,
+              s"nested redirect: ${r.get("path")} itself redirects — " +
+                "one level of indirection is supported")
+            resolved
           case "consul" => throw new IllegalArgumentException(
             "redirect.connector 'consul' needs a Consul client and " +
               "network egress (reference makinage/config.py:57-84); " +

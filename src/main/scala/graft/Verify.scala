@@ -43,15 +43,11 @@ object Verify {
         s""""java":${q(System.getProperty("java.version"))},""" +
         s""""free_disk_mb":$free,"cpus":${q(cpus)},"fast":$fastMode,""" +
         s""""args":${args.map(q).mkString("[", ",", "]")}}""" + "\n")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the SHARED measurement session (core.Measure.session) — a
+    // verbatim inline copy here is exactly the drift the Measure module
+    // exists to prevent (its doc: "the round-13 review found three
+    // verbatim copies drifting apart")
+    val spark = core.Measure.session(cpus)
     // oracle_sql.json is written FIRST (it depends on nothing but the
     // static maps): if the query loop dies mid-run, the driver's
     // compare still sees every oracle and the partial artifacts —

@@ -14,9 +14,15 @@ import org.apache.spark.sql.SparkSession
   *    columns; `Tables.table` rebuilds µs timestamps on top).
   *  - graft's native expressions registered for SQL via GraftExtensions.
   *
-  * `shufflePartitions` defaults to the cluster's default parallelism when
-  * 0 — on local[N] that is N (the driver contract's local[32] → 32); on a
-  * real cluster set it explicitly to ~2-3× total cores.
+  * `shufflePartitions` = 0 (the default) derives the setting where it
+  * can be known at build time: a `local[N]` master gets N, `local[*]`
+  * gets the box's processor count (the driver contract's
+  * local[32] → 32). For a cluster master (or a master injected by
+  * spark-submit, i.e. `master` empty here) the core count is unknown
+  * until executors register, so the conf is left for the deployment to
+  * set explicitly — pass ~2-3× total cores, or rely on AQE coalescing
+  * from an explicit high initial value; stock 200 is NOT a 100 TB
+  * posture.
   */
 object GraftSession {
 
@@ -30,9 +36,23 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
     val withMaster = if (master.nonEmpty) b.master(master) else b
-    if (shufflePartitions > 0)
-      withMaster.config("spark.sql.shuffle.partitions",
-        shufflePartitions.toString)
+    val derived = derivePartitions(master, shufflePartitions)
+    if (derived > 0)
+      withMaster.config("spark.sql.shuffle.partitions", derived.toString)
     else withMaster
   }
+
+  /** Shuffle-partition derivation (see object scaladoc): explicit wins;
+    * a local[N] master derives N; local[*]/local the processor count; a
+    * cluster (or injected) master returns 0 = leave unset. */
+  private[graft] def derivePartitions(master: String,
+                                      explicit: Int): Int =
+    if (explicit > 0) explicit
+    else master match {
+      case "local[*]" | "local" =>
+        Runtime.getRuntime.availableProcessors()
+      case m if m.startsWith("local[") && m.endsWith("]") =>
+        m.stripPrefix("local[").stripSuffix("]").toIntOption.getOrElse(0)
+      case _ => 0
+    }
 }

@@ -93,10 +93,12 @@ object Sources {
 
   /** Streaming counterparts — same schema contract, unbounded. */
   def csvStream(spark: SparkSession, path: String, schema: StructType,
-                header: Boolean = true): DataFrame =
+                header: Boolean = true, delimiter: String = ","): DataFrame =
     spark.readStream.option("header", header.toString)
-      // same whitespace pins as the batch [[csv]] reader — the
-      // batch/stream pair must not drift
+      // same whitespace AND delimiter pins as the batch [[csv]] reader
+      // — the batch/stream pair must not drift (a tab-delimited corpus
+      // readable in batch must stream identically)
+      .option("delimiter", delimiter)
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
       .schema(schema).csv(path)

@@ -979,6 +979,37 @@ class TopologySpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Main.resolveConfigText(
       "redirect:\n  connector: consul\n  endpoint: http://x\n  key: k\n"))
     assert(e.getMessage.contains("consul"), e.getMessage)
+    // a redirect must be the ONLY top-level key: real topics beside it
+    // would be silently discarded (half-migrated config)
+    val e2 = intercept[IllegalArgumentException](Main.resolveConfigText(
+      s"""redirect:
+         |  connector: file
+         |  path: $real
+         |topics:
+         |  - name: shadowed
+         |    kind: memory
+         |""".stripMargin))
+    assert(e2.getMessage.contains("no other top-level keys"),
+      e2.getMessage)
+    // one indirection level only: a redirect target that itself
+    // redirects refuses with a clear message
+    val hop = s"$tmp/hop.yaml"
+    Files.writeString(java.nio.file.Paths.get(hop),
+      s"redirect:\n  connector: file\n  path: $real\n")
+    val e3 = intercept[IllegalArgumentException](Main.resolveConfigText(
+      s"redirect:\n  connector: file\n  path: $hop\n"))
+    assert(e3.getMessage.contains("nested redirect"), e3.getMessage)
+  }
+
+  test("GraftSession derives shuffle partitions from a local master " +
+    "and leaves cluster masters for the deployment to set") {
+    import graft.core.GraftSession.derivePartitions
+    assert(derivePartitions("local[7]", 0) == 7)
+    assert(derivePartitions("local[*]", 0) ==
+      Runtime.getRuntime.availableProcessors())
+    assert(derivePartitions("spark://host:7077", 0) == 0)
+    assert(derivePartitions("", 0) == 0)
+    assert(derivePartitions("local[7]", 48) == 48) // explicit wins
   }
 
   test("operator config precedence: op-local config overrides the " +

@@ -36,7 +36,13 @@ def main(repo="."):
         if not str(art.get("sf", "")).endswith("sf0.1"):
             continue
         n_used += 1
+        # a query that THREW during the run records its time-to-failure
+        # (graft.Bench stamps it in "failed") — that number must never
+        # become the query's floor
+        failed = set(art.get("failed", {}))
         for q, sec in art.get("queries", {}).items():
+            if q in failed:
+                continue
             if sec > 0 and (q not in floors or sec < floors[q]):
                 floors[q] = sec
     out = {"sf": "/root/testdata/sf0.1", "revisions_used": n_used,
