@@ -28,8 +28,18 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Forked-run JVM sizing (r15 optimization round, measured on the
+// 128 GiB / 32-core sandbox): the local-mode JVM is driver AND all 32
+// executor threads in one heap. At the old 8g default the heavy
+// kernel stages ran 10-20% GC (StageProfile jvmGCTime: 4.3s GC in a
+// 22s-taskSum shingle/posting stage); 24g + the throughput collector
+// measured ~15% faster on the 12 hottest rows (interleaved TimeOne
+// A/B, two rounds, per-arm min). Both stay env-overridable — boxes
+// with less RAM set SPARK_DRIVER_MEM, latency-sensitive embedders set
+// SPARK_DRIVER_GC=G1 (any -XX:+Use<X>GC name works).
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-XX:+Use${sys.env.getOrElse("SPARK_DRIVER_GC", "Parallel")}GC",
 )

@@ -4,12 +4,21 @@ import org.apache.spark.sql.SparkSession
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, names) = args.take(2)
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // ad-hoc conf overrides for A/B runs (the Scratch convention):
+    // SPARK_GRAFT_CONF="k1=v1,k2=v2"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k, v)
+        case _ => ()
+      }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.split(",").foreach { n =>
       val fn = SparkEntry.queries(n)
