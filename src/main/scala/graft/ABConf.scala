@@ -18,7 +18,14 @@ object ABConf {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val vA = spark.conf.get(key)
+    // getOption + unset: a conf with no default (e.g. spark.sql.optimizer
+    // .excludedRules) would throw on get, and restoring arm A via set()
+    // differs subtly from 'never set' (r15 advice)
+    val vA: Option[String] = spark.conf.getOption(key)
+    def setA(): Unit = vA match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
     names.split(",").foreach { n =>
       val fn = SparkEntry.queries(n)
       fn(spark, sfDir).count() // warm
@@ -30,10 +37,10 @@ object ABConf {
       }
       val (as, bs) = (Array.fill(rounds)(0.0), Array.fill(rounds)(0.0))
       (0 until rounds).foreach { i =>
-        spark.conf.set(key, vA); as(i) = sample()
+        setA(); as(i) = sample()
         spark.conf.set(key, vB); bs(i) = sample()
       }
-      spark.conf.set(key, vA)
+      setA()
       println(f"AB $n%-24s A(min=${as.min}%.2f med=${as.sorted.apply(rounds / 2)}%.2f) " +
         f"B(min=${bs.min}%.2f med=${bs.sorted.apply(rounds / 2)}%.2f)  " +
         f"B/A=${bs.min / as.min}%.2f")

@@ -40,7 +40,20 @@ object Bench {
     // doesn't). System load average is stamped before/after so a noisy
     // run is self-evident in the artifact.
     def loadAvg: Double = core.Measure.loadAvg
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b — ADDITIVE dev/scaling knob (r15
+    // verdict task 5), default off (the driver sets no such env, so its
+    // protocol is byte-identical): restrict the timed sweeps to a named
+    // subset so an 8c-vs-32c comparison over the >1s rows yields a
+    // scaling ratio the 240-row scheduling floor can't drown. Subset
+    // runs default their artifact to bench_subset_out.json so a dev run
+    // can never clobber the committed full-suite bench_out.json that
+    // feeds the history-retry and floor gates.
+    val onlyBench: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toVector
+      .filter(n => onlyBench.forall(_.contains(n)))
     // a throwing query must NOT read as a fast green number: its
     // time-to-failure would land in the artifact, the suite total would
     // IMPROVE, and tools/bench_floor.py's per-query min would adopt the
@@ -192,7 +205,9 @@ object Bench {
     // the driver's parser (round 4 lost its headline metric to
     // "parsed": null) — the file copy is the parse-proof artifact
     val out = args.lift(1).getOrElse(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        if (onlyBench.isDefined) "bench_subset_out.json"
+        else "bench_out.json"))
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -28,12 +28,16 @@ object StageProfile {
     names.split(",").foreach { n =>
       val fn = SparkEntry.queries(n)
       fn(spark, sfDir).count() // warm: JIT + codegen + page cache
+      // buffers written from the listener-bus thread, read from main
+      // after the drain sleep — guarded by one lock (r15 advice: the
+      // unsynchronized read raced late events on a backed-up bus)
+      val lock = new Object
       val stages = mutable.ArrayBuffer.empty[St]
       val jobs = mutable.ArrayBuffer.empty[(Int, Long, Long)]
       val jobStart = mutable.Map.empty[Int, Long]
       val listener = new SparkListener {
         override def onStageCompleted(
-            sc: SparkListenerStageCompleted): Unit = {
+            sc: SparkListenerStageCompleted): Unit = lock.synchronized {
           val si = sc.stageInfo
           val m = si.taskMetrics
           stages += St(si.name.takeWhile(_ != '\n').take(90),
@@ -48,15 +52,25 @@ object StageProfile {
             si.numTasks)
         }
         override def onJobStart(js: SparkListenerJobStart): Unit =
-          jobStart(js.jobId) = js.time
+          lock.synchronized { jobStart(js.jobId) = js.time }
         override def onJobEnd(je: SparkListenerJobEnd): Unit =
-          jobs += ((je.jobId, jobStart.getOrElse(je.jobId, 0L), je.time))
+          lock.synchronized {
+            jobs += ((je.jobId, jobStart.getOrElse(je.jobId, 0L), je.time))
+          }
       }
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(400) // let the async listener bus drain
+      // drain the async bus fully (poll until stage count stabilizes,
+      // bounded) instead of a fixed 400ms hope
+      var last = -1
+      var spins = 0
+      while (spins < 20 && lock.synchronized(stages.size) != last) {
+        last = lock.synchronized(stages.size)
+        Thread.sleep(200)
+        spins += 1
+      }
       spark.sparkContext.removeSparkListener(listener)
       println(f"\n===== $n%s wall=$wall%.2fs jobs=${jobs.size}%d " +
         f"stages=${stages.size}%d =====")

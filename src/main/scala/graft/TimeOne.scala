@@ -11,8 +11,12 @@ object TimeOne {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
     // ad-hoc conf overrides for A/B runs (the Scratch convention):
-    // SPARK_GRAFT_CONF="k1=v1,k2=v2"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
+    // SPARK_GRAFT_CONF="k1=v1;k2=v2" — ';'-separated so conf VALUES may
+    // contain commas (e.g. excludedRules lists; r15 advice: the ','
+    // split silently truncated such values); ',' still accepted when no
+    // ';' is present for backward compatibility with old notes
+    sys.env.get("SPARK_GRAFT_CONF").foreach(s =>
+      s.split(if (s.contains(';')) ';' else ',').foreach { kv =>
       kv.split("=", 2) match {
         case Array(k, v) if k.nonEmpty => builder.config(k, v)
         case _ => ()

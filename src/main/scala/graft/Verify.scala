@@ -58,12 +58,31 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    var okCount = 0
-    val failed = scala.collection.mutable.ListBuffer.empty[String]
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // The per-query loop runs on a small fixed thread pool (guide §2.6
+    // "overlap independent jobs"): the 240 queries are independent, each
+    // ends in a tiny coalesce(1) write, and the serial loop left the box
+    // idle between a query's driver-side planning and its short jobs
+    // (measured numbers: OPTIMIZATION_r16.md "Verify wall time") — byte-
+    // identical outputs (one shared session; per-query plans unchanged —
+    // the only cross-query session state is idempotent temp-view
+    // registration of the same tables). Default 4 per the guide ("2-3 in
+    // flight is plenty" + one for planning overlap); SPARK_GRAFT_VERIFY_PAR
+    // overrides, =1 restores the serial loop.
+    val par = math.max(1, sys.env.get("SPARK_GRAFT_VERIFY_PAR")
+      .map(_.trim.toInt).getOrElse(4))
+    val okCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failedMap =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val names = SparkEntry.queries.keys.toVector
+      .filter(name => only.forall(_.contains(name)))
+    val futures = names.map { name => pool.submit(new Runnable {
+      def run(): Unit = {
+      val fn = SparkEntry.queries(name)
       try {
+        // job descriptions/groups are thread-local — each worker labels
+        // its own jobs so a stuck run's UI/logs attribute correctly
+        spark.sparkContext.setJobDescription(s"verify: $name")
         val out = fn(spark, sfDir)
         // Deterministism hardening: a single explicit global sort over ALL
         // orderable columns as the LAST op before the write, so the parquet
@@ -98,12 +117,18 @@ object Verify {
           else out.orderBy(orderable: _*)
         stable.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        okCount += 1
+        okCounter.incrementAndGet()
       } catch { case e: Throwable =>
-        failed += name
+        failedMap.put(name, String.valueOf(e.getMessage))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-    }
+      }
+    })}
+    futures.foreach(f => try f.get() catch { case _: Throwable => () })
+    pool.shutdown()
+    val okCount = okCounter.get()
+    // deterministic summary order regardless of completion interleaving
+    val failed = names.filter(failedMap.containsKey)
     // self-arbitrating summary: one machine-readable line in the out
     // dir AND on stdout, so an empty downstream correctness artifact
     // always has an in-band counter-signal with counts and names

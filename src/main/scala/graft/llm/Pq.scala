@@ -55,16 +55,43 @@ object Pq {
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int,
             ksub: Int, iters: Int = 0): Codebook = {
     require(m >= 1, s"m must be >= 1: $m")
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
-    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val subDim = dim / m
-    val books = (0 until m).map { s =>
-      val sliced = df.select(col(idCol),
-        slice(col(vecCol), s * subDim + 1, subDim).as("__sub"))
-      if (iters == 0) KMeans.seed(sliced, idCol, "__sub", ksub)
-      else KMeans.fit(sliced, idCol, "__sub", ksub, iters)
-    }.toArray
-    Codebook(subDim, books)
+    if (iters == 0) {
+      // Seeded path fused to ONE driver job: every subspace seed is a
+      // slice of the SAME ksub rows (the ksub smallest ids — KMeans.seed's
+      // contract), so the per-subspace `orderBy.limit(ksub).collect()`
+      // ran m+1 serial full-input jobs (m ordered takes + the dim probe)
+      // to fetch identical rows m times. One ordered take of the full
+      // vectors, sliced driver-side, is bit-identical: float→double
+      // widening is exact, so widen-then-slice equals slice-then-widen.
+      val rows = df.orderBy(col(idCol)).limit(ksub).select(col(vecCol))
+        .collect()
+        .map(_.getSeq[Any](0).map {
+          case f: java.lang.Float  => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+          case other => sys.error(s"train: non-float vector element $other")
+        }.toArray)
+      require(rows.length >= ksub, s"corpus has fewer than $ksub rows")
+      val dim = rows.head.length
+      require(rows.forall(_.length == dim),
+        s"train: mixed vector dimensions in the $ksub seed rows")
+      require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+      val subDim = dim / m
+      val books = (0 until m).map { s =>
+        KMeans.Model(rows.map(r =>
+          java.util.Arrays.copyOfRange(r, s * subDim, (s + 1) * subDim)))
+      }.toArray
+      Codebook(subDim, books)
+    } else {
+      val dim = df.select(size(col(vecCol))).head.getInt(0)
+      require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+      val subDim = dim / m
+      val books = (0 until m).map { s =>
+        val sliced = df.select(col(idCol),
+          slice(col(vecCol), s * subDim + 1, subDim).as("__sub"))
+        KMeans.fit(sliced, idCol, "__sub", ksub, iters)
+      }.toArray
+      Codebook(subDim, books)
+    }
   }
 
   /** The m-entry code vector of `vec` as a Column — each subspace code
